@@ -1,13 +1,660 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{GeoFunctions, TextFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity, Transforms}
+
+/** Driver contract (SURVEY §7 + builder prompt): one `queries` entry per
+  * implemented operator from SURVEY §2 (+ the north-star dedup / similarity /
+  * text-analysis / multimodal operators), and a DuckDB-equivalent `oracleSql`
+  * for every SQL-expressible one.
+  *
+  * Determinism rules used throughout so the Spark result hash-matches DuckDB:
+  *  - double SUMs go through `CAST(x AS DECIMAL(18,2))` so summation is
+  *    exact and order-independent, then back to double (identical bits on
+  *    both engines); per-row double arithmetic is identical anyway;
+  *  - every ranking includes a unique tiebreaker column;
+  *  - derived integers are cast to BIGINT on both sides (DuckDB's
+  *    `year()`/`count()` are BIGINT, Spark's are INT/LONG);
+  *  - no `current_timestamp` in compared output.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Tables._
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- deterministic synthetic geo points (no lat/lon in the corpus) ----
+  private def custPoints(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey"),
+      (((col("c_custkey") * 37) % 17000).cast("double") / lit(100) - lit(85)).as("lat"),
+      (((col("c_custkey") * 91) % 35000).cast("double") / lit(100) - lit(175)).as("lon"))
+
+  private def suppPoints(s: SparkSession, d: String): DataFrame =
+    supplier(s, d).select(col("s_suppkey"),
+      (((col("s_suppkey") * 53) % 17000).cast("double") / lit(100) - lit(85)).as("s_lat"),
+      (((col("s_suppkey") * 71) % 35000).cast("double") / lit(100) - lit(175)).as("s_lon"))
+
+  /** Regex categorizer rules, LAST-writer-wins like the reference's 40-rule
+    * chain (`PGSITE/__init__.py:144-281`). */
+  private val partRules: Seq[(String, String)] = Seq(
+    "(?i)widget" -> "WIDGETRY",
+    "(?i)(bolt|nut|screw)" -> "FASTENER",
+    "(?i)rod" -> "RODWARE",
+    "(?i)(small|mini)" -> "SMALLGOODS",
+    "(?i)cold" -> "COLDCHAIN")
+  private val rulesDefault = "OTROS SIN CLASIFICACION"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A2 — grouped sums/counts (TPC-H Q1 shape; reference A2:
+    // `HTGPIPROPHEDEX/__init__.py:502`).
+    "q01_pricing_summary" -> ((s, d) => {
+      // Money columns are exact 2-decimal values, so all arithmetic happens
+      // in decimal — exact, order-independent, and bit-identical to DuckDB.
+      val one = lit(1).cast(DecimalType(4, 2))
+      val price = col("l_extendedprice").cast(DecimalType(12, 2))
+      val disc = one - col("l_discount").cast(DecimalType(4, 2))
+      val tax = one + col("l_tax").cast(DecimalType(4, 2))
+      lineitem(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * disc).cast("double").as("sum_disc_price"),
+        sum(price * disc * tax).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+    }),
+
+    // A1 — watermark derivation: GROUP BY key, MAX(ts)
+    // (`HTGPIYAHOO/__init__.py:38`).
+    "q02_watermark_max" -> ((s, d) =>
+      Transforms.watermarks(orders(s, d), "o_custkey", "o_orderdate")),
+
+    // J1 — per-entity watermark application as broadcast join + predicate
+    // (`HTGPIYAHOO/__init__.py:74-96`).
+    "q03_watermark_join" -> ((s, d) => {
+      val o = orders(s, d)
+      val wm = Transforms.watermarks(
+        o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        "o_custkey", "o_orderdate", "wm_date")
+      Transforms.watermarkFilter(o, wm, Seq("o_custkey"), "o_orderdate", "wm_date")
+        .filter(col("o_orderdate").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    }),
+
+    // J2 — small-dimension lookup enrichment via broadcast joins
+    // (`HTGPIENSO/__init__.py:75,82` dict lookups → dim joins).
+    "q04_lookup_enrich" -> ((s, d) => {
+      val c = customer(s, d); val n = nation(s, d); val r = region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), sumd(col("c_acctbal")).as("total_acctbal"))
+    }),
+
+    // P4/P1/P2/F7-ish — range predicate + projection + derived column
+    // (`HTGPISNP500/__init__.py:90-91`).
+    "q05_filter_project" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          substring(col("o_orderpriority"), 1, 1).as("priority_code"))),
+
+    // W1/W2 — grouped top-k (generated T-SQL TOP 3 + ROW_NUMBER,
+    // `HTIPNEXSITE/__init__.py:106-122`).
+    "q06_topk_per_group" -> ((s, d) =>
+      Transforms.topKPerGroup(customer(s, d), Seq(col("c_mktsegment")),
+          Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
+        .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_name"),
+          col("c_acctbal"))),
+
+    // A6/A7 — DISTINCT (`PGSITE/__init__.py:284,298`).
+    "q07_distinct" -> ((s, d) =>
+      customer(s, d).select(col("c_mktsegment"), col("c_nationkey")).distinct()),
+
+    // SO2 — unpivot/melt (`HTGPIINFLATUS/__init__.py:91`).
+    "q08_unpivot" -> ((s, d) =>
+      Transforms.melt(
+        part(s, d).select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice")),
+        Seq("p_partkey"), Seq("p_size", "p_retailprice"), "attr", "val")),
+
+    // SO3 — pivot (`HTGPIPROPHEDEX/__init__.py:392,854`).
+    "q09_pivot" -> ((s, d) =>
+      Transforms.pivotAgg(
+        lineitem(s, d)
+          .select(year(col("l_shipdate")).cast("long").as("ship_year"),
+            col("l_returnflag"), col("l_quantity")),
+        Seq(col("ship_year")), "l_returnflag", Seq("A", "N", "R"),
+        Seq(sumd(col("l_quantity"))))),
+
+    // SO1 — UNION ALL append-merge (`HTGPIYAHOO/__init__.py:96`).
+    "q10_union" -> ((s, d) => {
+      val o = orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("src", lit("F_SET"))
+      val p = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("src", lit("O_SET"))
+      f.unionByName(p)
+    }),
+
+    // F1-F5 — string transform family (`HTGPIENSO/__init__.py:81-84`,
+    // `PGSITE/__init__.py:129-140`).
+    "q11_string_clean" -> ((s, d) =>
+      part(s, d).select(col("p_partkey"),
+        upper(trim(col("p_name"))).as("name_uc"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        translate(col("p_name"), "abc", "xyz").as("name_tr"),
+        length(col("p_name")).cast("long").as("name_len"))),
+
+    // F8/F9/F10 — date functions (`HTGPICFT/__init__.py:50-54`,
+    // `HTGPIINFLATUS/__init__.py:112`).
+    "q12_date_funcs" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        weekofyear(col("o_orderdate")).cast("long").as("o_week"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_add(col("o_orderdate"), 1).as("next_day"),
+        add_months(col("o_orderdate"), 6).as("plus_6m"),
+        last_day(col("o_orderdate")).as("eom"))),
+
+    // F7 — CASE WHEN bucketing + aggregation
+    // (`HTGPIPROPHEDEX/__init__.py:78-87`).
+    "q13_case_when" -> ((s, d) =>
+      customer(s, d)
+        .withColumn("balance_band",
+          when(col("c_acctbal") < 0, "NEGATIVE")
+            .when(col("c_acctbal") < 1000, "LOW")
+            .when(col("c_acctbal") < 5000, "MID")
+            .otherwise("HIGH"))
+        .groupBy(col("balance_band"))
+        .agg(count(lit(1)).as("n"), min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))),
+
+    // F14 — null repair: nullif/coalesce fills
+    // (`HTGPIYAHOO/__init__.py:52-53`, `HTGPIWASDE/__init__.py:1204-1207`).
+    "q14_null_repair" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("UNKNOWN")).as("etype"),
+        coalesce(when(col("value") > 150, lit(null)).otherwise(col("value")), lit(0.0))
+          .as("value_capped"))),
+
+    // A5 — row-wise horizontal arithmetic (`HTGPIPROPHEDEX/__init__.py:426-428`).
+    "q15_horizontal_sum" -> ((s, d) =>
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + col("l_extendedprice") + col("l_tax") + col("l_discount"))
+          .as("row_total"),
+        (col("l_extendedprice") - col("l_quantity")).as("price_minus_qty"))),
+
+    // F13 — guarded derived measure (Stocks-to-Use,
+    // `HTGPIWASDE/__init__.py:714-718`).
+    "q16_derived_measure" -> ((s, d) => {
+      val g = lineitem(s, d).groupBy(col("l_orderkey")).agg(
+        coalesce(sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice")))),
+          lit(0).cast(DecimalType(18, 2))).cast("double").as("returned"),
+        sumd(col("l_extendedprice")).as("total"))
+      g.select(col("l_orderkey"), col("returned"), col("total"),
+        Transforms.guardedRatio(col("returned"), col("total"), lit(100)).as("return_pct"))
+    }),
+
+    // F17 — haversine distance (geopy geodesic `PGSITE/__init__.py:289`;
+    // composed-builtin formula mirrored by the oracle).
+    "q17_haversine" -> ((s, d) =>
+      custPoints(s, d).select(col("c_custkey"), col("lat"), col("lon"),
+        round(GeoFunctions.haversineMeters(col("lat"), col("lon"),
+          lit(19.4326), lit(-99.1332)), 1).as("dist_m"))),
+
+    // J3/W1/W2 — distance theta-join + per-point top-3 nearest
+    // (`HTIPNEXSITE/__init__.py:92-131`).
+    "q18_geo_topk" -> ((s, d) => {
+      val joined = custPoints(s, d).crossJoin(broadcast(suppPoints(s, d)))
+        .select(col("c_custkey"), col("s_suppkey"),
+          GeoFunctions.haversineMeters(col("lat"), col("lon"),
+            col("s_lat"), col("s_lon")).as("dist"))
+      Transforms.topKPerGroup(joined, Seq(col("c_custkey")),
+          Seq(col("dist").asc, col("s_suppkey").asc), 3, "pos_rank")
+        .select(col("c_custkey"), col("pos_rank"), col("s_suppkey"),
+          round(col("dist"), 1).as("dist_m"))
+    }),
+
+    // A3/A4 — per-category feature aggregation pivoted wide
+    // (`PGSITE/__init__.py:302-357`).
+    "q19_feature_pivot" -> ((s, d) => {
+      val piv = Transforms.pivotAgg(events(s, d), Seq(col("user_id")), "event_type",
+        Seq("click", "error", "purchase", "signup", "view"),
+        Seq(count(lit(1)).as("n"), count(when(col("value") > 100, 1)).as("hi")))
+      piv.na.fill(0L)
+    }),
+
+    // W4 — last-non-null carry-forward (`HTGPIWASDE/__init__.py:807-808`).
+    "q20_carry_forward" -> ((s, d) => {
+      val e = events(s, d).withColumn("v",
+        when(col("value") < 40, lit(null)).otherwise(col("value")))
+      Transforms.carryForward(e, "v", Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")), "filled")
+        .select(col("event_id"), col("user_id"), col("ts"), col("v"), col("filled"))
+    }),
+
+    // Streaming-shaped tumbling-window aggregation (SURVEY §2.8: the batch
+    // form of `groupBy(window($"ts", "1 hour"))` — same code runs under
+    // Trigger.AvailableNow).
+    "q21_window_agg" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("total"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n"), col("total"))),
+
+    // F6 — ordered regex-rule categorizer, last-writer-wins
+    // (`PGSITE/__init__.py:144-281`).
+    "q22_categorize" -> ((s, d) =>
+      part(s, d).select(col("p_partkey"), col("p_name"),
+        Transforms.categorize(partRules, rulesDefault)(col("p_name")).as("category"))),
+
+    // North star: exact dedup by normalized-text digest.
+    "q23_dedup_exact" -> ((s, d) =>
+      Dedup.exact(documents(s, d), "doc_id", "text")),
+
+    // North star: token counting.
+    "q24_token_stats" -> ((s, d) => {
+      val t = TextFunctions.tokens(col("text"))
+      documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          size(t).cast("double")).as("avg_token_len"))
+    }),
+
+    // North star: quality scoring (length/punct/stopword ratios).
+    "q25_quality_score" -> ((s, d) => {
+      val toks = TextFunctions.tokens(lower(col("text")))
+      documents(s, d).select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        TextFunctions.punctCount(col("text")).as("n_punct"),
+        TextFunctions.stopwordCount(toks, TextFunctions.EnglishStopwords).as("n_stop"),
+        size(toks).cast("long").as("n_tokens"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("punct_ratio",
+          col("n_punct").cast("double") / col("len").cast("double"))
+    }),
+
+    // North star: n-gram-heuristic language ID.
+    "q26_langid" -> ((s, d) => {
+      val lo = lower(col("text"))
+      documents(s, d).select(col("doc_id"),
+        TextFunctions.matchCount(lo, "\\b(the|and|of|to|is)\\b").as("s_en"),
+        TextFunctions.matchCount(lo, "\\b(el|la|de|que|los|por)\\b").as("s_es"),
+        TextFunctions.matchCount(lo, "\\b(der|die|und|das|ist|nicht)\\b").as("s_de"),
+        TextFunctions.matchCount(lo, "\\b(le|les|et|des|est|une)\\b").as("s_fr"),
+        TextFunctions.matchCount(col("text"), "[一-鿿]").as("s_zh"))
+        .withColumn("pred_lang",
+          when(col("s_zh") > 0, "zh")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+              col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+    }),
+
+    // North star: document fingerprinting (digest of normalized text).
+    "q27_fingerprint" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // North star: n-gram Jaccard near-dup scoring on a sampled,
+    // language-blocked candidate set (distributed shingle join — no
+    // cross-join; see Dedup.ngramJaccardPairs).
+    "q28_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        documents(s, d).filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", "lang", 3)),
+
+    // North star: MinHash+LSH candidate pairs (xxhash64 lanes — not
+    // SQL-oracle-expressible; driver records rows-only).
+    "q29_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashCandidates(documents(s, d), "doc_id", "text")),
+
+    // North star: SimHash signatures via the native SimHash64 expression
+    // (rows-only).
+    "q30_simhash" -> ((s, d) =>
+      Dedup.simhashSignatures(documents(s, d), "doc_id", "text")),
+
+    // North star: brute-force cosine top-10 against a query vector.
+    "q31_ann_cosine" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val scored = e.crossJoin(broadcast(q))
+        .select(col("vec_id"), Similarity.cosine(col("embedding"), col("qe")).as("sim"))
+      Transforms.topKPerGroup(scored, Seq(lit(1)),
+          Seq(col("sim").desc, col("vec_id").asc), 10)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
+    }),
+
+    // North star: LSH-bucketed near-neighbor pairs — the scale path for
+    // all-pairs similarity (rows-only).
+    "q32_ann_lsh" -> ((s, d) =>
+      Similarity.lshNearPairs(embeddings(s, d), "vec_id", "embedding",
+        bits = 4, minSim = 0.1)),
+
+    // S2 — fixed-width layout parse (round-trip built from orders so the
+    // oracle can mirror it; file-based reader covered by FixedWidthReader
+    // + its spec).
+    "q33_fixed_width" -> ((s, d) => {
+      val fw = orders(s, d).select(concat(
+        rpad(col("o_orderstatus"), 4, " "),
+        lpad(col("o_orderkey").cast("string"), 12, "0"),
+        rpad(col("o_orderpriority"), 16, " ")).as("line"))
+      fw.select(Transforms.parseFixedWidth(col("line"),
+          Seq(("status", 4), ("okey", 12), ("priority", 16))): _*)
+        .select(col("status"), col("okey").cast("long").as("okey"), col("priority"))
+    }),
+
+    // North star: multimodal binary-column plumbing with stubbed decode
+    // (rows-only; see Multimodal scaladoc).
+    "q34_multimodal" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"))),
+
+    // Sessionization — gap-based session ids via lag + running sum
+    // (extends W-family to the events stream table).
+    "q35_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("flag",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 300000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("flag")).over(run).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("total"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |   (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_watermark_max" ->
+      "SELECT o_custkey, max(o_orderdate) AS max_date FROM orders GROUP BY o_custkey",
+    "q03_watermark_join" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |FROM orders o
+        |LEFT JOIN (SELECT o_custkey, max(o_orderdate) AS wm_date FROM orders
+        |      WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey) w
+        |  ON o.o_custkey = w.o_custkey
+        |WHERE w.wm_date IS NULL OR o.o_orderdate > w.wm_date""".stripMargin,
+    "q04_lookup_enrich" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q05_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | substring(o_orderpriority, 1, 1) AS priority_code
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin,
+    "q06_topk_per_group" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+        |   CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |        ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3""".stripMargin,
+    "q07_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q08_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin,
+    "q09_pivot" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        | CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+        | CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+        | CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q10_union" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, 'F_SET' AS src
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, 'O_SET' AS src
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q11_string_clean" ->
+      """SELECT p_partkey,
+        | upper(trim(p_name)) AS name_uc,
+        | substring(p_name, 1, 5) AS name5,
+        | concat_ws('-', p_brand, p_type) AS brand_type,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        | translate(p_name, 'abc', 'xyz') AS name_tr,
+        | CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part""".stripMargin,
+    "q12_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        | CAST(day(o_orderdate) AS BIGINT) AS o_day,
+        | CAST(weekofyear(o_orderdate) AS BIGINT) AS o_week,
+        | strftime(o_orderdate, '%Y-%m') AS ym,
+        | CAST(o_orderdate AS DATE) + 1 AS next_day,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 6 MONTH AS DATE) AS plus_6m,
+        | last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders""".stripMargin,
+    "q13_case_when" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
+        |            WHEN c_acctbal < 1000 THEN 'LOW'
+        |            WHEN c_acctbal < 5000 THEN 'MID'
+        |            ELSE 'HIGH' END AS balance_band,
+        | count(*) AS n, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q14_null_repair" ->
+      """SELECT event_id,
+        | coalesce(nullif(event_type, 'error'), 'UNKNOWN') AS etype,
+        | coalesce(CASE WHEN value > 150 THEN NULL ELSE value END, CAST(0.0 AS DOUBLE)) AS value_capped
+        |FROM events""".stripMargin,
+    "q15_horizontal_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_quantity + l_extendedprice + l_tax + l_discount AS row_total,
+        | l_extendedprice - l_quantity AS price_minus_qty
+        |FROM lineitem""".stripMargin,
+    "q16_derived_measure" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |   CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) END),
+        |        CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS returned,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, returned, total,
+        | CASE WHEN total = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE returned / total * 100 END AS return_pct
+        |FROM g""".stripMargin,
+    "q17_haversine" ->
+      """WITH p AS (SELECT c_custkey,
+        |  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100 - 85 AS lat,
+        |  CAST((c_custkey * 91) % 35000 AS DOUBLE) / 100 - 175 AS lon
+        | FROM customer)
+        |SELECT c_custkey, lat, lon,
+        | round(12742000.0 * asin(sqrt(
+        |   sin(radians(19.4326 - lat) / 2) * sin(radians(19.4326 - lat) / 2) +
+        |   cos(radians(lat)) * cos(radians(19.4326)) *
+        |   sin(radians(-99.1332 - lon) / 2) * sin(radians(-99.1332 - lon) / 2))), 1) AS dist_m
+        |FROM p""".stripMargin,
+    "q18_geo_topk" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100 - 85 AS lat,
+        |  CAST((c_custkey * 91) % 35000 AS DOUBLE) / 100 - 175 AS lon
+        | FROM customer),
+        |s AS (SELECT s_suppkey,
+        |  CAST((s_suppkey * 53) % 17000 AS DOUBLE) / 100 - 85 AS s_lat,
+        |  CAST((s_suppkey * 71) % 35000 AS DOUBLE) / 100 - 175 AS s_lon
+        | FROM supplier),
+        |j AS (SELECT c_custkey, s_suppkey,
+        |  12742000.0 * asin(sqrt(
+        |    sin(radians(s_lat - lat) / 2) * sin(radians(s_lat - lat) / 2) +
+        |    cos(radians(lat)) * cos(radians(s_lat)) *
+        |    sin(radians(s_lon - lon) / 2) * sin(radians(s_lon - lon) / 2))) AS dist
+        | FROM c CROSS JOIN s),
+        |r AS (SELECT c_custkey, s_suppkey, dist,
+        |  CAST(row_number() OVER (PARTITION BY c_custkey
+        |       ORDER BY dist, s_suppkey) AS BIGINT) AS pos_rank
+        | FROM j)
+        |SELECT c_custkey, pos_rank, s_suppkey, round(dist, 1) AS dist_m
+        |FROM r WHERE pos_rank <= 3""".stripMargin,
+    "q19_feature_pivot" ->
+      """SELECT user_id,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+        | count(CASE WHEN event_type = 'click' AND value > 100 THEN 1 END) AS click_hi,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error_n,
+        | count(CASE WHEN event_type = 'error' AND value > 100 THEN 1 END) AS error_hi,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+        | count(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 END) AS purchase_hi,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_n,
+        | count(CASE WHEN event_type = 'signup' AND value > 100 THEN 1 END) AS signup_hi,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+        | count(CASE WHEN event_type = 'view' AND value > 100 THEN 1 END) AS view_hi
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q20_carry_forward" ->
+      """SELECT event_id, user_id, ts, v,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (SELECT event_id, user_id, ts,
+        |       CASE WHEN value < 40 THEN NULL ELSE value END AS v
+        |      FROM events) t""".stripMargin,
+    "q21_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q22_categorize" ->
+      """SELECT p_partkey, p_name,
+        | CASE WHEN regexp_matches(p_name, '(?i)cold') THEN 'COLDCHAIN'
+        |      WHEN regexp_matches(p_name, '(?i)(small|mini)') THEN 'SMALLGOODS'
+        |      WHEN regexp_matches(p_name, '(?i)rod') THEN 'RODWARE'
+        |      WHEN regexp_matches(p_name, '(?i)(bolt|nut|screw)') THEN 'FASTENER'
+        |      WHEN regexp_matches(p_name, '(?i)widget') THEN 'WIDGETRY'
+        |      ELSE 'OTROS SIN CLASIFICACION' END AS category
+        |FROM part""".stripMargin,
+    "q23_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        | min(doc_id) AS keeper, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q24_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS len_chars,
+        | CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |   CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q25_quality_score" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS len,
+        | CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+        | CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','a','an','of','and','in','to','is','it','for'))) AS BIGINT) AS n_stop,
+        | CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','a','an','of','and','in','to','is','it','for'))) AS DOUBLE) /
+        |   CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS stop_ratio,
+        | CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+        |   CAST(length(text) AS DOUBLE) AS punct_ratio
+        |FROM documents""".stripMargin,
+    "q26_langid" ->
+      """WITH s AS (SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT) AS s_en,
+        | CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|por)\b')) AS BIGINT) AS s_es,
+        | CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b')) AS BIGINT) AS s_de,
+        | CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|des|est|une)\b')) AS BIGINT) AS s_fr,
+        | CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+        |FROM documents)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+        | CASE WHEN s_zh > 0 THEN 'zh'
+        |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |      WHEN s_de >= s_fr THEN 'de'
+        |      ELSE 'fr' END AS pred_lang
+        |FROM s""".stripMargin,
+    "q27_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q28_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text) AS norm FROM documents
+        |           WHERE doc_id % 20 = 0),
+        |g AS (SELECT doc_id, lang, norm,
+        |       unnest(generate_series(1, greatest(length(norm) - 2, 1))) AS i
+        |      FROM d),
+        |sh AS (SELECT DISTINCT doc_id, lang, substring(norm || '  ', i, 3) AS s FROM g),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        |          FROM sh a JOIN sh b
+        |            ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2,
+        | CAST(n_inter AS DOUBLE) /
+        |   CAST(s1.n + s2.n - n_inter AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id""".stripMargin,
+    "q31_ann_cosine" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |u AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qe) AS b
+        |      FROM embeddings e CROSS JOIN q),
+        |dots AS (SELECT vec_id,
+        |  sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+        |  sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+        |  sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+        | FROM u GROUP BY vec_id),
+        |s AS (SELECT vec_id, dp / (sqrt(na) * sqrt(nb)) AS sim FROM dots),
+        |r AS (SELECT vec_id, sim,
+        |  CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM s)
+        |SELECT vec_id, round(sim, 6) AS sim_r, rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "q33_fixed_width" ->
+      """WITH fw AS (SELECT rpad(o_orderstatus, 4, ' ') ||
+        |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') ||
+        |  rpad(o_orderpriority, 16, ' ') AS line FROM orders)
+        |SELECT trim(substring(line, 1, 4)) AS status,
+        | CAST(substring(line, 5, 12) AS BIGINT) AS okey,
+        | trim(substring(line, 17, 16)) AS priority
+        |FROM fw""".stripMargin,
+    "q35_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |f AS (SELECT *, CASE WHEN prev IS NULL
+        |       OR epoch_us(ts) - epoch_us(prev) > 300000000 THEN 1 ELSE 0 END AS flag
+        |      FROM x),
+        |sess AS (SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM sess GROUP BY user_id, session_id""".stripMargin
+  )
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions}
+
+/** Large-scale document deduplication (SURVEY north star — beyond the
+  * reference, whose only dedup is row-level `drop_duplicates`,
+  * `PGSITE/__init__.py:284`). Designed for 100 TB corpora:
+  *
+  *  - exact dedup: one hash-aggregate shuffle on a 128-bit digest (not on the
+  *    document text — shuffle bytes stay tiny no matter how big the docs are);
+  *  - MinHash+LSH: signatures are computed map-side (k hash lanes over char
+  *    shingles, all codegen'd built-ins), then only `(band, bandHash, docId)`
+  *    tuples shuffle — O(docs × bands) small rows, never document bodies.
+  *    Candidate pairs come from equi-joining the banded table with itself,
+  *    which Spark executes as a shuffled hash join on the band key; true
+  *    Jaccard verification happens only on the candidate set;
+  *  - SimHash: a single 64-bit signature per doc via the native
+  *    [[graft.functions.SimHash64]] expression; near-dup candidates via
+  *    banding the 64 bits into 4×16-bit chunks (any equal chunk → candidate,
+  *    guaranteeing recall for Hamming distance ≤ 3 by pigeonhole).
+  */
+object Dedup {
+
+  /** Exact dedup: group on the MD5 of normalized text, keep the smallest id.
+    * Returns (text_hash, keeper, n_dups). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature column: array of k minima over char-shingle hashes.
+    * Hash lane i uses xxhash64 of the shingle salted with the lane index —
+    * all built-ins, fully codegen'd, no UDF. */
+  def minhashSignature(norm: org.apache.spark.sql.Column, shingleK: Int,
+      numHashes: Int): org.apache.spark.sql.Column = {
+    val shingles = TextFunctions.charShingles(norm, shingleK)
+    val lanes = (0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))
+    }
+    array(lanes: _*)
+  }
+
+  /** LSH candidate pairs: band the signature, join on (band, bandHash).
+    * Returns (id_a, id_b) distinct with id_a < id_b. `numHashes` must be
+    * divisible by `bands`. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol).as("doc_id"),
+      minhashSignature(TextFunctions.normalize(col(textCol)), shingleK, numHashes).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows))).as("bh")))).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash signatures: (id, simhash). */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      HashFunctions.simhash(TextFunctions.tokens(TextFunctions.normalize(col(textCol))))
+        .as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, banded on
+    * 4×16-bit chunks for sub-quadratic candidate generation. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"), col("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
+      }: _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.band"), col("x.chunk"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard similarity over candidate pairs restricted by a blocking
+    * key (here: equal `blockCol`), computed distributively: explode distinct
+    * shingles, equi-join on shingle+block, count intersections, then derive
+    * |A∪B| = |A|+|B|−|A∩B|. No array is ever shipped whole through the join —
+    * only (doc, shingle) rows, so skew stays bounded by shingle frequency. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, shingleK: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        explode(TextFunctions.charShingles(lower(col(textCol)), shingleK)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast("double") /
+          (col("s1.n") + col("s2.n") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY north star): image/audio/video as
+  * opaque `binary` columns with typed metadata, processed per-partition.
+  *
+  * The actual media decode is STUBBED — the container ships no image/audio
+  * codecs — but the Spark-side plumbing is real: schema, batched
+  * per-partition iteration (the Scala analogue of `mapInPandas`: one decoder
+  * instantiation per partition, streamed row batches, no per-row setup cost),
+  * and deterministic pseudo-features so tests are stable. Swapping
+  * [[FakeDecoder]] for a JNI/codec-backed decoder changes no plan shape.
+  */
+object Multimodal {
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** STUB decoder: derives a fake (width, height, 8-dim feature) from the
+    * payload bytes. Deterministic; replace with a real codec at deploy. */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+      val n = payload.length
+      val w = 64 + (if (n == 0) 0 else (payload(0) & 0x7f))
+      val h = 64 + (if (n < 2) 0 else (payload(1) & 0x7f))
+      val feat = Array.tabulate(8) { i =>
+        if (n == 0) 0.0
+        else (payload(i % n) & 0xff).toDouble / 255.0
+      }
+      (w, h, feat)
+    }
+  }
+
+  /** Attach a binary payload column (here synthesized from text — stands in
+    * for real image bytes read from a blob store). */
+  def withBinaryPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).cast("binary").as("payload"))
+
+  /** Per-partition batched decode → typed metadata + feature vector.
+    * One decoder per partition; rows stream through without materializing
+    * the partition. */
+  def decodeFeatures(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        // decoder init would happen here, once per partition
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (w, h, feat) = FakeDecoder.decode(payload)
+          Row(id, payload.length.toLong, w, h, feat.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY north star). The reference's only "similarity" logic is the
+  * generated top-3-nearest-POS SQL (`HTIPNEXSITE/__init__.py:106-122`); this
+  * generalizes it to dense vectors.
+  *
+  * Scale design:
+  *  - brute-force top-k against ONE query vector is a map-side scan +
+  *    a single top-k reduction — O(n·d) work, no shuffle of vectors;
+  *  - all-pairs near-dup at 100 TB must never cross-join: random-hyperplane
+  *    LSH buckets vectors by a 16-bit sign signature map-side, then only
+  *    within-bucket pairs are scored. Hyperplane components are derived
+  *    deterministically from (lane, dimension) hashes, so no model state and
+  *    every executor computes identical planes.
+  */
+object Similarity {
+
+  /** Element-wise dot product of two double arrays, sequential left fold —
+    * bit-stable and mirrored by the oracle's unnest-sum. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Cosine similarity between two float/double array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDoubleArray(a); val bd = toDoubleArray(b)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Brute-force cosine top-k of `vectors` against the single row of
+    * `queryVec` (a 1-row DataFrame with column `qe`). The query side is
+    * broadcast; ranking uses a unique tiebreak on id. */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queryVec: DataFrame, k: Int): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(queryVec))
+      .select(col(idCol), cosine(col(vecCol), col("qe")).as("sim"))
+    Transforms.topKPerGroup(scored, Seq(lit(1)), Seq(col("sim").desc, col(idCol)), k)
+      .drop("rnk")
+  }
+
+  /** 16-bit random-hyperplane signature: bit i = sign(v · h_i) where
+    * h_i[j] = unit-free pseudo-random ±[0,1) derived from xxhash64(i, j).
+    * Deterministic, stateless, computed entirely map-side. */
+  def hyperplaneSignature(vec: Column, bits: Int): Column = {
+    val vd = toDoubleArray(vec)
+    val sigBits = (0 until bits).map { i =>
+      // h_ij in [-1, 1): two-sided hash-derived coefficient
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1),
+          (x, j) => x * (pmod(xxhash64(lit(i), j), lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    sigBits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed near-neighbor pairs: bucket by hyperplane signature,
+    * score cosine only within buckets, keep pairs ≥ minSim. */
+  def lshNearPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16, minSim: Double = 0.9): DataFrame = {
+    val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      hyperplaneSignature(col(vecCol), bits).as("bucket"))
+    val a = sig.as("a"); val b = sig.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

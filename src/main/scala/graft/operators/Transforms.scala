@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational operator inventory (SURVEY §2) as reusable
+  * `DataFrame => DataFrame` combinators. Each maps 1:1 to a §2 row and is
+  * expressed with built-in Catalyst operators so predicate pushdown, column
+  * pruning, partial aggregation and join-strategy selection come for free.
+  */
+object Transforms {
+
+  /** J1 — per-entity watermark application ("keep rows newer than the last
+    * load per key"). The reference drives this row-by-row from a Python loop
+    * over `(symbol, maxDate)` pairs (`HTGPIYAHOO/__init__.py:74-96`,
+    * `HTGPIPROPHEDEX/__init__.py:542-559`); here it is one broadcast hash
+    * join + predicate — the watermark side is tiny by construction, so no
+    * shuffle of the big incoming side at any scale. */
+  def watermarkFilter(incoming: DataFrame, watermarks: DataFrame,
+      keys: Seq[String], eventCol: String, watermarkCol: String): DataFrame =
+    incoming.join(broadcast(watermarks), keys, "left")
+      .filter(col(watermarkCol).isNull || col(eventCol) > col(watermarkCol))
+      .drop(watermarkCol)
+
+  /** A1 — watermark derivation: `SELECT key, MAX(ts) ... GROUP BY key`
+    * (`HTGPIYAHOO/__init__.py:38`). Partial+final hash agg; at scale this is
+    * a map-side-combined single shuffle on the key. */
+  def watermarks(df: DataFrame, key: String, ts: String,
+      out: String = "max_date"): DataFrame =
+    df.groupBy(col(key)).agg(max(col(ts)).as(out))
+
+  /** W1/W2 — grouped top-k with a total tiebreak order, the Spark form of the
+    * reference's generated `SELECT TOP 3 ... ROW_NUMBER() OVER (ORDER BY
+    * mdist)` (`HTIPNEXSITE/__init__.py:106-122`). Callers must include a
+    * unique tiebreaker in `order` for deterministic results. */
+  def topKPerGroup(df: DataFrame, partitionBy: Seq[Column], order: Seq[Column],
+      k: Int, rankCol: String = "rnk"): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
+  /** W4 — last-non-null carry-forward ("previous row's geography" in the
+    * WASDE sheet parsers, `HTGPIWASDE/__init__.py:807-808,924-925`). */
+  def carryForward(df: DataFrame, valueCol: String, partitionBy: Seq[Column],
+      order: Seq[Column], out: String): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** F6 — ordered regex-rule categorizer. The reference applies ~40 regex
+    * masks where **later rules overwrite earlier matches** (last-writer-wins,
+    * `PGSITE/__init__.py:144-281`); a naive `when` chain is first-match-wins,
+    * so the chain is built from the reversed rule list (SURVEY §7.4 risk 2).
+    * Regex literals are compiled once per task by codegen. */
+  def categorize(rules: Seq[(String, String)], default: String)(input: Column): Column =
+    rules.reverse.foldLeft(lit(null).cast("string")) { case (acc, (pattern, cat)) =>
+      coalesce(acc, when(input.rlike(pattern), cat))
+    } match {
+      case chain => coalesce(chain, lit(default))
+    }
+
+  /** SO2 — unpivot/melt (wide year×month → long,
+    * `HTGPIINFLATUS/__init__.py:91`). */
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+      varName: String, valName: String): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
+
+  /** SO3 — pivot with an explicit value list (quotes long→wide,
+    * `HTGPIPROPHEDEX/__init__.py:392,854`). Passing `values` avoids the extra
+    * distinct-collection job Spark otherwise runs. */
+  def pivotAgg(df: DataFrame, groupCols: Seq[Column], pivotCol: String,
+      values: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(groupCols: _*).pivot(pivotCol, values).agg(aggs.head, aggs.tail: _*)
+
+  /** F13 — guarded ratio (`Stocks_to_Use = Ending/TotalUse*100`, 0 when the
+    * denominator is 0 — `HTGPIWASDE/__init__.py:714-718`). */
+  def guardedRatio(num: Column, den: Column, scale: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num / den * scale)
+
+  /** F11 — load-timestamp stamping (`df['actualizacion'] = now()`, every
+    * pipeline, e.g. `HTGPIENSO/__init__.py:87`). */
+  def stampActualizacion(df: DataFrame, col_ : String = "actualizacion"): DataFrame =
+    df.withColumn(col_, current_timestamp())
+
+  /** F14 — null repair: `''`/`'NA'` → 0 (`HTGPIWASDE/__init__.py:1204-1207`),
+    * `fillna(0)` (`HTGPICFT/__init__.py:103`). */
+  def repairNumeric(raw: Column): Column =
+    coalesce(when(trim(raw) === "" || upper(trim(raw)) === "NA", lit("0"))
+      .otherwise(trim(raw)).cast("double"), lit(0.0))
+
+  /** S2 — fixed-width line parser (NOAA ENSO `.for` layout,
+    * `HTGPIENSO/__init__.py:77`): projects each `(name, width)` slice of a
+    * text line column. Trims each cell like `pd.read_fwf`. */
+  def parseFixedWidth(line: Column, layout: Seq[(String, Int)]): Seq[Column] = {
+    val offsets = layout.scanLeft(1) { case (pos, (_, w)) => pos + w }
+    layout.zip(offsets).map { case ((name, w), pos) =>
+      trim(substring(line, pos, w)).as(name)
+    }
+  }
+}
