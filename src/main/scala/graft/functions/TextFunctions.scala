@@ -35,10 +35,15 @@ object TextFunctions {
 
   /** Word n-gram shingles from a token array. */
   def wordShingles(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    array_distinct(wordShinglesRaw(toks, n))
+
+  /** Non-deduplicated word n-grams — for MIN-based consumers like MinHash,
+    * where duplicates can't change the result and `array_distinct`'s O(n²)
+    * would dominate the scan. */
+  def wordShinglesRaw(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
 
   /** Count of regex matches (thin alias; Spark 3.5+ regexp_count). */
   def matchCount(text: Column, pattern: String): Column =

@@ -30,32 +30,67 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature column: array of k minima over char-shingle hashes.
+  /** MinHash signature column: array of k minima over shingle hashes.
     * Hash lane i uses xxhash64 of the shingle salted with the lane index —
-    * all built-ins, fully codegen'd, no UDF. */
-  def minhashSignature(norm: org.apache.spark.sql.Column, shingleK: Int,
+    * all built-ins, fully codegen'd, no UDF. Shingles are WORD n-grams:
+    * char shingles degenerate on small-vocabulary corpora (every doc shares
+    * nearly all char n-grams → every pair collides in some band). */
+  def minhashSignature(text: org.apache.spark.sql.Column, shingleN: Int,
       numHashes: Int): org.apache.spark.sql.Column = {
-    val shingles = TextFunctions.charShingles(norm, shingleK)
+    val shingles = TextFunctions.wordShingles(
+      TextFunctions.tokens(TextFunctions.normalize(text)), shingleN)
     val lanes = (0 until numHashes).map { i =>
       array_min(transform(shingles, s => xxhash64(s, lit(i))))
     }
     array(lanes: _*)
   }
 
+  /** Banded MinHash table `(doc_id, band, bh)` in the scale-correct shape:
+    * explode shingles to rows, hash each shingle once per lane, take map-side
+    * partial MIN per lane in one hash aggregate (shuffles only
+    * `(doc_id, k longs)`, never text), then hash lane-groups into band keys.
+    * The per-row lambda form ([[minhashSignature]]) inlines the shingle
+    * array into every lane's expression tree — k× recompute — so this
+    * aggregate form is what the candidate join uses. */
+  private def bandedMinhash(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val shing = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.ShingleOps.wordShinglesCol(col(textCol), shingleN)).as("s"))
+    val lanes = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    val sig = shing.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bh"))
+  }
+
   /** LSH candidate pairs: band the signature, join on (band, bandHash).
     * Returns (id_a, id_b) distinct with id_a < id_b. `numHashes` must be
-    * divisible by `bands`. */
+    * divisible by `bands`.
+    *
+    * Scale guard: buckets larger than `maxBucket` are dropped before the
+    * self-join. An oversized bucket means the band carries no discriminating
+    * information (near-identical boilerplate at corpus scale) and would make
+    * the join quadratic in the hottest key — the standard LSH skew control
+    * for 100 TB corpora. Dropped buckets are a recall trade-off documented
+    * at the call site, not silent: candidates within them are still found
+    * through their other (bands-1) bands unless ALL their bands are hot. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
-      minhashSignature(TextFunctions.normalize(col(textCol)), shingleK, numHashes).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows))).as("bh")))).as("x"))
-      .select(col("doc_id"), col("x.band"), col("x.bh"))
-    val a = banded.as("a"); val b = banded.as("b")
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedMinhash(docs, idCol, textCol, shingleN, numHashes, bands)
+    // Window-count instead of a separate aggregate+join: the signature scan
+    // (the expensive part) is computed once, and the two self-join branches
+    // below share its shuffle via ReusedExchange.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
+    val pruned = banded
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -63,12 +63,16 @@ object Similarity {
     * score cosine only within buckets, keep pairs ≥ minSim. */
   def lshNearPairs(vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int = 16, minSim: Double = 0.9): DataFrame = {
-    val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"),
+    // Pre-normalize once per vector (O(n·d)) so every candidate pair costs a
+    // single dot product instead of three array aggregates (O(pairs·d)).
+    val vd = toDoubleArray(col(vecCol))
+    val sig = vectors.select(col(idCol).as("vid"),
+      transform(vd, x => x / sqrt(dot(vd, vd))).as("vn"),
       hyperplaneSignature(col(vecCol), bits).as("bucket"))
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("sim"))
+        dot(col("a.vn"), col("b.vn")).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

@@ -89,7 +89,7 @@ object Transforms {
     * `fillna(0)` (`HTGPICFT/__init__.py:103`). */
   def repairNumeric(raw: Column): Column =
     coalesce(when(trim(raw) === "" || upper(trim(raw)) === "NA", lit("0"))
-      .otherwise(trim(raw)).cast("double"), lit(0.0))
+      .otherwise(trim(raw)).try_cast("double"), lit(0.0))
 
   /** S2 — fixed-width line parser (NOAA ENSO `.for` layout,
     * `HTGPIENSO/__init__.py:77`): projects each `(name, width)` slice of a

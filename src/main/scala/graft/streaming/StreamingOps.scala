@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming form of the engine's incremental pipelines.
+  *
+  * The reference is batch-incremental (per-run watermark read + fetch delta +
+  * append, SURVEY §2.8); the Spark-native equivalent is a transform that is
+  * IDENTICAL for batch and streaming inputs, run under `Trigger.AvailableNow`
+  * with an event-time watermark standing in for the reference's 60-day
+  * re-fetch overlap (`HTGPISNP500/__init__.py:96-98`).
+  *
+  * At scale: tumbling-window aggregation with a watermark bounds state size;
+  * `dropDuplicates` within the watermark gives the exactly-once-ish append
+  * the reference approximates by re-fetching a 60-day overlap.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window aggregation; same code path works for both
+    * batch DataFrames and streaming DataFrames. */
+  def windowedEventAgg(events: DataFrame, windowDur: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Late-data-safe dedup on an id within the watermark horizon — streaming
+    * analogue of the reference's idempotent re-load guard
+    * (`HTGPIWASDE/__init__.py:124-134` delete-then-insert). */
+  def dedupWithinWatermark(events: DataFrame, watermarkDelay: String,
+      idCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(idCols :+ "ts")
+
+  /** Stream the events parquet directory with `Trigger.AvailableNow` through
+    * `transform` into an in-memory table; returns the collected result.
+    * Handles the corpus's TIMESTAMP(NANOS) via nanosAsLong + conversion,
+    * mirroring [[graft.Tables.events]]. */
+  def runAvailableNow(spark: SparkSession, path: String, queryName: String,
+      outputMode: String = "append")(
+      transform: DataFrame => DataFrame): DataFrame = {
+    // FileStreamSource needs a directory; single-file corpora get a
+    // symlinked temp dir.
+    val f = new java.io.File(path)
+    val streamPath =
+      if (f.isFile) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve(f.getName), f.toPath.toAbsolutePath)
+        dir.toString
+      } else path
+    val batchSchema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(batchSchema).parquet(streamPath)
+    val events =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = transform(events).writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  val base = "spark is a unified analytics engine for large scale data processing " +
+    "with high level apis in scala java python and r plus an optimized engine"
+  val nearDup = base.replace("optimized", "optimised") // 1-char different
+  val docs = Seq(
+    (1L, base, "en"),
+    (2L, nearDup, "en"),
+    (3L, base.toUpperCase, "en"), // exact dup after normalization
+    (4L, "totally unrelated text about cooking pasta with tomatoes and basil leaves for dinner tonight yum", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val dupGroup = out.filter(col("n_dups") === 2).collect()
+    assert(dupGroup.length == 1)
+    assert(dupGroup(0).getAs[Long]("keeper") == 1L)
+    assert(out.count() == 3) // 4 docs, one merged pair
+  }
+
+  test("minhash LSH finds the near-duplicate pair") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(!pairs.contains((1L, 4L)), "unrelated docs must not collide in all bands")
+  }
+
+  test("simhash near-dups finds the near pair at low hamming") {
+    val nd = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 2L)) || nd.contains((1L, 3L)), s"got $nd")
+  }
+
+  test("ngram jaccard high for near-dups, low for unrelated") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 2L)) > 0.8)
+    assert(j((1L, 4L)) < 0.4)
+  }
+
+  test("brute-force cosine top-k: query vector ranks itself first with sim 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 2)
+      .as[(Long, Double)].collect()
+    assert(top(0)._1 == 0L && math.abs(top(0)._2 - 1.0) < 1e-12)
+    assert(top(1)._1 == 1L)
+  }
+
+  test("LSH near pairs: identical vectors share a bucket with sim 1") {
+    val vecs = Seq(
+      (0L, Array.tabulate(16)(i => i.toFloat / 16)),
+      (1L, Array.tabulate(16)(i => i.toFloat / 16)),
+      (2L, Array.tabulate(16)(i => -i.toFloat / 16)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+      bits = 8, minSim = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{HashFunctions, TextFunctions}
+
+class TextHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  test("tokenCount / charShingles / fingerprint basics") {
+    val df = Seq("  the quick  brown fox ", "the quick brown fox").toDF("t")
+      .select(
+        TextFunctions.tokenCount(col("t")).as("n"),
+        TextFunctions.fingerprint(col("t")).as("fp"),
+        size(TextFunctions.charShingles(TextFunctions.normalize(col("t")), 3)).as("sh"))
+    val rows = df.as[(Long, String, Int)].collect()
+    assert(rows(0)._1 == 4 && rows(1)._1 == 4)
+    // same normalized text → same fingerprint
+    assert(rows(0)._2 == rows(1)._2)
+    assert(rows(0)._3 > 0 && rows(0)._3 == rows(1)._3)
+  }
+
+  test("simhash: identical token arrays hash identically; near texts are close") {
+    HashFunctions.register(spark)
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy cat again and again",
+      "completely different words about spark query engines at scale")
+      .toDF("t")
+      .select(HashFunctions.simhash(TextFunctions.tokens(col("t"))).as("h"))
+    val Array(a, b, c) = df.as[Long].collect()
+    assert(HashFunctions.hamming64(a, b) < HashFunctions.hamming64(a, c))
+    // determinism
+    val again = Seq("the quick brown fox jumps over the lazy dog again and again")
+      .toDF("t").select(HashFunctions.simhash(TextFunctions.tokens(col("t"))))
+      .as[Long].head()
+    assert(again == a)
+  }
+
+  test("simhash64 usable from SQL after registration") {
+    HashFunctions.register(spark)
+    val h = spark.sql("SELECT simhash64(array('a','b','c')) AS h")
+      .as[Long].head()
+    val h2 = spark.sql("SELECT simhash64(array('a','b','c')) AS h")
+      .as[Long].head()
+    assert(h == h2)
+  }
+
+  test("wordShingles produce n-grams in order") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 2).as("s"))
+      .as[Seq[String]].head()
+    assert(sh.toSet == Set("a b", "b c", "c d"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Transforms
+
+class TransformsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  test("categorize: last rule wins, default applies") {
+    val rules = Seq("cat" -> "FELINE", "dog" -> "CANINE", "catdog" -> "BOTH")
+    val df = Seq("the cat", "a dog", "catdog here", "nothing").toDF("name")
+      .withColumn("c", Transforms.categorize(rules, "OTHER")(col("name")))
+    val got = df.select("name", "c").as[(String, String)].collect().toMap
+    assert(got("the cat") == "FELINE")
+    assert(got("a dog") == "CANINE")
+    // matches 'cat', 'dog' AND 'catdog' — the LAST rule must win
+    assert(got("catdog here") == "BOTH")
+    assert(got("nothing") == "OTHER")
+  }
+
+  test("watermarkFilter keeps newer rows and whole new entities") {
+    val incoming = Seq(("A", 5), ("A", 10), ("B", 3), ("C", 1))
+      .toDF("sym", "t")
+    val wm = Seq(("A", 5), ("B", 99)).toDF("sym", "wm")
+    val out = Transforms.watermarkFilter(incoming, wm, Seq("sym"), "t", "wm")
+      .as[(String, Int)].collect().toSet
+    // A@10 newer, B all stale, C entirely new
+    assert(out == Set(("A", 10), ("C", 1)))
+  }
+
+  test("watermarkFilter is idempotent after watermark advance") {
+    val incoming = Seq(("A", 5), ("A", 10)).toDF("sym", "t")
+    val advanced = Transforms.watermarks(incoming, "sym", "t", "wm")
+    val out = Transforms.watermarkFilter(incoming, advanced, Seq("sym"), "t", "wm")
+    assert(out.isEmpty)
+  }
+
+  test("topKPerGroup deterministic under ties via tiebreaker") {
+    val df = Seq(("g", 1.0, 1L), ("g", 1.0, 2L), ("g", 1.0, 3L), ("g", 0.5, 4L))
+      .toDF("grp", "score", "id")
+    val top = Transforms.topKPerGroup(df, Seq(col("grp")),
+      Seq(col("score").desc, col("id").asc), 2)
+    assert(top.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("carryForward fills from last non-null in order") {
+    val df = Seq((1, Some("x")), (2, None), (3, None), (4, Some("y")), (5, None))
+      .toDF("i", "v")
+    val out = Transforms.carryForward(df, "v", Seq(lit(1)), Seq(col("i")), "f")
+      .orderBy("i").select("f").as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("x"), Some("x"), Some("x"), Some("y"), Some("y")))
+  }
+
+  test("melt then pivot round-trips") {
+    val wide = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "a", "b")
+    val long = Transforms.melt(wide, Seq("id"), Seq("a", "b"), "k", "v")
+    assert(long.count() == 4)
+    val back = Transforms.pivotAgg(long, Seq(col("id")), "k", Seq("a", "b"),
+      Seq(first(col("v"))))
+    val m = back.orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    assert(m == Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)))
+  }
+
+  test("repairNumeric: ''/NA/garbage → 0, numbers parse") {
+    val df = Seq("1.5", "", "NA", " na ", "2", "junk").toDF("raw")
+      .select(Transforms.repairNumeric(col("raw")).as("v"))
+    assert(df.as[Double].collect().toSeq == Seq(1.5, 0.0, 0.0, 0.0, 2.0, 0.0))
+  }
+
+  test("guardedRatio: zero denominator → 0 (WASDE Stocks-to-Use)") {
+    val df = Seq((10.0, 2.0), (10.0, 0.0)).toDF("n", "d")
+      .select(Transforms.guardedRatio(col("n"), col("d"), lit(100)).as("r"))
+    assert(df.as[Double].collect().toSeq == Seq(500.0, 0.0))
+  }
+
+  test("parseFixedWidth slices by declared layout") {
+    val df = Seq("AB  0012xyz").toDF("line")
+      .select(Transforms.parseFixedWidth(col("line"),
+        Seq(("a", 4), ("num", 4), ("tail", 3))): _*)
+    val r = df.as[(String, String, String)].head()
+    assert(r == (("AB", "0012", "xyz")))
+  }
+}
