@@ -371,6 +371,45 @@ object SparkEntry {
       Multimodal.decodeFeatures(
         Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"))),
 
+    // S2/J2/F2/F10 end-to-end — ENSO pipeline over synthesized fixed-width
+    // lines (`HTGPIENSO/__init__.py:74-88`): build the `.for` layout from
+    // orders, parse it back through the layout, derive date parts via the
+    // month map. String-only output → engine-exact.
+    "q36_enso_pipeline" -> ((s, d) => {
+      val o = orders(s, d)
+      val sst = concat(((col("o_orderkey") % 30) + 10).cast("string"),
+        lit("."), (col("o_orderkey") % 10).cast("string"))
+      val ssta = concat((col("o_custkey") % 10).cast("string"),
+        lit("."), (col("o_orderkey") % 7).cast("string"))
+      // tail: constant SST/SSTA/DEL cells for the remaining three regions
+      val tail = "  1.1 0.1   x  2.2 0.2   x  3.3 0.3   x"
+      val lines = o.select(concat(
+        rpad(upper(date_format(col("o_orderdate"), "ddMMMyyyy")), 10, " "),
+        rpad(sst, 5, " "), rpad(ssta, 4, " "), lit("   x"), lit(tail)).as("value"))
+      val parsed = lines.select(
+        graft.operators.Transforms.parseFixedWidth(col("value"),
+          graft.pipelines.EnsoPipeline.layout): _*)
+      graft.pipelines.EnsoPipeline.transform(parsed)
+        .select(col("WEEK"), col("SST_NINO12"), col("SSTA_NINO12"),
+          col("SST_NINO3"), col("DAY"), col("MONTH"), col("YEAR"), col("DATE"))
+    }),
+
+    // The WASDE supply/use parser (SURVEY §7.4 risk 1) over a literal sheet
+    // fixture — header/group detection, EST/PROJ split, geography
+    // carry-forward, footnote strip, NA repair, Total Use / Stocks-to-Use —
+    // fully mirrored in the DuckDB oracle.
+    "q37_wasde_parse" -> ((s, d) => {
+      val rows = s.createDataFrame(wasdeFixture)
+        .toDF("sheet", "rowIdx", "geo", "beginning", "production", "imports",
+          "dom_feed", "dom_total", "exports", "ending")
+      graft.pipelines.WasdeTransforms.parseSupplyUse(rows)
+        .select(col("sheet"), col("grupo"), col("tipo"), col("harvest"),
+          col("geography"), col("orden").cast("long").as("orden"),
+          col("beginning"), col("production"), col("imports"), col("dom_feed"),
+          col("dom_total"), col("exports"), col("ending"),
+          col("total_use"), col("stocks_to_use"))
+    }),
+
     // Sessionization — gap-based session ids via lag + running sum
     // (extends W-family to the events stream table).
     "q35_sessionize" -> ((s, d) => {
@@ -387,6 +426,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("total"))
     })
   )
+
+  /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
+    * markers, group rows, EST/PROJ year labels, blank continuation
+    * geography, NA/'' cells, Selected Other skip). */
+  private val wasdeFixture: Seq[(String, Long, String, String, String, String, String, String, String, String)] = Seq(
+    ("p18", 0L, "2025/26 (Est.) 2/", "", "", "", "", "", "", ""),
+    ("p18", 1L, "World 3/", "", "", "", "", "", "", ""),
+    ("p18", 2L, "Major Exporters", "", "", "", "", "", "", ""),
+    ("p18", 3L, "Brazil", "1", "2", "3", "4", "5", "6", "7"),
+    ("p18", 4L, "", "9", "9", "NA", "", "2", "1", "4"),
+    ("p18", 5L, "Selected Other", "0", "0", "0", "0", "0", "0", "0"),
+    ("p18", 6L, "2025/26 (Proj.)", "", "", "", "", "", "", ""),
+    ("p18", 7L, "Argentina", "2", "4", "0", "1", "2", "2", "8"),
+    ("p18", 8L, "Major Importers", "", "", "", "", "", "", ""),
+    ("p18", 9L, "China 10/", "5", "0", "98", "", "101", "0", "30"),
+    ("p19", 0L, "2025/26 (Proj.)", "", "", "", "", "", "", ""),
+    ("p19", 1L, "World", "", "", "", "", "", "", ""),
+    ("p19", 2L, "United States", "10", "80", "1", "40", "55", "20", "16"))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -643,6 +700,72 @@ object SparkEntry {
         | CAST(substring(line, 5, 12) AS BIGINT) AS okey,
         | trim(substring(line, 17, 16)) AS priority
         |FROM fw""".stripMargin,
+    "q36_enso_pipeline" ->
+      """SELECT upper(strftime(o_orderdate, '%d%b%Y')) AS "WEEK",
+        | concat(CAST(o_orderkey % 30 + 10 AS VARCHAR), '.',
+        |        CAST(o_orderkey % 10 AS VARCHAR)) AS "SST_NINO12",
+        | concat(CAST(o_custkey % 10 AS VARCHAR), '.',
+        |        CAST(o_orderkey % 7 AS VARCHAR)) AS "SSTA_NINO12",
+        | '1.1' AS "SST_NINO3",
+        | strftime(o_orderdate, '%d') AS "DAY",
+        | strftime(o_orderdate, '%m') AS "MONTH",
+        | strftime(o_orderdate, '%Y') AS "YEAR",
+        | strftime(o_orderdate, '%Y-%m-%d') AS "DATE"
+        |FROM orders""".stripMargin,
+    "q37_wasde_parse" ->
+      """WITH raw(sheet, rowIdx, geo, beginning, production, imports, dom_feed,
+        |         dom_total, exports, ending) AS (VALUES
+        | ('p18', 0, '2025/26 (Est.) 2/', '', '', '', '', '', '', ''),
+        | ('p18', 1, 'World 3/', '', '', '', '', '', '', ''),
+        | ('p18', 2, 'Major Exporters', '', '', '', '', '', '', ''),
+        | ('p18', 3, 'Brazil', '1', '2', '3', '4', '5', '6', '7'),
+        | ('p18', 4, '', '9', '9', 'NA', '', '2', '1', '4'),
+        | ('p18', 5, 'Selected Other', '0', '0', '0', '0', '0', '0', '0'),
+        | ('p18', 6, '2025/26 (Proj.)', '', '', '', '', '', '', ''),
+        | ('p18', 7, 'Argentina', '2', '4', '0', '1', '2', '2', '8'),
+        | ('p18', 8, 'Major Importers', '', '', '', '', '', '', ''),
+        | ('p18', 9, 'China 10/', '5', '0', '98', '', '101', '0', '30'),
+        | ('p19', 0, '2025/26 (Proj.)', '', '', '', '', '', '', ''),
+        | ('p19', 1, 'World', '', '', '', '', '', '', ''),
+        | ('p19', 2, 'United States', '10', '80', '1', '40', '55', '20', '16')),
+        |lab AS (SELECT *, trim(regexp_replace(geo, '\b\d{1,2}/', '', 'g')) AS label
+        |        FROM raw),
+        |flags AS (SELECT *,
+        |  label IN ('World', 'Major Exporters', 'Major Importers') AS is_group,
+        |  regexp_matches(label, '^\d{4}/\d{2}') AS is_year FROM lab),
+        |carry AS (SELECT *,
+        |  last_value(CASE WHEN is_group THEN label END IGNORE NULLS) OVER w AS grupo,
+        |  last_value(CASE WHEN is_year THEN
+        |    (CASE WHEN label LIKE '%Est%' THEN 'EST'
+        |          WHEN label LIKE '%Proj%' THEN 'PROJ' ELSE 'YEAR' END)
+        |    END IGNORE NULLS) OVER w AS tipo,
+        |  last_value(CASE WHEN is_year THEN regexp_extract(label, '^(\d{4}/\d{2})', 1)
+        |    END IGNORE NULLS) OVER w AS harvest,
+        |  last_value(CASE WHEN label <> '' THEN label END IGNORE NULLS) OVER w
+        |    AS geography
+        | FROM flags
+        | WINDOW w AS (PARTITION BY sheet ORDER BY rowIdx
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |rep AS (SELECT sheet, rowIdx, grupo, tipo, harvest, geography, is_group, is_year,
+        |  coalesce(try_cast((CASE WHEN trim(beginning) = '' OR upper(trim(beginning)) = 'NA' THEN '0' ELSE trim(beginning) END) AS DOUBLE), 0.0) AS beginning,
+        |  coalesce(try_cast((CASE WHEN trim(production) = '' OR upper(trim(production)) = 'NA' THEN '0' ELSE trim(production) END) AS DOUBLE), 0.0) AS production,
+        |  coalesce(try_cast((CASE WHEN trim(imports) = '' OR upper(trim(imports)) = 'NA' THEN '0' ELSE trim(imports) END) AS DOUBLE), 0.0) AS imports,
+        |  coalesce(try_cast((CASE WHEN trim(dom_feed) = '' OR upper(trim(dom_feed)) = 'NA' THEN '0' ELSE trim(dom_feed) END) AS DOUBLE), 0.0) AS dom_feed,
+        |  coalesce(try_cast((CASE WHEN trim(dom_total) = '' OR upper(trim(dom_total)) = 'NA' THEN '0' ELSE trim(dom_total) END) AS DOUBLE), 0.0) AS dom_total,
+        |  coalesce(try_cast((CASE WHEN trim(exports) = '' OR upper(trim(exports)) = 'NA' THEN '0' ELSE trim(exports) END) AS DOUBLE), 0.0) AS exports,
+        |  coalesce(try_cast((CASE WHEN trim(ending) = '' OR upper(trim(ending)) = 'NA' THEN '0' ELSE trim(ending) END) AS DOUBLE), 0.0) AS ending,
+        |  rowIdx AS ri
+        | FROM carry),
+        |filt AS (SELECT * FROM rep
+        | WHERE NOT is_group AND NOT is_year
+        |   AND geography NOT IN ('Selected Other') AND grupo IS NOT NULL)
+        |SELECT sheet, grupo, tipo, harvest, geography,
+        | CAST(row_number() OVER (PARTITION BY sheet, tipo ORDER BY ri) AS BIGINT) AS orden,
+        | beginning, production, imports, dom_feed, dom_total, exports, ending,
+        | dom_total + exports AS total_use,
+        | CASE WHEN dom_total + exports = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE ending / (dom_total + exports) * 100 END AS stocks_to_use
+        |FROM filt""".stripMargin,
     "q35_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts, value,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

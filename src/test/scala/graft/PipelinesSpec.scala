@@ -1,0 +1,168 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipelines._
+
+class PipelinesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  test("ENSO: DEL columns dropped, month map + date derivation") {
+    val parsed = Seq(
+      ("12JAN2026", "23.1", "0.2", "x", "24.0", "0.1", "x", "25.0", "0.0", "x", "26.0", "-0.1", "x"))
+      .toDF(EnsoPipeline.layout.map(_._1): _*)
+    val out = EnsoPipeline.transform(parsed)
+    assert(!out.columns.contains("DEL1"))
+    val r = out.select("DAY", "MONTH", "YEAR", "DATE").as[(String, String, String, String)].head()
+    assert(r == (("12", "01", "2026", "2026-01-12")))
+    assert(out.columns.contains("actualizacion"))
+  }
+
+  test("Inflation: melt + dash repair + end-of-month + watermark") {
+    val wide = Seq(("2026", "3.1", "–", "3.3", "3.4", "3.5", "3.6", "3.7", "3.8", "3.9", "4.0", "4.1", "4.2"))
+      .toDF("Year" +: InflationPipeline.monthCols: _*)
+    val long = InflationPipeline.transform(wide)
+    assert(long.count() == 12)
+    val feb = long.filter(col("Month") === "02").head()
+    assert(feb.getAs[Any]("Inflation") == null) // '–' → null
+    assert(feb.getAs[java.sql.Date]("date").toString == "2026-02-28")
+    val inc = InflationPipeline.incremental(long, java.sql.Date.valueOf("2026-06-30"))
+    assert(inc.count() == 6) // Jul..Dec
+  }
+
+  test("Yahoo: null-Close drop + per-symbol watermark") {
+    val prices = Seq(
+      ("AAA", "2026-01-02", Some(10.0)), ("AAA", "2026-01-03", None),
+      ("AAA", "2026-01-04", Some(11.0)), ("BBB", "2026-01-02", Some(5.0)))
+      .toDF("Symbol", "Date", "Close")
+    val wm = Seq(("AAA", "2026-01-02")).toDF("Symbol", "max_date")
+    val out = MarketPipelines.yahoo(prices, wm)
+    val got = out.select("Symbol", "Date").as[(String, String)].collect().toSet
+    assert(got == Set(("AAA", "2026-01-04"), ("BBB", "2026-01-02")))
+  }
+
+  test("SNP500: nested chart payload flatten + range filter") {
+    val json =
+      """{"chart":{"result":[{"timestamp":[1767225600,1767312000,1767398400],
+        |"indicators":{"quote":[{"close":[100.5,101.5,102.5]}]}}]}}""".stripMargin
+    val payload = spark.read.json(Seq(json).toDS)
+    val out = MarketPipelines.snp500(payload,
+      java.sql.Timestamp.valueOf("2025-12-31 00:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-10 00:00:00"))
+    // 2026-01-01..03 epochs; Date > wm+1d keeps 01-02, 01-03 (strict >)
+    val got = out.select("Close").as[Double].collect().toSet
+    assert(got == Set(101.5, 102.5))
+  }
+
+  test("OilWti: watermark filter + empty guard") {
+    val pairs = Seq(("2026-01-05", 70.0), ("2026-01-06", 71.0)).toDF("Date", "Close")
+    val some = MarketPipelines.oilWti(pairs, java.sql.Date.valueOf("2026-01-05"))
+    assert(some.isDefined && some.get.count() == 1)
+    val none = MarketPipelines.oilWti(pairs, java.sql.Date.valueOf("2026-01-07"))
+    assert(none.isEmpty)
+  }
+
+  test("CFTC: net managed-money position + year + fill") {
+    val rep = Seq((java.sql.Date.valueOf("2026-03-03"), Option(100.0), Option.empty[Double]))
+      .toDF("Report_Date_as_MM_DD_YYYY", "M_Money_Positions_Long_ALL",
+        "M_Money_Positions_Short_ALL")
+    val out = MarketPipelines.cftc(rep, java.sql.Date.valueOf("2026-01-01"))
+    val r = out.head()
+    assert(r.getAs[Double]("calculo") == 100.0)
+    assert(r.getAs[Int]("año") == 2026)
+  }
+
+  test("Prophedex calendar: rollover, allowed months, range compression") {
+    // Corn (H,K,N,U,Z). On 2026-01-10 next two = H26, K26.
+    assert(ProphedexCalendar.expirationSymbols(
+      LocalDate.of(2026, 1, 10), "C", 2) == Seq("CH26", "CK26"))
+    // On 2026-03-25 (≥20th of expiration month H) → K26, N26.
+    assert(ProphedexCalendar.expirationSymbols(
+      LocalDate.of(2026, 3, 25), "C", 2) == Seq("CK26", "CN26"))
+    // Year wrap: 2026-12-21 → H27, K27.
+    assert(ProphedexCalendar.expirationSymbols(
+      LocalDate.of(2026, 12, 21), "C", 2) == Seq("CH27", "CK27"))
+    val ranges = ProphedexCalendar.symbolRanges(
+      LocalDate.of(2026, 3, 15), LocalDate.of(2026, 3, 25), "C", 2)
+    // one range up to Mar 19, one from Mar 20 (rollover day)
+    assert(ranges.size == 2)
+    assert(ranges(0)._1 == LocalDate.of(2026, 3, 15) &&
+      ranges(0)._2 == LocalDate.of(2026, 3, 19) &&
+      ranges(0)._3 == Seq("CH26", "CK26"))
+    assert(ranges(1)._1 == LocalDate.of(2026, 3, 20) &&
+      ranges(1)._3 == Seq("CK26", "CN26"))
+    assert(ProphedexCalendar.symbolRanges(
+      LocalDate.of(2026, 3, 25), LocalDate.of(2026, 3, 15), "C", 2).isEmpty)
+  }
+
+  test("WASDE: groups, carry-forward geography, NA repair, stocks-to-use") {
+    val rows = Seq(
+      ("p18", 0L, "2025/26 (Est.) 2/", "", "", "", "", "", "", ""),
+      ("p18", 1L, "World 3/", "", "", "", "", "", "", ""),
+      ("p18", 2L, "Major Exporters", "", "", "", "", "", "", ""),
+      ("p18", 3L, "Brazil", "1", "2", "3", "4", "5", "6", "7"),
+      ("p18", 4L, "", "9", "9", "NA", "", "2", "1", "4"),
+      ("p18", 5L, "Selected Other", "0", "0", "0", "0", "0", "0", "0"),
+      ("p18", 6L, "2025/26 (Proj.)", "", "", "", "", "", "", ""),
+      ("p18", 7L, "Argentina", "2", "4", "0", "1", "2", "2", "8"))
+      .toDF("sheet", "rowIdx", "geo", "beginning", "production", "imports",
+        "dom_feed", "dom_total", "exports", "ending")
+    val out = WasdeTransforms.parseSupplyUse(rows).orderBy("rowIdx")
+    val got = out.collect()
+    assert(got.length == 3) // Brazil, continuation, Argentina
+    val brazil = got(0)
+    assert(brazil.getAs[String]("grupo") == "Major Exporters")
+    assert(brazil.getAs[String]("tipo") == "EST")
+    assert(brazil.getAs[String]("harvest") == "2025/26")
+    assert(brazil.getAs[Double]("total_use") == 11.0) // 5 + 6
+    assert(math.abs(brazil.getAs[Double]("stocks_to_use") - 7.0 / 11.0 * 100) < 1e-12)
+    val cont = got(1)
+    assert(cont.getAs[String]("geography") == "Brazil") // carry-forward
+    assert(cont.getAs[Double]("imports") == 0.0) // NA → 0
+    assert(cont.getAs[Double]("dom_feed") == 0.0) // '' → 0
+    val arg = got(2)
+    assert(arg.getAs[String]("tipo") == "PROJ")
+    assert(arg.getAs[Int]("orden") == 1)
+  }
+
+  test("Site scoring: clean, categorize (last rule wins), features, close points") {
+    val pois = Seq(
+      ("S1", 19.4326, -99.1332, "p1", "Tacos 'El Güero'", 19.4327, -99.1333),
+      ("S1", 19.4326, -99.1332, "p1", "Tacos 'El Güero'", 19.4327, -99.1333), // dup
+      ("S1", 19.4326, -99.1332, "p2", "KFC Restaurant", 19.4426, -99.1433),
+      ("S1", 19.4326, -99.1332, "p3", "Café María", 19.4330, -99.1340))
+      .toDF("rst_cd", "rst_lat", "rst_lon", "poi_id", "poi_name", "poi_lat", "poi_lon")
+    val prep = SiteScoringPipeline.preparePois(pois)
+    assert(prep.count() == 3) // dedup on (rst_cd, poi_id)
+    val cats = prep.select("poi_id", "poi_category").as[(String, String)].collect().toMap
+    assert(cats("p1") == "RESTAURANTE") // TACOS rule
+    assert(cats("p2") == "CADENA QSR") // matches RESTAURANT too — last rule wins
+    assert(cats("p3") == "OTROS SIN CLASIFICACION")
+    // accent folding applied
+    val names = prep.select("poi_name").as[String].collect().toSet
+    assert(names.contains("TACOS EL GUERO") && names.contains("CAFE MARIA"))
+
+    val fv = SiteScoringPipeline.featureVector(prep,
+      Seq("RESTAURANTE", "CADENA QSR", "BANCO"))
+    val row = fv.head()
+    assert(row.getAs[Long]("RESTAURANTE_300M_CNT") == 1L)
+    assert(row.getAs[Long]("RESTAURANTE_100M_CNT") == 1L) // ~15 m away
+    assert(row.getAs[Long]("BANCO_300M_CNT") == 0L) // fill 0
+    assert(row.getAs[Double]("BANCO_MIN_DIST") == 10000.0) // fill 10000
+
+    val sites = Seq(("S1", 19.4326, -99.1332)).toDF("rst_cd", "rst_lat", "rst_lon")
+    val pos = Seq(("A", 19.4330, -99.1335), ("B", 19.5000, -99.2000),
+      ("C", 19.4327, -99.1333), ("D", 20.0, -100.0))
+      .toDF("POS_NM", "LTT", "LGT")
+    val cp = SiteScoringPipeline.closePoints(sites, pos)
+    val ranked = cp.orderBy("POS_RANK").select("POS_NM").as[String].collect().toSeq
+    assert(ranked == Seq("C", "A", "B"))
+
+    val forecast = Seq(("S1", 0.87)).toDF("rst_cd", "forecast")
+    val resp = SiteScoringPipeline.assembleResponse(prep, cp, forecast)
+    val js = resp.select("response").as[String].head()
+    assert(js.contains("\"forecast\":0.87") && js.contains("close_points"))
+  }
+}
