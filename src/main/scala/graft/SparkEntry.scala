@@ -410,6 +410,28 @@ object SparkEntry {
           col("total_use"), col("stocks_to_use"))
     }),
 
+    // J3 at scale — banded radius join (SURVEY §4 custom piece 3): same
+    // result set as crossJoin+filter, shuffle-hash-join plan on a band key.
+    "q38_geo_radius_join" -> ((s, d) =>
+      graft.operators.GeoJoin.radiusJoin(
+        custPoints(s, d), suppPoints(s, d), 1000000.0,
+        "lat", "lon", "s_lat", "s_lon")
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist_m"), 1).as("dist_m"))),
+
+    // A-family extension — ROLLUP hierarchy totals (Spark/DuckDB built-in).
+    "q39_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // A-family extension — exact distinct counting per group.
+    "q40_count_distinct" -> ((s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
     // Sessionization — gap-based session ids via lag + running sum
     // (extends W-family to the events stream table).
     "q35_sessionize" -> ((s, d) => {
@@ -700,6 +722,34 @@ object SparkEntry {
         | CAST(substring(line, 5, 12) AS BIGINT) AS okey,
         | trim(substring(line, 17, 16)) AS priority
         |FROM fw""".stripMargin,
+    "q38_geo_radius_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100 - 85 AS lat,
+        |  CAST((c_custkey * 91) % 35000 AS DOUBLE) / 100 - 175 AS lon
+        | FROM customer),
+        |s AS (SELECT s_suppkey,
+        |  CAST((s_suppkey * 53) % 17000 AS DOUBLE) / 100 - 85 AS s_lat,
+        |  CAST((s_suppkey * 71) % 35000 AS DOUBLE) / 100 - 175 AS s_lon
+        | FROM supplier)
+        |SELECT c_custkey, s_suppkey, round(dist_m, 1) AS dist_m FROM (
+        |  SELECT c_custkey, s_suppkey,
+        |   12742000.0 * asin(sqrt(
+        |     sin(radians(s_lat - lat) / 2) * sin(radians(s_lat - lat) / 2) +
+        |     cos(radians(lat)) * cos(radians(s_lat)) *
+        |     sin(radians(s_lon - lon) / 2) * sin(radians(s_lon - lon) / 2))) AS dist_m
+        |  FROM c CROSS JOIN s) t
+        |WHERE dist_m <= 1000000.0""".stripMargin,
+    "q39_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q40_count_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q36_enso_pipeline" ->
       """SELECT upper(strftime(o_orderdate, '%d%b%Y')) AS "WEEK",
         | concat(CAST(o_orderkey % 30 + 10 AS VARCHAR), '.',

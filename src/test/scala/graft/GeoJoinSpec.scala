@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GeoFunctions
+import graft.operators.GeoJoin
+
+class GeoJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  test("banded radiusJoin returns exactly the crossJoin+filter result") {
+    val left = (1 to 200).map(i =>
+      (i.toLong, ((i * 37) % 17000) / 100.0 - 85, ((i * 91) % 35000) / 100.0 - 175))
+      .toDF("lid", "lat", "lon")
+    val right = (1 to 50).map(i =>
+      (i.toLong, ((i * 53) % 17000) / 100.0 - 85, ((i * 71) % 35000) / 100.0 - 175))
+      .toDF("rid", "s_lat", "s_lon")
+    val r = 1500000.0
+
+    val banded = GeoJoin.radiusJoin(left, right, r, "lat", "lon", "s_lat", "s_lon")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = left.crossJoin(right)
+      .withColumn("d", GeoFunctions.haversineMeters(col("lat"), col("lon"),
+        col("s_lat"), col("s_lon")))
+      .filter(col("d") <= r)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+
+    assert(brute.nonEmpty)
+    assert(banded == brute)
+  }
+}
