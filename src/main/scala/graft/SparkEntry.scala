@@ -220,17 +220,16 @@ object SparkEntry {
           lit(19.4326), lit(-99.1332)), 1).as("dist_m"))),
 
     // J3/W1/W2 — distance theta-join + per-point top-3 nearest
-    // (`HTIPNEXSITE/__init__.py:92-131`).
-    "q18_geo_topk" -> ((s, d) => {
-      val joined = custPoints(s, d).crossJoin(broadcast(suppPoints(s, d)))
-        .select(col("c_custkey"), col("s_suppkey"),
-          GeoFunctions.haversineMeters(col("lat"), col("lon"),
-            col("s_lat"), col("s_lon")).as("dist"))
-      Transforms.topKPerGroup(joined, Seq(col("c_custkey")),
-          Seq(col("dist").asc, col("s_suppkey").asc), 3, "pos_rank")
-        .select(col("c_custkey"), col("pos_rank"), col("s_suppkey"),
-          round(col("dist"), 1).as("dist_m"))
-    }),
+    // (`HTIPNEXSITE/__init__.py:92-131`), via the exact two-phase kNN join:
+    // banded radius pass + brute-force fallback for isolated points — same
+    // rows as the cross join (the oracle IS the cross join), ~O(|L|·|R|)
+    // work removed.
+    "q18_geo_topk" -> ((s, d) =>
+      graft.operators.GeoJoin.knnJoin(
+        custPoints(s, d), suppPoints(s, d), 3, 2000000.0,
+        "c_custkey", "s_suppkey", "lat", "lon", "s_lat", "s_lon")
+        .select(col("c_custkey"), col("knn_rank").as("pos_rank"),
+          col("s_suppkey"), round(col("dist_m"), 1).as("dist_m"))),
 
     // A3/A4 — per-category feature aggregation pivoted wide
     // (`PGSITE/__init__.py:302-357`).

@@ -1,44 +1,112 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GeoFunctions
 
 /** Distance-bounded point joins at scale (SURVEY §4 "planned custom piece 3":
-  * rewrite `crossJoin + distance filter` into a banded range join).
+  * rewrite `crossJoin + distance filter/top-k` into a banded range join).
   *
   * The reference's nearest-point query is a full cross-distance scan in
   * generated T-SQL (`HTIPNEXSITE/__init__.py:106-122`) — O(|L|·|R|). At 100 TB
-  * that cross join is the bottleneck, so `radiusJoin` prefilters by latitude
-  * band: a degree of latitude is ≥ 110.57 km everywhere, so any pair within
-  * `radiusM` differs by at most `radiusM / 110000` degrees of latitude
-  * (conservative divisor → correct-by-construction candidate set). Each left
-  * row is exploded into its band ±1, equi-joined on the band id (shuffle hash
-  * join on a dense int key instead of a cross product), then the exact
-  * haversine predicate is applied. Results are identical to the cross join —
-  * only the plan changes. Longitude sub-banding (cos-weighted) can further
-  * cut candidates but needs pole handling; latitude banding alone is exact.
+  * that cross join is the bottleneck, so these operators bucket the sphere:
+  *
+  *  - latitude bands of `radiusM / 110000` degrees (a degree of latitude is
+  *    ≥ 110.57 km everywhere; the conservative divisor makes the candidate
+  *    set correct by construction);
+  *  - longitude cells within each band, sized
+  *    `2·radiusM / (111320·cos(maxAbsLatOfBandExtended))` — the factor 2
+  *    over-covers the asin curvature bound (`d ≥ 2/π·Δλ·R·cosφ`), and the
+  *    extended-band cos accounts for the neighbor band's latitudes. Bands
+  *    whose extended latitude reaches ≥ 89° collapse to a single cell
+  *    (near-pole wraparound).
+  *
+  * Left rows explode to their 3×3 neighbor keys (deduplicated — lon cells
+  * wrap modulo the band's cell count); right rows emit one key; the join is
+  * a shuffle hash join on a dense (band, cell) key, then the exact haversine
+  * predicate runs on candidates only. Results are identical to the cross
+  * join — only the plan changes (proven in GeoJoinSpec + oracle q38).
   */
 object GeoJoin {
 
   /** Meters per degree latitude, conservative lower bound. */
   private val MetersPerDegLat = 110000.0
+  private val MetersPerDegLonEq = 111320.0
 
-  /** All (left, right) pairs with haversine distance ≤ radiusM.
-    * `left` must have columns (lKey, lat, lon); `right` (rKey, rLat, rLon). */
+  private def bandOf(lat: Column, bandDeg: Double): Column =
+    floor(lat / bandDeg).cast("long")
+
+  /** Width (degrees) of a lon cell for latitude band `band`; null-free,
+    * ≥ 360 near the poles (single cell). */
+  private def cellDegOf(band: Column, bandDeg: Double, radiusM: Double): Column = {
+    val maxAbsExt = greatest(abs(band * bandDeg), abs((band + 1) * bandDeg)) + lit(bandDeg)
+    when(maxAbsExt >= 89.0, lit(360.0))
+      .otherwise(least(lit(360.0),
+        lit(2.0 * radiusM / MetersPerDegLonEq) / cos(radians(maxAbsExt))))
+  }
+
+  private def nCellsOf(cellDeg: Column): Column =
+    greatest(floor(lit(360.0) / cellDeg).cast("long"), lit(1L))
+
+  /** All (left, right) pairs with haversine distance ≤ radiusM, plus a
+    * `dist_m` column. `left` needs (lat1, lon1); `right` (lat2, lon2). */
   def radiusJoin(left: DataFrame, right: DataFrame, radiusM: Double,
       lat1: String, lon1: String, lat2: String, lon2: String): DataFrame = {
     val bandDeg = radiusM / MetersPerDegLat
-    val lBand = explode(array(
-      (floor(col(lat1) / bandDeg) - 1).cast("long"),
-      floor(col(lat1) / bandDeg).cast("long"),
-      (floor(col(lat1) / bandDeg) + 1).cast("long"))).as("band")
-    val l = left.withColumn("band", lBand)
-    val r = right.withColumn("band", floor(col(lat2) / bandDeg).cast("long"))
-    l.join(r, Seq("band"))
+
+    def key(band: Column, lon: Column, dLon: Int): Column = {
+      val cd = cellDegOf(band, bandDeg, radiusM)
+      val n = nCellsOf(cd)
+      val cell = pmod(floor((lon + 180.0) / cd).cast("long") + dLon, n)
+      struct(band.as("band"), cell.as("cell"))
+    }
+
+    val lKeys = array_distinct(array(
+      (for (dB <- -1 to 1; dL <- -1 to 1) yield {
+        val band = bandOf(col(lat1), bandDeg) + dB
+        key(band, col(lon1), dL)
+      }): _*))
+    val l = left.withColumn("gk", explode(lKeys))
+    val r = right.withColumn("gk",
+      key(bandOf(col(lat2), bandDeg), col(lon2), 0))
+
+    l.join(r, Seq("gk"))
       .withColumn("dist_m",
         GeoFunctions.haversineMeters(col(lat1), col(lon1), col(lat2), col(lon2)))
       .filter(col("dist_m") <= radiusM)
-      .drop("band")
+      .drop("gk")
+  }
+
+  /** Exact k-nearest-neighbor join: for each left row, the k nearest right
+    * rows by haversine distance (ties broken by `rightKey`), as
+    * (left columns, rank, rightKey, dist_m).
+    *
+    * Two phases: (1) a banded radius join at `radiusM` handles every left row
+    * that finds ≥ k candidates inside the radius — for those rows the true
+    * top-k provably lies within the radius; (2) the uncovered remainder
+    * (isolated points) falls back to the exact cross join. At realistic
+    * densities phase 2 is a sliver, so the O(|L|·|R|) term all but vanishes
+    * while results stay bit-identical to brute force. */
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int, radiusM: Double,
+      leftKey: String, rightKey: String,
+      lat1: String, lon1: String, lat2: String, lon2: String): DataFrame = {
+    // The candidate set feeds three plan branches (rank, coverage, anti);
+    // measured: recomputing it beats persisting it at these sizes (the
+    // memory write of the candidate table costs more than the reuse saves).
+    val cand = radiusJoin(left, right, radiusM, lat1, lon1, lat2, lon2)
+    val ranked = Transforms.topKPerGroup(cand, Seq(col(leftKey)),
+      Seq(col("dist_m").asc, col(rightKey).asc), k, "knn_rank")
+    // a left row is covered iff a k-th candidate exists inside the radius
+    val covered = ranked.filter(col("knn_rank") === k).select(col(leftKey))
+    val coveredTopK = ranked.join(covered, Seq(leftKey), "left_semi")
+
+    val uncovered = left.join(covered, Seq(leftKey), "left_anti")
+    val brute = uncovered.crossJoin(broadcast(right))
+      .withColumn("dist_m",
+        GeoFunctions.haversineMeters(col(lat1), col(lon1), col(lat2), col(lon2)))
+    val bruteTopK = Transforms.topKPerGroup(brute, Seq(col(leftKey)),
+      Seq(col("dist_m").asc, col(rightKey).asc), k, "knn_rank")
+
+    coveredTopK.unionByName(bruteTopK)
   }
 }

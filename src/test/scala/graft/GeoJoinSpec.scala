@@ -29,4 +29,29 @@ class GeoJoinSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
     assert(banded == brute)
   }
+
+  test("knnJoin equals brute-force windowed top-k, including isolated points") {
+    val left = (1 to 150).map(i =>
+      (i.toLong, ((i * 37) % 17000) / 100.0 - 85, ((i * 91) % 35000) / 100.0 - 175))
+      .toDF("lid", "lat", "lon")
+    val right = (1 to 20).map(i =>
+      (i.toLong, ((i * 53) % 17000) / 100.0 - 85, ((i * 71) % 35000) / 100.0 - 175))
+      .toDF("rid", "s_lat", "s_lon")
+
+    // small radius so plenty of left rows are NOT covered → fallback exercised
+    val knn = GeoJoin.knnJoin(left, right, 3, 1000000.0,
+      "lid", "rid", "lat", "lon", "s_lat", "s_lon")
+      .select("lid", "knn_rank", "rid").as[(Long, Long, Long)].collect().toSet
+
+    val brute = {
+      val j = left.crossJoin(right)
+        .withColumn("dist_m", GeoFunctions.haversineMeters(col("lat"), col("lon"),
+          col("s_lat"), col("s_lon")))
+      graft.operators.Transforms.topKPerGroup(j, Seq(col("lid")),
+        Seq(col("dist_m").asc, col("rid").asc), 3, "knn_rank")
+        .select("lid", "knn_rank", "rid").as[(Long, Long, Long)].collect().toSet
+    }
+    assert(knn == brute)
+    assert(knn.size == 150 * 3)
+  }
 }
