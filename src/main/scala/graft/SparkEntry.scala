@@ -431,6 +431,23 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))),
 
+    // §2.9 custom UDAF — typed moments Aggregator (skewness); oracle mirrors
+    // the finish formula over decimal-exact raw moments.
+    "q41_skewness_udaf" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(round(graft.functions.SkewnessAgg.column(col("value")), 6)
+          .as("skew"), count(lit(1)).as("n"))),
+
+    // S1/S11 — CSV sink + scan round-trip through real files.
+    "q42_csv_roundtrip" -> ((s, d) => {
+      val tmp = s"/root/repo/target/tmp/csv_roundtrip"
+      orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .csv(tmp)
+    }),
+
     // Sessionization — gap-based session ids via lag + running sum
     // (extends W-family to the events stream table).
     "q35_sessionize" -> ((s, d) => {
@@ -721,6 +738,19 @@ object SparkEntry {
         | CAST(substring(line, 5, 12) AS BIGINT) AS okey,
         | trim(substring(line, 17, 16)) AS priority
         |FROM fw""".stripMargin,
+    "q41_skewness_udaf" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s3
+        | FROM events GROUP BY event_type)
+        |SELECT event_type,
+        | round((s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |       pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew,
+        | n
+        |FROM m""".stripMargin,
+    "q42_csv_roundtrip" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "q38_geo_radius_join" ->
       """WITH c AS (SELECT c_custkey,
         |  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100 - 85 AS lat,

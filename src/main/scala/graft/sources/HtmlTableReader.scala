@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S3 — HTML-table scan (`pd.read_html(url, header=1)[0]`,
+  * `HTGPIINFLATUS/__init__.py:82`).
+  *
+  * Driver-side parse (the page is one small document — SURVEY §2.1 S3:
+  * "not a distributed scan") with a dependency-free tag scanner: extracts
+  * the first `<table>`, one row per `<tr>`, cells from `<td>`/`<th>`, strips
+  * nested tags, unescapes the common entities. `headerRow` picks which row
+  * supplies column names (pandas `header=1` ≙ `headerRow = 1`).
+  */
+object HtmlTableReader {
+
+  private val TableRe = "(?is)<table[^>]*>(.*?)</table>".r
+  private val RowRe = "(?is)<tr[^>]*>(.*?)</tr>".r
+  private val CellRe = "(?is)<t[dh][^>]*>(.*?)</t[dh]>".r
+  private val TagRe = "(?s)<[^>]+>".r
+
+  private def unescape(s: String): String = s
+    .replace("&nbsp;", " ").replace("&amp;", "&").replace("&lt;", "<")
+    .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
+
+  /** Parse the first table of an HTML document into rows of trimmed cells. */
+  def parseRows(html: String): Seq[Seq[String]] =
+    TableRe.findFirstMatchIn(html).toSeq.flatMap { t =>
+      RowRe.findAllMatchIn(t.group(1)).map { r =>
+        CellRe.findAllMatchIn(r.group(1))
+          .map(c => unescape(TagRe.replaceAllIn(c.group(1), "")).trim)
+          .toSeq
+      }.toSeq.filter(_.nonEmpty)
+    }
+
+  /** First table → DataFrame, all-string columns, ragged rows padded. */
+  def read(spark: SparkSession, html: String, headerRow: Int = 0): DataFrame = {
+    val rows = parseRows(html)
+    require(rows.size > headerRow, s"no table row at header index $headerRow")
+    val header = rows(headerRow)
+    val width = header.size
+    val data = rows.drop(headerRow + 1)
+      .map(r => r.padTo(width, "").take(width))
+      .map(org.apache.spark.sql.Row.fromSeq(_))
+    val schema = org.apache.spark.sql.types.StructType(
+      header.map(h => org.apache.spark.sql.types.StructField(
+        if (h.isEmpty) "col" else h, org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), schema)
+  }
+}

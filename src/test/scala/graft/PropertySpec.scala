@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+import graft.functions.{GeoFunctions, HashFunctions}
+import graft.operators.Transforms
+
+/** Property-based checks (SURVEY §5.4): watermark idempotence, melt∘pivot
+  * round-trip, categorizer totality, haversine bounds/symmetry, simhash
+  * determinism. Spark actions are expensive, so case counts are small; the
+  * pure-Scala properties run at full default counts. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private val latGen = Gen.choose(-85.0, 85.0)
+  private val lonGen = Gen.choose(-175.0, 175.0)
+
+  property("haversine: symmetric, non-negative, bounded by half circumference") =
+    Prop.forAll(latGen, lonGen, latGen, lonGen) { (a, b, c, d) =>
+      val df = Seq((a, b, c, d)).toDF("lat1", "lon1", "lat2", "lon2")
+      val (fwd, rev) = df.select(
+        GeoFunctions.haversineMeters(col("lat1"), col("lon1"), col("lat2"), col("lon2")),
+        GeoFunctions.haversineMeters(col("lat2"), col("lon2"), col("lat1"), col("lon1")))
+        .as[(Double, Double)].head()
+      fwd >= 0 && math.abs(fwd - rev) < 1e-6 &&
+        fwd <= math.Pi * GeoFunctions.EarthRadiusM + 1.0
+    }
+
+  property("watermark filter is idempotent after advance") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("A", "B", "C"),
+      Gen.choose(1, 1000)))) { rows =>
+      val df = rows.toDF("sym", "t")
+      val wm = Transforms.watermarks(df, "sym", "t", "wm")
+      Transforms.watermarkFilter(df, wm, Seq("sym"), "t", "wm").isEmpty
+    }
+
+  property("melt ∘ pivot round-trips wide rows") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 50L),
+      Gen.choose(-100.0, 100.0), Gen.choose(-100.0, 100.0)))) { raw =>
+      val rows = raw.groupBy(_._1).map(_._2.head).toSeq // unique ids
+      val wide = rows.toDF("id", "a", "b")
+      val long = Transforms.melt(wide, Seq("id"), Seq("a", "b"), "k", "v")
+      val back = Transforms.pivotAgg(long, Seq(col("id")), "k", Seq("a", "b"),
+        Seq(first(col("v"))))
+      back.as[(Long, Double, Double)].collect().toSet == rows.toSet
+    }
+
+  property("categorizer is total: every input gets exactly one category") = {
+    val rules = Seq("a+" -> "A", "b" -> "B", "ab" -> "AB")
+    Prop.forAll(Gen.listOfN(20, Gen.oneOf("aa", "b", "ab", "zz", ""))) { names =>
+      val out = names.toDF("n")
+        .select(Transforms.categorize(rules, "DEF")(col("n")).as("c"))
+        .as[String].collect()
+      out.length == names.length && out.forall(c => Set("A", "B", "AB", "DEF")(c))
+    }
+  }
+
+  // pure-JVM properties (no Spark) — full case counts are cheap
+  property("fnv1a64 is deterministic and spreads single-bit changes") =
+    Prop.forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
+      val h1 = HashFunctions.fnv1a64(s.getBytes("UTF-8"))
+      val h2 = HashFunctions.fnv1a64(s.getBytes("UTF-8"))
+      val h3 = HashFunctions.fnv1a64((s + "x").getBytes("UTF-8"))
+      h1 == h2 && h1 != h3
+    }
+
+  property("hamming64 is a metric on signatures (range + identity + symmetry)") =
+    Prop.forAll(Gen.long, Gen.long) { (a, b) =>
+      val d = HashFunctions.hamming64(a, b)
+      d >= 0 && d <= 64 && HashFunctions.hamming64(a, a) == 0 &&
+        d == HashFunctions.hamming64(b, a)
+    }
+
+  property("repairNumeric is total over arbitrary strings") =
+    Prop.forAll(Gen.listOfN(10, Gen.oneOf(Gen.alphaNumStr,
+      Gen.oneOf("", "NA", "na", " 1.5 ", "-2", "1e3", "junk")))) { raws =>
+      val out = raws.toDF("r")
+        .select(Transforms.repairNumeric(col("r")).as("v")).as[Double].collect()
+      out.length == raws.length && out.forall(v => !v.isNaN)
+    }
+}
