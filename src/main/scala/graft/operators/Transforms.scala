@@ -91,6 +91,29 @@ object Transforms {
     coalesce(when(trim(raw) === "" || upper(trim(raw)) === "NA", lit("0"))
       .otherwise(trim(raw)).try_cast("double"), lit(0.0))
 
+  /** Skew-safe two-phase aggregation ("salting", SURVEY §7.4 risk 6 /
+    * builder-prompt scale checklist): when one group key carries a
+    * disproportionate share of rows, a single hash aggregate hot-spots one
+    * reducer. Phase 1 aggregates on (key, salt) — spreading the hot key over
+    * `saltBuckets` reducers — phase 2 merges the partials. Works for any
+    * algebraic aggregate supplied as (partial, merge) column builders.
+    *
+    * NOTE: plain `groupBy` already does map-side partial aggregation, which
+    * covers most skew; explicit salting matters when per-key STATE is large
+    * (collect_list/distinct-style) or when AQE skew handling is off. */
+  def saltedAggregate(df: DataFrame, key: String, saltBuckets: Int,
+      partials: Seq[(String, Column => Column, Column)],
+      merges: Seq[(String, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+    val phase1 = salted.groupBy(col(key), col("_salt"))
+      .agg(partials.head._2(partials.head._3).as(partials.head._1),
+        partials.tail.map(p => p._2(p._3).as(p._1)): _*)
+    phase1.groupBy(col(key))
+      .agg(merges.head._2(col(merges.head._1)).as(merges.head._1),
+        merges.tail.map(m => m._2(col(m._1)).as(m._1)): _*)
+  }
+
   /** S2 — fixed-width line parser (NOAA ENSO `.for` layout,
     * `HTGPIENSO/__init__.py:77`): projects each `(name, width)` slice of a
     * text line column. Trims each cell like `pd.read_fwf`. */

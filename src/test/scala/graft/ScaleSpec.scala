@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Transforms
+
+/** Scale-machinery checks: extension registration, salted aggregation,
+  * bucketed co-located joins (no shuffle at join time). */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  test("GraftExtensions registers SQL functions in a fresh session") {
+    val prev = SparkTestBase.session // shares this SparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s.sql(
+        """SELECT haversine_m(19.4326, -99.1332, 19.4326, -99.1332) AS d,
+          |       simhash64(array('a','b')) AS h,
+          |       size(word_shingles('a b c d', 2)) AS n""".stripMargin)
+        .collect().head
+      assert(r.getDouble(0) == 0.0)
+      assert(r.getLong(1) == r.getLong(1))
+      assert(r.getInt(2) == 3)
+    } finally {
+      // do NOT stop: the SparkContext is shared with every other suite
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("saltedAggregate equals direct aggregation on skewed keys") {
+    // one hot key with 10k rows, many cold keys
+    val rows = (1 to 10000).map(i => ("HOT", i.toDouble)) ++
+      (1 to 500).map(i => (s"k${i % 50}", i.toDouble))
+    val df = rows.toDF("key", "v")
+    val salted = Transforms.saltedAggregate(df, "key", 8,
+      partials = Seq(
+        ("cnt", (c: org.apache.spark.sql.Column) => count(c), lit(1)),
+        ("sm", (c: org.apache.spark.sql.Column) => sum(c), col("v"))),
+      merges = Seq(
+        ("cnt", (c: org.apache.spark.sql.Column) => sum(c)),
+        ("sm", (c: org.apache.spark.sql.Column) => sum(c))))
+      .select(col("key"), col("cnt").cast("long"), col("sm").cast("double"))
+      .as[(String, Long, Double)].collect().toMap2
+    val direct = df.groupBy("key").agg(count(lit(1)).as("cnt"), sum("v").as("sm"))
+      .select(col("key"), col("cnt"), col("sm"))
+      .as[(String, Long, Double)].collect().toMap2
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (c1, s1)) =>
+      val (c2, s2) = direct(k)
+      assert(c1 == c2 && math.abs(s1 - s2) < 1e-6, s"key $k")
+    }
+  }
+
+  implicit class TupleMap[A, B, C](xs: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = xs.map(t => t._1 -> (t._2, t._3)).toMap
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // stale managed-table locations survive across JVMs (in-memory catalog,
+    // on-disk warehouse) — clear them first
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
