@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SURVEY §4 custom piece 3: cross-join + haversine filter → banded join
+    e.injectOptimizerRule(_ => graft.plans.BandedDistanceJoinRule)
     e.injectFunction((FunctionIdentifier("haversine_m"),
       info("haversine_m", "haversine_m(lat1, lon1, lat2, lon2) - great-circle meters"),
       (exprs: Seq[Expression]) => HaversineDistance(

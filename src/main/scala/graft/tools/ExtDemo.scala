@@ -29,6 +29,24 @@ object ExtDemo {
         |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin)
       .show(truncate = false)
 
+    println("[ext] banded-distance-join rule (no cartesian product):")
+    graft.Tables.customer(spark, sfDir)
+      .selectExpr("c_custkey",
+        "CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100 - 85 AS lat",
+        "CAST((c_custkey * 91) % 35000 AS DOUBLE) / 100 - 175 AS lon")
+      .createOrReplaceTempView("cpts")
+    graft.Tables.supplier(spark, sfDir)
+      .selectExpr("s_suppkey",
+        "CAST((s_suppkey * 53) % 17000 AS DOUBLE) / 100 - 85 AS slat",
+        "CAST((s_suppkey * 71) % 35000 AS DOUBLE) / 100 - 175 AS slon")
+      .createOrReplaceTempView("spts")
+    val rj = spark.sql(
+      """SELECT count(*) AS pairs_within_1000km FROM cpts CROSS JOIN spts
+        |WHERE haversine_m(lat, lon, slat, slon) <= 1000000.0""".stripMargin)
+    val hasCartesian = rj.queryExecution.executedPlan.toString.contains("CartesianProduct")
+    rj.show()
+    println(s"[ext] cartesian product in physical plan: $hasCartesian")
+
     println("[ext] salted aggregation over events (hot-key safe):")
     val ev = graft.Tables.events(spark, sfDir)
     Transforms.saltedAggregate(ev, "event_type", 8,

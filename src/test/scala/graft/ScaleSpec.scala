@@ -38,6 +38,51 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("BandedDistanceJoinRule rewrites SQL cross join + haversine filter") {
+    val prev = SparkTestBase.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-rule-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      (1 to 300).map(i =>
+        (i.toLong, ((i * 37) % 17000) / 100.0 - 85, ((i * 91) % 35000) / 100.0 - 175))
+        .toDF("lid", "lat", "lon").createOrReplaceTempView("lpts")
+      (1 to 40).map(i =>
+        (i.toLong, ((i * 53) % 17000) / 100.0 - 85, ((i * 71) % 35000) / 100.0 - 175))
+        .toDF("rid", "rlat", "rlon").createOrReplaceTempView("rpts")
+      val q = s.sql(
+        """SELECT lid, rid FROM lpts CROSS JOIN rpts
+          |WHERE haversine_m(lat, lon, rlat, rlon) <= 1500000.0""".stripMargin)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("Generate") && optimized.contains("_graft_gk"),
+        s"rule did not fire:\n$optimized")
+      assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "cartesian product must be eliminated")
+
+      val got = q.as[(Long, Long)].collect().toSet
+      val brute = s.sql(
+        """SELECT /*+ BROADCAST(rpts) */ lid, rid
+          |FROM lpts JOIN rpts
+          |  ON 12742000.0 * asin(sqrt(
+          |    sin(radians(rlat - lat) / 2) * sin(radians(rlat - lat) / 2) +
+          |    cos(radians(lat)) * cos(radians(rlat)) *
+          |    sin(radians(rlon - lon) / 2) * sin(radians(rlon - lon) / 2))) <= 1500000.0""".stripMargin)
+        .as[(Long, Long)].collect().toSet
+      assert(brute.nonEmpty && got == brute,
+        s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("saltedAggregate equals direct aggregation on skewed keys") {
     // one hot key with 10k rows, many cold keys
     val rows = (1 to 10000).map(i => ("HOT", i.toDouble)) ++
