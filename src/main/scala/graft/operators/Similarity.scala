@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +59,48 @@ object Similarity {
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     sigBits.reduce(_ + _)
+  }
+
+  /** IVF (inverted-file) ANN index: partition vectors into `nLists` KMeans
+    * cells; a query probes only the `nProbe` nearest cells. The 100 TB
+    * shape: the corpus is clustered ONCE (sampled fit, map-side assignment),
+    * stored partitioned by cell id — a probe then touches nProbe/nLists of
+    * the data (partition pruning on the cell column), with recall tunable
+    * via nProbe. Approximate by construction; pair with
+    * [[bruteForceTopK]] when exactness is required. */
+  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    val withFeat = vectors.withColumn("_feat",
+      array_to_vector(toDoubleArray(col(vecCol))))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("_feat").setPredictionCol("_cell").fit(withFeat)
+    val indexed = model.transform(withFeat)
+      .select(col(idCol), col(vecCol), col("_cell").as("cell"))
+    (model, indexed)
+  }
+
+  /** Top-k cosine against `queryVec` probing only the nProbe nearest IVF
+    * cells of `indexed` (output of [[ivfIndex]]). */
+  def ivfTopK(model: org.apache.spark.ml.clustering.KMeansModel,
+      indexed: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val dot = c.toArray.zip(queryVec).map { case (a, b) => a * b }.sum
+        val sim = dot / (math.sqrt(c.toArray.map(x => x * x).sum) *
+          math.sqrt(queryVec.map(x => x * x).sum))
+        (i, sim)
+      }
+    val probed = centers.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    val q = Seq(Tuple1(queryVec)).toDF("qe")
+    val scored = indexed
+      .filter(col("cell").isin(probed: _*)) // partition pruning at scale
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("qe")).as("sim"))
+    Transforms.topKPerGroup(scored, Seq(lit(1)),
+      Seq(col("sim").desc, col(idCol)), k).drop("rnk")
   }
 
   /** LSH-bucketed near-neighbor pairs: bucket by hyperplane signature,

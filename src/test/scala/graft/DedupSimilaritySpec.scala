@@ -61,6 +61,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(top(1)._1 == 1L)
   }
 
+  test("IVF top-k: high recall vs brute force with partial probing") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (model, indexed) = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 8)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble)
+    val ivf = Similarity.ivfTopK(model, indexed, "vec_id", "embedding", qv,
+      k = 10, nProbe = 4).select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("qe")), 10)
+      .select("vec_id").as[Long].collect().toSet
+    // query itself always found (its own cell is the nearest centroid)
+    assert(ivf.contains(0L))
+    // probing half the lists should recover most of the true top-10
+    assert((ivf intersect brute).size >= 5, s"recall too low: $ivf vs $brute")
+  }
+
   test("LSH near pairs: identical vectors share a bucket with sim 1") {
     val vecs = Seq(
       (0L, Array.tabulate(16)(i => i.toFloat / 16)),

@@ -60,6 +60,25 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("banded radiusJoin ≡ crossJoin+filter for arbitrary radii") =
+    Prop.forAll(Gen.choose(50000.0, 5000000.0), Gen.choose(1, 1000)) { (r, seed) =>
+      val left = (1 to 60).map(i =>
+        (i.toLong, ((i * 37 + seed) % 17000) / 100.0 - 85,
+          ((i * 91 + seed) % 35000) / 100.0 - 175)).toDF("lid", "lat", "lon")
+      val right = (1 to 15).map(i =>
+        (i.toLong, ((i * 53 + seed * 7) % 17000) / 100.0 - 85,
+          ((i * 71 + seed * 3) % 35000) / 100.0 - 175)).toDF("rid", "s_lat", "s_lon")
+      val banded = graft.operators.GeoJoin.radiusJoin(left, right, r,
+        "lat", "lon", "s_lat", "s_lon")
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val brute = left.crossJoin(right)
+        .withColumn("d", GeoFunctions.haversineMeters(col("lat"), col("lon"),
+          col("s_lat"), col("s_lon")))
+        .filter(col("d") <= r)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      banded == brute
+    }
+
   // pure-JVM properties (no Spark) — full case counts are cheap
   property("fnv1a64 is deterministic and spreads single-bit changes") =
     Prop.forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
