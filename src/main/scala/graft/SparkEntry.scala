@@ -431,6 +431,17 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))),
 
+    // North star: BPE-ish regex tokenization (word / digit / punct classes —
+    // the pre-tokenizer shape LLM pipelines count against).
+    "q43_bpe_tokens" -> ((s, d) => {
+      val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+      documents(s, d).select(col("doc_id"),
+        TextFunctions.matchCount(col("text"), pat).as("n_bpe"),
+        TextFunctions.tokenCount(col("text")).as("n_ws"))
+        .withColumn("bpe_per_ws",
+          col("n_bpe").cast("double") / col("n_ws").cast("double"))
+    }),
+
     // §2.9 custom UDAF — typed moments Aggregator (skewness); oracle mirrors
     // the finish formula over decimal-exact raw moments.
     "q41_skewness_udaf" -> ((s, d) =>
@@ -738,6 +749,13 @@ object SparkEntry {
         | CAST(substring(line, 5, 12) AS BIGINT) AS okey,
         | trim(substring(line, 17, 16)) AS priority
         |FROM fw""".stripMargin,
+    "q43_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS DOUBLE) /
+        |   CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS bpe_per_ws
+        |FROM documents""".stripMargin,
     "q41_skewness_udaf" ->
       """WITH m AS (SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,

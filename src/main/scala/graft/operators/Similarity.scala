@@ -21,18 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise dot product of two double arrays, sequential left fold —
-    * bit-stable and mirrored by the oracle's unnest-sum. */
+  /** Element-wise dot product — native compiled loop
+    * ([[graft.functions.VectorOps]]), sequential left fold so results are
+    * bit-identical to the HOF spelling and the oracle's ordered sum. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dotCol(a, b)
 
   def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))
 
   /** Cosine similarity between two float/double array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDoubleArray(a); val bd = toDoubleArray(b)
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Brute-force cosine top-k of `vectors` against the single row of
     * `queryVec` (a 1-row DataFrame with column `qe`). The query side is
