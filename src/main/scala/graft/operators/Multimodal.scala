@@ -38,6 +38,30 @@ object Multimodal {
     }
   }
 
+  /** S10 — real binary-file scan: Spark's `binaryFile` source reads each
+    * file as one row (path, modificationTime, length, content) — the
+    * distributed form of the reference's blob `get_blob_to_stream`
+    * (`PGSITE/__init__.py:82-96`). Pair with [[decodeFeatures]]. */
+  def readBinaryFiles(spark: org.apache.spark.sql.SparkSession,
+      pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("length"), col("content").as("payload"))
+
+  /** Frame-sampling shape for video-like payloads: split the payload into
+    * fixed-size chunks, one row per sampled chunk (every `stride`-th) —
+    * the batch geometry a real frame decoder would emit. */
+  def sampleChunks(withPayload: DataFrame, chunkBytes: Int, stride: Int): DataFrame =
+    withPayload.select(col("doc_id"),
+      posexplode(split_part_chunks(col("payload"), chunkBytes)).as(Seq("chunk_idx", "chunk")))
+      .filter(col("chunk_idx") % stride === 0)
+
+  private def split_part_chunks(payload: org.apache.spark.sql.Column,
+      chunkBytes: Int): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0),
+        greatest(floor((length(payload) - lit(1)) / lit(chunkBytes)).cast("int"), lit(0))),
+      i => payload.substr(i * lit(chunkBytes) + lit(1), lit(chunkBytes)))
+
   /** Attach a binary payload column (here synthesized from text — stands in
     * for real image bytes read from a blob store). */
   def withBinaryPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =

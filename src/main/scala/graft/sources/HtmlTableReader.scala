@@ -32,6 +32,16 @@ object HtmlTableReader {
       }.toSeq.filter(_.nonEmpty)
     }
 
+  /** S4 — HTML link discovery (`html.find_all('tr', class_=...)` scraping
+    * the latest `.xls` href, `HTGPIWASDE/__init__.py:54-68`): all hrefs
+    * whose target matches `pattern`, in document order. */
+  def discoverLinks(html: String, pattern: String): Seq[String] = {
+    val HrefRe = "(?is)<a[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>".r
+    val p = pattern.r
+    HrefRe.findAllMatchIn(html).map(_.group(1))
+      .filter(h => p.findFirstIn(h).isDefined).toSeq
+  }
+
   /** First table → DataFrame, all-string columns, ragged rows padded. */
   def read(spark: SparkSession, html: String, headerRow: Int = 0): DataFrame = {
     val rows = parseRows(html)

@@ -48,6 +48,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sessions.contains(Session(1L, 0L, 100000000L, 2L, 3.0)))
   }
 
+  test("BoundedTopKAgg equals window row_number top-k") {
+    val df = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_partkey"))
+    val agged = df.groupBy(col("l_orderkey"))
+      .agg(graft.functions.BoundedTopKAgg.column(2)(
+        col("l_extendedprice"), col("l_partkey")).as("topk"))
+      .select(col("l_orderkey"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("l_orderkey"), (col("pos") + 1).cast("long").as("rnk"),
+        col("hit._2").as("l_partkey"), col("hit._1").as("p"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val windowed = graft.operators.Transforms.topKPerGroup(df,
+        Seq(col("l_orderkey")),
+        Seq(col("l_extendedprice").asc, col("l_partkey").asc), 2)
+      .select(col("l_orderkey"), col("rnk"), col("l_partkey"),
+        col("l_extendedprice"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(agged == windowed && agged.nonEmpty)
+  }
+
   test("HtmlTableReader parses the first table with header row") {
     val html =
       """<html><body><p>junk</p>

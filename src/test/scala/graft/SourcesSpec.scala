@@ -26,6 +26,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(1) == (("19JAN2026", "23.4", "-0.1")))
   }
 
+  test("binaryFile source + chunk sampling") {
+    val dir = Files.createTempDirectory("bin").toFile
+    Files.write(new java.io.File(dir, "a.bin").toPath, Array.fill[Byte](10)(1))
+    Files.write(new java.io.File(dir, "b.bin").toPath, Array.fill[Byte](3)(2))
+    val df = Multimodal.readBinaryFiles(spark, dir.getAbsolutePath)
+    assert(df.count() == 2)
+    assert(df.filter(col("length") === 10).count() == 1)
+
+    val withPayload = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val chunks = Multimodal.sampleChunks(withPayload, chunkBytes = 3, stride = 2)
+    // chunks: idx 0..3 ("abc","def","ghi","j"); stride 2 keeps idx 0, 2
+    val got = chunks.select("chunk_idx", "chunk").collect()
+      .map(r => (r.getInt(0), new String(r.getAs[Array[Byte]]("chunk")))).toSet
+    assert(got == Set((0, "abc"), (2, "ghi")))
+  }
+
+  test("HTML link discovery finds pattern-matched hrefs in order") {
+    val html =
+      """<a href="/x/report1.pdf">one</a>
+        |<tr class="r"><a HREF='/files/wasde0826.xls'>latest</a></tr>
+        |<a href="/files/wasde0726.xls">prev</a>""".stripMargin
+    val links = graft.sources.HtmlTableReader.discoverLinks(html, "\\.xls$")
+    assert(links == Seq("/files/wasde0826.xls", "/files/wasde0726.xls"))
+  }
+
   test("Multimodal decode: deterministic fake features with real plumbing") {
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
     val out = Multimodal.decodeFeatures(
