@@ -106,16 +106,18 @@ object Similarity {
     * score cosine only within buckets, keep pairs ≥ minSim. */
   def lshNearPairs(vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int = 16, minSim: Double = 0.9): DataFrame = {
-    // Pre-normalize once per vector (O(n·d)) so every candidate pair costs a
-    // single dot product instead of three array aggregates (O(pairs·d)).
-    val vd = toDoubleArray(col(vecCol))
-    val sig = vectors.select(col(idCol).as("vid"),
-      transform(vd, x => x / sqrt(dot(vd, vd))).as("vn"),
+    // Carry a per-row norm column through the join (computed once per
+    // vector; the join shuffle materializes it) so each candidate pair
+    // costs one native dot product + a multiply. Normalizing the array
+    // itself in a lambda re-evaluates the norm per element — higher-order
+    // lambdas don't hoist loop-invariant subexpressions.
+    val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
       hyperplaneSignature(col(vecCol), bits).as("bucket"))
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        dot(col("a.vn"), col("b.vn")).as("sim"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }
