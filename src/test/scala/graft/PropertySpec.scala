@@ -62,12 +62,18 @@ object PropertySpec extends Properties("graft") {
 
   property("banded radiusJoin ≡ crossJoin+filter for arbitrary radii") =
     Prop.forAll(Gen.choose(50000.0, 5000000.0), Gen.choose(1, 1000)) { (r, seed) =>
-      val left = (1 to 60).map(i =>
+      // includes near-pole and antimeridian points to exercise the
+      // single-cell pole bands and lon wraparound
+      val poles = Seq((9001L, 89.9, 10.0), (9002L, -89.8, -179.9),
+        (9003L, 88.5, 179.9))
+      val left = ((1 to 60).map(i =>
         (i.toLong, ((i * 37 + seed) % 17000) / 100.0 - 85,
-          ((i * 91 + seed) % 35000) / 100.0 - 175)).toDF("lid", "lat", "lon")
-      val right = (1 to 15).map(i =>
+          ((i * 91 + seed) % 35000) / 100.0 - 175)) ++ poles)
+        .toDF("lid", "lat", "lon")
+      val right = ((1 to 15).map(i =>
         (i.toLong, ((i * 53 + seed * 7) % 17000) / 100.0 - 85,
-          ((i * 71 + seed * 3) % 35000) / 100.0 - 175)).toDF("rid", "s_lat", "s_lon")
+          ((i * 71 + seed * 3) % 35000) / 100.0 - 175)) ++ poles)
+        .toDF("rid", "s_lat", "s_lon")
       val banded = graft.operators.GeoJoin.radiusJoin(left, right, r,
         "lat", "lon", "s_lat", "s_lon")
         .select("lid", "rid").as[(Long, Long)].collect().toSet

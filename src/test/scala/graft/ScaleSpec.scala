@@ -57,26 +57,28 @@ class ScaleSpec extends AnyFunSuite {
       (1 to 40).map(i =>
         (i.toLong, ((i * 53) % 17000) / 100.0 - 85, ((i * 71) % 35000) / 100.0 - 175))
         .toDF("rid", "rlat", "rlon").createOrReplaceTempView("rpts")
-      val q = s.sql(
-        """SELECT lid, rid FROM lpts CROSS JOIN rpts
-          |WHERE haversine_m(lat, lon, rlat, rlon) <= 1500000.0""".stripMargin)
-      val optimized = q.queryExecution.optimizedPlan.toString
-      assert(optimized.contains("Generate") && optimized.contains("_graft_gk"),
-        s"rule did not fire:\n$optimized")
-      assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"),
-        "cartesian product must be eliminated")
+      for (r <- Seq(120000.0, 900000.0, 1500000.0, 6000000.0)) {
+        val q = s.sql(
+          s"""SELECT lid, rid FROM lpts CROSS JOIN rpts
+             |WHERE haversine_m(lat, lon, rlat, rlon) <= $r""".stripMargin)
+        val optimized = q.queryExecution.optimizedPlan.toString
+        assert(optimized.contains("Generate") && optimized.contains("_graft_gk"),
+          s"rule did not fire at r=$r:\n$optimized")
+        assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+          s"cartesian product must be eliminated at r=$r")
 
-      val got = q.as[(Long, Long)].collect().toSet
-      val brute = s.sql(
-        """SELECT /*+ BROADCAST(rpts) */ lid, rid
-          |FROM lpts JOIN rpts
-          |  ON 12742000.0 * asin(sqrt(
-          |    sin(radians(rlat - lat) / 2) * sin(radians(rlat - lat) / 2) +
-          |    cos(radians(lat)) * cos(radians(rlat)) *
-          |    sin(radians(rlon - lon) / 2) * sin(radians(rlon - lon) / 2))) <= 1500000.0""".stripMargin)
-        .as[(Long, Long)].collect().toSet
-      assert(brute.nonEmpty && got == brute,
-        s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+        val got = q.as[(Long, Long)].collect().toSet
+        val brute = s.sql(
+          s"""SELECT /*+ BROADCAST(rpts) */ lid, rid
+             |FROM lpts JOIN rpts
+             |  ON 12742000.0 * asin(sqrt(
+             |    sin(radians(rlat - lat) / 2) * sin(radians(rlat - lat) / 2) +
+             |    cos(radians(lat)) * cos(radians(rlat)) *
+             |    sin(radians(rlon - lon) / 2) * sin(radians(rlon - lon) / 2))) <= $r""".stripMargin)
+          .as[(Long, Long)].collect().toSet
+        assert(got == brute,
+          s"r=$r missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+      }
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
