@@ -37,6 +37,27 @@ object StreamingOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Checkpointed incremental run — the streaming form of the reference's
+    * watermark table (SURVEY §7.4 north star 5): each invocation processes
+    * only files not yet recorded in the checkpoint's file-source log and
+    * appends to a parquet sink exactly-once. Re-running with the same
+    * checkpoint after new files land processes just the delta — the
+    * `MAX(date)`-watermark pattern with the state moved into the stream
+    * checkpoint. */
+  def runIncremental(spark: SparkSession, inputDir: String, schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String, outDir: String)(
+      transform: DataFrame => DataFrame): Unit = {
+    val q = transform(spark.readStream.schema(schema).parquet(inputDir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream the events parquet directory with `Trigger.AvailableNow` through
     * `transform` into an in-memory table; returns the collected result.
     * Handles the corpus's TIMESTAMP(NANOS) via nanosAsLong + conversion,

@@ -28,6 +28,19 @@ object IngestDemo {
       plan, Files.createTempDirectory("staging").toString,
       "Symbol STRING, Date DATE, Close DOUBLE", wm, "Symbol", "Date")
     println(s"[ingest] rows after watermark re-filter: ${out.collect().mkString("; ")}")
+
+    // checkpointed incremental runs: second invocation picks up only deltas
+    import spark.implicits._
+    val in = Files.createTempDirectory("inc-in").toString
+    val ckpt = Files.createTempDirectory("inc-ckpt").toString
+    val sink = Files.createTempDirectory("inc-out").toString
+    Seq((1L, 10.0)).toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    graft.streaming.StreamingOps.runIncremental(spark, in, schema, ckpt, sink)(identity)
+    Seq((2L, 20.0)).toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    graft.streaming.StreamingOps.runIncremental(spark, in, schema, ckpt, sink)(identity)
+    println(s"[ingest] incremental sink after two runs: " +
+      spark.read.parquet(sink).orderBy("id").collect().mkString("; "))
     spark.stop()
   }
 }

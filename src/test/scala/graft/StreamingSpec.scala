@@ -23,6 +23,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.toString == b.toString)
   }
 
+  test("checkpointed incremental runs process only new files") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("inc-in").toString
+    val ckpt = Files.createTempDirectory("inc-ckpt").toString
+    val out = Files.createTempDirectory("inc-out").toString
+    import spark.implicits._
+
+    val batch1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    batch1.coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    StreamingOps.runIncremental(spark, in, schema, ckpt, out)(
+      df => df.withColumn("doubled", col("v") * 2))
+    assert(spark.read.parquet(out).count() == 2)
+
+    // second run with NO new input → no new rows
+    StreamingOps.runIncremental(spark, in, schema, ckpt, out)(
+      df => df.withColumn("doubled", col("v") * 2))
+    assert(spark.read.parquet(out).count() == 2)
+
+    // land a new file → only the delta is processed
+    Seq((3L, 30.0)).toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    StreamingOps.runIncremental(spark, in, schema, ckpt, out)(
+      df => df.withColumn("doubled", col("v") * 2))
+    val rows = spark.read.parquet(out).orderBy("id")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(rows == Seq((1L, 10.0, 20.0), (2L, 20.0, 40.0), (3L, 30.0, 60.0)))
+  }
+
+  test("flagship entry returns rows (driver t1 smoke shape)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("streaming dedup within watermark drops exact repeats") {
     val dedup = StreamingOps.runAvailableNow(spark,
       s"$sfDir/events.parquet", "stream_dedup")(
