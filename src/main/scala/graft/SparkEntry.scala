@@ -442,6 +442,19 @@ object SparkEntry {
           col("n_bpe").cast("double") / col("n_ws").cast("double"))
     }),
 
+    // §2.3 extension — as-of join (latest purchase at-or-before each event,
+    // per user) via the scalable union + carry-forward plan; oracle is
+    // DuckDB's native ASOF LEFT JOIN.
+    "q44_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("pts"),
+          col("value").as("pval"))
+      Transforms.asofJoin(left, purchases, "user_id", "ts", Seq("pts", "pval"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("pts"), col("pval"))
+    }),
+
     // §2.9 custom UDAF — typed moments Aggregator (skewness); oracle mirrors
     // the finish formula over decimal-exact raw moments.
     "q41_skewness_udaf" -> ((s, d) =>
@@ -749,6 +762,12 @@ object SparkEntry {
         | CAST(substring(line, 5, 12) AS BIGINT) AS okey,
         | trim(substring(line, 17, 16)) AS priority
         |FROM fw""".stripMargin,
+    "q44_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, ts AS pts, value AS pval
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts, p.pts, p.pval
+        |FROM (SELECT event_id, user_id, ts FROM events) e
+        |ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
     "q43_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,

@@ -91,6 +91,38 @@ object Transforms {
     coalesce(when(trim(raw) === "" || upper(trim(raw)) === "NA", lit("0"))
       .otherwise(trim(raw)).try_cast("double"), lit(0.0))
 
+  /** As-of join (beyond the reference — SURVEY §2.3 notes none exist there;
+    * this is the canonical extension for time-series enrichment): for every
+    * left row, the latest right row with `right.ts <= left.ts` per key.
+    *
+    * Implemented as the scalable union + ordered carry-forward: tag both
+    * sides, union, window-sort by (key, ts, side) with right rows first at
+    * equal timestamps (inclusive as-of), last-non-null-fill the right
+    * payload, keep left rows. ONE shuffle on the key — no range cross
+    * product, no per-row binary search; state per key is O(1) during the
+    * window scan, so it survives any skew a range join would not. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("_is_left", lit(1))
+      .select(Seq(col(key), col(ts), col("_is_left")) ++
+        left.columns.filterNot(c => c == key || c == ts).map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right
+      .withColumn("_is_left", lit(0))
+      .select(Seq(col(key), col(ts), col("_is_left")) ++
+        left.columns.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_is_left") === 1).drop("_is_left")
+  }
+
   /** Skew-safe two-phase aggregation ("salting", SURVEY §7.4 risk 6 /
     * builder-prompt scale checklist): when one group key carries a
     * disproportionate share of rows, a single hash aggregate hot-spots one

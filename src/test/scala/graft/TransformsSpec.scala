@@ -53,6 +53,21 @@ class TransformsSpec extends AnyFunSuite {
     assert(out == Seq(Some("x"), Some("x"), Some("x"), Some("y"), Some("y")))
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, per key") {
+    val left = Seq(("u1", 10, "a"), ("u1", 20, "b"), ("u1", 30, "c"), ("u2", 5, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq(("u1", 10, 1.0), ("u1", 25, 2.5), ("u3", 1, 9.0))
+      .toDF("k", "t", "price")
+    val out = Transforms.asofJoin(left, right, "k", "t", Seq("price"))
+      .select("k", "t", "tag", "price")
+      .as[(String, Int, String, Option[Double])].collect().toSet
+    assert(out == Set(
+      ("u1", 10, "a", Some(1.0)), // inclusive: right at equal ts visible
+      ("u1", 20, "b", Some(1.0)),
+      ("u1", 30, "c", Some(2.5)),
+      ("u2", 5, "d", None))) // no right row for u2 → left join null
+  }
+
   test("melt then pivot round-trips") {
     val wide = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "a", "b")
     val long = Transforms.melt(wide, Seq("id"), Seq("a", "b"), "k", "v")

@@ -20,6 +20,12 @@ def norm_cell(v):
     return v
 
 def cmp_cell(a, b):
+    import pandas as pd
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
