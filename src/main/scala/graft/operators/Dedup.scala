@@ -86,10 +86,14 @@ object Dedup {
     // (the expensive part) is computed once, and the two self-join branches
     // below share its shuffle via ReusedExchange.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
+    // bands-per-doc rows only (tiny vs the signature computation feeding
+    // them) — checkpoint so the two self-join branches share one signature
+    // pass instead of recomputing shingles + 16 hash lanes twice
     val pruned = banded
       .withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
       .select(col("doc_id"), col("band"), col("bh"))
+      .localCheckpoint()
     val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
