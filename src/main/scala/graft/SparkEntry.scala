@@ -424,6 +424,12 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
 
+    // A-family extension — CUBE over two dimensions.
+    "q45_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))),
+
     // A-family extension — exact distinct counting per group.
     "q40_count_distinct" -> ((s, d) =>
       lineitem(s, d).groupBy(col("l_returnflag"))
@@ -810,6 +816,10 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q45_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q40_count_distinct" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_partkey) AS n_parts,

@@ -81,6 +81,18 @@ object WasdeTransforms {
         Seq(col("total_use"), col("stocks_to_use")): _*)
   }
 
+  /** SO4 — the p11 transpose (`HTGPIWASDE/__init__.py:358,369`): a block
+    * parsed as attributes-as-rows × years-as-columns flips to one row per
+    * year with attributes as columns. `DataFrame.T` in pandas; melt + pivot
+    * here (blocks are <20×10, but the plan is distributed regardless). */
+  def transposeBlock(block: DataFrame, attrCol: String,
+      yearCols: Seq[String]): DataFrame = {
+    val long = Transforms.melt(block, Seq(attrCol), yearCols, "year", "v")
+    val attrs = block.select(col(attrCol)).collect().map(_.getString(0)).toSeq
+    Transforms.pivotAgg(long, Seq(col("year")), attrCol, attrs,
+      Seq(first(col("v"))))
+  }
+
   /** Idempotent month re-load: the reference DELETEs the month slice before
     * re-inserting (`HTGPIWASDE/__init__.py:124-134`); on Spark that is
     * dynamic partition overwrite on a month-partitioned table. */

@@ -127,6 +127,20 @@ class PipelinesSpec extends AnyFunSuite {
     assert(arg.getAs[Int]("orden") == 1)
   }
 
+  test("WASDE p11 transpose: attribute rows become columns per year") {
+    val block = Seq(
+      ("Area Planted", "90.7", "92.0"),
+      ("Yield", "51.9", "52.5"),
+      ("Production", "4465", "4600"))
+      .toDF("attr", "2024/25", "2025/26")
+    val t = WasdeTransforms.transposeBlock(block, "attr",
+      Seq("2024/25", "2025/26"))
+    assert(t.columns.toSeq == Seq("year", "Area Planted", "Yield", "Production"))
+    val rows = t.orderBy("year").as[(String, String, String, String)].collect().toSeq
+    assert(rows == Seq(("2024/25", "90.7", "51.9", "4465"),
+      ("2025/26", "92.0", "52.5", "4600")))
+  }
+
   test("Site scoring: clean, categorize (last rule wins), features, close points") {
     val pois = Seq(
       ("S1", 19.4326, -99.1332, "p1", "Tacos 'El Güero'", 19.4327, -99.1333),

@@ -55,6 +55,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("stateful sessionize agrees with the batch window sessionization") {
+    import graft.streaming.StatefulSessionize
+    import graft.streaming.StatefulSessionize.Event
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("value"))
+      .as[Event]
+    // batch (q35-style) sessions: lag + running-sum flags, 300 s gap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsMicros"), col("event_id"))
+    val batchSessions = ev.toDF()
+      .withColumn("prev", lag(col("tsMicros"), 1).over(w))
+      .withColumn("flag", when(col("prev").isNull ||
+        col("tsMicros") - col("prev") > 300000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("flag")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n"), max(col("tsMicros")).as("endT"))
+    val nBatch = batchSessions.count()
+    val nUsers = batchSessions.select("user_id").distinct().count()
+
+    // stateful emits only CLOSED sessions: per user the final session stays
+    // open, so counts differ by exactly one session per user
+    val stateful = StatefulSessionize.sessionize(ev, 300L).collect()
+    assert(stateful.length == nBatch - nUsers,
+      s"stateful=${stateful.length} batch=$nBatch users=$nUsers")
+    // and the closed sessions' (user, n_events) multiset matches the batch
+    // sessions minus each user's last
+    val batchMinusLast = batchSessions
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("endT").desc)))
+      .filter(col("rk") > 1)
+      .select(col("user_id"), col("n")).as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val statefulCounts = stateful.map(s => (s.user_id, s.n_events))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(statefulCounts == batchMinusLast)
+  }
+
   test("streaming dedup within watermark drops exact repeats") {
     val dedup = StreamingOps.runAvailableNow(spark,
       s"$sfDir/events.parquet", "stream_dedup")(
