@@ -23,7 +23,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the one JSON result line must stay the only stdout
+    // payload (executor WARN chatter otherwise floods the captured tail).
+    spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -47,7 +49,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces copy for harnesses that miss the stdout line.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), line)
     spark.stop()
   }
 }

@@ -335,13 +335,18 @@ object SparkEntry {
       Dedup.simhashSignatures(documents(s, d), "doc_id", "text")),
 
     // North star: brute-force cosine top-10 against a query vector.
+    // Global top-k goes through orderBy+limit — Spark plans that as
+    // TakeOrderedAndProject (per-partition heap top-k, merged at the driver),
+    // NOT a single-partition window; the rank window then runs over the 10
+    // survivors only.
     "q31_ann_cosine" -> ((s, d) => {
       val e = embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       val scored = e.crossJoin(broadcast(q))
         .select(col("vec_id"), Similarity.cosine(col("embedding"), col("qe")).as("sim"))
-      Transforms.topKPerGroup(scored, Seq(lit(1)),
-          Seq(col("sim").desc, col("vec_id").asc), 10)
+      scored.orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
         .select(col("vec_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
     }),
 
@@ -364,11 +369,19 @@ object SparkEntry {
         .select(col("status"), col("okey").cast("long").as("okey"), col("priority"))
     }),
 
-    // North star: multimodal binary-column plumbing with stubbed decode
-    // (rows-only; see Multimodal scaladoc).
-    "q34_multimodal" -> ((s, d) =>
-      Multimodal.decodeFeatures(
-        Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"))),
+    // North star: multimodal binary-column plumbing with stubbed decode.
+    // The decode itself runs per-partition over the binary payload (see
+    // Multimodal scaladoc); the output flattens the feature vector to scalar
+    // columns so the driver's oracle compare (which sorts rows by every
+    // column) can hash it — the length-derived stub is mirrored in DuckDB.
+    "q34_multimodal" -> ((s, d) => {
+      val dec = Multimodal.decodeFeatures(
+        Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"))
+      dec.select(Seq(col("doc_id"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height")) ++
+        (1 to 8).map(i => element_at(col("feature"), i).as(s"f$i")): _*)
+    }),
 
     // S2/J2/F2/F10 end-to-end — ENSO pipeline over synthesized fixed-width
     // lines (`HTGPIENSO/__init__.py:74-88`): build the `.for` layout from
@@ -768,6 +781,20 @@ object SparkEntry {
         | CAST(substring(line, 5, 12) AS BIGINT) AS okey,
         | trim(substring(line, 17, 16)) AS priority
         |FROM fw""".stripMargin,
+    "q34_multimodal" ->
+      """SELECT doc_id,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | CAST(64 + strlen(text) % 97 AS BIGINT) AS width,
+        | CAST(64 + (strlen(text) * 31) % 97 AS BIGINT) AS height,
+        | CAST((strlen(text) * 1) % 256 AS DOUBLE) / 255.0 AS f1,
+        | CAST((strlen(text) * 2) % 256 AS DOUBLE) / 255.0 AS f2,
+        | CAST((strlen(text) * 3) % 256 AS DOUBLE) / 255.0 AS f3,
+        | CAST((strlen(text) * 4) % 256 AS DOUBLE) / 255.0 AS f4,
+        | CAST((strlen(text) * 5) % 256 AS DOUBLE) / 255.0 AS f5,
+        | CAST((strlen(text) * 6) % 256 AS DOUBLE) / 255.0 AS f6,
+        | CAST((strlen(text) * 7) % 256 AS DOUBLE) / 255.0 AS f7,
+        | CAST((strlen(text) * 8) % 256 AS DOUBLE) / 255.0 AS f8
+        |FROM documents""".stripMargin,
     "q44_asof_join" ->
       """WITH p AS (SELECT user_id, ts, ts AS pts, value AS pval
         |           FROM events WHERE event_type = 'purchase')

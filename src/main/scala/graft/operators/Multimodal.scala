@@ -24,16 +24,16 @@ object Multimodal {
     StructField("feature", ArrayType(DoubleType))))
 
   /** STUB decoder: derives a fake (width, height, 8-dim feature) from the
-    * payload bytes. Deterministic; replace with a real codec at deploy. */
+    * payload LENGTH only — deterministic, and simple enough that the driver's
+    * DuckDB oracle can mirror it bit-for-bit (`64 + n mod 97`,
+    * `(n·(i+1)) mod 256 / 255`). Replace with a real codec at deploy; no
+    * plan shape changes. */
   object FakeDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
       val n = payload.length
-      val w = 64 + (if (n == 0) 0 else (payload(0) & 0x7f))
-      val h = 64 + (if (n < 2) 0 else (payload(1) & 0x7f))
-      val feat = Array.tabulate(8) { i =>
-        if (n == 0) 0.0
-        else (payload(i % n) & 0xff).toDouble / 255.0
-      }
+      val w = 64 + (n % 97).toInt
+      val h = 64 + ((n * 31L) % 97).toInt
+      val feat = Array.tabulate(8)(i => ((n * (i + 1L)) % 256).toDouble / 255.0)
       (w, h, feat)
     }
   }

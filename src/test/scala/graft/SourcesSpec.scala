@@ -59,7 +59,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.schema == Multimodal.decodedSchema)
     val r = out.orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("n_bytes") == 11L)
-    assert(r(0).getAs[Int]("width") == 64 + ('h' & 0x7f))
+    assert(r(0).getAs[Int]("width") == 64 + 11 % 97)
+    assert(r(0).getAs[Int]("height") == 64 + (11 * 31) % 97)
+    assert(r(0).getAs[Seq[Double]]("feature")(1) == ((11 * 2) % 256).toDouble / 255.0)
     assert(r(1).getAs[Long]("n_bytes") == 0L)
     assert(r(1).getAs[Seq[Double]]("feature").forall(_ == 0.0))
     // determinism: run twice, same result
