@@ -66,7 +66,14 @@ object GeoJoin {
         val band = bandOf(col(lat1), bandDeg) + dB
         key(band, col(lon1), dL)
       }): _*))
-    val l = left.withColumn("gk", explode(lKeys))
+    // Candidate checking is CPU-bound (haversine per bucket pair) and runs on
+    // the probe side's partitions when the build side broadcasts — fan out a
+    // small-file scan so it isn't single-threaded. Large inputs keep their
+    // native partitioning.
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val lSpread =
+      if (left.rdd.getNumPartitions < par) left.repartition(par) else left
+    val l = lSpread.withColumn("gk", explode(lKeys))
     val r = right.withColumn("gk",
       key(bandOf(col(lat2), bandDeg), col(lon2), 0))
 
@@ -81,24 +88,71 @@ object GeoJoin {
     * rows by haversine distance (ties broken by `rightKey`), as
     * `(leftKey, knn_rank, rightKey, dist_m)`.
     *
-    * Two phases: (1) a banded radius join at `radiusM` handles every left row
-    * that finds ≥ k candidates inside the radius — for those rows the true
-    * top-k provably lies within the radius; (2) the uncovered remainder
-    * (isolated points) falls back to the exact cross join. Ranking uses
-    * `row_number` windows: Catalyst's WindowGroupLimit already truncates to
-    * k rows per key map-side, and — measured at sf0.1 — beats the typed
-    * [[graft.functions.BoundedTopKAgg]] here because the codegen'd window
-    * avoids the per-row buffer encode/decode a typed Aggregator pays
-    * (BoundedTopKAgg remains the right shape when results must stay
-    * aggregated or no window-limit pushdown applies). Results are
-    * bit-identical to brute force. */
+    * Plan selection mirrors Spark's own join strategy choice: when the right
+    * side has at most `broadcastRightMax` rows (the broadcast-hash-join
+    * regime) the whole join collapses to [[knnBroadcast]] — a shuffle-free
+    * per-row scan. Otherwise the large×large [[knnJoinBanded]] two-phase plan
+    * runs. Both produce bit-identical rows (GeoJoinSpec). */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int, radiusM: Double,
+      leftKey: String, rightKey: String,
+      lat1: String, lon1: String, lat2: String, lon2: String,
+      broadcastRightMax: Long = 500000L): DataFrame =
+    if (right.count() <= broadcastRightMax)
+      knnBroadcast(left, right, k, leftKey, rightKey, lat1, lon1, lat2, lon2)
+    else
+      knnJoinBanded(left, right, k, radiusM, leftKey, rightKey,
+        lat1, lon1, lat2, lon2)
+
+  /** Broadcast kNN: collect the (small) right side once, then each left row
+    * scans it with a k-slot insertion buffer inside codegen
+    * ([[graft.functions.KnnAgainstPoints]]). No shuffle, no candidate
+    * blow-up, no window — at 1000 executors this reads the left side exactly
+    * once and writes only k rows per left row. The right side is bounded by
+    * driver/executor memory exactly like a broadcast hash join's build side. */
+  def knnBroadcast(left: DataFrame, right: DataFrame, k: Int,
+      leftKey: String, rightKey: String,
+      lat1: String, lon1: String, lat2: String, lon2: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.DoubleType
+    val pts = right.select(col(rightKey).cast("long"),
+      col(lat2).cast("double"), col(lon2).cast("double")).collect()
+    val expr = graft.functions.KnnAgainstPoints(
+      Cast(GraftBridge.expression(col(lat1)), DoubleType),
+      Cast(GraftBridge.expression(col(lon1)), DoubleType),
+      pts.map(_.getLong(0)), pts.map(_.getDouble(1)), pts.map(_.getDouble(2)), k)
+    // The scan is CPU-bound (O(|points|) per row): if the source arrives in
+    // fewer partitions than cores (small files), fan it out first. A big left
+    // side already has plenty of scan partitions and skips this shuffle.
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (left.rdd.getNumPartitions < par) left.repartition(par) else left
+    spread.select(col(leftKey), posexplode(GraftBridge.column(expr)).as(Seq("pos", "nn")))
+      .select(col(leftKey), (col("pos") + 1).cast("long").as("knn_rank"),
+        col("nn.key").as(rightKey), col("nn.dist").as("dist_m"))
+  }
+
+  /** Large×large exact kNN, two phases: (1) a banded radius join at `radiusM`
+    * handles every left row that finds ≥ k candidates inside the radius — for
+    * those rows the true top-k provably lies within the radius; (2) the
+    * uncovered remainder (isolated points) falls back to the exact cross
+    * join. Ranking uses `row_number` windows: Catalyst's WindowGroupLimit
+    * already truncates to k rows per key map-side, and — measured at sf0.1 —
+    * beats the typed [[graft.functions.BoundedTopKAgg]] here because the
+    * codegen'd window avoids the per-row buffer encode/decode a typed
+    * Aggregator pays. The ranked banded pass feeds three consumers (covered
+    * keys, covered top-k, uncovered anti-join), so it is localCheckpoint'd —
+    * it holds ≤ k rows per covered left key, tiny next to its lineage (the
+    * candidate join), which would otherwise run three times. Results are
+    * bit-identical to brute force. */
+  def knnJoinBanded(left: DataFrame, right: DataFrame, k: Int, radiusM: Double,
       leftKey: String, rightKey: String,
       lat1: String, lon1: String, lat2: String, lon2: String): DataFrame = {
     val cand = radiusJoin(left, right, radiusM, lat1, lon1, lat2, lon2)
       .select(col(leftKey), col(rightKey), col("dist_m"))
     val ranked = Transforms.topKPerGroup(cand, Seq(col(leftKey)),
       Seq(col("dist_m").asc, col(rightKey).asc), k, "knn_rank")
+      .localCheckpoint()
     // a left row is covered iff a k-th candidate exists inside the radius
     val covered = ranked.filter(col("knn_rank") === k).select(col(leftKey))
     val coveredTopK = ranked.join(covered, Seq(leftKey), "left_semi")

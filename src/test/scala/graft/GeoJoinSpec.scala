@@ -39,7 +39,7 @@ class GeoJoinSpec extends AnyFunSuite {
       .toDF("rid", "s_lat", "s_lon")
 
     // small radius so plenty of left rows are NOT covered → fallback exercised
-    val knn = GeoJoin.knnJoin(left, right, 3, 1000000.0,
+    val knn = GeoJoin.knnJoinBanded(left, right, 3, 1000000.0,
       "lid", "rid", "lat", "lon", "s_lat", "s_lon")
       .select("lid", "knn_rank", "rid").as[(Long, Long, Long)].collect().toSet
 
@@ -53,5 +53,37 @@ class GeoJoinSpec extends AnyFunSuite {
     }
     assert(knn == brute)
     assert(knn.size == 150 * 3)
+  }
+
+  test("knnBroadcast is bit-identical to the windowed cross join, incl dist") {
+    val left = (1 to 150).map(i =>
+      (i.toLong, ((i * 37) % 17000) / 100.0 - 85, ((i * 91) % 35000) / 100.0 - 175))
+      .toDF("lid", "lat", "lon")
+    val right = (1 to 20).map(i =>
+      (i.toLong, ((i * 53) % 17000) / 100.0 - 85, ((i * 71) % 35000) / 100.0 - 175))
+      .toDF("rid", "s_lat", "s_lon")
+
+    val bc = GeoJoin.knnBroadcast(left, right, 3,
+      "lid", "rid", "lat", "lon", "s_lat", "s_lon")
+      .select("lid", "knn_rank", "rid", "dist_m")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val brute = {
+      val j = left.crossJoin(right)
+        .withColumn("dist_m", GeoFunctions.haversineMeters(col("lat"), col("lon"),
+          col("s_lat"), col("s_lon")))
+      graft.operators.Transforms.topKPerGroup(j, Seq(col("lid")),
+        Seq(col("dist_m").asc, col("rid").asc), 3, "knn_rank")
+        .select("lid", "knn_rank", "rid", "dist_m")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    }
+    assert(bc == brute)   // exact doubles — same scalar haversine
+    assert(bc.size == 150 * 3)
+
+    // dispatch: small right side routes knnJoin through the broadcast path
+    val viaDispatch = GeoJoin.knnJoin(left, right, 3, 1000000.0,
+      "lid", "rid", "lat", "lon", "s_lat", "s_lon")
+      .select("lid", "knn_rank", "rid", "dist_m")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaDispatch == brute)
   }
 }
