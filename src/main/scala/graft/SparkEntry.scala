@@ -324,15 +324,30 @@ object SparkEntry {
         documents(s, d).filter(col("doc_id") % 20 === 0),
         "doc_id", "text", "lang", 3)),
 
-    // North star: MinHash+LSH candidate pairs (xxhash64 lanes — not
-    // SQL-oracle-expressible; driver records rows-only).
+    // North star: MinHash+LSH candidate pairs. Portable md5 lanes
+    // (lexicographic string MIN — identical semantics in DuckDB) so the
+    // whole LSH pipeline is oracle-checked; Dedup.XxLane (xxhash64) is the
+    // faster production default, same plan shape (DedupSimilaritySpec).
     "q29_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashCandidates(documents(s, d), "doc_id", "text")),
+      Dedup.minhashCandidatesPortable(documents(s, d), "doc_id", "text")),
 
-    // North star: SimHash signatures via the native SimHash64 expression
-    // (rows-only).
-    "q30_simhash" -> ((s, d) =>
-      Dedup.simhashSignatures(documents(s, d), "doc_id", "text")),
+    // North star: SimHash signatures, portable md5 form — per-token md5
+    // bits vote per position, emitted as 4×16-bit chunks (the banding
+    // layout simhashNearDups joins on). Fully mirrored in DuckDB; the
+    // native xxhash64 SimHash64 expression stays the production default
+    // (TextHashSpec).
+    "q30_simhash" -> ((s, d) => {
+      // SimHash is a scalar function of the document — ONE native compiled
+      // pass per row (tokenize, md5 bits, vote, pack 4×16-bit chunks), no
+      // explode, no shuffle. Bit j set iff 2·Σbit_j ≥ n_tokens; the DuckDB
+      // oracle replays the identical integer lattice from md5 hex nibbles.
+      val chunks = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.Md5SimHashChunks(
+          org.apache.spark.sql.GraftBridge.expression(col("text"))))
+      documents(s, d).select(col("doc_id"), chunks.as("cs"))
+        .select(col("doc_id") +:
+          (0 until 4).map(c => element_at(col("cs"), c + 1).as(s"chunk$c")): _*)
+    }),
 
     // North star: brute-force cosine top-10 against a query vector.
     // Global top-k goes through orderBy+limit — Spark plans that as
@@ -351,10 +366,14 @@ object SparkEntry {
     }),
 
     // North star: LSH-bucketed near-neighbor pairs — the scale path for
-    // all-pairs similarity (rows-only).
+    // all-pairs similarity. Lattice hyperplanes (integer coefficients) so
+    // the DuckDB oracle reproduces bucketing AND scores exactly; the
+    // hash-derived hyperplane variant stays available for production.
     "q32_ann_lsh" -> ((s, d) =>
       Similarity.lshNearPairs(embeddings(s, d), "vec_id", "embedding",
-        bits = 4, minSim = 0.1)),
+        bits = 4, minSim = 0.1,
+        signature = Similarity.hyperplaneSignatureLattice)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))),
 
     // S2 — fixed-width layout parse (round-trip built from orders so the
     // oracle can mirror it; file-based reader covered by FixedWidthReader
@@ -525,6 +544,35 @@ object SparkEntry {
     ("p19", 0L, "2025/26 (Proj.)", "", "", "", "", "", "", ""),
     ("p19", 1L, "World", "", "", "", "", "", "", ""),
     ("p19", 2L, "United States", "10", "80", "1", "40", "55", "20", "16"))
+
+  /** q30's oracle, generated: 16 nibble projections, 64 bit-sums, 4 chunk
+    * assemblies — the exact integer lattice the Spark side computes. */
+  private def q30OracleSql: String = {
+    val nibCols = (0 until 16)
+      .map(q => s"strpos('0123456789abcdef', substring(md5(t), ${q + 1}, 1)) - 1 AS nib$q")
+      .mkString(",\n  ")
+    val bitSums = (0 until 64)
+      .map(j => s"sum((nib${j / 4} >> ${3 - j % 4}) & 1) AS s$j")
+      .mkString(",\n  ")
+    val chunks = (0 until 4).map { c =>
+      val terms = (0 until 16)
+        .map(b => s"(CASE WHEN 2*s${16 * c + b} - n >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"CAST($terms AS BIGINT) AS chunk$c"
+    }.mkString(",\n ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents),
+       |nibs AS (SELECT doc_id,
+       |  $nibCols
+       | FROM toks),
+       |sums AS (SELECT doc_id, count(*) AS n,
+       |  $bitSums
+       | FROM nibs GROUP BY doc_id)
+       |SELECT doc_id,
+       | $chunks
+       |FROM sums""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -760,6 +808,66 @@ object SparkEntry {
         |FROM inter
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id""".stripMargin,
+    "q29_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |  FROM toks,
+        |  LATERAL unnest(range(1,
+        |    (CASE WHEN len(t) = 0 THEN 0 ELSE greatest(len(t) - 2, 1) END) + 1)) AS u(i)),
+        |lanes AS (SELECT unnest(range(0, 16)) AS lane),
+        |minh AS (
+        |  SELECT doc_id, lane,
+        |    min(substring(md5(s) || md5(s), CAST(2*lane+1 AS INTEGER), 8)) AS h
+        |  FROM sh CROSS JOIN lanes GROUP BY doc_id, lane),
+        |banded AS (
+        |  SELECT doc_id, CAST(lane // 4 AS BIGINT) AS band,
+        |         md5(string_agg(h, '|' ORDER BY lane)) AS bh
+        |  FROM minh GROUP BY doc_id, lane // 4),
+        |counted AS (
+        |  SELECT *, count(*) OVER (PARTITION BY band, bh) AS bucket_n FROM banded),
+        |pruned AS (
+        |  SELECT doc_id, band, bh FROM counted
+        |  WHERE bucket_n <= 1000 AND bucket_n > 1)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM pruned a JOIN pruned b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
+    "q30_simhash" -> q30OracleSql,
+    "q32_ann_lsh" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |         unnest(range(0, len(embedding))) AS j
+        |  FROM embeddings),
+        |lanes AS (SELECT unnest(range(0, 4)) AS i),
+        |proj AS (
+        |  SELECT u.vec_id, l.i,
+        |    sum(CAST(x AS DOUBLE) * CAST((l.i * 31 + j * 17) % 7 - 3 AS DOUBLE)) AS p
+        |  FROM u CROSS JOIN lanes l GROUP BY u.vec_id, l.i),
+        |sig AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN p >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |nrm AS (
+        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |  FROM u GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT p.id_a, p.id_b,
+        |    sum(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE)) AS dp
+        |  FROM pairs p
+        |  JOIN u ua ON ua.vec_id = p.id_a
+        |  JOIN u ub ON ub.vec_id = p.id_b AND ua.j = ub.j
+        |  GROUP BY p.id_a, p.id_b)
+        |SELECT d.id_a, d.id_b,
+        |  round(d.dp / (na.nrm * nb.nrm), 6) AS sim_r
+        |FROM dots d
+        |JOIN nrm na ON d.id_a = na.vec_id
+        |JOIN nrm nb ON d.id_b = nb.vec_id
+        |WHERE d.dp / (na.nrm * nb.nrm) >= 0.1""".stripMargin,
     "q31_ann_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |u AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qe) AS b

@@ -22,7 +22,7 @@ object ShingleOps {
     * single space. Mirrors TextFunctions.normalize + tokens + wordShingles
     * semantics (non-deduplicated; MIN-based consumers are unaffected). */
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
-    val toks = split(text)
+    val toks = splitLower(text)
     val count = math.max(toks.length - n + 1, if (toks.length == 0) 0 else 1)
     val out = new Array[Any](count)
     var i = 0
@@ -40,7 +40,9 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
-  private def split(text: UTF8String): Array[String] = {
+  /** Lower-case + whitespace-split (Character.isWhitespace), the shared
+    * tokenizer of the native text-hash expressions. */
+  def splitLower(text: UTF8String): Array[String] = {
     val s = text.toString.toLowerCase
     val out = new scala.collection.mutable.ArrayBuffer[String](s.length / 5 + 1)
     var i = 0

@@ -52,16 +52,34 @@ object Dedup {
     * The per-row lambda form ([[minhashSignature]]) inlines the shingle
     * array into every lane's expression tree — k× recompute — so this
     * aggregate form is what the candidate join uses. */
+  import org.apache.spark.sql.Column
+
+  /** A lane-hash family: `prep` runs once per shingle row (materialized
+    * before the signature aggregate so all lanes share it), `lane(p, i)`
+    * derives lane i from the prepared column, `band` combines a band's lane
+    * minima into a bucket key. */
+  final case class LaneFamily(prep: Column => Column,
+      lane: (Column, Int) => Column, band: Seq[Column] => Column)
+
+  /** Default: xxhash64 salted by the lane index — fastest (codegen'd, no
+    * allocation), the production path. */
+  val XxLanes: LaneFamily = LaneFamily(
+    prep = identity,
+    lane = (s, i) => xxhash64(s, lit(i)),
+    band = hs => xxhash64(hs: _*))
+
   private def bandedMinhash(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+      shingleN: Int, numHashes: Int, bands: Int,
+      fam: LaneFamily): DataFrame = {
     val rows = numHashes / bands
     val shing = docs.select(col(idCol).as("doc_id"),
       explode(graft.functions.ShingleOps.wordShinglesCol(col(textCol), shingleN)).as("s"))
-    val lanes = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+      .select(col("doc_id"), fam.prep(col("s")).as("ph"))
+    val lanes = (0 until numHashes).map(i => min(fam.lane(col("ph"), i)).as(s"h$i"))
     val sig = shing.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bh"))
+        fam.band((b * rows until (b + 1) * rows).map(i => col(s"h$i"))).as("bh"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bh"))
@@ -80,15 +98,47 @@ object Dedup {
     * through their other (bands-1) bands unless ALL their bands are hot. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 1000, fam: LaneFamily = XxLanes): DataFrame =
+    candidatesFromBanded(
+      bandedMinhash(docs, idCol, textCol, shingleN, numHashes, bands, fam),
+      maxBucket)
+
+  /** Oracle-portable MinHash+LSH candidates: per-doc lane minima come from
+    * ONE native scalar pass ([[graft.functions.Md5MinhashLanes]] — shingle,
+    * md5, windowed min, no token explode and NO signature shuffle at all),
+    * and every hash is md5/substring/MIN — semantics a DuckDB oracle
+    * reproduces verbatim. [[minhashCandidates]] with [[XxLanes]] remains the
+    * faster production default; this is the correctness-witness twin. */
+  def minhashCandidatesPortable(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    val banded = bandedMinhash(docs, idCol, textCol, shingleN, numHashes, bands)
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.GraftBridge.column(graft.functions.Md5MinhashLanes(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+        shingleN, numHashes)).as("ls"))
+      .filter(col("ls").isNotNull)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).cast("long").as("band"),
+        md5(concat_ws("|",
+          (b * rows until (b + 1) * rows).map(i => element_at(col("ls"), i + 1)): _*))
+          .as("bh"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bh"))
+    candidatesFromBanded(banded, maxBucket)
+  }
+
+  /** Shared LSH tail: prune oversized/singleton buckets with one window
+    * count, then self-join within buckets for distinct ordered pairs. */
+  private def candidatesFromBanded(banded: DataFrame, maxBucket: Int): DataFrame = {
     // Window-count instead of a separate aggregate+join: the signature scan
     // (the expensive part) is computed once, and the two self-join branches
     // below share its shuffle via ReusedExchange.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
     // bands-per-doc rows only (tiny vs the signature computation feeding
     // them) — checkpoint so the two self-join branches share one signature
-    // pass instead of recomputing shingles + 16 hash lanes twice
+    // pass instead of recomputing shingles + hash lanes twice
     val pruned = banded
       .withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)

@@ -40,8 +40,9 @@ object Similarity {
       queryVec: DataFrame, k: Int): DataFrame = {
     val scored = vectors.crossJoin(broadcast(queryVec))
       .select(col(idCol), cosine(col(vecCol), col("qe")).as("sim"))
-    Transforms.topKPerGroup(scored, Seq(lit(1)), Seq(col("sim").desc, col(idCol)), k)
-      .drop("rnk")
+    // orderBy+limit → TakeOrderedAndProject (distributed per-partition
+    // heaps), never a single-partition window.
+    scored.orderBy(col("sim").desc, col(idCol)).limit(k)
   }
 
   /** 16-bit random-hyperplane signature: bit i = sign(v · h_i) where
@@ -98,14 +99,31 @@ object Similarity {
       .filter(col("cell").isin(probed: _*)) // partition pruning at scale
       .crossJoin(broadcast(q))
       .select(col(idCol), cosine(col(vecCol), col("qe")).as("sim"))
-    Transforms.topKPerGroup(scored, Seq(lit(1)),
-      Seq(col("sim").desc, col(idCol)), k).drop("rnk")
+    scored.orderBy(col("sim").desc, col(idCol)).limit(k)
+  }
+
+  /** Hyperplane signature over a small integer lattice: bit i =
+    * sign(v · h_i) with h_i[j] = ((i·31 + j·17) mod 7) − 3 ∈ [−3, 3].
+    * Same bucketing quality as the hash-derived planes for low bit counts,
+    * but expressible in portable SQL — the DuckDB oracle reproduces it
+    * exactly, making the LSH path correctness-checkable end-to-end. */
+  def hyperplaneSignatureLattice(vec: Column, bits: Int): Column = {
+    val vd = toDoubleArray(vec)
+    val sigBits = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1),
+          (x, j) => x * (pmod(lit(i) * 31 + j * 17, lit(7)) - lit(3)).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    sigBits.reduce(_ + _)
   }
 
   /** LSH-bucketed near-neighbor pairs: bucket by hyperplane signature,
     * score cosine only within buckets, keep pairs ≥ minSim. */
   def lshNearPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 16, minSim: Double = 0.9): DataFrame = {
+      bits: Int = 16, minSim: Double = 0.9,
+      signature: (Column, Int) => Column = hyperplaneSignature): DataFrame = {
     // Carry a per-row norm column through the join (computed once per
     // vector; the join shuffle materializes it) so each candidate pair
     // costs one native dot product + a multiply. Normalizing the array
@@ -113,7 +131,7 @@ object Similarity {
     // lambdas don't hoist loop-invariant subexpressions.
     val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
-      hyperplaneSignature(col(vecCol), bits).as("bucket"))
+      signature(col(vecCol), bits).as("bucket"))
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
