@@ -524,6 +524,97 @@ object SparkEntry {
         .withColumn("session_id", sum(col("flag")).over(run).cast("long"))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("total"))
+    }),
+
+    // J-family widening — LEFT SEMI + LEFT ANTI as one tagged output
+    // (the reference filters "entities with/without prior loads" in Python
+    // loops; these are the join forms that replace that at scale).
+    "q46_semi_anti" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey"), col("c_name"))
+      val o = orders(s, d).select(col("o_custkey"))
+      val has = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .withColumn("status", lit("HAS_ORDERS"))
+      val not = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .withColumn("status", lit("NO_ORDERS"))
+      has.unionByName(not)
+    }),
+
+    // SO-family widening — INTERSECT / EXCEPT (distinct set semantics).
+    "q47_set_ops" -> ((s, d) => {
+      val o = orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.intersect(p).withColumn("tag", lit("BOTH"))
+        .unionByName(f.except(p).withColumn("tag", lit("F_ONLY")))
+    }),
+
+    // W-family widening — bounded moving window (3-row sum/avg) + lag delta
+    // per user. Decimal-exact sums; the average divides two exact values as
+    // doubles so both engines produce identical bits.
+    "q48_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      events(s, d).select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("mov_sum3", sum(dec(col("value"))).over(w3).cast("double"))
+        .withColumn("mov_n3", count(lit(1)).over(w3))
+        .withColumn("mov_avg3", col("mov_sum3") / col("mov_n3").cast("double"))
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+    }),
+
+    // F-family widening — fuzzy matching: blocked levenshtein pairs on a
+    // sampled slice (edit-distance dedup, the classic fuzzy-join shape;
+    // blocking key = brand keeps the pair space linear-ish).
+    "q49_fuzzy_match" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.as("a"); val b = p.as("b")
+      a.join(b, col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+        .filter(col("dist") <= 12)
+    }),
+
+    // J-family widening — interval join without an equi-key: every event
+    // inside any purchase's 10-minute window, via the banded time join
+    // (Transforms.intervalJoin) — never a cross join.
+    "q50_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("ts").as("pts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("pte"))
+      Transforms.intervalJoin(
+          ev.select(col("event_id"), col("ts")), "ts", purch, "pts", "pte", 600L)
+        .select(col("event_id"), col("p_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("pts"))).as("delta_us"))
+    }),
+
+    // F15 widening — JSON path extraction (props = {"k": N}) + aggregation,
+    // now oracle-checked (DuckDB json_extract_string).
+    "q51_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
+    // A-family widening — exact interpolated percentiles (median / p95).
+    "q52_percentiles" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95D)"), 6).as("p95"),
+          count(lit(1)).as("n"))),
+
+    // North-star widening — per-vector norms (L2/L1/Linf) over the
+    // embedding column, sequential-fold exact, plus the label column.
+    "q53_vector_stats" -> ((s, d) => {
+      val vd = Similarity.toDoubleArray(col("embedding"))
+      embeddings(s, d).select(col("vec_id"), col("label"),
+        round(sqrt(Similarity.dot(col("embedding"), col("embedding"))), 6).as("l2_r"),
+        round(aggregate(vd, lit(0.0), (acc, x) => acc + abs(x)), 6).as("l1_r"),
+        round(array_max(transform(vd, x => abs(x))), 6).as("linf_r"))
     })
   )
 
@@ -1027,6 +1118,70 @@ object SparkEntry {
         | CASE WHEN dom_total + exports = 0 THEN CAST(0.0 AS DOUBLE)
         |      ELSE ending / (dom_total + exports) * 100 END AS stocks_to_use
         |FROM filt""".stripMargin,
+    "q46_semi_anti" ->
+      """SELECT c_custkey, c_name, 'HAS_ORDERS' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'NO_ORDERS' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q47_set_ops" ->
+      """SELECT o_custkey, 'BOTH' AS tag FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+        |UNION ALL
+        |SELECT o_custkey, 'F_ONLY' AS tag FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t""".stripMargin,
+    "q48_moving_avg" ->
+      """SELECT event_id, user_id, ts, value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE) AS mov_sum3,
+        | count(*) OVER w3 AS mov_n3,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE) /
+        |   CAST(count(*) OVER w3 AS DOUBLE) AS mov_avg3,
+        | value - lag(value) OVER w AS delta
+        |FROM events
+        |WINDOW
+        | w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        | w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q49_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part
+        |           WHERE p_partkey % 50 = 0)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 12""".stripMargin,
+    "q50_interval_join" ->
+      """WITH purch AS (
+        |  SELECT event_id AS p_event_id, ts AS pts, ts + INTERVAL 10 MINUTE AS pte
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, p.p_event_id,
+        |  epoch_us(e.ts) - epoch_us(p.pts) AS delta_us
+        |FROM events e JOIN purch p
+        |  ON e.ts >= p.pts AND e.ts < p.pte""".stripMargin,
+    "q51_json_extract" ->
+      """SELECT event_type,
+        | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q52_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.95), 6) AS p95,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q53_vector_stats" ->
+      """WITH u AS (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+        |SELECT vec_id, label,
+        | round(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2_r,
+        | round(sum(abs(CAST(x AS DOUBLE))), 6) AS l1_r,
+        | round(max(abs(CAST(x AS DOUBLE))), 6) AS linf_r
+        |FROM u GROUP BY vec_id, label""".stripMargin,
     "q35_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts, value,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

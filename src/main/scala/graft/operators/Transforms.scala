@@ -123,6 +123,31 @@ object Transforms {
     filled.filter(col("_is_left") === 1).drop("_is_left")
   }
 
+  /** Interval join WITHOUT an equi-key: pairs (l, r) with
+    * `l(ts) ∈ [r(lo), r(hi))`. The naive plan is a cross join with a range
+    * predicate — O(|L|·|R|) at any scale. This banded form buckets time into
+    * `bandSeconds` cells, explodes each right interval onto the cells it
+    * covers (≤ ⌈len/band⌉+1 rows), equi-joins on the cell, then applies the
+    * exact half-open predicate — the shuffle is an ordinary hash join on a
+    * dense integer key, so AQE/skew handling applies. Pick `bandSeconds`
+    * near the typical interval length: shorter bands fan out the right side,
+    * longer bands widen candidate lists. */
+  def intervalJoin(left: DataFrame, ts: String, right: DataFrame,
+      lo: String, hi: String, bandSeconds: Long): DataFrame = {
+    val micros = bandSeconds * 1000000L
+    // `div` = exact long division (double division loses microseconds for
+    // far-future epochs past 2^53 µs).
+    val l = left.withColumn("_us", unix_micros(col(ts)))
+      .withColumn("_b", expr(s"_us div ${micros}L")).drop("_us")
+    val r = right.withColumn("_lo_b", expr(s"unix_micros($lo) div ${micros}L"))
+      .withColumn("_hi_b", expr(s"unix_micros($hi) div ${micros}L"))
+      .withColumn("_b", explode(sequence(col("_lo_b"), col("_hi_b"))))
+      .drop("_lo_b", "_hi_b")
+    l.join(r, Seq("_b"))
+      .filter(col(ts) >= col(lo) && col(ts) < col(hi))
+      .drop("_b")
+  }
+
   /** Skew-safe two-phase aggregation ("salting", SURVEY §7.4 risk 6 /
     * builder-prompt scale checklist): when one group key carries a
     * disproportionate share of rows, a single hash aggregate hot-spots one

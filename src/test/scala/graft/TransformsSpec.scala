@@ -90,6 +90,27 @@ class TransformsSpec extends AnyFunSuite {
     assert(df.as[Double].collect().toSeq == Seq(500.0, 0.0))
   }
 
+  test("intervalJoin equals crossJoin+range-filter, including band edges") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // points every 90s; intervals of varying length incl. exactly-on-band
+    // boundaries (band = 600s)
+    val left = (0 until 200).map(i => (i.toLong, ts(i * 90L))).toDF("lid", "t")
+    val right = Seq(
+      (1L, ts(0L), ts(600L)),        // exactly one band
+      (2L, ts(500L), ts(1900L)),     // spans 3 bands
+      (3L, ts(1200L), ts(1200L)),    // empty interval
+      (4L, ts(3000L), ts(3090L)),    // sub-band, starts on boundary
+      (5L, ts(17000L), ts(18200L))).toDF("rid", "lo", "hi")
+    val banded = Transforms.intervalJoin(left, "t", right, "lo", "hi", 600L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = left.crossJoin(right)
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("parseFixedWidth slices by declared layout") {
     val df = Seq("AB  0012xyz").toDF("line")
       .select(Transforms.parseFixedWidth(col("line"),
