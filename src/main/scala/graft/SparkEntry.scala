@@ -28,6 +28,17 @@ object SparkEntry {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def sumd(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Exact scale-2 sums via integer cents: the multiply/convert happens in
+    * LONG (one codegen'd round+cast per row instead of a decimal conversion),
+    * only the accumulator is DECIMAL(18,0) → no overflow at any row count.
+    * For 2-decimal-exact inputs this is bit-identical to [[sumd]] (AggProbe
+    * verified per group at sf0.1): the final decimal division by 100 is
+    * exact, and decimal→double is a single nearest-rounding both ways.
+    * NOT used for columns with >2dp precision (o_totalprice). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def sumc(c: Column): Column =
+    (sum(cents(c).cast(DecimalType(18, 0))) / lit(100)).cast("double")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -58,17 +69,21 @@ object SparkEntry {
     // A1/A2 — grouped sums/counts (TPC-H Q1 shape; reference A2:
     // `HTGPIPROPHEDEX/__init__.py:502`).
     "q01_pricing_summary" -> ((s, d) => {
-      // Money columns are exact 2-decimal values, so all arithmetic happens
-      // in decimal — exact, order-independent, and bit-identical to DuckDB.
-      val one = lit(1).cast(DecimalType(4, 2))
-      val price = col("l_extendedprice").cast(DecimalType(12, 2))
-      val disc = one - col("l_discount").cast(DecimalType(4, 2))
-      val tax = one + col("l_tax").cast(DecimalType(4, 2))
+      // Money columns are exact 2-decimal values, so all row arithmetic
+      // happens in integer cents (LONG multiplies — the decimal conversion
+      // per row was 40% of the query, AggProbe) with DECIMAL accumulators;
+      // exact, order-independent, bit-identical to the oracle's decimal
+      // formulation. p·d ≤ 1e9·100, p·d·t ≤ 1e11·100 — far inside LONG.
+      val p100 = cents(col("l_extendedprice"))
+      val d100 = lit(100L) - cents(col("l_discount"))
+      val t100 = lit(100L) + cents(col("l_tax"))
       lineitem(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
-        sumd(col("l_quantity")).as("sum_qty"),
-        sumd(col("l_extendedprice")).as("sum_base_price"),
-        sum(price * disc).cast("double").as("sum_disc_price"),
-        sum(price * disc * tax).cast("double").as("sum_charge"),
+        sumc(col("l_quantity")).as("sum_qty"),
+        sumc(col("l_extendedprice")).as("sum_base_price"),
+        (sum((p100 * d100).cast(DecimalType(18, 0))) / lit(10000))
+          .cast("double").as("sum_disc_price"),
+        (sum((p100 * d100 * t100).cast(DecimalType(18, 0))) / lit(1000000))
+          .cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
     }),
 
@@ -96,7 +111,7 @@ object SparkEntry {
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"), sumd(col("c_acctbal")).as("total_acctbal"))
+        .agg(count(lit(1)).as("n_customers"), sumc(col("c_acctbal")).as("total_acctbal"))
     }),
 
     // P4/P1/P2/F7-ish — range predicate + projection + derived column
@@ -135,7 +150,7 @@ object SparkEntry {
           .select(year(col("l_shipdate")).cast("long").as("ship_year"),
             col("l_returnflag"), col("l_quantity")),
         Seq(col("ship_year")), "l_returnflag", Seq("A", "N", "R"),
-        Seq(sumd(col("l_quantity"))))),
+        Seq(sumc(col("l_quantity"))))),
 
     // SO1 — UNION ALL append-merge (`HTGPIYAHOO/__init__.py:96`).
     "q10_union" -> ((s, d) => {
@@ -205,9 +220,12 @@ object SparkEntry {
     // `HTGPIWASDE/__init__.py:714-718`).
     "q16_derived_measure" -> ((s, d) => {
       val g = lineitem(s, d).groupBy(col("l_orderkey")).agg(
-        coalesce(sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice")))),
-          lit(0).cast(DecimalType(18, 2))).cast("double").as("returned"),
-        sumd(col("l_extendedprice")).as("total"))
+        (coalesce(
+          sum(when(col("l_returnflag") === "R",
+            cents(col("l_extendedprice")).cast(DecimalType(18, 0)))),
+          lit(0).cast(DecimalType(28, 0))) / lit(100))
+          .cast("double").as("returned"),
+        sumc(col("l_extendedprice")).as("total"))
       g.select(col("l_orderkey"), col("returned"), col("total"),
         Transforms.guardedRatio(col("returned"), col("total"), lit(100)).as("return_pct"))
     }),
@@ -255,7 +273,7 @@ object SparkEntry {
     "q21_window_agg" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sumd(col("value")).as("total"))
+        .agg(count(lit(1)).as("n"), sumc(col("value")).as("total"))
         .select(col("window.start").as("hour_start"), col("event_type"),
           col("n"), col("total"))),
 
@@ -454,7 +472,7 @@ object SparkEntry {
     "q39_rollup" -> ((s, d) =>
       lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+        .agg(sumc(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
 
     // A-family extension — CUBE over two dimensions.
     "q45_cube" -> ((s, d) =>
@@ -523,7 +541,7 @@ object SparkEntry {
             .otherwise(0))
         .withColumn("session_id", sum(col("flag")).over(run).cast("long"))
         .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("total"))
+        .agg(count(lit(1)).as("n_events"), sumc(col("value")).as("total"))
     }),
 
     // J-family widening — LEFT SEMI + LEFT ANTI as one tagged output
