@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Single-import facade over the engine: `import graft.Graft` and every
+  * operator family is one call away. Thin delegation only — each method is
+  * documented at its implementation site.
+  *
+  * {{{
+  * val spark = Graft.session()                  // tuned local session
+  * val docs  = Graft.table(spark, sfDir, "documents")
+  * val dups  = Graft.minhashCandidates(docs, "doc_id", "text")
+  * val knn   = Graft.knnJoin(cust, supp, 3, 2e6, "c", "s", "lat", "lon", "slat", "slon")
+  * }}}
+  */
+object Graft {
+
+  /** A session tuned the way the engine's own mains configure it; on a real
+    * cluster pass the same configs to spark-submit instead. */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .getOrCreate()
+
+  // ---- sources ----
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+  def readFixedWidth(s: SparkSession, path: String,
+      layout: Seq[(String, Int)], skipLines: Int = 0): DataFrame =
+    sources.FixedWidthReader.read(s, path, layout, skipLines)
+  def readBinaryFiles(s: SparkSession, glob: String): DataFrame =
+    operators.Multimodal.readBinaryFiles(s, glob)
+
+  // ---- relational operators ----
+  def watermarks(df: DataFrame, key: String, ts: String): DataFrame =
+    operators.Transforms.watermarks(df, key, ts)
+  def watermarkFilter(incoming: DataFrame, wm: DataFrame, keys: Seq[String],
+      eventCol: String, wmCol: String): DataFrame =
+    operators.Transforms.watermarkFilter(incoming, wm, keys, eventCol, wmCol)
+  def topKPerGroup(df: DataFrame, partitionBy: Seq[Column], order: Seq[Column],
+      k: Int): DataFrame =
+    operators.Transforms.topKPerGroup(df, partitionBy, order, k)
+  def carryForward(df: DataFrame, valueCol: String, partitionBy: Seq[Column],
+      order: Seq[Column], out: String): DataFrame =
+    operators.Transforms.carryForward(df, valueCol, partitionBy, order, out)
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+      varName: String, valName: String): DataFrame =
+    operators.Transforms.melt(df, ids, values, varName, valName)
+  def pivotAgg(df: DataFrame, groupCols: Seq[Column], pivotCol: String,
+      values: Seq[String], aggs: Seq[Column]): DataFrame =
+    operators.Transforms.pivotAgg(df, groupCols, pivotCol, values, aggs)
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payloadCols: Seq[String]): DataFrame =
+    operators.Transforms.asofJoin(left, right, key, ts, payloadCols)
+  def intervalJoin(left: DataFrame, ts: String, right: DataFrame,
+      lo: String, hi: String, bandSeconds: Long): DataFrame =
+    operators.Transforms.intervalJoin(left, ts, right, lo, hi, bandSeconds)
+  def categorize(rules: Seq[(String, String)], default: String)(c: Column): Column =
+    operators.Transforms.categorize(rules, default)(c)
+
+  // ---- geo ----
+  def radiusJoin(left: DataFrame, right: DataFrame, radiusM: Double,
+      lat1: String, lon1: String, lat2: String, lon2: String): DataFrame =
+    operators.GeoJoin.radiusJoin(left, right, radiusM, lat1, lon1, lat2, lon2)
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int, radiusM: Double,
+      leftKey: String, rightKey: String,
+      lat1: String, lon1: String, lat2: String, lon2: String): DataFrame =
+    operators.GeoJoin.knnJoin(left, right, k, radiusM, leftKey, rightKey,
+      lat1, lon1, lat2, lon2)
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    functions.GeoFunctions.haversineMeters(lat1, lon1, lat2, lon2)
+
+  // ---- dedup / similarity (LLM-pipeline north stars) ----
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.Dedup.exact(docs, idCol, textCol)
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.Dedup.minhashCandidates(docs, idCol, textCol)
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.Dedup.simhashNearDups(docs, idCol, textCol)
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, shingleK: Int): DataFrame =
+    operators.Dedup.ngramJaccardPairs(docs, idCol, textCol, blockCol, shingleK)
+  def cosine(a: Column, b: Column): Column = operators.Similarity.cosine(a, b)
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queryVec: DataFrame, k: Int): DataFrame =
+    operators.Similarity.bruteForceTopK(vectors, idCol, vecCol, queryVec, k)
+  def lshNearPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      bits: Int, minSim: Double): DataFrame =
+    operators.Similarity.lshNearPairs(vectors, idCol, vecCol, bits, minSim)
+
+  // ---- streaming ----
+  def windowedEventAgg(events: DataFrame, windowDur: String,
+      watermarkDelay: String): DataFrame =
+    streaming.StreamingOps.windowedEventAgg(events, windowDur, watermarkDelay)
+  def dedupStream(docs: DataFrame, idCol: String, textCol: String):
+      org.apache.spark.sql.Dataset[streaming.StreamingDedup.DedupVerdict] =
+    streaming.StreamingDedup.dedupStream(docs, idCol, textCol)
+}

@@ -107,4 +107,42 @@ class StreamingSpec extends AnyFunSuite {
     val expected = Tables.events(spark, sfDir).count()
     assert(n == expected, s"got $n expected $expected")
   }
+
+  test("streaming minhash dedup flags dups across micro-batches, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val docA = "the quick brown fox jumps over the lazy dog again and again"
+    val docB = "an entirely different document about spark execution engines"
+    val docC = "numbers one two three four five six seven eight nine ten here"
+    // batch1: A(1), B(2); batch2: A-dup(3), C(4), C-dup(5)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.dedupStream(in.toDF.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup").start()
+    in.addData((1L, docA), (2L, docB))
+    q.processAllAvailable()
+    in.addData((3L, docA), (4L, docC), (5L, docC))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup")
+      .as[StreamingDedup.DedupVerdict].collect()
+      .map(v => v.doc_id -> ((v.keeper, v.is_dup))).toMap
+    assert(got(1L) == ((1L, false)))
+    assert(got(2L) == ((2L, false)))
+    assert(got(3L) == ((1L, true)))   // cross-batch dup of doc 1
+    assert(got(4L) == ((4L, false)))
+    assert(got(5L) == ((4L, true)))   // within-batch dup, min id keeps
+
+    // batch parity: same call on a plain DataFrame
+    val batch = StreamingDedup.dedupStream(
+      Seq((1L, docA), (2L, docB), (3L, docA), (4L, docC), (5L, docC))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(v => v.doc_id -> ((v.keeper, v.is_dup))).toMap
+    assert(batch == got)
+  }
 }
