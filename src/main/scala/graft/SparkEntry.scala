@@ -625,6 +625,45 @@ object SparkEntry {
           round(expr("percentile(value, 0.95D)"), 6).as("p95"),
           count(lit(1)).as("n"))),
 
+    // F16/S14 — JSON construction (the reference's HTTP response assembly,
+    // `HTIPNEXSITE` JSON result), now oracle-checked: both engines emit
+    // identical compact struct JSON.
+    "q54_json_build" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        to_json(struct(col("event_type"), col("user_id"))).as("j"))),
+
+    // S-family — multimodal chunk plumbing under oracle check: fixed-size
+    // chunking + stride sampling of the binary payload, aggregated to
+    // (sampled chunk count, sampled bytes) the oracle derives from length
+    // arithmetic.
+    "q55_chunk_stats" -> ((s, d) => {
+      val chunks = Multimodal.sampleChunks(
+        Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"),
+        chunkBytes = 64, stride = 2)
+      chunks.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_sampled"),
+        sum(length(col("chunk")).cast("long")).as("bytes_sampled"))
+    }),
+
+    // A/F-family — z-score outlier flagging: population mean/std from
+    // exact integer-cents sums, per-row z in doubles with mirrored
+    // operation order.
+    "q56_zscore_outliers" -> ((s, d) => {
+      val stats = events(s, d).groupBy(col("event_type")).agg(
+        sumc(col("value")).as("s1"),
+        (sum((cents(col("value")) * cents(col("value")))
+          .cast(DecimalType(18, 0))) / lit(10000)).cast("double").as("s2"),
+        count(lit(1)).cast("double").as("n"))
+        .select(col("event_type"),
+          (col("s1") / col("n")).as("m"),
+          sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+            .as("sd"))
+      events(s, d).join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("m")) / col("sd"), 6).as("z"))
+        .filter(abs((col("value") - col("m")) / col("sd")) > 2.5)
+    }),
+
     // North-star widening — per-vector norms (L2/L1/Linf) over the
     // embedding column, sequential-fold exact, plus the label column.
     "q53_vector_stats" -> ((s, d) => {
@@ -1193,6 +1232,34 @@ object SparkEntry {
         | round(quantile_cont(value, 0.95), 6) AS p95,
         | count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q54_json_build" ->
+      """SELECT event_id,
+        | CAST(to_json(struct_pack(event_type := event_type, user_id := user_id))
+        |      AS VARCHAR) AS j
+        |FROM events""".stripMargin,
+    "q55_chunk_stats" ->
+      """WITH t AS (SELECT doc_id, strlen(text) AS len FROM documents),
+        |c AS (SELECT doc_id, len,
+        |  CAST((len - 1) // 64 + 1 AS BIGINT) AS n_chunks FROM t WHERE len > 0)
+        |SELECT doc_id,
+        | CAST((n_chunks + 1) // 2 AS BIGINT) AS n_sampled,
+        | CAST(CASE WHEN (n_chunks - 1) % 2 = 0
+        |      THEN ((n_chunks + 1) // 2 - 1) * 64 + (len - (n_chunks - 1) * 64)
+        |      ELSE ((n_chunks + 1) // 2) * 64 END AS BIGINT) AS bytes_sampled
+        |FROM c""".stripMargin,
+    "q56_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100 AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT) *
+        |             CAST(round(value * 100) AS BIGINT)) / 10000 AS DOUBLE) AS s2,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY event_type),
+        |ms AS (SELECT event_type, s1 / n AS m,
+        |         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd FROM st)
+        |SELECT e.event_id, e.event_type, round((e.value - m) / sd, 6) AS z
+        |FROM events e JOIN ms USING (event_type)
+        |WHERE abs((e.value - m) / sd) > 2.5""".stripMargin,
     "q53_vector_stats" ->
       """WITH u AS (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
         |SELECT vec_id, label,

@@ -143,4 +143,42 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("plan shapes: the 100TB-critical queries avoid pathological operators") {
+    val sfDir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    // q50 interval join: banded equi-join, never a cartesian/nested-loop
+    val p50 = plan("q50_interval_join")
+    assert(!p50.contains("CartesianProduct"), p50)
+    assert(!p50.contains("BroadcastNestedLoopJoin"), p50)
+
+    // q31 global top-k: TakeOrderedAndProject, not a global-sort or a
+    // single-partition window over the full scan
+    val p31 = plan("q31_ann_cosine")
+    assert(p31.contains("TakeOrderedAndProject"), p31)
+
+    // q18 broadcast kNN: zero Exchange after the fan-out repartition —
+    // no join, no window over candidates
+    val p18 = plan("q18_geo_topk")
+    assert(!p18.contains("SortMergeJoin") && !p18.contains("CartesianProduct"), p18)
+    assert(p18.contains("knn_against_points") || p18.contains("Generate"), p18)
+
+    // q29 portable minhash: the candidate join is an equi hash join over
+    // the (checkpointed) banded table — no cartesian anywhere; the scalar
+    // signature expression itself is asserted on the un-checkpointed prefix
+    val p29 = plan("q29_minhash_lsh")
+    assert(!p29.contains("CartesianProduct"), p29)
+    val sigPlan = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.Md5MinhashLanes(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3, 16)))
+      .queryExecution.executedPlan.toString
+    assert(sigPlan.contains("md5_minhash_lanes"), sigPlan)
+
+    // q01: cents arithmetic — no decimal multiply in the row path
+    val p01 = plan("q01_pricing_summary")
+    assert(!p01.toLowerCase.contains("promote_precision"), p01)
+  }
 }
