@@ -108,4 +108,60 @@ object PropertySpec extends Properties("graft") {
         .select(Transforms.repairNumeric(col("r")).as("v")).as[Double].collect()
       out.length == raws.length && out.forall(v => !v.isNaN)
     }
+
+  property("knnBroadcast equals windowed cross join on random point sets") =
+    Prop.forAll(Gen.choose(5, 40), Gen.choose(2, 8), Gen.choose(1L, 999L)) {
+      (nl, nr, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val left = (1 to nl).map(i =>
+          (i.toLong, rnd.nextDouble * 170 - 85, rnd.nextDouble * 350 - 175))
+          .toDF("lid", "lat", "lon")
+        val right = (1 to nr).map(i =>
+          (i.toLong, rnd.nextDouble * 170 - 85, rnd.nextDouble * 350 - 175))
+          .toDF("rid", "rlat", "rlon")
+        val k = 2
+        val bc = graft.operators.GeoJoin.knnBroadcast(left, right, k,
+          "lid", "rid", "lat", "lon", "rlat", "rlon")
+          .select("lid", "knn_rank", "rid", "dist_m")
+          .as[(Long, Long, Long, Double)].collect().toSet
+        val brute = Transforms.topKPerGroup(
+          left.crossJoin(right).withColumn("dist_m",
+            GeoFunctions.haversineMeters(col("lat"), col("lon"),
+              col("rlat"), col("rlon"))),
+          Seq(col("lid")), Seq(col("dist_m").asc, col("rid").asc), k, "knn_rank")
+          .select("lid", "knn_rank", "rid", "dist_m")
+          .as[(Long, Long, Long, Double)].collect().toSet
+        bc == brute
+    }
+
+  property("intervalJoin equals crossJoin+filter on random intervals") =
+    Prop.forAll(Gen.choose(1L, 999L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      import java.sql.Timestamp
+      def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+      val left = (1 to 60).map(i => (i.toLong, ts(rnd.nextInt(20000).toLong)))
+        .toDF("lid", "t")
+      val right = (1 to 10).map { i =>
+        val lo = rnd.nextInt(20000).toLong
+        (i.toLong, ts(lo), ts(lo + rnd.nextInt(3000).toLong))
+      }.toDF("rid", "lo", "hi")
+      val banded = Transforms.intervalJoin(left, "t", right, "lo", "hi", 700L)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val brute = left.crossJoin(right)
+        .filter(col("t") >= col("lo") && col("t") < col("hi"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      banded == brute
+    }
+
+  property("cents-sum equals decimal-sum for 2dp values") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-99999, 999999))) { centsList =>
+      val df = centsList.map(c => c / 100.0).toDF("v")
+      val (a, b) = df.select(
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double"),
+        (sum(round(col("v") * 100).cast("long")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0))) / lit(100))
+          .cast("double")).as[(Double, Double)].head()
+      a == b
+    }
 }
