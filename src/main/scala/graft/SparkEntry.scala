@@ -664,6 +664,41 @@ object SparkEntry {
         .filter(abs((col("value") - col("m")) / col("sd")) > 2.5)
     }),
 
+    // S3 — HTML-table scan over a literal fixture (the reference's
+    // `pd.read_html(url, header=1)[0]`, `HTGPIINFLATUS/__init__.py:82`),
+    // parsed by the dependency-free HtmlTableReader, then typed + derived.
+    "q57_html_table" -> ((s, d) => {
+      val html =
+        """<html><body><p>junk</p><table class="infl">
+          |<tr><th>ignored</th><th>header</th></tr>
+          |<tr><th>Year</th><th>Jan</th><th>Feb</th></tr>
+          |<tr><td>2023</td><td>6.4</td><td>6.0</td></tr>
+          |<tr><td>2024</td><td>3.1</td><td>3.2</td></tr>
+          |<tr><td>2025</td><td>2.9</td><td>&nbsp;</td></tr>
+          |</table><table><tr><td>second table ignored</td></tr></table>
+          |</body></html>""".stripMargin
+      graft.sources.HtmlTableReader.read(s, html, headerRow = 1)
+        .select(col("Year").cast("long").as("year"),
+          col("Jan").try_cast("double").as("jan"),
+          col("Feb").try_cast("double").as("feb"))
+        .withColumn("h1_avg", (col("jan") + col("feb")) / 2)
+    }),
+
+    // S7/F15 — nested JSON roundtrip: serialize rows to nested JSON docs,
+    // re-parse with an explicit schema (the REST-payload shape of
+    // `HTGPISNP500`), extract nested fields.
+    "q58_json_roundtrip" -> ((s, d) => {
+      val j = orders(s, d).select(
+        to_json(struct(col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"),
+            col("o_totalprice").as("tp")).as("nest"))).as("doc"))
+      j.select(from_json(col("doc"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "o_orderkey BIGINT, nest STRUCT<st: STRING, tp: DOUBLE>")).as("p"))
+        .select(col("p.o_orderkey").as("o_orderkey"),
+          col("p.nest.st").as("st"), col("p.nest.tp").as("tp"))
+    }),
+
     // North-star widening — per-vector norms (L2/L1/Linf) over the
     // embedding column, sequential-fold exact, plus the label column.
     "q53_vector_stats" -> ((s, d) => {
@@ -1232,6 +1267,14 @@ object SparkEntry {
         | round(quantile_cont(value, 0.95), 6) AS p95,
         | count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q57_html_table" ->
+      """SELECT * FROM (VALUES
+        | (CAST(2023 AS BIGINT), 6.4, 6.0, CAST((6.4 + 6.0) / 2 AS DOUBLE)),
+        | (CAST(2024 AS BIGINT), 3.1, 3.2, CAST((3.1 + 3.2) / 2 AS DOUBLE)),
+        | (CAST(2025 AS BIGINT), 2.9, NULL, NULL))
+        | AS t(year, jan, feb, h1_avg)""".stripMargin,
+    "q58_json_roundtrip" ->
+      "SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS tp FROM orders",
     "q54_json_build" ->
       """SELECT event_id,
         | CAST(to_json(struct_pack(event_type := event_type, user_id := user_id))

@@ -51,6 +51,16 @@ object HashProbe {
       .write.format("noop").mode("overwrite").save())
     time("q29-full-xx")(Dedup.minhashCandidates(docs, "doc_id", "text")
       .write.format("noop").mode("overwrite").save())
+
+    // q28 phases
+    val sample = docs.filter(col("doc_id") % 20 === 0)
+    val sh28 = sample.select(col("doc_id"), col("lang").as("blk"),
+      explode(TextFunctions.charShingles(lower(col("text")), 3)).as("s")).distinct()
+    time("q28-shingles")(sh28.write.format("noop").mode("overwrite").save())
+    time("q28-full")(Dedup.ngramJaccardPairs(sample, "doc_id", "text", "lang", 3)
+      .write.format("noop").mode("overwrite").save())
+    time("q28-full2")(Dedup.ngramJaccardPairs(sample, "doc_id", "text", "lang", 3)
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
