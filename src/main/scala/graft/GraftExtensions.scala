@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.functions.{HaversineDistance, SimHash64, WordShingles}
+import graft.functions.{HaversineDistance, Md5MinhashLanes, Md5SimHashChunks, SimHash64, WordShingles}
 
 /** Spark-native extension point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -35,11 +35,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - word n-gram shingles"),
-      (exprs: Seq[Expression]) => WordShingles(exprs(0),
-        exprs(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => Cast(exprs(1), IntegerType).eval(null).asInstanceOf[Int]
-        })))
+      (exprs: Seq[Expression]) => WordShingles(exprs(0), intArg(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("md5_simhash_chunks"),
+      info("md5_simhash_chunks",
+        "md5_simhash_chunks(text) - portable simhash as 4x16-bit chunks"),
+      (exprs: Seq[Expression]) => Md5SimHashChunks(exprs.head)))
+    e.injectFunction((FunctionIdentifier("md5_minhash_lanes"),
+      info("md5_minhash_lanes",
+        "md5_minhash_lanes(text, n, lanes) - portable minhash lane minima"),
+      (exprs: Seq[Expression]) =>
+        Md5MinhashLanes(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+  }
+
+  private def intArg(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case _ => Cast(e, IntegerType).eval(null).asInstanceOf[Int]
   }
 }

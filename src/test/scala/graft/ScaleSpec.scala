@@ -26,11 +26,15 @@ class ScaleSpec extends AnyFunSuite {
       val r = s.sql(
         """SELECT haversine_m(19.4326, -99.1332, 19.4326, -99.1332) AS d,
           |       simhash64(array('a','b')) AS h,
-          |       size(word_shingles('a b c d', 2)) AS n""".stripMargin)
+          |       size(word_shingles('a b c d', 2)) AS n,
+          |       size(md5_simhash_chunks('a b c')) AS nc,
+          |       size(md5_minhash_lanes('a b c d e', 3, 16)) AS nl""".stripMargin)
         .collect().head
       assert(r.getDouble(0) == 0.0)
       assert(r.getLong(1) == r.getLong(1))
       assert(r.getInt(2) == 3)
+      assert(r.getInt(3) == 4)    // simhash chunks
+      assert(r.getInt(4) == 16)   // minhash lanes
     } finally {
       // do NOT stop: the SparkContext is shared with every other suite
       SparkSession.setDefaultSession(prev)
