@@ -132,6 +132,33 @@ object GeoJoin {
         col("nn.key").as(rightKey), col("nn.dist").as("dist_m"))
   }
 
+  /** Plan-level form of [[knnBroadcast]]: a custom `LogicalPlan` lowered by
+    * [[graft.plans.KnnJoinStrategy]] to the [[graft.plans.KnnJoinExec]]
+    * physical operator — the full custom-operator ladder (guide case (c)),
+    * for when an operator outgrows an expression (custom partitioning,
+    * multi-row emission, physical state). Row-identical to [[knnBroadcast]]
+    * (GeoJoinSpec); the expression form stays the default because it lives
+    * inside whole-stage codegen. */
+  def knnBroadcastPlanned(left: DataFrame, right: DataFrame, k: Int,
+      leftKey: String, rightKey: String,
+      lat1: String, lon1: String, lat2: String, lon2: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.KnnJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.KnnJoinStrategy
+    val pts = right.select(col(rightKey).cast("long"),
+      col(lat2).cast("double"), col(lon2).cast("double")).collect()
+    val child = left.select(col(leftKey).cast("long"),
+      col(lat1).cast("double"), col(lon1).cast("double"))
+    val node = graft.plans.KnnJoinLogical(
+      child.queryExecution.analyzed,
+      pts.map(_.getLong(0)), pts.map(_.getDouble(1)), pts.map(_.getDouble(2)), k,
+      graft.plans.KnnJoinLogical.outputAttrs())
+    org.apache.spark.sql.GraftBridge.ofRows(spark, node)
+      .select(col("left_key").as(leftKey), col("knn_rank"),
+        col("right_key").as(rightKey), col("dist_m"))
+  }
+
   /** Large×large exact kNN, two phases: (1) a banded radius join at `radiusM`
     * handles every left row that finds ≥ k candidates inside the radius — for
     * those rows the true top-k provably lies within the radius; (2) the

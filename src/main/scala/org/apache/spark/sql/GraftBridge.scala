@@ -10,4 +10,10 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+  /** Wrap a custom logical plan as a DataFrame (Dataset.ofRows is
+    * private[sql] in Spark 4). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -86,4 +86,25 @@ class GeoJoinSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(viaDispatch == brute)
   }
+
+  test("knnBroadcastPlanned (custom LogicalPlan+Strategy+SparkPlan) row-identical") {
+    val left = (1 to 80).map(i =>
+      (i.toLong, ((i * 37) % 17000) / 100.0 - 85, ((i * 91) % 35000) / 100.0 - 175))
+      .toDF("lid", "lat", "lon")
+    val right = (1 to 15).map(i =>
+      (i.toLong, ((i * 53) % 17000) / 100.0 - 85, ((i * 71) % 35000) / 100.0 - 175))
+      .toDF("rid", "s_lat", "s_lon")
+    val planned = GeoJoin.knnBroadcastPlanned(left, right, 3,
+      "lid", "rid", "lat", "lon", "s_lat", "s_lon")
+    // physical plan actually contains the custom exec node
+    assert(planned.queryExecution.executedPlan.toString.contains("KnnJoin"))
+    val a = planned.select("lid", "knn_rank", "rid", "dist_m")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = GeoJoin.knnBroadcast(left, right, 3,
+      "lid", "rid", "lat", "lon", "s_lat", "s_lon")
+      .select("lid", "knn_rank", "rid", "dist_m")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b)
+    assert(a.size == 80 * 3)
+  }
 }
