@@ -699,6 +699,55 @@ object SparkEntry {
           col("p.nest.st").as("st"), col("p.nest.tp").as("tp"))
     }),
 
+    // §2.9 skew control in the checked path — two-phase salted aggregation
+    // (same result as a plain groupBy, different physical distribution:
+    // the hot key spreads over 8 reducers before the merge).
+    "q59_salted_agg" -> ((s, d) => {
+      val merged = Transforms.saltedAggregate(events(s, d), "event_type", 8,
+        partials = Seq(
+          ("n", c => count(c), lit(1)),
+          ("sc", c => sum(cents(c).cast(DecimalType(18, 0))), col("value"))),
+        merges = Seq(
+          ("n", c => sum(c)),
+          ("sc", c => sum(c))))
+      merged.select(col("event_type"), col("n"),
+        (col("sc") / lit(100)).cast("double").as("total"))
+    }),
+
+    // W-family — full ranking family with a total tiebreak order.
+    "q60_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d).select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // F-family — wider string-function surface.
+    "q61_string_funcs" -> ((s, d) =>
+      part(s, d).select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "."). as("brand_pad"),
+        rpad(col("p_type"), 18, "_").as("type_pad"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        reverse(col("p_name")).as("name_rev"),
+        repeat(lit("*"), (col("p_size") % 5).cast("int")).as("stars"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"),
+        col("p_name").startsWith("a").as("starts_a"),
+        col("p_name").contains("ol").as("has_ol"))),
+
+    // F20 — array-function surface over embeddings (scalar outputs only:
+    // the driver compare sorts rows by every column).
+    "q62_array_funcs" -> ((s, d) =>
+      embeddings(s, d).select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        array_min(col("embedding")).cast("double").as("vmin"),
+        array_max(col("embedding")).cast("double").as("vmax"),
+        element_at(col("embedding"), 1).cast("double").as("first"),
+        element_at(array_sort(col("embedding")), 3).cast("double").as("third_smallest"),
+        element_at(reverse(array_sort(col("embedding"))), 1).cast("double").as("largest"))),
+
     // North-star widening — per-vector norms (L2/L1/Linf) over the
     // embedding column, sequential-fold exact, plus the label column.
     "q53_vector_stats" -> ((s, d) => {
@@ -1267,6 +1316,39 @@ object SparkEntry {
         | round(quantile_cont(value, 0.95), 6) AS p95,
         | count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q59_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100 AS DOUBLE) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q60_rank_family" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        | round(percent_rank() OVER w, 6) AS prnk,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "q61_string_funcs" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '.') AS brand_pad,
+        | rpad(p_type, 18, '_') AS type_pad,
+        | split_part(p_type, ' ', 1) AS type_head,
+        | reverse(p_name) AS name_rev,
+        | repeat('*', CAST(p_size % 5 AS INTEGER)) AS stars,
+        | replace(p_name, ' ', '_') AS name_us,
+        | starts_with(p_name, 'a') AS starts_a,
+        | contains(p_name, 'ol') AS has_ol
+        |FROM part""".stripMargin,
+    "q62_array_funcs" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS BIGINT) AS dim,
+        | CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        | CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        | CAST(embedding[1] AS DOUBLE) AS first,
+        | CAST(list_sort(embedding)[3] AS DOUBLE) AS third_smallest,
+        | CAST(list_reverse_sort(embedding)[1] AS DOUBLE) AS largest
+        |FROM embeddings""".stripMargin,
     "q57_html_table" ->
       """SELECT * FROM (VALUES
         | (CAST(2023 AS BIGINT), 6.4, 6.0, CAST((6.4 + 6.0) / 2 AS DOUBLE)),
