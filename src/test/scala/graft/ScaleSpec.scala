@@ -185,4 +185,16 @@ class ScaleSpec extends AnyFunSuite {
     val p01 = plan("q01_pricing_summary")
     assert(!p01.toLowerCase.contains("promote_precision"), p01)
   }
+
+  test("approx_count_distinct lands within documented error of exact") {
+    // Not oracle-checkable (HLL sketches differ per engine); the engine's
+    // contract is relative error <= ~5% at default rsd=0.05.
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val (approx, exact) = li.agg(
+      approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
 }
