@@ -699,6 +699,16 @@ object SparkEntry {
           col("p.nest.st").as("st"), col("p.nest.tp").as("tp"))
     }),
 
+    // North star: near-dup CLUSTER assignment — connected components over
+    // the MinHash candidate pairs (min reachable doc id = cluster id;
+    // "keep one per cluster" is then a filter). Oracle replays the same
+    // reachability with a recursive CTE.
+    "q63_dup_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+    }),
+
     // §2.9 skew control in the checked path — two-phase salted aggregation
     // (same result as a plain groupBy, different physical distribution:
     // the hot key spreads over 8 reducers before the merge).
@@ -805,6 +815,37 @@ object SparkEntry {
        | $chunks
        |FROM sums""".stripMargin
   }
+
+  /** Shared CTE chain producing the MinHash LSH candidate pairs (q29), also
+    * the edge source for q63's recursive-CTE connected components. */
+  private val minhashPairCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |  FROM toks,
+      |  LATERAL unnest(range(1,
+      |    (CASE WHEN len(t) = 0 THEN 0 ELSE greatest(len(t) - 2, 1) END) + 1)) AS u(i)),
+      |lanes AS (SELECT unnest(range(0, 16)) AS lane),
+      |minh AS (
+      |  SELECT doc_id, lane,
+      |    min(substring(md5(s) || md5(s), CAST(2*lane+1 AS INTEGER), 8)) AS h
+      |  FROM sh CROSS JOIN lanes GROUP BY doc_id, lane),
+      |banded AS (
+      |  SELECT doc_id, CAST(lane // 4 AS BIGINT) AS band,
+      |         md5(string_agg(h, '|' ORDER BY lane)) AS bh
+      |  FROM minh GROUP BY doc_id, lane // 4),
+      |counted AS (
+      |  SELECT *, count(*) OVER (PARTITION BY band, bh) AS bucket_n FROM banded),
+      |pruned AS (
+      |  SELECT doc_id, band, bh FROM counted
+      |  WHERE bucket_n <= 1000 AND bucket_n > 1)""".stripMargin
+
+  private val minhashPairSelect: String =
+    """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM pruned a JOIN pruned b
+      |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1040,32 +1081,18 @@ object SparkEntry {
         |FROM inter
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id""".stripMargin,
-    "q29_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
-        |  FROM toks,
-        |  LATERAL unnest(range(1,
-        |    (CASE WHEN len(t) = 0 THEN 0 ELSE greatest(len(t) - 2, 1) END) + 1)) AS u(i)),
-        |lanes AS (SELECT unnest(range(0, 16)) AS lane),
-        |minh AS (
-        |  SELECT doc_id, lane,
-        |    min(substring(md5(s) || md5(s), CAST(2*lane+1 AS INTEGER), 8)) AS h
-        |  FROM sh CROSS JOIN lanes GROUP BY doc_id, lane),
-        |banded AS (
-        |  SELECT doc_id, CAST(lane // 4 AS BIGINT) AS band,
-        |         md5(string_agg(h, '|' ORDER BY lane)) AS bh
-        |  FROM minh GROUP BY doc_id, lane // 4),
-        |counted AS (
-        |  SELECT *, count(*) OVER (PARTITION BY band, bh) AS bucket_n FROM banded),
-        |pruned AS (
-        |  SELECT doc_id, band, bh FROM counted
-        |  WHERE bucket_n <= 1000 AND bucket_n > 1)
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM pruned a JOIN pruned b
-        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
+    "q29_minhash_lsh" -> s"WITH $minhashPairCtes\n$minhashPairSelect",
+    "q63_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         |SELECT src AS doc_id, min(dst) AS cluster
+         |FROM reach GROUP BY src""".stripMargin,
     "q30_simhash" -> q30OracleSql,
     "q32_ann_lsh" ->
       """WITH u AS (

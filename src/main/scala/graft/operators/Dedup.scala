@@ -178,6 +178,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup candidate pairs — the step after
+    * LSH candidate generation in a dedup pipeline: every document gets the
+    * smallest doc id reachable through candidate edges as its `cluster`
+    * id, so "keep one per cluster" becomes a trivial filter.
+    *
+    * Iterative min-label propagation: each round joins current labels to
+    * the symmetric edge list, takes the min over (own label, neighbor
+    * labels), and stops when no label changed. Rounds needed = graph
+    * diameter (tiny for near-dup clusters — they are cliques-ish by
+    * construction); each round is one shuffle join + one aggregate, and
+    * labels are localCheckpoint'd so lineage stays O(1) instead of growing
+    * by two joins per round — the standard large-graph CC shape (what
+    * GraphFrames does under the hood).
+    *
+    * `nodes` must contain `idCol`; `pairs` must have columns (id_a, id_b).
+    * Returns (idCol, cluster). Isolated nodes cluster to themselves. */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("lbl"))
+      .localCheckpoint()
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).head().getLong(0)
+    var prevSum = lblSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(viaNeighbors, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      // labels only ever decrease, so the label sum is a convergence
+      // witness — one cheap aggregate instead of a change-detection join
+      val s = lblSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+  }
+
   /** N-gram Jaccard similarity over candidate pairs restricted by a blocking
     * key (here: equal `blockCol`), computed distributively: explode distinct
     * shingles, equi-join on shingle+block, count intersections, then derive

@@ -88,4 +88,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val nodes = (1L to n.toLong).toDF("id")
+      val pairEdges = (1 to n).map { _ =>
+        val a = rnd.nextInt(n).toLong + 1; val b = rnd.nextInt(n).toLong + 1
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val pairs = pairEdges.toDF("id_a", "id_b")
+      val got = graft.operators.Dedup.connectedComponents(nodes, "id", pairs)
+        .as[(Long, Long)].collect().toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairEdges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val expect = (1L to n.toLong).map(i => i -> find(i)).toMap
+      // normalize: cluster label must be the min member either way
+      assert(got == expect, s"trial $trial")
+    }
+  }
 }
