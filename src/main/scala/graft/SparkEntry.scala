@@ -709,6 +709,51 @@ object SparkEntry {
       Dedup.connectedComponents(docs, "doc_id", pairs)
     }),
 
+    // North star: TF-IDF salient terms — top-3 per document. Ranking is
+    // integer-exact (tf DESC, df ASC, term ASC) so cross-engine libm ulp
+    // differences in ln() can't flip ranks; the tf-idf value itself is
+    // emitted rounded.
+    "q64_tfidf_terms" -> ((s, d) => {
+      val docs = documents(s, d)
+      val nDocs = docs.count()
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, Seq("term"))
+        .withColumn("tfidf_r", round(col("tf") *
+          log((lit(nDocs.toDouble) + 1.0) / (col("df").cast("double") + 1.0)), 6))
+      Transforms.topKPerGroup(scored, Seq(col("doc_id")),
+          Seq(col("tf").desc, col("df").asc, col("term").asc), 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+          col("tfidf_r"))
+    }),
+
+    // North star: int8-quantized ANN — the memory-lean scale path (4 bytes →
+    // 1 byte per dim): per-vector symmetric scalar quantization
+    // (scale = 127/max|x|), integer dot-product ranking (exact, portable —
+    // no float ordering involved), exact float rescoring of the winners.
+    "q65_ann_quantized" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val vd = Similarity.toDoubleArray(col("embedding"))
+      val scale = lit(127.0) / array_max(transform(vd, x => abs(x)))
+      val quant = e.select(col("vec_id"), col("embedding"),
+        transform(vd, x => round(x * scale).cast("long")).as("qv"))
+      val qrow = quant.filter(col("vec_id") === 0)
+        .select(col("qv").as("qq"), col("embedding").as("qe"))
+      val scored = quant.crossJoin(broadcast(qrow))
+        .select(col("vec_id"), col("embedding"), col("qe"),
+          aggregate(zip_with(col("qv"), col("qq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("qdot"))
+      scored.orderBy(col("qdot").desc, col("vec_id").asc).limit(10)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("qdot").desc, col("vec_id").asc)).cast("long"))
+        .select(col("vec_id"), col("qdot"),
+          round(Similarity.cosine(col("embedding"), col("qe")), 6).as("sim_r"),
+          col("rnk"))
+    }),
+
     // §2.9 skew control in the checked path — two-phase salted aggregation
     // (same result as a plain groupBy, different physical distribution:
     // the hot key spreads over 8 reducers before the merge).
@@ -1343,6 +1388,53 @@ object SparkEntry {
         | round(quantile_cont(value, 0.95), 6) AS p95,
         | count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q65_ann_quantized" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding, unnest(embedding) AS x,
+        |         unnest(range(0, len(embedding))) AS j
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, max(abs(CAST(x AS DOUBLE))) AS mx FROM u GROUP BY vec_id),
+        |qv AS (
+        |  SELECT u.vec_id, j,
+        |    CAST(round(CAST(x AS DOUBLE) * (127.0 / m.mx)) AS BIGINT) AS qx
+        |  FROM u JOIN m USING (vec_id)),
+        |qq AS (SELECT j, qx FROM qv WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT a.vec_id, CAST(sum(a.qx * b.qx) AS BIGINT) AS qdot
+        |  FROM qv a JOIN qq b USING (j) GROUP BY a.vec_id),
+        |exact AS (
+        |  SELECT e.vec_id,
+        |    sum(CAST(ex.x AS DOUBLE) * CAST(qx0.x AS DOUBLE)) AS dp,
+        |    sum(CAST(ex.x AS DOUBLE) * CAST(ex.x AS DOUBLE)) AS na,
+        |    sum(CAST(qx0.x AS DOUBLE) * CAST(qx0.x AS DOUBLE)) AS nb
+        |  FROM (SELECT vec_id FROM embeddings) e
+        |  JOIN u ex ON ex.vec_id = e.vec_id
+        |  JOIN (SELECT j, x FROM u WHERE vec_id = 0) qx0 ON qx0.j = ex.j
+        |  GROUP BY e.vec_id),
+        |ranked AS (
+        |  SELECT d.vec_id, d.qdot,
+        |    round(x.dp / (sqrt(x.na) * sqrt(x.nb)), 6) AS sim_r,
+        |    CAST(row_number() OVER (ORDER BY d.qdot DESC, d.vec_id) AS BIGINT) AS rnk
+        |  FROM dots d JOIN exact x USING (vec_id))
+        |SELECT vec_id, qdot, sim_r, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
+    "q64_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM
+        |        (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    round(tf.tf * ln((CAST(n.n_docs AS DOUBLE) + 1.0) /
+        |                     (CAST(dfq.df AS DOUBLE) + 1.0)), 6) AS tfidf_r
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY tf DESC, df ASC, term ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, tf, df, tfidf_r FROM ranked WHERE rnk <= 3""".stripMargin,
     "q59_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100 AS DOUBLE) AS total
