@@ -754,6 +754,74 @@ object SparkEntry {
           col("rnk"))
     }),
 
+    // North star: BM25 retrieval scoring for a fixed query — the ranking
+    // function quality-filtering / retrieval pipelines use. Per-term
+    // contributions land in separate columns and add in a fixed order
+    // (no aggregation-order nondeterminism); ranking uses the rounded
+    // score + doc id so cross-engine ulp noise can't flip ranks.
+    "q66_bm25" -> ((s, d) => {
+      val (k1, b) = (1.2, 0.75)
+      val qTerms = Seq("data", "join", "stream")
+      val docs = documents(s, d)
+      val nDocs = docs.count().toDouble
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("t"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val avgdl = dl.agg(sum(col("dl"))).head().getLong(0).toDouble / nDocs
+      val tf = toks.filter(col("t").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val contr = tf.join(df_, Seq("t")).join(dl, Seq("doc_id"))
+        .withColumn("idf",
+          log((lit(nDocs) - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0))
+        .withColumn("w",
+          col("tf").cast("double") * (k1 + 1.0) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)))
+        .withColumn("c", col("idf") * col("w"))
+      val wideAggs = qTerms.map(t => max(when(col("t") === t, col("c"))).as(s"c_$t"))
+      val wide = contr.groupBy(col("doc_id")).agg(wideAggs.head, wideAggs.tail: _*)
+      val scored = wide.withColumn("score_r",
+        round(qTerms.map(t => coalesce(col(s"c_$t"), lit(0.0)))
+          .reduce(_ + _), 6))
+      scored.orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("score_r").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("score_r"), col("rnk"))
+    }),
+
+    // North star: winnowing fingerprints (MOSS-style): positional char
+    // 5-grams, portable md5-window hashes, min over each 4-gram window,
+    // distinct mins = the document's fingerprint set. Robust to local
+    // edits, guaranteed match coverage — the document-fingerprint scheme
+    // plagiarism/near-dup pipelines use.
+    "q67_winnow_fp" -> ((s, d) => {
+      // No higher-order lambda anywhere: positions come from
+      // posexplode(sequence(...)) and the gram slice + md5 run as ordinary
+      // codegen'd projections (a transform() lambda re-evaluates the
+      // normalize regex per ELEMENT — measured 10×+ slower). The per-doc
+      // norm string is materialized once.
+      val docs0 = documents(s, d)
+      val par = s.sparkContext.defaultParallelism
+      val docs = if (docs0.rdd.getNumPartitions < par) docs0.repartition(par)
+                 else docs0
+      val g = docs
+        .select(col("doc_id"), TextFunctions.normalize(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          posexplode(sequence(lit(1),
+            greatest(length(col("norm")) - lit(4), lit(1)))).as(Seq("p0", "i")))
+        .select(col("doc_id"), col("i"),
+          substring(md5(col("norm").substr(col("i"), lit(5))), 1, 8).as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(Window.currentRow, 3)
+      g.select(col("doc_id"), min(col("h")).over(w).as("fp"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+    }),
+
     // §2.9 skew control in the checked path — two-phase salted aggregation
     // (same result as a plain groupBy, different physical distribution:
     // the hot key spreads over 8 reducers before the merge).
@@ -1388,6 +1456,56 @@ object SparkEntry {
         | round(quantile_cont(value, 0.95), 6) AS p95,
         | count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q67_winnow_fp" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    substring(md5(substring(norm, CAST(i AS INTEGER), 5)), 1, 8) AS h
+        |  FROM nrm,
+        |  LATERAL unnest(range(1, greatest(length(norm) - 4, 1) + 1)) AS u(i)),
+        |w AS (
+        |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g),
+        |d AS (SELECT DISTINCT doc_id, fp FROM w)
+        |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM d GROUP BY doc_id""".stripMargin,
+    "q66_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM stats) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+        |       WHERE t IN ('data', 'join', 'stream') GROUP BY doc_id, t),
+        |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |contr AS (
+        |  SELECT tf.doc_id, tf.t,
+        |    ln(((SELECT n FROM stats) - CAST(dfq.df AS DOUBLE) + 0.5) /
+        |       (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0) *
+        |    (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) /
+        |     (CAST(tf.tf AS DOUBLE) +
+        |      1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |             (SELECT avgdl FROM ad)))) AS c
+        |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id)),
+        |wide AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN t = 'data' THEN c END) AS c_data,
+        |    max(CASE WHEN t = 'join' THEN c END) AS c_join,
+        |    max(CASE WHEN t = 'stream' THEN c END) AS c_stream
+        |  FROM contr GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(coalesce(c_data, 0.0) + coalesce(c_join, 0.0) +
+        |          coalesce(c_stream, 0.0), 6) AS score_r
+        |  FROM wide),
+        |ranked AS (
+        |  SELECT doc_id, score_r,
+        |    CAST(row_number() OVER (ORDER BY score_r DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, score_r, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
     "q65_ann_quantized" ->
       """WITH u AS (
         |  SELECT vec_id, embedding, unnest(embedding) AS x,

@@ -145,4 +145,44 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(v => v.doc_id -> ((v.keeper, v.is_dup))).toMap
     assert(batch == got)
   }
+
+  test("stream-stream interval join with watermarks matches batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+
+    val evs = (1 to 40).map(i => (i.toLong, ts(i * 30L), i % 3L))
+    val purch = (1 to 6).map(i => (100L + i, ts(i * 200L), i % 3L))
+
+    def joined(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      // equi-key (user) + event-time range — the supported stream-stream
+      // join shape; watermarks bound both sides' state
+      val lw = l.toDF("event_id", "ets", "user").withWatermark("ets", "10 minutes")
+      val rw = r.toDF("p_id", "pts", "p_user").withWatermark("pts", "10 minutes")
+      lw.join(rw, expr(
+        """user = p_user AND ets >= pts AND ets < pts + INTERVAL 5 MINUTES"""))
+        .select(col("event_id"), col("p_id"))
+    }
+
+    val inL = MemoryStream[(Long, Timestamp, Long)]
+    val inR = MemoryStream[(Long, Timestamp, Long)]
+    val q = joined(inL.toDF, inR.toDF)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").start()
+    inL.addData(evs.take(20): _*); inR.addData(purch.take(3): _*)
+    q.processAllAvailable()
+    inL.addData(evs.drop(20): _*); inR.addData(purch.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ssjoin").as[(Long, Long)].collect().toSet
+    val batch = joined(evs.toDF("event_id", "ets", "user"),
+        purch.toDF("p_id", "pts", "p_user"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
