@@ -51,9 +51,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // Belt-and-braces copy for harnesses that miss the stdout line.
-    java.nio.file.Files.writeString(
+    // Belt-and-braces copy for harnesses that miss the stdout line; never
+    // let a missing target/ dir (foreign cwd) fail the bench after the fact.
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), line)
+    catch { case _: java.io.IOException => }
     spark.stop()
   }
 }

@@ -377,9 +377,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       val scored = e.crossJoin(broadcast(q))
         .select(col("vec_id"), Similarity.cosine(col("embedding"), col("qe")).as("sim"))
-      scored.orderBy(col("sim").desc, col("vec_id").asc).limit(10)
-        .withColumn("rnk", row_number()
-          .over(Window.orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+      Transforms.globalTopK(scored, Seq(col("sim").desc, col("vec_id").asc), 10)
         .select(col("vec_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
     }),
 
@@ -630,7 +628,10 @@ object SparkEntry {
     // identical compact struct JSON.
     "q54_json_build" -> ((s, d) =>
       events(s, d).select(col("event_id"),
-        to_json(struct(col("event_type"), col("user_id"))).as("j"))),
+        // emit null fields like DuckDB's to_json does (Spark's default
+        // ignoreNullFields=true would drop them and break parity on nulls)
+        to_json(struct(col("event_type"), col("user_id")),
+          Map("ignoreNullFields" -> "false")).as("j"))),
 
     // S-family — multimodal chunk plumbing under oracle check: fixed-size
     // chunking + stride sampling of the binary payload, aggregated to
@@ -746,9 +747,7 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"), col("qe"),
           aggregate(zip_with(col("qv"), col("qq"), (a, b) => a * b),
             lit(0L), (acc, x) => acc + x).as("qdot"))
-      scored.orderBy(col("qdot").desc, col("vec_id").asc).limit(10)
-        .withColumn("rnk", row_number()
-          .over(Window.orderBy(col("qdot").desc, col("vec_id").asc)).cast("long"))
+      Transforms.globalTopK(scored, Seq(col("qdot").desc, col("vec_id").asc), 10)
         .select(col("vec_id"), col("qdot"),
           round(Similarity.cosine(col("embedding"), col("qe")), 6).as("sim_r"),
           col("rnk"))
@@ -785,9 +784,7 @@ object SparkEntry {
       val scored = wide.withColumn("score_r",
         round(qTerms.map(t => coalesce(col(s"c_$t"), lit(0.0)))
           .reduce(_ + _), 6))
-      scored.orderBy(col("score_r").desc, col("doc_id").asc).limit(10)
-        .withColumn("rnk", row_number()
-          .over(Window.orderBy(col("score_r").desc, col("doc_id").asc)).cast("long"))
+      Transforms.globalTopK(scored, Seq(col("score_r").desc, col("doc_id").asc), 10)
         .select(col("doc_id"), col("score_r"), col("rnk"))
     }),
 

@@ -48,8 +48,9 @@ case class KnnAgainstPoints(left: Expression, right: Expression,
     * floating-point rank inversions between chord and great-circle order
     * (they agree exactly in real arithmetic — both strictly monotone in the
     * central angle — so only last-ulp rounding can reorder, and only between
-    * near-equal distances). */
-  private val Margin = 8
+    * near-equal distances; 16 slots of slack covers even a ring of
+    * near-equidistant points around the k-th boundary). */
+  private val Margin = 16
 
   // Unit vectors of the point set, computed once per JVM (lazy vals
   // re-materialize after task deserialization). The inner per-pair loop is

@@ -81,6 +81,9 @@ object PortableHashOps {
     * keeps every lane at 32 bits of digest. Returns null when the document
     * has no shingles (empty text). */
   def minhashLaneMins(text: UTF8String, shingleN: Int, lanes: Int): ArrayData = {
+    // lane windows stride 2 over the 32 hex chars with wrap-around; more
+    // than 16 lanes would alias lane i and lane i+16 exactly
+    require(lanes <= 16, s"at most 16 md5 lanes, got $lanes")
     val toks = ShingleOps.splitLower(text)
     if (toks.length == 0) return null
     val count = math.max(toks.length - shingleN + 1, 1)

@@ -195,7 +195,7 @@ object Dedup {
     * `nodes` must contain `idCol`; `pairs` must have columns (id_a, id_b).
     * Returns (idCol, cluster). Isolated nodes cluster to themselves. */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -218,9 +218,16 @@ object Dedup {
       val s = lblSum(next)
       converged = s == prevSum
       prevSum = s
+      labels.unpersist() // release the superseded checkpoint's storage
       labels = next
       iter += 1
     }
+    edges.unpersist()
+    // silent non-convergence would return non-minimal labels — fail loudly
+    // (rounds needed = component diameter; 50 covers any near-dup graph,
+    // raise maxIter for adversarially chained inputs)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations")
     labels.select(col("id").as(idCol), col("lbl").as("cluster"))
   }
 

@@ -97,7 +97,9 @@ object GeoJoin {
       leftKey: String, rightKey: String,
       lat1: String, lon1: String, lat2: String, lon2: String,
       broadcastRightMax: Long = 500000L): DataFrame =
-    if (right.count() <= broadcastRightMax)
+    // limit+count bounds the dispatch probe's work on a huge right side
+    // (a bare count() would materialize the whole plan just to compare)
+    if (right.limit((broadcastRightMax + 1).toInt).count() <= broadcastRightMax)
       knnBroadcast(left, right, k, leftKey, rightKey, lat1, lon1, lat2, lon2)
     else
       knnJoinBanded(left, right, k, radiusM, leftKey, rightKey,

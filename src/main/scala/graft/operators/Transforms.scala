@@ -41,6 +41,17 @@ object Transforms {
       .filter(col(rankCol) <= k)
   }
 
+  /** Global (ungrouped) top-k with rank: `orderBy + limit` plans as
+    * TakeOrderedAndProject — per-partition heaps merged at the driver, never
+    * a single-partition window over the full input — and the `row_number`
+    * ranking window then runs over only the k survivors. `order` must be a
+    * total order (include a unique tiebreaker). */
+  def globalTopK(df: DataFrame, order: Seq[Column], k: Int,
+      rankCol: String = "rnk"): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn(rankCol,
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+
   /** W4 — last-non-null carry-forward ("previous row's geography" in the
     * WASDE sheet parsers, `HTGPIWASDE/__init__.py:807-808,924-925`). */
   def carryForward(df: DataFrame, valueCol: String, partitionBy: Seq[Column],
