@@ -359,10 +359,13 @@ object SparkEntry {
       // pass per row (tokenize, md5 bits, vote, pack 4×16-bit chunks), no
       // explode, no shuffle. Bit j set iff 2·Σbit_j ≥ n_tokens; the DuckDB
       // oracle replays the identical integer lattice from md5 hex nibbles.
+      // Empty/whitespace-only docs are excluded on both sides — the two
+      // engines' tokenizers disagree only there ('' vs zero tokens).
       val chunks = org.apache.spark.sql.GraftBridge.column(
         graft.functions.Md5SimHashChunks(
           org.apache.spark.sql.GraftBridge.expression(col("text"))))
-      documents(s, d).select(col("doc_id"), chunks.as("cs"))
+      documents(s, d).filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), chunks.as("cs"))
         .select(col("doc_id") +:
           (0 until 4).map(c => element_at(col("cs"), c + 1).as(s"chunk$c")): _*)
     }),
@@ -639,7 +642,8 @@ object SparkEntry {
     // arithmetic.
     "q55_chunk_stats" -> ((s, d) => {
       val chunks = Multimodal.sampleChunks(
-        Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"),
+        Multimodal.withBinaryPayload(
+          documents(s, d).filter(length(col("text")) > 0), "doc_id", "text"),
         chunkBytes = 64, stride = 2)
       chunks.groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_sampled"),
@@ -715,7 +719,7 @@ object SparkEntry {
     // differences in ln() can't flip ranks; the tf-idf value itself is
     // emitted rounded.
     "q64_tfidf_terms" -> ((s, d) => {
-      val docs = documents(s, d)
+      val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
       val nDocs = docs.count()
       val toks = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("term"))
@@ -761,7 +765,7 @@ object SparkEntry {
     "q66_bm25" -> ((s, d) => {
       val (k1, b) = (1.2, 0.75)
       val qTerms = Seq("data", "join", "stream")
-      val docs = documents(s, d)
+      val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
       val nDocs = docs.count().toDouble
       val toks = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("t"))
@@ -914,7 +918,7 @@ object SparkEntry {
     }.mkString(",\n ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
-       |  FROM documents),
+       |  FROM documents WHERE length(trim(text)) > 0),
        |nibs AS (SELECT doc_id,
        |  $nibCols
        | FROM toks),
@@ -931,7 +935,7 @@ object SparkEntry {
   private val minhashPairCtes: String =
     """toks AS (
       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-      |  FROM documents),
+      |  FROM documents WHERE length(trim(text)) > 0),
       |sh AS (
       |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
       |  FROM toks,
@@ -1203,7 +1207,7 @@ object SparkEntry {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
          |SELECT src AS doc_id, min(dst) AS cluster
          |FROM reach GROUP BY src""".stripMargin,
-    "q30_simhash" -> q30OracleSql,
+    "q30_simhash" -> q30OracleSql,  // (oracle filters empty docs too)
     "q32_ann_lsh" ->
       """WITH u AS (
         |  SELECT vec_id, unnest(embedding) AS x,
@@ -1469,11 +1473,12 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
         |FROM d GROUP BY doc_id""".stripMargin,
     "q66_bm25" ->
-      """WITH toks AS (
+      """WITH nonempty AS (SELECT * FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-        |  FROM documents),
+        |  FROM nonempty),
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nonempty),
         |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM stats) AS avgdl FROM dl),
         |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
         |       WHERE t IN ('data', 'join', 'stream') GROUP BY doc_id, t),
@@ -1533,13 +1538,14 @@ object SparkEntry {
         |  FROM dots d JOIN exact x USING (vec_id))
         |SELECT vec_id, qdot, sim_r, rnk FROM ranked WHERE rnk <= 10""".stripMargin,
     "q64_tfidf_terms" ->
-      """WITH toks AS (
+      """WITH nonempty AS (SELECT * FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents),
+        |  FROM nonempty),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
         |dfq AS (SELECT term, count(*) AS df FROM
         |        (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM nonempty),
         |scored AS (
         |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
         |    round(tf.tf * ln((CAST(n.n_docs AS DOUBLE) + 1.0) /
