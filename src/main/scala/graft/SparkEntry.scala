@@ -823,6 +823,31 @@ object SparkEntry {
           min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
     }),
 
+    // Pipeline widening — data-quality constraint report (the Deequ-shaped
+    // validation step a training-data pipeline runs before ingestion):
+    // one pass computes null rates, range violations, and key uniqueness,
+    // emitted as a long (check, value, pass) table.
+    "q68_data_quality" -> ((s, d) => {
+      val o = orders(s, d)
+      val metrics = o.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("o_custkey").isNull, 1)).as("null_custkey"),
+        count(when(col("o_totalprice") <= 0, 1)).as("nonpos_price"),
+        count(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+          col("o_orderdate") > lit("2030-01-01").cast("timestamp"), 1))
+          .as("date_out_of_range"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+        count(when(!col("o_orderstatus").isin("F", "O", "P"), 1))
+          .as("bad_status"))
+      val checks = Seq("n_rows", "null_custkey", "nonpos_price",
+        "date_out_of_range", "dup_keys", "bad_status")
+      val long = checks.map { c =>
+        metrics.select(lit(c).as("check"), col(c).cast("long").as("value"),
+          (col(c) === 0 || lit(c) === "n_rows").as("pass"))
+      }.reduce(_ unionByName _)
+      long
+    }),
+
     // §2.9 skew control in the checked path — two-phase salted aggregation
     // (same result as a plain groupBy, different physical distribution:
     // the hot key spreads over 8 reducers before the merge).
@@ -1457,6 +1482,24 @@ object SparkEntry {
         | round(quantile_cont(value, 0.95), 6) AS p95,
         | count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q68_data_quality" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+        |    count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpos_price,
+        |    count(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+        |           OR o_orderdate > TIMESTAMP '2030-01-01' THEN 1 END)
+        |      AS date_out_of_range,
+        |    count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+        |    count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END)
+        |      AS bad_status
+        |  FROM orders)
+        |SELECT 'n_rows' AS check, CAST(n_rows AS BIGINT) AS value, TRUE AS pass FROM m
+        |UNION ALL SELECT 'null_custkey', CAST(null_custkey AS BIGINT), null_custkey = 0 FROM m
+        |UNION ALL SELECT 'nonpos_price', CAST(nonpos_price AS BIGINT), nonpos_price = 0 FROM m
+        |UNION ALL SELECT 'date_out_of_range', CAST(date_out_of_range AS BIGINT), date_out_of_range = 0 FROM m
+        |UNION ALL SELECT 'dup_keys', CAST(dup_keys AS BIGINT), dup_keys = 0 FROM m
+        |UNION ALL SELECT 'bad_status', CAST(bad_status AS BIGINT), bad_status = 0 FROM m""".stripMargin,
     "q67_winnow_fp" ->
       """WITH nrm AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
