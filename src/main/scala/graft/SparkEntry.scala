@@ -823,6 +823,17 @@ object SparkEntry {
           min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
     }),
 
+    // Scale widening — Z-order layout key: Morton interleave of
+    // (custkey, order epoch-day) so range-partitioned files carry tight
+    // bounding boxes in BOTH dimensions (see Transforms.zorder16 scaladoc).
+    "q69_zorder_key" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"),
+        Transforms.zorder16(
+          col("o_custkey").bitwiseAND(lit(0xFFFFL)),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long")
+            .bitwiseAND(lit(0xFFFFL))).as("z"))),
+
     // Pipeline widening — data-quality constraint report (the Deequ-shaped
     // validation step a training-data pipeline runs before ingestion):
     // one pass computes null rates, range violations, and key uniqueness,
@@ -986,7 +997,22 @@ object SparkEntry {
       |FROM pruned a JOIN pruned b
       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
 
+  /** q69's oracle: the 32-term Morton interleave, generated. */
+  private def q69OracleSql: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"((a >> $i) & 1) * ${1L << (2 * i)}",
+        s"((b >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+    s"""WITH k AS (
+       |  SELECT o_orderkey,
+       |    o_custkey & 65535 AS a,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535 AS b
+       |  FROM orders)
+       |SELECT o_orderkey, CAST($terms AS BIGINT) AS z FROM k""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q69_zorder_key" -> q69OracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -41,6 +41,18 @@ object Transforms {
       .filter(col(rankCol) <= k)
   }
 
+  /** Z-order (Morton) interleave of two 16-bit keys — the multi-dimensional
+    * clustering key lakehouse layouts sort/range-partition by so that file
+    * min/max statistics prune BOTH dimensions at scan time. At 100 TB:
+    * `df.repartitionByRange(col("z")).sortWithinPartitions("z").write...`
+    * gives every file a tight (custkey × day) bounding box. Pure integer
+    * bit-math (32 codegen'd terms), no UDF. */
+  def zorder16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
   /** Global (ungrouped) top-k with rank: `orderBy + limit` plans as
     * TakeOrderedAndProject — per-partition heaps merged at the driver, never
     * a single-partition window over the full input — and the `row_number`
