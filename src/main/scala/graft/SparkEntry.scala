@@ -823,6 +823,21 @@ object SparkEntry {
           min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
     }),
 
+    // S-family widening — partitioned parquet sink + partition-PRUNED read
+    // through real files (the layout that makes year-scoped queries touch
+    // 1/Nth of a 100 TB table; .explain shows PartitionFilters, proven in
+    // ScaleSpec).
+    "q70_partitioned_write" -> ((s, d) => {
+      val tmp = "/root/repo/target/tmp/orders_by_year"
+      orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_year") === 1997) // partition pruning: one directory
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_year").cast("long").as("o_year"))
+    }),
+
     // Scale widening — Z-order layout key: Morton interleave of
     // (custkey, order epoch-day) so range-partitioned files carry tight
     // bounding boxes in BOTH dimensions (see Transforms.zorder16 scaladoc).
@@ -1013,6 +1028,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q69_zorder_key" -> q69OracleSql,
+    "q70_partitioned_write" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | CAST(year(o_orderdate) AS BIGINT) AS o_year
+        |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

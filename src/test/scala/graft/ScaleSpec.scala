@@ -197,4 +197,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact <= 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("z-order layout gives every file a tight bounding box in BOTH dims") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val raw = Tables.orders(spark, sfDir)
+      .withColumn("day", datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long"))
+    // range-normalize each dimension to the full 16-bit domain first —
+    // interleaving raw keys with unequal bit-widths degenerates to
+    // sorting by the wider dimension alone
+    val (ckMin, ckMax, dMin, dMax) = raw.agg(
+      min("o_custkey"), max("o_custkey"), min("day"), max("day"))
+      .as[(Long, Long, Long, Long)].head()
+    def scale16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      ((c - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("long")
+    val o = raw.select(col("o_orderkey"), col("o_custkey"), col("day"),
+      Transforms.zorder16(scale16(col("o_custkey"), ckMin, ckMax),
+        scale16(col("day"), dMin, dMax)).as("z"))
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    o.repartitionByRange(8, col("z")).write.mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("o_custkey") - min("o_custkey")).as("ck_span"),
+        (max("day") - min("day")).as("day_span"))
+      .agg(avg("ck_span"), avg("day_span"))
+      .as[(Double, Double)].head()
+    val global = o.agg(
+      (max("o_custkey") - min("o_custkey")).cast("double"),
+      (max("day") - min("day")).cast("double")).as[(Double, Double)].head()
+    // each file's average span must be well below the global span in both
+    // dimensions — the property that lets min/max stats prune either filter
+    assert(perFile._1 < global._1 * 0.7, s"custkey span $perFile vs $global")
+    assert(perFile._2 < global._2 * 0.7, s"day span $perFile vs $global")
+  }
 }
