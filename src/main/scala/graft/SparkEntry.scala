@@ -831,6 +831,9 @@ object SparkEntry {
       val tmp = "/root/repo/target/tmp/orders_by_year"
       orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+        // co-locate each partition's rows first: one right-sized file per
+        // year directory instead of shufflePartitions tiny files apiece
+        .repartition(col("o_year"))
         .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
       s.read.parquet(tmp)
         .filter(col("o_year") === 1997) // partition pruning: one directory
