@@ -21,6 +21,15 @@ object MarketPipelines {
         prices.na.drop(Seq("Close")),
         watermarks, Seq("Symbol"), "Date", "max_date"))
 
+  /** Agricensus FOB feed (`HTGPIAGRICENSUS/__init__.py:69-93`): CSV-over-
+    * HTTP staged to a path, drop the junk `name` column (P2 `:77`), keep
+    * rows strictly newer than the global watermark (P3 `:80-82`), stamp the
+    * load date (F11 `:84`); the empty-result guard (P7 `:86-87`) is the
+    * caller's `isEmpty` check before the sink. */
+  def agricensus(feed: DataFrame, maxDate: java.sql.Date): DataFrame =
+    Transforms.stampActualizacion(
+      feed.drop("name").filter(col("date") > lit(maxDate)))
+
   /** S&P 500 via the chart JSON payload (`HTGPISNP500/__init__.py:84-92`):
     * F15 nested extraction — `result[0].response[0]` arrays of epoch-second
     * timestamps zipped with closes — then P4 range filter

@@ -179,4 +179,16 @@ class PipelinesSpec extends AnyFunSuite {
     val js = resp.select("response").as[String].head()
     assert(js.contains("\"forecast\":0.87") && js.contains("close_points"))
   }
+
+  test("agricensus: drop junk col, watermark filter, stamp (HTGPIAGRICENSUS)") {
+    import java.sql.Date
+    val feed = Seq(
+      ("x", Date.valueOf("2024-01-01"), 10.0),
+      ("x", Date.valueOf("2024-02-01"), 11.0),
+      ("x", Date.valueOf("2024-03-01"), 12.0)).toDF("name", "date", "fob")
+    val out = MarketPipelines.agricensus(feed, Date.valueOf("2024-01-15"))
+    assert(!out.columns.contains("name"))
+    assert(out.columns.contains("actualizacion"))
+    assert(out.select("fob").as[Double].collect().sorted.toSeq == Seq(11.0, 12.0))
+  }
 }
