@@ -828,7 +828,12 @@ object SparkEntry {
     // 1/Nth of a 100 TB table; .explain shows PartitionFilters, proven in
     // ScaleSpec).
     "q70_partitioned_write" -> ((s, d) => {
-      val tmp = "/root/repo/target/tmp/orders_by_year"
+      // NOTE: constructing this query performs the write eagerly (same
+      // trade-off as q42's CSV roundtrip) — the sink IS the operator under
+      // test. Path is scale-factor-specific so concurrent runs at
+      // different SFs can't clobber each other.
+      val tmp = "/root/repo/target/tmp/orders_by_year_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
       orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")).cast("int"))
         // co-locate each partition's rows first: one right-sized file per
@@ -842,15 +847,24 @@ object SparkEntry {
     }),
 
     // Scale widening — Z-order layout key: Morton interleave of
-    // (custkey, order epoch-day) so range-partitioned files carry tight
-    // bounding boxes in BOTH dimensions (see Transforms.zorder16 scaladoc).
-    "q69_zorder_key" -> ((s, d) =>
-      orders(s, d).select(col("o_orderkey"),
-        Transforms.zorder16(
-          col("o_custkey").bitwiseAND(lit(0xFFFFL)),
-          datediff(col("o_orderdate").cast("date"),
-            lit("1970-01-01").cast("date")).cast("long")
-            .bitwiseAND(lit(0xFFFFL))).as("z"))),
+    // (custkey, order epoch-day), each RANGE-NORMALIZED onto the full
+    // 16-bit domain first (raw keys with unequal bit-widths degenerate to
+    // sorting by the wider dimension — see Transforms.zorder16 scaladoc;
+    // the span test in ScaleSpec measures it).
+    "q69_zorder_key" -> ((s, d) => {
+      val o = orders(s, d).withColumn("day",
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+      val r = o.agg(min("o_custkey"), max("o_custkey"), min("day"), max("day"))
+        .head()
+      val (ckLo, ckHi, dLo, dHi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      def scale16(c: Column, lo: Long, hi: Long): Column =
+        (((c - lit(lo)) * lit(65535L)) / lit(hi - lo)).cast("long")
+      o.select(col("o_orderkey"),
+        Transforms.zorder16(scale16(col("o_custkey"), ckLo, ckHi),
+          scale16(col("day"), dLo, dHi)).as("z"))
+    }),
 
     // Pipeline widening — data-quality constraint report (the Deequ-shaped
     // validation step a training-data pipeline runs before ingestion):
@@ -1015,17 +1029,25 @@ object SparkEntry {
       |FROM pruned a JOIN pruned b
       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
 
-  /** q69's oracle: the 32-term Morton interleave, generated. */
+  /** q69's oracle: the 32-term Morton interleave over range-normalized
+    * keys, generated. `//` is exact floor division; Spark's double-divide +
+    * truncate agrees for these magnitudes (quotient error ≥ 1/range ≫ ulp). */
   private def q69OracleSql: String = {
     val terms = (0 until 16).flatMap { i =>
       Seq(s"((a >> $i) & 1) * ${1L << (2 * i)}",
         s"((b >> $i) & 1) * ${1L << (2 * i + 1)}")
     }.mkString(" + ")
-    s"""WITH k AS (
+    s"""WITH raw AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+       |  FROM orders),
+       |r AS (SELECT min(o_custkey) AS cklo, max(o_custkey) AS ckhi,
+       |             min(day) AS dlo, max(day) AS dhi FROM raw),
+       |k AS (
        |  SELECT o_orderkey,
-       |    o_custkey & 65535 AS a,
-       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535 AS b
-       |  FROM orders)
+       |    ((o_custkey - r.cklo) * 65535) // (r.ckhi - r.cklo) AS a,
+       |    ((day - r.dlo) * 65535) // (r.dhi - r.dlo) AS b
+       |  FROM raw CROSS JOIN r)
        |SELECT o_orderkey, CAST($terms AS BIGINT) AS z FROM k""".stripMargin
   }
 

@@ -145,7 +145,11 @@ object GeoJoin {
       leftKey: String, rightKey: String,
       lat1: String, lon1: String, lat2: String, lon2: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.KnnJoinStrategy))
+    // guard against double registration: the full planner strategy list
+    // includes extension-injected strategies (GraftExtensions also adds it)
+    val planner = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.planner
+    if (!planner.strategies.contains(graft.plans.KnnJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.KnnJoinStrategy
     val pts = right.select(col(rightKey).cast("long"),

@@ -26,9 +26,14 @@ object MarketPipelines {
     * rows strictly newer than the global watermark (P3 `:80-82`), stamp the
     * load date (F11 `:84`); the empty-result guard (P7 `:86-87`) is the
     * caller's `isEmpty` check before the sink. */
-  def agricensus(feed: DataFrame, maxDate: java.sql.Date): DataFrame =
+  def agricensus(feed: DataFrame, maxDate: java.sql.Date): DataFrame = {
+    // a null watermark would make `date > NULL` drop every row — the
+    // bootstrap (no watermark yet) must be explicit, not a silent no-op
+    require(maxDate != null,
+      "agricensus: null watermark; pass an epoch sentinel for the first load")
     Transforms.stampActualizacion(
       feed.drop("name").filter(col("date") > lit(maxDate)))
+  }
 
   /** S&P 500 via the chart JSON payload (`HTGPISNP500/__init__.py:84-92`):
     * F15 nested extraction — `result[0].response[0]` arrays of epoch-second

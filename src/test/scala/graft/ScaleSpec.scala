@@ -184,6 +184,10 @@ class ScaleSpec extends AnyFunSuite {
     // q01: cents arithmetic — no decimal multiply in the row path
     val p01 = plan("q01_pricing_summary")
     assert(!p01.toLowerCase.contains("promote_precision"), p01)
+
+    // q70: the read back from the partitioned sink prunes by directory
+    val p70 = plan("q70_partitioned_write")
+    assert(p70.contains("PartitionFilters") && p70.contains("o_year"), p70)
   }
 
   test("approx_count_distinct lands within documented error of exact") {
@@ -215,14 +219,21 @@ class ScaleSpec extends AnyFunSuite {
     val o = raw.select(col("o_orderkey"), col("o_custkey"), col("day"),
       Transforms.zorder16(scale16(col("o_custkey"), ckMin, ckMax),
         scale16(col("day"), dMin, dMax)).as("z"))
-    val dir = java.nio.file.Files.createTempDirectory("zord").toString
-    o.repartitionByRange(8, col("z")).write.mode("overwrite").parquet(dir)
-    val perFile = spark.read.parquet(dir)
-      .groupBy(input_file_name().as("f"))
-      .agg((max("o_custkey") - min("o_custkey")).as("ck_span"),
-        (max("day") - min("day")).as("day_span"))
-      .agg(avg("ck_span"), avg("day_span"))
-      .as[(Double, Double)].head()
+    val dirPath = java.nio.file.Files.createTempDirectory("zord")
+    val dir = dirPath.toString
+    val perFile = try {
+      o.repartitionByRange(8, col("z")).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("o_custkey") - min("o_custkey")).as("ck_span"),
+          (max("day") - min("day")).as("day_span"))
+        .agg(avg("ck_span"), avg("day_span"))
+        .as[(Double, Double)].head()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     val global = o.agg(
       (max("o_custkey") - min("o_custkey")).cast("double"),
       (max("day") - min("day")).cast("double")).as[(Double, Double)].head()
