@@ -823,6 +823,40 @@ object SparkEntry {
           min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
     }),
 
+    // North star: PII detection + redaction — the scrubbing pass every
+    // training corpus goes through. Deterministic synthetic PII is grafted
+    // onto the text (the corpus itself is clean) so detection/redaction
+    // are exercised end-to-end; output = per-doc counts + the fingerprint
+    // of the REDACTED text, proving the masking itself matches.
+    "q71_pii_redact" -> ((s, d) => {
+      val emailRx = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRx = "\\+\\d{3}-\\d{4}-\\d{4}"
+      val withPii = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or tel "),
+          lit("+502-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit("-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"))
+          .as("text"))
+      withPii.select(col("doc_id"),
+        TextFunctions.matchCount(col("text"), emailRx).as("n_email"),
+        TextFunctions.matchCount(col("text"), phoneRx).as("n_phone"),
+        md5(regexp_replace(regexp_replace(col("text"), emailRx, "<EMAIL>"),
+          phoneRx, "<PHONE>")).as("redacted_fp"))
+    }),
+
+    // North star: repetition-ratio quality signal — the fraction of
+    // duplicated word 3-grams per document (boilerplate / degenerate
+    // generation detector in corpus filtering).
+    "q72_repetition" -> ((s, d) => {
+      val sh = documents(s, d).select(col("doc_id"),
+        explode(graft.functions.ShingleOps.wordShinglesCol(col("text"), 3)).as("g"))
+      sh.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+        .withColumn("dup_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+    }),
+
     // S-family widening — partitioned parquet sink + partition-PRUNED read
     // through real files (the layout that makes year-scoped queries touch
     // 1/Nth of a 100 TB table; .explain shows PartitionFilters, proven in
@@ -1053,6 +1087,38 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q69_zorder_key" -> q69OracleSql,
+    "q71_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or tel +502-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' ||
+        |    lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(text,
+        |   '\+\d{3}-\d{4}-\d{4}')) AS BIGINT) AS n_phone,
+        | md5(regexp_replace(regexp_replace(text,
+        |   '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+\d{3}-\d{4}-\d{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM p""".stripMargin,
+    "q72_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM toks,
+        |  LATERAL unnest(range(1,
+        |    (CASE WHEN len(t) = 0 THEN 0 ELSE greatest(len(t) - 2, 1) END) + 1)) AS u(i))
+        |SELECT doc_id,
+        | count(*) AS n_grams,
+        | count(DISTINCT g) AS n_distinct,
+        | 1.0 - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |   AS dup_ratio
+        |FROM sh GROUP BY doc_id""".stripMargin,
     "q70_partitioned_write" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         | CAST(year(o_orderdate) AS BIGINT) AS o_year
