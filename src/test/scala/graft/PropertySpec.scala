@@ -164,4 +164,37 @@ object PropertySpec extends Properties("graft") {
           .cast("double")).as[(Double, Double)].head()
       a == b
     }
+
+  property("zorder16 is a bijection on the 16-bit x 16-bit domain") =
+    Prop.forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L),
+        Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (a1, b1, a2, b2) =>
+      val df = Seq((a1, b1), (a2, b2)).toDF("a", "b")
+        .select(Transforms.zorder16(col("a"), col("b")).as("z"))
+      val zs = df.as[Long].collect()
+      // injective: distinct inputs -> distinct keys; and invertible by
+      // de-interleaving the bits
+      def deinterleave(z: Long): (Long, Long) = {
+        var (a, b) = (0L, 0L)
+        for (i <- 0 until 16) {
+          a |= ((z >> (2 * i)) & 1L) << i
+          b |= ((z >> (2 * i + 1)) & 1L) << i
+        }
+        (a, b)
+      }
+      deinterleave(zs(0)) == ((a1, b1)) && deinterleave(zs(1)) == ((a2, b2)) &&
+        (((a1, b1) == ((a2, b2))) == (zs(0) == zs(1)))
+    }
+
+  property("globalTopK equals sort-take with ranks attached") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-1000, 1000)), Gen.choose(1, 8)) {
+      (xs, k) =>
+        val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        val got = Transforms.globalTopK(df,
+          Seq(col("v").desc, col("id").asc), k)
+          .select("id", "v", "rnk").as[(Long, Int, Long)].collect().toList
+        val expect = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .sortBy { case (i, v) => (-v, i) }.take(k)
+          .zipWithIndex.map { case ((i, v), r) => (i, v, r + 1L) }
+        got.sortBy(_._3) == expect
+    }
 }
