@@ -720,15 +720,18 @@ object SparkEntry {
     // emitted rounded.
     "q64_tfidf_terms" -> ((s, d) => {
       val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
-      val nDocs = docs.count()
+      // corpus size folds in as a broadcast 1-row aggregate — one lazy DAG,
+      // no driver-side count() pre-scan of the corpus at construction time
+      val nd = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val toks = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df_ = toks.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(df_, Seq("term"))
+      val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(nd))
         .withColumn("tfidf_r", round(col("tf") *
-          log((lit(nDocs.toDouble) + 1.0) / (col("df").cast("double") + 1.0)), 6))
+          log((col("n_docs") + 1.0) / (col("df").cast("double") + 1.0)), 6))
+        .drop("n_docs")
       Transforms.topKPerGroup(scored, Seq(col("doc_id")),
           Seq(col("tf").desc, col("df").asc, col("term").asc), 3)
         .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
@@ -766,22 +769,26 @@ object SparkEntry {
       val (k1, b) = (1.2, 0.75)
       val qTerms = Seq("data", "join", "stream")
       val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
-      val nDocs = docs.count().toDouble
       val toks = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("t"))
       val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val avgdl = dl.agg(sum(col("dl"))).head().getLong(0).toDouble / nDocs
+      // corpus stats (n_docs, avgdl) fold in as a broadcast 1-row aggregate
+      // crossJoin — one lazy DAG, no count()/head() pre-scans on the driver
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        .crossJoin(dl.agg(sum(col("dl")).cast("double").as("sum_dl")))
+        .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
       val tf = toks.filter(col("t").isin(qTerms: _*))
         .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       val contr = tf.join(df_, Seq("t")).join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
         .withColumn("idf",
-          log((lit(nDocs) - col("df").cast("double") + 0.5) /
+          log((col("n_docs") - col("df").cast("double") + 0.5) /
             (col("df").cast("double") + 0.5) + 1.0))
         .withColumn("w",
           col("tf").cast("double") * (k1 + 1.0) /
             (col("tf").cast("double") +
-              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)))
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
         .withColumn("c", col("idf") * col("w"))
       val wideAggs = qTerms.map(t => max(when(col("t") === t, col("c"))).as(s"c_$t"))
       val wide = contr.groupBy(col("doc_id")).agg(wideAggs.head, wideAggs.tail: _*)
@@ -848,8 +855,12 @@ object SparkEntry {
     // duplicated word 3-grams per document (boilerplate / degenerate
     // generation detector in corpus filtering).
     "q72_repetition" -> ((s, d) => {
-      val sh = documents(s, d).select(col("doc_id"),
-        explode(graft.functions.ShingleOps.wordShinglesCol(col("text"), 3)).as("g"))
+      // empty/whitespace-only docs excluded on BOTH sides: DuckDB's
+      // string_split_regex('') yields [''] (one shingle) while wordShingles
+      // yields none — same tokenizer divergence q29/q30/q64/q66 filter out
+      val sh = documents(s, d).filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleOps.wordShinglesCol(col("text"), 3)).as("g"))
       sh.groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_grams"),
         countDistinct(col("g")).as("n_distinct"))
@@ -1107,7 +1118,7 @@ object SparkEntry {
     "q72_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
+        |  FROM documents WHERE length(trim(text)) > 0),
         |sh AS (
         |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
         |  FROM toks,

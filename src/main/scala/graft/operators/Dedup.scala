@@ -202,8 +202,15 @@ object Dedup {
       .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("lbl"))
       .localCheckpoint()
-    def lblSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).head().getLong(0)
+    // DECIMAL(38,0) accumulation: Spark's non-ANSI Long sum wraps silently,
+    // so at ~1e9 nodes with 1e12-range ids a Long witness could overflow to
+    // a repeated value and fake convergence. sum() over empty input is null
+    // → coalesce to 0 instead of NPE-ing on an empty node set.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head() match {
+        case row if row.isNullAt(0) => java.math.BigDecimal.ZERO
+        case row => row.getDecimal(0)
+      }
     var prevSum = lblSum(labels)
     var iter = 0
     var converged = false
@@ -216,7 +223,7 @@ object Dedup {
       // labels only ever decrease, so the label sum is a convergence
       // witness — one cheap aggregate instead of a change-detection join
       val s = lblSum(next)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist() // release the superseded checkpoint's storage
       labels = next

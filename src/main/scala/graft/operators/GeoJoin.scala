@@ -165,39 +165,62 @@ object GeoJoin {
         col("right_key").as(rightKey), col("dist_m"))
   }
 
-  /** Large×large exact kNN, two phases: (1) a banded radius join at `radiusM`
-    * handles every left row that finds ≥ k candidates inside the radius — for
-    * those rows the true top-k provably lies within the radius; (2) the
-    * uncovered remainder (isolated points) falls back to the exact cross
-    * join. Ranking uses `row_number` windows: Catalyst's WindowGroupLimit
-    * already truncates to k rows per key map-side, and — measured at sf0.1 —
-    * beats the typed [[graft.functions.BoundedTopKAgg]] here because the
-    * codegen'd window avoids the per-row buffer encode/decode a typed
-    * Aggregator pays. The ranked banded pass feeds three consumers (covered
-    * keys, covered top-k, uncovered anti-join), so it is localCheckpoint'd —
-    * it holds ≤ k rows per covered left key, tiny next to its lineage (the
-    * candidate join), which would otherwise run three times. Results are
-    * bit-identical to brute force. */
+  /** Haversine distances never exceed half the great circle (~2.0015e7 m);
+    * any radius past this makes every (left, right) pair a candidate. */
+  private val MaxEarthDistM = 2.1e7
+
+  /** Large×large exact kNN via escalating-radius banded passes: a banded
+    * radius join at `radiusM` handles every left row that finds ≥ k
+    * candidates inside the radius — for those rows the true top-k provably
+    * lies within the radius. The uncovered remainder (isolated points)
+    * retries with the radius ×4 per pass until covered or the radius
+    * exceeds [[MaxEarthDistM]], at which point one terminal banded pass
+    * (whose candidate set is by construction ALL pairs for the few rows
+    * left) finishes the job — never a broadcast of the large right side,
+    * which is exactly the side `knnJoin` already judged too big to
+    * broadcast. Each pass shrinks `remaining` sharply (isolated points are
+    * rare by definition), so the driver loop runs O(log(maxR/radiusM))
+    * bounded passes.
+    *
+    * Ranking uses `row_number` windows: Catalyst's WindowGroupLimit already
+    * truncates to k rows per key map-side, and — measured at sf0.1 — beats
+    * the typed [[graft.functions.BoundedTopKAgg]] here because the codegen'd
+    * window avoids the per-row buffer encode/decode a typed Aggregator pays.
+    * Each pass's ranked output feeds three consumers (covered keys, covered
+    * top-k, uncovered anti-join), so it is localCheckpoint'd — it holds ≤ k
+    * rows per covered left key, tiny next to its lineage (the candidate
+    * join), which would otherwise run three times. Results are bit-identical
+    * to brute force (GeoJoinSpec): candidates at radius r are a superset of
+    * those at any smaller radius, and the (dist, rightKey) ordering is
+    * radius-independent. */
   def knnJoinBanded(left: DataFrame, right: DataFrame, k: Int, radiusM: Double,
       leftKey: String, rightKey: String,
       lat1: String, lon1: String, lat2: String, lon2: String): DataFrame = {
-    val cand = radiusJoin(left, right, radiusM, lat1, lon1, lat2, lon2)
-      .select(col(leftKey), col(rightKey), col("dist_m"))
-    val ranked = Transforms.topKPerGroup(cand, Seq(col(leftKey)),
-      Seq(col("dist_m").asc, col(rightKey).asc), k, "knn_rank")
-      .localCheckpoint()
-    // a left row is covered iff a k-th candidate exists inside the radius
-    val covered = ranked.filter(col("knn_rank") === k).select(col(leftKey))
-    val coveredTopK = ranked.join(covered, Seq(leftKey), "left_semi")
-
-    val uncovered = left.join(covered, Seq(leftKey), "left_anti")
-    val brute = uncovered.crossJoin(broadcast(right))
-      .select(col(leftKey), col(rightKey),
-        GeoFunctions.haversineMeters(col(lat1), col(lon1),
-          col(lat2), col(lon2)).as("dist_m"))
-    val bruteTopK = Transforms.topKPerGroup(brute, Seq(col(leftKey)),
-      Seq(col("dist_m").asc, col(rightKey).asc), k, "knn_rank")
-
-    coveredTopK.unionByName(bruteTopK)
+    var remaining = left
+    var r = math.max(radiusM, 1.0)
+    var pieces = List.empty[DataFrame]
+    var done = false
+    while (!done) {
+      val terminal = r >= MaxEarthDistM
+      val cand = radiusJoin(remaining, right, r, lat1, lon1, lat2, lon2)
+        .select(col(leftKey), col(rightKey), col("dist_m"))
+      val ranked = Transforms.topKPerGroup(cand, Seq(col(leftKey)),
+        Seq(col("dist_m").asc, col(rightKey).asc), k, "knn_rank")
+        .localCheckpoint()
+      if (terminal) {
+        // every pair was a candidate: ranked is the exact top-k for all
+        // remaining rows (rows with < k neighbors total emit what exists)
+        pieces ::= ranked
+        done = true
+      } else {
+        // a left row is covered iff a k-th candidate exists inside the radius
+        val covered = ranked.filter(col("knn_rank") === k).select(col(leftKey))
+        pieces ::= ranked.join(covered, Seq(leftKey), "left_semi")
+        remaining = remaining.join(covered, Seq(leftKey), "left_anti")
+          .localCheckpoint() // O(1) lineage across escalation passes
+        if (remaining.isEmpty) done = true else r *= 4
+      }
+    }
+    pieces.reduce(_ unionByName _)
   }
 }
