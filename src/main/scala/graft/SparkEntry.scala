@@ -805,29 +805,23 @@ object SparkEntry {
     // edits, guaranteed match coverage — the document-fingerprint scheme
     // plagiarism/near-dup pipelines use.
     "q67_winnow_fp" -> ((s, d) => {
-      // No higher-order lambda anywhere: positions come from
-      // posexplode(sequence(...)) and the gram slice + md5 run as ordinary
-      // codegen'd projections (a transform() lambda re-evaluates the
-      // normalize regex per ELEMENT — measured 10×+ slower). The per-doc
-      // norm string is materialized once.
+      // The fingerprint set is a SCALAR of the document
+      // (functions/PortableHashExpressions.winnowFingerprints): one native
+      // pass per doc computes gram hashes + window minima + distinct in
+      // place of the former posexplode → window → distinct plan, which
+      // shuffled ~|text| rows per doc twice. Zero shuffles remain — the
+      // query is a map-side projection. (The earlier explode spelling is
+      // preserved semantically: the oracle SQL is unchanged.)
       val docs0 = documents(s, d)
       val par = s.sparkContext.defaultParallelism
       val docs = if (docs0.rdd.getNumPartitions < par) docs0.repartition(par)
                  else docs0
-      val g = docs
-        .select(col("doc_id"), TextFunctions.normalize(col("text")).as("norm"))
-        .select(col("doc_id"), col("norm"),
-          posexplode(sequence(lit(1),
-            greatest(length(col("norm")) - lit(4), lit(1)))).as(Seq("p0", "i")))
-        .select(col("doc_id"), col("i"),
-          substring(md5(col("norm").substr(col("i"), lit(5))), 1, 8).as("h"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-        .rowsBetween(Window.currentRow, 3)
-      g.select(col("doc_id"), min(col("h")).over(w).as("fp"))
-        .distinct()
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_fp"),
-          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      import org.apache.spark.sql.GraftBridge
+      val fps = GraftBridge.column(graft.functions.WinnowFingerprints(
+        GraftBridge.expression(TextFunctions.normalize(col("text"))), 5, 4))
+      docs.select(col("doc_id"), fps.as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
     }),
 
     // North star: PII detection + redaction — the scrubbing pass every
@@ -900,15 +894,16 @@ object SparkEntry {
       val o = orders(s, d).withColumn("day",
         datediff(col("o_orderdate").cast("date"),
           lit("1970-01-01").cast("date")).cast("long"))
-      val r = o.agg(min("o_custkey"), max("o_custkey"), min("day"), max("day"))
-        .head()
-      val (ckLo, ckHi, dLo, dHi) =
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      def scale16(c: Column, lo: Long, hi: Long): Column =
-        (((c - lit(lo)) * lit(65535L)) / lit(hi - lo)).cast("long")
-      o.select(col("o_orderkey"),
-        Transforms.zorder16(scale16(col("o_custkey"), ckLo, ckHi),
-          scale16(col("day"), dLo, dHi)).as("z"))
+      // min/max fold in as a broadcast 1-row aggregate (the q64/q66 lazy
+      // corpus-stats shape) — no driver pre-scan job at construction time,
+      // the whole query is one DAG.
+      val stats = o.agg(min("o_custkey").as("ck_lo"), max("o_custkey").as("ck_hi"),
+        min("day").as("d_lo"), max("day").as("d_hi"))
+      def scale16(c: Column, lo: Column, hi: Column): Column =
+        (((c - lo) * lit(65535L)) / (hi - lo)).cast("long")
+      o.crossJoin(broadcast(stats)).select(col("o_orderkey"),
+        Transforms.zorder16(scale16(col("o_custkey"), col("ck_lo"), col("ck_hi")),
+          scale16(col("day"), col("d_lo"), col("d_hi"))).as("z"))
     }),
 
     // Pipeline widening — data-quality constraint report (the Deequ-shaped

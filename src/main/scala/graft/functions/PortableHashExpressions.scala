@@ -111,6 +111,55 @@ object PortableHashOps {
     }
     new GenericArrayData(mins.map(s => UTF8String.fromString(s): Any))
   }
+
+  /** Winnowing fingerprint set (MOSS scheme) in one scalar pass: positional
+    * char `gram`-grams of the (pre-normalized) text, per-gram hash =
+    * `substring(md5(gram), 1, 8)`, min over each `win`-long position window,
+    * distinct minima returned sorted. Mirrors the SQL spelling
+    * `min(h) OVER (ORDER BY pos ROWS BETWEEN CURRENT ROW AND win-1
+    * FOLLOWING)` + DISTINCT exactly (trailing windows shrink), so a DuckDB
+    * oracle reproduces it — but with no explode, no window shuffle, no
+    * distinct shuffle: the whole fingerprint set is a map-side projection.
+    * Positions count Unicode code points, matching both engines' substring.
+    * ref: HTGPI document-fingerprint dedup shape (SURVEY north star). */
+  def winnowFingerprints(text: UTF8String, gram: Int, win: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    val count = math.max(n - gram + 1, 1)
+    val hs = new Array[String](count)
+    val d = md5Local.get()
+    var i = 0
+    while (i < count) {
+      val len = math.max(math.min(gram, n - i), 0)
+      val sub = if (len == 0) "" else new String(cps, i, len)
+      d.reset()
+      val bytes = d.digest(sub.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Char](8)
+      var j = 0
+      while (j < 4) {
+        out(2 * j) = HexChars((bytes(j) >> 4) & 0xf)
+        out(2 * j + 1) = HexChars(bytes(j) & 0xf)
+        j += 1
+      }
+      hs(i) = new String(out)
+      i += 1
+    }
+    val set = new java.util.TreeSet[String]()
+    i = 0
+    while (i < count) {
+      var m = hs(i)
+      var j = i + 1
+      val end = math.min(i + win, count)
+      while (j < end) { if (hs(j).compareTo(m) < 0) m = hs(j); j += 1 }
+      set.add(m)
+      i += 1
+    }
+    val arr = new Array[Any](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 /** `md5_simhash_chunks(text) -> array<long>` (4×16-bit chunks). */
@@ -121,6 +170,21 @@ case class Md5SimHashChunks(child: Expression) extends UnaryExpression {
     PortableHashOps.simhashChunks(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.PortableHashOps.simhashChunks($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `winnow_fingerprints(norm_text, gram, win) -> array<string>`: the
+  * document's distinct winnowing fingerprint set, sorted ascending. */
+case class WinnowFingerprints(child: Expression, gram: Int, win: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def nullSafeEval(v: Any): Any =
+    PortableHashOps.winnowFingerprints(v.asInstanceOf[UTF8String], gram, win)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableHashOps.winnowFingerprints($c, $gram, $win)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

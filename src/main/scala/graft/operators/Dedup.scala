@@ -204,8 +204,10 @@ object Dedup {
       .localCheckpoint()
     // DECIMAL(38,0) accumulation: Spark's non-ANSI Long sum wraps silently,
     // so at ~1e9 nodes with 1e12-range ids a Long witness could overflow to
-    // a repeated value and fake convergence. sum() over empty input is null
-    // → coalesce to 0 instead of NPE-ing on an empty node set.
+    // a repeated value and fake convergence. sum() over an empty node set is
+    // null — the isNullAt branch maps that to ZERO instead of NPE-ing.
+    // (A decimal(38,0) overflow also nulls in non-ANSI mode, but needs a
+    // label sum > 1e38 — unreachable with Long ids.)
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head() match {
         case row if row.isNullAt(0) => java.math.BigDecimal.ZERO

@@ -197,13 +197,25 @@ object GeoJoin {
       leftKey: String, rightKey: String,
       lat1: String, lon1: String, lat2: String, lon2: String): DataFrame = {
     var remaining = left
+    var prevCkpt: DataFrame = null // superseded checkpoint, unpersisted below
     var r = math.max(radiusM, 1.0)
     var pieces = List.empty[DataFrame]
     var done = false
     while (!done) {
       val terminal = r >= MaxEarthDistM
-      val cand = radiusJoin(remaining, right, r, lat1, lon1, lat2, lon2)
-        .select(col(leftKey), col(rightKey), col("dist_m"))
+      val cand =
+        if (terminal)
+          // At the terminal radius the banded key degenerates to ONE
+          // (band, cell) bucket — all |remaining|×|right| pairs would land
+          // in a single task. Spread the all-pairs scan instead: each right
+          // row hashes to one of S buckets, each remaining row replicates
+          // to all S — right shuffles once, only the (small) remainder
+          // fans out, and the candidate scan parallelizes S ways.
+          allPairsCandidates(remaining, right,
+            leftKey, rightKey, lat1, lon1, lat2, lon2)
+        else
+          radiusJoin(remaining, right, r, lat1, lon1, lat2, lon2)
+            .select(col(leftKey), col(rightKey), col("dist_m"))
       val ranked = Transforms.topKPerGroup(cand, Seq(col(leftKey)),
         Seq(col("dist_m").asc, col(rightKey).asc), k, "knn_rank")
         .localCheckpoint()
@@ -218,9 +230,32 @@ object GeoJoin {
         pieces ::= ranked.join(covered, Seq(leftKey), "left_semi")
         remaining = remaining.join(covered, Seq(leftKey), "left_anti")
           .localCheckpoint() // O(1) lineage across escalation passes
+        // the new checkpoint has materialized the anti-join; the superseded
+        // one's blocks are dead weight in executor storage — release them
+        if (prevCkpt != null) prevCkpt.unpersist()
+        prevCkpt = remaining
         if (remaining.isEmpty) done = true else r *= 4
       }
     }
     pieces.reduce(_ unionByName _)
+  }
+
+  /** All (left, right) pairs with `dist_m`, spread over S shuffle buckets:
+    * right rows take `hash(rightKey) mod S` (one copy), left rows explode to
+    * every bucket. Equivalent to a cross join but the haversine scan
+    * parallelizes S ways instead of degenerating to one task — used by the
+    * terminal [[knnJoinBanded]] pass, where `left` is the small remainder. */
+  private[graft] def allPairsCandidates(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      lat1: String, lon1: String, lat2: String, lon2: String): DataFrame = {
+    val s = math.max(
+      left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, 2)
+    val l = left.withColumn("_bkt",
+      explode(sequence(lit(0L), lit((s - 1).toLong))))
+    val rr = right.withColumn("_bkt", pmod(xxhash64(col(rightKey)), lit(s.toLong)))
+    l.join(rr, Seq("_bkt"))
+      .withColumn("dist_m",
+        GeoFunctions.haversineMeters(col(lat1), col(lon1), col(lat2), col(lon2)))
+      .select(col(leftKey), col(rightKey), col("dist_m"))
   }
 }

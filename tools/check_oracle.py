@@ -1,103 +1,77 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle correctness check.
+"""Dev-only local oracle check (mirrors the driver's DuckDB compare).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 
-For each query dumped by graft.Verify, runs the recorded oracle SQL in DuckDB
-against the same parquet tables, sorts columns by name and rows by all
-columns, and compares cell-by-cell (exact for ints/strings, exact-or-1e-12-rel
-for floats so we can see how close "exact" is).
+Reads each <verifyOutDir>/<query> parquet dumped by graft.Verify, runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
+<sfDir> parquet tables, and compares row counts, column names, and
+value-normalized sorted rows. NOT part of the library — iteration tooling.
 """
-import json, math, sys
+import json
+import math
+import sys
+
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm_cell(v):
+
+def norm(v):
+    if v is None:
+        return "NULL"
     if isinstance(v, float):
-        return v
-    return v
+        if math.isnan(v):
+            return "NaN"
+        # round away one-ulp noise, keep shortest-repr (matches VARCHAR dumps)
+        return str(round(v, 9))
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
 
-def cmp_cell(a, b):
-    import pandas as pd
-    try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-    except (TypeError, ValueError):
-        pass
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        if a == b:
-            return True
-        return abs(a - b) <= 1e-12 * max(abs(a), abs(b))
-    return a == b
 
-def main(sf_dir, out_dir):
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    fails = 0
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    failed = 0
     for name, sql in sorted(oracle.items()):
-        try:
-            exp = con.sql(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {str(e)[:200]}")
-            fails += 1
+        if only and name not in only:
             continue
         try:
-            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            spark = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            spark_cols = [d[0] for d in con.description]
+            want = con.execute(sql).fetchall()
+            want_cols = [d[0] for d in con.description]
         except Exception as e:
-            print(f"FAIL {name}: spark output missing: {str(e)[:120]}")
-            fails += 1
+            print(f"FAIL {name}: {e}")
+            failed += 1
             continue
-        exp = exp[sorted(exp.columns)]
-        got = got[sorted(got.columns)]
-        if list(exp.columns) != list(got.columns):
-            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
-            fails += 1
-            continue
-        if len(exp) != len(got):
-            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
-            fails += 1
-            continue
-        exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
-        got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
-        bad = 0
-        exact = True
-        for c in exp.columns:
-            ev, gv = exp[c].tolist(), got[c].tolist()
-            for i in range(len(ev)):
-                if not cmp_cell(ev[i], gv[i]):
-                    if bad < 3:
-                        print(f"  {name}.{c}[{i}]: exp={ev[i]!r} got={gv[i]!r}")
-                    bad += 1
-                elif isinstance(ev[i], float) and isinstance(gv[i], float) and ev[i] != gv[i]:
-                    exact = False
-        if bad:
-            print(f"FAIL {name}: {bad} mismatched cells")
-            fails += 1
+        # driver semantics: sort columns by name, then sort rows
+        sidx = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+        widx = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
+        s_rows = sorted(tuple(norm(r[i]) for i in sidx) for r in spark)
+        w_rows = sorted(tuple(norm(r[i]) for i in widx) for r in want)
+        cols_ok = sorted(spark_cols) == sorted(want_cols)
+        if not cols_ok:
+            print(f"FAIL {name}: cols {sorted(spark_cols)} vs {sorted(want_cols)}")
+            failed += 1
+        elif s_rows != w_rows:
+            diff = [(a, b) for a, b in zip(s_rows, w_rows) if a != b]
+            print(f"FAIL {name}: rows {len(s_rows)} vs {len(w_rows)}, "
+                  f"first diffs: {diff[:3]}")
+            failed += 1
         else:
-            tag = "OK  " if exact else "OK~ (float not bit-exact)"
-            print(f"{tag} {name} ({len(exp)} rows)")
-    # rows-only queries
-    rows_only = set()
-    import os
-    for d in os.listdir(out_dir):
-        if d.startswith("q") and d not in oracle:
-            rows_only.add(d)
-    for name in sorted(rows_only):
-        try:
-            n = con.sql(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
-            print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
-        except Exception as e:
-            print(f"ROWS {name}: unreadable: {str(e)[:120]}")
-    print(f"\n{fails} failures / {len(oracle)} oracle queries")
-    return 1 if fails else 0
+            print(f"ok   {name} ({len(s_rows)} rows)")
+    sys.exit(1 if failed else 0)
+
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()
