@@ -460,6 +460,36 @@ object SparkEntry {
           col("total_use"), col("stocks_to_use"))
     }),
 
+    // S5/S6 end-to-end — BINARY XLSX decode (sources/XlsxReader: zip+XML,
+    // shared strings, merged cells, ragged rows) feeding the same WASDE
+    // parse as q37. The fixture workbook's p18/p19 sheets hold exactly the
+    // q37 VALUES content (numbers as numeric cells, NA as a shared string,
+    // blanks absent), so q37's oracle re-proves the byte-level decode.
+    // Decode runs in an executor task (the per-file shape of
+    // XlsxReader.scan), not on the driver.
+    "q73_xlsx_wasde" -> ((s, d) => {
+      import s.implicits._
+      val bytes = wasdeXlsxBytes
+      val rows = s.createDataset(Seq(bytes))(
+        org.apache.spark.sql.Encoders.BINARY).flatMap { b =>
+        graft.sources.XlsxReader.readSheet(b, "p18") ++
+          graft.sources.XlsxReader.readSheet(b, "p19")
+      }
+      val cellCols = Seq("geo", "beginning", "production", "imports",
+        "dom_feed", "dom_total", "exports", "ending")
+      val table = rows.toDF().select(
+        Seq(col("sheet"), col("rowIdx")) ++ cellCols.zipWithIndex.map {
+          // ragged rows: absent trailing cells read back as ""
+          case (n, i) => coalesce(element_at(col("cells"), i + 1), lit("")).as(n)
+        }: _*)
+      graft.pipelines.WasdeTransforms.parseSupplyUse(table)
+        .select(col("sheet"), col("grupo"), col("tipo"), col("harvest"),
+          col("geography"), col("orden").cast("long").as("orden"),
+          col("beginning"), col("production"), col("imports"), col("dom_feed"),
+          col("dom_total"), col("exports"), col("ending"),
+          col("total_use"), col("stocks_to_use"))
+    }),
+
     // J3 at scale — banded radius join (SURVEY §4 custom piece 3): same
     // result set as crossJoin+filter, shuffle-hash-join plan on a band key.
     "q38_geo_radius_join" -> ((s, d) =>
@@ -994,6 +1024,13 @@ object SparkEntry {
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
     * markers, group rows, EST/PROJ year labels, blank continuation
     * geography, NA/'' cells, Selected Other skip). */
+  /** The committed golden workbook (tools/MakeFixtures regenerates it). */
+  private[graft] def wasdeXlsxBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixtures/wasde.xlsx")
+    require(in != null, "missing resource /graft/fixtures/wasde.xlsx")
+    try in.readAllBytes() finally in.close()
+  }
+
   private val wasdeFixture: Seq[(String, Long, String, String, String, String, String, String, String, String)] = Seq(
     ("p18", 0L, "2025/26 (Est.) 2/", "", "", "", "", "", "", ""),
     ("p18", 1L, "World 3/", "", "", "", "", "", "", ""),
@@ -1091,7 +1128,7 @@ object SparkEntry {
        |SELECT o_orderkey, CAST($terms AS BIGINT) AS z FROM k""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = { val base = Map(
     "q69_zorder_key" -> q69OracleSql,
     "q71_pii_redact" ->
       """WITH p AS (
@@ -1831,4 +1868,9 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM sess GROUP BY user_id, session_id""".stripMargin
   )
+    // q73 runs the same parse over rows DECODED FROM XLSX BYTES; the
+    // fixture workbook's p18/p19 sheets carry exactly the q37 VALUES
+    // content, so a matching oracle proves the binary decode end-to-end.
+    base + ("q73_xlsx_wasde" -> base("q37_wasde_parse"))
+  }
 }
