@@ -479,8 +479,11 @@ object SparkEntry {
         "dom_feed", "dom_total", "exports", "ending")
       val table = rows.toDF().select(
         Seq(col("sheet"), col("rowIdx")) ++ cellCols.zipWithIndex.map {
-          // ragged rows: absent trailing cells read back as ""
-          case (n, i) => coalesce(element_at(col("cells"), i + 1), lit("")).as(n)
+          // ragged rows: absent trailing cells read back as "" — must be
+          // try_element_at (ANSI element_at THROWS on out-of-bounds index,
+          // so the coalesce would never see a null)
+          case (n, i) =>
+            coalesce(try_element_at(col("cells"), lit(i + 1)), lit("")).as(n)
         }: _*)
       graft.pipelines.WasdeTransforms.parseSupplyUse(table)
         .select(col("sheet"), col("grupo"), col("tipo"), col("harvest"),

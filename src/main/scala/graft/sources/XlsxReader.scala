@@ -123,7 +123,10 @@ object XlsxReader {
       case -1 => ""
       case i  => wbPath.substring(0, i)
     }
-    val relsPath = s"$baseDir/_rels/${wbPath.substring(baseDir.length).stripPrefix("/")}.rels"
+    // baseDir may be empty (workbook part at package root — legal OPC
+    // layout); avoid a leading "/" that would never match zip entry names
+    val relsDir = if (baseDir.isEmpty) "_rels" else s"$baseDir/_rels"
+    val relsPath = s"$relsDir/${wbPath.substring(baseDir.length).stripPrefix("/")}.rels"
     val (relById, relByType) = parseRels(parts.getOrElse(relsPath,
       throw new IllegalArgumentException(s"missing $relsPath")))
 

@@ -161,6 +161,48 @@ class XlsxSpec extends AnyFunSuite {
     assert(notes(2) == Seq("revision", "3.25", "true"))
   }
 
+  test("q73 DataFrame projection survives ragged rows (ANSI element_at trap)") {
+    // The fixture's p18 rows are genuinely ragged (row 4 has 7 cells, row 0
+    // has 1); the query-side projection must read absent trailing cells as
+    // "" THROUGH the DataFrame layer — ANSI element_at throws
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT here, so this must stay
+    // try_element_at. Padding in Scala (as the fixture-decode test does)
+    // cannot catch that, hence this end-to-end assertion.
+    val spark = SparkTestBase.session
+    val q73 = SparkEntry.queries("q73_xlsx_wasde")(spark, "unused")
+    val q37 = SparkEntry.queries("q37_wasde_parse")(spark, "unused")
+    val key = (r: org.apache.spark.sql.Row) => r.toString
+    assert(q73.collect().map(key).sorted.toSeq ==
+      q37.collect().map(key).sorted.toSeq)
+    assert(q73.count() > 0)
+  }
+
+  test("workbook part at package root (no xl/ dir) resolves its rels") {
+    val bytes = zip(
+      "_rels/.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="/workbook.xml"/>
+          |</Relationships>""".stripMargin,
+      "workbook.xml" ->
+        """<?xml version="1.0"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="only" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin,
+      "_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "sheet1.xml" ->
+        """<?xml version="1.0"?>
+          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheetData><row r="1"><c r="A1"><v>11</v></c></row></sheetData>
+          |</worksheet>""".stripMargin)
+    assert(XlsxReader.sheetNames(bytes) == Seq("only"))
+    assert(XlsxReader.readSheet(bytes, "only").map(_.cells) == Seq(Seq("11")))
+  }
+
   test("zip member selection picks the first .xls member (CFTC shape)") {
     val inner = XlsxWriter.write(Seq(XlsxSheet("XLS",
       Seq(Seq(XlsxCell.Str("a"), XlsxCell.Num(1))))))
