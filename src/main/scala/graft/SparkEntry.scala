@@ -475,22 +475,35 @@ object SparkEntry {
         graft.sources.XlsxReader.readSheet(b, "p18") ++
           graft.sources.XlsxReader.readSheet(b, "p19")
       }
-      val cellCols = Seq("geo", "beginning", "production", "imports",
-        "dom_feed", "dom_total", "exports", "ending")
-      val table = rows.toDF().select(
-        Seq(col("sheet"), col("rowIdx")) ++ cellCols.zipWithIndex.map {
-          // ragged rows: absent trailing cells read back as "" — must be
-          // try_element_at (ANSI element_at THROWS on out-of-bounds index,
-          // so the coalesce would never see a null)
-          case (n, i) =>
-            coalesce(try_element_at(col("cells"), lit(i + 1)), lit("")).as(n)
-        }: _*)
-      graft.pipelines.WasdeTransforms.parseSupplyUse(table)
-        .select(col("sheet"), col("grupo"), col("tipo"), col("harvest"),
-          col("geography"), col("orden").cast("long").as("orden"),
-          col("beginning"), col("production"), col("imports"), col("dom_feed"),
-          col("dom_total"), col("exports"), col("ending"),
-          col("total_use"), col("stocks_to_use"))
+      wasdeFromDecodedRows(rows.toDF())
+    }),
+
+    // S5 end-to-end — the CFTC archive shape (HTGPICFT/__init__.py:92-100):
+    // a zip whose first ".xls"-named member is the workbook, with a decoy
+    // member ahead of it. Member selection AND byte-level decode both run
+    // inside the executor task; same supply/use content, so q37's oracle
+    // proves the whole zip→member→decode→parse chain.
+    "q74_zip_xlsx_wasde" -> ((s, d) => {
+      import s.implicits._
+      val zipBytes = {
+        val bout = new java.io.ByteArrayOutputStream()
+        val zout = new java.util.zip.ZipOutputStream(bout)
+        zout.putNextEntry(new java.util.zip.ZipEntry("readme.txt"))
+        zout.write("decoy".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zout.closeEntry()
+        zout.putNextEntry(new java.util.zip.ZipEntry("wasde_report.xlsx"))
+        zout.write(wasdeXlsxBytes)
+        zout.closeEntry()
+        zout.close()
+        bout.toByteArray
+      }
+      val rows = s.createDataset(Seq(zipBytes))(
+        org.apache.spark.sql.Encoders.BINARY).flatMap { z =>
+        val b = graft.sources.XlsxReader.selectZipMember(z, ".xls")
+        graft.sources.XlsxReader.readSheet(b, "p18") ++
+          graft.sources.XlsxReader.readSheet(b, "p19")
+      }
+      wasdeFromDecodedRows(rows.toDF())
     }),
 
     // J3 at scale — banded radius join (SURVEY §4 custom piece 3): same
@@ -1027,6 +1040,26 @@ object SparkEntry {
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
     * markers, group rows, EST/PROJ year labels, blank continuation
     * geography, NA/'' cells, Selected Other skip). */
+  /** Decoded `(sheet, rowIdx, cells)` rows → parsed supply/use table with
+    * the q37 output columns. Shared by q73/q74. Absent trailing cells of
+    * ragged rows read back as "" — must be try_element_at (ANSI element_at
+    * THROWS on out-of-bounds index, so a coalesce alone never sees null). */
+  private def wasdeFromDecodedRows(rows: DataFrame): DataFrame = {
+    val cellCols = Seq("geo", "beginning", "production", "imports",
+      "dom_feed", "dom_total", "exports", "ending")
+    val table = rows.select(
+      Seq(col("sheet"), col("rowIdx")) ++ cellCols.zipWithIndex.map {
+        case (n, i) =>
+          coalesce(try_element_at(col("cells"), lit(i + 1)), lit("")).as(n)
+      }: _*)
+    graft.pipelines.WasdeTransforms.parseSupplyUse(table)
+      .select(col("sheet"), col("grupo"), col("tipo"), col("harvest"),
+        col("geography"), col("orden").cast("long").as("orden"),
+        col("beginning"), col("production"), col("imports"), col("dom_feed"),
+        col("dom_total"), col("exports"), col("ending"),
+        col("total_use"), col("stocks_to_use"))
+  }
+
   /** The committed golden workbook (tools/MakeFixtures regenerates it). */
   private[graft] def wasdeXlsxBytes: Array[Byte] = {
     val in = getClass.getResourceAsStream("/graft/fixtures/wasde.xlsx")
@@ -1871,9 +1904,11 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM sess GROUP BY user_id, session_id""".stripMargin
   )
-    // q73 runs the same parse over rows DECODED FROM XLSX BYTES; the
+    // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
+    // additionally selects the workbook out of a zip archive first; the
     // fixture workbook's p18/p19 sheets carry exactly the q37 VALUES
-    // content, so a matching oracle proves the binary decode end-to-end.
-    base + ("q73_xlsx_wasde" -> base("q37_wasde_parse"))
+    // content, so a matching oracle proves each decode chain end-to-end.
+    base + ("q73_xlsx_wasde" -> base("q37_wasde_parse")) +
+      ("q74_zip_xlsx_wasde" -> base("q37_wasde_parse"))
   }
 }
