@@ -46,10 +46,16 @@ object Bench {
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> runOnce(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the one-line JSON short enough that a
+    // tail-truncating capture still sees every per-query entry (the r4
+    // driver window lost q01-q09 to full-precision doubles).
+    def f3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val nFailed = results.count(_._2 < 0)
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces copy for harnesses that miss the stdout line; never
     // let a missing target/ dir (foreign cwd) fail the bench after the fact.

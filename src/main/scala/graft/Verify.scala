@@ -19,13 +19,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fail-loud: a query that throws must not silently vanish from the
+    // compare (r4 shipped a broken query with no oracle evidence that way).
+    // Record every failure in a manifest AND write a poison one-row parquet
+    // whose schema can never match any oracle — so a per-oracle-entry
+    // compare reports FAIL instead of skipping the query.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("_verify_failed").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +56,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} QUERY FAILURE(S): ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -6,10 +6,14 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 Reads each <verifyOutDir>/<query> parquet dumped by graft.Verify, runs the
 matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
 <sfDir> parquet tables, and compares row counts, column names, and
-value-normalized sorted rows. NOT part of the library — iteration tooling.
+value-normalized sorted rows. Floats compare numerically (relative
+tolerance), not via string rounding — a 1-ulp value straddling a decimal
+rounding boundary must not flip the verdict. NOT part of the library —
+iteration tooling.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -17,18 +21,41 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+REL_TOL = 1e-9
+ABS_TOL = 1e-12
 
-def norm(v):
+
+def sort_key(v):
+    """Normalization used only to give both sides the same row ORDER."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round away one-ulp noise, keep shortest-repr (matches VARCHAR dumps)
-        return str(round(v, 9))
+        return str(round(v, 6))  # coarse: ties broken by numeric compare
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
+
+
+def values_eq(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, rel_tol=REL_TOL, abs_tol=ABS_TOL)
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, bool) or isinstance(b, bool):
+        return str(a).lower() == str(b).lower()
+    return str(a) == str(b)
+
+
+def rows_eq(ra, rb):
+    return len(ra) == len(rb) and all(values_eq(a, b) for a, b in zip(ra, rb))
 
 
 def main():
@@ -36,6 +63,13 @@ def main():
     only = set(sys.argv[3:])
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    # graft.Verify records thrown queries here; surface them loudly even
+    # though the poison parquet would also fail the compare below.
+    manifest = {}
+    mpath = f"{out_dir}/_failures.json"
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -43,6 +77,10 @@ def main():
     failed = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        if name in manifest:
+            print(f"FAIL {name}: query THREW in Verify: {manifest[name]}")
+            failed += 1
             continue
         try:
             spark = con.execute(
@@ -57,15 +95,22 @@ def main():
         # driver semantics: sort columns by name, then sort rows
         sidx = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
         widx = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
-        s_rows = sorted(tuple(norm(r[i]) for i in sidx) for r in spark)
-        w_rows = sorted(tuple(norm(r[i]) for i in widx) for r in want)
-        cols_ok = sorted(spark_cols) == sorted(want_cols)
-        if not cols_ok:
+        s_rows = sorted((tuple(r[i] for i in sidx) for r in spark),
+                        key=lambda r: tuple(sort_key(v) for v in r))
+        w_rows = sorted((tuple(r[i] for i in widx) for r in want),
+                        key=lambda r: tuple(sort_key(v) for v in r))
+        if sorted(spark_cols) != sorted(want_cols):
             print(f"FAIL {name}: cols {sorted(spark_cols)} vs {sorted(want_cols)}")
             failed += 1
-        elif s_rows != w_rows:
-            diff = [(a, b) for a, b in zip(s_rows, w_rows) if a != b]
-            print(f"FAIL {name}: rows {len(s_rows)} vs {len(w_rows)}, "
+        elif len(s_rows) != len(w_rows):
+            # count mismatch reported BEFORE any pairing — zip would hide
+            # the extra rows
+            print(f"FAIL {name}: row count {len(s_rows)} vs {len(w_rows)}")
+            failed += 1
+        elif not all(rows_eq(a, b) for a, b in zip(s_rows, w_rows)):
+            diff = [(a, b) for a, b in zip(s_rows, w_rows)
+                    if not rows_eq(a, b)]
+            print(f"FAIL {name}: {len(diff)} differing rows of {len(s_rows)}, "
                   f"first diffs: {diff[:3]}")
             failed += 1
         else:
