@@ -506,6 +506,46 @@ object SparkEntry {
       wasdeFromDecodedRows(rows.toDF())
     }),
 
+    // SO4 — the p11 block transpose (HTGPIWASDE/__init__.py:358,369):
+    // attributes-as-rows × years-as-columns flips to one row per year.
+    // Literal fixture; the oracle performs the same flip in SQL
+    // (UNION-ALL unpivot + conditional-aggregate pivot).
+    "q75_transpose" -> ((s, d) => {
+      import s.implicits._
+      val block = Seq(
+        ("planted", "10.1", "10.5", "10.9"),
+        ("harvested", "9.7", "10.0", "10.2"),
+        ("yld", "49.8", "50.1", "52.0"),
+        ("production", "483.1", "501.0", "530.4"))
+        .toDF("attr", "y2425", "y2526", "y2627")
+      graft.pipelines.WasdeTransforms.transposeBlock(block, "attr",
+        Seq("y2425", "y2526", "y2627"))
+    }),
+
+    // §2.9d — model-inference determinism (PGSITE/__init__.py:361-370):
+    // a fixed-seed RandomForest trained on a cleanly-separable literal
+    // fixture scores probe points far inside each cluster; every tree
+    // votes the cluster label, so the predictions are stable and the
+    // oracle can hold them as literals. Scoring itself is model.transform
+    // — broadcast model, map-side, distributed.
+    "q76_model_scoring" -> ((s, d) => {
+      import s.implicits._
+      val train = (0 until 20).flatMap { i =>
+        Seq((Array(i * 0.1, i * 0.05), 0),
+          (Array(10.0 + i * 0.1, 5.0 + i * 0.05), 1))
+      }.toDF("embedding", "label")
+      val model = graft.serving.ModelScoring.trainOnArrays(
+        train, "embedding", "label", numTrees = 20, seed = 42L)
+      val probe = Seq(
+        (1L, Array(0.2, 0.1)), (2L, Array(0.9, 0.4)),
+        (3L, Array(1.5, 0.8)), (4L, Array(10.2, 5.1)),
+        (5L, Array(11.0, 5.5)), (6L, Array(9.9, 5.0)),
+        (7L, Array(0.0, 0.0)), (8L, Array(11.9, 5.95)))
+        .toDF("point_id", "embedding")
+      graft.serving.ModelScoring.score(model, probe, "embedding")
+        .select(col("point_id"), col("prediction").cast("long").as("pred"))
+    }),
+
     // J3 at scale — banded radius join (SURVEY §4 custom piece 3): same
     // result set as crossJoin+filter, shuffle-hash-join plan on a band key.
     "q38_geo_radius_join" -> ((s, d) =>
@@ -1909,6 +1949,30 @@ object SparkEntry {
     // fixture workbook's p18/p19 sheets carry exactly the q37 VALUES
     // content, so a matching oracle proves each decode chain end-to-end.
     base + ("q73_xlsx_wasde" -> base("q37_wasde_parse")) +
-      ("q74_zip_xlsx_wasde" -> base("q37_wasde_parse"))
+      ("q74_zip_xlsx_wasde" -> base("q37_wasde_parse")) +
+      ("q75_transpose" ->
+        """WITH block(attr, y2425, y2526, y2627) AS (VALUES
+          |  ('planted','10.1','10.5','10.9'),
+          |  ('harvested','9.7','10.0','10.2'),
+          |  ('yld','49.8','50.1','52.0'),
+          |  ('production','483.1','501.0','530.4')),
+          |long AS (
+          |  SELECT attr, 'y2425' AS year, y2425 AS v FROM block
+          |  UNION ALL SELECT attr, 'y2526', y2526 FROM block
+          |  UNION ALL SELECT attr, 'y2627', y2627 FROM block)
+          |SELECT year,
+          |  MAX(CASE WHEN attr='planted' THEN v END) AS planted,
+          |  MAX(CASE WHEN attr='harvested' THEN v END) AS harvested,
+          |  MAX(CASE WHEN attr='yld' THEN v END) AS yld,
+          |  MAX(CASE WHEN attr='production' THEN v END) AS production
+          |FROM long GROUP BY year""".stripMargin) +
+      // Probe points sit far inside their training cluster — every tree of
+      // the fixed-seed forest votes the cluster label, so the expected
+      // predictions are literals.
+      ("q76_model_scoring" ->
+        """SELECT CAST(point_id AS BIGINT) AS point_id,
+          |       CAST(pred AS BIGINT) AS pred
+          |FROM (VALUES (1,0),(2,0),(3,0),(4,1),(5,1),(6,1),(7,0),(8,1))
+          |  t(point_id, pred)""".stripMargin)
   }
 }
