@@ -546,6 +546,49 @@ object SparkEntry {
         .select(col("point_id"), col("prediction").cast("long").as("pred"))
     }),
 
+    // P7 — empty-result guard (HTGPIOILWTI/__init__.py:90-91): a watermark
+    // past all data must return None (sink skipped), not an empty write.
+    // Both outcomes are encoded in the result so the oracle checks the
+    // guard itself: the stale branch contributes its marker row ONLY via
+    // the None arm.
+    "q77_empty_guard" -> ((s, d) => {
+      import s.implicits._
+      val pairs = (1 to 10)
+        .map(i => (f"2026-01-$i%02d", 70.0 + i)).toDF("Date", "Close")
+      val cases = Seq(
+        "fresh" -> java.sql.Date.valueOf("2026-01-05"),
+        "stale" -> java.sql.Date.valueOf("2026-01-10"))
+      cases.map { case (label, wm) =>
+        graft.pipelines.MarketPipelines.oilWti(pairs, wm) match {
+          case Some(out) =>
+            out.select(lit(label).as("which"), col("Date"), col("Close"),
+              lit(true).as("sink_ran"))
+          case None =>
+            Seq(label).toDF("which").select(col("which"),
+              lit(null).cast("date").as("Date"),
+              lit(null).cast("double").as("Close"),
+              lit(false).as("sink_ran"))
+        }
+      }.reduce(_ unionByName _)
+    }),
+
+    // F19 — contract symbol calendar (HTGPIPROPHEDEX/__init__.py:90-194):
+    // per-day expiration symbols with the 20th-of-month rollover, compressed
+    // into (from, to, symbols) ranges. Pure domain functions; the oracle
+    // holds the independently-derived ranges as literals.
+    "q78_symbol_calendar" -> ((s, d) => {
+      import s.implicits._
+      val start = java.time.LocalDate.of(2026, 2, 25)
+      val end = java.time.LocalDate.of(2026, 3, 25)
+      Seq("C" -> 2, "S" -> 3).flatMap { case (commodity, n) =>
+        graft.pipelines.ProphedexCalendar.symbolRanges(start, end, commodity, n)
+          .map { case (from, to, syms) =>
+            (commodity, java.sql.Date.valueOf(from), java.sql.Date.valueOf(to),
+              syms.mkString(","))
+          }
+      }.toDF("commodity", "from_date", "to_date", "symbols")
+    }),
+
     // J3 at scale — banded radius join (SURVEY §4 custom piece 3): same
     // result set as crossJoin+filter, shuffle-hash-join plan on a band key.
     "q38_geo_radius_join" -> ((s, d) =>
@@ -1973,6 +2016,31 @@ object SparkEntry {
         """SELECT CAST(point_id AS BIGINT) AS point_id,
           |       CAST(pred AS BIGINT) AS pred
           |FROM (VALUES (1,0),(2,0),(3,0),(4,1),(5,1),(6,1),(7,0),(8,1))
-          |  t(point_id, pred)""".stripMargin)
+          |  t(point_id, pred)""".stripMargin) +
+      ("q77_empty_guard" ->
+        """WITH pairs(d, c) AS (VALUES
+          |  ('2026-01-01',71.0),('2026-01-02',72.0),('2026-01-03',73.0),
+          |  ('2026-01-04',74.0),('2026-01-05',75.0),('2026-01-06',76.0),
+          |  ('2026-01-07',77.0),('2026-01-08',78.0),('2026-01-09',79.0),
+          |  ('2026-01-10',80.0)),
+          |fresh AS (SELECT 'fresh' AS which, CAST(d AS DATE) AS "Date",
+          |            c AS "Close", true AS sink_ran
+          |          FROM pairs WHERE CAST(d AS DATE) > DATE '2026-01-05'),
+          |stale AS (SELECT 'stale' AS which, CAST(NULL AS DATE) AS "Date",
+          |            CAST(NULL AS DOUBLE) AS "Close", false AS sink_ran
+          |          WHERE 0 = (SELECT count(*) FROM pairs
+          |                     WHERE CAST(d AS DATE) > DATE '2026-01-10'))
+          |SELECT * FROM fresh UNION ALL SELECT * FROM stale""".stripMargin) +
+      // Ranges derived by hand from the rollover rule: corn (H,K,N,U,Z)
+      // and soybeans (F,H,K,N,Q,U,X); from the 20th the front month rolls.
+      ("q78_symbol_calendar" ->
+        """SELECT commodity, CAST(f AS DATE) AS from_date,
+          |       CAST(t AS DATE) AS to_date, symbols
+          |FROM (VALUES
+          |  ('C','2026-02-25','2026-03-19','CH26,CK26'),
+          |  ('C','2026-03-20','2026-03-25','CK26,CN26'),
+          |  ('S','2026-02-25','2026-03-19','SH26,SK26,SN26'),
+          |  ('S','2026-03-20','2026-03-25','SK26,SN26,SQ26'))
+          |  v(commodity, f, t, symbols)""".stripMargin)
   }
 }
