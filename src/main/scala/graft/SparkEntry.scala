@@ -589,6 +589,87 @@ object SparkEntry {
       }.toDF("commodity", "from_date", "to_date", "symbols")
     }),
 
+    // S4 — HTML link discovery (HTGPIWASDE/__init__.py:54-68): all hrefs
+    // matching the report pattern, in document order.
+    "q79_html_links" -> ((s, d) => {
+      import s.implicits._
+      val html =
+        """<html><body>
+          |<a href="/files/wasde0526.xls">May</a>
+          |<a class="c" href='/files/wasde0626.xlsx'>Jun</a>
+          |<a href="/about.html">About</a>
+          |<A HREF="/files/oce-wasde-2026-07.xls">Jul</A>
+          |</body></html>""".stripMargin
+      graft.sources.HtmlTableReader.discoverLinks(html, "\\.xlsx?$")
+        .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("ord", "href")
+    }),
+
+    // S8 — staged paginated/bounded ingest (HTGPIPROPHEDEX/__init__.py:
+    // 174-212): watermarks → fetch plan (entity at/past today skipped),
+    // offline fetcher lands over-delivering CSVs, relational watermark
+    // re-filter on read. The oracle mirrors plan + filter in SQL.
+    "q80_staged_ingest" -> ((s, d) => {
+      import s.implicits._
+      val today = java.time.LocalDate.of(2026, 1, 6)
+      val wm = Seq(("A", "2026-01-03"), ("B", "2026-01-05"), ("C", "2026-01-10"))
+        .toDF("entity", "max_date")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_ingest_src")
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_ingest_stage")
+      val fetcher = new graft.sources.StagedIngest.LocalFileFetcher(spec => {
+        // upstream over-delivers: the whole window regardless of `from`
+        val p = srcDir.resolve(s"${spec.entity}.csv")
+        val rows = (1 to 6).map(i =>
+          s"${spec.entity},2026-01-0$i,${i * 10.0}").mkString("\n")
+        java.nio.file.Files.writeString(p, s"entity,d,v\n$rows")
+        p
+      })
+      val specs = graft.sources.StagedIngest.planFetches(wm, today)
+      graft.sources.StagedIngest.ingest(s, fetcher, specs, stageDir.toString,
+        "entity STRING, d DATE, v DOUBLE", wm, "entity", "d")
+        .select(col("entity"), col("d"), col("v"))
+    }),
+
+    // S12+S6 — binary sink/source roundtrip: XlsxWriter encodes literal
+    // typed sheets to workbook BYTES, XlsxReader decodes them back; the
+    // oracle holds the rendered cell strings.
+    "q81_xlsx_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val sheets = Seq(graft.sources.XlsxSheet("data", Seq(
+        Seq(graft.sources.XlsxCell.Str("k"), graft.sources.XlsxCell.Str("x & <y>")),
+        Seq(graft.sources.XlsxCell.Num(1.5), graft.sources.XlsxCell.Blank,
+          graft.sources.XlsxCell.Num(42)),
+        Seq(graft.sources.XlsxCell.Bool(true),
+          graft.sources.XlsxCell.Date(java.time.LocalDate.of(2026, 2, 28)),
+          graft.sources.XlsxCell.DateTime(
+            java.time.LocalDateTime.of(2026, 2, 28, 23, 59, 59))))))
+      val bytes = graft.sources.XlsxWriter.write(sheets)
+      val rows = s.createDataset(Seq(bytes))(
+        org.apache.spark.sql.Encoders.BINARY).flatMap { b =>
+        graft.sources.XlsxReader.readSheet(b, "data")
+      }
+      rows.toDF().select(col("rowIdx"),
+        coalesce(try_element_at(col("cells"), lit(1)), lit("")).as("c0"),
+        coalesce(try_element_at(col("cells"), lit(2)), lit("")).as("c1"),
+        coalesce(try_element_at(col("cells"), lit(3)), lit("")).as("c2"))
+    }),
+
+    // S13 — idempotent month re-load (HTGPIWASDE/__init__.py:124-134):
+    // dynamic partition overwrite re-delivers one month without touching
+    // the others — DELETE+INSERT semantics, proven by writing twice.
+    "q82_idempotent_reload" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_reload").toString
+      val batch1 = Seq(("2026-01", "a", 1.0), ("2026-01", "b", 2.0),
+        ("2026-02", "c", 3.0)).toDF("month", "k", "v")
+      val batch2 = Seq(("2026-02", "c", 30.0), ("2026-02", "d", 4.0))
+        .toDF("month", "k", "v")
+      graft.pipelines.WasdeTransforms.writeMonthOverwrite(batch1, dir, "month")
+      graft.pipelines.WasdeTransforms.writeMonthOverwrite(batch2, dir, "month")
+      s.read.parquet(dir)
+        .select(col("month").cast("string").as("month"), col("k"), col("v"))
+    }),
+
     // J3 at scale — banded radius join (SURVEY §4 custom piece 3): same
     // result set as crossJoin+filter, shuffle-hash-join plan on a band key.
     "q38_geo_radius_join" -> ((s, d) =>
@@ -2041,6 +2122,33 @@ object SparkEntry {
           |  ('C','2026-03-20','2026-03-25','CK26,CN26'),
           |  ('S','2026-02-25','2026-03-19','SH26,SK26,SN26'),
           |  ('S','2026-03-20','2026-03-25','SK26,SN26,SQ26'))
-          |  v(commodity, f, t, symbols)""".stripMargin)
+          |  v(commodity, f, t, symbols)""".stripMargin) +
+      ("q79_html_links" ->
+        """SELECT CAST(ord AS BIGINT) AS ord, href FROM (VALUES
+          |  (0, '/files/wasde0526.xls'),
+          |  (1, '/files/wasde0626.xlsx'),
+          |  (2, '/files/oce-wasde-2026-07.xls')) v(ord, href)""".stripMargin) +
+      ("q80_staged_ingest" ->
+        """WITH src(entity, d, v) AS (
+          |  SELECT e, ('2026-01-0' || i)::DATE, i * 10.0
+          |  FROM (VALUES ('A'),('B'),('C')) ee(e), generate_series(1, 6) s(i)),
+          |wm(entity, wmd) AS (VALUES
+          |  ('A', DATE '2026-01-03'), ('B', DATE '2026-01-05'),
+          |  ('C', DATE '2026-01-10'))
+          |SELECT s.entity, s.d, s.v
+          |FROM src s JOIN wm w ON s.entity = w.entity
+          |WHERE w.wmd < DATE '2026-01-06'  -- fetch plan skips at/past today
+          |  AND s.d > w.wmd               -- relational watermark re-filter""".stripMargin) +
+      ("q81_xlsx_roundtrip" ->
+        """SELECT CAST(r AS BIGINT) AS rowIdx, c0, c1, c2 FROM (VALUES
+          |  (0, 'k', 'x & <y>', ''),
+          |  (1, '1.5', '', '42'),
+          |  (2, 'true', '2026-02-28', '2026-02-28 23:59:59'))
+          |  v(r, c0, c1, c2)""".stripMargin) +
+      ("q82_idempotent_reload" ->
+        """SELECT * FROM (VALUES
+          |  ('2026-01', 'a', 1.0), ('2026-01', 'b', 2.0),
+          |  ('2026-02', 'c', 30.0), ('2026-02', 'd', 4.0))
+          |  t(month, k, v)""".stripMargin)
   }
 }
