@@ -670,6 +670,24 @@ object SparkEntry {
         .select(col("month").cast("string").as("month"), col("k"), col("v"))
     }),
 
+    // ANN IVF with nProbe = nLists: probing every cell makes the result
+    // EXACT regardless of how KMeans partitioned the space, so the
+    // brute-force SQL oracle applies — proving the index/probe plumbing
+    // (cell assignment, center ranking, per-cell scoring, global top-k).
+    // Recall-vs-nProbe at nProbe < nLists stays covered by
+    // DedupSimilaritySpec; partition pruning by cell is the 100 TB path.
+    "q83_ann_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val qvec = e.filter(col("vec_id") === 0)
+        .select(Similarity.toDoubleArray(col("embedding")))
+        .head().getSeq[Double](0)
+      val (model, indexed) = Similarity.ivfIndex(
+        e, "vec_id", "embedding", nLists = 8, maxIter = 5)
+      Similarity.ivfTopK(model, indexed, "vec_id", "embedding",
+        qvec, k = 10, nProbe = 8)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim_r"))
+    }),
+
     // J3 at scale — banded radius join (SURVEY §4 custom piece 3): same
     // result set as crossJoin+filter, shuffle-hash-join plan on a band key.
     "q38_geo_radius_join" -> ((s, d) =>
@@ -2149,6 +2167,20 @@ object SparkEntry {
         """SELECT * FROM (VALUES
           |  ('2026-01', 'a', 1.0), ('2026-01', 'b', 2.0),
           |  ('2026-02', 'c', 30.0), ('2026-02', 'd', 4.0))
-          |  t(month, k, v)""".stripMargin)
+          |  t(month, k, v)""".stripMargin) +
+      // nProbe = nLists ⇒ IVF is exact: same brute-force oracle as q31.
+      ("q83_ann_ivf" ->
+        """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          |u AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qe) AS b
+          |      FROM embeddings e CROSS JOIN q),
+          |dots AS (SELECT vec_id,
+          |  sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+          |  sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na,
+          |  sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb
+          | FROM u GROUP BY vec_id),
+          |s AS (SELECT vec_id, dp / (sqrt(na) * sqrt(nb)) AS sim FROM dots),
+          |r AS (SELECT vec_id, sim,
+          |  row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk FROM s)
+          |SELECT vec_id, round(sim, 6) AS sim_r FROM r WHERE rnk <= 10""".stripMargin)
   }
 }

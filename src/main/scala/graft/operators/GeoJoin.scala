@@ -97,13 +97,27 @@ object GeoJoin {
       leftKey: String, rightKey: String,
       lat1: String, lon1: String, lat2: String, lon2: String,
       broadcastRightMax: Long = 500000L): DataFrame =
-    // limit+count bounds the dispatch probe's work on a huge right side
-    // (a bare count() would materialize the whole plan just to compare)
-    if (right.limit((broadcastRightMax + 1).toInt).count() <= broadcastRightMax)
+    if (rightIsSmall(right, broadcastRightMax))
       knnBroadcast(left, right, k, leftKey, rightKey, lat1, lon1, lat2, lon2)
     else
       knnJoinBanded(left, right, k, radiusM, leftKey, rightKey,
         lat1, lon1, lat2, lon2)
+
+  /** Memoized dispatch probe, keyed by the right side's canonicalized plan
+    * (+ threshold): repeated kNN calls against the same dimension table run
+    * ONE probe job, not one per call. The probe itself is bounded —
+    * limit(max+1).count() — so a huge right side never materializes just to
+    * compare sizes. Bounded cache; cleared wholesale if it ever grows past
+    * 64 distinct plans (dimension tables are few by nature). */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), java.lang.Boolean]()
+
+  private def rightIsSmall(right: DataFrame, max: Long): Boolean = {
+    val key = (right.queryExecution.analyzed.canonicalized, max)
+    if (probeCache.size > 64) probeCache.clear()
+    probeCache.computeIfAbsent(key,
+      _ => right.limit((max + 1).toInt).count() <= max)
+  }
 
   /** Broadcast kNN: collect the (small) right side once, then each left row
     * scans it with a k-slot insertion buffer inside codegen

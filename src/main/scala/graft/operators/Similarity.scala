@@ -69,10 +69,11 @@ object Similarity {
     * via nProbe. Approximate by construction; pair with
     * [[bruteForceTopK]] when exactness is required. */
   def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+      nLists: Int, seed: Long = 42L,
+      maxIter: Int = 20): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     val withFeat = vectors.withColumn("_feat",
       array_to_vector(toDoubleArray(col(vecCol))))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_feat").setPredictionCol("_cell").fit(withFeat)
     val indexed = model.transform(withFeat)
       .select(col(idCol), col(vecCol), col("_cell").as("cell"))
