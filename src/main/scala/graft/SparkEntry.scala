@@ -688,6 +688,36 @@ object SparkEntry {
         .select(col("vec_id"), round(col("sim"), 6).as("sim_r"))
     }),
 
+    // The p22-family WASDE world page (HTGPIWASDE/__init__.py:621-833):
+    // per-block header rows define the measure-column POSITIONS (shifted
+    // one right in this fixture vs p18 — proving dynamic detection), and
+    // sheet cells carry report/commodity/unit metadata. The oracle mirrors
+    // the full pipeline (footnote strip, group carry, NA/'' repair,
+    // n-alternation, derived measures) over the same data rows.
+    "q84_wasde_world" -> ((s, d) => {
+      import s.implicits._
+      val hdr = Seq("", "%s", "Beginning\nStocks", "Production", "Imports",
+        "Domestic\nFeed", "Domestic\nTotal", "Exports", "Ending\nStocks")
+      def header(year: String) = hdr.map(c => if (c == "%s") year else c)
+      val rows: Seq[(String, Long, Seq[String])] = Seq(
+        ("p22", 0L, Seq("WASDE-672")),
+        ("p22", 1L, Seq("World Corn Supply and Use 1/")),
+        ("p22", 2L, Seq("", "Million Metric Tons")),
+        ("p22", 3L, header("2025/26 (Est.) 2/")),
+        ("p22", 4L, Seq("", "World 3/", "10", "20", "5", "8", "15", "7", "13")),
+        ("p22", 5L, Seq("", "Major Exporters", "1", "2", "NA", "4", "5", "6", "7")),
+        ("p22", 6L, Seq("", "Argentina", "2", "4", "0", "1", "2", "2", "8")),
+        ("p22", 7L, Seq("", "Selected Other", "0", "0", "0", "0", "0", "0", "0")),
+        ("p22", 8L, Seq("", "")),
+        ("p22", 9L, header("2025/26 (Proj.)")),
+        ("p22", 10L, Seq("", "World", "11", "21", "6", "9", "16", "8", "14")),
+        ("p22", 11L, Seq("", "Major Importers", "0", "1", "9", "3", "10", "", "2")),
+        ("p22", 12L, Seq("", "Mexico 4/", "1", "0", "18", "2", "20", "0", "1")),
+        ("p22", 13L, Seq("", "1/ Aggregate of local marketing years.")))
+      graft.pipelines.WasdeTransforms.parseWorldSupplyUse(
+        rows.toDF("sheet", "rowIdx", "cells"))
+    }),
+
     // J3 at scale — banded radius join (SURVEY §4 custom piece 3): same
     // result set as crossJoin+filter, shuffle-hash-join plan on a band key.
     "q38_geo_radius_join" -> ((s, d) =>
@@ -2181,6 +2211,44 @@ object SparkEntry {
           |s AS (SELECT vec_id, dp / (sqrt(na) * sqrt(nb)) AS sim FROM dots),
           |r AS (SELECT vec_id, sim,
           |  row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk FROM s)
-          |SELECT vec_id, round(sim, 6) AS sim_r FROM r WHERE rnk <= 10""".stripMargin)
+          |SELECT vec_id, round(sim, 6) AS sim_r FROM r WHERE rnk <= 10""".stripMargin) +
+      // Mirrors the p22 pipeline over the same data rows: footnote strip,
+      // sticky group carry, NA/'' repair, 1/2 block alternation, Total Use
+      // and Stocks-to-Use with identical operation order.
+      ("q84_wasde_world" ->
+        """WITH src(ri, geo, b, p, i, df, dt, e, es, n, tipo) AS (VALUES
+          |  (1, 'World 3/',        '10','20','5', '8','15','7', '13', 1, 'EST'),
+          |  (2, 'Major Exporters', '1', '2', 'NA','4','5', '6', '7',  1, 'EST'),
+          |  (3, 'Argentina',       '2', '4', '0', '1','2', '2', '8',  1, 'EST'),
+          |  (4, 'World',           '11','21','6', '9','16','8', '14', 2, 'PROJ'),
+          |  (5, 'Major Importers', '0', '1', '9', '3','10','',  '2',  2, 'PROJ'),
+          |  (6, 'Mexico 4/',       '1', '0', '18','2','20','0', '1',  2, 'PROJ')),
+          |lab AS (SELECT *,
+          |  upper(trim(regexp_replace(geo, '\b\d{1,2}/', '', 'g'))) AS label
+          |  FROM src),
+          |grp AS (SELECT *, last_value(CASE
+          |    WHEN label LIKE '%WORLD%' THEN 'RESUMEN'
+          |    WHEN label LIKE '%MAJOR EXPORTERS%' THEN 'MAJOR EXPORTERS'
+          |    WHEN label LIKE '%MAJOR IMPORTERS%' THEN 'MAJOR IMPORTERS'
+          |    END IGNORE NULLS) OVER (ORDER BY ri
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grupo
+          |  FROM lab),
+          |rep AS (SELECT *,
+          |  CASE WHEN trim(b)='' OR upper(trim(b))='NA' THEN 0.0 ELSE CAST(b AS DOUBLE) END AS beginning,
+          |  CASE WHEN trim(p)='' OR upper(trim(p))='NA' THEN 0.0 ELSE CAST(p AS DOUBLE) END AS production,
+          |  CASE WHEN trim(i)='' OR upper(trim(i))='NA' THEN 0.0 ELSE CAST(i AS DOUBLE) END AS imports,
+          |  CASE WHEN trim(df)='' OR upper(trim(df))='NA' THEN 0.0 ELSE CAST(df AS DOUBLE) END AS dom_feed,
+          |  CASE WHEN trim(dt)='' OR upper(trim(dt))='NA' THEN 0.0 ELSE CAST(dt AS DOUBLE) END AS dom_total,
+          |  CASE WHEN trim(e)='' OR upper(trim(e))='NA' THEN 0.0 ELSE CAST(e AS DOUBLE) END AS exports,
+          |  CASE WHEN trim(es)='' OR upper(trim(es))='NA' THEN 0.0 ELSE CAST(es AS DOUBLE) END AS ending
+          |  FROM grp)
+          |SELECT 'p22' AS sheet, 'WASDE-672' AS wasde, 'CORN' AS commodity,
+          |  'MILLION METRIC TONS' AS unit, CAST(n AS BIGINT) AS n,
+          |  '2025/26' AS harvest, tipo, grupo, label AS geography,
+          |  beginning, production, imports, dom_feed, dom_total, exports,
+          |  ending, dom_total + exports AS total_use,
+          |  CASE WHEN dom_total + exports = 0 THEN 0.0
+          |       ELSE ending / (dom_total + exports) * 100 END AS stocks_to_use
+          |FROM rep""".stripMargin)
   }
 }

@@ -81,6 +81,111 @@ object WasdeTransforms {
         Seq(col("total_use"), col("stocks_to_use")): _*)
   }
 
+  /** p22/p23-family world supply/use pages (`HTGPIWASDE/__init__.py:621-833`):
+    * unlike p18's fixed columns, these pages carry their own schema — every
+    * year block begins with a header row naming the measure columns, whose
+    * POSITIONS vary by page and vintage ("smart detection" in the
+    * reference), and sheet-level cells hold report id / commodity / unit
+    * metadata. Spark-first: detect header rows, compute a positional index
+    * struct per header, carry it forward with a window, and read each
+    * measure via a position-guarded `element_at` — schema detection as
+    * data, no driver pass over the sheet, parallel across sheets.
+    *
+    * Kept from the reference: `World` rows ARE data rows (group `RESUMEN`,
+    * `:685-686`), `Selected Other` / blank / `1/ Aggregate…` rows skipped
+    * (`:678-683`), block counter `n` alternates 1/2 (`:670-676`), NA/''
+    * repaired to 0, Total Use / Stocks-to-Use derived (`:714-718`).
+    * Dropped quirk (documented): the reference loses the EST/PROJ tag when
+    * the year header carries a footnote (`date.split()` length 3,
+    * `:698-702`); here the tag is pattern-extracted, footnote or not.
+    */
+  def parseWorldSupplyUse(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val w = Window.partitionBy(col("sheet")).orderBy(col("rowIdx"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // 1-based position of the first cell satisfying p, else 0
+    def firstPos(p: Column => Column): Column =
+      aggregate(sequence(lit(1), size(col("cells"))), lit(0),
+        (acc, i) => when(acc === lit(0) && p(element_at(col("cells"), i)), i)
+          .otherwise(acc))
+    // position-guarded cell read: null when the index is 0/null/past the row
+    def cellAt(idx: Column): Column =
+      when(idx > 0, try_element_at(col("cells"), idx.cast("int")))
+
+    val headerAt = array_position(col("cells"), "Beginning\nStocks").cast("int")
+    val yearIdx = firstPos(_.rlike("^\\d{4}/\\d{2}"))
+
+    // sheet-level metadata: tiny per-sheet aggregate, broadcast back
+    def firstCellLike(p: Column => Column): Column = {
+      val hits = filter(col("cells"), p)
+      when(size(hits) > 0, element_at(hits, 1))
+    }
+    val meta = rows.groupBy(col("sheet")).agg(
+      max(upper(regexp_replace(
+        firstCellLike(_.startsWith("WASDE")), " ", ""))).as("wasde"),
+      max(when(array_join(col("cells"), " ").rlike("World \\w+ Supply and Use"),
+        upper(regexp_extract(array_join(col("cells"), " "),
+          "World (\\w+) Supply and Use", 1)))).as("commodity"),
+      max(upper(firstCellLike(_.contains("Million Metric Tons")))).as("unit"))
+
+    val labeled = rows
+      .withColumn("is_header", headerAt > 0)
+      .withColumn("hmap", last(when(col("is_header"), struct(
+          yearIdx.cast("int").as("di"),
+          headerAt.as("bi"),
+          array_position(col("cells"), "Production").cast("int").as("pi"),
+          array_position(col("cells"), "Imports").cast("int").as("ii"),
+          firstPos(_.contains("Domestic\nFeed")).cast("int").as("dfi"),
+          firstPos(_.contains("Domestic\nTotal")).cast("int").as("dti"),
+          array_position(col("cells"), "Exports").cast("int").as("ei"),
+          array_position(col("cells"), "Ending\nStocks").cast("int").as("esi"))),
+        ignoreNulls = true).over(run))
+      .withColumn("hdrn", sum(col("is_header").cast("int")).over(run))
+      .withColumn("n", when(col("hdrn") % 2 === 1, 1L).otherwise(2L))
+      .withColumn("harvest", last(when(col("is_header"),
+          regexp_extract(cellAt(yearIdx), "^(\\d{4}/\\d{2})", 1)),
+        ignoreNulls = true).over(run))
+      .withColumn("tipo", last(when(col("is_header"),
+          when(cellAt(yearIdx).contains("Est"), "EST")
+            .when(cellAt(yearIdx).contains("Proj"), "PROJ")
+            .otherwise("YEAR")),
+        ignoreNulls = true).over(run))
+      .withColumn("geo_raw", cellAt(col("hmap.di")))
+      .withColumn("label", upper(stripFootnotes(col("geo_raw"))))
+      .withColumn("grupo", last(
+          when(col("label").contains("WORLD"), "RESUMEN")
+            .when(col("label").contains("MAJOR EXPORTERS"), "MAJOR EXPORTERS")
+            .when(col("label").contains("MAJOR IMPORTERS"), "MAJOR IMPORTERS"),
+        ignoreNulls = true).over(run))
+
+    def measure(field: String): Column =
+      Transforms.repairNumeric(cellAt(col(s"hmap.$field")))
+
+    labeled
+      .filter(!col("is_header") && col("hmap").isNotNull &&
+        col("geo_raw").isNotNull && trim(col("geo_raw")) =!= "" &&
+        !col("geo_raw").startsWith("1/ Aggregate") &&
+        !col("label").contains("SELECTED OTHER"))
+      .withColumn("beginning", measure("bi"))
+      .withColumn("production", measure("pi"))
+      .withColumn("imports", measure("ii"))
+      .withColumn("dom_feed", measure("dfi"))
+      .withColumn("dom_total", measure("dti"))
+      .withColumn("exports", measure("ei"))
+      .withColumn("ending", measure("esi"))
+      .withColumn("total_use", col("dom_total") + col("exports"))
+      .withColumn("stocks_to_use",
+        Transforms.guardedRatio(col("ending"), col("total_use"), lit(100)))
+      .join(broadcast(meta), Seq("sheet"), "left")
+      .select(col("sheet"), col("wasde"), col("commodity"), col("unit"),
+        col("n"), col("harvest"), col("tipo"), col("grupo"),
+        col("label").as("geography"),
+        col("beginning"), col("production"), col("imports"), col("dom_feed"),
+        col("dom_total"), col("exports"), col("ending"),
+        col("total_use"), col("stocks_to_use"))
+  }
+
   /** SO4 — the p11 transpose (`HTGPIWASDE/__init__.py:358,369`): a block
     * parsed as attributes-as-rows × years-as-columns flips to one row per
     * year with attributes as columns. `DataFrame.T` in pandas; melt + pivot

@@ -180,6 +180,37 @@ class PipelinesSpec extends AnyFunSuite {
     assert(js.contains("\"forecast\":0.87") && js.contains("close_points"))
   }
 
+  test("p22 world parser maps columns by header NAME, not position") {
+    import graft.pipelines.WasdeTransforms
+    // two sheets, same measures, deliberately different column orders —
+    // the positional map must be detected per header row, per sheet
+    val rows: Seq[(String, Long, Seq[String])] = Seq(
+      ("a", 0L, Seq("WASDE-700")),
+      ("a", 1L, Seq("World Wheat Supply and Use")),
+      ("a", 2L, Seq("Million Metric Tons")),
+      ("a", 3L, Seq("2026/27 (Proj.)", "Beginning\nStocks", "Production",
+        "Imports", "Domestic\nFeed", "Domestic\nTotal", "Exports",
+        "Ending\nStocks")),
+      ("a", 4L, Seq("World", "1", "2", "3", "4", "5", "6", "7")),
+      ("b", 0L, Seq("WASDE-700")),
+      ("b", 1L, Seq("World Wheat Supply and Use")),
+      ("b", 2L, Seq("Million Metric Tons")),
+      // reversed-ish layout: Production BEFORE Beginning, Exports early
+      ("b", 3L, Seq("2026/27 (Proj.)", "Production", "Beginning\nStocks",
+        "Exports", "Imports", "Domestic\nFeed", "Domestic\nTotal",
+        "Ending\nStocks")),
+      ("b", 4L, Seq("World", "100", "1", "6", "2", "3", "5", "9")))
+    val out = WasdeTransforms.parseWorldSupplyUse(
+      rows.toDF("sheet", "rowIdx", "cells"))
+      .select("sheet", "beginning", "production", "imports", "dom_feed",
+        "dom_total", "exports", "ending", "total_use")
+      .collect().map(r => r.getString(0) ->
+        (1 to 8).map(r.getDouble)).toMap
+    assert(out("a") == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 11.0))
+    // same logical values despite the permuted physical layout
+    assert(out("b") == Seq(1.0, 100.0, 2.0, 3.0, 5.0, 6.0, 9.0, 11.0))
+  }
+
   test("agricensus: drop junk col, watermark filter, stamp (HTGPIAGRICENSUS)") {
     import java.sql.Date
     val feed = Seq(
