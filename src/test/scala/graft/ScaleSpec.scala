@@ -242,4 +242,87 @@ class ScaleSpec extends AnyFunSuite {
     assert(perFile._1 < global._1 * 0.7, s"custkey span $perFile vs $global")
     assert(perFile._2 < global._2 * 0.7, s"day span $perFile vs $global")
   }
+
+  test("z-order file stats PRUNE a narrow box in either dim — losslessly") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val raw = Tables.orders(spark, sfDir)
+      .withColumn("day", datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long"))
+    val (ckMin, ckMax, dMin, dMax) = raw.agg(
+      min("o_custkey"), max("o_custkey"), min("day"), max("day"))
+      .as[(Long, Long, Long, Long)].head()
+    def scale16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      ((c - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("long")
+    val o = raw.select(col("o_orderkey"), col("o_custkey"), col("day"),
+      Transforms.zorder16(scale16(col("o_custkey"), ckMin, ckMax),
+        scale16(col("day"), dMin, dMax)).as("z"))
+    val dirPath = java.nio.file.Files.createTempDirectory("zprune")
+    try {
+      val nFiles = 16
+      val zDir = dirPath.resolve("zord").toString
+      val dayDir = dirPath.resolve("daysort").toString
+      o.repartitionByRange(nFiles, col("z")).sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(zDir)
+      // the single-dimension baseline every warehouse already has: the
+      // same data range-partitioned by day alone
+      o.repartitionByRange(nFiles, col("day")).sortWithinPartitions(col("day"))
+        .write.mode("overwrite").parquet(dayDir)
+
+      // the file-stats catalog a planner consults: per-file min/max of
+      // each clustered dimension (what parquet footers hold)
+      def stats(dir: String) = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("o_custkey").as("ck_lo"), max("o_custkey").as("ck_hi"),
+          min("day").as("d_lo"), max("day").as("d_hi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val zStats = stats(zDir)
+      val dayStats = stats(dayDir)
+      assert(zStats.length == nFiles && dayStats.length == nFiles)
+
+      // 10%-wide box per dimension, placed inside one curve half (a box
+      // straddling the top-bit midpoint legitimately touches both halves)
+      def box(lo: Long, hi: Long): (Long, Long) = {
+        val span = hi - lo
+        (lo + (span * 0.30).toLong, lo + (span * 0.40).toLong)
+      }
+      val (ckLo, ckHi) = box(ckMin, ckMax)
+      val (dLo, dHi) = box(dMin, dMax)
+      def ckHits(s: Array[(String, Long, Long, Long, Long)]) =
+        s.filter { case (_, l, h, _, _) => h >= ckLo && l <= ckHi }
+      def dayHits(s: Array[(String, Long, Long, Long, Long)]) =
+        s.filter { case (_, _, _, l, h) => h >= dLo && l <= dHi }
+
+      // day-sorted layout: day prunes perfectly, custkey not at all —
+      // every file's custkey range covers the box
+      assert(ckHits(dayStats).length >= nFiles - 1,
+        s"baseline should NOT prune custkey: ${ckHits(dayStats).length}/$nFiles")
+      // z-order: BOTH dimensions prune. custkey splits on 2 curve bits at
+      // 16 files (quarters + range-boundary straddle) — strictly better
+      // than the baseline's nothing; day keeps real pruning too
+      val zCk = ckHits(zStats).length
+      val zDay = dayHits(zStats).length
+      assert(zCk <= (nFiles * 3) / 4, s"custkey box hit $zCk/$nFiles z-files")
+      assert(zDay <= nFiles / 2, s"day box hit $zDay/$nFiles z-files")
+
+      // losslessness: scanning ONLY the stat-intersecting files returns
+      // exactly the full-scan result for the box predicate
+      val wantCk = spark.read.parquet(zDir)
+        .filter(col("o_custkey").between(ckLo, ckHi)).count()
+      val gotCk = spark.read.parquet(ckHits(zStats).map(_._1): _*)
+        .filter(col("o_custkey").between(ckLo, ckHi)).count()
+      assert(gotCk == wantCk && wantCk > 0)
+      val wantD = spark.read.parquet(zDir)
+        .filter(col("day").between(dLo, dHi)).count()
+      val gotD = spark.read.parquet(dayHits(zStats).map(_._1): _*)
+        .filter(col("day").between(dLo, dHi)).count()
+      assert(gotD == wantD && wantD > 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
