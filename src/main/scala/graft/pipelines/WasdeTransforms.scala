@@ -124,9 +124,11 @@ object WasdeTransforms {
     val meta = rows.groupBy(col("sheet")).agg(
       max(upper(regexp_replace(
         firstCellLike(_.startsWith("WASDE")), " ", ""))).as("wasde"),
-      max(when(array_join(col("cells"), " ").rlike("World \\w+ Supply and Use"),
+      // non-greedy: multi-word commodities (p28 Soybean, p30 Soybean Oil —
+      // `:854-857,1095-1098`) are one capture, not just the first word
+      max(when(array_join(col("cells"), " ").rlike("World .+ Supply and Use"),
         upper(regexp_extract(array_join(col("cells"), " "),
-          "World (\\w+) Supply and Use", 1)))).as("commodity"),
+          "World (.+?) Supply and Use", 1)))).as("commodity"),
       max(upper(firstCellLike(_.contains("Million Metric Tons")))).as("unit"))
 
     val labeled = rows

@@ -211,6 +211,27 @@ class PipelinesSpec extends AnyFunSuite {
     assert(out("b") == Seq(1.0, 100.0, 2.0, 3.0, 5.0, 6.0, 9.0, 11.0))
   }
 
+  test("p30-shaped page: two-word commodity, absent Domestic Feed column") {
+    import graft.pipelines.WasdeTransforms
+    val rows: Seq[(String, Long, Seq[String])] = Seq(
+      ("p30", 0L, Seq("WASDE-672", "World Soybean Oil Supply and Use 1/")),
+      ("p30", 1L, Seq("Million Metric Tons")),
+      // p30 has no Domestic\nFeed column (HTGPIWASDE/__init__.py:1078-1110)
+      ("p30", 2L, Seq("2025/26 (Est.)", "Beginning\nStocks", "Production",
+        "Imports", "Domestic\nTotal", "Exports", "Ending\nStocks")),
+      ("p30", 3L, Seq("World", "1", "50", "2", "40", "9", "4")))
+    val out = WasdeTransforms.parseWorldSupplyUse(
+      rows.toDF("sheet", "rowIdx", "cells")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("commodity") == "SOYBEAN OIL")
+    assert(r.getAs[Double]("dom_feed") == 0.0) // absent column reads as 0
+    assert(r.getAs[Double]("dom_total") == 40.0)
+    assert(r.getAs[Double]("exports") == 9.0)
+    assert(r.getAs[Double]("total_use") == 49.0)
+    assert(r.getAs[String]("tipo") == "EST")
+  }
+
   test("agricensus: drop junk col, watermark filter, stamp (HTGPIAGRICENSUS)") {
     import java.sql.Date
     val feed = Seq(
