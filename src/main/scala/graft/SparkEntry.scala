@@ -718,6 +718,30 @@ object SparkEntry {
         rows.toDF("sheet", "rowIdx", "cells"))
     }),
 
+    // The p23-family by-report-date page (HTGPIWASDE/__init__.py:724-833):
+    // report-date column left of Beginning Stocks, several rows per
+    // geography (blank continuation carried), orden=1 at each new
+    // geography run. Oracle re-applies carry/skip/orden/repair in SQL.
+    "q85_wasde_report_dates" -> ((s, d) => {
+      import s.implicits._
+      val rows: Seq[(String, Long, Seq[String])] = Seq(
+        ("p23", 0L, Seq("WASDE-672", "World Soybean Supply and Use")),
+        ("p23", 1L, Seq("Million Metric Tons")),
+        ("p23", 2L, Seq("2025/26 (Proj.)", "", "Beginning\nStocks",
+          "Production", "Imports", "Domestic\nFeed", "Domestic\nTotal",
+          "Exports", "Ending\nStocks")),
+        ("p23", 3L, Seq("World", "Apr", "1", "2", "3", "4", "5", "6", "7")),
+        ("p23", 4L, Seq("", "May", "2", "3", "NA", "5", "6", "7", "8")),
+        ("p23", 5L, Seq("Major Exporters", "Apr", "0", "1", "2", "3", "4", "5", "6")),
+        ("p23", 6L, Seq("Brazil", "Apr", "9", "8", "7", "6", "5", "4", "3")),
+        ("p23", 7L, Seq("", "May", "9", "9", "9", "", "9", "9", "9")),
+        ("p23", 8L, Seq("Selected Other", "Apr", "0", "0", "0", "0", "0", "0", "0")),
+        ("p23", 9L, Seq("", "", "", "", "", "", "", "", "")),
+        ("p23", 10L, Seq("1/ Aggregate of local marketing years.", "")))
+      graft.pipelines.WasdeTransforms.parseWorldByReportDate(
+        rows.toDF("sheet", "rowIdx", "cells"))
+    }),
+
     // J3 at scale — banded radius join (SURVEY §4 custom piece 3): same
     // result set as crossJoin+filter, shuffle-hash-join plan on a band key.
     "q38_geo_radius_join" -> ((s, d) =>
@@ -2245,6 +2269,57 @@ object SparkEntry {
           |SELECT 'p22' AS sheet, 'WASDE-672' AS wasde, 'CORN' AS commodity,
           |  'MILLION METRIC TONS' AS unit, CAST(n AS BIGINT) AS n,
           |  '2025/26' AS harvest, tipo, grupo, label AS geography,
+          |  beginning, production, imports, dom_feed, dom_total, exports,
+          |  ending, dom_total + exports AS total_use,
+          |  CASE WHEN dom_total + exports = 0 THEN 0.0
+          |       ELSE ending / (dom_total + exports) * 100 END AS stocks_to_use
+          |FROM rep""".stripMargin) +
+      // Mirrors the p23 pipeline including SKIPPED raw rows, so the SQL
+      // re-derives geography carry, skip rules, orden runs, and repair.
+      ("q85_wasde_report_dates" ->
+        """WITH src(ri, geo, rdate, b, p, i, df, dt, e, es) AS (VALUES
+          |  (3, 'World',           'Apr', '1','2','3', '4','5','6','7'),
+          |  (4, '',                'May', '2','3','NA','5','6','7','8'),
+          |  (5, 'Major Exporters', 'Apr', '0','1','2', '3','4','5','6'),
+          |  (6, 'Brazil',          'Apr', '9','8','7', '6','5','4','3'),
+          |  (7, '',                'May', '9','9','9', '', '9','9','9'),
+          |  (8, 'Selected Other',  'Apr', '0','0','0', '0','0','0','0'),
+          |  (9, '',                '',    '', '', '',  '', '', '', ''),
+          |  (10,'1/ Aggregate of local marketing years.', '',
+          |      '', '', '', '', '', '', '')),
+          |carried AS (SELECT *, last_value(CASE WHEN trim(geo) <> '' THEN geo
+          |    END IGNORE NULLS) OVER (ORDER BY ri
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS geoc
+          |  FROM src),
+          |lab AS (SELECT *,
+          |  upper(trim(regexp_replace(geoc, '\b\d{1,2}/', '', 'g'))) AS label
+          |  FROM carried),
+          |grp AS (SELECT *, last_value(CASE
+          |    WHEN label LIKE '%WORLD%' THEN 'RESUMEN'
+          |    WHEN label LIKE '%MAJOR EXPORTERS%' THEN 'MAJOR EXPORTERS'
+          |    WHEN label LIKE '%MAJOR IMPORTERS%' THEN 'MAJOR IMPORTERS'
+          |    END IGNORE NULLS) OVER (ORDER BY ri
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grupo
+          |  FROM lab),
+          |kept AS (SELECT * FROM grp
+          |  WHERE NOT (trim(geo) = '' AND trim(rdate) = '')
+          |    AND geo NOT LIKE '1/ Aggregate%'
+          |    AND label NOT LIKE '%SELECTED OTHER%'),
+          |ord AS (SELECT *, CASE WHEN lag(label) OVER (ORDER BY ri) = label
+          |    THEN 2 ELSE 1 END AS orden FROM kept),
+          |rep AS (SELECT *,
+          |  CASE WHEN trim(b)='' OR upper(trim(b))='NA' THEN 0.0 ELSE CAST(b AS DOUBLE) END AS beginning,
+          |  CASE WHEN trim(p)='' OR upper(trim(p))='NA' THEN 0.0 ELSE CAST(p AS DOUBLE) END AS production,
+          |  CASE WHEN trim(i)='' OR upper(trim(i))='NA' THEN 0.0 ELSE CAST(i AS DOUBLE) END AS imports,
+          |  CASE WHEN trim(df)='' OR upper(trim(df))='NA' THEN 0.0 ELSE CAST(df AS DOUBLE) END AS dom_feed,
+          |  CASE WHEN trim(dt)='' OR upper(trim(dt))='NA' THEN 0.0 ELSE CAST(dt AS DOUBLE) END AS dom_total,
+          |  CASE WHEN trim(e)='' OR upper(trim(e))='NA' THEN 0.0 ELSE CAST(e AS DOUBLE) END AS exports,
+          |  CASE WHEN trim(es)='' OR upper(trim(es))='NA' THEN 0.0 ELSE CAST(es AS DOUBLE) END AS ending
+          |  FROM ord)
+          |SELECT 'p23' AS sheet, 'WASDE-672' AS wasde, 'SOYBEAN' AS commodity,
+          |  'MILLION METRIC TONS' AS unit, '2025/26' AS harvest,
+          |  'PROJ' AS tipo, grupo, label AS geography,
+          |  upper(rdate) AS report_date, CAST(orden AS BIGINT) AS orden,
           |  beginning, production, imports, dom_feed, dom_total, exports,
           |  ending, dom_total + exports AS total_use,
           |  CASE WHEN dom_total + exports = 0 THEN 0.0

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Transforms
@@ -99,29 +99,32 @@ object WasdeTransforms {
     * the year header carries a footnote (`date.split()` length 3,
     * `:698-702`); here the tag is pattern-extracted, footnote or not.
     */
-  def parseWorldSupplyUse(rows: DataFrame): DataFrame = {
-    import org.apache.spark.sql.Column
-    val w = Window.partitionBy(col("sheet")).orderBy(col("rowIdx"))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  // ---- shared scaffolding for the p22/p23 world-page family ------------
 
-    // 1-based position of the first cell satisfying p, else 0
-    def firstPos(p: Column => Column): Column =
-      aggregate(sequence(lit(1), size(col("cells"))), lit(0),
-        (acc, i) => when(acc === lit(0) && p(element_at(col("cells"), i)), i)
-          .otherwise(acc))
-    // position-guarded cell read: null when the index is 0/null/past the row
-    def cellAt(idx: Column): Column =
-      when(idx > 0, try_element_at(col("cells"), idx.cast("int")))
+  /** 1-based position of the first cell satisfying p, else 0. */
+  private def firstPos(p: Column => Column): Column =
+    aggregate(sequence(lit(1), size(col("cells"))), lit(0),
+      (acc, i) => when(acc === lit(0) && p(element_at(col("cells"), i)), i)
+        .otherwise(acc))
 
-    val headerAt = array_position(col("cells"), "Beginning\nStocks").cast("int")
-    val yearIdx = firstPos(_.rlike("^\\d{4}/\\d{2}"))
+  /** Position-guarded cell read: null when the index is 0/null/past row. */
+  private def cellAt(idx: Column): Column =
+    when(idx > 0, try_element_at(col("cells"), idx.cast("int")))
 
-    // sheet-level metadata: tiny per-sheet aggregate, broadcast back
-    def firstCellLike(p: Column => Column): Column = {
+  private def worldHeaderAt: Column =
+    array_position(col("cells"), "Beginning\nStocks").cast("int")
+
+  private def worldYearIdx: Column =
+    firstPos(_.rlike("^\\d{4}/\\d{2}"))
+
+  /** Sheet-level metadata (report id / commodity / unit): tiny per-sheet
+    * aggregate, broadcast back onto the parsed rows. */
+  private def worldMeta(rows: DataFrame): DataFrame = {
+    def firstCellLike(p: Column => Column) = {
       val hits = filter(col("cells"), p)
       when(size(hits) > 0, element_at(hits, 1))
     }
-    val meta = rows.groupBy(col("sheet")).agg(
+    rows.groupBy(col("sheet")).agg(
       max(upper(regexp_replace(
         firstCellLike(_.startsWith("WASDE")), " ", ""))).as("wasde"),
       // non-greedy: multi-word commodities (p28 Soybean, p30 Soybean Oil —
@@ -130,6 +133,14 @@ object WasdeTransforms {
         upper(regexp_extract(array_join(col("cells"), " "),
           "World (.+?) Supply and Use", 1)))).as("commodity"),
       max(upper(firstCellLike(_.contains("Million Metric Tons")))).as("unit"))
+  }
+
+  def parseWorldSupplyUse(rows: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sheet")).orderBy(col("rowIdx"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val headerAt = worldHeaderAt
+    val yearIdx = worldYearIdx
+    val meta = worldMeta(rows)
 
     val labeled = rows
       .withColumn("is_header", headerAt > 0)
@@ -183,6 +194,89 @@ object WasdeTransforms {
       .select(col("sheet"), col("wasde"), col("commodity"), col("unit"),
         col("n"), col("harvest"), col("tipo"), col("grupo"),
         col("label").as("geography"),
+        col("beginning"), col("production"), col("imports"), col("dom_feed"),
+        col("dom_total"), col("exports"), col("ending"),
+        col("total_use"), col("stocks_to_use"))
+  }
+
+  /** p23-family by-report-date pages (`HTGPIWASDE/__init__.py:724-833`):
+    * same positional header detection as [[parseWorldSupplyUse]], plus a
+    * report-date column sitting immediately LEFT of `Beginning Stocks`
+    * (`report_date_index = begin_stock_index - 1`, `:786`), multiple rows
+    * per geography (one per report), blank continuation geographies carried
+    * from the previous row (`:836-838`), and `orden` numbering a row 1 when
+    * it starts a new geography run and 2 otherwise (`:841-845`). A row is
+    * kept when EITHER the geography cell or the report-date cell is
+    * non-blank (`:808`). */
+  def parseWorldByReportDate(rows: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sheet")).orderBy(col("rowIdx"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val headerAt = worldHeaderAt
+    val yearIdx = worldYearIdx
+    val meta = worldMeta(rows)
+
+    val labeled = rows
+      .withColumn("is_header", headerAt > 0)
+      .withColumn("hmap", last(when(col("is_header"), struct(
+          yearIdx.cast("int").as("di"),
+          headerAt.as("bi"),
+          (headerAt - 1).as("rdi"),
+          array_position(col("cells"), "Production").cast("int").as("pi"),
+          array_position(col("cells"), "Imports").cast("int").as("ii"),
+          firstPos(_.contains("Domestic\nFeed")).cast("int").as("dfi"),
+          firstPos(_.contains("Domestic\nTotal")).cast("int").as("dti"),
+          array_position(col("cells"), "Exports").cast("int").as("ei"),
+          array_position(col("cells"), "Ending\nStocks").cast("int").as("esi"))),
+        ignoreNulls = true).over(run))
+      .withColumn("harvest", last(when(col("is_header"),
+          regexp_extract(cellAt(yearIdx), "^(\\d{4}/\\d{2})", 1)),
+        ignoreNulls = true).over(run))
+      .withColumn("tipo", last(when(col("is_header"),
+          when(cellAt(yearIdx).contains("Est"), "EST")
+            .when(cellAt(yearIdx).contains("Proj"), "PROJ")
+            .otherwise("YEAR")),
+        ignoreNulls = true).over(run))
+      .withColumn("geo_cell", cellAt(col("hmap.di")))
+      .withColumn("report_raw", cellAt(col("hmap.rdi")))
+      // blank geography + present report date ⇒ continuation of the
+      // previous geography (the reference copies the cell from row-1)
+      .withColumn("geo_carried", last(
+          when(!col("is_header") && trim(coalesce(col("geo_cell"), lit(""))) =!= "",
+            col("geo_cell")), ignoreNulls = true).over(run))
+      .withColumn("label", upper(stripFootnotes(col("geo_carried"))))
+      .withColumn("grupo", last(
+          when(col("label").contains("WORLD"), "RESUMEN")
+            .when(col("label").contains("MAJOR EXPORTERS"), "MAJOR EXPORTERS")
+            .when(col("label").contains("MAJOR IMPORTERS"), "MAJOR IMPORTERS"),
+        ignoreNulls = true).over(run))
+
+    def measure(field: String): Column =
+      Transforms.repairNumeric(cellAt(col(s"hmap.$field")))
+
+    labeled
+      .filter(!col("is_header") && col("hmap").isNotNull &&
+        !(trim(coalesce(col("geo_cell"), lit(""))) === "" &&
+          trim(coalesce(col("report_raw"), lit(""))) === "") &&
+        !coalesce(col("geo_cell"), lit("")).startsWith("1/ Aggregate") &&
+        !col("label").contains("SELECTED OTHER"))
+      // orden over SURVIVING rows: 1 at the start of a geography run
+      .withColumn("orden",
+        when(lag(col("label"), 1).over(w) === col("label"), 2L).otherwise(1L))
+      .withColumn("report_date", upper(coalesce(col("report_raw"), lit(""))))
+      .withColumn("beginning", measure("bi"))
+      .withColumn("production", measure("pi"))
+      .withColumn("imports", measure("ii"))
+      .withColumn("dom_feed", measure("dfi"))
+      .withColumn("dom_total", measure("dti"))
+      .withColumn("exports", measure("ei"))
+      .withColumn("ending", measure("esi"))
+      .withColumn("total_use", col("dom_total") + col("exports"))
+      .withColumn("stocks_to_use",
+        Transforms.guardedRatio(col("ending"), col("total_use"), lit(100)))
+      .join(broadcast(meta), Seq("sheet"), "left")
+      .select(col("sheet"), col("wasde"), col("commodity"), col("unit"),
+        col("harvest"), col("tipo"), col("grupo"),
+        col("label").as("geography"), col("report_date"), col("orden"),
         col("beginning"), col("production"), col("imports"), col("dom_feed"),
         col("dom_total"), col("exports"), col("ending"),
         col("total_use"), col("stocks_to_use"))
