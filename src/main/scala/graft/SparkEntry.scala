@@ -682,7 +682,7 @@ object SparkEntry {
         .select(Similarity.toDoubleArray(col("embedding")))
         .head().getSeq[Double](0)
       val (model, indexed) = Similarity.ivfIndex(
-        e, "vec_id", "embedding", nLists = 8, maxIter = 5)
+        e, "vec_id", "embedding", nLists = 8, maxIter = 5, fitSample = 0.25)
       Similarity.ivfTopK(model, indexed, "vec_id", "embedding",
         qvec, k = 10, nProbe = 8)
         .select(col("vec_id"), round(col("sim"), 6).as("sim_r"))

@@ -69,12 +69,19 @@ object Similarity {
     * via nProbe. Approximate by construction; pair with
     * [[bruteForceTopK]] when exactness is required. */
   def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, seed: Long = 42L,
-      maxIter: Int = 20): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+      nLists: Int, seed: Long = 42L, maxIter: Int = 20,
+      fitSample: Double = 1.0): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     val withFeat = vectors.withColumn("_feat",
       array_to_vector(toDoubleArray(col(vecCol))))
+    // the 100 TB shape: centers come from a SAMPLE (clustering quality
+    // needs only a sketch of the distribution); the full corpus is then
+    // assigned map-side by model.transform. Probe results stay exact for
+    // nProbe = nLists no matter what the sample produced.
+    val fitOn =
+      if (fitSample >= 1.0) withFeat
+      else withFeat.sample(withReplacement = false, fitSample, seed)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("_feat").setPredictionCol("_cell").fit(withFeat)
+      .setFeaturesCol("_feat").setPredictionCol("_cell").fit(fitOn)
     val indexed = model.transform(withFeat)
       .select(col(idCol), col(vecCol), col("_cell").as("cell"))
     (model, indexed)
