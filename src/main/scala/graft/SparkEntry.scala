@@ -614,8 +614,12 @@ object SparkEntry {
       val today = java.time.LocalDate.of(2026, 1, 6)
       val wm = Seq(("A", "2026-01-03"), ("B", "2026-01-05"), ("C", "2026-01-10"))
         .toDF("entity", "max_date")
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_ingest_src")
-      val stageDir = java.nio.file.Files.createTempDirectory("graft_ingest_stage")
+      // fixed scratch dirs (contents overwritten per run — repeated
+      // bench/verify invocations must not litter the filesystem)
+      val srcDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "tmp", "q80_src"))
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "tmp", "q80_stage"))
       val fetcher = new graft.sources.StagedIngest.LocalFileFetcher(spec => {
         // upstream over-delivers: the whole window regardless of `from`
         val p = srcDir.resolve(s"${spec.entity}.csv")
@@ -659,7 +663,10 @@ object SparkEntry {
     // the others — DELETE+INSERT semantics, proven by writing twice.
     "q82_idempotent_reload" -> ((s, d) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_reload").toString
+      // fixed scratch dir: every run rewrites the same two month
+      // partitions (dynamic overwrite), so reruns never accumulate files
+      val dir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "tmp", "q82_reload")).toString
       val batch1 = Seq(("2026-01", "a", 1.0), ("2026-01", "b", 2.0),
         ("2026-02", "c", 3.0)).toDF("month", "k", "v")
       val batch2 = Seq(("2026-02", "c", 30.0), ("2026-02", "d", 4.0))

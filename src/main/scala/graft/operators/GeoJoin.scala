@@ -103,20 +103,27 @@ object GeoJoin {
       knnJoinBanded(left, right, k, radiusM, leftKey, rightKey,
         lat1, lon1, lat2, lon2)
 
-  /** Memoized dispatch probe, keyed by the right side's canonicalized plan
-    * (+ threshold): repeated kNN calls against the same dimension table run
-    * ONE probe job, not one per call. The probe itself is bounded —
-    * limit(max+1).count() — so a huge right side never materializes just to
-    * compare sizes. Bounded cache; cleared wholesale if it ever grows past
-    * 64 distinct plans (dimension tables are few by nature). */
-  private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), java.lang.Boolean]()
+  /** Memoized dispatch probe, keyed by the right side's analyzed-plan
+    * OBJECT: repeated kNN calls against the same DataFrame run ONE probe
+    * job, not one per call. Identity (not canonical-equality) keying means
+    * an equal-but-rebuilt plan re-probes — deliberately, because a rebuilt
+    * plan may see new data, and a stale "small" verdict would route a
+    * now-huge side into the broadcast path. Weak keys: the cache never
+    * pins a plan (or its LocalRelation rows) past the caller's own
+    * reference. The probe itself is bounded — limit(max+1).count() — so a
+    * huge right side never materializes just to compare sizes. The probe
+    * job deliberately runs OUTSIDE the map lock (a benign duplicate probe
+    * beats holding a lock across a Spark job). */
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, Map[Long, Boolean]]())
 
   private def rightIsSmall(right: DataFrame, max: Long): Boolean = {
-    val key = (right.queryExecution.analyzed.canonicalized, max)
-    if (probeCache.size > 64) probeCache.clear()
-    probeCache.computeIfAbsent(key,
-      _ => right.limit((max + 1).toInt).count() <= max)
+    val key: AnyRef = right.queryExecution.analyzed
+    Option(probeCache.get(key)).flatMap(_.get(max)).getOrElse {
+      val small = right.limit((max + 1).toInt).count() <= max
+      probeCache.merge(key, Map(max -> small), (a, b) => a ++ b)
+      small
+    }
   }
 
   /** Broadcast kNN: collect the (small) right side once, then each left row

@@ -77,9 +77,16 @@ object Similarity {
     // needs only a sketch of the distribution); the full corpus is then
     // assigned map-side by model.transform. Probe results stay exact for
     // nProbe = nLists no matter what the sample produced.
-    val fitOn =
+    val fitOn = {
       if (fitSample >= 1.0) withFeat
-      else withFeat.sample(withReplacement = false, fitSample, seed)
+      else {
+        val s = withFeat.sample(withReplacement = false, fitSample, seed)
+        // a Bernoulli sample of a small corpus can come back with fewer
+        // rows than centers (or none) — fall back to the full set; the
+        // probe (bounded limit+count) costs one tiny job at index build
+        if (s.limit(nLists).count() < nLists) withFeat else s
+      }
+    }
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_feat").setPredictionCol("_cell").fit(fitOn)
     val indexed = model.transform(withFeat)

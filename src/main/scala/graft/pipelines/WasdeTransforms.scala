@@ -135,18 +135,21 @@ object WasdeTransforms {
       max(upper(firstCellLike(_.contains("Million Metric Tons")))).as("unit"))
   }
 
-  def parseWorldSupplyUse(rows: DataFrame): DataFrame = {
+  /** Header detection + positional map + year/tipo carry shared by the
+    * p22 and p23 parsers: adds `is_header`, `hmap` (positional index
+    * struct, incl. `rdi` = the column left of Beginning Stocks), `hdrn`
+    * (running header count), `harvest`, `tipo`. */
+  private def worldScaffold(rows: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("sheet")).orderBy(col("rowIdx"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val headerAt = worldHeaderAt
     val yearIdx = worldYearIdx
-    val meta = worldMeta(rows)
-
-    val labeled = rows
+    rows
       .withColumn("is_header", headerAt > 0)
       .withColumn("hmap", last(when(col("is_header"), struct(
           yearIdx.cast("int").as("di"),
           headerAt.as("bi"),
+          (headerAt - 1).as("rdi"),
           array_position(col("cells"), "Production").cast("int").as("pi"),
           array_position(col("cells"), "Imports").cast("int").as("ii"),
           firstPos(_.contains("Domestic\nFeed")).cast("int").as("dfi"),
@@ -155,7 +158,6 @@ object WasdeTransforms {
           array_position(col("cells"), "Ending\nStocks").cast("int").as("esi"))),
         ignoreNulls = true).over(run))
       .withColumn("hdrn", sum(col("is_header").cast("int")).over(run))
-      .withColumn("n", when(col("hdrn") % 2 === 1, 1L).otherwise(2L))
       .withColumn("harvest", last(when(col("is_header"),
           regexp_extract(cellAt(yearIdx), "^(\\d{4}/\\d{2})", 1)),
         ignoreNulls = true).over(run))
@@ -164,23 +166,22 @@ object WasdeTransforms {
             .when(cellAt(yearIdx).contains("Proj"), "PROJ")
             .otherwise("YEAR")),
         ignoreNulls = true).over(run))
-      .withColumn("geo_raw", cellAt(col("hmap.di")))
-      .withColumn("label", upper(stripFootnotes(col("geo_raw"))))
-      .withColumn("grupo", last(
-          when(col("label").contains("WORLD"), "RESUMEN")
-            .when(col("label").contains("MAJOR EXPORTERS"), "MAJOR EXPORTERS")
-            .when(col("label").contains("MAJOR IMPORTERS"), "MAJOR IMPORTERS"),
-        ignoreNulls = true).over(run))
+  }
 
+  /** Sticky group assignment over the carried `label` column (`:684-690`). */
+  private def worldGrupo(run: org.apache.spark.sql.expressions.WindowSpec): Column =
+    last(
+      when(col("label").contains("WORLD"), "RESUMEN")
+        .when(col("label").contains("MAJOR EXPORTERS"), "MAJOR EXPORTERS")
+        .when(col("label").contains("MAJOR IMPORTERS"), "MAJOR IMPORTERS"),
+      ignoreNulls = true).over(run)
+
+  /** NA/''-repaired measures via the carried positional map + derived
+    * Total Use / Stocks-to-Use (`:714-718`). */
+  private def worldMeasures(df: DataFrame): DataFrame = {
     def measure(field: String): Column =
       Transforms.repairNumeric(cellAt(col(s"hmap.$field")))
-
-    labeled
-      .filter(!col("is_header") && col("hmap").isNotNull &&
-        col("geo_raw").isNotNull && trim(col("geo_raw")) =!= "" &&
-        !col("geo_raw").startsWith("1/ Aggregate") &&
-        !col("label").contains("SELECTED OTHER"))
-      .withColumn("beginning", measure("bi"))
+    df.withColumn("beginning", measure("bi"))
       .withColumn("production", measure("pi"))
       .withColumn("imports", measure("ii"))
       .withColumn("dom_feed", measure("dfi"))
@@ -190,7 +191,24 @@ object WasdeTransforms {
       .withColumn("total_use", col("dom_total") + col("exports"))
       .withColumn("stocks_to_use",
         Transforms.guardedRatio(col("ending"), col("total_use"), lit(100)))
-      .join(broadcast(meta), Seq("sheet"), "left")
+  }
+
+  def parseWorldSupplyUse(rows: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sheet")).orderBy(col("rowIdx"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val labeled = worldScaffold(rows)
+      .withColumn("n", when(col("hdrn") % 2 === 1, 1L).otherwise(2L))
+      .withColumn("geo_raw", cellAt(col("hmap.di")))
+      .withColumn("label", upper(stripFootnotes(col("geo_raw"))))
+      .withColumn("grupo", worldGrupo(run))
+
+    worldMeasures(labeled
+      .filter(!col("is_header") && col("hmap").isNotNull &&
+        col("geo_raw").isNotNull && trim(col("geo_raw")) =!= "" &&
+        !col("geo_raw").startsWith("1/ Aggregate") &&
+        !col("label").contains("SELECTED OTHER")))
+      .join(broadcast(worldMeta(rows)), Seq("sheet"), "left")
       .select(col("sheet"), col("wasde"), col("commodity"), col("unit"),
         col("n"), col("harvest"), col("tipo"), col("grupo"),
         col("label").as("geography"),
@@ -211,31 +229,8 @@ object WasdeTransforms {
   def parseWorldByReportDate(rows: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("sheet")).orderBy(col("rowIdx"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val headerAt = worldHeaderAt
-    val yearIdx = worldYearIdx
-    val meta = worldMeta(rows)
 
-    val labeled = rows
-      .withColumn("is_header", headerAt > 0)
-      .withColumn("hmap", last(when(col("is_header"), struct(
-          yearIdx.cast("int").as("di"),
-          headerAt.as("bi"),
-          (headerAt - 1).as("rdi"),
-          array_position(col("cells"), "Production").cast("int").as("pi"),
-          array_position(col("cells"), "Imports").cast("int").as("ii"),
-          firstPos(_.contains("Domestic\nFeed")).cast("int").as("dfi"),
-          firstPos(_.contains("Domestic\nTotal")).cast("int").as("dti"),
-          array_position(col("cells"), "Exports").cast("int").as("ei"),
-          array_position(col("cells"), "Ending\nStocks").cast("int").as("esi"))),
-        ignoreNulls = true).over(run))
-      .withColumn("harvest", last(when(col("is_header"),
-          regexp_extract(cellAt(yearIdx), "^(\\d{4}/\\d{2})", 1)),
-        ignoreNulls = true).over(run))
-      .withColumn("tipo", last(when(col("is_header"),
-          when(cellAt(yearIdx).contains("Est"), "EST")
-            .when(cellAt(yearIdx).contains("Proj"), "PROJ")
-            .otherwise("YEAR")),
-        ignoreNulls = true).over(run))
+    val labeled = worldScaffold(rows)
       .withColumn("geo_cell", cellAt(col("hmap.di")))
       .withColumn("report_raw", cellAt(col("hmap.rdi")))
       // blank geography + present report date ⇒ continuation of the
@@ -244,16 +239,9 @@ object WasdeTransforms {
           when(!col("is_header") && trim(coalesce(col("geo_cell"), lit(""))) =!= "",
             col("geo_cell")), ignoreNulls = true).over(run))
       .withColumn("label", upper(stripFootnotes(col("geo_carried"))))
-      .withColumn("grupo", last(
-          when(col("label").contains("WORLD"), "RESUMEN")
-            .when(col("label").contains("MAJOR EXPORTERS"), "MAJOR EXPORTERS")
-            .when(col("label").contains("MAJOR IMPORTERS"), "MAJOR IMPORTERS"),
-        ignoreNulls = true).over(run))
+      .withColumn("grupo", worldGrupo(run))
 
-    def measure(field: String): Column =
-      Transforms.repairNumeric(cellAt(col(s"hmap.$field")))
-
-    labeled
+    worldMeasures(labeled
       .filter(!col("is_header") && col("hmap").isNotNull &&
         !(trim(coalesce(col("geo_cell"), lit(""))) === "" &&
           trim(coalesce(col("report_raw"), lit(""))) === "") &&
@@ -262,18 +250,8 @@ object WasdeTransforms {
       // orden over SURVIVING rows: 1 at the start of a geography run
       .withColumn("orden",
         when(lag(col("label"), 1).over(w) === col("label"), 2L).otherwise(1L))
-      .withColumn("report_date", upper(coalesce(col("report_raw"), lit(""))))
-      .withColumn("beginning", measure("bi"))
-      .withColumn("production", measure("pi"))
-      .withColumn("imports", measure("ii"))
-      .withColumn("dom_feed", measure("dfi"))
-      .withColumn("dom_total", measure("dti"))
-      .withColumn("exports", measure("ei"))
-      .withColumn("ending", measure("esi"))
-      .withColumn("total_use", col("dom_total") + col("exports"))
-      .withColumn("stocks_to_use",
-        Transforms.guardedRatio(col("ending"), col("total_use"), lit(100)))
-      .join(broadcast(meta), Seq("sheet"), "left")
+      .withColumn("report_date", upper(coalesce(col("report_raw"), lit("")))))
+      .join(broadcast(worldMeta(rows)), Seq("sheet"), "left")
       .select(col("sheet"), col("wasde"), col("commodity"), col("unit"),
         col("harvest"), col("tipo"), col("grupo"),
         col("label").as("geography"), col("report_date"), col("orden"),
