@@ -1003,6 +1003,32 @@ object SparkEntry {
       Dedup.connectedComponents(docs, "doc_id", pairs)
     }),
 
+    // North star: keeper selection — clusters become an actual deduped
+    // corpus. Weight = token count (integer-exact cross-engine), ties →
+    // smallest doc_id; the oracle re-derives clusters (recursive CTE) and
+    // keepers (same window) in SQL.
+    "q86_dedup_keepers" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      val clusters = Dedup.connectedComponents(docs, "doc_id", pairs)
+      val weights = docs.select(col("doc_id").as("w_doc"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      val members = clusters
+        .join(weights, col("doc_id") === col("w_doc")).drop("w_doc")
+      Dedup.selectKeepers(members, "doc_id", "n_tok")
+    }),
+
+    // North star: deterministic hash-stratified sampling — per-language
+    // keep rates for training-data mixing, decided map-side by an md5
+    // bucket of doc_id (reproducible, shuffle-free, oracle-checkable).
+    "q87_stratified_sample" -> ((s, d) => {
+      val rates = Map("en" -> 2048L, "de" -> 1024L, "es" -> 1024L,
+        "fr" -> 512L, "zh" -> 512L) // thresholds out of 4096
+      Transforms.hashStratifiedSample(
+        documents(s, d), "doc_id", "lang", rates, defaultThreshold = 256L)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
     // North star: TF-IDF salient terms — top-3 per document. Ranking is
     // integer-exact (tf DESC, df ASC, term ASC) so cross-engine libm ulp
     // differences in ln() can't flip ranks; the tf-idf value itself is
@@ -1690,6 +1716,40 @@ object SparkEntry {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
          |SELECT src AS doc_id, min(dst) AS cluster
          |FROM reach GROUP BY src""".stripMargin,
+    // q86: same recursive clusters, then the keeper window re-derived in SQL
+    "q86_dedup_keepers" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |clus AS (SELECT src AS doc_id, min(dst) AS cluster
+         |         FROM reach GROUP BY src),
+         |tok AS (SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tok FROM documents),
+         |m AS (SELECT c.cluster, c.doc_id, t.n_tok
+         |      FROM clus c JOIN tok t ON c.doc_id = t.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |        ORDER BY n_tok DESC, doc_id) AS rnk,
+         |      count(*) OVER (PARTITION BY cluster) AS n_members FROM m)
+         |SELECT cluster, doc_id AS keeper, CAST(n_tok AS BIGINT) AS keeper_weight,
+         | CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rnk = 1""".stripMargin,
+    // q87: md5-bucket stratified sampling, thresholds out of 4096
+    "q87_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256 +
+        |  (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) AS bucket
+        |  FROM documents),
+        |t AS (SELECT *, CASE lang WHEN 'en' THEN 2048 WHEN 'de' THEN 1024
+        |   WHEN 'es' THEN 1024 WHEN 'fr' THEN 512 WHEN 'zh' THEN 512
+        |   ELSE 256 END AS th FROM b)
+        |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+        |FROM t WHERE bucket < th""".stripMargin,
     "q30_simhash" -> q30OracleSql,  // (oracle filters empty docs too)
     "q32_ann_lsh" ->
       """WITH u AS (

@@ -263,4 +263,27 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("s1.n") + col("s2.n") - col("n_inter")).cast("double")).as("jaccard"))
   }
+
+  /** Keeper selection — the step that turns near-dup CLUSTERS into an
+    * actual deduplicated corpus: per cluster, keep the member with the
+    * highest `weightCol` (ties → smallest id). `members` is
+    * [[connectedComponents]] output joined with a per-doc weight (token
+    * count, quality score, …). One shuffle on `cluster`; the ranking
+    * window is partitioned, never global. Returns
+    * (cluster, keeper, keeper_weight, n_members). */
+  def selectKeepers(members: DataFrame, idCol: String,
+      weightCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(weightCol).desc, col(idCol).asc)
+    members
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))))
+      .filter(col("rnk") === 1)
+      .select(col("cluster"), col(idCol).as("keeper"),
+        col(weightCol).cast("long").as("keeper_weight"),
+        col("n_members").cast("long").as("n_members"))
+  }
 }

@@ -104,6 +104,24 @@ object Transforms {
       values: Seq[String], aggs: Seq[Column]): DataFrame =
     df.groupBy(groupCols: _*).pivot(pivotCol, values).agg(aggs.head, aggs.tail: _*)
 
+  /** Deterministic hash-based stratified sampling — the training-data
+    * mixing primitive: each stratum keeps `rate(stratum)` of its rows,
+    * decided per row by an md5 bucket of the id (portable across engines,
+    * so the sample is reproducible AND oracle-checkable — same reasoning
+    * as the portable minhash/simhash signatures). Pure map-side filter:
+    * no shuffle, no RNG state, stable under repartitioning — at 100 TB
+    * the sample of a partition depends only on that partition's rows.
+    * `rates` maps stratum value → bucket threshold out of 4096. */
+  def hashStratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Long], defaultThreshold: Long,
+      bucketCol: String = "bucket"): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 3), 16, 10)
+      .cast("long")
+    val threshold = coalesce(
+      element_at(typedLit(rates), col(stratumCol)), lit(defaultThreshold))
+    df.withColumn(bucketCol, bucket).filter(col(bucketCol) < threshold)
+  }
+
   /** F13 — guarded ratio (`Stocks_to_Use = Ending/TotalUse*100`, 0 when the
     * denominator is 0 — `HTGPIWASDE/__init__.py:714-718`). */
   def guardedRatio(num: Column, den: Column, scale: Column): Column =
