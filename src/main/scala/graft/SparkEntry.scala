@@ -1018,6 +1018,22 @@ object SparkEntry {
       Dedup.selectKeepers(members, "doc_id", "n_tok")
     }),
 
+    // North star: benchmark decontamination — flag training documents
+    // sharing word-3-gram shingles with a benchmark set (here: docs 0-1
+    // standing in for the eval suite). Benchmark shingles broadcast (small
+    // by construction); the corpus side is a map-side explode + broadcast
+    // hash join — the only shuffle is the final per-doc count.
+    "q88_decontamination" -> ((s, d) => {
+      val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
+      def sh3 = explode(TextFunctions.wordShingles(
+        TextFunctions.tokens(lower(col("text"))), 3)).as("s")
+      val bench = docs.filter(col("doc_id") < 2).select(sh3).distinct()
+      docs.select(col("doc_id"), sh3)
+        .join(broadcast(bench), "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+    }),
+
     // North star: deterministic hash-stratified sampling — per-language
     // keep rates for training-data mixing, decided map-side by an md5
     // bucket of doc_id (reproducible, shuffle-free, oracle-checkable).
@@ -1738,6 +1754,20 @@ object SparkEntry {
          |SELECT cluster, doc_id AS keeper, CAST(n_tok AS BIGINT) AS keeper_weight,
          | CAST(n_members AS BIGINT) AS n_members
          |FROM r WHERE rnk = 1""".stripMargin,
+    // q88: same word-3-gram shingle mirror as the minhash CTEs
+    "q88_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |  FROM toks,
+        |  LATERAL unnest(range(1,
+        |    (CASE WHEN len(t) = 0 THEN 0 ELSE greatest(len(t) - 2, 1) END) + 1)) AS u(i)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 2)
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sh d JOIN bench b ON d.s = b.s
+        |GROUP BY d.doc_id""".stripMargin,
     // q87: md5-bucket stratified sampling, thresholds out of 4096
     "q87_stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,
