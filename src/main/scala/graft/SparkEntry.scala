@@ -1025,13 +1025,22 @@ object SparkEntry {
     // hash join — the only shuffle is the final per-doc count.
     "q88_decontamination" -> ((s, d) => {
       val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
-      def sh3 = explode(TextFunctions.wordShingles(
+      // RAW shingles corpus-side: array_distinct is O(n²) per doc and the
+      // broadcast join drops non-matches anyway — countDistinct dedups the
+      // few survivors with map-side partial aggregation
+      def sh3 = explode(TextFunctions.wordShinglesRaw(
         TextFunctions.tokens(lower(col("text"))), 3)).as("s")
       val bench = docs.filter(col("doc_id") < 2).select(sh3).distinct()
-      docs.select(col("doc_id"), sh3)
+      // the shingle explode is CPU-bound: fan a narrower-than-cores scan
+      // out first (test parquet is one row group; a real corpus already
+      // has plenty of scan partitions and skips this shuffle)
+      val par = s.sparkContext.defaultParallelism
+      val spread =
+        if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+      spread.select(col("doc_id"), sh3)
         .join(broadcast(bench), "s")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_hits"))
+        .agg(countDistinct(col("s")).cast("long").as("n_hits"))
     }),
 
     // North star: deterministic hash-stratified sampling — per-language
