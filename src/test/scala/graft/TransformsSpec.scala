@@ -118,4 +118,33 @@ class TransformsSpec extends AnyFunSuite {
     val r = df.as[(String, String, String)].head()
     assert(r == (("AB", "0012", "xyz")))
   }
+
+  test("hashStratifiedSample: deterministic, partitioning-invariant, rate-respecting") {
+    val df = (0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh")).toDF("id", "stratum")
+    val rates = Map("en" -> 2048L, "zh" -> 512L) // 1/2 and 1/8 of 4096
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Transforms.hashStratifiedSample(d, "id", "stratum", rates, 256L)
+        .select("id").as[Long].collect().toSet
+    val once = ids(df)
+    // the defining scale property: the decision is per-row hash math, so
+    // the sample is identical no matter how the data is partitioned
+    assert(ids(df.repartition(13)) == once)
+    assert(ids(df.repartition(1)) == once)
+    // rates hold within md5-uniformity noise
+    val en = once.count(_ % 2 == 0).toDouble / 2000
+    val zh = once.count(_ % 2 == 1).toDouble / 2000
+    assert(math.abs(en - 0.5) < 0.05, s"en rate $en")
+    assert(math.abs(zh - 0.125) < 0.04, s"zh rate $zh")
+  }
+
+  test("selectKeepers keeps the best-weight member per cluster, min-id ties") {
+    val members = Seq(
+      (1L, 10L, 5L), (2L, 10L, 9L), (3L, 10L, 9L), // cluster 10: tie at 9 → doc 2
+      (4L, 40L, 1L)                                  // singleton
+    ).toDF("doc_id", "cluster", "n_tok")
+    val out = graft.operators.Dedup.selectKeepers(members, "doc_id", "n_tok")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((10L, 2L, 9L, 3L), (40L, 4L, 1L, 1L)))
+  }
 }
