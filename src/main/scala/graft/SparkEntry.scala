@@ -1018,6 +1018,63 @@ object SparkEntry {
       Dedup.selectKeepers(members, "doc_id", "n_tok")
     }),
 
+    // S12→S6→SO4 chained end-to-end: XlsxWriter encodes the p11 block as
+    // workbook BYTES, XlsxReader decodes in an executor task, and the
+    // year×attribute transpose flips it — the full reference p11 path
+    // (HTGPIWASDE/__init__.py:203-245,358,369) over the wire format.
+    // Same content as q75, so its oracle re-proves the chain.
+    "q89_xlsx_transpose" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.{XlsxCell => C}
+      val bytes = graft.sources.XlsxWriter.write(Seq(graft.sources.XlsxSheet(
+        "p11", Seq(
+          Seq(C.Str("attr"), C.Str("y2425"), C.Str("y2526"), C.Str("y2627")),
+          Seq(C.Str("planted"), C.Num(10.1), C.Num(10.5), C.Num(10.9)),
+          Seq(C.Str("harvested"), C.Num(9.7), C.Num(10.0), C.Num(10.2)),
+          Seq(C.Str("yld"), C.Num(49.8), C.Num(50.1), C.Num(52.0)),
+          Seq(C.Str("production"), C.Num(483.1), C.Num(501.0), C.Num(530.4))))))
+      val rows = s.createDataset(Seq(bytes))(
+        org.apache.spark.sql.Encoders.BINARY).flatMap { b =>
+        graft.sources.XlsxReader.readSheet(b, "p11")
+      }
+      val block = rows.toDF().filter(col("rowIdx") > 0).select(
+        Seq("attr", "y2425", "y2526", "y2627").zipWithIndex.map { case (n, i) =>
+          coalesce(try_element_at(col("cells"), lit(i + 1)), lit("")).as(n)
+        }: _*)
+      graft.pipelines.WasdeTransforms.transposeBlock(block, "attr",
+        Seq("y2425", "y2526", "y2627"))
+    }),
+
+    // §2.8 under the oracle: a REAL Structured Streaming execution —
+    // AvailableNow over the parquet source, complete-mode aggregation into
+    // the memory sink — must produce exactly the batch answer. (Complete
+    // mode + memory sink is the test harness shape; a cluster deployment
+    // appends watermarked updates to a real sink, see streaming/.)
+    "q90_streaming_agg" -> ((s, d) => {
+      val path = s"$d/lineitem.parquet"
+      // FileStreamSource lists a DIRECTORY; the sf dirs hold single files —
+      // expose the table through a symlinked scratch dir
+      val srcDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "tmp", "q90_src"))
+      val link = srcDir.resolve("lineitem.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(path).toAbsolutePath)
+      val sch = s.read.parquet(path).schema
+      val qname = "q90_mem"
+      s.catalog.dropTempView(qname)
+      val q = s.readStream.schema(sch).parquet(srcDir.toString)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sumc(col("l_quantity")).as("sum_qty"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+    }),
+
     // North star: benchmark decontamination — flag training documents
     // sharing word-3-gram shingles with a benchmark set (here: docs 0-1
     // standing in for the eval suite). Benchmark shingles broadcast (small
@@ -1763,6 +1820,11 @@ object SparkEntry {
          |SELECT cluster, doc_id AS keeper, CAST(n_tok AS BIGINT) AS keeper_weight,
          | CAST(n_members AS BIGINT) AS n_members
          |FROM r WHERE rnk = 1""".stripMargin,
+    // q90: the streaming run must equal the batch aggregate exactly
+    "q90_streaming_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // q88: same word-3-gram shingle mirror as the minhash CTEs
     "q88_decontamination" ->
       """WITH toks AS (
@@ -2252,6 +2314,25 @@ object SparkEntry {
     // content, so a matching oracle proves each decode chain end-to-end.
     base + ("q73_xlsx_wasde" -> base("q37_wasde_parse")) +
       ("q74_zip_xlsx_wasde" -> base("q37_wasde_parse")) +
+      // q89 re-proves the same transpose over XlsxWriter/Reader bytes.
+      // Integral numerics render WITHOUT the float ".0" (XlsxReader's
+      // documented xlrd divergence), hence '10'/'52'/'501' here vs q75.
+      ("q89_xlsx_transpose" ->
+        """WITH block(attr, y2425, y2526, y2627) AS (VALUES
+          |  ('planted','10.1','10.5','10.9'),
+          |  ('harvested','9.7','10','10.2'),
+          |  ('yld','49.8','50.1','52'),
+          |  ('production','483.1','501','530.4')),
+          |long AS (
+          |  SELECT attr, 'y2425' AS year, y2425 AS v FROM block
+          |  UNION ALL SELECT attr, 'y2526', y2526 FROM block
+          |  UNION ALL SELECT attr, 'y2627', y2627 FROM block)
+          |SELECT year,
+          |  MAX(CASE WHEN attr='planted' THEN v END) AS planted,
+          |  MAX(CASE WHEN attr='harvested' THEN v END) AS harvested,
+          |  MAX(CASE WHEN attr='yld' THEN v END) AS yld,
+          |  MAX(CASE WHEN attr='production' THEN v END) AS production
+          |FROM long GROUP BY year""".stripMargin) +
       ("q75_transpose" ->
         """WITH block(attr, y2425, y2526, y2627) AS (VALUES
           |  ('planted','10.1','10.5','10.9'),
