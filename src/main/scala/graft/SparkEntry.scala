@@ -1053,15 +1053,18 @@ object SparkEntry {
     "q90_streaming_agg" -> ((s, d) => {
       val path = s"$d/lineitem.parquet"
       // FileStreamSource lists a DIRECTORY; the sf dirs hold single files —
-      // expose the table through a symlinked scratch dir
+      // expose the table through a symlinked scratch dir. Path and view
+      // names carry a per-dataset token so concurrent sessions over
+      // different sf dirs don't race on the symlink or the sink view.
+      val tok = java.lang.Integer.toHexString(d.hashCode)
       val srcDir = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get("target", "tmp", "q90_src"))
+        java.nio.file.Paths.get("target", "tmp", s"q90_src_$tok"))
       val link = srcDir.resolve("lineitem.parquet")
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(path).toAbsolutePath)
       val sch = s.read.parquet(path).schema
-      val qname = "q90_mem"
+      val qname = s"q90_mem_$tok"
       s.catalog.dropTempView(qname)
       val q = s.readStream.schema(sch).parquet(srcDir.toString)
         .groupBy(col("l_returnflag"))
@@ -1079,7 +1082,8 @@ object SparkEntry {
     // sharing word-3-gram shingles with a benchmark set (here: docs 0-1
     // standing in for the eval suite). Benchmark shingles broadcast (small
     // by construction); the corpus side is a map-side explode + broadcast
-    // hash join — the only shuffle is the final per-doc count.
+    // hash join. Shuffles: the bench-side distinct (tiny), the local-mode
+    // fan-out repartition below, and the final per-doc count.
     "q88_decontamination" -> ((s, d) => {
       val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
       // RAW shingles corpus-side: array_distinct is O(n²) per doc and the

@@ -271,19 +271,19 @@ object Dedup {
     * count, quality score, …). One shuffle on `cluster`; the ranking
     * window is partitioned, never global. Returns
     * (cluster, keeper, keeper_weight, n_members). */
-  def selectKeepers(members: DataFrame, idCol: String,
-      weightCol: String): DataFrame = {
+  def selectKeepers(members: DataFrame, idCol: String, weightCol: String,
+      clusterCol: String = "cluster"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster"))
+      .partitionBy(col(clusterCol))
       .orderBy(col(weightCol).desc, col(idCol).asc)
     members
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n_members",
+      .withColumn("_keeper_rnk", row_number().over(w))
+      .withColumn("_keeper_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster"))))
-      .filter(col("rnk") === 1)
-      .select(col("cluster"), col(idCol).as("keeper"),
+          .partitionBy(col(clusterCol))))
+      .filter(col("_keeper_rnk") === 1)
+      .select(col(clusterCol).as("cluster"), col(idCol).as("keeper"),
         col(weightCol).cast("long").as("keeper_weight"),
-        col("n_members").cast("long").as("n_members"))
+        col("_keeper_n").cast("long").as("n_members"))
   }
 }

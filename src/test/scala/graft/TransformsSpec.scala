@@ -120,8 +120,12 @@ class TransformsSpec extends AnyFunSuite {
   }
 
   test("hashStratifiedSample: deterministic, partitioning-invariant, rate-respecting") {
+    // stratum "xx" is NOT in the rates map — the defaultThreshold fallback
+    // must kick in (ANSI map element_at returns null on a missing key;
+    // this row guards that assumption across Spark upgrades)
     val df = (0L until 4000L).map(i =>
-      (i, if (i % 2 == 0) "en" else "zh")).toDF("id", "stratum")
+      (i, if (i % 4 == 3) "xx" else if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "stratum")
     val rates = Map("en" -> 2048L, "zh" -> 512L) // 1/2 and 1/8 of 4096
     def ids(d: org.apache.spark.sql.DataFrame) =
       Transforms.hashStratifiedSample(d, "id", "stratum", rates, 256L)
@@ -133,9 +137,11 @@ class TransformsSpec extends AnyFunSuite {
     assert(ids(df.repartition(1)) == once)
     // rates hold within md5-uniformity noise
     val en = once.count(_ % 2 == 0).toDouble / 2000
-    val zh = once.count(_ % 2 == 1).toDouble / 2000
+    val zh = once.count(i => i % 4 == 1).toDouble / 1000
+    val xx = once.count(i => i % 4 == 3).toDouble / 1000
     assert(math.abs(en - 0.5) < 0.05, s"en rate $en")
-    assert(math.abs(zh - 0.125) < 0.04, s"zh rate $zh")
+    assert(math.abs(zh - 0.125) < 0.05, s"zh rate $zh")
+    assert(math.abs(xx - 0.0625) < 0.04, s"xx default rate $xx")
   }
 
   test("selectKeepers keeps the best-weight member per cluster, min-id ties") {
