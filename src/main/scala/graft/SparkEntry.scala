@@ -1104,6 +1104,27 @@ object SparkEntry {
         .agg(countDistinct(col("s")).cast("long").as("n_hits"))
     }),
 
+    // North star: sequence packing — greedy sequential fill of documents
+    // into fixed token-budget bins (the pretraining context-window packing
+    // step). Each of 32 hash buckets packs independently (one worker's
+    // shard), so the cumulative-sum window is partitioned, never global;
+    // bin id and in-bin offset derive from the running sum before the doc.
+    "q91_sequence_packing" -> ((s, d) => {
+      val budget = 512L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      documents(s, d).filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(32)).cast("long").as("bucket"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("bucket"), col("n_tok"),
+          ((col("cum") - col("n_tok")) / budget).cast("long").as("bin"),
+          ((col("cum") - col("n_tok")) % budget).cast("long").as("offset"))
+    }),
+
     // North star: deterministic hash-stratified sampling — per-language
     // keep rates for training-data mixing, decided map-side by an md5
     // bucket of doc_id (reproducible, shuffle-free, oracle-checkable).
@@ -1843,6 +1864,18 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
         |FROM sh d JOIN bench b ON d.s = b.s
         |GROUP BY d.doc_id""".stripMargin,
+    // q91: same bucketed running-sum packing in SQL
+    "q91_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS bucket,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
+        |  CAST((cum - n_tok) % 512 AS BIGINT) AS "offset"
+        |FROM c""".stripMargin,
     // q87: md5-bucket stratified sampling, thresholds out of 4096
     "q87_stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,

@@ -188,6 +188,22 @@ class ScaleSpec extends AnyFunSuite {
     // q70: the read back from the partitioned sink prunes by directory
     val p70 = plan("q70_partitioned_write")
     assert(p70.contains("PartitionFilters") && p70.contains("o_year"), p70)
+
+    // q87 stratified sample: a pure map-side filter — ZERO exchanges; the
+    // sampling decision must not shuffle, sort, or aggregate anything
+    val p87 = plan("q87_stratified_sample")
+    assert(!p87.contains("Exchange") && !p87.contains("Sort"), p87)
+
+    // q91 sequence packing: the running-sum window is PARTITIONED by
+    // bucket (each shard packs independently) — never a global window
+    val p91 = plan("q91_sequence_packing")
+    assert(p91.contains("Window"), p91)
+    assert(p91.contains("partitionBy") || !p91.contains("SinglePartition"), p91)
+
+    // q88 decontamination: benchmark side broadcast, corpus side hash join
+    val p88 = plan("q88_decontamination")
+    assert(p88.contains("BroadcastHashJoin"), p88)
+    assert(!p88.contains("SortMergeJoin") && !p88.contains("CartesianProduct"), p88)
   }
 
   test("approx_count_distinct lands within documented error of exact") {
