@@ -197,4 +197,39 @@ object PropertySpec extends Properties("graft") {
           .zipWithIndex.map { case ((i, v), r) => (i, v, r + 1L) }
         got.sortBy(_._3) == expect
     }
+
+  // xlsx codec roundtrip: arbitrary string/number/bool/blank grids survive
+  // write → binary decode with the documented rendering (ints drop ".0",
+  // trailing blanks are absent → rows re-read left-ragged). Pure JVM
+  // (no Spark action), so it runs at a higher case count.
+  private val cellGen: Gen[graft.sources.XlsxCell] = Gen.oneOf(
+    Gen.asciiPrintableStr.map(s => graft.sources.XlsxCell.Str(s.take(40))),
+    Gen.choose(-1000000L, 1000000L).map(n => graft.sources.XlsxCell.Num(n.toDouble)),
+    Gen.choose(-1e6, 1e6).map(graft.sources.XlsxCell.Num),
+    Gen.oneOf(true, false).map(graft.sources.XlsxCell.Bool),
+    Gen.const(graft.sources.XlsxCell.Blank))
+
+  private def render(c: graft.sources.XlsxCell): String = c match {
+    case graft.sources.XlsxCell.Str(s) => s
+    case graft.sources.XlsxCell.Num(d) =>
+      if (d == math.rint(d) && math.abs(d) < 1e15) math.round(d).toString
+      else d.toString
+    case graft.sources.XlsxCell.Bool(b) => b.toString
+    case _ => ""
+  }
+
+  property("xlsx write→read roundtrip renders every cell as documented") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(cellGen).map(_.take(8))).map(_.take(12))) { grid =>
+      val bytes = graft.sources.XlsxWriter.write(
+        Seq(graft.sources.XlsxSheet("g", grid.map(_.toSeq))))
+      val got = graft.sources.XlsxReader.readSheet(bytes, "g")
+        .map(r => r.rowIdx -> r.cells).toMap
+      grid.zipWithIndex.forall { case (row, i) =>
+        val expect = row.map(render)
+        // absent trailing cells read back ragged; missing row = all-blank
+        val gotRow = got.getOrElse(i.toLong, Seq.empty)
+        expect.zipAll(gotRow, "", "").forall { case (e, g) => e == g }
+      }
+    }
 }
