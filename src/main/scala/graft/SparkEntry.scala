@@ -634,6 +634,44 @@ object SparkEntry {
         .select(col("entity"), col("d"), col("v"))
     }),
 
+    // The reference's main COMMODITIES_PRICE_HISTORY flow as ONE composed
+    // chain (HTGPIPROPHEDEX/__init__.py:542-627): expiration calendar →
+    // active symbols → per-symbol watermarks → bounded staged fetch →
+    // relational watermark re-filter → append-ready table. Each stage is
+    // proven alone (q78, q80, q02/q03); this proves the composition.
+    "q92_price_history_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val start = java.time.LocalDate.of(2026, 2, 25)
+      val today = java.time.LocalDate.of(2026, 3, 25)
+      // calendar drives WHICH symbols exist over the window
+      val symbols = graft.pipelines.ProphedexCalendar
+        .symbolRanges(start, today, "C", 2)
+        .flatMap(_._3).distinct.sorted
+      // per-symbol watermarks: the front month loaded recently, the rest
+      // never (epoch sentinel — the bootstrap contract)
+      val wm = symbols.map { sym =>
+        (sym, if (sym == "CH26") "2026-03-20" else "1970-01-01")
+      }.toDF("entity", "max_date")
+      val srcDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "tmp", "q92_src"))
+      val stageDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "tmp", "q92_stage"))
+      // upstream synthesizes quotes for 2026-03-18..24, close = a
+      // deterministic function of (symbol, day) mirrored in the oracle
+      val fetcher = new graft.sources.StagedIngest.LocalFileFetcher(spec => {
+        val p = srcDir.resolve(s"${spec.entity}.csv")
+        val rows = (18 to 24).map(i =>
+          s"${spec.entity},2026-03-$i,${i * 10.0 + spec.entity.length}")
+          .mkString("\n")
+        java.nio.file.Files.writeString(p, s"entity,d,close\n$rows")
+        p
+      })
+      val specs = graft.sources.StagedIngest.planFetches(wm, today)
+      graft.sources.StagedIngest.ingest(s, fetcher, specs, stageDir.toString,
+        "entity STRING, d DATE, close DOUBLE", wm, "entity", "d")
+        .select(col("entity").as("symbol"), col("d"), col("close"))
+    }),
+
     // S12+S6 — binary sink/source roundtrip: XlsxWriter encodes literal
     // typed sheets to workbook BYTES, XlsxReader decodes them back; the
     // oracle holds the rendered cell strings.
@@ -2435,6 +2473,19 @@ object SparkEntry {
           |FROM src s JOIN wm w ON s.entity = w.entity
           |WHERE w.wmd < DATE '2026-01-06'  -- fetch plan skips at/past today
           |  AND s.d > w.wmd               -- relational watermark re-filter""".stripMargin) +
+      // Symbols are the q78-proven calendar output; quotes re-derived by
+      // the same (symbol, day) formula; the watermark re-filter mirrored.
+      ("q92_price_history_pipeline" ->
+        """WITH syms(symbol, wmd) AS (VALUES
+          |  ('CH26', DATE '2026-03-20'),
+          |  ('CK26', DATE '1970-01-01'),
+          |  ('CN26', DATE '1970-01-01')),
+          |quotes AS (SELECT symbol, ('2026-03-' || i)::DATE AS d,
+          |    i * 10.0 + length(symbol) AS close
+          |  FROM syms, generate_series(18, 24) g(i))
+          |SELECT q.symbol, q.d, q.close
+          |FROM quotes q JOIN syms s ON q.symbol = s.symbol
+          |WHERE q.d > s.wmd""".stripMargin) +
       ("q81_xlsx_roundtrip" ->
         """SELECT CAST(r AS BIGINT) AS rowIdx, c0, c1, c2 FROM (VALUES
           |  (0, 'k', 'x & <y>', ''),
