@@ -85,6 +85,16 @@ object Graft {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingleK: Int): DataFrame =
     operators.Dedup.ngramJaccardPairs(docs, idCol, textCol, blockCol, shingleK)
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    operators.Dedup.connectedComponents(nodes, idCol, pairs)
+  def selectKeepers(members: DataFrame, idCol: String, weightCol: String,
+      clusterCol: String = "cluster"): DataFrame =
+    operators.Dedup.selectKeepers(members, idCol, weightCol, clusterCol)
+  def hashStratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Long], defaultThreshold: Long): DataFrame =
+    operators.Transforms.hashStratifiedSample(df, idCol, stratumCol, rates,
+      defaultThreshold)
   def cosine(a: Column, b: Column): Column = operators.Similarity.cosine(a, b)
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
       queryVec: DataFrame, k: Int): DataFrame =
@@ -92,6 +102,41 @@ object Graft {
   def lshNearPairs(vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int, minSim: Double): DataFrame =
     operators.Similarity.lshNearPairs(vectors, idCol, vecCol, bits, minSim)
+  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      nLists: Int): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+    operators.Similarity.ivfIndex(vectors, idCol, vecCol, nLists)
+  def ivfTopK(model: org.apache.spark.ml.clustering.KMeansModel,
+      indexed: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int, nProbe: Int): DataFrame =
+    operators.Similarity.ivfTopK(model, indexed, idCol, vecCol, queryVec, k, nProbe)
+
+  // ---- binary workbook / JDBC sources ----
+  def readXlsxSheet(bytes: Array[Byte], sheet: String): Seq[sources.XlsxSheetRow] =
+    sources.XlsxReader.readSheet(bytes, sheet)
+  def scanXlsx(s: SparkSession, glob: String,
+      sheet: Option[String] = None): DataFrame =
+    sources.XlsxReader.scan(s, glob, sheet)
+  def selectZipMember(zip: Array[Byte], nameSubstring: String = ".xls"): Array[Byte] =
+    sources.XlsxReader.selectZipMember(zip, nameSubstring)
+  def writeXlsx(sheets: Seq[sources.XlsxSheet]): Array[Byte] =
+    sources.XlsxWriter.write(sheets)
+  def jdbcQuery(s: SparkSession, url: String, sql: String): DataFrame =
+    sources.JdbcIngest.readQuery(s, url, sql)
+  def jdbcPartitioned(s: SparkSession, url: String, table: String,
+      partitionColumn: String, lower: Long, upper: Long, n: Int): DataFrame =
+    sources.JdbcIngest.readPartitioned(s, url, table, partitionColumn,
+      lower, upper, n)
+
+  // ---- sheet-table parsers ----
+  def parseSupplyUse(rows: DataFrame): DataFrame =
+    pipelines.WasdeTransforms.parseSupplyUse(rows)
+  def parseWorldSupplyUse(rows: DataFrame): DataFrame =
+    pipelines.WasdeTransforms.parseWorldSupplyUse(rows)
+  def parseWorldByReportDate(rows: DataFrame): DataFrame =
+    pipelines.WasdeTransforms.parseWorldByReportDate(rows)
+  def transposeBlock(block: DataFrame, attrCol: String,
+      yearCols: Seq[String]): DataFrame =
+    pipelines.WasdeTransforms.transposeBlock(block, attrCol, yearCols)
 
   // ---- streaming ----
   def windowedEventAgg(events: DataFrame, windowDur: String,
