@@ -1142,6 +1142,26 @@ object SparkEntry {
         .agg(countDistinct(col("s")).cast("long").as("n_hits"))
     }),
 
+    // Incremental aggregate maintenance — the partial-agg algebra behind
+    // every incremental load: merging per-batch partial aggregates
+    // (sum-of-sums, sum-of-counts) must equal the full recompute. At
+    // 100 TB this is how a materialized rollup absorbs a delta without
+    // rescanning history; the oracle is the single-pass answer.
+    "q93_incremental_agg" -> ((s, d) => {
+      val li = lineitem(s, d)
+      def partial(df: DataFrame) = df.groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_quantity")).cast(DecimalType(18, 0))).as("qty_c"),
+          count(lit(1)).as("n"))
+      val history = partial(li.filter(col("l_orderkey") % 10 =!= 0))
+      val delta = partial(li.filter(col("l_orderkey") % 10 === 0))
+      history.unionByName(delta)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("qty_c")).as("qty_c"), sum(col("n")).as("n"))
+        .select(col("l_returnflag"),
+          (col("qty_c") / lit(100)).cast("double").as("sum_qty"),
+          col("n").cast("long").as("n"))
+    }),
+
     // North star: sequence packing — greedy sequential fill of documents
     // into fixed token-budget bins (the pretraining context-window packing
     // step). Each of 32 hash buckets packs independently (one worker's
@@ -1902,6 +1922,12 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
         |FROM sh d JOIN bench b ON d.s = b.s
         |GROUP BY d.doc_id""".stripMargin,
+    // q93: merged partials must equal the one-pass aggregate
+    "q93_incremental_agg" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // q91: same bucketed running-sum packing in SQL
     "q91_sequence_packing" ->
       """WITH t AS (SELECT doc_id, doc_id % 32 AS bucket,

@@ -206,6 +206,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p88.contains("SortMergeJoin") && !p88.contains("CartesianProduct"), p88)
   }
 
+  test("compact rewrites a small-file directory to the target sizing, losslessly") {
+    import spark.implicits._
+    val dirPath = java.nio.file.Files.createTempDirectory("compact")
+    val dir = dirPath.resolve("t").toString
+    try {
+      // 64 tiny files — the accretion pattern of repeated incremental loads
+      (0L until 6400L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartition(64).write.parquet(dir)
+      val beforeRows = spark.read.parquet(dir)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val (nBefore, nAfter) = graft.operators.Maintenance.compact(
+        spark, dir, targetBytes = 256L * 1024)
+      assert(nBefore == 64 && nAfter < 16, s"$nBefore -> $nAfter")
+      val afterRows = spark.read.parquet(dir)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(afterRows == beforeRows) // content byte-identical, layout new
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("approx_count_distinct lands within documented error of exact") {
     // Not oracle-checkable (HLL sketches differ per engine); the engine's
     // contract is relative error <= ~5% at default rsd=0.05.
