@@ -4,12 +4,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"queries":{...},"sf":...,"metric":"total","value":N,"unit":"sec"}`.
   *
   * Queries are materialized through the `noop` sink — `count()` would let
   * Catalyst prune away projected columns and undercount the real work.
   * AQE is on (runtime shuffle-partition coalescing + skew handling), the
   * same settings a cluster deployment would use.
+  *
+  * The stdout line is captured by a harness that keeps only the LAST
+  * ~2000 characters (r5 lost q01-q15 to head truncation). Two defences:
+  * (a) stdout uses the short `qNN` key prefix (full names, which every
+  * short key prefixes, are in BASELINE.md and `target/bench_last.json`);
+  * (b) the aggregate fields come AFTER `queries`, so even a truncated
+  * tail still carries the totals.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,13 +36,24 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val sec =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // Isolation hygiene: queries that localCheckpoint (dup clusters,
+      // keeper selection) leave blocks pinned in the block manager until
+      // the RDD is GC'd; 90 queries in, that stolen execution memory
+      // made q88 7x slower in the r5 full run than in isolation. Release
+      // everything a finished query persisted before timing the next.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      sec
     }
 
     // Warmup: spin up executor threads, codegen, parquet footer caches.
@@ -46,21 +64,27 @@ object Bench {
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> runOnce(n))
-    // 3-decimal rounding keeps the one-line JSON short enough that a
-    // tail-truncating capture still sees every per-query entry (the r4
-    // driver window lost q01-q09 to full-precision doubles).
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // Short keys on stdout: "q88_decontamination" -> "q88". Every full
+    // name is prefixed by its short key (uniqueness asserted), so the
+    // mapping back to BASELINE.md's table is lossless.
+    def shortKey(n: String) = n.takeWhile(_ != '_')
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "short bench keys must stay unique")
+    def qJson(key: String => String) = results
+      .map { case (k, v) => "\"" + key(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Belt-and-braces copy for harnesses that miss the stdout line; never
-    // let a missing target/ dir (foreign cwd) fail the bench after the fact.
+    def line(key: String => String) =
+      s"""{"queries":${qJson(key)},"sf":"$sfDir","n":${results.size},""" +
+        s""""failed":$nFailed,"metric":"total","unit":"sec","value":${f3(total)}}"""
+    println(line(shortKey))
+    // Belt-and-braces full-name copy for readers of the repo; never let a
+    // missing target/ dir (foreign cwd) fail the bench after the fact.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), line)
+      java.nio.file.Paths.get("target/bench_last.json"), line(identity))
     catch { case _: java.io.IOException => }
     spark.stop()
   }
