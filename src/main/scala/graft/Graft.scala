@@ -99,6 +99,15 @@ object Graft {
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
       queryVec: DataFrame, k: Int): DataFrame =
     operators.Similarity.bruteForceTopK(vectors, idCol, vecCol, queryVec, k)
+  def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16, minSim: Double = 0.9): DataFrame =
+    operators.Similarity.embeddingNearDup(vectors, idCol, vecCol, bits, minSim)
+  def boilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, minDocs: Int = 2): DataFrame =
+    operators.Dedup.boilerplateSpans(docs, idCol, textCol, shingleN, minDocs)
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      shards: Int = 32): DataFrame =
+    operators.Transforms.deterministicShuffle(df, idCol, shards)
   def lshNearPairs(vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int, minSim: Double): DataFrame =
     operators.Similarity.lshNearPairs(vectors, idCol, vecCol, bits, minSim)

@@ -1468,7 +1468,59 @@ object SparkEntry {
         round(sqrt(Similarity.dot(col("embedding"), col("embedding"))), 6).as("l2_r"),
         round(aggregate(vd, lit(0.0), (acc, x) => acc + abs(x)), 6).as("l1_r"),
         round(array_max(transform(vd, x => abs(x))), 6).as("linf_r"))
-    })
+    }),
+
+    // North star: embedding-cosine near-dup — semantic-dedup verdicts from
+    // LSH-bucketed candidates (lattice hyperplanes so the oracle reproduces
+    // bucketing AND scores exactly; the hash-derived-plane variant stays
+    // the production default). A doc is a dup when an EARLIER doc sits
+    // within 0.35 cosine in its bucket; dup_of = earliest such neighbor.
+    "q94_embedding_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDup(embeddings(s, d), "vec_id", "embedding",
+        bits = 4, minSim = 0.35,
+        signature = Similarity.hyperplaneSignatureLattice)),
+
+    // North star: C4-style corpus-frequency boilerplate — word-5-gram
+    // spans repeating across >=2 documents, per-doc span counts + share.
+    "q95_boilerplate_spans" -> ((s, d) =>
+      Dedup.boilerplateSpans(documents(s, d), "doc_id", "text",
+        shingleN = 5, minDocs = 2)),
+
+    // §2.8 under the oracle, stateful flavor: a REAL streaming execution
+    // of the MinHash exact-signature dedup — AvailableNow over a file
+    // source, flatMapGroupsWithState keeper state, append-mode memory
+    // sink — must equal the batch min-per-signature answer (single batch
+    // here; across micro-batches the state carries earlier keepers).
+    "q96_streaming_dedup" -> ((s, d) => {
+      val path = s"$d/documents.parquet"
+      // same symlinked-scratch-dir shape as q90 (FileStreamSource lists a
+      // directory; per-dataset token keeps concurrent sessions apart)
+      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val srcDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "tmp", s"q96_src_$tok"))
+      val link = srcDir.resolve("documents.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(path).toAbsolutePath)
+      val sch = s.read.parquet(path).schema
+      val qname = s"q96_mem_$tok"
+      s.catalog.dropTempView(qname)
+      val stream = s.readStream.schema(sch).parquet(srcDir.toString)
+        .filter(length(trim(col("text"))) > 0)
+      val q = graft.streaming.StreamingDedup
+        .dedupStream(stream, "doc_id", "text")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+    }),
+
+    // North star: deterministic corpus shuffle — reproducible global
+    // permutation via hashed shuffle keys; shard-partitioned ranking.
+    "q97_corpus_shuffle" -> ((s, d) =>
+      Transforms.deterministicShuffle(documents(s, d), "doc_id", shards = 32))
   )
 
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
@@ -1545,9 +1597,45 @@ object SparkEntry {
        |FROM sums""".stripMargin
   }
 
-  /** Shared CTE chain producing the MinHash LSH candidate pairs (q29), also
-    * the edge source for q63's recursive-CTE connected components. */
-  private val minhashPairCtes: String =
+  /** Lattice-hyperplane LSH CTEs over embeddings, ending in
+    * sims(id_a, id_b, sim) — within-bucket exact cosine pairs. Shared by
+    * q32 (pair listing) and q94 (near-dup verdicts). */
+  private val latticeSimCtes: String =
+    """u AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         unnest(range(0, len(embedding))) AS j
+      |  FROM embeddings),
+      |lanes AS (SELECT unnest(range(0, 4)) AS i),
+      |proj AS (
+      |  SELECT u.vec_id, l.i,
+      |    sum(CAST(x AS DOUBLE) * CAST((l.i * 31 + j * 17) % 7 - 3 AS DOUBLE)) AS p
+      |  FROM u CROSS JOIN lanes l GROUP BY u.vec_id, l.i),
+      |sig AS (
+      |  SELECT vec_id,
+      |    sum(CASE WHEN p >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |nrm AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM u GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |dots AS (
+      |  SELECT p.id_a, p.id_b,
+      |    sum(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE)) AS dp
+      |  FROM pairs p
+      |  JOIN u ua ON ua.vec_id = p.id_a
+      |  JOIN u ub ON ub.vec_id = p.id_b AND ua.j = ub.j
+      |  GROUP BY p.id_a, p.id_b),
+      |sims AS (
+      |  SELECT d.id_a, d.id_b, d.dp / (na.nrm * nb.nrm) AS sim
+      |  FROM dots d
+      |  JOIN nrm na ON d.id_a = na.vec_id
+      |  JOIN nrm nb ON d.id_b = nb.vec_id)""".stripMargin
+
+  /** MinHash lane-minima CTEs (toks → shingles → 16 md5 lanes) — shared by
+    * the LSH pair chain below and q96's streaming-dedup signature mirror. */
+  private val minhashLaneCtes: String =
     """toks AS (
       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       |  FROM documents WHERE length(trim(text)) > 0),
@@ -1560,7 +1648,12 @@ object SparkEntry {
       |minh AS (
       |  SELECT doc_id, lane,
       |    min(substring(md5(s) || md5(s), CAST(2*lane+1 AS INTEGER), 8)) AS h
-      |  FROM sh CROSS JOIN lanes GROUP BY doc_id, lane),
+      |  FROM sh CROSS JOIN lanes GROUP BY doc_id, lane)""".stripMargin
+
+  /** Shared CTE chain producing the MinHash LSH candidate pairs (q29), also
+    * the edge source for q63's recursive-CTE connected components. */
+  private val minhashPairCtes: String =
+    s"""$minhashLaneCtes,
       |banded AS (
       |  SELECT doc_id, CAST(lane // 4 AS BIGINT) AS band,
       |         md5(string_agg(h, '|' ORDER BY lane)) AS bh
@@ -1954,38 +2047,9 @@ object SparkEntry {
         |FROM t WHERE bucket < th""".stripMargin,
     "q30_simhash" -> q30OracleSql,  // (oracle filters empty docs too)
     "q32_ann_lsh" ->
-      """WITH u AS (
-        |  SELECT vec_id, unnest(embedding) AS x,
-        |         unnest(range(0, len(embedding))) AS j
-        |  FROM embeddings),
-        |lanes AS (SELECT unnest(range(0, 4)) AS i),
-        |proj AS (
-        |  SELECT u.vec_id, l.i,
-        |    sum(CAST(x AS DOUBLE) * CAST((l.i * 31 + j * 17) % 7 - 3 AS DOUBLE)) AS p
-        |  FROM u CROSS JOIN lanes l GROUP BY u.vec_id, l.i),
-        |sig AS (
-        |  SELECT vec_id,
-        |    sum(CASE WHEN p >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS bucket
-        |  FROM proj GROUP BY vec_id),
-        |nrm AS (
-        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-        |  FROM u GROUP BY vec_id),
-        |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |dots AS (
-        |  SELECT p.id_a, p.id_b,
-        |    sum(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE)) AS dp
-        |  FROM pairs p
-        |  JOIN u ua ON ua.vec_id = p.id_a
-        |  JOIN u ub ON ub.vec_id = p.id_b AND ua.j = ub.j
-        |  GROUP BY p.id_a, p.id_b)
-        |SELECT d.id_a, d.id_b,
-        |  round(d.dp / (na.nrm * nb.nrm), 6) AS sim_r
-        |FROM dots d
-        |JOIN nrm na ON d.id_a = na.vec_id
-        |JOIN nrm nb ON d.id_b = nb.vec_id
-        |WHERE d.dp / (na.nrm * nb.nrm) >= 0.1""".stripMargin,
+      s"""WITH $latticeSimCtes
+         |SELECT id_a, id_b, round(sim, 6) AS sim_r
+         |FROM sims WHERE sim >= 0.1""".stripMargin,
     "q31_ann_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |u AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qe) AS b
@@ -2407,7 +2471,52 @@ object SparkEntry {
         | FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM sess GROUP BY user_id, session_id""".stripMargin
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // q94: same lattice-LSH pair chain as q32, folded to per-doc verdicts
+    "q94_embedding_neardup" ->
+      s"""WITH $latticeSimCtes,
+         |m AS (SELECT id_b AS vec_id, min(id_a) AS dup_of
+         |      FROM sims WHERE sim >= 0.35 GROUP BY id_b)
+         |SELECT e.vec_id, (m.dup_of IS NOT NULL) AS is_dup,
+         |  coalesce(m.dup_of, -1) AS dup_of
+         |FROM embeddings e LEFT JOIN m ON e.vec_id = m.vec_id""".stripMargin,
+    // q95: word-5-gram doc frequencies, boilerplate = spans in >=2 docs
+    "q95_boilerplate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+        |  FROM toks,
+        |  LATERAL unnest(range(1,
+        |    (CASE WHEN len(t) = 0 THEN 0 ELSE greatest(len(t) - 4, 1) END) + 1)) AS u(i)),
+        |df AS (SELECT s, count(*) AS n_docs FROM sh GROUP BY s),
+        |b AS (SELECT s FROM df WHERE n_docs >= 2)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(count(b.s) AS BIGINT) AS n_boiler,
+        |  round(CAST(count(b.s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
+        |FROM sh LEFT JOIN b ON sh.s = b.s GROUP BY sh.doc_id""".stripMargin,
+    // q96: the streaming dedup must equal batch min-per-signature exactly;
+    // signature mirror = md5 over the 16 ordered minhash lane minima
+    "q96_streaming_dedup" ->
+      s"""WITH $minhashLaneCtes,
+         |sigs AS (SELECT doc_id, md5(string_agg(h, '|' ORDER BY lane)) AS sig
+         |         FROM minh GROUP BY doc_id),
+         |k AS (SELECT sig, min(doc_id) AS keeper FROM sigs GROUP BY sig)
+         |SELECT s.doc_id, k.keeper, (s.doc_id <> k.keeper) AS is_dup
+         |FROM sigs s JOIN k ON s.sig = k.sig""".stripMargin,
+    // q97: md5 shuffle key, shard = top byte mod 32, rank within shard
+    "q97_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('shuf|' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |s AS (SELECT doc_id, skey,
+        |  ((strpos('0123456789abcdef', substring(skey, 1, 1)) - 1) * 16 +
+        |   (strpos('0123456789abcdef', substring(skey, 2, 1)) - 1)) % 32 AS shard
+        |  FROM k)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM s""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

@@ -286,4 +286,41 @@ object Dedup {
         col(weightCol).cast("long").as("keeper_weight"),
         col("_keeper_n").cast("long").as("n_members"))
   }
+
+  /** Corpus-frequency boilerplate detection — the C4-style "drop text
+    * units that repeat across the corpus" cleanup, over word n-gram spans
+    * (this corpus has no line structure; on line-structured text pass the
+    * exploded lines through the same shape). Returns per document the
+    * distinct-span count, how many of those spans are boilerplate (appear
+    * in ≥ `minDocs` documents), and the boilerplate share.
+    *
+    * Scale: the per-(doc, span) distinct and the span doc-frequency are
+    * two hash aggregates whose identical scan+shuffle subtree Spark
+    * dedupes via ReusedExchange; only (doc_id, span) pairs shuffle, never
+    * documents. The boilerplate dictionary is broadcast by default (spans
+    * repeating across documents are a vocabulary-bounded set); at corpus
+    * scales where it outgrows a broadcast, pass `broadcastDict = false`
+    * and the final count becomes a shuffle join on the span. */
+  def boilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, minDocs: Int = 2,
+      broadcastDict: Boolean = true): DataFrame = {
+    val perDoc = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.wordShinglesRaw(
+          graft.functions.TextFunctions.tokens(lower(col(textCol))),
+          shingleN)).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("_m"))
+    val dict = perDoc.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("s"), lit(1).as("_b"))
+    perDoc
+      .join(if (broadcastDict) broadcast(dict) else dict, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        count(col("_b")).cast("long").as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_distinct").cast("double"), 6))
+  }
 }

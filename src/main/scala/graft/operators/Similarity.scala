@@ -153,4 +153,26 @@ object Similarity {
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** Embedding-cosine near-duplicate verdicts — the semantic-dedup step of
+    * a training-data pipeline: a document is a duplicate when some EARLIER
+    * document's embedding sits within `minSim` cosine of its own, and the
+    * earliest such neighbor is recorded as its `dup_of`. Candidates come
+    * from [[lshNearPairs]] (within-bucket scoring only — never all-pairs),
+    * so at 100 TB the shuffles carry (id, signature) and candidate id
+    * pairs, not the vectors of non-candidates. Keepers (including docs in
+    * singleton buckets) report is_dup = false, dup_of = -1. */
+  def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16, minSim: Double = 0.9,
+      signature: (Column, Int) => Column = hyperplaneSignature): DataFrame = {
+    val pairs = lshNearPairs(vectors, idCol, vecCol, bits, minSim, signature)
+    // earliest-wins: min over the (already sparse) near-pair edges keyed
+    // by the later endpoint — one hash aggregate over candidate ids
+    val dupOf = pairs.groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("_dup_of"))
+    vectors.select(col(idCol))
+      .join(dupOf, Seq(idCol), "left")
+      .select(col(idCol), col("_dup_of").isNotNull.as("is_dup"),
+        coalesce(col("_dup_of"), lit(-1L)).as("dup_of"))
+  }
 }

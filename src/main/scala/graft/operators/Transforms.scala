@@ -227,4 +227,25 @@ object Transforms {
       trim(substring(line, pos, w)).as(name)
     }
   }
+
+  /** Deterministic pseudo-random corpus shuffle — the final "shuffle the
+    * training data" step. Each row gets a reproducible shuffle key
+    * (md5 of salt + id), a shard from the key's top byte, and its ordinal
+    * within the shard; reading shards in (shard, pos) order yields the
+    * same global permutation on every run, on any cluster size. The
+    * ranking window is partitioned by shard — never global — and a real
+    * write would `repartitionByRange(skey)` + sort-within-partitions so
+    * each output file is one contiguous slice of the permutation. */
+  def deterministicShuffle(df: DataFrame, idCol: String, shards: Int = 32,
+      salt: String = "shuf"): DataFrame = {
+    val skey = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"), col(idCol))
+    df.select(col(idCol), skey.as("skey"))
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 2), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

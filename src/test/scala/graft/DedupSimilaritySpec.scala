@@ -112,4 +112,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(got == expect, s"trial $trial")
     }
   }
+
+  test("embeddingNearDup flags later near-neighbors, earliest wins") {
+    import spark.implicits._
+    // 0, 1, 2 nearly collinear (same LSH bucket, cos ≈ 1); 3 orthogonal
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f)),
+      (1L, Array(0.99f, 0.0f, 0.1f)),
+      (2L, Array(1.01f, 0.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingNearDup(vecs, "vec_id", "embedding",
+      bits = 8, minSim = 0.99)
+      .as[(Long, Boolean, Long)].collect().toSet
+    assert(got == Set((0L, false, -1L), (1L, true, 0L), (2L, true, 0L),
+      (3L, false, -1L)))
+  }
+
+  test("boilerplateSpans counts corpus-repeated spans per doc") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon" // one shared 5-gram
+    val docs = Seq(
+      (0L, s"$shared zeta"),   // spans: shared+1 more, 1 boiler
+      (1L, s"eta $shared"),    // spans: shared+1 more, 1 boiler
+      (2L, "one two three four five six"), // 2 spans, 0 boiler
+      (3L, "   ")              // filtered out
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateSpans(docs, "doc_id", "text",
+      shingleN = 5, minDocs = 2)
+      .select("doc_id", "n_distinct", "n_boiler")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L, 1L), (1L, 2L, 1L), (2L, 2L, 0L)))
+    // both orders of the shared span's neighbors stay distinct spans; the
+    // ratio column mirrors n_boiler / n_distinct
+    val ratios = Dedup.boilerplateSpans(docs, "doc_id", "text", 5, 2)
+      .select("doc_id", "boiler_ratio").as[(Long, Double)].collect().toMap
+    assert(ratios(0L) == 0.5 && ratios(2L) == 0.0)
+  }
 }

@@ -153,4 +153,24 @@ class TransformsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(out == Set((10L, 2L, 9L, 3L), (40L, 4L, 1L, 1L)))
   }
+
+  test("deterministicShuffle: bijective permutation, partitioning-invariant") {
+    val df = (0L until 1000L).toDF("id")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      Transforms.deterministicShuffle(d, "id", shards = 8)
+        .as[(Long, Long, Long)].collect().toSet
+    val once = rows(df)
+    // reproducible under any input partitioning — the scale property
+    assert(rows(df.repartition(17)) == once)
+    // a true permutation: every id exactly once, (shard, pos) unique,
+    // positions contiguous from 1 within each shard
+    assert(once.map(_._1).size == 1000)
+    assert(once.map(r => (r._2, r._3)).size == 1000)
+    once.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3) == (1L to rs.size.toLong).toSet)
+    }
+    // and actually shuffled: id order within a shard != sorted id order
+    val shard0 = once.filter(_._2 == once.head._2).toSeq.sortBy(_._3).map(_._1)
+    assert(shard0 != shard0.sorted)
+  }
 }
