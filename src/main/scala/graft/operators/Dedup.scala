@@ -295,9 +295,13 @@ object Dedup {
     * in ≥ `minDocs` documents), and the boilerplate share.
     *
     * Scale: the per-(doc, span) distinct and the span doc-frequency are
-    * two hash aggregates whose identical scan+shuffle subtree Spark
-    * dedupes via ReusedExchange; only (doc_id, span) pairs shuffle, never
-    * documents. The boilerplate dictionary is broadcast by default (spans
+    * two hash aggregates over one identical scan+shuffle subtree — AQE's
+    * query-stage cache materializes that stage once and reuses it; only
+    * (doc_id, span) pairs shuffle, never documents. A window-count over
+    * the span would save the second aggregate but puts every occurrence
+    * of a hot span in one task (universal boilerplate ⇒ a straggler);
+    * the aggregate+broadcast shape has no such cliff.
+    * The boilerplate dictionary is broadcast by default (spans
     * repeating across documents are a vocabulary-bounded set); at corpus
     * scales where it outgrows a broadcast, pass `broadcastDict = false`
     * and the final count becomes a shuffle join on the span. */

@@ -204,6 +204,22 @@ class ScaleSpec extends AnyFunSuite {
     val p88 = plan("q88_decontamination")
     assert(p88.contains("BroadcastHashJoin"), p88)
     assert(!p88.contains("SortMergeJoin") && !p88.contains("CartesianProduct"), p88)
+
+    // q94 embedding near-dup: candidates come from the bucket equi-join —
+    // never an all-pairs nested loop over vectors
+    val p94 = plan("q94_embedding_neardup")
+    assert(!p94.contains("CartesianProduct") &&
+      !p94.contains("BroadcastNestedLoopJoin"), p94)
+
+    // q95 boilerplate: the dictionary joins broadcast (no span-keyed
+    // window — a universal span must not pile into one task)
+    val p95 = plan("q95_boilerplate_spans")
+    assert(p95.contains("BroadcastHashJoin"), p95)
+    assert(!p95.contains("Window"), p95)
+
+    // q97 corpus shuffle: the permutation rank is per-shard, never global
+    val p97 = plan("q97_corpus_shuffle")
+    assert(p97.contains("Window") && !p97.contains("SinglePartition"), p97)
   }
 
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
