@@ -108,6 +108,9 @@ object Graft {
   def deterministicShuffle(df: DataFrame, idCol: String,
       shards: Int = 32): DataFrame =
     operators.Transforms.deterministicShuffle(df, idCol, shards)
+  def percentileFilter(df: DataFrame, partitionBy: Seq[Column],
+      order: Seq[Column], keepFrac: Double): DataFrame =
+    operators.Transforms.percentileFilter(df, partitionBy, order, keepFrac)
   def lshNearPairs(vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int, minSim: Double): DataFrame =
     operators.Similarity.lshNearPairs(vectors, idCol, vecCol, bits, minSim)

@@ -1520,7 +1520,43 @@ object SparkEntry {
     // North star: deterministic corpus shuffle — reproducible global
     // permutation via hashed shuffle keys; shard-partitioned ranking.
     "q97_corpus_shuffle" -> ((s, d) =>
-      Transforms.deterministicShuffle(documents(s, d), "doc_id", shards = 32))
+      Transforms.deterministicShuffle(documents(s, d), "doc_id", shards = 32)),
+
+    // North star: per-language quality-percentile cutoff — keep each
+    // language's top half by stopword density. Exact ranks (percent_rank
+    // over a LANG-partitioned window with a unique tiebreak), not approx
+    // percentile sketches, so the boundary is reproducible cross-engine.
+    "q98_quality_percentile" -> ((s, d) => {
+      val toks = TextFunctions.tokens(lower(col("text")))
+      val scored = documents(s, d).select(col("doc_id"), col("lang"),
+        TextFunctions.stopwordCount(toks, TextFunctions.EnglishStopwords)
+          .as("n_stop"),
+        size(toks).cast("long").as("n_tokens"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      Transforms.percentileFilter(scored, Seq(col("lang")),
+        Seq(col("stop_ratio").desc, col("doc_id").asc), keepFrac = 0.5)
+        .select(col("doc_id"), col("lang"), round(col("pr"), 6).as("pr_r"))
+    }),
+
+    // North star: training-mixture report — per (source, lang) doc and
+    // token counts plus corpus shares. The share window runs over the
+    // ROLLUP OUTPUT (bounded by |sources|x|langs| rows), never the corpus;
+    // count/token sums are integer-valued doubles, so the global sum is
+    // order-independent and the shares bit-exact cross-engine.
+    "q99_mixture_report" -> ((s, d) => {
+      val agg = documents(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      agg.select(col("source"), col("lang"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs").cast("double")).over(all), 6).as("doc_share"),
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens").cast("double")).over(all), 6).as("tok_share"))
+    })
   )
 
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
@@ -2505,6 +2541,27 @@ object SparkEntry {
          |k AS (SELECT sig, min(doc_id) AS keeper FROM sigs GROUP BY sig)
          |SELECT s.doc_id, k.keeper, (s.doc_id <> k.keeper) AS is_dup
          |FROM sigs s JOIN k ON s.sig = k.sig""".stripMargin,
+    // q98: per-lang percent_rank cutoff, unique (ratio DESC, doc_id) order
+    "q98_quality_percentile" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |       t -> t IN ('the','a','an','of','and','in','to','is','it','for'))) AS DOUBLE) /
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS stop_ratio
+        | FROM documents),
+        |p AS (SELECT doc_id, lang,
+        |  percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY stop_ratio DESC, doc_id) AS pr
+        | FROM s)
+        |SELECT doc_id, lang, round(pr, 6) AS pr_r FROM p WHERE pr <= 0.5""".stripMargin,
+    // q99: (source, lang) rollup + shares over the rollup output
+    "q99_mixture_report" ->
+      """WITH a AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / sum(CAST(n_docs AS DOUBLE)) OVER (), 6) AS doc_share,
+        |  round(CAST(n_tokens AS DOUBLE) / sum(CAST(n_tokens AS DOUBLE)) OVER (), 6) AS tok_share
+        |FROM a""".stripMargin,
     // q97: md5 shuffle key, shard = top byte mod 32, rank within shard
     "q97_corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,

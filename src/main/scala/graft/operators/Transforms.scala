@@ -228,6 +228,20 @@ object Transforms {
     }
   }
 
+  /** Per-stratum percentile filter — "keep the top `keepFrac` of each
+    * language by quality" and every other quantile-cutoff selection.
+    * Exact (window `percent_rank`, not approx sketches) and deterministic
+    * when `order` ends with a unique tiebreaker; the window is partitioned
+    * by the stratum, never global, so each stratum ranks in its own
+    * tasks at any corpus size. */
+  def percentileFilter(df: DataFrame, partitionBy: Seq[Column],
+      order: Seq[Column], keepFrac: Double, prCol: String = "pr"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionBy: _*).orderBy(order: _*)
+    df.withColumn(prCol, percent_rank().over(w))
+      .filter(col(prCol) <= keepFrac)
+  }
+
   /** Deterministic pseudo-random corpus shuffle — the final "shuffle the
     * training data" step. Each row gets a reproducible shuffle key
     * (md5 of salt + id), a shard from the key's top byte, and its ordinal

@@ -154,6 +154,24 @@ class TransformsSpec extends AnyFunSuite {
     assert(out == Set((10L, 2L, 9L, 3L), (40L, 4L, 1L, 1L)))
   }
 
+  test("percentileFilter keeps the top fraction per stratum, exact boundary") {
+    // 10 rows per stratum → pr = k/9 for the k-th by score DESC; pr ≤ 0.5
+    // keeps k = 0..4, the top five of each stratum
+    val df = (for (s <- Seq("a", "b"); i <- 0 until 10)
+      yield (s, i.toLong, (if (s == "a") i else 9 - i).toDouble))
+      .toDF("stratum", "id", "score")
+    val kept = Transforms.percentileFilter(df, Seq(col("stratum")),
+      Seq(col("score").desc, col("id").asc), 0.5)
+      .select("stratum", "id").as[(String, Long)].collect().toSet
+    assert(kept == (5L to 9L).map(("a", _)).toSet ++
+      (0L to 4L).map(("b", _)).toSet)
+    // a singleton stratum has percent_rank 0 → always kept
+    val one = Transforms.percentileFilter(Seq(("z", 1L, 5.0))
+      .toDF("stratum", "id", "score"),
+      Seq(col("stratum")), Seq(col("score").desc), 0.1).count()
+    assert(one == 1L)
+  }
+
   test("deterministicShuffle: bijective permutation, partitioning-invariant") {
     val df = (0L until 1000L).toDF("id")
     def rows(d: org.apache.spark.sql.DataFrame) =
