@@ -1539,6 +1539,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), round(col("pr"), 6).as("pr_r"))
     }),
 
+    // North star: incremental dedup — flag a NEW batch of documents
+    // against the signature index of the already-ingested corpus, then
+    // within-batch earliest-wins for unseen signatures. At 100 TB the
+    // index is a stored (sig → keeper) table maintained across loads
+    // (the dedup analogue of q93's partial-aggregate merge); here the
+    // "old" half derives it. Shuffles carry (sig, id) only.
+    "q100_incremental_dedup" -> ((s, d) => {
+      val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
+      def signed(df: DataFrame) = df.select(col("doc_id"),
+        graft.streaming.StreamingDedup.signature(col("text")).as("sig"))
+      val index = signed(docs.filter(col("doc_id") < 250))
+        .groupBy(col("sig")).agg(min(col("doc_id")).as("corpus_keeper"))
+      val batch = signed(docs.filter(col("doc_id") >= 250))
+      val batchMin = batch.groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("batch_keeper"))
+      batch.join(index, Seq("sig"), "left")
+        .join(batchMin, Seq("sig"))
+        .select(col("doc_id"),
+          coalesce(col("corpus_keeper"), col("batch_keeper")).as("keeper"),
+          (col("doc_id") =!=
+            coalesce(col("corpus_keeper"), col("batch_keeper"))).as("is_dup"),
+          col("corpus_keeper").isNotNull.as("known_sig"))
+    }),
+
     // North star: training-mixture report — per (source, lang) doc and
     // token counts plus corpus shares. The share window runs over the
     // ROLLUP OUTPUT (bounded by |sources|x|langs| rows), never the corpus;
@@ -1685,6 +1709,13 @@ object SparkEntry {
       |  SELECT doc_id, lane,
       |    min(substring(md5(s) || md5(s), CAST(2*lane+1 AS INTEGER), 8)) AS h
       |  FROM sh CROSS JOIN lanes GROUP BY doc_id, lane)""".stripMargin
+
+  /** Lane CTEs + the per-doc md5-of-lanes signature (the exact-dedup /
+    * streaming-dedup grouping key) — shared by q96 and q100. */
+  private val minhashSigCtes: String =
+    s"""$minhashLaneCtes,
+      |sigs AS (SELECT doc_id, md5(string_agg(h, '|' ORDER BY lane)) AS sig
+      |         FROM minh GROUP BY doc_id)""".stripMargin
 
   /** Shared CTE chain producing the MinHash LSH candidate pairs (q29), also
     * the edge source for q63's recursive-CTE connected components. */
@@ -2535,12 +2566,23 @@ object SparkEntry {
     // q96: the streaming dedup must equal batch min-per-signature exactly;
     // signature mirror = md5 over the 16 ordered minhash lane minima
     "q96_streaming_dedup" ->
-      s"""WITH $minhashLaneCtes,
-         |sigs AS (SELECT doc_id, md5(string_agg(h, '|' ORDER BY lane)) AS sig
-         |         FROM minh GROUP BY doc_id),
+      s"""WITH $minhashSigCtes,
          |k AS (SELECT sig, min(doc_id) AS keeper FROM sigs GROUP BY sig)
          |SELECT s.doc_id, k.keeper, (s.doc_id <> k.keeper) AS is_dup
          |FROM sigs s JOIN k ON s.sig = k.sig""".stripMargin,
+    // q100: new-batch verdicts against the old-corpus signature index,
+    // then within-batch earliest-wins for unseen signatures
+    "q100_incremental_dedup" ->
+      s"""WITH $minhashSigCtes,
+         |old AS (SELECT doc_id, sig FROM sigs WHERE doc_id < 250),
+         |idx AS (SELECT sig, min(doc_id) AS ck FROM old GROUP BY sig),
+         |b AS (SELECT doc_id, sig FROM sigs WHERE doc_id >= 250),
+         |bm AS (SELECT sig, min(doc_id) AS bk FROM b GROUP BY sig)
+         |SELECT b.doc_id, coalesce(i.ck, bm.bk) AS keeper,
+         |  (b.doc_id <> coalesce(i.ck, bm.bk)) AS is_dup,
+         |  (i.ck IS NOT NULL) AS known_sig
+         |FROM b LEFT JOIN idx i ON b.sig = i.sig
+         |JOIN bm ON b.sig = bm.sig""".stripMargin,
     // q98: per-lang percent_rank cutoff, unique (ratio DESC, doc_id) order
     "q98_quality_percentile" ->
       """WITH s AS (SELECT doc_id, lang,
