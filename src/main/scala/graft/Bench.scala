@@ -61,7 +61,7 @@ object Bench {
 
     // Optional args = subset of query names (local iteration); default all.
     val names =
-      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).distinct
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> runOnce(n))
     def f3(v: Double): String = BigDecimal(v)

@@ -1126,9 +1126,11 @@ object SparkEntry {
       val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
       // RAW shingles corpus-side: array_distinct is O(n²) per doc and the
       // broadcast join drops non-matches anyway — countDistinct dedups the
-      // few survivors with map-side partial aggregation
-      def sh3 = explode(TextFunctions.wordShinglesRaw(
-        TextFunctions.tokens(lower(col("text"))), 3)).as("s")
+      // few survivors with map-side partial aggregation. Native compiled
+      // shingling (same tokenization the oracle mirrors); the HOF spelling
+      // evaluates interpreted.
+      def sh3 = explode(graft.functions.ShingleOps.wordShinglesCol(
+        col("text"), 3)).as("s")
       val bench = docs.filter(col("doc_id") < 2).select(sh3).distinct()
       // the shingle explode is CPU-bound: fan a narrower-than-cores scan
       // out first (test parquet is one row group; a real corpus already

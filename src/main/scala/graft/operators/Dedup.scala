@@ -308,12 +308,21 @@ object Dedup {
   def boilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, minDocs: Int = 2,
       broadcastDict: Boolean = true): DataFrame = {
-    val perDoc = docs
+    // the shingle explode is CPU-bound: fan a narrower-than-cores scan out
+    // first (a single-row-group test file otherwise pins both aggregate
+    // branches to one task; a real corpus has plenty of scan partitions
+    // and skips this shuffle)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val perDoc = spread
       .filter(length(trim(col(textCol))) > 0)
+      // native compiled shingling — the HOF spelling (transform/slice/
+      // concat_ws) evaluates interpreted and costs ~3 s of first-use
+      // lambda setup alone at sf0.1
       .select(col(idCol).as("doc_id"),
-        explode(graft.functions.TextFunctions.wordShinglesRaw(
-          graft.functions.TextFunctions.tokens(lower(col(textCol))),
-          shingleN)).as("s"))
+        explode(graft.functions.ShingleOps.wordShinglesCol(
+          col(textCol), shingleN)).as("s"))
       .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("_m"))
     val dict = perDoc.groupBy(col("s"))
       .agg(count(lit(1)).as("n_docs"))

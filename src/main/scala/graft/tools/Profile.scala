@@ -25,36 +25,36 @@ object Profile {
       println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
-    val shing = docs.select(col("doc_id"),
-      explode(graft.functions.ShingleOps.wordShinglesCol(col("text"), 3)).as("s"))
-    time("explode-shingles")(shing.count())
-    val lanes = (0 until 16).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    val sig = shing.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
-    time("sig-agg")(sig.count())
-    time("candidates")(Dedup.minhashCandidates(docs, "doc_id", "text").count())
-    time("candidates-warm")(Dedup.minhashCandidates(docs, "doc_id", "text").count())
-
-    // q18 phase breakdown
-    val cust = graft.Tables.customer(spark, sfDir).selectExpr("c_custkey",
-      "CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100 - 85 AS lat",
-      "CAST((c_custkey * 91) % 35000 AS DOUBLE) / 100 - 175 AS lon")
-    val supp = graft.Tables.supplier(spark, sfDir).selectExpr("s_suppkey",
-      "CAST((s_suppkey * 53) % 17000 AS DOUBLE) / 100 - 85 AS s_lat",
-      "CAST((s_suppkey * 71) % 35000 AS DOUBLE) / 100 - 175 AS s_lon")
-    val R = 2000000.0
-    time("geo-radius-cand")(graft.operators.GeoJoin.radiusJoin(
-      cust, supp, R, "lat", "lon", "s_lat", "s_lon").count())
-    val cand = graft.operators.GeoJoin.radiusJoin(
-      cust, supp, R, "lat", "lon", "s_lat", "s_lon")
-    val ranked = graft.operators.Transforms.topKPerGroup(cand,
-      Seq(org.apache.spark.sql.functions.col("c_custkey")),
-      Seq(col("dist_m").asc, col("s_suppkey").asc), 3, "knn_rank")
-    time("geo-ranked")(ranked.count())
-    time("geo-uncovered")(cust.join(
-      ranked.filter(col("knn_rank") === 3).select("c_custkey"),
-      Seq("c_custkey"), "left_anti").count())
-    time("geo-knn-full")(graft.operators.GeoJoin.knnJoin(cust, supp, 3, R,
-      "c_custkey", "s_suppkey", "lat", "lon", "s_lat", "s_lon").count())
+    // q95 phase breakdown
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val perDoc = spread
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShinglesRaw(
+          TextFunctions.tokens(lower(col("text"))), 5)).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("_m"))
+    time("q95-perDoc")(perDoc.count())
+    time("q95-perDoc-again")(perDoc.count())
+    val dict = perDoc.groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("s"), lit(1).as("_b"))
+    time("q95-dict")(dict.count())
+    time("q95-full") {
+      val r = perDoc.join(broadcast(dict), Seq("s"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_distinct"),
+          count(col("_b")).cast("long").as("n_boiler"))
+      r.write.format("noop").mode("overwrite").save(); 0L
+    }
+    time("q95-op-cold") {
+      Dedup.boilerplateSpans(docs, "doc_id", "text", 5, 2)
+        .write.format("noop").mode("overwrite").save(); 0L
+    }
+    time("q95-op-warm") {
+      Dedup.boilerplateSpans(docs, "doc_id", "text", 5, 2)
+        .write.format("noop").mode("overwrite").save(); 0L
+    }
     spark.stop()
   }
 }
