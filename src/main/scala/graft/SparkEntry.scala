@@ -1582,7 +1582,17 @@ object SparkEntry {
           sum(col("n_docs").cast("double")).over(all), 6).as("doc_share"),
         round(col("n_tokens").cast("double") /
           sum(col("n_tokens").cast("double")).over(all), 6).as("tok_share"))
-    })
+    }),
+
+    // A-family extension — explicit GROUPING SETS (the rollup/cube
+    // generalization; one pass, Expand-based like q39/q45).
+    "q101_grouping_sets" -> ((s, d) =>
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+            Seq(col("l_returnflag"), col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sumc(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
   )
 
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
@@ -2606,6 +2616,13 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) / sum(CAST(n_docs AS DOUBLE)) OVER (), 6) AS doc_share,
         |  round(CAST(n_tokens AS DOUBLE) / sum(CAST(n_tokens AS DOUBLE)) OVER (), 6) AS tok_share
         |FROM a""".stripMargin,
+    // q101: identical grouping-set list, same exact-decimal sum as q39
+    "q101_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS
+        |  ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin,
     // q97: md5 shuffle key, shard = top byte mod 32, rank within shard
     "q97_corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,
