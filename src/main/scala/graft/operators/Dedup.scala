@@ -195,7 +195,46 @@ object Dedup {
     * `nodes` must contain `idCol`; `pairs` must have columns (id_a, id_b).
     * Returns (idCol, cluster). Isolated nodes cluster to themselves. */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, broadcastEdgeLimit: Int = 1 << 20): DataFrame = {
+    // Bounded dispatch (the knnJoin pattern): near-dup edge sets are tiny
+    // relative to the corpus — when the probe proves |edges| fits the
+    // limit, union-find the edge-induced subgraph driver-side (ms of CPU)
+    // and broadcast the label map instead of paying diameter+1 rounds of
+    // shuffle+checkpoint. Identical labels (min member per component);
+    // the iterative path remains for genuinely large graphs and is
+    // force-tested via broadcastEdgeLimit = 0.
+    if (broadcastEdgeLimit > 0 &&
+        pairs.limit(broadcastEdgeLimit + 1).count() <= broadcastEdgeLimit) {
+      val es = pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find + path compression (a recursive find overflows the
+      // stack on a million-edge chain)
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElseUpdate(x, x) != x) x = parent(x)
+        var y = x0
+        while (parent(y) != x) { val n = parent(y); parent(y) = x; y = n }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // union always parents the larger root under the smaller, and every
+      // member starts as its own root — so the final root IS the minimal
+      // member: find(x) is already the cluster label
+      val touched = parent.keys.toSeq.map(x => (x, find(x)))
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val lblDf = touched.toDF("_cc_id", "_cc_lbl")
+      return nodes
+        .join(broadcast(lblDf),
+          nodes(idCol).cast("long") === col("_cc_id"), "left")
+        .select(nodes(idCol),
+          coalesce(col("_cc_lbl"), nodes(idCol).cast("long")).as("cluster"))
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

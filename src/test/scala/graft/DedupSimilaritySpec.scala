@@ -100,7 +100,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
         (math.min(a, b), math.max(a, b))
       }.filter(p => p._1 != p._2).distinct
       val pairs = pairEdges.toDF("id_a", "id_b")
+      // both dispatch arms must agree with union-find: the driver-side
+      // fast path (default limit) and the iterative label propagation
+      // (limit 0 forces it)
       val got = graft.operators.Dedup.connectedComponents(nodes, "id", pairs)
+        .as[(Long, Long)].collect().toMap
+      val gotIter = graft.operators.Dedup.connectedComponents(nodes, "id",
+          pairs, broadcastEdgeLimit = 0)
         .as[(Long, Long)].collect().toMap
       // reference union-find
       val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
@@ -110,6 +116,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       val expect = (1L to n.toLong).map(i => i -> find(i)).toMap
       // normalize: cluster label must be the min member either way
       assert(got == expect, s"trial $trial")
+      assert(gotIter == expect, s"trial $trial (iterative)")
     }
   }
 
