@@ -1584,6 +1584,45 @@ object SparkEntry {
           sum(col("n_tokens").cast("double")).over(all), 6).as("tok_share"))
     }),
 
+    // Robustness: corrupt-record quarantine — the malformed-input routing
+    // every ingestion pipeline needs. JSON rows (one in seven truncated
+    // mid-object, deterministically) parse PERMISSIVE; bad rows surface
+    // as is_corrupt=true with null fields instead of failing the load.
+    // The oracle re-parses the same strings with DuckDB's json_valid /
+    // json_extract — an independent parser agreeing on every verdict.
+    "q102_corrupt_quarantine" -> ((s, d) => {
+      val raw = orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0,
+          concat(lit("{\"k\":"), col("o_orderkey"), lit(",\"p\":")))
+          .otherwise(concat(lit("{\"k\":"), col("o_orderkey"),
+            lit(",\"p\":\""), col("o_orderpriority"), lit("\"}")))
+          .as("r"))
+      raw.select(col("o_orderkey"),
+          from_json(col("r"), org.apache.spark.sql.types.StructType
+            .fromDDL("k BIGINT, p STRING")).as("j"))
+        .select(col("o_orderkey"), col("j.k").as("k"), col("j.p").as("p"),
+          col("j.k").isNull.as("is_corrupt"))
+    }),
+
+    // Robustness: schema evolution — a second batch adds a column; the
+    // mergeSchema read unifies both, back-filling null. The on-disk layout
+    // (two incremental loads under one dataset dir) is built eagerly at
+    // query-construction time, the operator-under-test trade-off q42/q70
+    // also take.
+    "q103_schema_evolution" -> ((s, d) => {
+      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val dir = s"target/tmp/q103_data_$tok"
+      val o = orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/b=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$dir/b=2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/b=1", s"$dir/b=2")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    }),
+
     // A-family extension — explicit GROUPING SETS (the rollup/cube
     // generalization; one pass, Expand-based like q39/q45).
     "q101_grouping_sets" -> ((s, d) =>
@@ -2616,6 +2655,25 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) / sum(CAST(n_docs AS DOUBLE)) OVER (), 6) AS doc_share,
         |  round(CAST(n_tokens AS DOUBLE) / sum(CAST(n_tokens AS DOUBLE)) OVER (), 6) AS tok_share
         |FROM a""".stripMargin,
+    // q102: independent re-parse of the same constructed JSON strings
+    "q102_corrupt_quarantine" ->
+      """WITH raw AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0
+        |    THEN '{"k":' || o_orderkey || ',"p":'
+        |    ELSE '{"k":' || o_orderkey || ',"p":"' || o_orderpriority || '"}'
+        |  END AS r
+        | FROM orders)
+        |SELECT o_orderkey,
+        | CASE WHEN json_valid(r)
+        |      THEN CAST(json_extract_string(r, '$.k') AS BIGINT) END AS k,
+        | CASE WHEN json_valid(r) THEN json_extract_string(r, '$.p') END AS p,
+        | NOT json_valid(r) AS is_corrupt
+        |FROM raw""".stripMargin,
+    // q103: the merged read must equal the union with a back-filled null
+    "q103_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+        |FROM orders""".stripMargin,
     // q101: identical grouping-set list, same exact-decimal sum as q39
     "q101_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
