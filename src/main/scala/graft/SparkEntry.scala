@@ -1623,6 +1623,22 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     }),
 
+    // Maintenance under the oracle: small-file compaction must be
+    // lossless — 64 accreted files rewritten to the byte-derived target
+    // sizing (atomic dir swap), then read back and compared row-for-row
+    // against the source table. File-count collapse is asserted in
+    // ScaleSpec; this query pins the data.
+    "q104_compact_lossless" -> ((s, d) => {
+      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val dir = s"target/tmp/q104_data_$tok/t"
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .repartition(64).write.mode("overwrite").parquet(dir)
+      graft.operators.Maintenance.compact(s, dir)
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    }),
+
     // A-family extension — explicit GROUPING SETS (the rollup/cube
     // generalization; one pass, Expand-based like q39/q45).
     "q101_grouping_sets" -> ((s, d) =>
@@ -2674,6 +2690,9 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice,
         | CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
         |FROM orders""".stripMargin,
+    // q104: compaction is pure layout — the data must be the identity
+    "q104_compact_lossless" ->
+      "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
     // q101: identical grouping-set list, same exact-decimal sum as q39
     "q101_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
