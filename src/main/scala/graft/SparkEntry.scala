@@ -1623,6 +1623,43 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     }),
 
+    // North star: bigram continuation statistics — the n-gram LM view of
+    // the corpus (count(w1,w2), count(w1), the conditional ratio). Two
+    // hash aggregates over exploded native 2-gram shingles; the ratio is
+    // integer-derived and bit-exact. Low-frequency tail cut at n >= 5
+    // keeps the result a statistics table, not a corpus copy.
+    "q105_bigram_stats" -> ((s, d) => {
+      val bi = documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(graft.functions.ShingleOps.wordShinglesCol(
+          col("text"), 2)).as("s"))
+        .filter(size(split(col("s"), " ")) === 2)
+        .select(split_part(col("s"), lit(" "), lit(1)).as("w1"),
+          split_part(col("s"), lit(" "), lit(2)).as("w2"))
+      val pair = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+      val uni = pair.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
+      pair.join(uni, Seq("w1"))
+        .filter(col("n") >= 5)
+        .select(col("w1"), col("w2"), col("n").cast("long").as("n"),
+          col("n_w1").cast("long").as("n_w1"),
+          round(col("n").cast("double") / col("n_w1").cast("double"), 6)
+            .as("cond_r"))
+    }),
+
+    // F20 widening — higher-order array predicates/folds over embeddings,
+    // scalar outputs only (exists / filter-count / clamped sum).
+    "q106_hof_arrays" -> ((s, d) => {
+      val vd = Similarity.toDoubleArray(col("embedding"))
+      embeddings(s, d).select(col("vec_id"),
+        size(filter(vd, x => x > 0)).cast("long").as("n_pos"),
+        exists(vd, x => x > lit(2.0)).as("any_gt2"),
+        forall(vd, x => abs(x) < lit(10.0)).as("all_lt10"),
+        round(aggregate(vd, lit(0.0),
+          (acc, x) => acc + least(greatest(x, lit(-1.0)), lit(1.0))), 6)
+          .as("clamped_sum_r"))
+    }),
+
     // Maintenance under the oracle: small-file compaction must be
     // lossless — 64 accreted files rewritten to the byte-derived target
     // sizing (atomic dir swap), then read back and compared row-for-row
@@ -2690,6 +2727,30 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice,
         | CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
         |FROM orders""".stripMargin,
+    // q105: same bigram explode, two aggregates, integer-exact ratio
+    "q105_bigram_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)),
+        |pair AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY w1, w2),
+        |uni AS (SELECT w1, sum(n) AS n_w1 FROM pair GROUP BY w1)
+        |SELECT p.w1, p.w2, CAST(p.n AS BIGINT) AS n,
+        |  CAST(u.n_w1 AS BIGINT) AS n_w1,
+        |  round(CAST(p.n AS DOUBLE) / CAST(u.n_w1 AS DOUBLE), 6) AS cond_r
+        |FROM pair p JOIN uni u ON p.w1 = u.w1
+        |WHERE p.n >= 5""".stripMargin,
+    // q106: q53-style unnest mirror of the HOF predicates/folds
+    "q106_hof_arrays" ->
+      """WITH u AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |SELECT vec_id,
+        | CAST(count(*) FILTER (CAST(x AS DOUBLE) > 0) AS BIGINT) AS n_pos,
+        | bool_or(CAST(x AS DOUBLE) > 2.0) AS any_gt2,
+        | bool_and(abs(CAST(x AS DOUBLE)) < 10.0) AS all_lt10,
+        | round(sum(least(greatest(CAST(x AS DOUBLE), -1.0), 1.0)), 6) AS clamped_sum_r
+        |FROM u GROUP BY vec_id""".stripMargin,
     // q104: compaction is pure layout — the data must be the identity
     "q104_compact_lossless" ->
       "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
