@@ -1104,15 +1104,22 @@ object SparkEntry {
       val sch = s.read.parquet(path).schema
       val qname = s"q90_mem_$tok"
       s.catalog.dropTempView(qname)
-      val q = s.readStream.schema(sch).parquet(srcDir.toString)
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("long").as("n"),
-          sumc(col("l_quantity")).as("sum_qty"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // a 3-group aggregate doesn't need 32 state-store partitions — the
+      // per-partition store open/commit is the dominant fixed cost of the
+      // run; restore the session conf afterwards
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.schema(sch).parquet(srcDir.toString)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sumc(col("l_quantity")).as("sum_qty"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(qname)
     }),
 
@@ -1509,13 +1516,19 @@ object SparkEntry {
       s.catalog.dropTempView(qname)
       val stream = s.readStream.schema(sch).parquet(srcDir.toString)
         .filter(length(trim(col("text"))) > 0)
-      val q = graft.streaming.StreamingDedup
-        .dedupStream(stream, "doc_id", "text")
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // same state-store partition trim as q90 (few thousand signature
+      // groups; 32 store instances are pure fixed cost)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamingDedup
+          .dedupStream(stream, "doc_id", "text")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(qname)
     }),
 

@@ -87,7 +87,11 @@ object Similarity {
         if (s.limit(nLists).count() < nLists) withFeat else s
       }
     }
+    // random seeded init, not kmeans||: the parallel init runs several
+    // extra distributed passes for center quality IVF cells don't need —
+    // probe exactness never depends on where the centers landed
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("_feat").setPredictionCol("_cell").fit(fitOn)
     val indexed = model.transform(withFeat)
       .select(col(idCol), col(vecCol), col("_cell").as("cell"))
