@@ -1636,6 +1636,52 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     }),
 
+    // North star: sketch accuracy — for every LSH candidate pair, the
+    // MinHash lane-agreement Jaccard ESTIMATE (n_agree/16) next to the
+    // EXACT shingle-set Jaccard, the empirical form of the MinHash
+    // guarantee E[agree/k] = J. Estimates fold 16-lane arrays per pair
+    // (tiny); the exact side joins distinct (doc, shingle) rows only.
+    "q107_minhash_estimate" -> ((s, d) => {
+      val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
+      // ONE signature pass over the text, checkpointed (tiny table), feeds
+      // both the candidate bands and the lane-agreement estimates
+      val sig = Dedup.md5MinhashSignatures(docs, "doc_id", "text")
+        .localCheckpoint()
+      val pairs = Dedup.candidatesFromSignatures(sig)
+      val agree = pairs
+        .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          aggregate(zip_with(col("sa.ls"), col("sb.ls"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).as("n_agree"))
+      val shd = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleOps.wordShinglesCol(col("text"), 3))
+          .as("sh")).distinct()
+      val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // candidate pairs are LSH-bounded (tiny vs the shingle table) —
+      // broadcast them so the exact side prunes map-side instead of
+      // shuffling every (doc, shingle) row by doc twice
+      val inter = broadcast(pairs)
+        .join(shd.as("ha"), col("id_a") === col("ha.doc_id"))
+        .join(shd.as("hb"),
+          col("id_b") === col("hb.doc_id") && col("ha.sh") === col("hb.sh"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      agree
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .join(sizes.as("za"), col("id_a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
+        .select(col("id_a"), col("id_b"),
+          col("n_agree").cast("long").as("n_agree"),
+          round(col("n_agree").cast("double") / lit(16), 6).as("est_r"),
+          coalesce(col("n_inter"), lit(0L)).cast("long").as("n_inter"),
+          (col("za.n") + col("zb.n") - coalesce(col("n_inter"), lit(0L)))
+            .cast("long").as("n_union"),
+          round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("za.n") + col("zb.n") - coalesce(col("n_inter"), lit(0L)))
+              .cast("double"), 6).as("jac_r"))
+    }),
+
     // North star: bigram continuation statistics — the n-gram LM view of
     // the corpus (count(w1,w2), count(w1), the conditional ratio). Two
     // hash aggregates over exploded native 2-gram shingles; the ratio is
@@ -2740,6 +2786,34 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice,
         | CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
         |FROM orders""".stripMargin,
+    // q107: lane agreement + exact Jaccard over the same candidate pairs
+    "q107_minhash_estimate" ->
+      s"""WITH $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         |agree AS (
+         |  SELECT p.id_a, p.id_b, count(*) FILTER (ma.h = mb.h) AS n_agree
+         |  FROM pairs p
+         |  JOIN minh ma ON ma.doc_id = p.id_a
+         |  JOIN minh mb ON mb.doc_id = p.id_b AND mb.lane = ma.lane
+         |  GROUP BY p.id_a, p.id_b),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN shd a ON a.doc_id = p.id_a
+         |  JOIN shd b ON b.doc_id = p.id_b AND b.s = a.s
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT g.id_a, g.id_b, CAST(g.n_agree AS BIGINT) AS n_agree,
+         |  round(CAST(g.n_agree AS DOUBLE) / 16, 6) AS est_r,
+         |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |  CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+         |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+         |    CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jac_r
+         |FROM agree g
+         |LEFT JOIN inter i ON g.id_a = i.id_a AND g.id_b = i.id_b
+         |JOIN sizes sa ON g.id_a = sa.doc_id
+         |JOIN sizes sb ON g.id_b = sb.doc_id""".stripMargin,
     // q105: same bigram explode, two aggregates, integer-exact ratio
     "q105_bigram_stats" ->
       """WITH toks AS (

@@ -111,13 +111,27 @@ object Dedup {
     * faster production default; this is the correctness-witness twin. */
   def minhashCandidatesPortable(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
+      maxBucket: Int = 1000): DataFrame =
+    candidatesFromSignatures(
+      md5MinhashSignatures(docs, idCol, textCol, shingleN, numHashes),
+      numHashes, bands, maxBucket)
+
+  /** Per-doc md5 MinHash lane minima as a (doc_id, ls: array) table — the
+    * expensive text pass, separated so a caller can localCheckpoint it and
+    * feed BOTH [[candidatesFromSignatures]] and signature-level analytics
+    * (q107's lane-agreement estimates) from one computation. */
+  def md5MinhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       org.apache.spark.sql.GraftBridge.column(graft.functions.Md5MinhashLanes(
         org.apache.spark.sql.GraftBridge.expression(col(textCol)),
         shingleN, numHashes)).as("ls"))
       .filter(col("ls").isNotNull)
+
+  /** LSH candidate pairs from a precomputed signature table. */
+  def candidatesFromSignatures(sig: DataFrame, numHashes: Int = 16,
+      bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).cast("long").as("band"),
         md5(concat_ws("|",
