@@ -60,18 +60,28 @@ object Bench {
     runOnce("q01_pricing_summary")
 
     // Optional args = subset of query names (local iteration); default all.
-    val names =
-      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).distinct
-      else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> runOnce(n))
+    // Duplicates are dropped (the JSON object needs unique keys) — loudly,
+    // since a repeated name used to be the way to measure warm timing.
+    val names = {
+      val requested =
+        if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
+        else SparkEntry.queries.keys.toSeq.sorted
+      val deduped = requested.distinct
+      if (deduped.size != requested.size) System.err.println(
+        s"[bench] dropped ${requested.size - deduped.size} duplicate query " +
+          "arg(s); each query runs once (cold)")
+      deduped
+    }
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Short keys on stdout: "q88_decontamination" -> "q88". Every full
-    // name is prefixed by its short key (uniqueness asserted), so the
-    // mapping back to BASELINE.md's table is lossless.
+    // name is prefixed by its short key (uniqueness asserted BEFORE the
+    // ~80s run — a collision must not discard completed measurements), so
+    // the mapping back to BASELINE.md's table is lossless.
     def shortKey(n: String) = n.takeWhile(_ != '_')
-    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+    require(names.map(shortKey).distinct.size == names.size,
       "short bench keys must stay unique")
+    val results = names.map(n => n -> runOnce(n))
     def qJson(key: String => String) = results
       .map { case (k, v) => "\"" + key(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")

@@ -1643,11 +1643,15 @@ object SparkEntry {
     // (tiny); the exact side joins distinct (doc, shingle) rows only.
     "q107_minhash_estimate" -> ((s, d) => {
       val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
+      // one shared lane count: the signature pass, the banding, and the
+      // estimate divisor must agree or est_r silently scales wrong
+      val numHashes = 16
       // ONE signature pass over the text, checkpointed (tiny table), feeds
       // both the candidate bands and the lane-agreement estimates
-      val sig = Dedup.md5MinhashSignatures(docs, "doc_id", "text")
+      val sig = Dedup.md5MinhashSignatures(docs, "doc_id", "text",
+          numHashes = numHashes)
         .localCheckpoint()
-      val pairs = Dedup.candidatesFromSignatures(sig)
+      val pairs = Dedup.candidatesFromSignatures(sig, numHashes = numHashes)
       val agree = pairs
         .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
         .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -1673,7 +1677,7 @@ object SparkEntry {
         .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
         .select(col("id_a"), col("id_b"),
           col("n_agree").cast("long").as("n_agree"),
-          round(col("n_agree").cast("double") / lit(16), 6).as("est_r"),
+          round(col("n_agree").cast("double") / lit(numHashes), 6).as("est_r"),
           coalesce(col("n_inter"), lit(0L)).cast("long").as("n_inter"),
           (col("za.n") + col("zb.n") - coalesce(col("n_inter"), lit(0L)))
             .cast("long").as("n_union"),

@@ -206,8 +206,15 @@ object Dedup {
     * by two joins per round — the standard large-graph CC shape (what
     * GraphFrames does under the hood).
     *
-    * `nodes` must contain `idCol`; `pairs` must have columns (id_a, id_b).
-    * Returns (idCol, cluster). Isolated nodes cluster to themselves. */
+    * Contract: `nodes` must contain `idCol`, ids must be numeric (long-
+    * castable, non-null), and every id referenced by `pairs` (id_a, id_b)
+    * must appear in `nodes` — candidate pairs are always derived FROM the
+    * node set in a dedup pipeline, so this holds by construction. It
+    * matters because the two dispatch arms treat a dangling edge endpoint
+    * differently (the broadcast arm would let it win a min-label, the
+    * iterative arm drops it), so the result is only arm-independent under
+    * the subset contract. Returns (idCol, cluster). Isolated nodes
+    * cluster to themselves. */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 50, broadcastEdgeLimit: Int = 1 << 20): DataFrame = {
     // Bounded dispatch (the knnJoin pattern): near-dup edge sets are tiny
@@ -221,7 +228,12 @@ object Dedup {
         pairs.limit(broadcastEdgeLimit + 1).count() <= broadcastEdgeLimit) {
       val es = pairs
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect().map { r =>
+          require(!r.isNullAt(0) && !r.isNullAt(1),
+            "connectedComponents: pair ids must be non-null and numeric " +
+              "(long-castable); got a null/uncastable id in `pairs`")
+          (r.getLong(0), r.getLong(1))
+        }
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       // iterative find + path compression (a recursive find overflows the
       // stack on a million-edge chain)
