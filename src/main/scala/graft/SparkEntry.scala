@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{GeoFunctions, TextFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity, Transforms}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Transforms}
 
 /** Driver contract (SURVEY §7 + builder prompt): one `queries` entry per
   * implemented operator from SURVEY §2 (+ the north-star dedup / similarity /
@@ -1747,7 +1747,68 @@ object SparkEntry {
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
             Seq(col("l_returnflag"), col("l_linestatus"))),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(sumc(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+        .agg(sumc(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // North star: corpus-fit bigram-LM surprisal per document — fit (two
+    // hash aggregates; model is vocab²-bounded) + transform (equi-hash join
+    // of doc bigram instances against the model; AQE broadcasts the model
+    // when small). The per-doc score is an exact LONG micro-bits sum, so
+    // partial-aggregation order can't perturb it.
+    "q108_bigram_lm" -> ((s, d) =>
+      Corpus.bigramSurprisal(documents(s, d), "doc_id", "text")),
+
+    // North star: sliding token-window chunking with overlap (64-token
+    // windows every 48 tokens — the training-example packing shape). Pure
+    // narrow map: sequence + slice + md5 inside whole-stage codegen, zero
+    // shuffles at any corpus size.
+    "q109_chunk_overlap" -> ((s, d) =>
+      Corpus.chunkWithOverlap(documents(s, d), "doc_id", "text",
+        size = 64, stride = 48)),
+
+    // North star: per-source token-budget curation — deterministic hash
+    // order inside each source, O(1)-state running-sum window, admit while
+    // the budget isn't exhausted before the document. One shuffle on the
+    // group key.
+    "q110_source_budget" -> ((s, d) =>
+      Corpus.budgetSample(documents(s, d), "source", "doc_id",
+        col("n_chars"), budget = 2500L)),
+
+    // North star: lexical quality signals — token/type counts, type-token
+    // ratio, word-distribution Shannon entropy (exact micro-bits carrier).
+    // Two partial-aggregatable hash aggregates.
+    "q111_word_entropy" -> ((s, d) =>
+      Corpus.wordEntropy(documents(s, d), "doc_id", "text")),
+
+    // North star: mergeable MinHash sketches — per-doc signatures (one
+    // native text pass) MIN-merged into per-source sketches map-side, then
+    // pairwise lane-agreement similarity on the sketch table alone, with
+    // the exact shingle-set Jaccard joined in as verification (blocked
+    // equi-join on the shingle, q107-style).
+    "q112_source_sketch" -> ((s, d) => {
+      val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
+      val sim = Corpus.sketchPairSimilarity(
+        Corpus.groupMinhashSketch(docs, "source", "text"), "source")
+      val shd = docs.select(col("source"),
+          explode(graft.functions.ShingleOps.wordShinglesCol(col("text"), 3))
+            .as("sh")).distinct()
+      val sizes = shd.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = shd.as("ha")
+        .join(shd.as("hb"),
+          col("ha.sh") === col("hb.sh") && col("ha.source") < col("hb.source"))
+        .groupBy(col("ha.source").as("grp_a"), col("hb.source").as("grp_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      sim
+        .join(inter, Seq("grp_a", "grp_b"), "left")
+        .join(sizes.as("za"), col("grp_a") === col("za.source"))
+        .join(sizes.as("zb"), col("grp_b") === col("zb.source"))
+        .select(col("grp_a"), col("grp_b"), col("n_agree"), col("est_r"),
+          coalesce(col("n_inter"), lit(0L)).cast("long").as("n_inter"),
+          (col("za.n") + col("zb.n") - coalesce(col("n_inter"), lit(0L)))
+            .cast("long").as("n_union"),
+          Corpus.ratioRound6(coalesce(col("n_inter"), lit(0L)),
+            col("za.n") + col("zb.n") - coalesce(col("n_inter"), lit(0L)))
+            .as("jac_r"))
+    })
   )
 
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
@@ -2863,7 +2924,124 @@ object SparkEntry {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
         |       AS BIGINT) AS pos
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // q108: same bigram fit + per-instance surprisal; the log2 terms are
+    // rounded to exact LONG micro-bits on BOTH sides before summing, so
+    // aggregation order is irrelevant and only a libm last-ulp difference
+    // sitting within 1e-10 of a rounding boundary could diverge
+    "q108_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)),
+        |pair AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY w1, w2),
+        |uni AS (SELECT w1, sum(n) AS n_w1 FROM pair GROUP BY w1),
+        |term AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(1e6 * log2(CAST(u.n_w1 AS DOUBLE))) AS BIGINT)
+        |    - CAST(round(1e6 * log2(CAST(p.n AS DOUBLE))) AS BIGINT) AS ub
+        |  FROM bi b
+        |  JOIN pair p ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  JOIN uni u ON b.w1 = u.w1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+        |  CAST(sum(ub) AS BIGINT) AS surprisal_ub,
+        |  CAST((2*sum(ub) + count(*)) // (2*count(*)) AS DOUBLE) / 1e6
+        |    AS avg_bits_r
+        |FROM term GROUP BY doc_id""".stripMargin,
+    // q109: identical integer chunk-count arithmetic and 1-based slicing
+    "q109_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) <= 64 THEN 0
+        |         ELSE (len(t) - 64 + 47) // 48 END AS k_max
+        |  FROM toks),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_idx, t[i*48 + 1 : i*48 + 64] AS chunk
+        |  FROM n, LATERAL unnest(range(0, k_max + 1)) AS u(i))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS chunk_tok,
+        |  chunk[1] AS first_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+    // q110: same deterministic md5 order + running-sum admission rule
+    "q110_source_budget" ->
+      """WITH k AS (
+        |  SELECT source, doc_id, n_chars,
+        |    md5('bud|' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY skey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_wt
+        |  FROM k)
+        |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS wt,
+        |  CAST(cum_wt AS BIGINT) AS cum_wt
+        |FROM c WHERE cum_wt - n_chars < 2500""".stripMargin,
+    // q111: word-frequency entropy with the same micro-bits carrier
+    "q111_word_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wc AS (SELECT doc_id, w, count(*) AS nw FROM toks GROUP BY doc_id, w),
+        |d AS (
+        |  SELECT doc_id, sum(nw) AS n_tok, count(*) AS n_types,
+        |    sum(nw * CAST(round(1e6 * log2(CAST(nw AS DOUBLE))) AS BIGINT))
+        |      AS sum_ub
+        |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST((2000000*n_types + n_tok) // (2*n_tok) AS DOUBLE) / 1e6
+        |    AS ttr_r,
+        |  round(log2(CAST(n_tok AS DOUBLE))
+        |    - CAST(sum_ub AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 6)
+        |    AS entropy_r
+        |FROM d""".stripMargin,
+    // q112: per-source lane minima computed directly from the shingles (the
+    // mergeability property: min over docs of per-doc minima = min over the
+    // source's union shingle set), then the same agreement/exact-Jaccard
+    // pairing as q107 at source granularity
+    "q112_source_sketch" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT source, array_to_string(t[i:i+2], ' ') AS s
+        |  FROM toks,
+        |  LATERAL unnest(range(1,
+        |    (CASE WHEN len(t) = 0 THEN 0 ELSE greatest(len(t) - 2, 1) END) + 1)) AS u(i)),
+        |lanes AS (SELECT unnest(range(0, 16)) AS lane),
+        |minh AS (
+        |  SELECT source, lane,
+        |    min(substring(md5(s) || md5(s), CAST(2*lane+1 AS INTEGER), 8)) AS h
+        |  FROM sh CROSS JOIN lanes GROUP BY source, lane),
+        |agree AS (
+        |  SELECT a.source AS grp_a, b.source AS grp_b,
+        |    count(*) FILTER (a.h = b.h) AS n_agree
+        |  FROM minh a JOIN minh b ON a.lane = b.lane AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |shd AS (SELECT DISTINCT source, s FROM sh),
+        |sizes AS (SELECT source, count(*) AS n FROM shd GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS grp_a, b.source AS grp_b, count(*) AS n_inter
+        |  FROM shd a JOIN shd b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT g.grp_a, g.grp_b, CAST(g.n_agree AS BIGINT) AS n_agree,
+        |  round(CAST(g.n_agree AS DOUBLE) / 16, 6) AS est_r,
+        |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+        |  CAST((2000000*coalesce(i.n_inter, 0)
+        |        + (sa.n + sb.n - coalesce(i.n_inter, 0)))
+        |    // (2*(sa.n + sb.n - coalesce(i.n_inter, 0))) AS DOUBLE) / 1e6
+        |    AS jac_r
+        |FROM agree g
+        |LEFT JOIN inter i ON g.grp_a = i.grp_a AND g.grp_b = i.grp_b
+        |JOIN sizes sa ON g.grp_a = sa.source
+        |JOIN sizes sb ON g.grp_b = sb.source""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleOps
+
+/** Corpus-level statistics and curation operators for LLM training-data
+  * pipelines (SURVEY north star): n-gram language-model scoring, sliding
+  * token-window chunking, per-source token-budget selection, lexical-entropy
+  * quality signals, and mergeable per-group MinHash sketches.
+  *
+  * Determinism-by-construction: every floating-point per-document score is
+  * derived from an exact LONG sum ("micro-bits": each log2 term rounded to
+  * 1e-6 and summed as integers), so aggregation order — which differs
+  * between Spark partial aggregation and a single-node oracle — cannot
+  * perturb the result. A double sum of log terms would be associativity-
+  * dependent at the ulp level and could straddle a rounding boundary.
+  *
+  * Scale notes (100 TB):
+  *  - the bigram model is vocabulary²-bounded, not corpus-sized — the scoring
+  *    join is an equi-hash join on the bigram key that AQE converts to a
+  *    broadcast when the model is small;
+  *  - chunking is a pure narrow map (sequence + slice inside whole-stage
+  *    codegen), zero shuffles;
+  *  - budget selection shuffles once on the group key and runs an O(1)-state
+  *    running-sum window per group;
+  *  - entropy is two partial-aggregatable hash aggregates (map-side combine
+  *    on (doc, word), then (doc));
+  *  - group sketches merge per-document MinHash lane minima with MIN — an
+  *    associative, map-side-combinable aggregate, the property that makes
+  *    MinHash usable as a distributed sketch (one text pass, then only
+  *    (group, lane, 8-byte-hash) rows ever shuffle).
+  */
+object Corpus {
+
+  /** Micro-bits: round(1e6 * log2(x)) as LONG. Exact-integer carrier for
+    * log-domain scores; both engines compute log2 of the same integer and
+    * round at 1e-6, where a last-ulp libm difference cannot move the result
+    * (it would need to land within ~1e-10 of a rounding boundary). */
+  private def microBits(x: Column): Column =
+    round(lit(1e6) * log2(x.cast("double"))).cast("long")
+
+  /** Exact half-up rounding of the rational num/den to 6 decimals, computed
+    * entirely in LONG: (2e6·num + den) DIV (2·den), then an exact double
+    * divide by 1e6. `round(num/den, 6)` on doubles is NOT portable — when
+    * the rational sits exactly on a 5e-7 tie (common for micro-bit
+    * averages), the two engines' double rounding resolves it differently. */
+  def ratioRound6(num: Column, den: Column): Column =
+    call_function("div",
+      num.cast("long") * lit(2000000L) + den.cast("long"),
+      den.cast("long") * lit(2L)).cast("double") / lit(1e6)
+
+  /** Same exact rounding for a value already in micro-units (num micro-bits
+    * over den instances → micro-bits average). */
+  private def microAvgRound(numMicro: Column, den: Column): Column =
+    call_function("div",
+      numMicro.cast("long") * lit(2L) + den.cast("long"),
+      den.cast("long") * lit(2L)).cast("double") / lit(1e6)
+
+  /** Per-document raw bigram instances (multiplicity preserved — these are
+    * term frequencies, not document frequencies). Single-token documents
+    * emit no bigram. */
+  def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(
+        ShingleOps.wordShinglesCol(col(textCol), 2)).as("s"))
+      .filter(size(split(col("s"), " ")) === 2)
+      .select(col(idCol),
+        split_part(col("s"), lit(" "), lit(1)).as("w1"),
+        split_part(col("s"), lit(" "), lit(2)).as("w2"))
+
+  /** Corpus bigram model: count(w1,w2) and the left-context total count(w1·).
+    * Two hash aggregates; the second runs over the model (vocab²-bounded),
+    * not the corpus. */
+  def bigramModel(bigrams: DataFrame): DataFrame = {
+    val pair = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val uni = pair.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
+    pair.join(uni, Seq("w1"))
+  }
+
+  /** Per-document surprisal under the corpus-fit bigram LM: each bigram
+    * instance costs log2(n_w1) - log2(n) bits (its negative log conditional
+    * probability; every document bigram exists in the model because the
+    * model is fit on the same corpus — no smoothing needed). Returns one row
+    * per document: instance count, exact total micro-bits, and the average
+    * bits/bigram derived from the exact total. High average surprisal =
+    * unpredictable text (a quality / outlier signal); near-zero = the
+    * corpus's most formulaic documents. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = docBigrams(docs, idCol, textCol)
+    // Materialize the model (vocab²-bounded, NOT corpus-sized): without
+    // this, Catalyst recomputes the corpus shingling once for the pair
+    // counts and once more for the unigram sums — three text passes instead
+    // of two — and the scoring join can't see how small the build side is.
+    val model = bigramModel(bi).localCheckpoint()
+    val scored = bi.join(model, Seq("w1", "w2"))
+      .select(col(idCol),
+        (microBits(col("n_w1")) - microBits(col("n"))).as("ub"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bi"),
+        sum(col("ub")).as("surprisal_ub"))
+      .select(col(idCol), col("n_bi").cast("long").as("n_bi"),
+        col("surprisal_ub").cast("long").as("surprisal_ub"),
+        microAvgRound(col("surprisal_ub"), col("n_bi")).as("avg_bits_r"))
+  }
+
+  /** Sliding token-window chunks: windows of `size` tokens every `stride`
+    * tokens (stride < size ⇒ overlapping context windows, the standard
+    * training-example packing shape). The last window may be shorter; a
+    * document shorter than `size` yields exactly one chunk. Chunk count is
+    * integer arithmetic (exact in both engines); the chunk text is carried
+    * as an MD5 so the output stays a manifest, not a corpus copy. Pure
+    * narrow transform — zero shuffles at any scale. */
+  def chunkWithOverlap(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, s"need 0 < stride <= size")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val nTok = org.apache.spark.sql.functions.size(toks)
+    // chunks = 1 + ceil(max(len - size, 0) / stride), via integer arithmetic
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("toks"), nTok.as("n_tok"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0),
+          when(col("n_tok") <= size, lit(0)).otherwise(
+            expr(s"CAST((n_tok - $size + $stride - 1) DIV $stride AS INT)"))))
+          .as(Seq("chunk_idx", "k")),
+        col("toks"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(size))
+          .as("chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast("long")
+          .as("chunk_tok"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+  }
+
+  /** Per-group token-budget selection: order documents inside each group by
+    * a deterministic hash key, admit each while the budget is not yet
+    * exhausted BEFORE it (so the first over-budget document is still taken —
+    * the budget is a low-water mark, matching quota-sampling practice where
+    * every group emits at least one document). One shuffle on the group key;
+    * the running sum is an O(1)-state window. */
+  def budgetSample(docs: DataFrame, groupCol: String, idCol: String,
+      weight: Column, budget: Long, salt: String = "bud"): DataFrame = {
+    val skey = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("skey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(groupCol), col(idCol), weight.cast("long").as("wt"),
+        skey.as("skey"))
+      .withColumn("cum_wt", sum(col("wt")).over(w))
+      .filter(col("cum_wt") - col("wt") < budget)
+      .select(col(groupCol), col(idCol), col("wt"),
+        col("cum_wt").cast("long").as("cum_wt"))
+  }
+
+  /** Per-document lexical statistics: token count, distinct types,
+    * type-token ratio, and word-distribution Shannon entropy in bits —
+    * H = log2(N) - (Σ n_w·log2(n_w))/N, with the Σ carried as exact LONG
+    * micro-bits. Low entropy = repetitive/templated text (quality filter
+    * signal). Two partial-aggregatable hash aggregates. */
+  def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("nw"))
+      .groupBy(col(idCol))
+      .agg(sum(col("nw")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(col("nw") * microBits(col("nw"))).as("sum_ub"))
+      .select(col(idCol),
+        col("n_tok").cast("long").as("n_tok"),
+        col("n_types").cast("long").as("n_types"),
+        ratioRound6(col("n_types"), col("n_tok")).as("ttr_r"),
+        round(log2(col("n_tok").cast("double")) -
+          col("sum_ub").cast("double") / lit(1e6) / col("n_tok").cast("double"),
+          6).as("entropy_r"))
+  }
+
+  /** Merge per-document MinHash signatures into per-group sketches:
+    * element-wise lane MIN — associative and commutative, so Spark's partial
+    * aggregation combines map-side and only (group, lane, hash) rows reach
+    * the shuffle. The group sketch equals the sketch of the group's union
+    * shingle set (MIN over docs of per-doc shingle minima = MIN over the
+    * union), which is what makes pairwise group similarity estimable from
+    * sketches alone — no second pass over text. */
+  def groupMinhashSketch(docs: DataFrame, groupCol: String, textCol: String,
+      numHashes: Int = 16): DataFrame =
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(groupCol),
+        posexplode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.Md5MinhashLanes(
+            org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+            3, numHashes))).as(Seq("lane", "h")))
+      .groupBy(col(groupCol), col("lane"))
+      .agg(min(col("h")).as("h"))
+
+  /** Pairwise lane-agreement similarity between group sketches: est_r =
+    * agreeing lanes / numHashes, an unbiased estimate of the Jaccard
+    * similarity of the groups' shingle sets. The sketch table is
+    * groups×lanes rows — trivially broadcastable at any corpus size. */
+  def sketchPairSimilarity(sketch: DataFrame, groupCol: String,
+      numHashes: Int = 16): DataFrame =
+    sketch.as("a")
+      .join(sketch.as("b"),
+        col("a.lane") === col("b.lane") &&
+          col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .groupBy(col(s"a.$groupCol").as("grp_a"),
+        col(s"b.$groupCol").as("grp_b"))
+      .agg(sum(when(col("a.h") === col("b.h"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .select(col("grp_a"), col("grp_b"),
+        col("n_agree").cast("long").as("n_agree"),
+        round(col("n_agree").cast("double") / lit(numHashes), 6).as("est_r"))
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Corpus, Dedup}
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---- chunkWithOverlap -------------------------------------------------
+
+  test("chunking: doc shorter than window yields exactly one full-doc chunk") {
+    val out = Corpus.chunkWithOverlap(docs(1L -> "a b c"), "doc_id", "text",
+        size = 64, stride = 48)
+      .select("chunk_idx", "chunk_tok", "first_tok")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((0L, 3L, "a")))
+  }
+
+  test("chunking: window boundaries, overlap, and tail coverage") {
+    // 10 tokens, size 4, stride 3 → ceil((10-4)/3)=2 extra chunks →
+    // starts 1,4,7; the k=2 chunk covers tokens 7..10, so no 4th chunk
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = Corpus.chunkWithOverlap(docs(1L -> text), "doc_id", "text",
+        size = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_tok", "first_tok")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((0L, 4L, "w1"), (1L, 4L, "w4"), (2L, 4L, "w7")))
+  }
+
+  test("chunking: a stride-misaligned tail gets its own short chunk") {
+    // 11 tokens, size 4, stride 3 → ceil((11-4)/3)=3 extras → starts
+    // 1,4,7,10 → last chunk is tokens 10,11 (length 2)
+    val text = (1 to 11).map(i => s"w$i").mkString(" ")
+    val out = Corpus.chunkWithOverlap(docs(1L -> text), "doc_id", "text",
+        size = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_tok", "first_tok")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((0L, 4L, "w1"), (1L, 4L, "w4"),
+      (2L, 4L, "w7"), (3L, 2L, "w10")))
+  }
+
+  test("chunking: exact multiple emits no empty tail chunk") {
+    // 7 tokens, size 4, stride 3 → starts 1,4 (4+3=7 covers the tail; a
+    // start at 7+ would add tokens only if 7 < n)
+    val text = (1 to 7).map(i => s"w$i").mkString(" ")
+    val idxs = Corpus.chunkWithOverlap(docs(1L -> text), "doc_id", "text",
+        size = 4, stride = 3)
+      .select("chunk_idx").as[Long].collect().toSeq.sorted
+    assert(idxs == Seq(0L, 1L))
+  }
+
+  test("chunking: every token is covered and consecutive chunks overlap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val chunks = Corpus.chunkWithOverlap(docs(1L -> text), "doc_id", "text",
+        size = 16, stride = 12)
+      .orderBy("chunk_idx").select("chunk_tok").as[Long].collect()
+    // starts 1,13,...; last start ≤ 100; total coverage = 12*(n-1)+last ≥ 100
+    assert(chunks.init.forall(_ == 16L))
+    assert(12 * (chunks.length - 1) + chunks.last >= 100)
+  }
+
+  // ---- budgetSample ------------------------------------------------------
+
+  test("budget sample: admits docs while budget not exhausted before them") {
+    val df = Seq(("s1", 1L, 10L), ("s1", 2L, 10L), ("s1", 3L, 10L),
+      ("s2", 4L, 100L)).toDF("source", "doc_id", "w")
+    val out = Corpus.budgetSample(df, "source", "doc_id", col("w"),
+        budget = 15L)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    // s1: first doc (cum 10 < 15 before it at 0), second (cum-before 10 <
+    // 15), third blocked (cum-before 20); s2's single over-budget doc still
+    // admitted (budget is a low-water mark)
+    assert(out.count(_._1 == "s1") == 2)
+    assert(out.contains(("s2", 4L)))
+  }
+
+  test("budget sample: selection order is the deterministic hash order") {
+    val df = (1L to 20L).map(i => ("s", i, 1L)).toDF("source", "doc_id", "w")
+    val a = Corpus.budgetSample(df, "source", "doc_id", col("w"), 5L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.budgetSample(df, "source", "doc_id", col("w"), 5L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 5)
+  }
+
+  // ---- wordEntropy --------------------------------------------------------
+
+  test("entropy: all-distinct doc has H=log2(N) and TTR=1") {
+    val out = Corpus.wordEntropy(docs(1L -> "a b c d"), "doc_id", "text")
+      .select("n_tok", "n_types", "ttr_r", "entropy_r")
+      .as[(Long, Long, Double, Double)].head()
+    assert(out == ((4L, 4L, 1.0, 2.0)))
+  }
+
+  test("entropy: single repeated word has H=0") {
+    val out = Corpus.wordEntropy(docs(1L -> "x x x x x"), "doc_id", "text")
+      .select("n_types", "ttr_r", "entropy_r")
+      .as[(Long, Double, Double)].head()
+    assert(out == ((1L, 0.2, 0.0)))
+  }
+
+  // ---- bigramSurprisal ----------------------------------------------------
+
+  test("surprisal: deterministic continuations cost zero bits") {
+    // corpus where every w1 has exactly one continuation → n == n_w1
+    val out = Corpus.bigramSurprisal(
+        docs(1L -> "a b c", 2L -> "a b c"), "doc_id", "text")
+      .select("doc_id", "n_bi", "surprisal_ub", "avg_bits_r")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("surprisal: a 50/50 branch costs exactly one bit") {
+    // 'a' continues to b and c equally; docs see one 'a *' bigram each
+    val out = Corpus.bigramSurprisal(
+        docs(1L -> "a b", 2L -> "a c"), "doc_id", "text")
+      .select("avg_bits_r").as[Double].collect().toSeq
+    assert(out == Seq(1.0, 1.0))
+  }
+
+  // ---- group sketches -----------------------------------------------------
+
+  test("group sketch equals MIN-merge of per-doc signatures (mergeability)") {
+    val df = Seq((1L, "g1", "the quick brown fox jumps over the lazy dog"),
+      (2L, "g1", "a completely different set of words goes here now"),
+      (3L, "g2", "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "source", "text")
+    val direct = Corpus.groupMinhashSketch(df, "source", "text")
+      .select("source", "lane", "h").as[(String, Long, String)]
+      .collect().toSet
+    val fromDocs = Dedup.md5MinhashSignatures(df, "doc_id", "text")
+      .join(df.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), posexplode(col("ls")).as(Seq("lane", "h")))
+      .groupBy("source", "lane").agg(min("h").as("h"))
+      .select("source", "lane", "h").as[(String, Long, String)]
+      .collect().toSet
+    assert(direct == fromDocs)
+    // identical text ⇒ identical sketch, so g1/g2 agreement is ≥ the
+    // shared-document fraction of g1's lanes (here: some lanes must agree)
+    val est = Corpus.sketchPairSimilarity(
+        Corpus.groupMinhashSketch(df, "source", "text"), "source")
+      .select("n_agree").as[Long].head()
+    assert(est > 0L && est <= 16L)
+  }
+
+  test("sketch similarity: identical groups estimate Jaccard 1") {
+    val df = Seq((1L, "g1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "g2", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.sketchPairSimilarity(
+        Corpus.groupMinhashSketch(df, "source", "text"), "source")
+      .select("grp_a", "grp_b", "n_agree", "est_r")
+      .as[(String, String, Long, Double)].head()
+    assert(out == (("g1", "g2", 16L, 1.0)))
+  }
+
+  test("ratioRound6 resolves exact 5e-7 ties half-up in integer arithmetic") {
+    // 1/2000000 = 0.0000005 — an exact tie at 6 decimals → rounds up to 1e-6
+    val out = Seq((1L, 2000000L)).toDF("n", "d")
+      .select(Corpus.ratioRound6(col("n"), col("d")).as("r"))
+      .as[Double].head()
+    assert(out == 1e-6)
+  }
+}
