@@ -1808,6 +1808,29 @@ object SparkEntry {
           Corpus.ratioRound6(coalesce(col("n_inter"), lit(0L)),
             col("za.n") + col("zb.n") - coalesce(col("n_inter"), lit(0L)))
             .as("jac_r"))
+    }),
+
+    // North star: count-min-sketch frequency estimation — a (4×1024)-cell
+    // mergeable sketch (partial-aggregatable; the corpus never shuffles,
+    // only bucket partials do) with its one-sided error made visible:
+    // exact top-20 words joined against their CMS estimates.
+    "q113_cms_heavyhitters" -> ((s, d) =>
+      Corpus.cmsHeavyHitters(documents(s, d), "text", k = 20)),
+
+    // North star: incremental LM maintenance — the bigram model fit on two
+    // disjoint corpus slices and MERGED (sum pair counts, re-derive context
+    // totals) must equal the model refit on the whole corpus; the oracle IS
+    // the whole-corpus fit. One model-sized aggregate, no corpus refit.
+    "q114_incremental_lm" -> ((s, d) => {
+      val docs = documents(s, d)
+      val slices = Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+      val merged = Corpus.mergeBigramModels(slices.map(sl =>
+        Corpus.bigramModel(Corpus.docBigrams(sl, "doc_id", "text"))))
+      merged.filter(col("n") >= 5)
+        .select(col("w1"), col("w2"), col("n").cast("long").as("n"),
+          col("n_w1").cast("long").as("n_w1"),
+          Corpus.ratioRound6(col("n"), col("n_w1")).as("cond_r"))
     })
   )
 
@@ -1920,6 +1943,13 @@ object SparkEntry {
       |  FROM dots d
       |  JOIN nrm na ON d.id_a = na.vec_id
       |  JOIN nrm nb ON d.id_b = nb.vec_id)""".stripMargin
+
+  /** q113's count-min bucket in DuckDB SQL: the top 12 bits (3 hex chars)
+    * of md5(r + "|" + word), mod 1024 — mirrors `Corpus.cmsBucket`'s
+    * `conv(substring(md5(...), 1, 3), 16, 10) % 1024`. */
+  private def cmsBucketSqlFor(r: String, w: String): String =
+    s"(('0x' || substring(md5(CAST($r AS VARCHAR) || '|' || $w), 1, 3))" +
+      "::INTEGER) % 1024"
 
   /** MinHash lane-minima CTEs (toks → shingles → 16 md5 lanes) — shared by
     * the LSH pair chain below and q96's streaming-dedup signature mirror. */
@@ -3041,7 +3071,49 @@ object SparkEntry {
         |FROM agree g
         |LEFT JOIN inter i ON g.grp_a = i.grp_a AND g.grp_b = i.grp_b
         |JOIN sizes sa ON g.grp_a = sa.source
-        |JOIN sizes sb ON g.grp_b = sb.source""".stripMargin
+        |JOIN sizes sb ON g.grp_b = sb.source""".stripMargin,
+    // q113: same 12-bit md5 bucket (3 hex nibbles mod 1024), same 4-row
+    // sketch, same exact-top-20 join; overshoot = est - exact >= 0 always
+    "q113_cms_heavyhitters" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |rows_ AS (SELECT unnest(range(0, 4)) AS r),
+         |bucketed AS (
+         |  SELECT r, w, ${cmsBucketSqlFor("r", "w")} AS bucket
+         |  FROM words CROSS JOIN rows_),
+         |cms AS (SELECT r, bucket, count(*) AS n FROM bucketed
+         |        GROUP BY r, bucket),
+         |exact AS (
+         |  SELECT w, count(*) AS n_exact FROM words GROUP BY w
+         |  ORDER BY n_exact DESC, w LIMIT 20),
+         |est AS (
+         |  SELECT e.w, e.n_exact, min(c.n) AS n_est
+         |  FROM exact e CROSS JOIN rows_ r
+         |  JOIN cms c ON c.r = r.r AND c.bucket = (${cmsBucketSqlFor("r.r", "e.w")})
+         |  GROUP BY e.w, e.n_exact)
+         |SELECT w, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_est AS BIGINT) AS n_est,
+         |  CAST(n_est - n_exact AS BIGINT) AS overshoot
+         |FROM est""".stripMargin,
+    // q114: merging slice fits must equal the whole-corpus fit — the
+    // oracle deliberately refits on everything (q105's model + exact-
+    // integer rounding), proving merge(fit(A), fit(B)) == fit(A ∪ B)
+    "q114_incremental_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)),
+        |pair AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY w1, w2),
+        |uni AS (SELECT w1, sum(n) AS n_w1 FROM pair GROUP BY w1)
+        |SELECT p.w1, p.w2, CAST(p.n AS BIGINT) AS n,
+        |  CAST(u.n_w1 AS BIGINT) AS n_w1,
+        |  CAST((2000000*p.n + u.n_w1) // (2*u.n_w1) AS DOUBLE) / 1e6
+        |    AS cond_r
+        |FROM pair p JOIN uni u ON p.w1 = u.w1
+        |WHERE p.n >= 5""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

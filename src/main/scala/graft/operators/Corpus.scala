@@ -200,6 +200,69 @@ object Corpus {
       .groupBy(col(groupCol), col("lane"))
       .agg(min(col("h")).as("h"))
 
+  /** Count-min-sketch bucket id for hash row `r`: the top 12 bits of
+    * md5(r + "|" + word), mod `width`. Portable — both engines derive the
+    * same bucket from the same hex digest. */
+  private def cmsBucket(word: Column, r: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$r|"), word)), 1, 3), 16, 10)
+      .cast("long") % width
+
+  /** Count-min sketch of word frequencies: `depth` hash rows × `width`
+    * buckets of LONG counts — a (depth·width)-bounded table no matter the
+    * corpus size, built by one partial-aggregatable hash aggregate per row
+    * (each word instance contributes to `depth` cells; the explode is
+    * map-side). The sketch overestimates only: est(w) = min over rows of
+    * its bucket count ≥ true count, with the overshoot bounded by collision
+    * mass. This is the scale shape for frequency estimation at 100 TB —
+    * the corpus never shuffles, only (row, bucket) partial counts do. */
+  def countMinSketch(words: DataFrame, wordCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    words.select((0 until depth).map(r =>
+        cmsBucket(col(wordCol), r, width).as(s"b$r")): _*)
+      .select(posexplode(array((0 until depth).map(r => col(s"b$r")): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Heavy hitters with sketch verification: exact top-k words joined
+    * against their count-min estimates (est = MIN over hash rows of the
+    * word's bucket count). Output carries both so the sketch's one-sided
+    * error (est ≥ exact, always) is visible and oracle-checkable. The
+    * top-k and the sketch are both tiny — the joins broadcast. */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String, k: Int,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val words = docs.filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val exact = words.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(k)
+    val cms = countMinSketch(words, "w", depth, width)
+    val est = exact
+      .select(col("w"), col("n_exact"),
+        posexplode(array((0 until depth).map(r =>
+          cmsBucket(col("w"), r, width)): _*)).as(Seq("r", "bucket")))
+      .join(cms, Seq("r", "bucket"))
+      .groupBy(col("w"), col("n_exact"))
+      .agg(min(col("n")).as("n_est"))
+    est.select(col("w"), col("n_exact").cast("long").as("n_exact"),
+      col("n_est").cast("long").as("n_est"),
+      (col("n_est") - col("n_exact")).cast("long").as("overshoot"))
+  }
+
+  /** Merge independently-fit bigram models by summing pair counts and
+    * re-deriving the left-context totals — the map-reduce mergeability
+    * property that makes the LM fit incrementally maintainable: fitting
+    * yesterday's corpus and today's increment separately, then merging,
+    * equals refitting from scratch. One hash aggregate over the models
+    * (vocab²-bounded), never over the corpora. */
+  def mergeBigramModels(models: Seq[DataFrame]): DataFrame = {
+    require(models.nonEmpty, "need at least one model")
+    val pair = models.map(_.select(col("w1"), col("w2"), col("n")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
+    val uni = pair.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
+    pair.join(uni, Seq("w1"))
+  }
+
   /** Pairwise lane-agreement similarity between group sketches: est_r =
     * agreeing lanes / numHashes, an unbiased estimate of the Jaccard
     * similarity of the groups' shingle sets. The sketch table is

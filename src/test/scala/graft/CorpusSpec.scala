@@ -161,6 +161,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == (("g1", "g2", 16L, 1.0)))
   }
 
+  // ---- count-min sketch ----------------------------------------------------
+
+  test("CMS estimates are one-sided: est >= exact for every heavy hitter") {
+    val df = docs(1L -> "a a a a b b b c c d",
+      2L -> "a a b c d e f g h i")
+    val out = Corpus.cmsHeavyHitters(df, "text", k = 5)
+      .select("w", "n_exact", "n_est", "overshoot")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 5)
+    assert(out.forall { case (_, exact, est, over) =>
+      est >= exact && over == est - exact })
+    // 'a' appears 6 times and must top the exact ranking
+    assert(out.map(r => r._1 -> r._2).toMap.apply("a") == 6L)
+  }
+
+  test("CMS is exact when the vocabulary is far below the width") {
+    // 4 distinct words in 4096 buckets/row: collisions essentially
+    // impossible across all 4 rows → estimates equal exact counts
+    val df = docs(1L -> "alpha alpha beta gamma delta delta delta")
+    val out = Corpus.cmsHeavyHitters(df, "text", k = 4)
+      .select("overshoot").as[Long].collect()
+    assert(out.forall(_ == 0L))
+  }
+
+  // ---- incremental model maintenance --------------------------------------
+
+  test("merged slice models equal the whole-corpus model") {
+    val df = docs(1L -> "a b a b a c", 2L -> "b a b c d e",
+      3L -> "a b c a b c", 4L -> "e d c b a a")
+    val whole = Corpus.bigramModel(Corpus.docBigrams(df, "doc_id", "text"))
+      .select("w1", "w2", "n", "n_w1")
+      .as[(String, String, Long, Long)].collect().toSet
+    val merged = Corpus.mergeBigramModels(Seq(
+        Corpus.bigramModel(Corpus.docBigrams(
+          df.filter(col("doc_id") <= 2), "doc_id", "text")),
+        Corpus.bigramModel(Corpus.docBigrams(
+          df.filter(col("doc_id") > 2), "doc_id", "text"))))
+      .select("w1", "w2", "n", "n_w1")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("ratioRound6 resolves exact 5e-7 ties half-up in integer arithmetic") {
     // 1/2000000 = 0.0000005 — an exact tie at 6 decimals → rounds up to 1e-6
     val out = Seq((1L, 2000000L)).toDF("n", "d")

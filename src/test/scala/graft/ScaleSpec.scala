@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Transforms
+import graft.operators.{Corpus, Transforms}
 
 /** Scale-machinery checks: extension registration, salted aggregation,
   * bucketed co-located joins (no shuffle at join time). */
@@ -220,6 +220,26 @@ class ScaleSpec extends AnyFunSuite {
     // q97 corpus shuffle: the permutation rank is per-shard, never global
     val p97 = plan("q97_corpus_shuffle")
     assert(p97.contains("Window") && !p97.contains("SinglePartition"), p97)
+
+    // q109 chunking: a pure narrow map — ZERO exchanges at any corpus size
+    val p109 = plan("q109_chunk_overlap")
+    assert(!p109.contains("Exchange") && !p109.contains("Sort"), p109)
+
+    // q110 budget selection: the running-sum window is partitioned by
+    // source — never a global single-partition window
+    val p110 = plan("q110_source_budget")
+    assert(p110.contains("Window") && !p110.contains("SinglePartition"), p110)
+
+    // q112/q113 sketches: partial aggregation must kick in (map-side
+    // combine of lane minima / bucket counts before the exchange)
+    val p112 = Corpus.groupMinhashSketch(
+        graft.Tables.documents(spark, sfDir), "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(p112.contains("partial_min") || p112.contains("HashAggregate"), p112)
+    assert(!p112.contains("CartesianProduct"), p112)
+    val p113 = plan("q113_cms_heavyhitters")
+    assert(!p113.contains("CartesianProduct") &&
+      !p113.contains("SortMergeJoin"), p113)
   }
 
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
