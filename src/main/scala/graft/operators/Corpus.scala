@@ -67,7 +67,9 @@ object Corpus {
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), explode(
         ShingleOps.wordShinglesCol(col(textCol), 2)).as("s"))
-      .filter(size(split(col("s"), " ")) === 2)
+      // a 2-gram shingle contains a space; the lone short shingle emitted
+      // for a single-token document does not
+      .filter(col("s").contains(" "))
       .select(col(idCol),
         split_part(col("s"), lit(" "), lit(1)).as("w1"),
         split_part(col("s"), lit(" "), lit(2)).as("w2"))
@@ -78,8 +80,11 @@ object Corpus {
   def bigramModel(bigrams: DataFrame): DataFrame = {
     val pair = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
-    val uni = pair.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
-    pair.join(uni, Seq("w1"))
+    // n_w1 via a window over the ALREADY-AGGREGATED pair table (vocab²-
+    // bounded) — one exchange on w1 of model-sized rows instead of a second
+    // aggregate plus a join; no skew concern at that cardinality
+    pair.withColumn("n_w1",
+      sum(col("n")).over(Window.partitionBy(col("w1"))))
   }
 
   /** Per-document surprisal under the corpus-fit bigram LM: each bigram
@@ -92,11 +97,11 @@ object Corpus {
     * corpus's most formulaic documents. */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bi = docBigrams(docs, idCol, textCol)
-    // Materialize the model (vocab²-bounded, NOT corpus-sized): without
-    // this, Catalyst recomputes the corpus shingling once for the pair
-    // counts and once more for the unigram sums — three text passes instead
-    // of two — and the scoring join can't see how small the build side is.
-    val model = bigramModel(bi).localCheckpoint()
+    // Two corpus passes total: the model subtree (window over one pair
+    // aggregate) shingles once, the scoring side once. No checkpoint —
+    // keeping it one declarative plan lets AQE size the model at runtime
+    // and broadcast it without a blocking materialization job.
+    val model = bigramModel(bi)
     val scored = bi.join(model, Seq("w1", "w2"))
       .select(col(idCol),
         (microBits(col("n_w1")) - microBits(col("n"))).as("ub"))
@@ -259,8 +264,8 @@ object Corpus {
     val pair = models.map(_.select(col("w1"), col("w2"), col("n")))
       .reduce(_.unionByName(_))
       .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
-    val uni = pair.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
-    pair.join(uni, Seq("w1"))
+    pair.withColumn("n_w1",
+      sum(col("n")).over(Window.partitionBy(col("w1"))))
   }
 
   /** Pairwise lane-agreement similarity between group sketches: est_r =
