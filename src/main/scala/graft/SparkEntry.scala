@@ -1831,7 +1831,17 @@ object SparkEntry {
         .select(col("w1"), col("w2"), col("n").cast("long").as("n"),
           col("n_w1").cast("long").as("n_w1"),
           Corpus.ratioRound6(col("n"), col("n_w1")).as("cond_r"))
-    })
+    }),
+
+    // North star: centrality over the near-dup similarity graph —
+    // deterministic integer PageRank (exact LONG rank units, floor-divided
+    // contributions) on the q29 LSH candidate pairs; the keeper-selection
+    // signal CC can't provide. Three edge-partitioned join+sum iterations
+    // over a checkpointed candidate-sized edge list.
+    "q115_pagerank" -> ((s, d) =>
+      graft.operators.Graph.integerPageRank(
+        Dedup.minhashCandidatesPortable(documents(s, d), "doc_id", "text"))
+        .select(col("id").as("doc_id"), col("d"), col("units")))
   )
 
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
@@ -3113,7 +3123,36 @@ object SparkEntry {
         |  CAST((2000000*p.n + u.n_w1) // (2*u.n_w1) AS DOUBLE) / 1e6
         |    AS cond_r
         |FROM pair p JOIN uni u ON p.w1 = u.w1
-        |WHERE p.n >= 5""".stripMargin
+        |WHERE p.n >= 5""".stripMargin,
+    // q115: same LSH pair chain, then three unrolled exact-integer PR
+    // iterations — floor division makes the recurrence bit-reproducible
+    "q115_pagerank" ->
+      s"""WITH $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |r0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS units
+         |       FROM edges),
+         |r1 AS (SELECT e.dst AS id,
+         |         150000 + sum((r.units * 85) // (g.d * 100)) AS units
+         |       FROM edges e
+         |       JOIN r0 r ON r.id = e.src JOIN deg g ON g.src = e.src
+         |       GROUP BY e.dst),
+         |r2 AS (SELECT e.dst AS id,
+         |         150000 + sum((r.units * 85) // (g.d * 100)) AS units
+         |       FROM edges e
+         |       JOIN r1 r ON r.id = e.src JOIN deg g ON g.src = e.src
+         |       GROUP BY e.dst),
+         |r3 AS (SELECT e.dst AS id,
+         |         150000 + sum((r.units * 85) // (g.d * 100)) AS units
+         |       FROM edges e
+         |       JOIN r2 r ON r.id = e.src JOIN deg g ON g.src = e.src
+         |       GROUP BY e.dst)
+         |SELECT r3.id AS doc_id, CAST(g.d AS BIGINT) AS d,
+         |  CAST(r3.units AS BIGINT) AS units
+         |FROM r3 JOIN deg g ON g.src = r3.id""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over similarity graphs (edge lists produced
+  * by the dedup candidate generators). Companion to
+  * [[Dedup.connectedComponents]]: where CC answers "which docs form one
+  * duplicate cluster", PageRank answers "which docs are the most central" —
+  * the canonical keeper-selection / representative-picking signal.
+  */
+object Graph {
+
+  /** Deterministic integer PageRank over an undirected pair list.
+    *
+    * The recurrence runs in exact "rank units" (LONG), not doubles:
+    *   units_0(v)   = base
+    *   units_k+1(v) = 0.15·base + Σ_{u~v} (units_k(u) · 85) DIV (100 · deg(u))
+    * Integer floor division makes every iteration bit-reproducible across
+    * engines and partitionings — float PageRank sums diverge in the last
+    * ulp under reordering, which would break hash-exact verification.
+    *
+    * Scale shape: the edge list is checkpointed once (it is candidate-pair
+    * sized, orders of magnitude smaller than the corpus) and each iteration
+    * is one equi-hash join (units by src) plus one partial-aggregatable sum
+    * (by dst) — the standard edge-partitioned PR step. Iterations are a
+    * fixed count, so the lineage is bounded; no driver-side loop state.
+    */
+  def integerPageRank(pairs: DataFrame, iters: Int = 3,
+      base: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, "bounded fixed iteration count")
+    // Tiny relative to the corpus; checkpoint so the (expensive) candidate
+    // generation upstream runs once, not once per iteration.
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // degree-annotated edges materialized ONCE — each iteration is then a
+    // single equi-hash join plus one partial-aggregated sum, nothing else
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    val keep = (base * 15L) / 100L
+    var units = edges.select(col("src").as("id")).distinct()
+      .withColumn("units", lit(base))
+    for (_ <- 1 to iters) {
+      units = withDeg
+        .join(units, withDeg("src") === units("id"))
+        .select(col("dst"),
+          call_function("div", col("units") * lit(85L), col("d") * lit(100L))
+            .as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("id"),
+          (lit(keep) + col("s")).cast("long").as("units"))
+    }
+    // every node of the doubled edge list has in-degree ≥ 1, so the final
+    // join is total: one row per graph node with its degree and rank units
+    units.join(deg, units("id") === deg("src"))
+      .select(col("id"), col("d").cast("long").as("d"), col("units"))
+  }
+}
