@@ -1841,7 +1841,35 @@ object SparkEntry {
     "q115_pagerank" -> ((s, d) =>
       graft.operators.Graph.integerPageRank(
         Dedup.minhashCandidatesPortable(documents(s, d), "doc_id", "text"))
-        .select(col("id").as("doc_id"), col("d"), col("units")))
+        .select(col("id").as("doc_id"), col("d"), col("units"))),
+
+    // North star: PMI association mining — top-50 word pairs by pointwise
+    // mutual information in exact micro-bits; marginals and the corpus
+    // total all live on the vocab²-bounded pair table.
+    "q116_pmi_pairs" -> ((s, d) =>
+      Corpus.pmiTopPairs(documents(s, d), "doc_id", "text")),
+
+    // Robust per-group outlier statistics: median + MAD (both exact
+    // interpolated percentiles, rounded to 6dp BEFORE reuse so both engines
+    // thresholded with identical doubles), outlier count at the standard
+    // 3σ-equivalent 3·1.4826·MAD fence.
+    "q117_mad_outliers" -> ((s, d) => {
+      val ev = events(s, d)
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5D)"), 6).as("med_r"))
+      val stats = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("med_r")).as("med_r"),
+          round(expr("percentile(abs(value - med_r), 0.5D)"), 6).as("mad_r"),
+          count(lit(1)).as("n"))
+      ev.join(broadcast(stats), "event_type")
+        .groupBy(col("event_type"), col("med_r"), col("mad_r"), col("n"))
+        .agg(sum(when(abs(col("value") - col("med_r")) >
+          lit(4.4478) * col("mad_r"), 1L).otherwise(0L)).as("n_outlier"))
+        .select(col("event_type"), col("med_r"), col("mad_r"),
+          col("n").cast("long").as("n"),
+          col("n_outlier").cast("long").as("n_outlier"))
+    })
   )
 
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
@@ -3152,7 +3180,54 @@ object SparkEntry {
          |       GROUP BY e.dst)
          |SELECT r3.id AS doc_id, CAST(g.d AS BIGINT) AS d,
          |  CAST(r3.units AS BIGINT) AS units
-         |FROM r3 JOIN deg g ON g.src = r3.id""".stripMargin
+         |FROM r3 JOIN deg g ON g.src = r3.id""".stripMargin,
+    // q116: identical micro-bit PMI with marginals and total on the pair
+    // table; unique (pmi, w1, w2) ordering for the top-50 cut
+    "q116_pmi_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)),
+        |pair AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY w1, w2),
+        |uni1 AS (SELECT w1, sum(n) AS n_w1 FROM pair GROUP BY w1),
+        |uni2 AS (SELECT w2, sum(n) AS n_w2 FROM pair GROUP BY w2),
+        |tot AS (SELECT sum(n) AS t FROM pair),
+        |sel AS (
+        |  SELECT p.w1, p.w2, p.n, u1.n_w1, u2.n_w2,
+        |    CAST(round(1e6 * log2(CAST(p.n AS DOUBLE))) AS BIGINT)
+        |    + CAST(round(1e6 * log2(CAST(t.t AS DOUBLE))) AS BIGINT)
+        |    - CAST(round(1e6 * log2(CAST(u1.n_w1 AS DOUBLE))) AS BIGINT)
+        |    - CAST(round(1e6 * log2(CAST(u2.n_w2 AS DOUBLE))) AS BIGINT)
+        |      AS pmi_ub
+        |  FROM pair p
+        |  JOIN uni1 u1 ON p.w1 = u1.w1
+        |  JOIN uni2 u2 ON p.w2 = u2.w2
+        |  CROSS JOIN tot t
+        |  WHERE p.n >= 5)
+        |SELECT w1, w2, CAST(n AS BIGINT) AS n, CAST(n_w1 AS BIGINT) AS n_w1,
+        |  CAST(n_w2 AS BIGINT) AS n_w2, pmi_ub,
+        |  CAST(pmi_ub AS DOUBLE) / 1e6 AS pmi_r
+        |FROM sel ORDER BY pmi_ub DESC, w1, w2 LIMIT 50""".stripMargin,
+    // q117: median and MAD rounded to 6dp BEFORE the threshold compare, so
+    // both engines fence with identical doubles (q52 pins the percentile
+    // interpolation parity)
+    "q117_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med_r
+        |  FROM events GROUP BY event_type),
+        |stats AS (
+        |  SELECT e.event_type, any_value(m.med_r) AS med_r,
+        |    round(quantile_cont(abs(e.value - m.med_r), 0.5), 6) AS mad_r,
+        |    count(*) AS n
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type)
+        |SELECT s.event_type, s.med_r, s.mad_r, CAST(s.n AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN abs(e.value - s.med_r) > 4.4478 * s.mad_r
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
+        |FROM events e JOIN stats s USING (event_type)
+        |GROUP BY s.event_type, s.med_r, s.mad_r, s.n""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

@@ -253,6 +253,33 @@ object Corpus {
       (col("n_est") - col("n_exact")).cast("long").as("overshoot"))
   }
 
+  /** Top-k word associations by pointwise mutual information:
+    * PMI(w1,w2) = log2(n·T / (n_w1·n_w2)), carried as exact LONG micro-bits
+    * (mb(n) + mb(T) - mb(n_w1) - mb(n_w2)) so ranking and output are
+    * bit-reproducible. All statistics live on the vocab²-bounded pair
+    * table: marginals are windows over it, the corpus total T is a 1-row
+    * broadcast cross join, and the top-k is a TakeOrdered with a unique
+    * (pmi, w1, w2) sort key. The corpus is shingled exactly once. */
+  def pmiTopPairs(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val pair = docBigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val tot = pair.agg(sum(col("n")).as("t"))
+    pair
+      .withColumn("n_w1", sum(col("n")).over(Window.partitionBy(col("w1"))))
+      .withColumn("n_w2", sum(col("n")).over(Window.partitionBy(col("w2"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("n").cast("long").as("n"),
+        col("n_w1").cast("long").as("n_w1"),
+        col("n_w2").cast("long").as("n_w2"),
+        (microBits(col("n")) + microBits(col("t"))
+          - microBits(col("n_w1")) - microBits(col("n_w2"))).as("pmi_ub"))
+      .orderBy(col("pmi_ub").desc, col("w1"), col("w2"))
+      .limit(k)
+      .withColumn("pmi_r", col("pmi_ub").cast("double") / lit(1e6))
+  }
+
   /** Merge independently-fit bigram models by summing pair counts and
     * re-deriving the left-context totals — the map-reduce mergeability
     * property that makes the LM fit incrementally maintainable: fitting

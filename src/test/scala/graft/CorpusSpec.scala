@@ -203,6 +203,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("PMI: disjoint perfect pairs score exactly log2(T/n) micro-bits") {
+    // 6 docs "a b" + 6 docs "c d": T=12, each pair n=6 with marginals 6 →
+    // PMI = log2(6·12/36) = 1 bit exactly; ties broken by (w1, w2)
+    val df = ((1L to 6L).map(i => (i, "a b")) ++
+      (7L to 12L).map(i => (i, "c d"))).toDF("doc_id", "text")
+    val out = Corpus.pmiTopPairs(df, "doc_id", "text", minCount = 5, k = 10)
+      .select("w1", "w2", "pmi_ub", "pmi_r")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 1000000L, 1.0), ("c", "d", 1000000L, 1.0)))
+  }
+
   test("ratioRound6 resolves exact 5e-7 ties half-up in integer arithmetic") {
     // 1/2000000 = 0.0000005 — an exact tie at 6 decimals → rounds up to 1e-6
     val out = Seq((1L, 2000000L)).toDF("n", "d")
