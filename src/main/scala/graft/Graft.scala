@@ -150,6 +150,28 @@ object Graft {
       yearCols: Seq[String]): DataFrame =
     pipelines.WasdeTransforms.transposeBlock(block, attrCol, yearCols)
 
+  // ---- corpus statistics / curation (LLM-pipeline north stars) ----
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.Corpus.bigramSurprisal(docs, idCol, textCol)
+  def chunkWithOverlap(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame =
+    operators.Corpus.chunkWithOverlap(docs, idCol, textCol, size, stride)
+  def budgetSample(docs: DataFrame, groupCol: String, idCol: String,
+      weight: Column, budget: Long): DataFrame =
+    operators.Corpus.budgetSample(docs, groupCol, idCol, weight, budget)
+  def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.Corpus.wordEntropy(docs, idCol, textCol)
+  def groupMinhashSketch(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    operators.Corpus.groupMinhashSketch(docs, groupCol, textCol)
+  def cmsHeavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    operators.Corpus.cmsHeavyHitters(docs, textCol, k)
+  def pmiTopPairs(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, k: Int = 50): DataFrame =
+    operators.Corpus.pmiTopPairs(docs, idCol, textCol, minCount, k)
+  def integerPageRank(pairs: DataFrame, iters: Int = 3): DataFrame =
+    operators.Graph.integerPageRank(pairs, iters)
+
   // ---- streaming ----
   def windowedEventAgg(events: DataFrame, windowDur: String,
       watermarkDelay: String): DataFrame =

@@ -122,5 +122,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val m = Seq(1).toDF("x").select(graft.Graft.haversineMeters(
       lit(0.0), lit(0.0), lit(0.0), lit(1.0)).as("d")).as[Double].head()
     assert(math.abs(m - 111194.9) < 1.0)   // one equatorial degree
+    // corpus/graph families route through the same front door
+    val chunks = graft.Graft.chunkWithOverlap(docs, "doc_id", "text", 3, 2)
+      .collect()
+    assert(chunks.length == 6)          // 5 tokens, size 3, stride 2 → 2/doc
+    val pr = graft.Graft.integerPageRank(
+      Seq((1L, 2L)).toDF("id_a", "id_b"), iters = 1).collect()
+    assert(pr.length == 2)
   }
 }
