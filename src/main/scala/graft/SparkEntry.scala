@@ -1849,6 +1849,14 @@ object SparkEntry {
     "q116_pmi_pairs" -> ((s, d) =>
       Corpus.pmiTopPairs(documents(s, d), "doc_id", "text")),
 
+    // North star: weight-proportional reproducible sampling (A-ES) — the
+    // mixture-construction primitive; md5-seeded keys, one shuffle, map-
+    // side WindowGroupLimit top-k. Longer documents are proportionally
+    // likelier to be drawn.
+    "q118_weighted_sample" -> ((s, d) =>
+      Corpus.weightedSample(documents(s, d), "source", "doc_id",
+        col("n_chars"), k = 5)),
+
     // Robust per-group outlier statistics: median + MAD (both exact
     // interpolated percentiles, rounded to 6dp BEFORE reuse so both engines
     // thresholded with identical doubles), outlier count at the standard
@@ -3227,7 +3235,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN abs(e.value - s.med_r) > 4.4478 * s.mad_r
         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
         |FROM events e JOIN stats s USING (event_type)
-        |GROUP BY s.event_type, s.med_r, s.mad_r, s.n""".stripMargin
+        |GROUP BY s.event_type, s.med_r, s.mad_r, s.n""".stripMargin,
+    // q118: identical A-ES key — 52-bit md5 dyadic u, key = u^(1/w) — and
+    // the same (key desc, doc_id) rank; only the integer rank is compared
+    "q118_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT source, doc_id, n_chars AS wt,
+        |    pow((('0x' || substring(md5('aes|' || CAST(doc_id AS VARCHAR)),
+        |           1, 13))::BIGINT + 1) / 4503599627370496.0,
+        |        1.0 / n_chars) AS skey
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, wt,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY skey DESC, doc_id) AS rk
+        |  FROM k)
+        |SELECT source, doc_id, CAST(wt AS BIGINT) AS wt, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

@@ -164,6 +164,32 @@ object Corpus {
         col("cum_wt").cast("long").as("cum_wt"))
   }
 
+  /** Deterministic weighted sampling without replacement per group
+    * (Efraimidis–Spirakis A-ES): each document draws u ∈ (0,1] from its own
+    * md5 (52 bits → an exactly-representable dyadic rational) and ranks by
+    * key = u^(1/weight); the top-k keys per group are a weight-proportional
+    * sample, reproducible across runs, partitionings, and engines. The key
+    * is computed map-side; the only shuffle is the group partition for the
+    * rank window, and the top-k rank prunes map-side via WindowGroupLimit.
+    * The float key is never emitted — only the integer rank — so a last-ulp
+    * libm pow() difference could matter only if two keys collided within
+    * ~1e-16, which the md5 draw makes vanishingly unlikely. */
+  def weightedSample(docs: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int, salt: String = "aes"): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(salt + "|"),
+        col(idCol).cast("string"))), 1, 13), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    val key = pow(u, lit(1.0) / weight.cast("double"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("skey").desc, col(idCol))
+    docs.select(col(groupCol), col(idCol), weight.cast("long").as("wt"),
+        key.as("skey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col(idCol), col("wt"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Per-document lexical statistics: token count, distinct types,
     * type-token ratio, and word-distribution Shannon entropy in bits —
     * H = log2(N) - (Σ n_w·log2(n_w))/N, with the Σ carried as exact LONG

@@ -90,6 +90,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(a == b && a.size == 5)
   }
 
+  // ---- weightedSample ------------------------------------------------------
+
+  test("weighted sample: k-cap per group, deterministic, weight-dominant") {
+    val df = ((1L to 20L).map(i => ("s1", i, 1L)) :+ (("s1", 99L, 1000000000L)))
+      .toDF("source", "doc_id", "w")
+    val out = Corpus.weightedSample(df, "source", "doc_id", col("w"), k = 5)
+      .select("doc_id", "rk").as[(Long, Long)].collect().toMap
+    assert(out.size == 5)
+    // key = u^(1/w): the 1e9-weight doc's key is 1 - O(1e-9), above any
+    // unit-weight draw in this fixture → it must rank first
+    assert(out(99L) == 1L)
+    val again = Corpus.weightedSample(df.repartition(7), "source", "doc_id",
+        col("w"), k = 5)
+      .select("doc_id", "rk").as[(Long, Long)].collect().toMap
+    assert(again == out)
+  }
+
   // ---- wordEntropy --------------------------------------------------------
 
   test("entropy: all-distinct doc has H=log2(N) and TTR=1") {
