@@ -202,6 +202,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.forall(_ == 0L))
   }
 
+  test("CMS sketches merge: summed slice sketches equal the full sketch") {
+    val a = docs(1L -> "x y z x", 2L -> "p q r")
+    val b = docs(3L -> "x p x q", 4L -> "y y z")
+    val full = Corpus.countMinSketch(a.unionByName(b)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w")), "w")
+      .select("r", "bucket", "n").as[(Long, Long, Long)].collect().toSet
+    val merged = Corpus.countMinSketch(a
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w")), "w")
+      .unionByName(Corpus.countMinSketch(b
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w")), "w"))
+      .groupBy("r", "bucket").agg(sum("n").as("n"))
+      .select("r", "bucket", "n").as[(Long, Long, Long)].collect().toSet
+    assert(merged == full)
+  }
+
   // ---- incremental model maintenance --------------------------------------
 
   test("merged slice models equal the whole-corpus model") {
