@@ -1849,6 +1849,13 @@ object SparkEntry {
     "q116_pmi_pairs" -> ((s, d) =>
       Corpus.pmiTopPairs(documents(s, d), "doc_id", "text")),
 
+    // North star: passage-level duplication — pairs sharing >= 8 winnowed
+    // 16-char-gram fingerprints (a copied span inside otherwise-different
+    // documents, invisible to whole-doc MinHash). Boilerplate fingerprints
+    // are capped before the self-join; only (doc_id, 8-hex fp) rows shuffle.
+    "q119_shared_passages" -> ((s, d) =>
+      Dedup.sharedPassagePairs(documents(s, d), "doc_id", "text")),
+
     // North star: weight-proportional reproducible sampling (A-ES) — the
     // mixture-construction primitive; md5-seeded keys, one shuffle, map-
     // side WindowGroupLimit top-k. Longer documents are proportionally
@@ -3251,7 +3258,31 @@ object SparkEntry {
         |      ORDER BY skey DESC, doc_id) AS rk
         |  FROM k)
         |SELECT source, doc_id, CAST(wt AS BIGINT) AS wt, CAST(rk AS BIGINT) AS rk
-        |FROM r WHERE rk <= 5""".stripMargin
+        |FROM r WHERE rk <= 5""".stripMargin,
+    // q119: q67's winnow-fingerprint CTE, then the same capped fp self-join
+    "q119_shared_passages" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    substring(md5(substring(norm, CAST(i AS INTEGER), 16)), 1, 8) AS h
+        |  FROM nrm,
+        |  LATERAL unnest(range(1, greatest(length(norm) - 15, 1) + 1)) AS u(i)),
+        |w AS (
+        |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp FROM g),
+        |d AS (SELECT DISTINCT doc_id, fp FROM w),
+        |counted AS (
+        |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_docs FROM d),
+        |pruned AS (
+        |  SELECT doc_id, fp FROM counted WHERE n_docs > 1 AND n_docs <= 10)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared, min(a.fp) AS min_fp
+        |FROM pruned a JOIN pruned b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 8""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

@@ -156,4 +156,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("doc_id", "boiler_ratio").as[(Long, Double)].collect().toMap
     assert(ratios(0L) == 0.5 && ratios(2L) == 0.0)
   }
+
+  test("sharedPassagePairs finds the copied span, not unrelated docs") {
+    import spark.implicits._
+    // a ~250-char distinctive passage shared by docs 1 and 2 with
+    // different surroundings; docs 3 and 4 share nothing
+    val passage = (1 to 30).map(i => s"wq${i}xv${i * 7 % 97}").mkString(" ")
+    val d = Seq(
+      (1L, s"$passage unique closing words for the first document here"),
+      (2L, s"a completely different opening sentence then $passage"),
+      (3L, "standalone text about nothing shared with anything else at all"),
+      (4L, "another independent document with its own private vocabulary")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedPassagePairs(d, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
 }
