@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{GeoFunctions, TextFunctions}
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Transforms}
+import graft.operators.{Blocklist, Corpus, Dedup, Multimodal, Similarity, Transforms}
 
 /** Driver contract (SURVEY §7 + builder prompt): one `queries` entry per
   * implemented operator from SURVEY §2 (+ the north-star dedup / similarity /
@@ -1856,6 +1856,20 @@ object SparkEntry {
     "q119_shared_passages" -> ((s, d) =>
       Dedup.sharedPassagePairs(documents(s, d), "doc_id", "text")),
 
+    // North star: Bloom-pre-pruned decontamination — keep documents whose
+    // content digest is NOT in a blocklist (here: digests of doc_id%37==0
+    // docs, standing in for an external bad-hash list). The corpus side is
+    // filtered by a broadcast Bloom blob inside whole-stage codegen; only
+    // might-contain candidates reach the exact anti-join, so false
+    // positives cost a shuffle row, never correctness.
+    "q120_bloom_blocklist" -> ((s, d) => {
+      val digested = documents(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("digest"))
+      val block = digested.filter(col("doc_id") % 37 === 0).select(col("digest"))
+      Blocklist.bloomAntiJoin(digested, block, "digest")
+        .select(col("doc_id"), col("digest"))
+    }),
+
     // North star: weight-proportional reproducible sampling (A-ES) — the
     // mixture-construction primitive; md5-seeded keys, one shuffle, map-
     // side WindowGroupLimit top-k. Longer documents are proportionally
@@ -3282,7 +3296,17 @@ object SparkEntry {
         |FROM pruned a JOIN pruned b
         |  ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
-        |HAVING count(*) >= 8""".stripMargin
+        |HAVING count(*) >= 8""".stripMargin,
+    // q120: the Bloom filter is an accelerator, not a semantics change —
+    // the oracle is the plain exact anti-join
+    "q120_bloom_blocklist" ->
+      """WITH digested AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+        |  FROM documents)
+        |SELECT doc_id, digest FROM digested
+        |WHERE digest NOT IN (
+        |  SELECT digest FROM digested WHERE doc_id % 37 = 0)""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the
