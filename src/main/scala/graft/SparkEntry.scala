@@ -1870,6 +1870,13 @@ object SparkEntry {
         .select(col("doc_id"), col("digest"))
     }),
 
+    // North star: PPJoin-style prefix filtering — char-8-gram Jaccard ≥ 3/5
+    // pairs where each doc joins only on its rarest 2/5 of shingles, so the
+    // candidate join never touches hot shingles. Integer threshold math on
+    // both engines; recall is provably exact.
+    "q121_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(documents(s, d), "doc_id", "text")),
+
     // North star: weight-proportional reproducible sampling (A-ES) — the
     // mixture-construction primitive; md5-seeded keys, one shuffle, map-
     // side WindowGroupLimit top-k. Longer documents are proportionally
@@ -3306,7 +3313,48 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, digest FROM digested
         |WHERE digest NOT IN (
-        |  SELECT digest FROM digested WHERE doc_id % 37 = 0)""".stripMargin
+        |  SELECT digest FROM digested WHERE doc_id % 37 = 0)""".stripMargin,
+    // q121: same prefix-filter construction in SQL; thresholding is pure
+    // integer arithmetic on both sides, the double jacc is display-only
+    "q121_prefix_jaccard" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    substring(norm || '       ', CAST(i AS INTEGER), 8) AS tok
+        |  FROM nrm,
+        |  LATERAL unnest(range(1, greatest(length(norm) - 7, 1) + 1)) AS u(i)),
+        |df AS (SELECT tok, count(*) AS dfreq FROM toks GROUP BY tok),
+        |ranked AS (
+        |  SELECT t.doc_id, t.tok,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY d.dfreq, t.tok) AS rn,
+        |    count(*) OVER (PARTITION BY t.doc_id) AS n
+        |  FROM toks t JOIN df d USING (tok)),
+        |prefix AS (
+        |  SELECT doc_id, tok FROM ranked
+        |  WHERE rn <= n - ((n * 3 + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM prefix a JOIN prefix b
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.d1, c.d2, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN toks ta ON ta.doc_id = c.d1
+        |  JOIN toks tb ON tb.doc_id = c.d2 AND tb.tok = ta.tok
+        |  GROUP BY c.d1, c.d2)
+        |SELECT i.d1 AS id_a, i.d2 AS id_b,
+        |  CAST(i.n_inter AS BIGINT) AS n_inter,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(i.n_inter AS DOUBLE) /
+        |    CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jacc
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.d1
+        |JOIN sizes sb ON sb.doc_id = i.d2
+        |WHERE i.n_inter * 5 >= 3 * (sa.n + sb.n - i.n_inter)""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

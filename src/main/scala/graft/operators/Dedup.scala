@@ -329,6 +329,66 @@ object Dedup {
           (col("s1.n") + col("s2.n") - col("n_inter")).cast("double")).as("jaccard"))
   }
 
+  /** Prefix-filtered shingle-set similarity join (PPJoin-style). The naive
+    * shingle equi-join explodes on frequent shingles; here each document
+    * joins only on its `p = n - ceil(t·n) + 1` globally-RAREST shingles
+    * (ascending document frequency, shingle as tiebreaker). Any two sets
+    * with Jaccard ≥ t must share at least one prefix element (if the
+    * prefixes were disjoint, the overlap is at most n - p < t·n ≤ the
+    * overlap bound), so recall is exact — candidates just shrink from
+    * hot-shingle quadratic to rare-shingle buckets. The set element is a
+    * char `shingleK`-gram (sequence-sensitive; distinct WORD sets are
+    * degenerate on template-heavy corpora — measured 71k/125k pairs at
+    * t=3/5 vs exactly the 25 true near-dup pairs with 8-grams). Threshold
+    * t = `numT/denT`; ceil and the final filter are pure integer
+    * arithmetic (`(3n+4) div 5`, `5·inter ≥ 3·union`) so both engines
+    * threshold identically — the double `jacc` column is display-only.
+    *
+    * Scale shape: shingles shuffle by value (df count + candidate join)
+    * and by doc_id (one partitioned window for rank+size); exact
+    * verification touches candidate pairs only. The distinct shingle
+    * table is checkpointed once and reused by all four consumers. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numT: Int = 3, denT: Int = 5): DataFrame = {
+    require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.charShingles(
+          TextFunctions.normalize(col(textCol)), shingleK)).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("dfreq"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
+    val prefix = ranked
+      .filter(col("rn") <= col("n") - expr(s"(n * $numT + ${denT - 1}) DIV $denT") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(toks.as("ta"), col("ta.doc_id") === col("d1"))
+      .join(toks.as("tb"),
+        col("tb.doc_id") === col("d2") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("sa.doc_id") === col("d1"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("d2"))
+      .filter(col("n_inter") * denT >=
+        (col("sa.n") + col("sb.n") - col("n_inter")) * numT)
+      .select(col("d1").as("id_a"), col("d2").as("id_b"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("sa.n").cast("long").as("n_a"), col("sb.n").cast("long").as("n_b"),
+        (col("n_inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("n_inter")).cast("double")).as("jacc"))
+  }
+
   /** Keeper selection — the step that turns near-dup CLUSTERS into an
     * actual deduplicated corpus: per cluster, keep the member with the
     * highest `weightCol` (ties → smallest id). `members` is

@@ -157,6 +157,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ratios(0L) == 0.5 && ratios(2L) == 0.0)
   }
 
+  test("prefixJaccardPairs equals the unfiltered shingle join") {
+    import spark.implicits._
+    val d = (0L until 40L).map { i =>
+      val body = (1 to 25).map(j => s"tk${(i * 31 + j * 7) % 211}").mkString(" ")
+      // make docs 2k/2k+1 near-identical, others unrelated
+      (i, if (i % 2 == 1) {
+        val prev = (1 to 25).map(j => s"tk${((i - 1) * 31 + j * 7) % 211}").mkString(" ")
+        prev + " tail"
+      } else body)
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(d, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force: all-pairs distinct-shingle jaccard at the same threshold
+    val toks = d.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.charShingles(
+          graft.functions.TextFunctions.normalize(col("text")), 8)).as("s"))
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val expected = toks.as("x").join(toks.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.as("sx"), col("a") === col("sx.doc_id"))
+      .join(sizes.as("sy"), col("b") === col("sy.doc_id"))
+      .filter(col("ni") * 5 >= (col("sx.n") + col("sy.n") - col("ni")) * 3)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    assert(got.forall { case (a, b) => b == a + 1 && a % 2 == 0 })
+  }
+
   test("sharedPassagePairs finds the copied span, not unrelated docs") {
     import spark.implicits._
     // a ~250-char distinctive passage shared by docs 1 and 2 with
