@@ -91,6 +91,24 @@ object Graft {
   def selectKeepers(members: DataFrame, idCol: String, weightCol: String,
       clusterCol: String = "cluster"): DataFrame =
     operators.Dedup.selectKeepers(members, idCol, weightCol, clusterCol)
+  def sharedPassagePairs(docs: DataFrame, idCol: String, textCol: String,
+      gram: Int = 16, win: Int = 8, minShared: Int = 8,
+      maxDocsPerFp: Int = 10): DataFrame =
+    operators.Dedup.sharedPassagePairs(docs, idCol, textCol, gram, win,
+      minShared, maxDocsPerFp)
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numT: Int = 3, denT: Int = 5): DataFrame =
+    operators.Dedup.prefixJaccardPairs(docs, idCol, textCol, shingleK, numT, denT)
+  def bloomSemiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
+      bitsPerKey: Int = 10, numHashes: Int = 5,
+      expectedKeys: Long = -1L): DataFrame =
+    operators.Blocklist.bloomSemiJoin(big, keys, keyCol, bitsPerKey,
+      numHashes, expectedKeys)
+  def bloomAntiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
+      bitsPerKey: Int = 10, numHashes: Int = 5,
+      expectedKeys: Long = -1L): DataFrame =
+    operators.Blocklist.bloomAntiJoin(big, keys, keyCol, bitsPerKey,
+      numHashes, expectedKeys)
   def hashStratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Long], defaultThreshold: Long): DataFrame =
     operators.Transforms.hashStratifiedSample(df, idCol, stratumCol, rates,

@@ -1877,6 +1877,21 @@ object SparkEntry {
     "q121_prefix_jaccard" -> ((s, d) =>
       Dedup.prefixJaccardPairs(documents(s, d), "doc_id", "text")),
 
+    // Incremental-ingest primitive: snapshot diff between two corpus
+    // versions (v2 derived deterministically: %41 removed, %43 edited,
+    // %47 re-added under a shifted id) — added/removed/changed/unchanged
+    // per doc id; only (id, digest) rows ever shuffle.
+    "q122_corpus_diff" -> ((s, d) => {
+      val v1 = documents(s, d).select(col("doc_id"), col("text"))
+      val kept = v1.filter(col("doc_id") % 41 =!= 0)
+        .withColumn("text", when(col("doc_id") % 43 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val added = v1.filter(col("doc_id") % 47 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text"))
+      Corpus.snapshotDiff(v1, kept.unionByName(added), "doc_id", "text")
+    }),
+
     // North star: weight-proportional reproducible sampling (A-ES) — the
     // mixture-construction primitive; md5-seeded keys, one shuffle, map-
     // side WindowGroupLimit top-k. Longer documents are proportionally
@@ -3354,7 +3369,29 @@ object SparkEntry {
         |FROM inter i
         |JOIN sizes sa ON sa.doc_id = i.d1
         |JOIN sizes sb ON sb.doc_id = i.d2
-        |WHERE i.n_inter * 5 >= 3 * (sa.n + sb.n - i.n_inter)""".stripMargin
+        |WHERE i.n_inter * 5 >= 3 * (sa.n + sb.n - i.n_inter)""".stripMargin,
+    // q122: identical v2 derivation, plain full-outer digest compare
+    "q122_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 43 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 41 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' new' FROM v1 WHERE doc_id % 47 = 0),
+        |o AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS old_digest
+        |  FROM v1),
+        |n AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS new_digest
+        |  FROM v2)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_digest = new_digest THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_digest, new_digest
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

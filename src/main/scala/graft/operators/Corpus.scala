@@ -321,6 +321,29 @@ object Corpus {
       sum(col("n")).over(Window.partitionBy(col("w1"))))
   }
 
+  /** Corpus snapshot diff — the incremental-ingest primitive: classify
+    * every doc id across two corpus versions as added / removed / changed /
+    * unchanged by comparing content fingerprints, so a re-crawl only
+    * reprocesses `added ∪ changed` downstream. One full-outer shuffle join
+    * on the id (co-partition both snapshots on `idCol` at write time and
+    * even that shuffle disappears); only (id, 128-bit digest) rows move,
+    * never document bodies. Returns (doc_id, status, old_digest,
+    * new_digest) with null digests on the absent side. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def digested(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as(s"${side}_digest"))
+    digested(oldDocs, "old").as("o")
+      .join(digested(newDocs, "new").as("n"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") === col("new_digest"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_digest"), col("new_digest"))
+  }
+
   /** Pairwise lane-agreement similarity between group sketches: est_r =
     * agreeing lanes / numHashes, an unbiased estimate of the Jaccard
     * similarity of the groups' shingle sets. The sketch table is

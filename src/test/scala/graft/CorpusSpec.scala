@@ -246,6 +246,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Seq(("a", "b", 1000000L, 1.0), ("c", "d", 1000000L, 1.0)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "BETA  "), (4L, "delta")).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(v1, v2, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    // normalization makes "BETA  " == "beta" → unchanged despite the edit
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "removed", 4L -> "added"))
+    val v2b = Seq((2L, "beta prime")).toDF("doc_id", "text")
+    val changed = Corpus.snapshotDiff(v1, v2b, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(changed(2L) == "changed")
+  }
+
   test("ratioRound6 resolves exact 5e-7 ties half-up in integer arithmetic") {
     // 1/2000000 = 0.0000005 — an exact tie at 6 decimals → rounds up to 1e-6
     val out = Seq((1L, 2000000L)).toDF("n", "d")
