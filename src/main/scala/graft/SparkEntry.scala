@@ -1892,6 +1892,20 @@ object SparkEntry {
       Corpus.snapshotDiff(v1, kept.unionByName(added), "doc_id", "text")
     }),
 
+    // Compression-ratio repetition signal (Gopher-style quality filter):
+    // deflate/raw bytes in one codegen'd map pass. DEFLATE byte counts are
+    // a zlib implementation detail no SQL engine reproduces, so this is a
+    // rows-only query — relative behavior is locked by TextHashSpec.
+    "q123_compression_signal" -> ((s, d) => {
+      import org.apache.spark.sql.GraftBridge
+      val ratio = GraftBridge.column(graft.functions.DeflateRatio(
+        GraftBridge.expression(col("text"))))
+      documents(s, d).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(ratio, 4).as("deflate_r"))
+        .withColumn("is_repetitive", col("deflate_r") < 0.3)
+    }),
+
     // North star: weight-proportional reproducible sampling (A-ES) — the
     // mixture-construction primitive; md5-seeded keys, one shuffle, map-
     // side WindowGroupLimit top-k. Longer documents are proportionally

@@ -53,4 +53,25 @@ class TextHashSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(sh.toSet == Set("a b", "b c", "c d"))
   }
+
+  test("deflate ratio separates repetitive from natural text, codegen-safe") {
+    import graft.functions.{CompressionOps, DeflateRatio}
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.unsafe.types.UTF8String
+    val loop = "spam ham " * 200
+    val prose = (1 to 100).map(i => s"sentence$i about topic${i * 7 % 31}")
+      .mkString(" different every time ")
+    val rLoop = CompressionOps.deflateRatio(UTF8String.fromString(loop))
+    val rProse = CompressionOps.deflateRatio(UTF8String.fromString(prose))
+    assert(rLoop < 0.1 && rLoop < rProse / 3,
+      s"loop=$rLoop prose=$rProse")
+    assert(CompressionOps.deflateRatio(UTF8String.fromString("")) == 1.0)
+    // same values through the DataFrame expression, across partitions
+    val df = Seq(loop, prose).toDF("t").repartition(4)
+      .select(GraftBridge.column(DeflateRatio(
+        GraftBridge.expression(col("t")))).as("r"))
+    val got = df.as[Double].collect().toSet
+    assert(got == Set(rLoop, rProse))
+    assert(!df.queryExecution.executedPlan.toString.contains("CodegenFallback"))
+  }
 }
