@@ -64,6 +64,12 @@ object SparkEntry {
     "(?i)cold" -> "COLDCHAIN")
   private val rulesDefault = "OTROS SIN CLASIFICACION"
 
+  /** q124 dictionary — overlapping terms on purpose (longest-match). The
+    * oracle's regex alternation lists these length-descending so RE2's
+    * first-alternative choice equals the trie's longest-match. */
+  private val DictTerms = Seq("customer query", "sort table", "hash join",
+    "customer", "stream", "window", "spark", "hash")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1/A2 — grouped sums/counts (TPC-H Q1 shape; reference A2:
@@ -1906,6 +1912,20 @@ object SparkEntry {
         .withColumn("is_repetitive", col("deflate_r") < 0.3)
     }),
 
+    // Large-dictionary masking: one trie pass per doc (vs K regex passes),
+    // leftmost-longest = RE2 with a length-desc alternation, so the masked
+    // text is proved byte-identical via md5. Overlapping terms (customer
+    // query ⊃ customer, hash join ⊃ hash) exercise longest-match.
+    "q124_dict_mask" -> ((s, d) => {
+      import org.apache.spark.sql.GraftBridge
+      val trie = new graft.functions.DictTrie(DictTerms, "<TERM>")
+      documents(s, d).select(col("doc_id"),
+          GraftBridge.column(graft.functions.DictScan(
+            GraftBridge.expression(col("text")), trie)).as("sc"))
+        .select(col("doc_id"), col("sc.n_hits").as("n_hits"),
+          md5(col("sc.masked")).as("masked_digest"))
+    }),
+
     // North star: weight-proportional reproducible sampling (A-ES) — the
     // mixture-construction primitive; md5-seeded keys, one shuffle, map-
     // side WindowGroupLimit top-k. Longer documents are proportionally
@@ -3405,7 +3425,18 @@ object SparkEntry {
         |       WHEN old_digest = new_digest THEN 'unchanged'
         |       ELSE 'changed' END AS status,
         |  old_digest, new_digest
-        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // q124: RE2 alternation (length-desc) == trie leftmost-longest; masked
+    // text proved byte-identical through the digest
+    "q124_dict_mask" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '(customer query|sort table|hash join|customer|stream|window|spark|hash)'
+        |  )) AS BIGINT) AS n_hits,
+        |  md5(regexp_replace(text,
+        |    '(customer query|sort table|hash join|customer|stream|window|spark|hash)',
+        |    '<TERM>', 'g')) AS masked_digest
+        |FROM documents""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

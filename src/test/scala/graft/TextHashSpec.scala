@@ -54,6 +54,32 @@ class TextHashSpec extends AnyFunSuite {
     assert(sh.toSet == Set("a b", "b c", "c d"))
   }
 
+  test("dict trie masks leftmost-longest in one pass") {
+    import graft.functions.{DictScan, DictTrie}
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.unsafe.types.UTF8String
+    val trie = new DictTrie(Seq("hash join", "hash", "ash"), "<X>")
+    def scan(s: String) = {
+      val r = trie.scan(UTF8String.fromString(s))
+      (r.getLong(0), r.getUTF8String(1).toString)
+    }
+    // longest match wins at a position; no re-match inside the mask
+    assert(scan("a hash join b") == (1L, "a <X> b"))
+    assert(scan("hash hash join") == (2L, "<X> <X>"))
+    // leftmost wins: "hash" at 0 beats "ash" at 1; then "ash" matches later
+    assert(scan("hashash") == (2L, "<X><X>"))
+    assert(scan("no terms here") == (0L, "no terms here"))
+    assert(scan("") == (0L, ""))
+    // through the DataFrame expression, codegen intact
+    val df = Seq("x hash join y", "plain").toDF("t").repartition(2)
+      .select(GraftBridge.column(DictScan(
+        GraftBridge.expression(col("t")), trie)).as("sc"))
+      .select(col("sc.n_hits"), col("sc.masked"))
+    assert(df.as[(Long, String)].collect().toSet ==
+      Set((1L, "x <X> y"), (0L, "plain")))
+    assert(!df.queryExecution.executedPlan.toString.contains("CodegenFallback"))
+  }
+
   test("deflate ratio separates repetitive from natural text, codegen-safe") {
     import graft.functions.{CompressionOps, DeflateRatio}
     import org.apache.spark.sql.GraftBridge
