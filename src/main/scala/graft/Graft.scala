@@ -114,6 +114,18 @@ object Graft {
     operators.Transforms.hashStratifiedSample(df, idCol, stratumCol, rates,
       defaultThreshold)
   def cosine(a: Column, b: Column): Column = operators.Similarity.cosine(a, b)
+  def meanPool(vectors: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    operators.Similarity.meanPool(vectors, groupCol, vecCol)
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    operators.Corpus.snapshotDiff(oldDocs, newDocs, idCol, textCol)
+  def deflateRatio(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(functions.DeflateRatio(
+      org.apache.spark.sql.GraftBridge.expression(text)))
+  def dictScan(text: Column, terms: Seq[String], mask: String): Column =
+    org.apache.spark.sql.GraftBridge.column(functions.DictScan(
+      org.apache.spark.sql.GraftBridge.expression(text),
+      new functions.DictTrie(terms, mask)))
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
       queryVec: DataFrame, k: Int): DataFrame =
     operators.Similarity.bruteForceTopK(vectors, idCol, vecCol, queryVec, k)

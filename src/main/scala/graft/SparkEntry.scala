@@ -1926,6 +1926,12 @@ object SparkEntry {
           md5(col("sc.masked")).as("masked_digest"))
     }),
 
+    // Label prototypes: element-wise mean pooling of embeddings per label
+    // in exact integer micro-units — associative-exact under any partial-
+    // aggregation order, so distributed sums hash-match the oracle.
+    "q125_embedding_pool" -> ((s, d) =>
+      Similarity.meanPool(embeddings(s, d), "label", "embedding")),
+
     // North star: weight-proportional reproducible sampling (A-ES) — the
     // mixture-construction primitive; md5-seeded keys, one shuffle, map-
     // side WindowGroupLimit top-k. Longer documents are proportionally
@@ -3436,7 +3442,20 @@ object SparkEntry {
         |  md5(regexp_replace(text,
         |    '(customer query|sort table|hash join|customer|stream|window|spark|hash)',
         |    '<TERM>', 'g')) AS masked_digest
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q125: identical micro-unit quantization; integer sums then one
+    // bit-deterministic division — no float-order drift on either side
+    "q125_embedding_pool" ->
+      """WITH ex AS (
+        |  SELECT label AS grp, CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS u
+        |  FROM embeddings,
+        |  LATERAL unnest(range(1, len(embedding) + 1)) AS t(i))
+        |SELECT grp, pos, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(u) AS BIGINT) AS sum_u,
+        |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
+        |FROM ex GROUP BY grp, pos""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

@@ -33,6 +33,27 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Element-wise mean pooling per group — label prototypes / cluster
+    * centroids. Elements are quantized to exact integer micro-units
+    * (`floor(v·1e6 + 0.5)`, identical IEEE ops in any engine) BEFORE
+    * summing, so the aggregation is associative-exact under Spark's
+    * arbitrary partial-sum order — no float-order drift, hash-stable vs
+    * any oracle. One shuffle of groups×dims rows (posexplode is map-side);
+    * the output mean is the bit-deterministic quotient of two exact
+    * integers. Returns (grp, pos, n, sum_u, mean_v). */
+  def meanPool(vectors: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("grp"), col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * lit(1000000d) + lit(0.5d))
+          .cast("long").as("u"))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("sum_u"))
+      .select(col("grp"), col("pos"), col("n").cast("long").as("n"),
+        col("sum_u").cast("long").as("sum_u"),
+        (col("sum_u").cast("double") /
+          (col("n") * lit(1000000L)).cast("double")).as("mean_v"))
+
   /** Brute-force cosine top-k of `vectors` against the single row of
     * `queryVec` (a 1-row DataFrame with column `qe`). The query side is
     * broadcast; ranking uses a unique tiebreak on id. */

@@ -157,6 +157,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ratios(0L) == 0.5 && ratios(2L) == 0.0)
   }
 
+  test("meanPool computes exact per-position means, any partitioning") {
+    import spark.implicits._
+    val vs = Seq((0, Seq(1.0f, -2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(0.5f, 0.25f)))
+      .toDF("label", "embedding").repartition(5)
+    val got = Similarity.meanPool(vs, "label", "embedding")
+      .select("grp", "pos", "n", "sum_u", "mean_v")
+      .as[(Int, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (0, 0L, 2L, 4000000L, 2.0), (0, 1L, 2L, 2000000L, 1.0),
+      (1, 0L, 1L, 500000L, 0.5), (1, 1L, 1L, 250000L, 0.25)))
+  }
+
   test("prefixJaccardPairs equals the unfiltered shingle join") {
     import spark.implicits._
     val d = (0L until 40L).map { i =>
