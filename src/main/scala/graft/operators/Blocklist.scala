@@ -31,6 +31,12 @@ object Blocklist {
     keys.agg(BloomAgg(numBits, numHashes).column(col(keyCol)).as("graft_bloom"))
   }
 
+  /** The key set is consumed three times (size probe, bloom build, exact
+    * confirm join) — materialize it once. It is the SMALL side by
+    * contract, so the checkpoint is bounded. */
+  private def materializedKeys(keys: DataFrame, keyCol: String): DataFrame =
+    keys.select(col(keyCol)).distinct().localCheckpoint()
+
   private def probe(big: DataFrame, blob: DataFrame, keyCol: String): DataFrame =
     big.crossJoin(broadcast(blob)).withColumn("graft_might",
       GraftBridge.column(BloomMightContain(
@@ -42,11 +48,12 @@ object Blocklist {
   def bloomSemiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
       bitsPerKey: Int = 10, numHashes: Int = 5,
       expectedKeys: Long = -1L): DataFrame = {
-    val blob = bloomRow(keys.select(col(keyCol)), keyCol, bitsPerKey, numHashes, expectedKeys)
+    val k = materializedKeys(keys, keyCol)
+    val blob = bloomRow(k, keyCol, bitsPerKey, numHashes, expectedKeys)
     probe(big, blob, keyCol)
       .filter(col("graft_might"))
       .drop("graft_bloom", "graft_might")
-      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .join(k, Seq(keyCol), "left_semi")
   }
 
   /** Rows of `big` whose key is NOT in `keys` (anti join — keep the clean
@@ -55,13 +62,14 @@ object Blocklist {
   def bloomAntiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
       bitsPerKey: Int = 10, numHashes: Int = 5,
       expectedKeys: Long = -1L): DataFrame = {
-    val blob = bloomRow(keys.select(col(keyCol)), keyCol, bitsPerKey, numHashes, expectedKeys)
+    val k = materializedKeys(keys, keyCol)
+    val blob = bloomRow(k, keyCol, bitsPerKey, numHashes, expectedKeys)
     val tagged = probe(big, blob, keyCol)
     val clean = tagged.filter(!col("graft_might"))
       .drop("graft_bloom", "graft_might")
     val survivors = tagged.filter(col("graft_might"))
       .drop("graft_bloom", "graft_might")
-      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .join(k, Seq(keyCol), "left_anti")
     clean.unionByName(survivors)
   }
 }
