@@ -3387,9 +3387,14 @@ object SparkEntry {
         |      ORDER BY d.dfreq, t.tok) AS rn,
         |    count(*) OVER (PARTITION BY t.doc_id) AS n
         |  FROM toks t JOIN df d USING (tok)),
-        |prefix AS (
+        |prefix0 AS (
         |  SELECT doc_id, tok FROM ranked
         |  WHERE rn <= n - ((n * 3 + 4) // 5) + 1),
+        |prefix AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS nd
+        |    FROM prefix0)
+        |  WHERE nd <= 20),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |  FROM prefix a JOIN prefix b

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram shingling: `word_shingles(text, n) -> array<string>`.
@@ -59,6 +60,79 @@ object ShingleOps {
   def wordShinglesCol(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
 
+  /** Distinct overlapping character k-shingles, first-occurrence order.
+    * Byte-for-byte the semantics of the HOF formulation it replaces
+    * (`array_distinct(transform(sequence(1, greatest(len-k+1, 1)),
+    * i => concat(text, ' '*(k-1)).substr(i, k)))`, see
+    * TextFunctions.charShingles): the input is right-padded with k-1
+    * spaces so a string shorter than k yields exactly one padded shingle,
+    * and an empty string yields the k-1-space shingle. `substringSQL`
+    * is the same code the built-in Substring expression runs, so
+    * non-ASCII positions agree. The HOF chain evaluates its lambda
+    * interpreted per element AND re-evaluates the concat inside it per
+    * position — O(len²) character copies per row outside codegen;
+    * this is one compiled pass. */
+  def charShingles(text: UTF8String, k: Int): ArrayData = {
+    val padded = UTF8String.concat(text, UTF8String.fromString(" " * (k - 1)))
+    val n = math.max(text.numChars() - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 1
+    while (i <= n) {
+      seen.add(padded.substringSQL(i, k))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  /** Sorted DISTINCT 64-bit hashes (xxhash64, Spark's seed 42) of the
+    * character k-shingles of `text` — the compact per-document set
+    * representation for exact-Jaccard verification. Set SIZE and
+    * intersection counts match the string-set versions unless two
+    * distinct shingles of one document collide in 64 bits (~n²/2⁶⁵ per
+    * doc — negligible and deterministic). Primitive `array<long>` with
+    * no nulls: downstream merge-scans never box. */
+  def charShingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val padded = UTF8String.concat(text, UTF8String.fromString(" " * (k - 1)))
+    val n = math.max(text.numChars() - k + 1, 1)
+    val set = new java.util.HashSet[java.lang.Long](n * 2)
+    var i = 1
+    while (i <= n) {
+      set.add(XxHash64Function.hash(padded.substringSQL(i, k), StringType, 42L))
+      i += 1
+    }
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(arr)
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
+  /** |A ∩ B| for two SORTED distinct long arrays — one merge scan, no
+    * allocation, no boxing (vs `size(array_intersect(...))`, which builds
+    * a boxed hash set per row). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val va = a.getLong(i); val vb = b.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  def charShinglesCol(text: Column, k: Int): Column =
+    GraftBridge.column(CharShingles(GraftBridge.expression(text), k))
+
+  def charShingleHashesCol(text: Column, k: Int): Column =
+    GraftBridge.column(CharShingleHashes(GraftBridge.expression(text), k))
+
+  def sortedIntersectCountCol(a: Column, b: Column): Column =
+    GraftBridge.column(SortedLongIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -82,4 +156,56 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `char_shingles(text, k) -> array<string>` — distinct, first-occurrence
+  * order, codegen'd (see ShingleOps.charShingles for exact semantics). */
+case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.charShingles(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.charShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `char_shingle_hashes(text, k) -> array<long>` — sorted distinct xxhash64
+  * of each char k-shingle, codegen'd. */
+case class CharShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.charShingleHashes(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.charShingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `sorted_intersect_count(array<long>, array<long>) -> long` — merge-scan
+  * intersection size of two sorted distinct long arrays, codegen'd. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ShingleOps.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

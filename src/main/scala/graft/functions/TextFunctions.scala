@@ -24,14 +24,24 @@ object TextFunctions {
   /** Hex MD5 fingerprint of normalized text — exact-dup key. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Overlapping character k-shingles of a (pre-normalized) string.
-    * `substring` with a dynamic start has no literal-only limitation at the
-    * SQL-expression level, so this stays codegen-friendly. */
+  /** Distinct overlapping character k-shingles of a (pre-normalized)
+    * string. Native codegen'd expression (ShingleOps.charShingles); the
+    * equivalent HOF formulation (`array_distinct(transform(sequence(1,
+    * greatest(len-k+1, 1)), i => concat(norm, ' '*(k-1)).substr(i, k)))`)
+    * evaluates its lambda interpreted per element — measured 19 s vs
+    * sub-second for the sf0.1 documents scan. Semantics unchanged, so
+    * the DuckDB oracle mirrors are unchanged. */
   def charShingles(norm: Column, k: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(norm) - lit(k - 1), lit(1))),
-        i => concat(norm, lit(" " * (k - 1))).substr(i, lit(k))))
+    ShingleOps.charShinglesCol(norm, k)
+
+  /** Sorted distinct 64-bit hashes of the char k-shingles — the compact
+    * per-document set for [[sortedIntersectCount]] exact verification. */
+  def charShingleHashes(norm: Column, k: Int): Column =
+    ShingleOps.charShingleHashesCol(norm, k)
+
+  /** Merge-scan |A∩B| of two sorted distinct long arrays (codegen'd). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ShingleOps.sortedIntersectCountCol(a, b)
 
   /** Word n-gram shingles from a token array. */
   def wordShingles(toks: Column, n: Int): Column =

@@ -344,42 +344,77 @@ object Dedup {
     * arithmetic (`(3n+4) div 5`, `5·inter ≥ 3·union`) so both engines
     * threshold identically — the double `jacc` column is display-only.
     *
+    * `maxDocsPerTok` is the same skew-cap contract as the LSH chain's
+    * `maxBucket`: prefix shingles present in more than that many documents
+    * are dropped from the candidate join (a template corpus can make even
+    * the per-doc-RAREST shingles corpus-hot — measured Σc² = 90M join rows
+    * uncapped vs 0.9M at cap 20 on sf0.1, a 318 s → seconds difference).
+    * Recall stays exact for every pair sharing ≥1 sub-cap prefix shingle;
+    * true near-dups share many. Don't shrink the cap below the expected
+    * near-dup CLUSTER size: members of an m-way cluster share rare
+    * shingles with document frequency m (measured at sf0.1: cap 5 kept
+    * 49/255 true pairs, cap 20 kept all). The cap is mirrored in the
+    * oracle.
+    *
     * Scale shape: shingles shuffle by value (df count + candidate join)
-    * and by doc_id (one partitioned window for rank+size); exact
-    * verification touches candidate pairs only. The distinct shingle
-    * table is checkpointed once and reused by all four consumers. */
+    * and by doc_id (one partitioned window for rank+size). Exact
+    * verification never re-explodes shingles: each candidate pair
+    * merge-scans the two documents' sorted distinct shingle-HASH arrays
+    * (native `sorted_intersect_count` — no boxed hash set per row), so
+    * verify cost is candidates × set size and only candidate members'
+    * compact hash arrays ever move. Hash collisions within one document
+    * (~n²/2⁶⁵) are the only way this can diverge from string-set
+    * Jaccard — negligible and deterministic. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 8, numT: Int = 3, denT: Int = 5): DataFrame = {
+      shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
+      maxDocsPerTok: Int = 20): DataFrame = {
     require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
-    val toks = docs
-      .filter(length(trim(col(textCol))) > 0)
+    // fan a narrower-than-cores scan out first (single-row-group test file;
+    // a real corpus has plenty of scan partitions and skips this shuffle)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val base = spread.filter(length(trim(col(textCol))) > 0)
+    val toks = base
       .select(col(idCol).as("doc_id"),
+        // charShingles is distinct per doc, so (doc_id, tok) rows are
+        // already unique — no row-level distinct/shuffle needed
         explode(TextFunctions.charShingles(
           TextFunctions.normalize(col(textCol)), shingleK)).as("tok"))
-      .distinct()
       .localCheckpoint()
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val ranked = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(wDoc.orderBy(col("dfreq"), col("tok"))))
       .withColumn("n", count(lit(1)).over(wDoc))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
     val prefix = ranked
       .filter(col("rn") <= col("n") - expr(s"(n * $numT + ${denT - 1}) DIV $denT") + 1)
       .select(col("doc_id"), col("tok"))
+      .withColumn("nd", count(lit(1)).over(wTok))
+      .filter(col("nd") <= maxDocsPerTok)
+      .select(col("doc_id"), col("tok"))
+      // tiny (≤ prefix size per doc, cap per shingle) and consumed by BOTH
+      // sides of the candidate self-join — materialize once so the two
+      // windows above don't run twice
+      .localCheckpoint()
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(toks.as("ta"), col("ta.doc_id") === col("d1"))
-      .join(toks.as("tb"),
-        col("tb.doc_id") === col("d2") && col("ta.tok") === col("tb.tok"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("sa"), col("sa.doc_id") === col("d1"))
-      .join(sizes.as("sb"), col("sb.doc_id") === col("d2"))
+    // compact per-doc shingle-hash sets — one row per doc, no re-explode
+    val arrs = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.charShingleHashes(
+          TextFunctions.normalize(col(textCol)), shingleK).as("tokset"))
+      .withColumn("n", size(col("tokset")))
+    cand
+      .join(arrs.as("sa"), col("sa.doc_id") === col("d1"))
+      .join(arrs.as("sb"), col("sb.doc_id") === col("d2"))
+      .withColumn("n_inter",
+        TextFunctions.sortedIntersectCount(col("sa.tokset"), col("sb.tokset")))
       .filter(col("n_inter") * denT >=
         (col("sa.n") + col("sb.n") - col("n_inter")) * numT)
       .select(col("d1").as("id_a"), col("d2").as("id_b"),

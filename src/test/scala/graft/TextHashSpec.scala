@@ -47,6 +47,48 @@ class TextHashSpec extends AnyFunSuite {
     assert(h == h2)
   }
 
+  test("native charShingles matches the HOF formulation exactly") {
+    // the built-in spelling the native expression replaced — kept here as
+    // the semantic oracle (padding, short/empty strings, distinct order)
+    def hof(norm: org.apache.spark.sql.Column, k: Int) =
+      array_distinct(
+        transform(
+          sequence(lit(1), greatest(length(norm) - lit(k - 1), lit(1))),
+          i => concat(norm, lit(" " * (k - 1))).substr(i, lit(k))))
+    val texts = Seq("", "a", "ab", "abc def abc def", "ωμέγα κείμενο ωμ",
+      "the quick brown fox", "aaaaaaaaaaaa", "x y", "  spaced  out  ")
+    for (k <- Seq(3, 8)) {
+      val df = texts.toDF("t")
+        .select(
+          TextFunctions.charShingles(TextFunctions.normalize(col("t")), k).as("nat"),
+          hof(TextFunctions.normalize(col("t")), k).as("ref"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("charShingleHashes + sortedIntersectCount agree with string sets") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely different content with no overlap at all"),
+      (4L, "")).toDF("id", "t")
+    val arrs = docs.select(col("id"),
+      TextFunctions.charShingles(TextFunctions.normalize(col("t")), 8).as("ss"),
+      TextFunctions.charShingleHashes(TextFunctions.normalize(col("t")), 8).as("hs"))
+    // hashed set size == string set size
+    arrs.select(size(col("ss")), size(col("hs"))).collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // hashed merge-scan intersection == string array_intersect, all pairs
+    val pairs = arrs.as("a").crossJoin(arrs.as("b"))
+      .select(
+        size(array_intersect(col("a.ss"), col("b.ss"))).cast("long").as("s"),
+        TextFunctions.sortedIntersectCount(col("a.hs"), col("b.hs")).as("h"))
+    pairs.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("wordShingles produce n-grams in order") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 2).as("s"))
