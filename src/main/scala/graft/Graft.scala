@@ -97,8 +97,13 @@ object Graft {
     operators.Dedup.sharedPassagePairs(docs, idCol, textCol, gram, win,
       minShared, maxDocsPerFp)
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 8, numT: Int = 3, denT: Int = 5): DataFrame =
-    operators.Dedup.prefixJaccardPairs(docs, idCol, textCol, shingleK, numT, denT)
+      shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
+      maxDocsPerTok: Int = 20): DataFrame =
+    operators.Dedup.prefixJaccardPairs(docs, idCol, textCol, shingleK, numT,
+      denT, maxDocsPerTok)
+  def leakageSafeSplit(members: DataFrame, clusterCol: String = "cluster",
+      train256: Int = 204, val256: Int = 26): DataFrame =
+    operators.Dedup.leakageSafeSplit(members, clusterCol, train256, val256)
   def bloomSemiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
       bitsPerKey: Int = 10, numHashes: Int = 5,
       expectedKeys: Long = -1L): DataFrame =

@@ -1932,6 +1932,19 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // North star: leakage-safe splitting — near-dup clusters (q63's CC over
+    // portable MinHash pairs) each land whole in train/val/test via an
+    // md5-hex-range bucket of the cluster label. Narrow map after the
+    // cluster step; no per-doc RNG, no shuffle.
+    "q126_leakage_split" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      val clusters = Dedup.connectedComponents(docs, "doc_id", pairs)
+      Dedup.leakageSafeSplit(clusters)
+        .select(col("doc_id"), col("cluster").cast("long").as("cluster"),
+          col("split"))
+    }),
+
     // North star: weight-proportional reproducible sampling (A-ES) — the
     // mixture-construction primitive; md5-seeded keys, one shuffle, map-
     // side WindowGroupLimit top-k. Longer documents are proportionally
@@ -3460,7 +3473,29 @@ object SparkEntry {
         |SELECT grp, pos, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
-        |FROM ex GROUP BY grp, pos""".stripMargin
+        |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q126: q63's recursive clusters, then the same md5-hex-range bucket of
+    // the cluster label (204/26/26 out of 256) — string comparison on the
+    // first two hex chars, no hex→int conversion on either engine
+    "q126_leakage_split" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |clus AS (SELECT src AS doc_id, min(dst) AS cluster
+         |         FROM reach GROUP BY src)
+         |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+         |  CASE WHEN substr(md5(CAST(CAST(cluster AS BIGINT) AS VARCHAR)), 1, 2) < 'cc'
+         |         THEN 'train'
+         |       WHEN substr(md5(CAST(CAST(cluster AS BIGINT) AS VARCHAR)), 1, 2) < 'e6'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM clus""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

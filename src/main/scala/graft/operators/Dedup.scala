@@ -447,6 +447,34 @@ object Dedup {
         col("_keeper_n").cast("long").as("n_members"))
   }
 
+  /** Leakage-safe train/val/test split: assign the SPLIT to the near-dup
+    * CLUSTER, not the document — a near-dup pair straddling train and eval
+    * leaks the eval answer into training (the standard decontamination
+    * failure mode a doc-level random split cannot prevent). `members` is
+    * [[connectedComponents]] output: every member of a cluster inherits
+    * the cluster's split; singleton documents are their own cluster and
+    * hash independently, so the split is simultaneously leakage-safe and
+    * corpus-wide ~uniform.
+    *
+    * Deterministic and engine-portable by construction: the bucket is the
+    * first byte of md5(cluster label as decimal string) compared as a HEX
+    * STRING against boundaries expressed in 1/256ths — no hex→integer
+    * conversion, no RNG state, reproducible across engines, runs, and
+    * cluster partitionings. One narrow map over `members`: no shuffle, no
+    * driver participation, trivially 100 TB-safe.
+    *
+    * Returns `members` plus a `split` column ('train'|'val'|'test'). */
+  def leakageSafeSplit(members: DataFrame, clusterCol: String = "cluster",
+      train256: Int = 204, val256: Int = 26): DataFrame = {
+    require(train256 > 0 && val256 > 0 && train256 + val256 < 256,
+      s"fractions are 1/256ths and must leave room for test: $train256 + $val256")
+    val hx = substring(md5(col(clusterCol).cast("long").cast("string")), 1, 2)
+    members.withColumn("split",
+      when(hx < lit(f"$train256%02x"), lit("train"))
+        .when(hx < lit(f"${train256 + val256}%02x"), lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Corpus-frequency boilerplate detection — the C4-style "drop text
     * units that repeat across the corpus" cleanup, over word n-gram spans
     * (this corpus has no line structure; on line-structured text pass the

@@ -214,4 +214,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("leakageSafeSplit: cluster members share a split; buckets ~uniform") {
+    import spark.implicits._
+    // 3000 nodes, every pair (2k, 2k+1) a near-dup edge → 1500 clusters
+    val nodes = (0L until 3000L).toDF("doc_id")
+    val pairs = (0L until 3000L by 2).map(a => (a, a + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(nodes, "doc_id", pairs)
+    val split = Dedup.leakageSafeSplit(clusters)
+    // leakage-safety: both members of every pair landed in the same split
+    val byDoc = split.select(col("doc_id").as[Long], col("split").as[String])
+      .collect().toMap
+    (0L until 3000L by 2).foreach(a => assert(byDoc(a) == byDoc(a + 1)))
+    // determinism: a re-run assigns identical splits
+    val again = Dedup.leakageSafeSplit(clusters)
+      .select(col("doc_id").as[Long], col("split").as[String]).collect().toMap
+    assert(again == byDoc)
+    // ~uniform at the CLUSTER level: 1500 clusters at 204/26/26 in 256ths
+    val perSplit = split.groupBy("split").agg(
+      countDistinct(col("cluster")).as[Long]).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSplit("train") > 1000 && perSplit("val") > 50 && perSplit("test") > 50)
+    assert(perSplit.values.sum == 1500)
+  }
 }
