@@ -196,6 +196,9 @@ object Graft {
     operators.Corpus.budgetSample(docs, groupCol, idCol, weight, budget)
   def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     operators.Corpus.wordEntropy(docs, idCol, textCol)
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame =
+    operators.Corpus.importanceWeights(docs, idCol, textCol, isTarget)
   def groupMinhashSketch(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame =
     operators.Corpus.groupMinhashSketch(docs, groupCol, textCol)

@@ -1932,6 +1932,13 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // North star: DSIR importance weights — per-doc target-vs-corpus unigram
+    // log-likelihood ratio in exact micro-bits; target slice = English docs.
+    // One model aggregate fits both LMs, totals broadcast, no windows.
+    "q127_dsir_weights" -> ((s, d) =>
+      Corpus.importanceWeights(documents(s, d), "doc_id", "text",
+        col("lang") === "en")),
+
     // North star: leakage-safe splitting — near-dup clusters (q63's CC over
     // portable MinHash pairs) each land whole in train/val/test via an
     // md5-hex-range bucket of the cluster label. Narrow map after the
@@ -3474,6 +3481,34 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q127: same one-pass dual-count model in SQL; every log2 argument is an
+    // exact integer and every log2 term is individually rounded to micro-bits
+    // before the integer sum, so aggregation order cannot move the result
+    "q127_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS is_t,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |model AS (
+        |  SELECT w, count(*) AS n_r,
+        |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t
+        |  FROM toks GROUP BY w),
+        |tot AS (
+        |  SELECT sum(n_r) AS tot_r, sum(n_t) AS tot_t, count(*) AS vocab
+        |  FROM model),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n_tok,
+        |    sum(CAST(round(1e6*log2(CAST(m.n_t + 1 AS DOUBLE))) AS BIGINT)
+        |      - CAST(round(1e6*log2(CAST(m.n_r + 1 AS DOUBLE))) AS BIGINT))
+        |      AS num_ub
+        |  FROM toks t JOIN model m USING (w) GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(num_ub - n_tok * (
+        |    CAST(round(1e6*log2(CAST(tot_t + vocab AS DOUBLE))) AS BIGINT)
+        |    - CAST(round(1e6*log2(CAST(tot_r + vocab AS DOUBLE))) AS BIGINT))
+        |  AS BIGINT) AS importance_ub
+        |FROM sc, tot""".stripMargin,
 
     // q126: q63's recursive clusters, then the same md5-hex-range bucket of
     // the cluster label (204/26/26 out of 256) — string comparison on the

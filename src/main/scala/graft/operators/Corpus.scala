@@ -190,6 +190,55 @@ object Corpus {
         col("rk").cast("long").as("rk"))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by the log-likelihood ratio of its tokens under a
+    * unigram LM fit on the TARGET slice (`isTarget` rows) vs one fit on
+    * the full corpus, add-1 smoothed over the corpus vocabulary:
+    *
+    *   importance = Σ_w tf_w·(log2(n_t(w)+1) − log2(n_r(w)+1))
+    *                − n_tok·(log2(N_t+V) − log2(N_r+V))
+    *
+    * High scores = "looks like the target domain"; feed the weights to
+    * [[weightedSample]]/[[budgetSample]] to resample the raw corpus
+    * toward it. The score is an exact LONG in micro-bits (each log2 of
+    * an exact integer, see [[microBits]]) so partial-aggregation order
+    * cannot perturb it; per-token normalization is a caller-side double
+    * divide of the two exact longs (IEEE division is engine-portable).
+    * Negative-capable, so no half-up integer average here — floor vs
+    * truncating integer division diverge on negatives across engines.
+    *
+    * Scale: ONE pass fits both models (conditional sum for the target
+    * counts in the same word aggregate), the corpus totals are a 1-row
+    * broadcast cross join, and scoring equi-joins token rows against the
+    * vocabulary-bounded model (AQE broadcasts it). No windows, no
+    * driver state, nothing quadratic. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), isTarget.as("is_t"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val model = toks.groupBy(col("w")).agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("n_t"))
+    val totals = model.agg(
+      sum(col("n_r")).cast("long").as("tot_r"),
+      sum(col("n_t")).cast("long").as("tot_t"),
+      count(lit(1)).cast("long").as("vocab"))
+    val scored = toks.join(model, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(microBits(col("n_t") + lit(1L)) -
+          microBits(col("n_r") + lit(1L))).as("num_ub"))
+    scored.crossJoin(broadcast(totals))
+      .select(col(idCol),
+        col("n_tok").cast("long").as("n_tok"),
+        (col("num_ub") - col("n_tok") *
+          (microBits(col("tot_t") + col("vocab")) -
+            microBits(col("tot_r") + col("vocab")))).cast("long")
+          .as("importance_ub"))
+  }
+
   /** Per-document lexical statistics: token count, distinct types,
     * type-token ratio, and word-distribution Shannon entropy in bits —
     * H = log2(N) - (Σ n_w·log2(n_w))/N, with the Σ carried as exact LONG

@@ -260,6 +260,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(changed(2L) == "changed")
   }
 
+  test("importanceWeights rank target-like docs above off-target docs") {
+    import spark.implicits._
+    // target domain speaks {alpha beta gamma}; the rest speaks {delta
+    // epsilon zeta}. Two unlabeled probes, one per dialect.
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "alpha beta gamma alpha beta", true)) ++
+      (7 to 12).map(i => (i.toLong, "delta epsilon zeta delta zeta", false)) ++
+      Seq((13L, "alpha gamma beta beta", false),   // looks like target
+          (14L, "zeta delta epsilon zeta", false)) // doesn't
+    ).toDF("doc_id", "text", "is_target")
+    val w = Corpus.importanceWeights(docs, "doc_id", "text", col("is_target"))
+      .select(col("doc_id").as[Long], col("importance_ub").as[Long],
+        col("n_tok").as[Long]).collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w(13L)._1 > 0 && w(14L)._1 < 0)
+    assert(w(13L)._1 > w(14L)._1)
+    // every doc scored, token counts exact
+    assert(w.size == 14 && w(13L)._2 == 4)
+    // determinism under repartitioning: exact long equality
+    val w2 = Corpus.importanceWeights(docs.repartition(7), "doc_id", "text",
+      col("is_target")).select(col("doc_id").as[Long],
+        col("importance_ub").as[Long]).collect().toMap
+    assert(w.map { case (k, v) => k -> v._1 } == w2)
+  }
+
   test("ratioRound6 resolves exact 5e-7 ties half-up in integer arithmetic") {
     // 1/2000000 = 0.0000005 — an exact tie at 6 decimals → rounds up to 1e-6
     val out = Seq((1L, 2000000L)).toDF("n", "d")
