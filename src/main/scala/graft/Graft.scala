@@ -137,6 +137,11 @@ object Graft {
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int = 16, minSim: Double = 0.9): DataFrame =
     operators.Similarity.embeddingNearDup(vectors, idCol, vecCol, bits, minSim)
+  def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
+      anchorIds: Seq[Long], k: Int,
+      bits: Int = 16, minSim: Double = 0.9): DataFrame =
+    operators.Similarity.hardNegatives(vectors, idCol, vecCol, anchorIds, k,
+      bits, minSim)
   def boilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, minDocs: Int = 2): DataFrame =
     operators.Dedup.boilerplateSpans(docs, idCol, textCol, shingleN, minDocs)

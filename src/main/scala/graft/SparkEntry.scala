@@ -1932,6 +1932,15 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // North star: contrastive hard-negative mining — per anchor, the k most
+    // similar candidates that are NOT near-dups (lattice-LSH positives
+    // excluded symmetrically). Anchors broadcast; salted two-phase top-k.
+    "q128_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(embeddings(s, d), "vec_id", "embedding",
+        anchorIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+        bits = 4, minSim = 0.35,
+        signature = Similarity.hyperplaneSignatureLattice)),
+
     // North star: DSIR importance weights — per-doc target-vs-corpus unigram
     // log-likelihood ratio in exact micro-bits; target slice = English docs.
     // One model aggregate fits both LMs, totals broadcast, no windows.
@@ -3481,6 +3490,52 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q128: anchors 0-4 against every candidate, the same lattice bucket +
+    // cosine>=0.35 exclusion as q94, dense rank per anchor. Ordered sums
+    // mirror VectorOps' sequential fold.
+    "q128_hard_negatives" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |         unnest(range(0, len(embedding))) AS j
+        |  FROM embeddings),
+        |lanes AS (SELECT unnest(range(0, 4)) AS i),
+        |proj AS (
+        |  SELECT u.vec_id, l.i,
+        |    sum(CAST(x AS DOUBLE) * CAST((l.i * 31 + j * 17) % 7 - 3 AS DOUBLE)) AS p
+        |  FROM u CROSS JOIN lanes l GROUP BY u.vec_id, l.i),
+        |sig AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN p >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |nrm AS (
+        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |  FROM u GROUP BY vec_id),
+        |anch AS (SELECT vec_id AS anchor FROM embeddings
+        |         WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |sc AS (
+        |  SELECT a.anchor, e.vec_id AS negative,
+        |    sum(CAST(ua.x AS DOUBLE) * CAST(ue.x AS DOUBLE)) AS dp
+        |  FROM anch a JOIN embeddings e ON e.vec_id <> a.anchor
+        |  JOIN u ua ON ua.vec_id = a.anchor
+        |  JOIN u ue ON ue.vec_id = e.vec_id AND ua.j = ue.j
+        |  GROUP BY a.anchor, e.vec_id),
+        |sims AS (
+        |  SELECT sc.anchor, sc.negative, sc.dp / (na.nrm * nn.nrm) AS sim,
+        |    sa.bucket AS ab, sn.bucket AS nb
+        |  FROM sc
+        |  JOIN nrm na ON sc.anchor = na.vec_id
+        |  JOIN nrm nn ON sc.negative = nn.vec_id
+        |  JOIN sig sa ON sc.anchor = sa.vec_id
+        |  JOIN sig sn ON sc.negative = sn.vec_id),
+        |kept AS (SELECT anchor, negative, sim FROM sims
+        |         WHERE NOT (ab = nb AND sim >= 0.35)),
+        |r AS (SELECT anchor, negative, sim, row_number() OVER (
+        |        PARTITION BY anchor ORDER BY sim DESC, negative) AS rnk
+        |      FROM kept)
+        |SELECT anchor, negative, round(sim, 6) AS sim_r,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
 
     // q127: same one-pass dual-count model in SQL; every log2 argument is an
     // exact integer and every log2 term is individually rounded to micro-bits

@@ -200,4 +200,50 @@ object Similarity {
       .select(col(idCol), col("_dup_of").isNotNull.as("is_dup"),
         coalesce(col("_dup_of"), lit(-1L)).as("dup_of"))
   }
+
+  /** Contrastive hard-negative mining: for each anchor, the k candidates
+    * MOST similar to it that are NOT its near-duplicates — exactly the
+    * negatives that teach an embedding model the most (easy negatives are
+    * already far; near-dups would be false negatives). Positives to
+    * exclude come from [[lshNearPairs]] at `minSim`, applied
+    * symmetrically; the anchor itself is excluded too.
+    *
+    * Scale shape: anchors are a query workload (small by contract) and
+    * broadcast; scoring is map-side over the candidate corpus. The
+    * per-anchor top-k is TWO-PHASE — a first window over (anchor, salt)
+    * keeps k per salt group, the second ranks the s·k survivors per
+    * anchor — because a single window partitioned by anchor would drag
+    * the WHOLE corpus × anchors into #anchors tasks. The salt is a hash
+    * of the candidate id: deterministic, and salt-invariant in the
+    * result (every global top-k row survives its salt group's local
+    * top-k). Returns (anchor, negative, sim_r, rnk). */
+  def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
+      anchorIds: Seq[Long], k: Int,
+      bits: Int = 16, minSim: Double = 0.9,
+      signature: (Column, Int) => Column = hyperplaneSignature): DataFrame = {
+    val pairs = lshNearPairs(vectors, idCol, vecCol, bits, minSim, signature)
+      .select(col("id_a"), col("id_b"))
+    val sym = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val anchors = vectors
+      .filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol).as("anchor"), col(vecCol).as("_avec"))
+    val scored = vectors.crossJoin(broadcast(anchors))
+      .filter(col(idCol) =!= col("anchor"))
+      .join(sym,
+        col("anchor") === col("id_a") && col(idCol) === col("id_b"),
+        "left_anti")
+      .select(col("anchor"), col(idCol).as("negative"),
+        cosine(col(vecCol), col("_avec")).as("sim"))
+    val nSalt = vectors.sparkSession.sparkContext.defaultParallelism
+    val local = Transforms.topKPerGroup(
+        scored.withColumn("_salt", pmod(xxhash64(col("negative")), lit(nSalt))),
+        Seq(col("anchor"), col("_salt")),
+        Seq(col("sim").desc, col("negative")), k)
+      .drop("rnk", "_salt")
+    Transforms.topKPerGroup(local, Seq(col("anchor")),
+        Seq(col("sim").desc, col("negative")), k)
+      .select(col("anchor"), col("negative"),
+        round(col("sim"), 6).as("sim_r"), col("rnk"))
+  }
 }

@@ -215,6 +215,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("hardNegatives: similar-but-not-duplicate wins; near-dup and self excluded") {
+    import spark.implicits._
+    // anchor 0; vec 1 is a near-identical copy (near-dup → excluded);
+    // vec 2 points the same general direction (the hard negative);
+    // vec 3 is orthogonal (easy negative); vec 4 is opposite.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(vecs, "vec_id", "embedding",
+        anchorIds = Seq(0L), k = 3, bits = 2, minSim = 0.9,
+        signature = Similarity.hyperplaneSignatureLattice)
+      .select(col("negative").as[Long], col("rnk").as[Long]).collect()
+      .map(r => r._2 -> r._1).toMap
+    // rank 1 = the hard negative (sim 0.8), never the near-dup or self
+    assert(got(1L) == 2L)
+    assert(!got.values.toSet.contains(0L) && !got.values.toSet.contains(1L))
+    // remaining ranks follow cosine order: orthogonal, then opposite
+    assert(got(2L) == 3L && got(3L) == 4L)
+  }
+
   test("leakageSafeSplit: cluster members share a split; buckets ~uniform") {
     import spark.implicits._
     // 3000 nodes, every pair (2k, 2k+1) a near-dup edge → 1500 clusters
