@@ -104,6 +104,9 @@ object Graft {
   def leakageSafeSplit(members: DataFrame, clusterCol: String = "cluster",
       train256: Int = 204, val256: Int = 26): DataFrame =
     operators.Dedup.leakageSafeSplit(members, clusterCol, train256, val256)
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, delim: String = "\n"): DataFrame =
+    operators.Dedup.lineDedup(docs, idCol, textCol, minDocs, delim)
   def bloomSemiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
       bitsPerKey: Int = 10, numHashes: Int = 5,
       expectedKeys: Long = -1L): DataFrame =

@@ -1932,6 +1932,24 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // North star: line-level dedup (CCNet-style REWRITE, not just a
+    // measurement) — corpus-hot lines dropped, survivors reassembled in
+    // order. The synthetic corpus has no line structure, so the operator is
+    // proven on a literal multi-line fixture (the q75 pattern): shared
+    // boilerplate lines around distinct bodies, one all-boilerplate doc.
+    "q129_line_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "welcome to example news\nstoryline one body text\nall rights reserved"),
+        (2L, "welcome to example news\nanother unique article body\nall rights reserved"),
+        (3L, "welcome to example news\nall rights reserved"),
+        (4L, "a fully original document\nwith nothing shared at all"),
+        (5L, "subscribe to the newsletter\nunique closing thought"),
+        (6L, "subscribe to the newsletter\nanother standalone body line"))
+        .toDF("doc_id", "text")
+      Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2)
+    }),
+
     // North star: contrastive hard-negative mining — per anchor, the k most
     // similar candidates that are NOT near-dups (lattice-LSH positives
     // excluded symmetrically). Anchors broadcast; salted two-phase top-k.
@@ -3490,6 +3508,34 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q129: same fixture; hot lines by distinct-doc count, survivors
+    // reassembled with an ordered string_agg
+    "q129_line_dedup" ->
+      """WITH docs(doc_id, text) AS (VALUES
+        |  (1, 'welcome to example news' || chr(10) || 'storyline one body text' || chr(10) || 'all rights reserved'),
+        |  (2, 'welcome to example news' || chr(10) || 'another unique article body' || chr(10) || 'all rights reserved'),
+        |  (3, 'welcome to example news' || chr(10) || 'all rights reserved'),
+        |  (4, 'a fully original document' || chr(10) || 'with nothing shared at all'),
+        |  (5, 'subscribe to the newsletter' || chr(10) || 'unique closing thought'),
+        |  (6, 'subscribe to the newsletter' || chr(10) || 'another standalone body line')),
+        |arr AS (SELECT doc_id, string_split(text, chr(10)) AS t FROM docs),
+        |lines AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[CAST(i AS INTEGER)] AS line
+        |  FROM arr, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+        |hot AS (SELECT line FROM lines GROUP BY line
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT l.doc_id, count(*) AS n_kept,
+        |    string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean
+        |  FROM lines l LEFT JOIN hot h ON l.line = h.line
+        |  WHERE h.line IS NULL GROUP BY l.doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  coalesce(k.text_clean, '') AS text_clean,
+        |  CAST(t.n_lines AS BIGINT) AS n_lines,
+        |  CAST(t.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id""".stripMargin,
 
     // q128: anchors 0-4 against every candidate, the same lattice bucket +
     // cosine>=0.35 exclusion as q94, dense rank per anchor. Ordered sums

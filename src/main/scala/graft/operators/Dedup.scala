@@ -447,6 +447,46 @@ object Dedup {
         col("_keeper_n").cast("long").as("n_members"))
   }
 
+  /** Line-level corpus dedup (the CCNet/RefinedWeb cleanup): drop every
+    * LINE that appears in ≥ `minDocs` distinct documents (headers,
+    * footers, cookie banners, navigation), keep the rest of each document
+    * in original order. Complements [[boilerplateSpans]] (which MEASURES
+    * n-gram boilerplate); this one REWRITES the text, line-granular.
+    *
+    * Returns (idCol, text_clean, n_lines, n_dropped); a document whose
+    * every line is corpus-hot comes back with empty text_clean, still one
+    * row. Exact by construction — no hashing, the line string itself is
+    * the key (hash the line first at scales where line strings dominate
+    * the shuffle; the shape is unchanged).
+    *
+    * Scale: one (line → distinct-doc count) aggregate (two-level, partial
+    * map-side), an anti-join of (doc, pos, line) rows against the hot-line
+    * dictionary (vocabulary-bounded — AQE broadcasts it), and one groupBy
+    * per doc whose `array_sort` over (pos, line) structs restores order
+    * without a window. Documents never move whole; lines do. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, delim: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), delim)).as(Seq("pos", "line")))
+    val hot = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"))
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), delim).as("text_clean"))
+    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines").cast("long").as("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_dropped"))
+  }
+
   /** Leakage-safe train/val/test split: assign the SPLIT to the near-dup
     * CLUSTER, not the document — a near-dup pair straddling train and eval
     * leaks the eval answer into training (the standard decontamination

@@ -215,6 +215,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("lineDedup: corpus-hot lines dropped, order kept, within-doc repeats survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared header\nbody one\nbody one\ntail one"),
+      (2L, "shared header\nbody two"),
+      (3L, "shared header")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .select(col("doc_id").as[Long], col("text_clean").as[String],
+        col("n_lines").as[Long], col("n_dropped").as[Long])
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a line repeated WITHIN one doc is not corpus-hot (distinct-doc count
+    // 1) and survives with its multiplicity and order intact
+    assert(got(1L) == (("body one\nbody one\ntail one", 4L, 1L)))
+    assert(got(2L) == (("body two", 2L, 1L)))
+    // all-boilerplate doc stays present, empty
+    assert(got(3L) == (("", 1L, 1L)))
+  }
+
   test("hardNegatives: similar-but-not-duplicate wins; near-dup and self excluded") {
     import spark.implicits._
     // anchor 0; vec 1 is a near-identical copy (near-dup → excluded);
