@@ -127,6 +127,12 @@ object Graft {
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     operators.Corpus.snapshotDiff(oldDocs, newDocs, idCol, textCol)
+  def changelogApply(snapshot: DataFrame, changes: DataFrame, idCol: String,
+      seqCol: String, opCol: String): DataFrame =
+    operators.Corpus.changelogApply(snapshot, changes, idCol, seqCol, opCol)
+  def distributionDrift(dfA: DataFrame, dfB: DataFrame,
+      catCol: String): DataFrame =
+    operators.Corpus.distributionDrift(dfA, dfB, catCol)
   def deflateRatio(text: Column): Column =
     org.apache.spark.sql.GraftBridge.column(functions.DeflateRatio(
       org.apache.spark.sql.GraftBridge.expression(text)))

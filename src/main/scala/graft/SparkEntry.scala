@@ -1932,6 +1932,39 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // North star: distribution-drift monitor (PSI per language) between two
+    // deterministic corpus halves — the pre-training check that a new crawl
+    // hasn't shifted the language mixture.
+    "q131_psi_drift" -> ((s, d) => {
+      val docs = documents(s, d)
+      Corpus.distributionDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang")
+    }),
+
+    // North star: CDC MERGE — replay a changelog (latest-per-id upserts +
+    // deletes + inserts) onto the corpus snapshot; the inverse of q122's
+    // diff. The changelog is derived deterministically from the corpus so
+    // both engines construct the identical log.
+    "q130_changelog_apply" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val del = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
+          lit(null).cast("string").as("text"))
+      val up1 = docs.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" rev one")).as("text"))
+      val up2 = docs.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" rev two")).as("text"))
+      val ins = docs.filter(col("doc_id") % 100 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("seq"),
+          lit("upsert").as("op"),
+          concat(lit("fresh insert "), col("doc_id")).as("text"))
+      val log = del.unionByName(up1).unionByName(up2).unionByName(ins)
+      Corpus.changelogApply(docs, log, "doc_id", "seq", "op")
+    }),
+
     // North star: line-level dedup (CCNet-style REWRITE, not just a
     // measurement) — corpus-hot lines dropped, survivors reassembled in
     // order. The synthetic corpus has no line structure, so the operator is
@@ -3508,6 +3541,56 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q131: same smoothed proportions and identically-ordered double ops;
+    // the log-ratio carried as micro-bits
+    "q131_psi_drift" ->
+      """WITH a AS (SELECT lang, count(*) AS n_a FROM documents
+        |           WHERE doc_id % 2 = 0 GROUP BY lang),
+        |b AS (SELECT lang, count(*) AS n_b FROM documents
+        |      WHERE doc_id % 2 = 1 GROUP BY lang),
+        |cats AS (
+        |  SELECT coalesce(a.lang, b.lang) AS lang,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+        |tot AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b,
+        |               count(*) AS v FROM cats)
+        |SELECT lang, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(round(1e6 * (
+        |    log2(CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE))
+        |    - log2(CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + v AS DOUBLE))))
+        |    AS BIGINT) AS lr_ub,
+        |  round((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE)
+        |       - CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + v AS DOUBLE))
+        |    * CAST(CAST(round(1e6 * (
+        |        log2(CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE))
+        |        - log2(CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + v AS DOUBLE))))
+        |        AS BIGINT) AS DOUBLE) / 1e6, 6) AS contrib_r
+        |FROM cats, tot""".stripMargin,
+
+    // q130: the same deterministic changelog, latest-per-id wins, deletes
+    // drop, untouched rows pass through
+    "q130_changelog_apply" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |log AS (
+        |  SELECT doc_id, 1 AS seq, 'delete' AS op, CAST(NULL AS VARCHAR) AS text
+        |  FROM docs WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, 1, 'upsert', text || ' rev one'
+        |  FROM docs WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id, 2, 'upsert', text || ' rev two'
+        |  FROM docs WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 1000000, 1, 'upsert', 'fresh insert ' || doc_id
+        |  FROM docs WHERE doc_id % 100 = 2),
+        |latest AS (
+        |  SELECT doc_id, op, text FROM (
+        |    SELECT doc_id, seq, op, text,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM log) WHERE rn = 1)
+        |SELECT d.doc_id, d.text
+        |FROM docs d LEFT JOIN latest l ON d.doc_id = l.doc_id
+        |WHERE l.doc_id IS NULL
+        |UNION ALL
+        |SELECT doc_id, text FROM latest WHERE op = 'upsert'""".stripMargin,
 
     // q129: same fixture; hot lines by distinct-doc count, survivors
     // reassembled with an ordered string_agg

@@ -393,6 +393,75 @@ object Corpus {
         col("old_digest"), col("new_digest"))
   }
 
+  /** PSI-style distribution drift between two corpus slices, per category
+    * — the data-quality monitor that catches "the new crawl is 40% less
+    * German" before training does. Per category i with add-1-smoothed
+    * proportions p_i = (a_i+1)/(N_A+V), q_i = (b_i+1)/(N_B+V):
+    *
+    *   contrib_i = (p_i − q_i) · log2(p_i / q_i)    (≥ 0, bits)
+    *
+    * and PSI = Σ contrib_i (the caller sums; categories missing from one
+    * slice are handled by the smoothing). Every input to the doubles is
+    * an exact integer count, the double expressions are written with
+    * identical operation order in the oracle, and the log-ratio is
+    * carried as micro-bits — so the per-category rows hash-match across
+    * engines.
+    *
+    * Scale: two count aggregates (category-bounded), a full-outer join of
+    * the two category tables, one 1-row broadcast of totals. The slices
+    * are never materialized together; nothing is corpus-sized past the
+    * first aggregate. */
+  def distributionDrift(dfA: DataFrame, dfB: DataFrame,
+      catCol: String): DataFrame = {
+    val a = dfA.groupBy(col(catCol)).agg(count(lit(1)).as("n_a"))
+    val b = dfB.groupBy(col(catCol)).agg(count(lit(1)).as("n_b"))
+    val cats = a.join(b, Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_a"), lit(0L)).cast("long").as("n_a"),
+        coalesce(col("n_b"), lit(0L)).cast("long").as("n_b"))
+    val totals = cats.agg(
+      sum(col("n_a")).cast("long").as("tot_a"),
+      sum(col("n_b")).cast("long").as("tot_b"),
+      count(lit(1)).cast("long").as("v"))
+    // products as doubles (exact-long multiply overflows at corpus scale;
+    // identical IEEE ops on identical longs are engine-portable)
+    val pa = (col("n_a") + lit(1L)).cast("double") /
+      (col("tot_a") + col("v")).cast("double")
+    val pb = (col("n_b") + lit(1L)).cast("double") /
+      (col("tot_b") + col("v")).cast("double")
+    val lrUb = round(lit(1e6) * (log2(pa) - log2(pb))).cast("long")
+    cats.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n_a"), col("n_b"),
+        lrUb.as("lr_ub"),
+        round((pa - pb) * lrUb.cast("double") / lit(1e6), 6).as("contrib_r"))
+  }
+
+  /** Apply a CDC changelog to a snapshot — the MERGE counterpart of
+    * [[snapshotDiff]] (diff produces a changelog; this replays one). The
+    * changelog carries (`idCol`, `seqCol`, `opCol`, payload columns); per
+    * id the change with the highest `seqCol` wins ('upsert' replaces the
+    * row, 'delete' removes it), everything untouched passes through.
+    * Payload columns must match the snapshot's non-id columns.
+    *
+    * Scale: the dedup window runs over the CHANGELOG only (log-sized, not
+    * corpus-sized), and the corpus-sized work is one anti-join of the
+    * snapshot against the touched-id set — broadcastable whenever the log
+    * is. The snapshot is never sorted, windowed, or rewritten in place;
+    * this is exactly the shape a lakehouse MERGE compiles to. */
+  def changelogApply(snapshot: DataFrame, changes: DataFrame, idCol: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("_cdc_rn", row_number().over(w))
+      .filter(col("_cdc_rn") === 1)
+      .drop("_cdc_rn")
+    val touched = latest.select(col(idCol))
+    val untouched = snapshot.join(touched, Seq(idCol), "left_anti")
+    val applied = latest.filter(col(opCol) === "upsert")
+      .drop(seqCol, opCol)
+    untouched.unionByName(applied)
+  }
+
   /** Pairwise lane-agreement similarity between group sketches: est_r =
     * agreeing lanes / numHashes, an unbiased estimate of the Jaccard
     * similarity of the groups' shingle sets. The sketch table is

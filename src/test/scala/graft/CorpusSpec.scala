@@ -260,6 +260,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(changed(2L) == "changed")
   }
 
+  test("distributionDrift: zero on identical slices, positive on shift, missing cat ok") {
+    import spark.implicits._
+    val sliceA = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("fr"))
+      .zipWithIndex.map(_.swap).toDF("id", "lang")
+    // identical distribution → every contribution 0
+    val same = Corpus.distributionDrift(sliceA, sliceA, "lang")
+      .select(col("contrib_r").as[Double]).collect()
+    assert(same.forall(_ == 0.0))
+    // shifted: de collapses, es appears only in B
+    val sliceB = (Seq.fill(80)("en") ++ Seq.fill(5)("de") ++ Seq.fill(15)("es"))
+      .zipWithIndex.map(_.swap).toDF("id", "lang")
+    val drift = Corpus.distributionDrift(sliceA, sliceB, "lang")
+      .select(col("lang").as[String], col("contrib_r").as[Double])
+      .collect().toMap
+    // PSI contributions are non-negative; shifted categories dominate
+    assert(drift.size == 4 && drift.values.forall(_ >= 0.0))
+    assert(drift("de") > drift("en") && drift("es") > 0.0 && drift("fr") > 0.0)
+  }
+
+  test("changelogApply: latest-per-id wins, deletes drop, inserts land") {
+    import spark.implicits._
+    val snap = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val log = Seq(
+      (2L, 1L, "upsert", "two v1"),
+      (2L, 2L, "upsert", "two v2"),   // latest wins
+      (3L, 1L, "delete", null.asInstanceOf[String]),
+      (4L, 1L, "upsert", "four"),     // insert
+      (5L, 1L, "upsert", "five v1"),
+      (5L, 2L, "delete", null.asInstanceOf[String]) // upsert then delete → gone
+    ).toDF("doc_id", "seq", "op", "text")
+    val got = Corpus.changelogApply(snap, log, "doc_id", "seq", "op")
+      .select(col("doc_id").as[Long], col("text").as[String])
+      .collect().toMap
+    assert(got == Map(1L -> "one", 2L -> "two v2", 4L -> "four"))
+  }
+
   test("importanceWeights rank target-like docs above off-target docs") {
     import spark.implicits._
     // target domain speaks {alpha beta gamma}; the rest speaks {delta
