@@ -133,6 +133,8 @@ object Graft {
   def distributionDrift(dfA: DataFrame, dfB: DataFrame,
       catCol: String): DataFrame =
     operators.Corpus.distributionDrift(dfA, dfB, catCol)
+  def unicodeFold(text: Column): Column =
+    functions.UnicodeOps.foldCol(text)
   def deflateRatio(text: Column): Column =
     org.apache.spark.sql.GraftBridge.column(functions.DeflateRatio(
       org.apache.spark.sql.GraftBridge.expression(text)))

@@ -1932,6 +1932,23 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // North star: Unicode canonicalization — case + accent folding as a
+    // native expression, proven on an accent-heavy literal fixture (the
+    // synthetic corpus is ASCII); folded keys collapse 'Café'/'cafe' for
+    // dedup/joins. Exactly strip_accents(nfc_normalize(lower(x))) in the
+    // oracle.
+    "q132_unicode_fold" -> ((s, d) => {
+      import s.implicits._
+      val rows = Seq(
+        (1L, "Café crème"), (2L, "cafe creme"), (3L, "NAÏVE approach"),
+        (4L, "naive approach"), (5L, "ÅNGSTRÖM units"), (6L, "señor São Paulo"),
+        (7L, "ße öl stays ß"), (8L, "plain ascii text"))
+        .toDF("id", "raw")
+      rows.select(col("id"),
+          graft.functions.UnicodeOps.foldCol(col("raw")).as("folded"))
+        .withColumn("fold_key", md5(col("folded")))
+    }),
+
     // North star: distribution-drift monitor (PSI per language) between two
     // deterministic corpus halves — the pre-training check that a new crawl
     // hasn't shifted the language mixture.
@@ -3541,6 +3558,18 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q132: the engine-native spelling of the same fold; md5 proves the
+    // folded strings byte-identical, not merely similar
+    "q132_unicode_fold" ->
+      """WITH rows(id, raw) AS (VALUES
+        |  (1, 'Café crème'), (2, 'cafe creme'), (3, 'NAÏVE approach'),
+        |  (4, 'naive approach'), (5, 'ÅNGSTRÖM units'), (6, 'señor São Paulo'),
+        |  (7, 'ße öl stays ß'), (8, 'plain ascii text'))
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  strip_accents(nfc_normalize(lower(raw))) AS folded,
+        |  md5(strip_accents(nfc_normalize(lower(raw)))) AS fold_key
+        |FROM rows""".stripMargin,
 
     // q131: same smoothed proportions and identically-ordered double ops;
     // the log-ratio carried as micro-bits

@@ -89,6 +89,23 @@ class TextHashSpec extends AnyFunSuite {
     pairs.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("unicodeFold collapses case+accents, keeps ß and ligatures, codegen-safe") {
+    import graft.functions.UnicodeOps
+    val df = Seq("Café crème", "cafe creme", "NAÏVE", "naive",
+      "ße ﬁre ½", "ÅNGSTRÖM")
+      .toDF("t").select(UnicodeOps.foldCol(col("t")).as("f"))
+    val Array(a, b, c, d, e, f) = df.as[String].collect()
+    assert(a == b && a == "cafe creme")
+    assert(c == d && c == "naive")
+    // compatibility characters pass through; only accents fold
+    assert(e == "ße ﬁre ½")
+    assert(f == "angstrom")
+    // filter pushes the expression through codegen (not just projection)
+    val n = Seq(("x", "Café"), ("y", "cafe")).toDF("k", "t")
+      .filter(UnicodeOps.foldCol(col("t")) === "cafe").count()
+    assert(n == 2)
+  }
+
   test("wordShingles produce n-grams in order") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 2).as("s"))
