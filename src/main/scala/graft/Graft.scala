@@ -133,6 +133,10 @@ object Graft {
   def distributionDrift(dfA: DataFrame, dfB: DataFrame,
       catCol: String): DataFrame =
     operators.Corpus.distributionDrift(dfA, dfB, catCol)
+  def temperatureRebalance(docs: DataFrame, groupCol: String, idCol: String,
+      totalOut: Long, temperature: Int = 2): DataFrame =
+    operators.Corpus.temperatureRebalance(docs, groupCol, idCol, totalOut,
+      temperature)
   def unicodeFold(text: Column): Column =
     functions.UnicodeOps.foldCol(text)
   def deflateRatio(text: Column): Column =

@@ -1932,6 +1932,13 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // North star: temperature-rebalanced mixture (τ=2, XLM-R style) — 250
+    // docs drawn with quotas ∝ sqrt(n_lang) via integer largest-remainder
+    // apportionment and md5-rank member selection.
+    "q133_temperature_mix" -> ((s, d) =>
+      Corpus.temperatureRebalance(documents(s, d), "lang", "doc_id",
+        totalOut = 250L, temperature = 2)),
+
     // North star: Unicode canonicalization — case + accent folding as a
     // native expression, proven on an accent-heavy literal fixture (the
     // synthetic corpus is ASCII); folded keys collapse 'Café'/'cafe' for
@@ -3558,6 +3565,30 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q133: same sqrt weights (identical IEEE ops), same integer
+    // apportionment (operands positive, so // and div agree), same md5 rank
+    "q133_temperature_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+        |wtd AS (SELECT lang, n_g,
+        |  CAST(floor(sqrt(CAST(n_g AS DOUBLE) * 1e12)) AS BIGINT) AS w_g
+        |  FROM counts),
+        |tot AS (SELECT sum(w_g) AS tot_w FROM wtd),
+        |seats AS (SELECT lang, n_g, w_g,
+        |  (250 * w_g) // tot_w AS base, (250 * w_g) % tot_w AS rem
+        |  FROM wtd, tot),
+        |q AS (SELECT lang, n_g, base,
+        |  row_number() OVER (ORDER BY rem DESC, lang) AS extra_rk,
+        |  250 - sum(base) OVER () AS leftover FROM seats),
+        |quotas AS (SELECT lang,
+        |  least(n_g, base + CASE WHEN extra_rk <= leftover THEN 1 ELSE 0 END)
+        |    AS quota FROM q),
+        |ranked AS (SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS rk FROM documents)
+        |SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS rk,
+        |  CAST(quota AS BIGINT) AS quota
+        |FROM ranked r JOIN quotas USING (lang) WHERE rk <= quota""".stripMargin,
 
     // q132: the engine-native spelling of the same fold; md5 proves the
     // folded strings byte-identical, not merely similar

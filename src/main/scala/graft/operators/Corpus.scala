@@ -393,6 +393,57 @@ object Corpus {
         col("old_digest"), col("new_digest"))
   }
 
+  /** Temperature-rebalanced mixture sampling — the multilingual-training
+    * resampler (XLM-R style): draw `totalOut` documents with per-group
+    * quotas ∝ n_g^(1/τ), so low-resource groups are boosted and the head
+    * flattened. τ = 1 reproduces proportional sampling; τ = 2 (the common
+    * choice) uses integer-exact sqrt weights.
+    *
+    * Everything after the weights is INTEGER largest-remainder
+    * apportionment: base_g = T·w_g div W, the leftover seats go to the
+    * largest T·w_g mod W (ties → group name), quotas cap at availability
+    * (no redistribution — by the time a 100 TB group exhausts, the
+    * mixture is the least of your problems; documented, not hidden). The
+    * weights themselves are floor(sqrt(n_g·10¹²)) computed through IEEE
+    * doubles — identical ops on identical integers on any engine. Member
+    * selection is the deterministic md5-of-id rank, so the same corpus
+    * always yields the same sample. Contract: T·w_g must fit a LONG
+    * (T·√(n_g)·10⁶ < 2⁶³ — holds to ~10¹² output docs).
+    *
+    * Scale: one count aggregate, apportionment over the GROUP table
+    * (bounded, one window), then a per-group rank window over candidate
+    * members. Returns (groupCol, idCol, rk, quota). */
+  def temperatureRebalance(docs: DataFrame, groupCol: String, idCol: String,
+      totalOut: Long, temperature: Int = 2): DataFrame = {
+    require(temperature == 1 || temperature == 2,
+      s"temperature must be 1 (proportional) or 2 (sqrt): $temperature")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val w = if (temperature == 1) col("n_g").cast("long")
+      else floor(sqrt(col("n_g").cast("double") * lit(1e12))).cast("long")
+    val weighted = counts.withColumn("w_g", w)
+    val totW = weighted.agg(sum(col("w_g")).cast("long").as("tot_w"))
+    val seats = weighted.crossJoin(broadcast(totW))
+      .withColumn("base", expr(s"div(${totalOut}L * w_g, tot_w)"))
+      .withColumn("rem", lit(totalOut) * col("w_g") % col("tot_w"))
+    val wRem = Window.orderBy(col("rem").desc, col(groupCol))
+    val quotas = seats
+      .withColumn("extra_rk", row_number().over(wRem))
+      .withColumn("leftover",
+        lit(totalOut) - sum(col("base")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(groupCol),
+        least(col("n_g"),
+          col("base") + when(col("extra_rk") <= col("leftover"), 1L)
+            .otherwise(0L)).cast("long").as("quota"))
+    val wSel = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(groupCol), col(idCol))
+      .withColumn("rk", row_number().over(wSel).cast("long"))
+      .join(quotas, Seq(groupCol))
+      .filter(col("rk") <= col("quota"))
+      .select(col(groupCol), col(idCol), col("rk"), col("quota"))
+  }
+
   /** PSI-style distribution drift between two corpus slices, per category
     * — the data-quality monitor that catches "the new crawl is 40% less
     * German" before training does. Per category i with add-1-smoothed

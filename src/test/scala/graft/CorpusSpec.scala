@@ -260,6 +260,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(changed(2L) == "changed")
   }
 
+  test("temperatureRebalance: quotas sum to T, tau=2 flattens, tau=1 proportional") {
+    import spark.implicits._
+    // 800 'en', 150 'de', 50 'fr'
+    val docs = ((1 to 800).map(i => (i.toLong, "en")) ++
+      (801 to 950).map(i => (i.toLong, "de")) ++
+      (951 to 1000).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    def quotas(tau: Int) =
+      Corpus.temperatureRebalance(docs, "lang", "doc_id", 100L, tau)
+        .groupBy("lang").agg(max("quota").as[Long]).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t1 = quotas(1); val t2 = quotas(2)
+    assert(t1.values.sum == 100 && t2.values.sum == 100)
+    // proportional at tau=1 (largest remainder on exact tenths)
+    assert(t1 == Map("en" -> 80L, "de" -> 15L, "fr" -> 5L))
+    // tau=2 boosts the tail at the head's expense
+    assert(t2("fr") > t1("fr") && t2("de") > t1("de") && t2("en") < t1("en"))
+    // selection is deterministic and honors quotas exactly
+    val sel = Corpus.temperatureRebalance(docs, "lang", "doc_id", 100L, 2)
+      .select(col("doc_id").as[Long]).collect().sorted
+    val sel2 = Corpus.temperatureRebalance(docs.repartition(13), "lang",
+      "doc_id", 100L, 2).select(col("doc_id").as[Long]).collect().sorted
+    assert(sel.length == 100 && sel.sameElements(sel2))
+  }
+
   test("distributionDrift: zero on identical slices, positive on shift, missing cat ok") {
     import spark.implicits._
     val sliceA = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("fr"))
