@@ -163,6 +163,8 @@ object Graft {
   def deterministicShuffle(df: DataFrame, idCol: String,
       shards: Int = 32): DataFrame =
     operators.Transforms.deterministicShuffle(df, idCol, shards)
+  def skewProfile(df: DataFrame, key: Column): DataFrame =
+    operators.Transforms.skewProfile(df, key)
   def percentileFilter(df: DataFrame, partitionBy: Seq[Column],
       order: Seq[Column], keepFrac: Double): DataFrame =
     operators.Transforms.percentileFilter(df, partitionBy, order, keepFrac)

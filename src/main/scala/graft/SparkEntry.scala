@@ -1932,6 +1932,12 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // Shuffle-key skew diagnostic over the natural join key: per-key count
+    // distribution (exact percentiles), hottest-key share — what bounds a
+    // join's parallelism at 100 TB.
+    "q134_skew_profile" -> ((s, d) =>
+      Transforms.skewProfile(lineitem(s, d), col("l_orderkey"))),
+
     // North star: temperature-rebalanced mixture (τ=2, XLM-R style) — 250
     // docs drawn with quotas ∝ sqrt(n_lang) via integer largest-remainder
     // apportionment and md5-rank member selection.
@@ -3565,6 +3571,25 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q134: same count table; quantile_cont is DuckDB's exact interpolated
+    // percentile (Spark `percentile`); top-1 share via exact-integer rounding
+    "q134_skew_profile" ->
+      """WITH c AS (
+        |  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(c) AS BIGINT) AS max_cnt,
+        |    round(quantile_cont(c, 0.5), 6) AS p50_cnt,
+        |    round(quantile_cont(c, 0.99), 6) AS p99_cnt
+        |  FROM c)
+        |SELECT n_rows, n_keys, max_cnt,
+        |  CAST((2000000 * max_cnt + n_rows) // (2 * n_rows) AS DOUBLE) / 1e6
+        |    AS top1_share_r,
+        |  p50_cnt, p99_cnt,
+        |  round(CAST(max_cnt AS DOUBLE) / p50_cnt, 6) AS skew_r
+        |FROM a""".stripMargin,
 
     // q133: same sqrt weights (identical IEEE ops), same integer
     // apportionment (operands positive, so // and div agree), same md5 rank

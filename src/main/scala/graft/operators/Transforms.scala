@@ -262,4 +262,30 @@ object Transforms {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** Shuffle-key skew profile — the diagnostic to run BEFORE a big join
+    * or aggregation: the hottest key's row share bounds the operation's
+    * parallelism (that task does `top1_share` of the work no matter how
+    * many partitions you provision — the reason for salting and AQE skew
+    * joins). One row: total rows, distinct keys, the hottest key's count
+    * and exact-integer share (ratioRound6), exact interpolated p50/p99
+    * of per-key counts, and max/p50 (a "how bad is the head" ratio;
+    * ≲ 10 is comfortable, ≳ 1000 means salt or broadcast).
+    *
+    * Scale: one partial-aggregatable count per key, then one aggregate
+    * over the (distinct-key-sized) count table. The exact percentile
+    * over that table is the only sort; swap `percentile` for
+    * `percentile_approx` when distinct keys themselves are corpus-sized. */
+  def skewProfile(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_keys"),
+        max(col("c")).cast("long").as("max_cnt"),
+        round(expr("percentile(c, 0.5D)"), 6).as("p50_cnt"),
+        round(expr("percentile(c, 0.99D)"), 6).as("p99_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        Corpus.ratioRound6(col("max_cnt"), col("n_rows")).as("top1_share_r"),
+        col("p50_cnt"), col("p99_cnt"),
+        round(col("max_cnt").cast("double") / col("p50_cnt"), 6).as("skew_r"))
 }

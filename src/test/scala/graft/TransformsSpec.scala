@@ -191,4 +191,17 @@ class TransformsSpec extends AnyFunSuite {
     val shard0 = once.filter(_._2 == once.head._2).toSeq.sortBy(_._3).map(_._1)
     assert(shard0 != shard0.sorted)
   }
+
+  test("skewProfile reports the hot key's share and count percentiles") {
+    import spark.implicits._
+    // 9 singleton keys + one key holding 91 of 100 rows
+    val df = ((1 to 9).map(k => (k, "x")) ++
+      (1 to 91).map(i => (100, s"r$i"))).toDF("k", "v")
+    val r = Transforms.skewProfile(df, col("k")).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 100 && r.getAs[Long]("n_keys") == 10)
+    assert(r.getAs[Long]("max_cnt") == 91)
+    assert(r.getAs[Double]("top1_share_r") == 0.91)
+    assert(r.getAs[Double]("p50_cnt") == 1.0)
+    assert(r.getAs[Double]("skew_r") == 91.0)
+  }
 }
