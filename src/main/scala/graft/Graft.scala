@@ -165,6 +165,13 @@ object Graft {
     operators.Transforms.deterministicShuffle(df, idCol, shards)
   def skewProfile(df: DataFrame, key: Column): DataFrame =
     operators.Transforms.skewProfile(df, key)
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame =
+    operators.Transforms.funnel(events, userCol, typeCol, tsCol, stages)
+  def timeDecayedAgg(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, halfLifeSeconds: Long): DataFrame =
+    operators.Transforms.timeDecayedAgg(events, groupCol, tsCol, valueCol,
+      halfLifeSeconds)
   def percentileFilter(df: DataFrame, partitionBy: Seq[Column],
       order: Seq[Column], keepFrac: Double): DataFrame =
     operators.Transforms.percentileFilter(df, partitionBy, order, keepFrac)

@@ -1932,6 +1932,18 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // Time-decayed per-type event aggregates, 7-day half-life — recency-
+    // weighted features with per-event micro-unit rounding before the sum.
+    "q136_time_decay" -> ((s, d) =>
+      Transforms.timeDecayedAgg(events(s, d), "event_type", "ts", "value",
+        halfLifeSeconds = 604800L)),
+
+    // Ordered conversion funnel view → click → purchase: strict event-order
+    // semantics, one user-keyed aggregate per stage, no windows.
+    "q135_funnel" -> ((s, d) =>
+      Transforms.funnel(events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
     // Shuffle-key skew diagnostic over the natural join key: per-key count
     // distribution (exact percentiles), hottest-key share — what bounds a
     // join's parallelism at 100 TB.
@@ -3571,6 +3583,43 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q136: same anchor, integer-second ages, per-event micro-weight
+    // rounding before the integer sum
+    "q136_time_decay" ->
+      """WITH a AS (SELECT max(ts) AS anchor FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    CAST(round(1e6 * pow(2.0,
+        |      -CAST(date_diff('second', ts, anchor) AS DOUBLE) / 604800.0))
+        |      AS BIGINT) AS w_u
+        |  FROM events, a)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(w_u) AS BIGINT) AS decayed_n_u,
+        |  CAST(sum(w_u) AS DOUBLE) / 1e6 AS decayed_n_r,
+        |  CAST(sum(w_u * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS decayed_val_cu
+        |FROM w GROUP BY event_type""".stripMargin,
+
+    // q135: stage i = earliest stage event strictly after the stage-(i-1)
+    // frontier; timestamps are micro-aligned so the values compare exactly
+    "q135_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST((CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS stages_reached
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
 
     // q134: same count table; quantile_cont is DuckDB's exact interpolated
     // percentile (Spark `percentile`); top-1 share via exact-integer rounding

@@ -263,6 +263,72 @@ object Transforms {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Time-decayed aggregates — recency weighting for feature engineering
+    * and trending-content ranking: each event contributes
+    * 2^(−age/halfLife), so yesterday's click outweighs last month's.
+    * The anchor is max(ts) over the input (deterministic, broadcast).
+    *
+    * Determinism across engines: each event's weight is rounded to
+    * 1e-6 (micro-units, LONG) BEFORE summing — the microBits pattern —
+    * so neither libm's last-ulp pow() variance nor Spark's partial-
+    * aggregation order can move the total. Ages are exact integer
+    * seconds (floor-epoch differences agree with date_diff('second')).
+    * Value mass is exact integer cents times micro-weights.
+    *
+    * Scale: one 1-row anchor broadcast + one partial-aggregatable hash
+    * aggregate; no windows, no sorting. */
+  def timeDecayedAgg(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, halfLifeSeconds: Long): DataFrame = {
+    val anchor = events.agg(max(col(tsCol)).as("_anchor"))
+    val aged = events.crossJoin(broadcast(anchor))
+      .withColumn("_age_s",
+        (unix_timestamp(col("_anchor")) - unix_timestamp(col(tsCol)))
+          .cast("long"))
+      .withColumn("_w_u",
+        round(lit(1e6) * pow(lit(2.0),
+          -col("_age_s").cast("double") / lit(halfLifeSeconds.toDouble)))
+          .cast("long"))
+    aged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_w_u")).as("decayed_n_u"),
+        sum(col("_w_u") * round(col(valueCol) * lit(100)).cast("long"))
+          .as("decayed_val_cu"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        col("decayed_n_u").cast("long").as("decayed_n_u"),
+        (col("decayed_n_u").cast("double") / lit(1e6)).as("decayed_n_r"),
+        col("decayed_val_cu").cast("long").as("decayed_val_cu"))
+  }
+
+  /** Ordered-funnel analysis (the product-analytics staple): per user,
+    * the earliest stage-1 event, then the earliest stage-2 event STRICTLY
+    * AFTER it, and so on — an out-of-order click does not convert a view
+    * that hasn't happened yet. Returns one row per user who reached stage
+    * 1: (userCol, t1..tk nullable, stages_reached).
+    *
+    * Scale: stage i is one aggregate over stage-i events joined to the
+    * previous frontier — every shuffle is keyed on the user and carries
+    * only that stage's events plus one timestamp per user. No windows, no
+    * per-user event sorting, no sessionization state; k stages = k
+    * bounded joins, the shape that survives a 100 TB event log. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var frontier = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val nxt = events.filter(col(typeCol) === st).as("e")
+        .join(frontier.as("f"),
+          col(s"e.$userCol") === col(s"f.$userCol") &&
+            col(s"e.$tsCol") > col(s"f.t$i"))
+        .groupBy(col(s"f.$userCol").as(userCol))
+        .agg(min(col(s"e.$tsCol")).as(s"t${i + 1}"))
+      frontier = frontier.join(nxt, Seq(userCol), "left")
+    }
+    frontier.withColumn("stages_reached",
+      stages.indices.map(i =>
+        when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
   /** Shuffle-key skew profile — the diagnostic to run BEFORE a big join
     * or aggregation: the hottest key's row share bounds the operation's
     * parallelism (that task does `top1_share` of the work no matter how

@@ -192,6 +192,46 @@ class TransformsSpec extends AnyFunSuite {
     assert(shard0 != shard0.sorted)
   }
 
+  test("funnel enforces strict event order per user") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: click BEFORE the first view — must not convert
+      (2L, "click", 5L), (2L, "view", 10L),
+      // user 3: purchase before click — stops at click
+      (3L, "view", 10L), (3L, "purchase", 15L), (3L, "click", 20L),
+      // user 4: never views — absent from the funnel
+      (4L, "click", 10L), (4L, "purchase", 20L),
+      // user 5: second view converts via a later click
+      (5L, "click", 8L), (5L, "view", 9L), (5L, "click", 12L)
+    ).map { case (u, t, s) => (u, t, new java.sql.Timestamp(s * 1000)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = Transforms.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id").as[Long], col("stages_reached").as[Long])
+      .collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("timeDecayedAgg: closed-form weights at 0, one, and two half-lives") {
+    import spark.implicits._
+    val hl = 100L
+    val ev = Seq(
+      ("a", 200L, 1.00), // age 0   → weight 1e6
+      ("a", 100L, 1.00), // age 1hl → 5e5
+      ("a", 0L, 1.00),   // age 2hl → 25e4
+      ("b", 200L, 2.50)  // age 0   → 1e6, value 250 cents
+    ).map { case (g, s, v) => (g, new java.sql.Timestamp(s * 1000), v) }
+      .toDF("g", "ts", "value")
+    val got = Transforms.timeDecayedAgg(ev, "g", "ts", "value", hl)
+      .select(col("g").as[String], col("decayed_n_u").as[Long],
+        col("decayed_val_cu").as[Long]).collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((1750000L, 175000000L)))
+    assert(got("b") == ((1000000L, 250000000L)))
+  }
+
   test("skewProfile reports the hot key's share and count percentiles") {
     import spark.implicits._
     // 9 singleton keys + one key holding 91 of 100 rows
