@@ -172,6 +172,13 @@ object Graft {
       valueCol: String, halfLifeSeconds: Long): DataFrame =
     operators.Transforms.timeDecayedAgg(events, groupCol, tsCol, valueCol,
       halfLifeSeconds)
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    operators.Transforms.cohortRetention(events, userCol, tsCol)
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame =
+    operators.Transforms.eventTransitions(events, userCol, typeCol, tsCol,
+      tieCol)
   def percentileFilter(df: DataFrame, partitionBy: Seq[Column],
       order: Seq[Column], keepFrac: Double): DataFrame =
     operators.Transforms.percentileFilter(df, partitionBy, order, keepFrac)

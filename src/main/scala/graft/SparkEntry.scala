@@ -1932,6 +1932,17 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // Cohort retention: first-activity-day cohorts × day offsets, exact
+    // integer retention shares.
+    "q137_cohort_retention" -> ((s, d) =>
+      Transforms.cohortRetention(events(s, d), "user_id", "ts")),
+
+    // First-order Markov transition matrix over per-user clickstreams;
+    // one bounded per-user window, type²-bounded aggregate.
+    "q138_event_transitions" -> ((s, d) =>
+      Transforms.eventTransitions(events(s, d), "user_id", "event_type",
+        "ts", "event_id")),
+
     // Time-decayed per-type event aggregates, 7-day half-life — recency-
     // weighted features with per-event micro-unit rounding before the sum.
     "q136_time_decay" -> ((s, d) =>
@@ -3583,6 +3594,44 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q137: all-integer cohort arithmetic; retention via exact half-up
+    // integer rounding
+    "q137_cohort_retention" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |            FROM events GROUP BY 1),
+        |cs AS (SELECT cohort_day, count(*) AS cohort_n FROM fd GROUP BY 1),
+        |ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT fd.cohort_day,
+        |    CAST(date_diff('day', fd.cohort_day, ad.day) AS BIGINT)
+        |      AS day_offset,
+        |    count(*) AS n_active
+        |  FROM ad JOIN fd ON ad.user_id = fd.user_id
+        |  GROUP BY 1, 2)
+        |SELECT r.cohort_day, r.day_offset,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(cohort_n AS BIGINT) AS cohort_n,
+        |  CAST((2000000 * n_active + cohort_n) // (2 * cohort_n) AS DOUBLE)
+        |    / 1e6 AS retention_r
+        |FROM r JOIN cs ON r.cohort_day = cs.cohort_day""".stripMargin,
+
+    // q138: identical (ts, event_id) total order for lead(); conditional
+    // share via the same exact integer rounding
+    "q138_event_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |p AS (SELECT from_type, next_type, count(*) AS n FROM nx
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, next_type, n,
+        |        sum(n) OVER (PARTITION BY from_type) AS n_from FROM p)
+        |SELECT from_type, next_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n_from AS BIGINT) AS n_from,
+        |  CAST((2000000 * n + n_from) // (2 * n_from) AS DOUBLE) / 1e6 AS p_r
+        |FROM f""".stripMargin,
 
     // q136: same anchor, integer-second ages, per-event micro-weight
     // rounding before the integer sum

@@ -263,6 +263,59 @@ object Transforms {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Cohort retention — users grouped by first-activity day, then per
+    * (cohort_day, day_offset) the count of cohort members active that
+    * day and the exact-integer retention share. All-integer (dates and
+    * counts), so it hash-matches any engine.
+    *
+    * Scale: first-activity and distinct active-days are both
+    * partial-aggregatable user-keyed aggregates; the final aggregate runs
+    * over (user, day) rows. No windows. */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val firstDay = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    val cohortSize = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_n"))
+    val activeDays = events
+      .select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+    activeDays.join(firstDay, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSize, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"),
+        col("n_active").cast("long").as("n_active"),
+        col("cohort_n").cast("long").as("cohort_n"),
+        Corpus.ratioRound6(col("n_active"), col("cohort_n")).as("retention_r"))
+  }
+
+  /** Per-user event-type transition matrix (first-order Markov over the
+    * clickstream): consecutive-event pairs by time order, transition
+    * counts, and the exact-integer conditional share P(next | from).
+    * `tieCol` must make the per-user order total (an event id).
+    *
+    * Scale: ONE window partitioned by user (each partition is one user's
+    * events — bounded), then a type²-bounded aggregate; the conditional
+    * denominator is a window over that aggregate, not the corpus. */
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("next_type", lead(col(typeCol), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("n_from", sum(col("n")).over(wFrom))
+      .select(col("from_type"), col("next_type"),
+        col("n").cast("long").as("n"),
+        col("n_from").cast("long").as("n_from"),
+        Corpus.ratioRound6(col("n"), col("n_from")).as("p_r"))
+  }
+
   /** Time-decayed aggregates — recency weighting for feature engineering
     * and trending-content ranking: each event contributes
     * 2^(−age/halfLife), so yesterday's click outweighs last month's.

@@ -214,6 +214,44 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("cohortRetention: day-0 is full, later offsets count distinct actives") {
+    import spark.implicits._
+    def ts(day: Int, h: Int) = new java.sql.Timestamp(
+      (day * 86400L + h * 3600L) * 1000)
+    // users 1,2 join day 0; user 1 returns day 1 (twice) and day 3;
+    // user 3 joins day 1
+    val ev = Seq((1L, ts(0, 1)), (2L, ts(0, 5)), (1L, ts(1, 2)),
+      (1L, ts(1, 9)), (1L, ts(3, 0)), (3L, ts(1, 4)))
+      .toDF("user_id", "ts")
+    val got = Transforms.cohortRetention(ev, "user_id", "ts")
+      .select(col("cohort_day").cast("string").as[String],
+        col("day_offset").as[Long], col("n_active").as[Long],
+        col("retention_r").as[Double]).collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("1970-01-01", 0L)) == ((2L, 1.0)))   // both day-0 users
+    assert(got(("1970-01-01", 1L)) == ((1L, 0.5)))   // user 1 only, once
+    assert(got(("1970-01-01", 3L)) == ((1L, 0.5)))
+    assert(got(("1970-01-02", 0L)) == ((1L, 1.0)))   // user 3's cohort
+    assert(got.size == 4)
+  }
+
+  test("eventTransitions: time-ordered pairs, conditional shares sum to 1") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 20L), (1L, 3L, "a", 30L),
+      (2L, 4L, "a", 10L), (2L, 5L, "c", 5L) // c comes FIRST by ts
+    ).map { case (u, e, t, s) => (u, e, t, new java.sql.Timestamp(s * 1000)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Transforms.eventTransitions(ev, "user_id", "event_type",
+        "ts", "event_id")
+      .select(col("from_type").as[String], col("next_type").as[String],
+        col("n").as[Long], col("p_r").as[Double]).collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // user 1: a→b→a; user 2: c→a (ts order, not insertion order)
+    assert(got == Map(("a", "b") -> ((1L, 1.0)), ("b", "a") -> ((1L, 1.0)),
+      ("c", "a") -> ((1L, 1.0))))
+  }
+
   test("timeDecayedAgg: closed-form weights at 0, one, and two half-lives") {
     import spark.implicits._
     val hl = 100L
