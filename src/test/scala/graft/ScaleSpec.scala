@@ -240,6 +240,49 @@ class ScaleSpec extends AnyFunSuite {
     val p113 = plan("q113_cms_heavyhitters")
     assert(!p113.contains("CartesianProduct") &&
       !p113.contains("SortMergeJoin"), p113)
+
+    // q126 leakage split: the split assignment itself is a narrow map —
+    // the only exchanges belong to the upstream cluster computation
+    val p126 = plan("q126_leakage_split")
+    assert(!p126.contains("CartesianProduct"), p126)
+
+    // q127 DSIR: model join is an equi join; totals broadcast; no windows
+    val p127 = plan("q127_dsir_weights")
+    assert(!p127.contains("Window") && !p127.contains("CartesianProduct"), p127)
+    assert(p127.contains("BroadcastExchange") || p127.contains("BroadcastHashJoin"), p127)
+
+    // q128 hard negatives: anchors broadcast (the only nested-loop is
+    // against the tiny anchor build side); the per-anchor top-k windows
+    // are salted/partitioned — never single-partition
+    val p128 = plan("q128_hard_negatives")
+    assert(!p128.contains("CartesianProduct"), p128)
+    assert(!p128.contains("SinglePartition"), p128)
+
+    // q130 CDC merge: the latest-change window runs over the LOG side
+    // only; the snapshot is never sorted into a window
+    val p130 = plan("q130_changelog_apply")
+    assert(!p130.contains("CartesianProduct"), p130)
+
+    // q135 funnel: user-keyed hash aggregates and equi joins only — no
+    // windows, no per-user event sort
+    val p135 = plan("q135_funnel")
+    assert(!p135.contains("Window") && !p135.contains("CartesianProduct"), p135)
+
+    // q136 time decay: one 1-row broadcast + hash aggregate with map-side
+    // partials; no windows, no sort
+    val p136 = plan("q136_time_decay")
+    assert(!p136.contains("Window") && !p136.contains("Sort"), p136)
+    assert(p136.contains("HashAggregate"), p136)
+
+    // q137 cohort retention: aggregates + equi joins only, no windows
+    val p137 = plan("q137_cohort_retention")
+    assert(!p137.contains("Window") && !p137.contains("CartesianProduct"), p137)
+
+    // q138 transitions: the lead() window is partitioned by user — never
+    // a single global partition; downstream window runs on the bounded
+    // type-pair aggregate
+    val p138 = plan("q138_event_transitions")
+    assert(p138.contains("Window") && !p138.contains("SinglePartition"), p138)
   }
 
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
