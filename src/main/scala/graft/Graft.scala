@@ -245,6 +245,8 @@ object Graft {
     operators.Corpus.pmiTopPairs(docs, idCol, textCol, minCount, k)
   def integerPageRank(pairs: DataFrame, iters: Int = 3): DataFrame =
     operators.Graph.integerPageRank(pairs, iters)
+  def triangleCounts(pairs: DataFrame): DataFrame =
+    operators.Graph.triangleCounts(pairs)
 
   // ---- streaming ----
   def windowedEventAgg(events: DataFrame, windowDur: String,

@@ -1932,6 +1932,13 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // Triangle participation in the near-dup candidate graph — cluster
+    // cohesion (cliques are safe to dedup on transitivity; chains aren't).
+    "q139_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangleCounts(
+        Dedup.minhashCandidatesPortable(documents(s, d), "doc_id", "text"))
+        .select(col("id").as("doc_id"), col("triangles"))),
+
     // Cohort retention: first-activity-day cohorts × day offsets, exact
     // integer retention shares.
     "q137_cohort_retention" -> ((s, d) =>
@@ -3594,6 +3601,24 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q139: same canonicalized oriented enumeration (a<b<c), each triangle
+    // found once, per-node participation by unnesting corners
+    "q139_triangles" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |e AS (SELECT DISTINCT least(id_a, id_b) AS a,
+         |        greatest(id_a, id_b) AS b
+         |      FROM pairs WHERE id_a <> id_b),
+         |t AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1
+         |  JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |n AS (SELECT x AS id FROM t UNION ALL SELECT y FROM t
+         |      UNION ALL SELECT z FROM t)
+         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS triangles
+         |FROM n GROUP BY id""".stripMargin,
 
     // q137: all-integer cohort arithmetic; retention via exact half-up
     // integer rounding

@@ -58,4 +58,33 @@ object Graph {
     units.join(deg, units("id") === deg("src"))
       .select(col("id"), col("d").cast("long").as("d"), col("units"))
   }
+
+  /** Per-node triangle participation in an undirected graph — the cluster
+    * cohesion signal for a near-dup graph (a clique-ish duplicate cluster
+    * is triangle-dense; a chain of borderline matches has none, and its
+    * members deserve a second look before deduping on transitivity).
+    * `pairs` are undirected (id_a, id_b) candidate edges.
+    *
+    * The classic two-join oriented enumeration: canonicalize every edge
+    * a < b, join wedges (a,b)+(b,c) with a < b < c, close against (a,c).
+    * Each triangle is found exactly once. Both joins are equi hash joins
+    * on node keys; at scale the standard refinement (orient by degree) drops
+    * the wedge count from Σd² to Σd^1.5 — noted, not needed for near-dup
+    * graphs whose components are tiny by construction.
+    * Returns (id, triangles) for every node in at least one triangle. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("triangles"))
+  }
 }

@@ -223,14 +223,19 @@ object Similarity {
       signature: (Column, Int) => Column = hyperplaneSignature): DataFrame = {
     val pairs = lshNearPairs(vectors, idCol, vecCol, bits, minSim, signature)
       .select(col("id_a"), col("id_b"))
+    // only exclusions INVOLVING an anchor matter — filter the symmetric
+    // edge list down to the anchor set before the anti-join, so the
+    // corpus-sized scored table anti-joins against a broadcastable side
+    // (anchors × their near-dups) instead of shuffling by pair key
     val sym = pairs.unionByName(
-      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .filter(col("id_a").isin(anchorIds: _*))
     val anchors = vectors
       .filter(col(idCol).isin(anchorIds: _*))
       .select(col(idCol).as("anchor"), col(vecCol).as("_avec"))
     val scored = vectors.crossJoin(broadcast(anchors))
       .filter(col(idCol) =!= col("anchor"))
-      .join(sym,
+      .join(broadcast(sym),
         col("anchor") === col("id_a") && col(idCol) === col("id_b"),
         "left_anti")
       .select(col("anchor"), col(idCol).as("negative"),

@@ -34,6 +34,19 @@ class GraphSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 433333L)))
   }
 
+  test("triangleCounts: K4 corners in 3 each; cycles and chains in none") {
+    // K4 (every node in C(3,2)=3 triangles), a 4-cycle (10-13), a chain
+    // (20-22), plus duplicate/reversed edges that must canonicalize away
+    val es = pairs(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), // reversed duplicates
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (20L, 21L), (21L, 22L))
+    val got = Graph.triangleCounts(es)
+      .select("id", "triangles").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("iterations are deterministic under repartitioning") {
     val es = (1L to 30L).map(i => (i, (i * 7) % 31 + 31))
     val a = Graph.integerPageRank(pairs(es: _*), iters = 3)
