@@ -3296,9 +3296,9 @@ object SparkEntry {
         |  CAST(n_types AS BIGINT) AS n_types,
         |  CAST((2000000*n_types + n_tok) // (2*n_tok) AS DOUBLE) / 1e6
         |    AS ttr_r,
-        |  round(log2(CAST(n_tok AS DOUBLE))
-        |    - CAST(sum_ub AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 6)
-        |    AS entropy_r
+        |  CAST((2 * (CAST(round(1e6*log2(CAST(n_tok AS DOUBLE))) AS BIGINT)
+        |             * n_tok - sum_ub) + n_tok) // (2 * n_tok) AS DOUBLE)
+        |    / 1e6 AS entropy_r
         |FROM d""".stripMargin,
     // q112: per-source lane minima computed directly from the shingles (the
     // mergeability property: min over docs of per-doc minima = min over the

@@ -25,8 +25,11 @@ object Blocklist {
   private def bloomRow(keys: DataFrame, keyCol: String, bitsPerKey: Int,
       numHashes: Int, expectedKeys: Long): DataFrame = {
     val n = if (expectedKeys > 0) expectedKeys else keys.count()
-    // ≥64 bits, ≤256 MiB, rounded up to whole longs
-    val want = math.min(math.max(bitsPerKey.toLong * math.max(n, 1L), 64L), 1L << 31)
+    // ≥64 bits, ≤256 MiB, rounded up to whole longs. The cap must itself
+    // survive the round-up-and-toInt: (1<<31) would round to 2^31 and
+    // overflow Int exactly when the cap engages (~215M keys at 10 b/key).
+    val want = math.min(math.max(bitsPerKey.toLong * math.max(n, 1L), 64L),
+      (1L << 31) - 64L)
     val numBits = (((want + 63L) / 64L) * 64L).toInt
     keys.agg(BloomAgg(numBits, numHashes).column(col(keyCol)).as("graft_bloom"))
   }
@@ -57,19 +60,22 @@ object Blocklist {
   }
 
   /** Rows of `big` whose key is NOT in `keys` (anti join — keep the clean
-    * corpus). Bloom-definite-clean rows pass straight through with no
-    * shuffle; only might-contain candidates are exact-checked. */
+    * corpus). Bloom-definite-clean rows pass straight through; only
+    * might-contain candidates reach the exact check. ONE anti-join with
+    * the bloom verdict in its condition does both: a might=false (or
+    * NULL-key) row never matches, so it survives the anti join without
+    * shuffling — and `big` is scanned once, not once per branch as a
+    * filter/filter/union would. NULL-key rows keep plain left_anti
+    * semantics (kept: null never equals a key). */
   def bloomAntiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
       bitsPerKey: Int = 10, numHashes: Int = 5,
       expectedKeys: Long = -1L): DataFrame = {
     val k = materializedKeys(keys, keyCol)
     val blob = bloomRow(k, keyCol, bitsPerKey, numHashes, expectedKeys)
-    val tagged = probe(big, blob, keyCol)
-    val clean = tagged.filter(!col("graft_might"))
+    probe(big, blob, keyCol)
+      .join(k.withColumnRenamed(keyCol, "graft_block_key"),
+        col(keyCol) === col("graft_block_key") && col("graft_might"),
+        "left_anti")
       .drop("graft_bloom", "graft_might")
-    val survivors = tagged.filter(col("graft_might"))
-      .drop("graft_bloom", "graft_might")
-      .join(k, Seq(keyCol), "left_anti")
-    clean.unionByName(survivors)
   }
 }

@@ -257,9 +257,15 @@ object Corpus {
         col("n_tok").cast("long").as("n_tok"),
         col("n_types").cast("long").as("n_types"),
         ratioRound6(col("n_types"), col("n_tok")).as("ttr_r"),
-        round(log2(col("n_tok").cast("double")) -
-          col("sum_ub").cast("double") / lit(1e6) / col("n_tok").cast("double"),
-          6).as("entropy_r"))
+        // H = (µb(N)·N − Σ n_w·µb(n_w)) / (N·1e6), rounded at 6dp in exact
+        // LONG arithmetic. round(double, 6) here was the documented 5e-7
+        // tie hazard: e.g. 13×one-word + 3 singletons in 16 tokens lands
+        // EXACTLY on 0.9933925, which the two engines' double rounding can
+        // resolve differently. The numerator is ≥ 0 (µb is monotone), so
+        // half-up integer division is portable.
+        microAvgRound(
+          microBits(col("n_tok")) * col("n_tok") - col("sum_ub"),
+          col("n_tok")).as("entropy_r"))
   }
 
   /** Merge per-document MinHash signatures into per-group sketches:
@@ -296,13 +302,19 @@ object Corpus {
     * mass. This is the scale shape for frequency estimation at 100 TB —
     * the corpus never shuffles, only (row, bucket) partial counts do. */
   def countMinSketch(words: DataFrame, wordCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame =
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    // cmsBucket draws 12 bits (3 md5 hex chars) of entropy per row — a
+    // width beyond 2^12 would leave buckets ≥ 4096 permanently empty and
+    // silently double the collision mass the width promises to halve
+    require(width > 0 && width <= 4096,
+      s"width must be in (0, 4096] (12-bit bucket hash): $width")
     words.select((0 until depth).map(r =>
         cmsBucket(col(wordCol), r, width).as(s"b$r")): _*)
       .select(posexplode(array((0 until depth).map(r => col(s"b$r")): _*))
         .as(Seq("r", "bucket")))
       .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** Heavy hitters with sketch verification: exact top-k words joined
     * against their count-min estimates (est = MIN over hash rows of the
@@ -493,6 +505,9 @@ object Corpus {
     * id the change with the highest `seqCol` wins ('upsert' replaces the
     * row, 'delete' removes it), everything untouched passes through.
     * Payload columns must match the snapshot's non-id columns.
+    * Contract: (`idCol`, `seqCol`) pairs are unique — a CDC log has a
+    * total per-key order by construction; with duplicate seqs the winner
+    * among the tied changes would be partitioning-dependent.
     *
     * Scale: the dedup window runs over the CHANGELOG only (log-sized, not
     * corpus-sized), and the corpus-sized work is one anti-join of the

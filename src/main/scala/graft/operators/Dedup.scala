@@ -466,8 +466,11 @@ object Dedup {
     * without a window. Documents never move whole; lines do. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2, delim: String = "\n"): DataFrame = {
+    // delim is a LITERAL separator (quoted — Spark's split takes a regex;
+    // an unquoted "|" or "." would explode every character)
     val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), delim)).as(Seq("pos", "line")))
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim), -1)).as(Seq("pos", "line")))
     val hot = lines.groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -497,18 +500,22 @@ object Dedup {
     * corpus-wide ~uniform.
     *
     * Deterministic and engine-portable by construction: the bucket is the
-    * first byte of md5(cluster label as decimal string) compared as a HEX
+    * first byte of md5(cluster label cast to string) compared as a HEX
     * STRING against boundaries expressed in 1/256ths — no hex→integer
     * conversion, no RNG state, reproducible across engines, runs, and
-    * cluster partitionings. One narrow map over `members`: no shuffle, no
-    * driver participation, trivially 100 TB-safe.
+    * cluster partitionings. Any label type string-casts losslessly (a
+    * long→string round-trip through an intermediate numeric cast would
+    * instead NULL out non-numeric labels and silently dump the whole
+    * corpus into 'test'). Labels must be non-null. One narrow map over
+    * `members`: no shuffle, no driver participation, trivially 100
+    * TB-safe.
     *
     * Returns `members` plus a `split` column ('train'|'val'|'test'). */
   def leakageSafeSplit(members: DataFrame, clusterCol: String = "cluster",
       train256: Int = 204, val256: Int = 26): DataFrame = {
     require(train256 > 0 && val256 > 0 && train256 + val256 < 256,
       s"fractions are 1/256ths and must leave room for test: $train256 + $val256")
-    val hx = substring(md5(col(clusterCol).cast("long").cast("string")), 1, 2)
+    val hx = substring(md5(col(clusterCol).cast("string")), 1, 2)
     members.withColumn("split",
       when(hx < lit(f"$train256%02x"), lit("train"))
         .when(hx < lit(f"${train256 + val256}%02x"), lit("val"))

@@ -49,6 +49,20 @@ class BlocklistSpec extends AnyFunSuite {
     assert(semi.count() + anti.count() == 2000L)
   }
 
+  test("null keys: anti keeps them, semi drops them — plain-join semantics") {
+    val big = Seq((1L, "hit"), (2L, null.asInstanceOf[String]), (3L, "miss"))
+      .toDF("id", "key")
+    val block = Seq("hit").toDF("key")
+    // a null key never equals a blocklist key: left_anti keeps the row,
+    // left_semi doesn't — the bloom fast path must not change that
+    val anti = Blocklist.bloomAntiJoin(big, block, "key")
+      .select("id").as[Long].collect().sorted.toSeq
+    val semi = Blocklist.bloomSemiJoin(big, block, "key")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(anti == Seq(2L, 3L))
+    assert(semi == Seq(1L))
+  }
+
   test("big-side bloom probe stays inside whole-stage codegen") {
     val big = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "key")
     val block = Seq("v1", "v2").toDF("key")

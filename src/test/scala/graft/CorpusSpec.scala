@@ -123,6 +123,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == ((1L, 0.2, 0.0)))
   }
 
+  test("entropy: exact 5e-7 rounding tie resolves half-up in integers") {
+    // 13×'a' + 3 singletons in 16 tokens: µb(16)·16 − 13·µb(13) = 16000000
+    // − 13·3700440 = ... lands the average EXACTLY on 0.9933925 — a 6dp
+    // tie that double rounding resolves engine-dependently; the integer
+    // carrier must give the half-up value deterministically
+    val text = (Seq.fill(13)("a") ++ Seq("b", "c", "d")).mkString(" ")
+    val out = Corpus.wordEntropy(docs(1L -> text), "doc_id", "text")
+      .select("entropy_r").as[Double].head()
+    val sumUb = 13L * math.round(1e6 * (math.log(13) / math.log(2)))
+    val numer = math.round(1e6 * 4) * 16L - sumUb
+    val expected = ((2 * numer + 16) / 32L).toDouble / 1e6
+    assert(out == expected)
+  }
+
   // ---- bigramSurprisal ----------------------------------------------------
 
   test("surprisal: deterministic continuations cost zero bits") {

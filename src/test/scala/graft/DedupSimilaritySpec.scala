@@ -233,6 +233,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3L) == (("", 1L, 1L)))
   }
 
+  test("lineDedup treats the delimiter literally, not as a regex") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared|unique one"),
+      (2L, "shared|unique two")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2, delim = "|")
+      .select(col("doc_id").as[Long], col("text_clean").as[String],
+        col("n_dropped").as[Long]).collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // '|' as a regex would split every character; literally it yields two
+    // segments, of which 'shared' is corpus-hot
+    assert(got(1L) == (("unique one", 1L)))
+    assert(got(2L) == (("unique two", 1L)))
+  }
+
   test("hardNegatives: similar-but-not-duplicate wins; near-dup and self excluded") {
     import spark.implicits._
     // anchor 0; vec 1 is a near-identical copy (near-dup → excluded);
