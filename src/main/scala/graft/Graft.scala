@@ -248,6 +248,9 @@ object Graft {
   def triangleCounts(pairs: DataFrame): DataFrame =
     operators.Graph.triangleCounts(pairs)
 
+  def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame =
+    operators.Maintenance.tableFingerprint(df, cols)
+
   // ---- streaming ----
   def windowedEventAgg(events: DataFrame, windowDur: String,
       watermarkDelay: String): DataFrame =

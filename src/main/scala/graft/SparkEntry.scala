@@ -1932,6 +1932,12 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // Order-independent table fingerprint — migration/replication equality
+    // without sorting either side: exact decimal sum of 60-bit row hashes.
+    "q140_table_fingerprint" -> ((s, d) =>
+      graft.operators.Maintenance.tableFingerprint(lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))),
+
     // Triangle participation in the near-dup candidate graph — cluster
     // cohesion (cliques are safe to dedup on transitivity; chains aren't).
     "q139_triangles" -> ((s, d) =>
@@ -3601,6 +3607,18 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q140: same chr(1)-joined, chr(2)-coalesced row hash; the sum of
+    // 60-bit values is exact in DECIMAL(38,0)/HUGEINT on both engines
+    "q140_table_fingerprint" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(('0x' || substring(md5(concat_ws(chr(1),
+        |      coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |      coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
+        |      coalesce(CAST(l_suppkey AS VARCHAR), chr(2)),
+        |      coalesce(CAST(l_linenumber AS VARCHAR), chr(2)))), 1, 15))
+        |    ::BIGINT) AS DECIMAL(38,0)) AS content_sum
+        |FROM lineitem""".stripMargin,
 
     // q139: same canonicalized oriented enumeration (a<b<c), each triangle
     // found once, per-node participation by unnesting corners

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Lakehouse table maintenance. The reference never needs this (it
   * INSERTs into Azure SQL), but any 100 TB parquet deployment of these
@@ -8,6 +9,31 @@ import org.apache.spark.sql.SparkSession
   * streaming sinks) accrete small files until scan task scheduling and
   * footer reads dominate query time. */
 object Maintenance {
+
+  /** Order-independent table fingerprint — equality verification for a
+    * migration/replication/compaction without sorting either side: each
+    * row hashes to 60 bits (md5 prefix of the sentinel-coalesced, separator-joined
+    * column strings) and the fingerprint is (row count, exact DECIMAL(38,0)
+    * SUM of row hashes). Addition commutes, so any partitioning, any
+    * engine, any row order yields the same pair; two tables agreeing on
+    * both match with collision odds ~n²/2⁶¹ (and unlike a row-count check,
+    * a swapped value or duplicated-row/lost-row pair flips the sum).
+    *
+    * Contract: pass columns whose string forms are canonical across
+    * engines — integers, strings, dates, booleans. Doubles format
+    * differently engine-to-engine; quantize them to integers first.
+    *
+    * Scale: a narrow map plus one partially-aggregated global sum — no
+    * shuffle of data rows, no sort, nothing driver-side. */
+  def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val rowHash = conv(substring(md5(concat_ws("\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)),
+      1, 15), 16, 10).cast("decimal(38,0)")
+    df.select(rowHash.as("h"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("h")).cast("decimal(38,0)").as("content_sum"))
+  }
 
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.
     *

@@ -285,6 +285,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(p138.contains("Window") && !p138.contains("SinglePartition"), p138)
   }
 
+  test("tableFingerprint: order/partitioning-invariant, content-sensitive") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val rows = (1L to 500L).map(i => (i, s"name-$i", i % 7))
+    val a = Maintenance.tableFingerprint(
+      rows.toDF("id", "name", "grp"), Seq("id", "name", "grp"))
+    val b = Maintenance.tableFingerprint(
+      scala.util.Random.shuffle(rows).toDF("id", "name", "grp")
+        .repartition(13), Seq("id", "name", "grp"))
+    assert(a.collect()(0) == b.collect()(0))
+    // a single swapped value flips the sum but not the count
+    val mutated = rows.updated(42, (43L, "name-43x", 43L % 7))
+    val c = Maintenance.tableFingerprint(
+      mutated.toDF("id", "name", "grp"), Seq("id", "name", "grp")).collect()(0)
+    assert(c.getAs[Long]("n_rows") == 500L)
+    assert(c.getAs[java.math.BigDecimal]("content_sum") !=
+      a.collect()(0).getAs[java.math.BigDecimal]("content_sum"))
+    // null vs the string "null" must not collide (sentinel coalesce)
+    val withNull = Maintenance.tableFingerprint(
+      Seq((1L, null.asInstanceOf[String])).toDF("id", "name"),
+      Seq("id", "name")).collect()(0)
+    val withLiteral = Maintenance.tableFingerprint(
+      Seq((1L, "null")).toDF("id", "name"), Seq("id", "name")).collect()(0)
+    assert(withNull.getAs[java.math.BigDecimal]("content_sum") !=
+      withLiteral.getAs[java.math.BigDecimal]("content_sum"))
+  }
+
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
     import spark.implicits._
     val dirPath = java.nio.file.Files.createTempDirectory("compact")
