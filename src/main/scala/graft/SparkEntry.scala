@@ -1932,6 +1932,25 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // The whole curation flow in ONE declarative plan: near-dup candidates →
+    // clusters → best-weight keepers → leakage-safe split → per-split
+    // mixture report. Every stage is an already-verified operator; this
+    // pins that they COMPOSE (one Catalyst plan, no materialization
+    // between stages except the CC iteration's own checkpoints).
+    "q141_curation_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      val clusters = Dedup.connectedComponents(docs, "doc_id", pairs)
+      val weights = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      val keepers = Dedup.selectKeepers(
+        clusters.join(weights, "doc_id"), "doc_id", "n_tok")
+      Dedup.leakageSafeSplit(keepers, "cluster")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("keeper_weight")).cast("long").as("total_tokens"))
+    }),
+
     // Order-independent table fingerprint — migration/replication equality
     // without sorting either side: exact decimal sum of 60-bit row hashes.
     "q140_table_fingerprint" -> ((s, d) =>
@@ -3607,6 +3626,37 @@ object SparkEntry {
         |  CAST(sum(u) AS BIGINT) AS sum_u,
         |  CAST(sum(u) AS DOUBLE) / (count(*) * 1000000) AS mean_v
         |FROM ex GROUP BY grp, pos""".stripMargin,
+
+    // q141: q86's cluster+keeper chain, then the q126 md5-range split and
+    // the mixture rollup — the full pipeline re-derived in one SQL
+    "q141_curation_pipeline" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |clus AS (SELECT src AS doc_id, min(dst) AS cluster
+         |         FROM reach GROUP BY src),
+         |tok AS (SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tok FROM documents),
+         |m AS (SELECT c.cluster, c.doc_id, t.n_tok
+         |      FROM clus c JOIN tok t ON c.doc_id = t.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |        ORDER BY n_tok DESC, doc_id) AS rnk FROM m),
+         |k AS (SELECT cluster, n_tok FROM r WHERE rnk = 1),
+         |sp AS (SELECT n_tok,
+         |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'cc'
+         |         THEN 'train'
+         |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'e6'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM k)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+         |FROM sp GROUP BY split""".stripMargin,
 
     // q140: same chr(1)-joined, chr(2)-coalesced row hash; the sum of
     // 60-bit values is exact in DECIMAL(38,0)/HUGEINT on both engines
