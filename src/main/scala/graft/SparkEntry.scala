@@ -1898,18 +1898,22 @@ object SparkEntry {
       Corpus.snapshotDiff(v1, kept.unionByName(added), "doc_id", "text")
     }),
 
-    // Compression-ratio repetition signal (Gopher-style quality filter):
-    // deflate/raw bytes in one codegen'd map pass. DEFLATE byte counts are
-    // a zlib implementation detail no SQL engine reproduces, so this is a
-    // rows-only query — relative behavior is locked by TextHashSpec.
+    // Repetition signal (Gopher-style quality filter), fully under the
+    // oracle: the distinct-8gram ratio is the engine-portable proxy for
+    // compressibility (repetitive text has few distinct char 8-shingles).
+    // The deflate-ratio variant (functions.DeflateRatio) stays available —
+    // DEFLATE byte counts are a zlib implementation detail no SQL engine
+    // reproduces, so its behavior is locked by TextHashSpec instead of the
+    // driver compare. Threshold math is integer-only on both engines.
     "q123_compression_signal" -> ((s, d) => {
-      import org.apache.spark.sql.GraftBridge
-      val ratio = GraftBridge.column(graft.functions.DeflateRatio(
-        GraftBridge.expression(col("text"))))
+      val n = length(col("text")).cast("long")
       documents(s, d).select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        round(ratio, 4).as("deflate_r"))
-        .withColumn("is_repetitive", col("deflate_r") < 0.3)
+          n.as("n_chars"),
+          greatest(n - 7L, lit(1L)).as("n_grams"),
+          size(TextFunctions.charShingles(col("text"), 8))
+            .cast("long").as("n_distinct"))
+        .withColumn("is_repetitive",
+          col("n_distinct") * 10L < col("n_grams") * 3L)
     }),
 
     // Large-dictionary masking: one trie pass per doc (vs K regex passes),
@@ -1952,7 +1956,8 @@ object SparkEntry {
     }),
 
     // Order-independent table fingerprint — migration/replication equality
-    // without sorting either side: exact decimal sum of 60-bit row hashes.
+    // without sorting either side: two 60-bit row-hash lanes, exact sums
+    // reduced mod 2^61 so the output is plain int64s on every engine.
     "q140_table_fingerprint" -> ((s, d) =>
       graft.operators.Maintenance.tableFingerprint(lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))),
@@ -3602,6 +3607,21 @@ object SparkEntry {
         |       ELSE 'changed' END AS status,
         |  old_digest, new_digest
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    // q123: same padded char-8-shingle semantics as charShingles (k-1
+    // space pad, >=1 shingle even for short/empty text); repetition
+    // threshold is integer math on both engines
+    "q123_compression_signal" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams,
+        |    CAST(count(DISTINCT substring(text || repeat(' ', 7),
+        |      CAST(i AS INTEGER), 8)) AS BIGINT) AS n_distinct
+        |  FROM documents,
+        |  LATERAL unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS u(i)
+        |  GROUP BY doc_id, length(text))
+        |SELECT doc_id, n_chars, n_grams, n_distinct,
+        |  (n_distinct * 10 < n_grams * 3) AS is_repetitive
+        |FROM g""".stripMargin,
     // q124: RE2 alternation (length-desc) == trie leftmost-longest; masked
     // text proved byte-identical through the digest
     "q124_dict_mask" ->
@@ -3658,17 +3678,22 @@ object SparkEntry {
          |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
          |FROM sp GROUP BY split""".stripMargin,
 
-    // q140: same chr(1)-joined, chr(2)-coalesced row hash; the sum of
-    // 60-bit values is exact in DECIMAL(38,0)/HUGEINT on both engines
+    // q140: same chr(1)-joined, chr(2)-coalesced row md5, two disjoint
+    // 60-bit substring lanes; each lane sums exactly in HUGEINT and the
+    // final mod 2^61 lands in plain BIGINT range on both engines
     "q140_table_fingerprint" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(('0x' || substring(md5(concat_ws(chr(1),
-        |      coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
-        |      coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
-        |      coalesce(CAST(l_suppkey AS VARCHAR), chr(2)),
-        |      coalesce(CAST(l_linenumber AS VARCHAR), chr(2)))), 1, 15))
-        |    ::BIGINT) AS DECIMAL(38,0)) AS content_sum
-        |FROM lineitem""".stripMargin,
+      """WITH h AS (SELECT md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_suppkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(2)))) AS m
+        |  FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(('0x' || substring(m, 1, 15))::BIGINT) AS HUGEINT)
+        |    % 2305843009213693952 AS BIGINT) AS lane_a,
+        |  CAST(CAST(sum(('0x' || substring(m, 17, 15))::BIGINT) AS HUGEINT)
+        |    % 2305843009213693952 AS BIGINT) AS lane_b
+        |FROM h""".stripMargin,
 
     // q139: same canonicalized oriented enumeration (a<b<c), each triangle
     // found once, per-node participation by unnesting corners

@@ -12,12 +12,16 @@ object Maintenance {
 
   /** Order-independent table fingerprint — equality verification for a
     * migration/replication/compaction without sorting either side: each
-    * row hashes to 60 bits (md5 prefix of the sentinel-coalesced, separator-joined
-    * column strings) and the fingerprint is (row count, exact DECIMAL(38,0)
-    * SUM of row hashes). Addition commutes, so any partitioning, any
-    * engine, any row order yields the same pair; two tables agreeing on
-    * both match with collision odds ~n²/2⁶¹ (and unlike a row-count check,
-    * a swapped value or duplicated-row/lost-row pair flips the sum).
+    * row hashes to two independent 60-bit lanes (disjoint md5 substrings
+    * of the sentinel-coalesced, separator-joined column strings) and the
+    * fingerprint is (row count, each lane's exact sum reduced mod 2^61).
+    * Addition commutes and reducing the exact sum once at the end keeps
+    * the result independent of row order, partitioning, and engine; two
+    * tables agreeing on all three fields match with collision odds
+    * ~n^2/2^122 (and unlike a row-count check, a swapped value or
+    * duplicated-row/lost-row pair flips the lanes). The lanes are < 2^61,
+    * i.e. plain non-negative int64s — portable through any downstream
+    * comparator without big-decimal canonicalization hazards.
     *
     * Contract: pass columns whose string forms are canonical across
     * engines — integers, strings, dates, booleans. Doubles format
@@ -27,12 +31,18 @@ object Maintenance {
     * shuffle of data rows, no sort, nothing driver-side. */
   def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
-    val rowHash = conv(substring(md5(concat_ws("\u0001",
-        cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)),
-      1, 15), 16, 10).cast("decimal(38,0)")
-    df.select(rowHash.as("h"))
+    val rowMd5 = md5(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+    def lane(from: Int) =
+      conv(substring(rowMd5, from, 15), 16, 10).cast("decimal(38,0)")
+    val two61 = lit(2305843009213693952L) // 2^61
+    df.select(lane(1).as("a"), lane(17).as("b"))
       .agg(count(lit(1)).cast("long").as("n_rows"),
-        sum(col("h")).cast("decimal(38,0)").as("content_sum"))
+        sum(col("a")).cast("decimal(38,0)").as("sa"),
+        sum(col("b")).cast("decimal(38,0)").as("sb"))
+      .select(col("n_rows"),
+        (col("sa") % two61).cast("long").as("lane_a"),
+        (col("sb") % two61).cast("long").as("lane_b"))
   }
 
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.

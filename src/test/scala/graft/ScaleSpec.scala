@@ -295,21 +295,27 @@ class ScaleSpec extends AnyFunSuite {
       scala.util.Random.shuffle(rows).toDF("id", "name", "grp")
         .repartition(13), Seq("id", "name", "grp"))
     assert(a.collect()(0) == b.collect()(0))
-    // a single swapped value flips the sum but not the count
+    // lanes are comparator-safe primitives: non-negative longs < 2^61
+    val a0 = a.collect()(0)
+    for (lane <- Seq("lane_a", "lane_b")) {
+      val v = a0.getAs[Long](lane)
+      assert(v >= 0L && v < 2305843009213693952L, s"$lane=$v")
+    }
+    // a single swapped value flips both lanes but not the count
     val mutated = rows.updated(42, (43L, "name-43x", 43L % 7))
     val c = Maintenance.tableFingerprint(
       mutated.toDF("id", "name", "grp"), Seq("id", "name", "grp")).collect()(0)
     assert(c.getAs[Long]("n_rows") == 500L)
-    assert(c.getAs[java.math.BigDecimal]("content_sum") !=
-      a.collect()(0).getAs[java.math.BigDecimal]("content_sum"))
+    assert(c.getAs[Long]("lane_a") != a0.getAs[Long]("lane_a"))
+    assert(c.getAs[Long]("lane_b") != a0.getAs[Long]("lane_b"))
     // null vs the string "null" must not collide (sentinel coalesce)
     val withNull = Maintenance.tableFingerprint(
       Seq((1L, null.asInstanceOf[String])).toDF("id", "name"),
       Seq("id", "name")).collect()(0)
     val withLiteral = Maintenance.tableFingerprint(
       Seq((1L, "null")).toDF("id", "name"), Seq("id", "name")).collect()(0)
-    assert(withNull.getAs[java.math.BigDecimal]("content_sum") !=
-      withLiteral.getAs[java.math.BigDecimal]("content_sum"))
+    assert(withNull.getAs[Long]("lane_a") !=
+      withLiteral.getAs[Long]("lane_a"))
   }
 
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
