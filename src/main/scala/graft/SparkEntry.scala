@@ -1879,7 +1879,9 @@ object SparkEntry {
     // North star: PPJoin-style prefix filtering — char-8-gram Jaccard ≥ 3/5
     // pairs where each doc joins only on its rarest 2/5 of shingles, so the
     // candidate join never touches hot shingles. Integer threshold math on
-    // both engines; recall is provably exact.
+    // both engines. Recall is exact up to the maxDocsPerTok skew cap (a
+    // pair is found iff it shares ≥1 sub-cap prefix shingle — see the
+    // prefixJaccardPairs docstring); the oracle mirrors the cap.
     "q121_prefix_jaccard" -> ((s, d) =>
       Dedup.prefixJaccardPairs(documents(s, d), "doc_id", "text")),
 

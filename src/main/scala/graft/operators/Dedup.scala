@@ -335,8 +335,14 @@ object Dedup {
     * (ascending document frequency, shingle as tiebreaker). Any two sets
     * with Jaccard ≥ t must share at least one prefix element (if the
     * prefixes were disjoint, the overlap is at most n - p < t·n ≤ the
-    * overlap bound), so recall is exact — candidates just shrink from
-    * hot-shingle quadratic to rare-shingle buckets. The set element is a
+    * overlap bound), so the prefix filter ALONE loses nothing —
+    * candidates just shrink from hot-shingle quadratic to rare-shingle
+    * buckets. Combined with `maxDocsPerTok` below, overall recall is
+    * exact-up-to-the-cap, NOT unconditionally exact: a qualifying pair
+    * whose every shared prefix shingle sits in more than `maxDocsPerTok`
+    * documents' prefixes is missed — concretely, every pair inside a
+    * near-dup cluster LARGER than the cap (see the cap paragraph;
+    * DedupSimilaritySpec "prefix cap recall bound" demonstrates it). The set element is a
     * char `shingleK`-gram (sequence-sensitive; distinct WORD sets are
     * degenerate on template-heavy corpora — measured 71k/125k pairs at
     * t=3/5 vs exactly the 25 true near-dup pairs with 8-grams). Threshold
@@ -349,8 +355,18 @@ object Dedup {
     * are dropped from the candidate join (a template corpus can make even
     * the per-doc-RAREST shingles corpus-hot — measured Σc² = 90M join rows
     * uncapped vs 0.9M at cap 20 on sf0.1, a 318 s → seconds difference).
-    * Recall stays exact for every pair sharing ≥1 sub-cap prefix shingle;
-    * true near-dups share many. Don't shrink the cap below the expected
+    * The recall bound: a pair is found iff it shares ≥1 prefix shingle
+    * that is in ≤ cap documents' prefixes. A shingle can only be
+    * prefix-hot if the documents carrying it in their prefixes are
+    * (near-)mutual near-dups — the prefix keeps a doc's RAREST 2/5, so a
+    * doc with enough unique content pushes shared shingles out of its
+    * prefix — which means the pairs lost to the cap are exactly the pairs
+    * inside near-dup clusters larger than the cap (measured: all 255 true
+    * pairs kept at cap 20 on sf0.1, where the largest cluster is 2). On a
+    * corpus with bigger clusters, raise the cap above the cluster size
+    * (cost grows as Σ nd² over capped shingles) or recover them from the
+    * exact-dup/MinHash chain — do NOT assume unconditional exactness.
+    * Don't shrink the cap below the expected
     * near-dup CLUSTER size: members of an m-way cluster share rare
     * shingles with document frequency m (measured at sf0.1: cap 5 kept
     * 49/255 true pairs, cap 20 kept all). The cap is mirrored in the
@@ -375,22 +391,32 @@ object Dedup {
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val base = spread.filter(length(trim(col(textCol))) > 0)
+    // charShingles is distinct per doc, so (doc_id, tok) rows are already
+    // unique — no row-level distinct/shuffle needed. NOT checkpointed,
+    // although two consumers follow (the dfreq aggregate and the join
+    // below): pinning a corpus-sized (doc_id, shingle) intermediate in
+    // executor storage is the wrong trade at scale — recomputing costs one
+    // extra column-pruned scan + one native shingling pass, and keeping
+    // the aggregate/join as separate shuffles (instead of a count window
+    // per tok) lets AQE split a corpus-hot shingle's join partition.
     val toks = base
       .select(col(idCol).as("doc_id"),
-        // charShingles is distinct per doc, so (doc_id, tok) rows are
-        // already unique — no row-level distinct/shuffle needed
         explode(TextFunctions.charShingles(
           TextFunctions.normalize(col(textCol)), shingleK)).as("tok"))
-      .localCheckpoint()
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val ranked = toks.join(dfreq, "tok")
-      .withColumn("rn", row_number().over(wDoc.orderBy(col("dfreq"), col("tok"))))
-      .withColumn("n", count(lit(1)).over(wDoc))
+    // per-doc rarest-p prefix WITHOUT a global sort-window: hash-aggregate
+    // each doc's (dfreq, tok) pairs back into one array, array_sort it
+    // (struct compare = dfreq then tok, the same order the oracle's
+    // row_number uses), slice the prefix, re-explode. Sorting ~n-element
+    // arrays per doc beats a cluster-wide sort by (doc, dfreq, tok), and
+    // the doc-side shuffle carries each doc once instead of once per tok.
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
-    val prefix = ranked
-      .filter(col("rn") <= col("n") - expr(s"(n * $numT + ${denT - 1}) DIV $denT") + 1)
-      .select(col("doc_id"), col("tok"))
+    val prefix = toks.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
+      .select(col("doc_id"), col("x.tok").as("tok"))
       .withColumn("nd", count(lit(1)).over(wTok))
       .filter(col("nd") <= maxDocsPerTok)
       .select(col("doc_id"), col("tok"))

@@ -199,6 +199,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.forall { case (a, b) => b == a + 1 && a % 2 == 0 })
   }
 
+  test("prefix cap recall bound: clusters larger than the cap are missed, raising the cap recovers them") {
+    import spark.implicits._
+    // a 27-member exact-dup cluster: every shingle of every member is in
+    // all 27 documents' prefixes, i.e. prefix-hot beyond the default cap
+    // of 20 — the documented recall bound, not a bug. Unrelated docs with
+    // their own vocabulary are unaffected either way.
+    val template = (1 to 40).map(j => s"base${j * 13 % 101}").mkString(" ")
+    val cluster = (0L until 27L).map(i => (i, template))
+    val others = (100L until 110L).map(i =>
+      (i, (1 to 40).map(j => s"solo${i}w$j").mkString(" ")))
+    val d = (cluster ++ others).toDF("doc_id", "text")
+    val capped = Dedup.prefixJaccardPairs(d, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty) // all 351 qualifying pairs lost to the cap
+    // cap above the cluster size -> exact recall (27 choose 2 pairs)
+    val raised = Dedup.prefixJaccardPairs(d, "doc_id", "text",
+      maxDocsPerTok = 30)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(raised.size == 351 &&
+      raised == (for (a <- 0L until 27L; b <- a + 1 until 27L)
+        yield (a, b)).toSet)
+  }
+
   test("sharedPassagePairs finds the copied span, not unrelated docs") {
     import spark.implicits._
     // a ~250-char distinctive passage shared by docs 1 and 2 with
