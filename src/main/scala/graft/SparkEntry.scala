@@ -512,6 +512,24 @@ object SparkEntry {
       wasdeFromDecodedRows(rows.toDF())
     }),
 
+    // S5/S6 legacy-format parity — BINARY `.xls` (BIFF8 in a CFB
+    // container) decode: the reference reads REAL xls workbooks via xlrd
+    // (HTGPIWASDE/__init__.py:8, HTGPICFT/__init__.py:100), which the
+    // zip+XML XlsxReader cannot open. The committed BIFF8 fixture holds
+    // exactly the q37 VALUES content (RK/MULRK runs for integer cells,
+    // SST strings, merges, CFB ministream), so q37's oracle proves the
+    // byte-level decode end-to-end. Decode runs in an executor task.
+    "q142_xls_wasde" -> ((s, d) => {
+      import s.implicits._
+      val bytes = wasdeXlsBytes
+      val rows = s.createDataset(Seq(bytes))(
+        org.apache.spark.sql.Encoders.BINARY).flatMap { b =>
+        graft.sources.XlsReader.readSheet(b, "p18") ++
+          graft.sources.XlsReader.readSheet(b, "p19")
+      }
+      wasdeFromDecodedRows(rows.toDF())
+    }),
+
     // SO4 — the p11 block transpose (HTGPIWASDE/__init__.py:358,369):
     // attributes-as-rows × years-as-columns flips to one row per year.
     // Literal fixture; the oracle performs the same flip in SQL
@@ -2162,6 +2180,13 @@ object SparkEntry {
   private[graft] def wasdeXlsxBytes: Array[Byte] = {
     val in = getClass.getResourceAsStream("/graft/fixtures/wasde.xlsx")
     require(in != null, "missing resource /graft/fixtures/wasde.xlsx")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** The same workbook in legacy BIFF8 (tools/MakeFixtures). */
+  private[graft] def wasdeXlsBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixtures/wasde.xls")
+    require(in != null, "missing resource /graft/fixtures/wasde.xls")
     try in.readAllBytes() finally in.close()
   }
 
@@ -4025,6 +4050,8 @@ object SparkEntry {
     // content, so a matching oracle proves each decode chain end-to-end.
     base + ("q73_xlsx_wasde" -> base("q37_wasde_parse")) +
       ("q74_zip_xlsx_wasde" -> base("q37_wasde_parse")) +
+      // q142 decodes the same VALUES content from legacy BIFF8 bytes
+      ("q142_xls_wasde" -> base("q37_wasde_parse")) +
       // q89 re-proves the same transpose over XlsxWriter/Reader bytes.
       // Integral numerics render WITHOUT the float ".0" (XlsxReader's
       // documented xlrd divergence), hence '10'/'52'/'501' here vs q75.

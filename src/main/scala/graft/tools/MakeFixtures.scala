@@ -50,5 +50,12 @@ object MakeFixtures {
     Files.createDirectories(out.getParent)
     Files.write(out, bytes)
     println(s"wrote ${bytes.length} bytes to $out")
+
+    // the same workbook in legacy BIFF8 — locks XlsReader's byte-level
+    // decode (CFB ministream, SST, RK/MULRK runs, merges, date styles)
+    val xls = graft.sources.XlsWriter.write(Seq(p18, p19, notes))
+    val outXls = Paths.get("src/main/resources/graft/fixtures/wasde.xls")
+    Files.write(outXls, xls)
+    println(s"wrote ${xls.length} bytes to $outXls")
   }
 }
