@@ -67,12 +67,14 @@ object Similarity {
   }
 
   /** 16-bit random-hyperplane signature: bit i = sign(v · h_i) where
-    * h_i[j] = unit-free pseudo-random ±[0,1) derived from xxhash64(i, j).
-    * Deterministic, stateless, computed entirely map-side. */
+    * h_i[j] is a pseudo-random coefficient in [-1, 1] derived from
+    * xxhash64(i, j). Deterministic, stateless, computed entirely
+    * map-side. */
   def hyperplaneSignature(vec: Column, bits: Int): Column = {
     val vd = toDoubleArray(vec)
     val sigBits = (0 until bits).map { i =>
-      // h_ij in [-1, 1): two-sided hash-derived coefficient
+      // h_ij in [-1, 1]: two-sided hash-derived coefficient (2000001
+      // residues, so +1.0 is attainable; harmless for sign bucketing)
       val proj = aggregate(
         zip_with(vd, sequence(lit(0), size(vd) - 1),
           (x, j) => x * (pmod(xxhash64(lit(i), j), lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0))),
