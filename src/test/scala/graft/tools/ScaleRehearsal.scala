@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.functions.ShingleOps
+
+/** Dev-only scale rehearsal for the dedup family (NOT part of the
+  * library): synthesizes a 10×-sf0.1 (50k-doc) documents table with the
+  * adversarial shapes the small test data lacks — corpus-hot boilerplate
+  * shingles in a third of all docs, power-law near-dup cluster sizes up
+  * to 120 members — then times q121/q119/q107/q63's operator chains and
+  * prints pair/cluster counts, proving the skew caps bind gracefully
+  * instead of going quadratic. Numbers land in BASELINE.md ("scale
+  * rehearsal"). Run: `sbt "Test/runMain graft.tools.ScaleRehearsal"`. */
+object ScaleRehearsal {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "24g")
+      .appName("scale-rehearsal").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 4000).map(i => s"w${i}t${(i * 7) % 97}")
+    val boiler = "subscribe to our newsletter accept all cookies terms of " +
+      "service privacy policy all rights reserved contact us about careers"
+
+    // power-law cluster sizes: mostly singletons, a heavy tail up to 120
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var total = 0
+    while (total < nDocs) {
+      val u = rnd.nextDouble()
+      val s = math.min(math.max(1, (math.pow(u, -0.45) - 0.6).toInt), 120)
+      val take = math.min(s, nDocs - total)
+      sizes += take
+      total += take
+    }
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    sizes.foreach { sz =>
+      val base = (0 until 45).map(_ => vocab(rnd.nextInt(vocab.length)))
+      (0 until sz).foreach { m =>
+        // members differ in ~3 tokens => Jaccard well above 3/5
+        val words = base.zipWithIndex.map { case (w, i) =>
+          if (m > 0 && i % 17 == m % 17 && i < 44)
+            vocab(rnd.nextInt(vocab.length))
+          else w
+        }
+        val withBoiler =
+          if (id % 3 == 0) boiler + " " + words.mkString(" ")
+          else words.mkString(" ")
+        rows += ((id, withBoiler))
+        id += 1
+      }
+    }
+    val dir = "target/scale_rehearsal_docs.parquet"
+    rows.toSeq.toDF("doc_id", "text").repartition(32)
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val nClusters = sizes.count(_ > 1)
+    println(s"REHEARSAL docs=$nDocs clusters>1=$nClusters " +
+      s"largest=${sizes.max} boilerplate_docs=${rows.count(_._1 % 3 == 0)}")
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"REHEARSAL $name rows=$n%d time=$secs%.1f s")
+    }
+
+    timed("q121_prefix_jaccard") {
+      // default cap 20: pairs inside >20-member clusters are excluded by
+      // the documented recall bound; the run must stay sub-quadratic
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text").count()
+    }
+    timed("q121_prefix_jaccard_cap128") {
+      // cap above the largest synthetic cluster: full recall, the Σnd²
+      // candidate cost grows but must remain bounded (no hot-shingle blowup
+      // because prefixes exclude the boilerplate: it is corpus-hot, so it
+      // ranks last in every doc)
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", maxDocsPerTok = 128)
+        .count()
+    }
+    timed("q119_shared_passages") {
+      Dedup.sharedPassagePairs(docs, "doc_id", "text").count()
+    }
+    timed("q107_minhash_chain") {
+      val sig = Dedup.md5MinhashSignatures(
+        docs.filter(length(trim(col("text"))) > 0), "doc_id", "text",
+        numHashes = 16).localCheckpoint()
+      Dedup.candidatesFromSignatures(sig, numHashes = 16).count()
+    }
+    timed("q63_connected_components") {
+      val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+        .select(col("cluster")).distinct().count()
+    }
+    spark.stop()
+  }
+}
