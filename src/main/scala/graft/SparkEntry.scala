@@ -1936,6 +1936,16 @@ object SparkEntry {
           col("n_distinct") * 10L < col("n_grams") * 3L)
     }),
 
+    // Gopher repetition gate (Rae et al. 2021 table A1): top-{2,3,4}-gram
+    // and duplicated-{5,10}-gram char masses + keep verdict at the paper's
+    // thresholds, all exact integers. One compiled map-only pass per doc
+    // (functions.GopherRepetition), ZERO shuffle — vs the explode →
+    // groupBy(doc, n, gram) plan the oracle mirrors, which shuffles ~5×
+    // the corpus token count. q72's distinct-3gram ratio is the cheap
+    // cousin; this is the full multi-n gate used by real curation stacks.
+    "q143_gopher_gate" -> ((s, d) =>
+      Corpus.repetitionGate(documents(s, d), "doc_id", "text")),
+
     // Large-dictionary masking: one trie pass per doc (vs K regex passes),
     // leftmost-longest = RE2 with a length-desc alternation, so the masked
     // text is proved byte-identical via md5. Overlapping terms (customer
@@ -3649,6 +3659,66 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_grams, n_distinct,
         |  (n_distinct * 10 < n_grams * 3) AS is_repetitive
         |FROM g""".stripMargin,
+    // q143: the explode → group(doc, n, gram) formulation of the Gopher
+    // gate. The top gram is selected via max(count·2^31 + gramChars) — one
+    // integer carrying the count with a longer-gram tie-break, identical
+    // on both engines; every output is an exact BIGINT char mass and the
+    // verdict is integer cross-multiplication (no float thresholds)
+    "q143_gopher_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |stats AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(length(array_to_string(t, ' ')) AS BIGINT) AS norm_chars
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS g
+        |    FROM toks, LATERAL unnest(range(1, greatest(len(t)-1, 0) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 3, array_to_string(t[i:i+2], ' ')
+        |    FROM toks, LATERAL unnest(range(1, greatest(len(t)-2, 0) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 4, array_to_string(t[i:i+3], ' ')
+        |    FROM toks, LATERAL unnest(range(1, greatest(len(t)-3, 0) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 5, array_to_string(t[i:i+4], ' ')
+        |    FROM toks, LATERAL unnest(range(1, greatest(len(t)-4, 0) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 10, array_to_string(t[i:i+9], ' ')
+        |    FROM toks, LATERAL unnest(range(1, greatest(len(t)-9, 0) + 1)) AS u(i)),
+        |gc AS (
+        |  SELECT doc_id, n, g, count(*) AS cnt, length(g) AS glen
+        |  FROM grams GROUP BY 1, 2, 3),
+        |ag AS (
+        |  SELECT doc_id, n,
+        |    max(cnt * 2147483648 + glen) AS score,
+        |    sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS dup
+        |  FROM gc GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT s.doc_id, s.n_words, s.norm_chars,
+        |    CAST(coalesce(a2.score // 2147483648, 0) AS BIGINT) AS top2_count,
+        |    CAST(coalesce((a2.score // 2147483648) * (a2.score % 2147483648), 0) AS BIGINT) AS top2_chars,
+        |    CAST(coalesce(a3.score // 2147483648, 0) AS BIGINT) AS top3_count,
+        |    CAST(coalesce((a3.score // 2147483648) * (a3.score % 2147483648), 0) AS BIGINT) AS top3_chars,
+        |    CAST(coalesce(a4.score // 2147483648, 0) AS BIGINT) AS top4_count,
+        |    CAST(coalesce((a4.score // 2147483648) * (a4.score % 2147483648), 0) AS BIGINT) AS top4_chars,
+        |    CAST(coalesce(a5.dup, 0) AS BIGINT) AS dup5_mass,
+        |    CAST(coalesce(a10.dup, 0) AS BIGINT) AS dup10_mass
+        |  FROM stats s
+        |  LEFT JOIN ag a2 ON a2.doc_id = s.doc_id AND a2.n = 2
+        |  LEFT JOIN ag a3 ON a3.doc_id = s.doc_id AND a3.n = 3
+        |  LEFT JOIN ag a4 ON a4.doc_id = s.doc_id AND a4.n = 4
+        |  LEFT JOIN ag a5 ON a5.doc_id = s.doc_id AND a5.n = 5
+        |  LEFT JOIN ag a10 ON a10.doc_id = s.doc_id AND a10.n = 10)
+        |SELECT doc_id, n_words, norm_chars,
+        |  top2_count, top2_chars, top3_count, top3_chars,
+        |  top4_count, top4_chars, dup5_mass, dup10_mass,
+        |  (top2_chars * 5 <= norm_chars AND top3_chars * 50 <= norm_chars * 9
+        |   AND top4_chars * 25 <= norm_chars * 4
+        |   AND dup5_mass * 20 <= norm_chars * 3
+        |   AND dup10_mass * 10 <= norm_chars) AS keep_gopher
+        |FROM wide""".stripMargin,
     // q124: RE2 alternation (length-desc) == trie leftmost-longest; masked
     // text proved byte-identical through the digest
     "q124_dict_mask" ->

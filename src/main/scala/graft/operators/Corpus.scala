@@ -545,4 +545,49 @@ object Corpus {
       .select(col("grp_a"), col("grp_b"),
         col("n_agree").cast("long").as("n_agree"),
         round(col("n_agree").cast("double") / lit(numHashes), 6).as("est_r"))
+
+  /** Gopher repetition gate (Rae et al. 2021, table A1): per document, the
+    * char mass (count × gram char length) of the most frequent word n-gram
+    * for n=2,3,4 and the char mass of all DUPLICATED n-grams for n=5 and
+    * n=10, plus the combined keep/drop verdict at the paper's thresholds
+    * (top: 20/18/16 % of chars; dup: 15/10 %).
+    *
+    * Repetition is strictly per-document, so this is a map-only projection
+    * — one compiled pass ([[graft.functions.RepetitionOps.gopherStats]])
+    * computes all five n values with ZERO shuffle; at 100 TB it runs at
+    * scan throughput, vs ~5× the corpus token count shuffling through the
+    * equivalent explode → groupBy(doc, n, gram) plan (which the DuckDB
+    * oracle mirrors to prove equivalence). All columns are exact integers
+    * and the verdict is decided by integer cross-multiplication
+    * (`top2_chars * 5 <= norm_chars`, not `top2_chars/norm_chars <= 0.2`)
+    * — no float ties anywhere. Ties for "most frequent" break to the
+    * longer gram (encoded as count·2³¹+len, max'd), deterministically on
+    * both engines. */
+  def repetitionGate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksLower = split(trim(lower(col(textCol))), "\\s+")
+    val base = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        size(toksLower).cast("long").as("n_words"),
+        length(array_join(toksLower, " ")).cast("long").as("norm_chars"),
+        graft.functions.RepetitionOps.gopherStatsCol(col(textCol)).as("st"))
+    // decode [score_n, dup_n]: count = score >> 31, chars = count * (score
+    // & (2^31-1)); duplicate `st` references collapse to one evaluation via
+    // whole-stage-codegen subexpression elimination
+    def score(i: Int) = col("st").getItem(i * 2)
+    def dup(i: Int) = col("st").getItem(i * 2 + 1)
+    def cnt(i: Int) = shiftright(score(i), 31)
+    def chars(i: Int) = cnt(i) * score(i).bitwiseAND(lit((1L << 31) - 1))
+    base.select(col(idCol), col("n_words"), col("norm_chars"),
+      cnt(0).as("top2_count"), chars(0).as("top2_chars"),
+      cnt(1).as("top3_count"), chars(1).as("top3_chars"),
+      cnt(2).as("top4_count"), chars(2).as("top4_chars"),
+      dup(3).as("dup5_mass"), dup(4).as("dup10_mass"))
+      .withColumn("keep_gopher",
+        col("top2_chars") * 5 <= col("norm_chars") &&
+          col("top3_chars") * 50 <= col("norm_chars") * 9 &&
+          col("top4_chars") * 25 <= col("norm_chars") * 4 &&
+          col("dup5_mass") * 20 <= col("norm_chars") * 3 &&
+          col("dup10_mass") * 10 <= col("norm_chars"))
+  }
 }

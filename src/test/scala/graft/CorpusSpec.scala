@@ -366,4 +366,85 @@ class CorpusSpec extends AnyFunSuite {
       .as[Double].head()
     assert(out == 1e-6)
   }
+
+  // ---- repetitionGate (Gopher) ------------------------------------------
+
+  /** Driver-side reference of the Gopher stats — independent plain-Scala
+    * derivation of the same contract the DuckDB oracle mirrors. */
+  private def refGate(id: Long, text: String): (Long, Long, Long, Seq[Long], Seq[Long], Seq[Long]) = {
+    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val normChars = toks.mkString(" ").codePointCount(0, toks.mkString(" ").length).toLong
+    val ns = Seq(2, 3, 4, 5, 10)
+    val perN = ns.map { n =>
+      if (toks.length < n) (0L, 0L, 0L)
+      else {
+        val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        // toSeq first: mapping a Map to (count, len) pairs would collapse
+        // equal counts into one Map key and keep an arbitrary length
+        val top = counts.toSeq.map { case (g, c) =>
+          (c, g.codePointCount(0, g.length).toLong) }.max
+        val dup = counts.collect { case (g, c) if c >= 2 =>
+          c * g.codePointCount(0, g.length) }.sum
+        (top._1, top._1 * top._2, dup)
+      }
+    }
+    (id, toks.length.toLong, normChars,
+      perN.map(_._1), perN.map(_._2), perN.map(_._3))
+  }
+
+  test("repetitionGate equals a driver-side reference on adversarial docs") {
+    val rows = Seq(
+      1L -> "spam spam spam spam spam",
+      2L -> "one two three four five six seven eight nine ten eleven twelve",
+      3L -> "solo",
+      4L -> "aa bb aa bb aa bb aa bb aa bb",
+      5L -> "Mixed CASE mixed case MIXED case mixed",
+      6L -> ("tok " * 15).trim)
+    val out = Corpus.repetitionGate(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == rows.length)
+    out.zip(rows).foreach { case (r, (id, text)) =>
+      val (rid, nW, nC, tc, ch, dup) = refGate(id, text)
+      assert(r.getLong(0) == rid && r.getLong(1) == nW && r.getLong(2) == nC,
+        s"doc $id base stats")
+      assert(Seq(r.getLong(3), r.getLong(5), r.getLong(7)) == tc.take(3),
+        s"doc $id top counts")
+      assert(Seq(r.getLong(4), r.getLong(6), r.getLong(8)) == ch.take(3),
+        s"doc $id top chars")
+      assert(Seq(r.getLong(9), r.getLong(10)) == Seq(dup(3), dup(4)),
+        s"doc $id dup masses")
+    }
+  }
+
+  test("repetitionGate: verdict, tie-break, code points, filtering, plan") {
+    val d = Seq(
+      1L -> "spam spam spam spam spam spam",             // pathological
+      // clean prose must be LONG enough that a count-1 top gram is a small
+      // char fraction — Gopher's thresholds assume real-length documents
+      // (a 10-word doc "fails" top-2gram 20% on one 11-char occurrence)
+      2L -> (1 to 40).map(i => f"w$i%02d").mkString(" "),
+      // 2-gram tie at count 3: "aa aa" (5 chars) vs "bbbb bbbb" (9 chars)
+      // → deterministic longer-gram tie-break
+      3L -> "aa aa aa aa bbbb bbbb bbbb bbbb",
+      // astral plane: 😀 is 2 UTF-16 units but ONE code point — char
+      // masses must count code points (both engines' length())
+      4L -> "😀 😀 😀",
+      5L -> "   ").toDF("doc_id", "text")
+    val out = Corpus.repetitionGate(d, "doc_id", "text")
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(!byId.contains(5L), "whitespace-only doc filtered")
+    assert(!byId(1L).getBoolean(11) && byId(2L).getBoolean(11),
+      "keep verdict separates spam from prose")
+    assert(byId(3L).getLong(3) == 3L && byId(3L).getLong(4) == 27L,
+      "count tie breaks to the longer gram (3 x 'bbbb bbbb' = 27 chars)")
+    // 😀 😀: 2 occurrences x 3 code points; norm_chars = 5
+    assert(byId(4L).getLong(2) == 5L && byId(4L).getLong(3) == 2L &&
+      byId(4L).getLong(4) == 6L, "astral chars counted as code points")
+    // repetition is per-document: the whole gate is a narrow map, ZERO
+    // exchanges at any corpus size
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must not shuffle; plan:\n$plan")
+  }
 }
