@@ -1946,6 +1946,29 @@ object SparkEntry {
     "q143_gopher_gate" -> ((s, d) =>
       Corpus.repetitionGate(documents(s, d), "doc_id", "text")),
 
+    // Per-source content novelty: distinct char-8-shingles per source,
+    // split into shared-with-other-sources vs unique — which sources ADD
+    // content vs re-serve it. One corpus-sized distinct, then per-shingle
+    // aggregates only; uniques come from (count=1, min source), never a
+    // corpus-sized join-back. hashed=false here so the oracle mirrors the
+    // exact strings; hashed=true is the 8-byte-key production posture.
+    "q144_source_novelty" -> ((s, d) =>
+      Corpus.sourceNovelty(documents(s, d), "source", "text")),
+
+    // S-family: ORC columnar round-trip (write zlib ORC, read back with a
+    // pushed-down predicate — PushedFilters asserted in ScaleSpec). ORC is
+    // the other lakehouse columnar format next to parquet; the oracle
+    // recomputes the same selection from the parquet base table, proving
+    // the ORC write+read is lossless for longs/doubles/timestamps.
+    "q145_orc_roundtrip" -> ((s, d) => {
+      val tmp = "/root/repo/target/tmp/orc_roundtrip"
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_shipdate"))
+        .write.mode("overwrite").option("compression", "zlib").orc(tmp)
+      s.read.orc(tmp).filter(col("l_quantity") >= 45.0)
+    }),
+
     // Large-dictionary masking: one trie pass per doc (vs K regex passes),
     // leftmost-longest = RE2 with a length-desc alternation, so the masked
     // text is proved byte-identical via md5. Overlapping terms (customer
@@ -3719,6 +3742,36 @@ object SparkEntry {
         |   AND dup5_mass * 20 <= norm_chars * 3
         |   AND dup10_mass * 10 <= norm_chars) AS keep_gopher
         |FROM wide""".stripMargin,
+    // q144: identical padded char-8-shingle semantics as q123's oracle,
+    // over the normalized (lower, whitespace-collapsed) text; novelty uses
+    // the exact-integer half-up rounding shared with q111/q116
+    "q144_source_novelty" ->
+      """WITH n AS (
+        |  SELECT source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sg AS (
+        |  SELECT DISTINCT source,
+        |    substring(t || repeat(' ', 7), CAST(i AS INTEGER), 8) AS g
+        |  FROM n,
+        |  LATERAL unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS u(i)),
+        |gc AS (
+        |  SELECT g, count(*) AS ns, min(source) AS only_src
+        |  FROM sg GROUP BY 1),
+        |tot AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY 1),
+        |uni AS (
+        |  SELECT only_src AS source, count(*) AS n_unique
+        |  FROM gc WHERE ns = 1 GROUP BY 1)
+        |SELECT t.source, CAST(t.n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
+        |  CAST((2000000 * coalesce(u.n_unique, 0) + t.n_grams)
+        |    // (2 * t.n_grams) AS DOUBLE) / 1e6 AS novelty
+        |FROM tot t LEFT JOIN uni u ON u.source = t.source""".stripMargin,
+    // q145: the ORC write+read must be value-lossless, so the oracle is
+    // the same selection straight off the parquet base table
+    "q145_orc_roundtrip" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+        |FROM lineitem WHERE l_quantity >= 45.0""".stripMargin,
     // q124: RE2 alternation (length-desc) == trie leftmost-longest; masked
     // text proved byte-identical through the digest
     "q124_dict_mask" ->

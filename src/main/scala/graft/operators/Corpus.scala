@@ -590,4 +590,44 @@ object Corpus {
           col("dup5_mass") * 20 <= col("norm_chars") * 3 &&
           col("dup10_mass") * 10 <= col("norm_chars"))
   }
+
+  /** Per-source content NOVELTY: of each source's distinct char-k-shingle
+    * set, how many shingles appear in NO other source — the signal that
+    * tells a mixture designer which sources actually add new content vs
+    * re-serving what the rest of the corpus already has.
+    *
+    * Plan shape (the part that must survive 100 TB): one exploded
+    * (source, shingle) DISTINCT — partial-aggregated map-side, the only
+    * corpus-sized shuffle — then two aggregates over the distinct pairs:
+    * per-shingle (count, min source) and per-source totals. Uniques are
+    * recovered from the per-shingle aggregate alone (a shingle with
+    * count 1 belongs entirely to its min source), so no corpus-sized
+    * join-back. The final join is #sources × #sources rows.
+    *
+    * `hashed=true` swaps shingle strings for their 64-bit xxhash lanes
+    * before the shuffle — 8-byte keys instead of k-char strings, the
+    * production posture (identical results modulo ~n²/2⁶⁵ collisions);
+    * `hashed=false` keeps strings so a SQL oracle can mirror the exact
+    * computation (same trade as Dedup.minhashCandidatesPortable). */
+  def sourceNovelty(docs: DataFrame, srcCol: String, textCol: String,
+      k: Int = 8, hashed: Boolean = false): DataFrame = {
+    val norm = graft.functions.TextFunctions.normalize(col(textCol))
+    val shingles =
+      if (hashed) graft.functions.TextFunctions.charShingleHashes(norm, k)
+      else graft.functions.TextFunctions.charShingles(norm, k)
+    val sg = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(srcCol).as("src"), explode(shingles).as("g"))
+      .distinct()
+    val gc = sg.groupBy(col("g"))
+      .agg(count(lit(1)).as("ns"), min(col("src")).as("only_src"))
+    val tot = sg.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    val uni = gc.filter(col("ns") === 1L).groupBy(col("only_src"))
+      .agg(count(lit(1)).as("n_unique"))
+      .withColumnRenamed("only_src", "src")
+    tot.join(uni, Seq("src"), "left")
+      .select(col("src").as(srcCol),
+        col("n_grams").cast("long").as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).cast("long").as("n_unique"))
+      .withColumn("novelty", ratioRound6(col("n_unique"), col("n_grams")))
+  }
 }

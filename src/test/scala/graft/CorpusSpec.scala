@@ -447,4 +447,33 @@ class CorpusSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"gate must not shuffle; plan:\n$plan")
   }
+
+  // ---- sourceNovelty ----------------------------------------------------
+
+  test("sourceNovelty: known-answer fixture, hashed parity, no gram join") {
+    // k=3 shingles; sources a and b share doc text "xyzw" (distinct
+    // shingles xyz, yzw), c ("qqqq" → the single distinct shingle qqq) is
+    // disjoint. So a and b have 0 unique shingles, c is 100% novel.
+    val d = Seq(
+      (1L, "a", "xyzw"), (2L, "b", "xyzw"), (3L, "c", "qqqq"))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.sourceNovelty(d, "source", "text", k = 3)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 0L, 0.0), ("b", 2L, 0L, 0.0), ("c", 1L, 1L, 1.0)), out.toSeq)
+    // hashed (8-byte-lane) variant: identical counts on collision-free data
+    val hashed = Corpus.sourceNovelty(d, "source", "text", k = 3,
+        hashed = true)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(hashed.toSeq == out.toSeq)
+    // scale shape: uniques derive from the per-shingle aggregate — there
+    // must be no join keyed on the shingle column (the only join is the
+    // #sources-sized tot⋈uni); a SortMergeJoin would mean a corpus-sized
+    // join-back snuck in
+    val plan = Corpus.sourceNovelty(d, "source", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus-sized join-back:\n$plan")
+  }
 }

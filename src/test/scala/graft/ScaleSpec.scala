@@ -283,6 +283,17 @@ class ScaleSpec extends AnyFunSuite {
     // type-pair aggregate
     val p138 = plan("q138_event_transitions")
     assert(p138.contains("Window") && !p138.contains("SinglePartition"), p138)
+
+    // q143 Gopher gate: per-document stats are a pure narrow map — ZERO
+    // exchanges at any corpus size (the whole point vs explode+groupBy)
+    val p143 = plan("q143_gopher_gate")
+    assert(!p143.contains("Exchange"), p143)
+
+    // q145 ORC round-trip: the quantity predicate must reach the ORC scan
+    // as a pushed filter, not a post-scan Filter over a full read
+    val p145 = plan("q145_orc_roundtrip")
+    assert(p145.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_quantity,45.0)]"), p145)
   }
 
   test("tableFingerprint: order/partitioning-invariant, content-sensitive") {
