@@ -1969,6 +1969,13 @@ object SparkEntry {
       s.read.orc(tmp).filter(col("l_quantity") >= 45.0)
     }),
 
+    // Inverted index — the retrieval-side transpose of q64's tf-idf view:
+    // per term, df + corpus tf + top-3 postings by tf (doc-id tiebreak).
+    // One corpus pass, one term-keyed exchange, df/total/rank as three
+    // windows over the same partitioning — no self-join.
+    "q146_inverted_index" -> ((s, d) =>
+      Corpus.invertedIndex(documents(s, d), "doc_id", "text")),
+
     // Large-dictionary masking: one trie pass per doc (vs K regex passes),
     // leftmost-longest = RE2 with a length-desc alternation, so the masked
     // text is proved byte-identical via md5. Overlapping terms (customer
@@ -3772,6 +3779,26 @@ object SparkEntry {
     "q145_orc_roundtrip" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
         |FROM lineitem WHERE l_quantity >= 45.0""".stripMargin,
+    // q146: same tokenizer as every text oracle; rank is total (tf desc,
+    // doc_id asc over distinct (term,doc) pairs) so top-3 is deterministic
+    "q146_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    FROM documents WHERE length(trim(text)) > 0) t
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT term, doc_id, tf,
+        |    count(*) OVER (PARTITION BY term) AS df,
+        |    sum(tf) OVER (PARTITION BY term) AS total_tf,
+        |    row_number() OVER (PARTITION BY term
+        |      ORDER BY tf DESC, doc_id) AS rank
+        |  FROM tf)
+        |SELECT term, CAST(df AS BIGINT) AS df,
+        |  CAST(total_tf AS BIGINT) AS total_tf,
+        |  CAST(rank AS BIGINT) AS rank, doc_id, CAST(tf AS BIGINT) AS tf
+        |FROM r WHERE rank <= 3""".stripMargin,
     // q124: RE2 alternation (length-desc) == trie leftmost-longest; masked
     // text proved byte-identical through the digest
     "q124_dict_mask" ->

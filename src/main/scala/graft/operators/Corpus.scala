@@ -630,4 +630,36 @@ object Corpus {
         coalesce(col("n_unique"), lit(0L)).cast("long").as("n_unique"))
       .withColumn("novelty", ratioRound6(col("n_unique"), col("n_grams")))
   }
+
+  /** Inverted index (long form): per term its document frequency, corpus
+    * term frequency, and the top-k postings by tf (ties → lower doc id, so
+    * ranking is total and deterministic). The transpose of the tf-idf view:
+    * retrieval stacks ask "which docs for this term", not "which terms for
+    * this doc".
+    *
+    * Plan: one corpus pass → (term, doc) hash aggregate (map-side
+    * partials), then ONE term-keyed exchange feeding df/total_tf/rank as
+    * three window functions over the SAME partitioning — no self-join, no
+    * second corpus scan, never a single-partition window. Output is
+    * topK × vocabulary rows. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    val tf = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(
+          lower(col(textCol)))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = Window.partitionBy(col("term"))
+    val ranked = byTerm.orderBy(col("tf").desc, col("doc_id").asc)
+    tf.select(col("term"), col("doc_id"), col("tf"),
+        count(lit(1)).over(byTerm).as("df"),
+        sum(col("tf")).over(byTerm).as("total_tf"),
+        row_number().over(ranked).as("rank"))
+      .filter(col("rank") <= topK)
+      .select(col("term"), col("df").cast("long").as("df"),
+        col("total_tf").cast("long").as("total_tf"),
+        col("rank").cast("long").as("rank"), col("doc_id"),
+        col("tf").cast("long").as("tf"))
+  }
 }

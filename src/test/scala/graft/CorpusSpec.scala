@@ -476,4 +476,31 @@ class CorpusSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), s"corpus-sized join-back:\n$plan")
   }
+
+  // ---- invertedIndex ----------------------------------------------------
+
+  test("invertedIndex: known answer, deterministic tie-break, plan shape") {
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana cherry"),
+      (4L, "  ")).toDF("doc_id", "text")
+    val out = Corpus.invertedIndex(d, "doc_id", "text", topK = 2)
+      .orderBy("term", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // apple: df 2, total 3; tf tie (1) between docs 1? no: doc1 tf 2,
+    // doc2 tf 1. banana: doc3 tf 3, doc1 tf 1. cherry: tf tie 1 between
+    // docs 2 and 3 → doc-id tiebreak ranks doc2 first.
+    assert(out.toSeq == Seq(
+      ("apple", 2L, 3L, 1L, 1L, 2L), ("apple", 2L, 3L, 2L, 2L, 1L),
+      ("banana", 2L, 4L, 1L, 3L, 3L), ("banana", 2L, 4L, 2L, 1L, 1L),
+      ("cherry", 2L, 2L, 1L, 2L, 1L), ("cherry", 2L, 2L, 2L, 3L, 1L)),
+      out.toSeq)
+    // term-partitioned windows, never a global single partition
+    val plan = Corpus.invertedIndex(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"self-join snuck in:\n$plan")
+  }
 }
