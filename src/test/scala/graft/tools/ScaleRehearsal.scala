@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import graft.functions.ShingleOps
 
 /** Dev-only scale rehearsal for the dedup family (NOT part of the
@@ -103,6 +103,53 @@ object ScaleRehearsal {
       val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
       Dedup.connectedComponents(docs, "doc_id", pairs)
         .select(col("cluster")).distinct().count()
+    }
+
+    // ---- ANN / similarity family at 10x the sf0.1 embeddings table ----
+    // 20k 64-dim vectors in ~2.3k clusters: each cluster is a base vector
+    // plus small per-member noise (members sit well above cosine 0.9 of
+    // each other — real near-dup structure), singleton tail is noise.
+    val nVec = 20000
+    val dim = 64
+    val vrnd = new scala.util.Random(43)
+    val vrows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    var vid = 0L
+    while (vrows.length < nVec) {
+      val sz = { val u = vrnd.nextDouble()
+        math.min(math.max(1, (math.pow(u, -0.4) - 0.7).toInt), 20) }
+      val base = Array.fill(dim)(vrnd.nextGaussian())
+      (0 until math.min(sz, nVec - vrows.length)).foreach { _ =>
+        val v = base.map(x => (x + vrnd.nextGaussian() * 0.03).toFloat)
+        vrows += ((vid, v)); vid += 1
+      }
+    }
+    val vdir = "target/scale_rehearsal_vecs.parquet"
+    vrows.toSeq.toDF("vec_id", "embedding").repartition(32)
+      .write.mode("overwrite").parquet(vdir)
+    val vecs = spark.read.parquet(vdir)
+    println(s"REHEARSAL vecs=$nVec dim=$dim")
+
+    timed("q32_lsh_pairs") {
+      Similarity.lshNearPairs(vecs, "vec_id", "embedding").count()
+    }
+    timed("q94_embedding_neardup") {
+      Similarity.embeddingNearDup(vecs, "vec_id", "embedding")
+        .filter(col("is_dup")).count()
+    }
+    timed("q31_brute_topk") {
+      val q = vecs.limit(1).select(col("embedding").as("qe"))
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 10).count()
+    }
+    timed("q83_ivf_build_probe") {
+      val (model, indexed) = Similarity.ivfIndex(vecs, "vec_id", "embedding",
+        nLists = 64, fitSample = 0.2)
+      val probe = vrows.head._2.map(_.toDouble).toSeq
+      Similarity.ivfTopK(model, indexed.localCheckpoint(), "vec_id",
+        "embedding", probe, 10, nProbe = 4).count()
+    }
+    timed("q128_hard_negatives") {
+      Similarity.hardNegatives(vecs, "vec_id", "embedding",
+        anchorIds = Seq(0L, 100L, 1000L, 5000L), k = 8).count()
     }
     spark.stop()
   }
