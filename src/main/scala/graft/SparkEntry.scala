@@ -1996,6 +1996,13 @@ object SparkEntry {
     "q125_embedding_pool" -> ((s, d) =>
       Similarity.meanPool(embeddings(s, d), "label", "embedding")),
 
+    // Deterministic integer random projection (64 -> 8 dims): stateless
+    // hash-free ± coefficients, exact micro-unit integer sums — map-only,
+    // zero shuffle, bit-identical on any engine. The cheap front end of
+    // the ANN stack (project, then bucket/index in the reduced space).
+    "q147_random_projection" -> ((s, d) =>
+      Similarity.randomProjection(embeddings(s, d), "vec_id", "embedding")),
+
     // The whole curation flow in ONE declarative plan: near-dup candidates →
     // clusters → best-weight keepers → leakage-safe split → per-split
     // mixture report. Every stage is an already-verified operator; this
@@ -3855,6 +3862,21 @@ object SparkEntry {
          |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
          |FROM sp GROUP BY split""".stripMargin,
 
+    // q147: same micro-unit quantization as q125, same (31i+17j) mod 7 - 3
+    // coefficient lattice; integer sums, so the grouped-SQL mirror of the
+    // map-only HOF plan is value-identical
+    "q147_random_projection" ->
+      s"""WITH ex AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS j,
+        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings,
+        |  LATERAL unnest(range(1, len(embedding) + 1)) AS u(i))
+        |SELECT vec_id,
+        |${(0 until 8).map(i =>
+          s"  CAST(sum(qv * ((${31 * i} + j*17) % 7 - 3)) AS BIGINT) AS p$i")
+            .mkString(",\n")}
+        |FROM ex GROUP BY vec_id""".stripMargin,
     // q140: same chr(1)-joined, chr(2)-coalesced row md5, two disjoint
     // 60-bit substring lanes; each lane sums exactly in HUGEINT and the
     // final mod 2^61 lands in plain BIGINT range on both engines

@@ -54,6 +54,30 @@ object Similarity {
         (col("sum_u").cast("double") /
           (col("n") * lit(1000000L)).cast("double")).as("mean_v"))
 
+  /** Deterministic integer random projection — the cheap dimensionality
+    * reduction in front of ANN indexing (Achlioptas 2001: sparse ±-integer
+    * projection matrices preserve pairwise distances like Gaussian ones).
+    * Coefficient c(i,j) = ((31·i + 17·j) mod 7) − 3 ∈ {−3..3} is derived
+    * from the output/input index pair alone — stateless, reproducible on
+    * any engine, no stored matrix. Inputs are quantized to exact integer
+    * micro-units first (`floor(v·1e6 + 0.5)`, the [[meanPool]] contract),
+    * so every projected coordinate is an exact integer sum — no float
+    * associativity anywhere. Map-only, zero shuffle; one fused pass per
+    * row inside codegen. Output columns `p0..p{outDim-1}` are micro-units
+    * (divide by 1e6 for the real-valued projection). */
+  def randomProjection(vectors: DataFrame, idCol: String, vecCol: String,
+      outDim: Int = 8): DataFrame = {
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)).cast("long"))
+    val proj = (0 until outDim).map { i =>
+      aggregate(
+        zip_with(q, sequence(lit(0L), size(col(vecCol)).cast("long") - 1L),
+          (x, j) => x * (pmod(lit(31L * i) + j * 17L, lit(7L)) - lit(3L))),
+        lit(0L), (acc, x) => acc + x).as(s"p$i")
+    }
+    vectors.select((col(idCol) +: proj): _*)
+  }
+
   /** Brute-force cosine top-k of `vectors` against the single row of
     * `queryVec` (a 1-row DataFrame with column `qe`). The query side is
     * broadcast; ranking uses a unique tiebreak on id. */

@@ -317,4 +317,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(perSplit("train") > 1000 && perSplit("val") > 50 && perSplit("test") > 50)
     assert(perSplit.values.sum == 1500)
   }
+
+  test("randomProjection: exact integer reference, determinism, no shuffle") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.5f, 2.0f, 0.125f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(vecs, "vec_id", "embedding",
+        outDim = 4)
+      .orderBy("vec_id").collect()
+    // driver-side reference: same quantization, same coefficient lattice
+    def ref(v: Array[Float], i: Int): Long =
+      v.zipWithIndex.map { case (x, j) =>
+        math.floor(x.toDouble * 1e6 + 0.5).toLong *
+          (((31L * i + 17L * j) % 7) - 3)
+      }.sum
+    Seq((1L, Array(0.5f, -0.25f, 1.0f)), (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.5f, 2.0f, 0.125f))).zip(out).foreach {
+      case ((id, v), row) =>
+        assert(row.getLong(0) == id)
+        (0 until 4).foreach { i =>
+          assert(row.getLong(1 + i) == ref(v, i), s"vec $id dim $i")
+        }
+    }
+    // zero vector projects to exactly zero in every dim
+    assert((1 to 4).forall(i => out(1).getLong(i) == 0L))
+    // map-only: no Exchange at any corpus size
+    val plan = Similarity.randomProjection(vecs, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
 }
