@@ -1147,6 +1147,44 @@ object SparkEntry {
       s.table(qname)
     }),
 
+    // §2.8 depth — STREAM-STREAM watermarked interval join (view→click
+    // attribution within 60 minutes per user). Both sides derive from ONE
+    // AvailableNow file stream, each branch carries its own event-time
+    // watermark, and the time-range predicate is what lets the join state
+    // store evict rows older than the watermark horizon (bounded state at
+    // any stream length — the 100 TB requirement). Inner-join matches emit
+    // eagerly (no watermark wait), so the streaming result is exactly the
+    // batch interval join the oracle computes.
+    "q148_streaming_join" -> ((s, d) => {
+      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val qname = s"q148_mem_$tok"
+      s.catalog.dropTempView(qname)
+      // join state for ~minutes of events doesn't need 32 state-store
+      // partitions; the per-partition store open/commit dominates
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        graft.streaming.StreamingOps.runAvailableNow(
+            s, s"$d/events.parquet", qname) { ev =>
+          val v = ev.filter(col("event_type") === "view")
+            .select(col("event_id").as("v_event_id"),
+              col("user_id").as("v_user"), col("ts").as("vts"))
+            .withWatermark("vts", "2 hours")
+          val c = ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("c_event_id"),
+              col("user_id").as("c_user"), col("ts").as("cts"))
+            .withWatermark("cts", "2 hours")
+          v.join(c, col("v_user") === col("c_user") &&
+              col("cts") >= col("vts") &&
+              col("cts") <= col("vts") + expr("INTERVAL 60 MINUTES"))
+            .select(col("v_user").as("user_id"), col("v_event_id"),
+              col("c_event_id"),
+              (unix_micros(col("cts")) - unix_micros(col("vts")))
+                .as("delta_us"))
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // North star: benchmark decontamination — flag training documents
     // sharing word-3-gram shingles with a benchmark set (here: docs 0-1
     // standing in for the eval suite). Benchmark shingles broadcast (small
@@ -2951,6 +2989,19 @@ object SparkEntry {
         |  epoch_us(e.ts) - epoch_us(p.pts) AS delta_us
         |FROM events e JOIN purch p
         |  ON e.ts >= p.pts AND e.ts < p.pte""".stripMargin,
+    // q148: the batch form of the stream-stream interval join — inner
+    // matches emit eagerly in streaming, so the results are identical
+    "q148_streaming_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS v_event_id, user_id, ts AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS c_event_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, v_event_id, c_event_id,
+        |  epoch_us(c.cts) - epoch_us(v.vts) AS delta_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 60 MINUTE""".stripMargin,
     "q51_json_extract" ->
       """SELECT event_type,
         | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
