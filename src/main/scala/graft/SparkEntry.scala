@@ -3754,7 +3754,9 @@ object SparkEntry {
     // verdict is integer cross-multiplication (no float thresholds)
     "q143_gopher_gate" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x <> '') AS t
         |  FROM documents WHERE length(trim(text)) > 0),
         |stats AS (
         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
@@ -3845,6 +3847,7 @@ object SparkEntry {
         |    SELECT doc_id,
         |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
         |    FROM documents WHERE length(trim(text)) > 0) t
+        |  WHERE term <> ''
         |  GROUP BY 1, 2),
         |r AS (
         |  SELECT term, doc_id, tf,
@@ -3913,9 +3916,11 @@ object SparkEntry {
          |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
          |FROM sp GROUP BY split""".stripMargin,
 
-    // q147: same micro-unit quantization as q125, same (31i+17j) mod 7 - 3
-    // coefficient lattice; integer sums, so the grouped-SQL mirror of the
-    // map-only HOF plan is value-identical
+    // q147: same micro-unit quantization as q125, same bilinear
+    // ((31i + 17j + 13ij) mod 67) mod 7 - 3 coefficient lattice (the ij
+    // term prevents the rank-7 collapse of a purely additive form);
+    // integer sums, so the grouped-SQL mirror of the map-only HOF plan is
+    // value-identical
     "q147_random_projection" ->
       s"""WITH ex AS (
         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS j,
@@ -3925,8 +3930,8 @@ object SparkEntry {
         |  LATERAL unnest(range(1, len(embedding) + 1)) AS u(i))
         |SELECT vec_id,
         |${(0 until 8).map(i =>
-          s"  CAST(sum(qv * ((${31 * i} + j*17) % 7 - 3)) AS BIGINT) AS p$i")
-            .mkString(",\n")}
+          s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
+            s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
     // q140: same chr(1)-joined, chr(2)-coalesced row md5, two disjoint
     // 60-bit substring lanes; each lane sums exactly in HUGEINT and the

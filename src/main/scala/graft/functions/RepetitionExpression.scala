@@ -40,15 +40,29 @@ object RepetitionOps {
     * equal char mass either way, so the decoded mass is unique). */
   private final val Enc = 1L << 31
 
-  /** array<long> of 2*Ns.length: [score_n, dupMass_n] per n in [[Ns]].
-    * A document with fewer than n tokens contributes score=0, dupMass=0
-    * for that n. Gram identity is the exact token sequence (single-space
-    * joined, lower-cased, whitespace-split — the same tokenizer as every
-    * other text operator here); char length counts Unicode code points to
-    * match `length()` in both Spark and DuckDB. */
+  /** array<long> of 2*Ns.length + 2: [score_n, dupMass_n] per n in
+    * [[Ns]], then [n_words, norm_chars]. A document with fewer than n
+    * tokens contributes score=0, dupMass=0 for that n. Gram identity is
+    * the exact token sequence (single-space joined, lower-cased,
+    * whitespace-split — the same tokenizer as every other text operator
+    * here); char length counts Unicode code points to match `length()` in
+    * both Spark and DuckDB. n_words/norm_chars come from the SAME
+    * tokenization as the gram masses — numerator and denominator of every
+    * downstream ratio agree by construction (computing the denominator
+    * with a different splitter, e.g. regex `\s+`, diverges on Unicode
+    * whitespace the regex doesn't cover). */
   def gopherStats(text: UTF8String): ArrayData = {
     val toks = ShingleOps.splitLower(text)
-    val out = new Array[Long](Ns.length * 2)
+    val out = new Array[Long](Ns.length * 2 + 2)
+    var normChars = if (toks.length > 0) (toks.length - 1).toLong else 0L
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      normChars += w.codePointCount(0, w.length)
+      t += 1
+    }
+    out(Ns.length * 2) = toks.length.toLong
+    out(Ns.length * 2 + 1) = normChars
     var ni = 0
     while (ni < Ns.length) {
       val n = Ns(ni)

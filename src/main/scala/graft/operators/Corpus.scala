@@ -564,13 +564,14 @@ object Corpus {
     * longer gram (encoded as count·2³¹+len, max'd), deterministically on
     * both engines. */
   def repetitionGate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toksLower = split(trim(lower(col(textCol))), "\\s+")
     val base = docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol),
-        size(toksLower).cast("long").as("n_words"),
-        length(array_join(toksLower, " ")).cast("long").as("norm_chars"),
         graft.functions.RepetitionOps.gopherStatsCol(col(textCol)).as("st"))
+      // n_words/norm_chars ride in the same array as the gram masses, so
+      // every ratio's numerator and denominator share one tokenization
+      .withColumn("n_words", col("st").getItem(10))
+      .withColumn("norm_chars", col("st").getItem(11))
     // decode [score_n, dup_n]: count = score >> 31, chars = count * (score
     // & (2^31-1)); duplicate `st` references collapse to one evaluation via
     // whole-stage-codegen subexpression elimination
@@ -648,6 +649,9 @@ object Corpus {
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.TextFunctions.tokens(
           lower(col(textCol)))).as("term"))
+      // split keeps edge empty strings when text is bounded by non-space
+      // whitespace (trim strips spaces only) — not a real term
+      .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val byTerm = Window.partitionBy(col("term"))

@@ -55,24 +55,32 @@ object Similarity {
           (col("n") * lit(1000000L)).cast("double")).as("mean_v"))
 
   /** Deterministic integer random projection — the cheap dimensionality
-    * reduction in front of ANN indexing (Achlioptas 2001: sparse ±-integer
-    * projection matrices preserve pairwise distances like Gaussian ones).
-    * Coefficient c(i,j) = ((31·i + 17·j) mod 7) − 3 ∈ {−3..3} is derived
-    * from the output/input index pair alone — stateless, reproducible on
-    * any engine, no stored matrix. Inputs are quantized to exact integer
-    * micro-units first (`floor(v·1e6 + 0.5)`, the [[meanPool]] contract),
-    * so every projected coordinate is an exact integer sum — no float
-    * associativity anywhere. Map-only, zero shuffle; one fused pass per
-    * row inside codegen. Output columns `p0..p{outDim-1}` are micro-units
-    * (divide by 1e6 for the real-valued projection). */
+    * reduction in front of ANN indexing, in the spirit of sparse integer
+    * JL projections (small bounded ± coefficients, zero-ish mean).
+    * Coefficient c(i,j) = (((31·i + 17·j + 13·i·j) mod 67) mod 7) − 3 ∈
+    * {−3..3} is derived from the output/input index pair alone —
+    * stateless, reproducible on any engine, no stored matrix. The
+    * bilinear i·j term is what makes the lattice non-degenerate: a purely
+    * additive form like (31i + 17j) mod 7 collapses to a function of
+    * (i+j) mod 7 (31 ≡ 17 ≡ 3), i.e. rank ≤ 7 with repeating rows AND
+    * columns; with the mixing term, two coefficient columns can only
+    * coincide when j ≡ j' (mod 67) — distinct for any input dim ≤ 67 —
+    * and rows likewise for outDim ≤ 67. Inputs are quantized to exact
+    * integer micro-units first (`floor(v·1e6 + 0.5)`, the [[meanPool]]
+    * contract), so every projected coordinate is an exact integer sum —
+    * no float associativity anywhere. Map-only, zero shuffle; one fused
+    * pass per row inside codegen. Output columns `p0..p{outDim-1}` are
+    * micro-units (divide by 1e6 for the real-valued projection). */
   def randomProjection(vectors: DataFrame, idCol: String, vecCol: String,
       outDim: Int = 8): DataFrame = {
+    require(outDim <= 67, "coefficient rows repeat past outDim 67")
     val q = transform(col(vecCol),
       x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)).cast("long"))
     val proj = (0 until outDim).map { i =>
       aggregate(
         zip_with(q, sequence(lit(0L), size(col(vecCol)).cast("long") - 1L),
-          (x, j) => x * (pmod(lit(31L * i) + j * 17L, lit(7L)) - lit(3L))),
+          (x, j) => x * (pmod(pmod(lit(31L * i) + j * 17L + j * lit(13L * i),
+            lit(67L)), lit(7L)) - lit(3L))),
         lit(0L), (acc, x) => acc + x).as(s"p$i")
     }
     vectors.select((col(idCol) +: proj): _*)

@@ -92,6 +92,13 @@ private[graft] object Cfb {
         out += s
         s = fat(s)
       }
+      // a chain may only END at ENDOFCHAIN (or never start: FREESECT on an
+      // empty stream); running off the FAT table means the header's FAT
+      // sector count understates the chain — fail loudly, a silent
+      // truncation here decodes to wrong cell data downstream
+      require(s == EndOfChain || (s == -1 && out.isEmpty),
+        s"FAT chain from sector $start leaves the table at $s " +
+          s"(fat entries: ${fat.length}) — corrupt or truncated container")
       out.toSeq
     }
 
@@ -144,6 +151,12 @@ private[graft] object Cfb {
           math.min(off + miniSize, miniStream.length)))
         s = miniFat(s)
       }
+      // same loud-failure contract as chain(): a sub-cutoff stream whose
+      // chain leaves the miniFAT (including a container with NO miniFAT)
+      // must not decode as empty/truncated bytes
+      require(s == EndOfChain || (s == -1 && size == 0L),
+        s"miniFAT chain from mini sector $start leaves the table at $s " +
+          s"(miniFat entries: ${miniFat.length}) — corrupt container")
       val all = out.toByteArray
       if (size < all.length) java.util.Arrays.copyOfRange(all, 0, size.toInt)
       else all

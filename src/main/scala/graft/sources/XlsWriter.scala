@@ -19,8 +19,6 @@ import scala.collection.mutable
   * sized exports. */
 object XlsWriter {
 
-  private val Epoch1900 = LocalDate.of(1899, 12, 30)
-
   private final class Buf {
     val out = new java.io.ByteArrayOutputStream()
     def len: Int = out.size()
@@ -53,7 +51,7 @@ object XlsWriter {
   }
 
   private def serial(d: LocalDate): Double =
-    ChronoUnit.DAYS.between(Epoch1900, d).toDouble
+    ChronoUnit.DAYS.between(XlDates.Epoch1900, d).toDouble
 
   // cell XF indices (0-14 style XFs by convention, cells from 15)
   private val XfGeneral = 15

@@ -264,8 +264,6 @@ object XlsxReader {
     sb.reverse.toString
   }
 
-  private val Epoch1900 = LocalDate.of(1899, 12, 30)
-
   /** XL 1900-system serial → ISO string. Correct for serials ≥ 61 (epoch
     * 1899-12-30); the 1900 leap-year phantom below that is inherited from
     * the format itself. Sub-second fractions round to the nearest second. */
@@ -276,7 +274,7 @@ object XlsxReader {
     val hms = f"${secs / 3600}%02d:${(secs % 3600) / 60}%02d:${secs % 60}%02d"
     if (days == 0L && serial < 1.0) hms // time-only cell (ref :221-223)
     else {
-      val date = Epoch1900.plusDays(days)
+      val date = XlDates.Epoch1900.plusDays(days)
       if (secs == 0) date.toString else s"$date $hms"
     }
   }

@@ -30,8 +30,6 @@ case class XlsxSheet(name: String, rows: Seq[Seq[XlsxCell]],
   * generator for the committed WASDE golden fixture. */
 object XlsxWriter {
 
-  private val Epoch1900 = LocalDate.of(1899, 12, 30)
-
   private def esc(s: String): String = {
     val sb = new java.lang.StringBuilder()
     s.foreach {
@@ -70,10 +68,10 @@ object XlsxWriter {
               case XlsxCell.Bool(v) =>
                 sb.append(s"""<c r="$ref" t="b"><v>${if (v) 1 else 0}</v></c>""")
               case XlsxCell.Date(v) =>
-                val serial = ChronoUnit.DAYS.between(Epoch1900, v)
+                val serial = ChronoUnit.DAYS.between(XlDates.Epoch1900, v)
                 sb.append(s"""<c r="$ref" s="1"><v>$serial</v></c>""")
               case XlsxCell.DateTime(v) =>
-                val days = ChronoUnit.DAYS.between(Epoch1900, v.toLocalDate)
+                val days = ChronoUnit.DAYS.between(XlDates.Epoch1900, v.toLocalDate)
                 val serial = days + v.toLocalTime.toSecondOfDay / 86400.0
                 sb.append(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
             }

@@ -331,7 +331,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     def ref(v: Array[Float], i: Int): Long =
       v.zipWithIndex.map { case (x, j) =>
         math.floor(x.toDouble * 1e6 + 0.5).toLong *
-          (((31L * i + 17L * j) % 7) - 3)
+          ((31L * i + 17L * j + 13L * i * j) % 67 % 7 - 3)
       }.sum
     Seq((1L, Array(0.5f, -0.25f, 1.0f)), (2L, Array(0.0f, 0.0f, 0.0f)),
       (3L, Array(-1.5f, 2.0f, 0.125f))).zip(out).foreach {
@@ -343,6 +343,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     // zero vector projects to exactly zero in every dim
     assert((1 to 4).forall(i => out(1).getLong(i) == 0L))
+    // non-degeneracy: a purely additive lattice ((31i+17j) mod 7) is a
+    // function of (i+j) mod 7 — unit vectors 7 apart collide and row p7
+    // repeats p0; the bilinear term must prevent both
+    val units = Seq(
+      (0L, Array.tabulate(16)(j => if (j == 0) 1.0f else 0.0f)),
+      (7L, Array.tabulate(16)(j => if (j == 7) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val us = Similarity.randomProjection(units, "vec_id", "embedding",
+        outDim = 8)
+      .orderBy("vec_id").collect()
+    assert((1 to 8).exists(i => us(0).getLong(i) != us(1).getLong(i)),
+      "e0 and e7 must project differently")
+    val ramp = Seq((0L, Array.tabulate(16)(j => (j + 1) * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val rp = Similarity.randomProjection(ramp, "vec_id", "embedding",
+      outDim = 8).collect()(0)
+    assert(rp.getLong(8) != rp.getLong(1), "p7 must not repeat p0")
     // map-only: no Exchange at any corpus size
     val plan = Similarity.randomProjection(vecs, "vec_id", "embedding")
       .queryExecution.executedPlan.toString

@@ -18,11 +18,12 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // NOTE: driver heap comes from the launching JVM (sbt's -Xmx) —
+    // spark.driver.memory set here would be a silent no-op in local mode
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "24g")
       .appName("scale-rehearsal").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
