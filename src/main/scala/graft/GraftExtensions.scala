@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.functions.{HaversineDistance, Md5MinhashLanes, Md5SimHashChunks, SimHash64, WordShingles}
+import graft.functions.{CharShingles, GopherRepetition, HaversineDistance, Md5MinhashLanes, Md5SimHashChunks, SimHash64, WordShingles}
 
 /** Spark-native extension point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -16,6 +16,10 @@ import graft.functions.{HaversineDistance, Md5MinhashLanes, Md5SimHashChunks, Si
   *  - `haversine_m(lat1, lon1, lat2, lon2)` → meters (F17)
   *  - `simhash64(array<string>)` → 64-bit signature (dedup north star)
   *  - `word_shingles(text, n)` → array<string> n-gram shingles
+  *  - `char_shingles(text, k)` → array<string> distinct char k-shingles
+  *  - `gopher_repetition(text)` → array<long> repetition stats (q143)
+  *  - `md5_simhash_chunks(text)` / `md5_minhash_lanes(text, n, lanes)` —
+  *    the engine-portable dedup signatures
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -47,6 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "md5_minhash_lanes(text, n, lanes) - portable minhash lane minima"),
       (exprs: Seq[Expression]) =>
         Md5MinhashLanes(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+    e.injectFunction((FunctionIdentifier("char_shingles"),
+      info("char_shingles",
+        "char_shingles(text, k) - distinct char k-shingles"),
+      (exprs: Seq[Expression]) => CharShingles(exprs(0), intArg(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("gopher_repetition"),
+      info("gopher_repetition",
+        "gopher_repetition(text) - [topScore_n, dupMass_n] for " +
+          "n in {2,3,4,5,10} + [n_words, norm_chars]"),
+      (exprs: Seq[Expression]) => GopherRepetition(exprs.head)))
   }
 
   private def intArg(e: Expression): Int = e.eval(null) match {

@@ -28,13 +28,19 @@ class ScaleSpec extends AnyFunSuite {
           |       simhash64(array('a','b')) AS h,
           |       size(word_shingles('a b c d', 2)) AS n,
           |       size(md5_simhash_chunks('a b c')) AS nc,
-          |       size(md5_minhash_lanes('a b c d e', 3, 16)) AS nl""".stripMargin)
+          |       size(md5_minhash_lanes('a b c d e', 3, 16)) AS nl,
+          |       size(char_shingles('abcdefgh', 8)) AS ncs,
+          |       size(gopher_repetition('a a a a')) AS ng,
+          |       gopher_repetition('a a a a')[10] AS gw""".stripMargin)
         .collect().head
       assert(r.getDouble(0) == 0.0)
       assert(r.getLong(1) == r.getLong(1))
       assert(r.getInt(2) == 3)
       assert(r.getInt(3) == 4)    // simhash chunks
       assert(r.getInt(4) == 16)   // minhash lanes
+      assert(r.getInt(5) == 1)    // one distinct 8-shingle of an 8-char string
+      assert(r.getInt(6) == 12)   // 5 n-values x 2 + n_words + norm_chars
+      assert(r.getLong(7) == 4L)  // n_words rides at index 10
     } finally {
       // do NOT stop: the SparkContext is shared with every other suite
       SparkSession.setDefaultSession(prev)
