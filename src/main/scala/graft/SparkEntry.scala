@@ -2014,6 +2014,25 @@ object SparkEntry {
     "q146_inverted_index" -> ((s, d) =>
       Corpus.invertedIndex(documents(s, d), "doc_id", "text")),
 
+    // HTML → text extraction (the web-corpus step in front of every text
+    // operator here): script/style/comment/tag strip + one-level entity
+    // decode + whitespace collapse, all RE2-subset regexes so the oracle
+    // runs the byte-identical chain. Literal fixture (the synthetic
+    // documents table holds no markup), q75-style.
+    "q149_html_extract" -> ((s, d) => {
+      import s.implicits._
+      val rows = Seq(
+        1L -> """<html><head><title>T</title></head><body><p>Hello <b>world</b></p></body></html>""",
+        2L -> """<SCRIPT type="x">var a = "<p>not text</p>";</SCRIPT>After""",
+        3L -> """<style media=all>p > a {color:red}</style><div>styled</div>""",
+        4L -> """A &amp;amp; B&nbsp;&lt;tag&gt; &quot;q&quot; &#39;s&#39;""",
+        5L -> """<!-- hidden --><p class="big">kept</p><br/>""",
+        6L -> "no markup at   all")
+      rows.toDF("doc_id", "html").select(col("doc_id"),
+          TextFunctions.htmlToText(col("html")).as("text_out"))
+        .withColumn("n_chars", length(col("text_out")).cast("long"))
+    }),
+
     // Large-dictionary masking: one trie pass per doc (vs K regex passes),
     // leftmost-longest = RE2 with a length-desc alternation, so the masked
     // text is proved byte-identical via md5. Overlapping terms (customer
@@ -3860,6 +3879,35 @@ object SparkEntry {
         |  CAST(total_tf AS BIGINT) AS total_tf,
         |  CAST(rank AS BIGINT) AS rank, doc_id, CAST(tf AS BIGINT) AS tf
         |FROM r WHERE rank <= 3""".stripMargin,
+    // q149: the byte-identical extraction chain over the same literal
+    // fixture; &amp; decodes LAST (one-level decode of double-encoded text)
+    "q149_html_extract" ->
+      """WITH src AS (
+        |  SELECT * FROM (VALUES
+        |    (1, '<html><head><title>T</title></head><body><p>Hello <b>world</b></p></body></html>'),
+        |    (2, '<SCRIPT type="x">var a = "<p>not text</p>";</SCRIPT>After'),
+        |    (3, '<style media=all>p > a {color:red}</style><div>styled</div>'),
+        |    (4, 'A &amp;amp; B&nbsp;&lt;tag&gt; &quot;q&quot; &#39;s&#39;'),
+        |    (5, '<!-- hidden --><p class="big">kept</p><br/>'),
+        |    (6, 'no markup at   all')) AS t(doc_id, html)),
+        |ext AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?s)<[^>]+>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text_out
+        |  FROM src)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, text_out,
+        |  CAST(length(text_out) AS BIGINT) AS n_chars
+        |FROM ext""".stripMargin,
     // q124: RE2 alternation (length-desc) == trie leftmost-longest; masked
     // text proved byte-identical through the digest
     "q124_dict_mask" ->

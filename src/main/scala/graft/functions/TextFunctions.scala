@@ -69,4 +69,26 @@ object TextFunctions {
   /** Simple length/punctuation/stopword quality features. Mirrors the kind of
     * per-document heuristics used to filter LLM training corpora. */
   def punctCount(text: Column): Column = matchCount(text, "[.,!?;:]")
+
+  /** HTML → visible text (the web-corpus extraction step): drops
+    * script/style bodies, comments, and tags; decodes the six core
+    * entities (`&amp;` LAST, so double-encoded text decodes exactly one
+    * level); collapses whitespace. Composed entirely from codegen'd
+    * builtins (regexp_replace / replace) whose patterns avoid
+    * backreferences and rely only on `(?is)`, lazy `.*?`, and character
+    * classes — the RE2-compatible subset, so a SQL oracle can run the
+    * byte-identical chain. Map-only; linear in input at any corpus size.
+    * Known limit (shared by the oracle): a literal `>` inside a quoted
+    * attribute value terminates the tag match early. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) =>
+        call_function("replace", c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -159,4 +159,28 @@ class TextHashSpec extends AnyFunSuite {
     assert(got == Set(rLoop, rProse))
     assert(!df.queryExecution.executedPlan.toString.contains("CodegenFallback"))
   }
+
+  test("htmlToText: tags/script/style/comments stripped, one-level entity decode") {
+    val cases = Seq(
+      """<html><head><title>T</title></head><body><p>Hello <b>world</b></p></body></html>"""
+        -> "T Hello world",
+      // script body containing markup must vanish wholesale, tag case-blind
+      """<SCRIPT type="x">var a = "<p>not text</p>";</SCRIPT>After""" -> "After",
+      // style body containing a bare '>' (p > a) must not split the match
+      """<style media=all>p > a {color:red}</style><div>styled</div>""" -> "styled",
+      // &amp; decodes LAST: double-encoded text decodes exactly one level
+      """A &amp;amp; B&nbsp;&lt;tag&gt; &quot;q&quot; &#39;s&#39;"""
+        -> """A &amp; B <tag> "q" 's'""",
+      """<!-- hidden <p>even tags</p> --><p class="big">kept</p><br/>""" -> "kept",
+      "no markup at   all" -> "no markup at all")
+    val out = cases.map(_._1).toDF("html")
+      .select(TextFunctions.htmlToText(col("html")).as("t"))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2), out)
+    // whole chain stays inside codegen — no interpreted fallback
+    val plan = cases.map(_._1).toDF("html")
+      .select(TextFunctions.htmlToText(col("html")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback") && !plan.contains("Exchange"), plan)
+  }
 }
