@@ -2033,6 +2033,27 @@ object SparkEntry {
         .withColumn("n_chars", length(col("text_out")).cast("long"))
     }),
 
+    // URL canonicalization — the crawl-dedup key (two URLs fetching the
+    // same resource must collapse BEFORE content hashing). Literal fixture
+    // (q75/q149 precedent); grouping by the canonical form demonstrates
+    // the dedup: 8 raw URLs → canonical groups with counts.
+    "q150_url_canonical" -> ((s, d) => {
+      import s.implicits._
+      val urls = Seq(
+        "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "http://example.com/a//b?a=1&b=2",
+        "https://Site.org:443//x//y/",
+        "https://site.org/x/y",
+        "https://site.org:8443/Keep/Case",
+        "http://host",
+        "https://host/?utm_campaign=z&gclid=123",
+        "https://host/")
+      urls.toDF("url")
+        .select(TextFunctions.canonicalUrl(col("url")).as("url_canon"))
+        .groupBy(col("url_canon"))
+        .agg(count(lit(1)).cast("long").as("n_raw"))
+    }),
+
     // Large-dictionary masking: one trie pass per doc (vs K regex passes),
     // leftmost-longest = RE2 with a length-desc alternation, so the masked
     // text is proved byte-identical via md5. Overlapping terms (customer
@@ -3908,6 +3929,53 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, text_out,
         |  CAST(length(text_out) AS BIGINT) AS n_chars
         |FROM ext""".stripMargin,
+    // q150: the byte-identical canonicalization over the same fixture.
+    // DuckDB quirks mirrored deliberately: regexp_extract yields NULL for
+    // a non-participating group (Spark yields '') and array_to_string of
+    // an empty list yields NULL — both coalesced; replacement backrefs
+    // are \1 (RE2), not $1 (Java)
+    "q150_url_canonical" ->
+      """WITH src AS (SELECT * FROM (VALUES
+        |    ('HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag'),
+        |    ('http://example.com/a//b?a=1&b=2'),
+        |    ('https://Site.org:443//x//y/'),
+        |    ('https://site.org/x/y'),
+        |    ('https://site.org:8443/Keep/Case'),
+        |    ('http://host'),
+        |    ('https://host/?utm_campaign=z&gclid=123'),
+        |    ('https://host/')) AS t(url)),
+        |parts AS (
+        |  SELECT
+        |    coalesce(lower(regexp_extract(trim(url),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)), '') AS scheme,
+        |    coalesce(lower(regexp_extract(trim(url),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)), '') AS host_raw,
+        |    coalesce(regexp_extract(trim(url),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3), '') AS path_raw,
+        |    coalesce(regexp_extract(trim(url),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4), '') AS q_raw
+        |  FROM src),
+        |canon AS (
+        |  SELECT scheme || '://' ||
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(host_raw, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(host_raw, ':443$', '')
+        |         ELSE host_raw END ||
+        |    CASE WHEN regexp_replace(regexp_replace(path_raw, '/{2,}', '/', 'g'),
+        |             '(.)/$', '\1') = '' THEN '/'
+        |         ELSE regexp_replace(regexp_replace(path_raw, '/{2,}', '/', 'g'),
+        |             '(.)/$', '\1') END ||
+        |    CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+        |             string_split(q_raw, '&'),
+        |             x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=')
+        |               OR starts_with(x, 'gclid=') OR x = ''))), '&'), '') = ''
+        |         THEN ''
+        |         ELSE '?' || array_to_string(list_sort(list_filter(
+        |             string_split(q_raw, '&'),
+        |             x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=')
+        |               OR starts_with(x, 'gclid=') OR x = ''))), '&') END AS url_canon
+        |  FROM parts)
+        |SELECT url_canon, CAST(count(*) AS BIGINT) AS n_raw
+        |FROM canon GROUP BY 1""".stripMargin,
     // q124: RE2 alternation (length-desc) == trie leftmost-longest; masked
     // text proved byte-identical through the digest
     "q124_dict_mask" ->

@@ -80,6 +80,35 @@ object TextFunctions {
     * byte-identical chain. Map-only; linear in input at any corpus size.
     * Known limit (shared by the oracle): a literal `>` inside a quoted
     * attribute value terminates the tag match early. */
+  /** Canonical URL for crawl dedup: lowercase scheme+host, default port
+    * stripped (:80 http / :443 https), fragment dropped, duplicate path
+    * slashes collapsed, trailing slash stripped (root stays `/`, empty
+    * path becomes `/`), tracking params (`utm_*`, `fbclid`, `gclid`)
+    * removed and the surviving query params BYTE-SORTED — two URLs that
+    * fetch the same resource canonicalize to the same string, the key a
+    * web pipeline dedups on before it ever hashes content. Path case is
+    * preserved (paths are case-sensitive per RFC 3986; hosts are not).
+    * Pure builtin regex/HOF chain — map-only, and the RE2-subset
+    * patterns let a SQL oracle mirror it byte-for-byte. Non-URL input
+    * (no scheme) canonicalizes to `://` + `/` — filter upstream. */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(url)
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+    val scheme = lower(regexp_extract(u, pat, 1))
+    val hostRaw = lower(regexp_extract(u, pat, 2))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val collapsed = regexp_replace(regexp_extract(u, pat, 3), "/{2,}", "/")
+    val noTrail = regexp_replace(collapsed, "(.)/$", "$1")
+    val path = when(noTrail === "", lit("/")).otherwise(noTrail)
+    val keep = array_join(array_sort(filter(split(regexp_extract(u, pat, 4), "&"),
+      p => !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p === ""))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(keep === "", lit("")).otherwise(concat(lit("?"), keep)))
+  }
+
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")

@@ -183,4 +183,24 @@ class TextHashSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CodegenFallback") && !plan.contains("Exchange"), plan)
   }
+
+  test("canonicalUrl: case, ports, slashes, fragments, tracking params, sort") {
+    val cases = Seq(
+      "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"
+        -> "http://example.com/a/b?a=1&b=2",
+      "http://example.com/a//b?a=1&b=2" -> "http://example.com/a/b?a=1&b=2",
+      "https://Site.org:443//x//y/" -> "https://site.org/x/y",
+      // non-default port kept; path case preserved (RFC 3986)
+      "https://site.org:8443/Keep/Case" -> "https://site.org:8443/Keep/Case",
+      "http://host" -> "http://host/",
+      // tracking-only query disappears entirely (no dangling '?')
+      "https://host/?utm_campaign=z&gclid=123" -> "https://host/",
+      "https://host/" -> "https://host/",
+      // :80 is only default for http — https://h:80 keeps its port
+      "https://h:80/p" -> "https://h:80/p")
+    val out = cases.map(_._1).toDF("url")
+      .select(TextFunctions.canonicalUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2), out)
+  }
 }
