@@ -232,4 +232,59 @@ object PropertySpec extends Properties("graft") {
         expect.zipAll(gotRow, "", "").forall { case (e, g) => e == g }
       }
     }
+
+  // tiny vocab forces gram repeats; the reference recomputes every slot
+  // of the compiled single-pass expression independently (pure function —
+  // no Spark action per case)
+  private val gopherDocGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("aa", "b", "ccc", "dddd")).map(_.mkString(" "))
+
+  property("gopherStats equals an independent reference on random docs") =
+    Prop.forAll(gopherDocGen) { text =>
+      val got = graft.functions.RepetitionOps
+        .gopherStats(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toLongArray().toSeq
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val perN = Seq(2, 3, 4, 5, 10).flatMap { n =>
+        if (toks.length < n) Seq(0L, 0L)
+        else {
+          val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+            .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+          val top = counts.toSeq
+            .map { case (g, c) => c * (1L << 31) + g.length }.max
+          val dup = counts.collect {
+            case (g, c) if c >= 2 => c * g.length }.sum
+          Seq(top, dup)
+        }
+      }
+      val normChars =
+        if (toks.isEmpty) 0L else (toks.map(_.length).sum + toks.length - 1).toLong
+      got == perN ++ Seq(toks.length.toLong, normChars)
+    }
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
+    host <- Gen.oneOf("Example.COM", "a.b.ORG", "host")
+    port <- Gen.oneOf("", ":80", ":443", ":8443")
+    segs <- Gen.listOf(Gen.oneOf("A", "b", "Cc")).map(_.take(4))
+    slashes <- Gen.oneOf("/", "//")
+    trail <- Gen.oneOf("", "/")
+    params <- Gen.someOf("utm_source=x", "b=2", "a=1", "gclid=9", "z=")
+    frag <- Gen.oneOf("", "#f", "#Sec2")
+  } yield {
+    val path = if (segs.isEmpty) "" else segs.mkString(slashes, slashes, trail)
+    val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+    s"$scheme://$host$port$path$q$frag"
+  }
+
+  property("canonicalUrl is idempotent (canonical forms are fixed points)") =
+    Prop.forAll(Gen.listOfN(6, urlGen)) { urls =>
+      val once = urls.toDF("url")
+        .select(graft.functions.TextFunctions.canonicalUrl(col("url")))
+        .as[String].collect().toSeq
+      val twice = once.toDF("url")
+        .select(graft.functions.TextFunctions.canonicalUrl(col("url")))
+        .as[String].collect().toSeq
+      once == twice
+    }
 }
