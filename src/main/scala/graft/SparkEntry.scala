@@ -1185,6 +1185,17 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // W-family depth — calendar gap-fill with LOCF over each user's daily
+    // value series: dense date spine per key (bounded by keys × days, not
+    // events), carried totals, gap flags. The resample step in front of
+    // any moving-window feature.
+    "q151_gap_fill" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sumc(col("value")).as("total"))
+      Transforms.calendarFill(daily, "user_id", "day", "total")
+    }),
+
     // North star: benchmark decontamination — flag training documents
     // sharing word-3-gram shingles with a benchmark set (here: docs 0-1
     // standing in for the eval suite). Benchmark shingles broadcast (small
@@ -3261,6 +3272,27 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // q151: same decimal-exact daily sums (q35 pattern), generate_series
+    // spine, IGNORE NULLS last_value for the LOCF carry
+    "q151_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |      FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (SELECT s.user_id, s.day, d.total FROM spine s
+        |      LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day)
+        |SELECT user_id, day,
+        |  last_value(total IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS total,
+        |  (total IS NULL) AS is_gap
+        |FROM j""".stripMargin,
     // q94: same lattice-LSH pair chain as q32, folded to per-doc verdicts
     "q94_embedding_neardup" ->
       s"""WITH $latticeSimCtes,

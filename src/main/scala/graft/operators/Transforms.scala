@@ -407,4 +407,30 @@ object Transforms {
         Corpus.ratioRound6(col("max_cnt"), col("n_rows")).as("top1_share_r"),
         col("p50_cnt"), col("p99_cnt"),
         round(col("max_cnt").cast("double") / col("p50_cnt"), 6).as("skew_r"))
+
+  /** Calendar gap-fill with LOCF: expand each key's sparse daily series to
+    * a dense date spine over its own [min, max] day range, carrying the
+    * last observed value across the gaps and flagging filled rows — the
+    * resample-to-regular-grid step in front of any time-series feature
+    * (moving averages over a sparse series silently skip the gaps).
+    *
+    * Scale shape: bounds is a key-sized aggregate; the spine is a narrow
+    * per-key `sequence` explode (rows bounded by keys × calendar days,
+    * never by the event count); the join is an equi join on (key, day);
+    * the LOCF window is partitioned by key and ordered by day — one
+    * shuffle, never a global sort. The leading row of every key is its
+    * own min day, so LOCF never leaves a leading null. */
+  def calendarFill(daily: DataFrame, keyCol: String, dayCol: String,
+      valCol: String): DataFrame = {
+    val bounds = daily.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("_d0"), max(col(dayCol)).as("_d1"))
+    val spine = bounds.select(col(keyCol),
+      explode(sequence(col("_d0"), col("_d1"))).as(dayCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, dayCol), "left")
+      .withColumn("is_gap", col(valCol).isNull)
+      .withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
+      .select(col(keyCol), col(dayCol), col(valCol), col("is_gap"))
+  }
 }

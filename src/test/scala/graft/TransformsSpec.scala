@@ -282,4 +282,28 @@ class TransformsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p50_cnt") == 1.0)
     assert(r.getAs[Double]("skew_r") == 91.0)
   }
+
+  test("calendarFill: dense spine per key, LOCF across gaps, gap flags") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val daily = Seq(
+      ("a", d("2024-01-01"), 10.0),
+      ("a", d("2024-01-04"), 40.0),   // 2-day gap: 01-02, 01-03 carry 10.0
+      ("b", d("2024-02-10"), 5.0))    // singleton key: 1-row spine, no gap
+      .toDF("k", "day", "total")
+    val out = Transforms.calendarFill(daily, "k", "day", "total")
+      .orderBy("k", "day")
+      .as[(String, Date, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("a", d("2024-01-01"), 10.0, false),
+      ("a", d("2024-01-02"), 10.0, true),
+      ("a", d("2024-01-03"), 10.0, true),
+      ("a", d("2024-01-04"), 40.0, false),
+      ("b", d("2024-02-10"), 5.0, false)), out)
+    // key-partitioned window only — never a global single partition
+    val plan = Transforms.calendarFill(daily, "k", "day", "total")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("SinglePartition"), plan)
+  }
 }
