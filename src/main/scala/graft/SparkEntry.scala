@@ -1196,6 +1196,29 @@ object SparkEntry {
       Transforms.calendarFill(daily, "user_id", "day", "total")
     }),
 
+    // North star: SCD Type-2 dimension build — full version history with
+    // validity intervals from a deterministic changelog (q130's family plus
+    // a seq-0 initial load), the warehouse counterpart of q130's
+    // latest-state MERGE. All window work is log-sized and per-id; deletes
+    // close intervals without emitting rows.
+    "q152_scd2_history" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 10 <= 1)
+        .select(col("doc_id"), lit(0L).as("seq"), lit("upsert").as("op"),
+          col("text"))
+      val del = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
+          lit(null).cast("string").as("text"))
+      val up1 = docs.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" rev one")).as("text"))
+      val up2 = docs.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" rev two")).as("text"))
+      val log = base.unionByName(del).unionByName(up1).unionByName(up2)
+      Corpus.scd2Build(log, "doc_id", "seq", "op")
+    }),
+
     // North star: benchmark decontamination — flag training documents
     // sharing word-3-gram shingles with a benchmark set (here: docs 0-1
     // standing in for the eval suite). Benchmark shingles broadcast (small
@@ -3293,6 +3316,26 @@ object SparkEntry {
         |    AS total,
         |  (total IS NULL) AS is_gap
         |FROM j""".stripMargin,
+    // q152: same deterministic changelog (q130's family + seq-0 initial
+    // load); lead(seq) over ALL ops closes intervals, then upserts only
+    "q152_scd2_history" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |log AS (
+        |  SELECT doc_id, 0 AS seq, 'upsert' AS op, text
+        |  FROM docs WHERE doc_id % 10 <= 1
+        |  UNION ALL SELECT doc_id, 1, 'delete', CAST(NULL AS VARCHAR)
+        |  FROM docs WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, 1, 'upsert', text || ' rev one'
+        |  FROM docs WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id, 2, 'upsert', text || ' rev two'
+        |  FROM docs WHERE doc_id % 10 = 1),
+        |w AS (SELECT doc_id, seq, op, text,
+        |        lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS vt
+        |      FROM log)
+        |SELECT doc_id, text, CAST(vt AS BIGINT) AS valid_to,
+        |  CAST(seq AS BIGINT) AS valid_from,
+        |  (vt IS NULL) AS is_current
+        |FROM w WHERE op = 'upsert'""".stripMargin,
     // q94: same lattice-LSH pair chain as q32, folded to per-doc verdicts
     "q94_embedding_neardup" ->
       s"""WITH $latticeSimCtes,

@@ -528,6 +528,35 @@ object Corpus {
     untouched.unionByName(applied)
   }
 
+  /** Build an SCD Type-2 version-history table from a CDC changelog — the
+    * warehouse-dimension counterpart of [[changelogApply]] (which keeps only
+    * the latest state, this keeps every state with its validity interval).
+    * Per id, each 'upsert' opens a version at its `seqCol`; the version
+    * closes at the NEXT change's seq (whether that change is an upsert or a
+    * delete), so `valid_to` is null exactly for the live version and a
+    * trailing delete leaves the id with no current row. Deletes emit no row
+    * of their own — they only terminate the preceding interval.
+    * Contract: (`idCol`, `seqCol`) pairs are unique, as in
+    * [[changelogApply]].
+    *
+    * Scale: one hash exchange of the CHANGELOG on id + a per-id sorted
+    * window (log-sized, never corpus-sized); the snapshot is not involved.
+    * This is the streaming-friendly shape — a new log batch only touches
+    * the ids it mentions, and the previous history's open intervals close
+    * by the same lead-seq rule. */
+  def scd2Build(changes: DataFrame, idCol: String, seqCol: String,
+      opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) === "upsert")
+      .drop(opCol)
+      .withColumn("valid_from", col(seqCol).cast("long"))
+      .drop(seqCol)
+      .withColumn("valid_to", col("valid_to").cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Pairwise lane-agreement similarity between group sketches: est_r =
     * agreeing lanes / numHashes, an unbiased estimate of the Jaccard
     * similarity of the groups' shingle sets. The sketch table is

@@ -334,6 +334,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Map(1L -> "one", 2L -> "two v2", 4L -> "four"))
   }
 
+  test("scd2Build: intervals chain, deletes close without emitting, trailing live") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 0L, "upsert", "one v0"),   // single live version
+      (2L, 0L, "upsert", "two v0"),
+      (2L, 3L, "upsert", "two v1"),   // non-contiguous seqs chain by value
+      (3L, 0L, "upsert", "three v0"),
+      (3L, 1L, "delete", null.asInstanceOf[String]), // closes, no current row
+      (4L, 5L, "delete", null.asInstanceOf[String])  // delete-only id: no rows
+    ).toDF("doc_id", "seq", "op", "text")
+    val got = Corpus.scd2Build(log, "doc_id", "seq", "op")
+      .select(col("doc_id").as[Long], col("text").as[String],
+        col("valid_from").as[Long], col("valid_to").as[Option[Long]],
+        col("is_current").as[Boolean])
+      .collect().map(r => (r._1, r._3) -> (r._2, r._4, r._5)).toMap
+    assert(got.size == 4)
+    assert(got((1L, 0L)) == (("one v0", None, true)))
+    assert(got((2L, 0L)) == (("two v0", Some(3L), false)))
+    assert(got((2L, 3L)) == (("two v1", None, true)))
+    assert(got((3L, 0L)) == (("three v0", Some(1L), false)))
+  }
+
   test("importanceWeights rank target-like docs above off-target docs") {
     import spark.implicits._
     // target domain speaks {alpha beta gamma}; the rest speaks {delta
