@@ -1196,6 +1196,17 @@ object SparkEntry {
       Transforms.calendarFill(daily, "user_id", "day", "total")
     }),
 
+    // W-family depth — truncated EWMA smoothing per user's event-value
+    // series: exact-integer geometric weights (α=1/2 rational, trailing 8
+    // rows), one key exchange + one sort for the whole lag chain. The
+    // timestamp goes out as unix micros (engine-neutral).
+    "q153_ewma" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+      Transforms.ewmaSmooth(ev, "user_id", "ts_us", "event_id", "value")
+    }),
+
     // North star: SCD Type-2 dimension build — full version history with
     // validity intervals from a deterministic changelog (q130's family plus
     // a seq-0 initial load), the warehouse counterpart of q130's
@@ -3316,6 +3327,36 @@ object SparkEntry {
         |    AS total,
         |  (total IS NULL) AS is_gap
         |FROM j""".stripMargin,
+    // q153: same lag chain, integer-cent weights 2^(7-k), exact half-up
+    // ratio; den needs the BIGINT cast (DuckDB literal sums are INT32)
+    "q153_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |l AS (SELECT user_id, ts_us, event_id, c,
+        |    lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+        |    lag(c, 3) OVER w AS c3, lag(c, 4) OVER w AS c4,
+        |    lag(c, 5) OVER w AS c5, lag(c, 6) OVER w AS c6,
+        |    lag(c, 7) OVER w AS c7
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us, event_id, c,
+        |    c * 128 + coalesce(c1 * 64, 0) + coalesce(c2 * 32, 0)
+        |      + coalesce(c3 * 16, 0) + coalesce(c4 * 8, 0)
+        |      + coalesce(c5 * 4, 0) + coalesce(c6 * 2, 0)
+        |      + coalesce(c7, 0) AS num,
+        |    CAST(128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+        |      + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+        |      + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+        |      + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+        |      + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+        |      + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+        |      + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS den
+        |  FROM l)
+        |SELECT user_id, ts_us, event_id, c AS value_c, num AS ewma_num,
+        |  den AS ewma_den,
+        |  CAST((2000000 * num + den * 100) // (2 * den * 100) AS DOUBLE) / 1e6
+        |    AS ewma_r
+        |FROM s""".stripMargin,
+
     // q152: same deterministic changelog (q130's family + seq-0 initial
     // load); lead(seq) over ALL ops closes intervals, then upserts only
     "q152_scd2_history" ->

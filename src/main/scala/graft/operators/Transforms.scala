@@ -352,6 +352,52 @@ object Transforms {
         col("decayed_val_cu").cast("long").as("decayed_val_cu"))
   }
 
+  /** Windowed exponential moving average — the truncated, engine-exact
+    * form of EWMA smoothing: per key, in (tsCol, tieCol) order, each row's
+    * smoothed value is the weight-normalized sum of the trailing
+    * `windowK` values with geometric weights (1−α)^k for lag k, where
+    * α = decayNum/decayDen is held as a RATIONAL so every weight is an
+    * exact integer ((den−num)^k · den^(K−1−k), the common α factor
+    * cancels in the ratio). Truncating at K bounds the recursion the
+    * textbook EWMA can't bound — the dropped tail carries at most
+    * (1−α)^K of the mass ((1/2)^8 ≈ 0.4 % at the defaults) — and is what
+    * makes the operator a fixed-width window instead of an unbounded
+    * scan-order dependency.
+    *
+    * Determinism across engines: values are quantized to integer cents
+    * BEFORE weighting, numerator/denominator are exact LONG sums over an
+    * explicit lag chain (no float window accumulation — DuckDB's
+    * segment-tree windowed sums re-order float adds), and the final
+    * ratio rounds by exact integer half-up ([[Corpus.ratioRound6]]).
+    *
+    * Scale: one hash exchange on the key + one per-key sort serves the
+    * whole lag chain (a single Window node; the K lags share its frame),
+    * rows carry K longs — no self-joins, no unbounded frames. Weight
+    * magnitudes are den^(K−1); the guard below keeps
+    * max|cents| · Σ weights within LONG. */
+  def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, decayNum: Int = 1,
+      decayDen: Int = 2, windowK: Int = 8): DataFrame = {
+    require(windowK >= 1 && decayNum >= 0 && decayDen > decayNum,
+      "need 0 <= alpha = decayNum/decayDen < 1 and windowK >= 1")
+    val weights = (0 until windowK).map(k =>
+      BigInt(decayDen - decayNum).pow(k) * BigInt(decayDen).pow(windowK - 1 - k))
+    require(weights.map(w => w * 100000000L).sum < BigInt(Long.MaxValue) / 100,
+      s"weights den^${windowK - 1} too large for exact LONG arithmetic")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val cts = round(col(valueCol) * 100).cast("long")
+    val terms = (0 until windowK).map { k =>
+      val lv = if (k == 0) cts else lag(cts, k).over(w)
+      (coalesce(lv * lit(weights(k).toLong), lit(0L)),
+        when(lv.isNotNull, lit(weights(k).toLong)).otherwise(lit(0L)))
+    }
+    val numSum = terms.map(_._1).reduce(_ + _)
+    val denSum = terms.map(_._2).reduce(_ + _)
+    df.select(col(keyCol), col(tsCol), col(tieCol), cts.as("value_c"),
+      numSum.as("ewma_num"), denSum.as("ewma_den"),
+      Corpus.ratioRound6(numSum, denSum * lit(100L)).as("ewma_r"))
+  }
+
   /** Ordered-funnel analysis (the product-analytics staple): per user,
     * the earliest stage-1 event, then the earliest stage-2 event STRICTLY
     * AFTER it, and so on — an out-of-order click does not convert a view

@@ -306,4 +306,29 @@ class TransformsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Window") && !plan.contains("SinglePartition"), plan)
   }
+
+  test("ewmaSmooth: exact geometric weights, ramp-up, per-key isolation") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", 1L, 101L, 1.00), ("a", 2L, 102L, 2.00), ("a", 3L, 103L, 3.00),
+      ("b", 1L, 201L, 7.00))
+      .toDF("k", "ts_us", "event_id", "value")
+    val out = Transforms.ewmaSmooth(ev, "k", "ts_us", "event_id", "value")
+      .orderBy("k", "ts_us")
+      .select(col("k"), col("value_c"), col("ewma_num"), col("ewma_den"),
+        col("ewma_r"))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // weights 128,64,32,... over the trailing window; den ramps up with
+    // the rows actually present, so early rows are unbiased
+    assert(out == Seq(
+      ("a", 100L, 12800L, 128L, 1.0),
+      ("a", 200L, 32000L, 192L, 1.666667),   // (200·128+100·64)/192/100
+      ("a", 300L, 54400L, 224L, 2.428571),   // 54400/224/100 = 2.4285714…
+      ("b", 700L, 89600L, 128L, 7.0)), out)
+    // one key-partitioned Window serves the whole lag chain
+    val phys = Transforms.ewmaSmooth(ev, "k", "ts_us", "event_id", "value")
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("Window") && !phys.contains("SinglePartition"), phys)
+    assert(phys.split("Window ").length == 2, phys)
+  }
 }
