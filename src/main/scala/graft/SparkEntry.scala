@@ -1207,6 +1207,14 @@ object SparkEntry {
       Transforms.ewmaSmooth(ev, "user_id", "ts_us", "event_id", "value")
     }),
 
+    // North star: directed containment join — quote/partial-copy/expansion
+    // pairs Jaccard can't see (short doc inside long doc: high containment,
+    // low Jaccard). Asymmetric prefix filter: probe = rarest prefix, index
+    // = full capped token table; exact merge-scan verify.
+    "q154_containment" -> ((s, d) =>
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+        shingleK = 8, numT = 3, denT = 4, maxDocsPerTok = 20)),
+
     // North star: SCD Type-2 dimension build — full version history with
     // validity intervals from a deterministic changelog (q130's family plus
     // a seq-0 initial load), the warehouse counterpart of q130's
@@ -3327,6 +3335,48 @@ object SparkEntry {
         |    AS total,
         |  (total IS NULL) AS is_gap
         |FROM j""".stripMargin,
+    // q154: q121's shingle/prefix CTEs at t=3/4 with the dfreq<=20 cap on
+    // the probe prefix, index side = FULL token table (equality makes the
+    // cap implicit there), directed pairs, containment = n_inter/n_sub
+    "q154_containment" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    substring(norm || '       ', CAST(i AS INTEGER), 8) AS tok
+        |  FROM nrm,
+        |  LATERAL unnest(range(1, greatest(length(norm) - 7, 1) + 1)) AS u(i)),
+        |df AS (SELECT tok, count(*) AS dfreq FROM toks GROUP BY tok),
+        |ranked AS (
+        |  SELECT t.doc_id, t.tok, d.dfreq,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY d.dfreq, t.tok) AS rn,
+        |    count(*) OVER (PARTITION BY t.doc_id) AS n
+        |  FROM toks t JOIN df d USING (tok)),
+        |prefix AS (
+        |  SELECT doc_id, tok FROM ranked
+        |  WHERE rn <= n - ((n * 3 + 3) // 4) + 1 AND dfreq <= 20),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS sub, b.doc_id AS sup
+        |  FROM prefix a JOIN toks b
+        |    ON a.tok = b.tok AND a.doc_id <> b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.sub, c.sup, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN toks ta ON ta.doc_id = c.sub
+        |  JOIN toks tb ON tb.doc_id = c.sup AND tb.tok = ta.tok
+        |  GROUP BY c.sub, c.sup)
+        |SELECT i.sub AS id_sub, i.sup AS id_sup,
+        |  CAST(i.n_inter AS BIGINT) AS n_inter,
+        |  CAST(sa.n AS BIGINT) AS n_sub, CAST(sb.n AS BIGINT) AS n_sup,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_r
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.sub
+        |JOIN sizes sb ON sb.doc_id = i.sup
+        |WHERE i.n_inter * 4 >= 3 * sa.n""".stripMargin,
+
     // q153: same lag chain, integer-cent weights 2^(7-k), exact half-up
     // ratio; den needs the BIGINT cast (DuckDB literal sums are INT32)
     "q153_ewma" ->

@@ -450,6 +450,85 @@ object Dedup {
           (col("sa.n") + col("sb.n") - col("n_inter")).cast("double")).as("jacc"))
   }
 
+  /** Directed containment join — the ASYMMETRIC sibling of
+    * [[prefixJaccardPairs]]: emit (sub, sup) where C(sub→sup) =
+    * |S_sub ∩ S_sup| / |S_sub| ≥ numT/denT over char-`shingleK` shingle
+    * sets. Jaccard misses exactly these pairs: a short doc quoted inside
+    * a much longer one has high containment but low Jaccard (the union is
+    * dominated by the long doc), and it's the quote/partial-copy/expansion
+    * relation a crawl dedup actually wants directed.
+    *
+    * Prefix filter, containment form: if C(A→B) ≥ t then at most
+    * n_A − ⌈t·n_A⌉ of A's shingles are missing from B, so among A's
+    * rarest n_A − ⌈t·n_A⌉ + 1 shingles (same slice formula as the Jaccard
+    * prefix) at least one lands ANYWHERE in B — hence the probe side is
+    * A's prefix but the index side must be B's FULL token table. That
+    * asymmetry is affordable because the join key equality forces index
+    * postings onto the probe's rare shingles: tokens with document
+    * frequency > `maxDocsPerTok` are dropped from the probe prefix
+    * (capped-recall contract as in [[prefixJaccardPairs]] — a pair whose
+    * every prefix witness is corpus-hot is lost; the cap is mirrored in
+    * the oracle), so every surviving posting list has ≤ cap entries and
+    * the candidate join is Σ_{rare tok} (prefix_ct × dfreq), never
+    * all-pairs. The index side is pre-filtered to the same rare tokens —
+    * semantically a no-op given the equality, but it keeps hot-token rows
+    * out of the exchange.
+    *
+    * Verification is exact and never re-explodes: candidates merge-scan
+    * the two docs' sorted shingle-hash arrays (native
+    * `sorted_intersect_count`), C = n_inter/n_sub as one IEEE divide of
+    * exact ints. Both directions of a mutual near-dup emit. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numT: Int = 3, denT: Int = 4,
+      maxDocsPerTok: Int = 20): DataFrame = {
+    require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val base = spread.filter(length(trim(col(textCol))) > 0)
+    val toks = base
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.charShingles(
+          TextFunctions.normalize(col(textCol)), shingleK)).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    // probe prefix: rank by global dfreq via the per-doc array-sort trick
+    // (no cluster-wide sort), slice the rarest n − ceil(t·n) + 1, then
+    // drop cap-hot tokens
+    val prefix = toks.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
+      .select(col("doc_id"), col("x.dfreq").as("dfreq"), col("x.tok").as("tok"))
+      .filter(col("dfreq") <= maxDocsPerTok)
+      .select(col("doc_id"), col("tok"))
+    val index = toks.join(
+      dfreq.filter(col("dfreq") <= maxDocsPerTok).select(col("tok")), "tok")
+    val cand = prefix.as("a")
+      .join(index.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("sub"), col("b.doc_id").as("sup"))
+      .distinct()
+    val arrs = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.charShingleHashes(
+          TextFunctions.normalize(col(textCol)), shingleK).as("tokset"))
+      .withColumn("n", size(col("tokset")))
+    cand
+      .join(arrs.as("sa"), col("sa.doc_id") === col("sub"))
+      .join(arrs.as("sb"), col("sb.doc_id") === col("sup"))
+      .withColumn("n_inter",
+        TextFunctions.sortedIntersectCount(col("sa.tokset"), col("sb.tokset")))
+      .filter(col("n_inter") * denT >= col("sa.n") * numT)
+      .select(col("sub").as("id_sub"), col("sup").as("id_sup"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("sa.n").cast("long").as("n_sub"),
+        col("sb.n").cast("long").as("n_sup"),
+        (col("n_inter").cast("double") / col("sa.n").cast("double"))
+          .as("cont_r"))
+  }
+
   /** Keeper selection — the step that turns near-dup CLUSTERS into an
     * actual deduplicated corpus: per cluster, keep the member with the
     * highest `weightCol` (ties → smallest id). `members` is

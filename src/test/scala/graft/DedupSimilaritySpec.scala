@@ -222,6 +222,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
         yield (a, b)).toSet)
   }
 
+  test("containmentPairs: quote-in-article found directed, Jaccard misses it, cap binds") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog again and again"
+    val tail = (1 to 60).map(j => s"unique${j}filler").mkString(" ")
+    val d = Seq(
+      (1L, quote),              // sub: every shingle appears in doc 2
+      (2L, quote + " " + tail), // sup: long article embedding the quote
+      (3L, (1 to 40).map(j => s"other${j}stuff").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text")
+      .select(col("id_sub").as[Long], col("id_sup").as[Long],
+        col("cont_r").as[Double]).collect()
+    // directed: 1 ⊂ 2 at containment 1.0; the reverse direction fails
+    // (2's shingles are mostly outside 1) and doc 3 pairs with nobody
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), got.toSeq)
+    // Jaccard at the same 3/4 threshold can't see the pair — the union is
+    // dominated by the long doc
+    val jacc = Dedup.prefixJaccardPairs(d, "doc_id", "text",
+      numT = 3, denT = 4).select("id_a", "id_b").as[(Long, Long)]
+      .collect()
+    assert(jacc.isEmpty, jacc.toSeq)
+    // cap 1: the sub-sup witness shingles have dfreq 2 > 1 — documented
+    // recall bound, same contract as the Jaccard prefix cap
+    val capped = Dedup.containmentPairs(d, "doc_id", "text",
+      maxDocsPerTok = 1)
+      .select("id_sub", "id_sup").as[(Long, Long)].collect()
+    assert(capped.isEmpty, capped.toSeq)
+  }
+
   test("sharedPassagePairs finds the copied span, not unrelated docs") {
     import spark.implicits._
     // a ~250-char distinctive passage shared by docs 1 and 2 with
