@@ -1207,6 +1207,13 @@ object SparkEntry {
       Transforms.ewmaSmooth(ev, "user_id", "ts_us", "event_id", "value")
     }),
 
+    // North star: interpolated Kneser-Ney bigram LM — continuation-count
+    // backoff (Chen & Goodman d=0.75), the smoothing step the add-one
+    // surprisal LM (q108) skips. Counts exact; p_kn is a fixed double
+    // operation tree mirrored in the oracle.
+    "q155_kn_bigram" -> ((s, d) =>
+      Corpus.knBigramModel(documents(s, d), "doc_id", "text", minCount = 3L)),
+
     // North star: directed containment join — quote/partial-copy/expansion
     // pairs Jaccard can't see (short doc inside long doc: high containment,
     // low Jaccard). Asymmetric prefix filter: probe = rarest prefix, index
@@ -3335,6 +3342,35 @@ object SparkEntry {
         |    AS total,
         |  (total IS NULL) AS is_gap
         |FROM j""".stripMargin,
+    // q155: q105's bigram CTEs; KN terms as exact counts, p_kn with the
+    // IDENTICAL parenthesization as the Spark side (bit-exact doubles)
+    "q155_kn_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)),
+        |pair AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n_follow
+        |        FROM pair GROUP BY w1),
+        |pre AS (SELECT w2, count(*) AS n_precede FROM pair GROUP BY w2),
+        |tot AS (SELECT count(*) AS n_bigrams FROM pair)
+        |SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
+        |  CAST(x.c1 AS BIGINT) AS c1,
+        |  CAST(x.n_follow AS BIGINT) AS n_follow,
+        |  CAST(r.n_precede AS BIGINT) AS n_precede,
+        |  CAST(t.n_bigrams AS BIGINT) AS n_bigrams,
+        |  greatest(CAST(p.c12 AS DOUBLE) - 0.75, 0.0) / CAST(x.c1 AS DOUBLE)
+        |    + ((0.75 * CAST(x.n_follow AS DOUBLE)) / CAST(x.c1 AS DOUBLE))
+        |      * (CAST(r.n_precede AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE))
+        |    AS p_kn
+        |FROM pair p
+        |JOIN ctx x ON p.w1 = x.w1
+        |JOIN pre r ON p.w2 = r.w2
+        |CROSS JOIN tot t
+        |WHERE p.c12 >= 3""".stripMargin,
+
     // q154: q121's shingle/prefix CTEs at t=3/4 with the dfreq<=20 cap on
     // the probe prefix, index side = FULL token table (equality makes the
     // cap implicit there), directed pairs, containment = n_inter/n_sub

@@ -113,6 +113,53 @@ object Corpus {
         microAvgRound(col("surprisal_ub"), col("n_bi")).as("avg_bits_r"))
   }
 
+  /** Interpolated Kneser-Ney smoothed bigram model — the LM-quality step
+    * past [[bigramModel]]'s raw conditionals: instead of backing off to
+    * unigram FREQUENCY (which overrates words that are frequent only
+    * inside fixed phrases), KN backs off to continuation probability —
+    * how many distinct contexts a word follows:
+    *
+    *   P_KN(w2|w1) = max(c12 − d, 0)/c1 + (d·N1+(w1·)/c1) · N1+(·w2)/N1+(··)
+    *
+    * with absolute discount d = 0.75 (Chen & Goodman 1999's standard
+    * setting). Emitted per bigram with `c12 ≥ minCount`: the five exact
+    * integer count columns the formula reads, plus `p_kn` evaluated in
+    * doubles with a FIXED operation tree (ints < 2^53 are exact in double
+    * and each IEEE op is correctly rounded, so an oracle mirroring the
+    * same parenthesization is bit-identical — no rounding step to
+    * tie-break).
+    *
+    * Scale: one corpus-sized bigram aggregate, then everything runs over
+    * the MODEL (vocab²-bounded): two partitioned windows (w1: context
+    * total + follower types; w2: predecessor types) and a broadcast 1-row
+    * global distinct-bigram count — never a single-partition window. */
+  def knBigramModel(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 3L, discount: Double = 0.75): DataFrame = {
+    val pair = docBigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val byW1 = Window.partitionBy(col("w1"))
+    val byW2 = Window.partitionBy(col("w2"))
+    val tot = pair.agg(count(lit(1)).as("n_bigrams"))
+    val d = lit(discount)
+    pair
+      .withColumn("c1", sum(col("c12")).over(byW1))
+      .withColumn("n_follow", count(lit(1)).over(byW1))
+      .withColumn("n_precede", count(lit(1)).over(byW2))
+      .crossJoin(broadcast(tot))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"),
+        col("c12").cast("long").as("c12"),
+        col("c1").cast("long").as("c1"),
+        col("n_follow").cast("long").as("n_follow"),
+        col("n_precede").cast("long").as("n_precede"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        (greatest(col("c12").cast("double") - d, lit(0.0))
+            / col("c1").cast("double")
+          + ((d * col("n_follow").cast("double")) / col("c1").cast("double"))
+            * (col("n_precede").cast("double")
+              / col("n_bigrams").cast("double"))).as("p_kn"))
+  }
+
   /** Sliding token-window chunks: windows of `size` tokens every `stride`
     * tokens (stride < size ⇒ overlapping context windows, the standard
     * training-example packing shape). The last window may be shorter; a

@@ -334,6 +334,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Map(1L -> "one", 2L -> "two v2", 4L -> "four"))
   }
 
+  test("knBigramModel: continuation counts and discounted probabilities, hand-checked") {
+    import spark.implicits._
+    // corpus "a b a b a c": c12 ab=2 ba=2 ac=1; c1 a=3 b=2;
+    // N1+(a·)=2 N1+(b·)=1; N1+(·a)=1 N1+(·b)=1 N1+(·c)=1; N1+(··)=3
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = Corpus.knBigramModel(docs, "doc_id", "text", minCount = 1L)
+      .select(col("w1"), col("w2"), col("c12").as[Long], col("c1").as[Long],
+        col("n_follow").as[Long], col("n_precede").as[Long],
+        col("n_bigrams").as[Long], col("p_kn").as[Double])
+      .as[(String, String, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == 3)
+    assert(got(("a", "b"))._3 == 2 && got(("a", "b"))._4 == 3 &&
+      got(("a", "b"))._5 == 2 && got(("a", "b"))._6 == 1 &&
+      got(("a", "b"))._7 == 3)
+    // P(b|a) = 1.25/3 + (0.75·2/3)·(1/3); P(a|b) = 0.625 + 0.125;
+    // P(c|a) = 0.25/3 + (0.75·2/3)·(1/3)
+    assert(math.abs(got(("a", "b"))._8 - 0.5833333333333333) < 1e-12)
+    assert(math.abs(got(("b", "a"))._8 - 0.75) < 1e-12)
+    assert(math.abs(got(("a", "c"))._8 - 0.25) < 1e-12)
+    // interpolated KN is a proper conditional: seen mass + the unseen
+    // w2=a share (0 + (0.75·2/3)·(1/3) = 1/6) sums to 1 for context 'a'
+    assert(math.abs(got(("a", "b"))._8 + got(("a", "c"))._8 + 1.0 / 6 - 1.0) < 1e-12)
+  }
+
   test("scd2Build: intervals chain, deletes close without emitting, trailing live") {
     import spark.implicits._
     val log = Seq(
