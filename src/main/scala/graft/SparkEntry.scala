@@ -2160,6 +2160,13 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Profiling depth — exact equi-width histogram of event values:
+    // integer-cent binning ((c-min)*B DIV (max-min+1)), observed per-bin
+    // extremes, cents-exact per-bin sums. Two column scans + one ≤B-key
+    // exchange; the load-time distribution-drift gate.
+    "q156_histogram" -> ((s, d) =>
+      graft.operators.Maintenance.equiWidthHistogram(events(s, d), "value", 16)),
+
     // Order-independent table fingerprint — migration/replication equality
     // without sorting either side: two 60-bit row-hash lanes, exact sums
     // reduced mod 2^61 so the output is plain int64s on every engine.
@@ -4251,6 +4258,20 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q156: same integer-cent binning — (c-mn)*16 // (mx-mn+1) in int64
+    // (DuckDB // is floor-div; operands are non-negative so it matches
+    // Spark's DIV truncation), observed extremes over /100.0 double
+    // division, DECIMAL(18,0) cents sum
+    "q156_histogram" ->
+      """WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT min(c) AS mn, max(c) AS mx FROM ev),
+        |b AS (SELECT ((c - mn) * 16) // (mx - mn + 1) AS bin, c FROM ev, st)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS cnt,
+        |  min(c) / 100.0 AS lo, max(c) / 100.0 AS hi,
+        |  CAST(sum(CAST(c AS DECIMAL(18,0))) / 100 AS DOUBLE) AS sum_value
+        |FROM b GROUP BY 1""".stripMargin,
+
     // q140: same chr(1)-joined, chr(2)-coalesced row md5, two disjoint
     // 60-bit substring lanes; each lane sums exactly in HUGEINT and the
     // final mod 2^61 lands in plain BIGINT range on both engines

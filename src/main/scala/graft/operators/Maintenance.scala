@@ -45,6 +45,37 @@ object Maintenance {
         (col("sb") % two61).cast("long").as("lane_b"))
   }
 
+  /** Exact equi-width histogram of a 2-decimal numeric column — the data
+    * profile behind load-time sanity gates (distribution drift, outlier
+    * bands) and bin-pruned range scans. Values are quantized to integer
+    * cents so the bin edges, counts, and per-bin sums are engine-exact:
+    * bin = (c - min) * bins DIV (max - min + 1) in pure int64 arithmetic,
+    * which lands the maximum in the last bin with no clamp and never
+    * straddles a float boundary. Per-bin lo/hi are the observed extremes
+    * (data-derived, exact), and the sum goes through a DECIMAL(18,0)
+    * cents accumulator (order-independent) before one double division.
+    *
+    * Scale: two scans of a single projected column (one for global
+    * min/max, one to bin), a broadcast of the 1-row stats, and a groupBy
+    * on ≤ `bins` keys — partial aggregation collapses each map task to
+    * ≤ `bins` rows before the (tiny) exchange. No sort, no driver loop. */
+  def equiWidthHistogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, "need at least one bin")
+    import org.apache.spark.sql.types.DecimalType
+    val ev = df.select(round(col(valueCol) * 100).cast("long").as("c"))
+      .filter(col("c").isNotNull)
+    val stats = ev.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    ev.crossJoin(broadcast(stats))
+      .withColumn("bin",
+        expr(s"CAST(((c - mn) * $bins) DIV (mx - mn + 1) AS BIGINT)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        (min(col("c")) / lit(100.0)).as("lo"),
+        (max(col("c")) / lit(100.0)).as("hi"),
+        (sum(col("c").cast(DecimalType(18, 0))) / lit(100))
+          .cast("double").as("sum_value"))
+  }
+
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.
     *
     * Sizing is derived from the CURRENT on-disk bytes (post-compression),

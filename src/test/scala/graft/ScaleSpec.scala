@@ -335,6 +335,36 @@ class ScaleSpec extends AnyFunSuite {
       withLiteral.getAs[Long]("lane_a"))
   }
 
+  test("equiWidthHistogram: exact bins, conserved mass, extremes in end bins") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    // 2-decimal values spanning [0.25, 100.00]; known hand-computed bins
+    val vals = Seq(0.25, 0.26, 12.50, 25.00, 49.99, 50.00, 75.01, 100.00)
+    val hist = Maintenance.equiWidthHistogram(
+      vals.map(Tuple1(_)).toDF("value"), "value", 4)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .toMap
+    // width = (10000-25+1)/4 cents: bin 0 = [25, 2518], 1 = [2519, 5012],
+    // 2 = [5013, 7506], 3 = [7507, 10000]
+    assert(hist(0L) == ((4L, 0.25, 25.00)))
+    assert(hist(1L) == ((2L, 49.99, 50.00)))
+    assert(hist(2L) == ((1L, 75.01, 75.01)))
+    assert(hist(3L) == ((1L, 100.00, 100.00)))
+    assert(hist.keys.forall(b => b >= 0L && b < 4L))
+    // mass conservation: counts and cents-exact sums add back up
+    assert(hist.values.map(_._1).sum == vals.size)
+    val total = Maintenance.equiWidthHistogram(
+      vals.map(Tuple1(_)).toDF("value"), "value", 4)
+      .agg(sum(col("sum_value"))).collect()(0).getDouble(0)
+    assert(math.abs(total - vals.sum) < 1e-9)
+    // degenerate: all-equal column lands in one bin, no div-by-zero
+    val one = Maintenance.equiWidthHistogram(
+      Seq(7.77, 7.77, 7.77).map(Tuple1(_)).toDF("value"), "value", 16)
+      .collect()
+    assert(one.length == 1 && one(0).getAs[Long]("cnt") == 3L)
+  }
+
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
     import spark.implicits._
     val dirPath = java.nio.file.Files.createTempDirectory("compact")
