@@ -2160,6 +2160,14 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Last-touch attribution: each purchase credited to the user's most
+    // recent view/click within 7 days, else 'direct' — one user-keyed
+    // window, no touch×conversion self-join.
+    "q157_attribution" -> ((s, d) =>
+      Transforms.lastTouchAttribution(events(s, d), "user_id", "event_type",
+        "ts", "event_id", "value", Seq("view", "click"), "purchase",
+        lookbackSeconds = 604800L)),
+
     // Profiling depth — exact equi-width histogram of event values:
     // integer-cent binning ((c-min)*B DIV (max-min+1)), observed per-bin
     // extremes, cents-exact per-bin sums. Two column scans + one ≤B-key
@@ -4258,6 +4266,29 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q157: same strictly-before frame (ROWS ... 1 PRECEDING over ts,
+    // event_id), IGNORE NULLS last_value per column (both CASEs share the
+    // null mask so they pick the same row), integer-second horizon
+    "q157_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    last_value(CASE WHEN event_type IN ('view','click')
+        |        THEN event_type END IGNORE NULLS) OVER w AS lt_type,
+        |    last_value(CASE WHEN event_type IN ('view','click')
+        |        THEN ts END IGNORE NULLS) OVER w AS lt_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, ts AS conv_ts,
+        |  CASE WHEN lt_ts IS NOT NULL
+        |         AND date_diff('second', lt_ts, ts) <= 604800
+        |       THEN lt_type ELSE 'direct' END AS touch_type,
+        |  CASE WHEN lt_ts IS NOT NULL
+        |         AND date_diff('second', lt_ts, ts) <= 604800
+        |       THEN lt_ts END AS touch_ts,
+        |  CAST(round(value * 100) AS BIGINT) AS revenue_cents
+        |FROM t WHERE event_type = 'purchase'""".stripMargin,
+
     // q156: same integer-cent binning — (c-mn)*16 // (mx-mn+1) in int64
     // (DuckDB // is floor-div; operands are non-negative so it matches
     // Spark's DIV truncation), observed extremes over /100.0 double

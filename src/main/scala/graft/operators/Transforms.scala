@@ -428,6 +428,46 @@ object Transforms {
         when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** Last-touch attribution — the marketing-analytics staple: each
+    * conversion event is credited to the most recent touch event by the
+    * same user STRICTLY before it ((tsCol, tieCol) order), provided the
+    * touch is within `lookbackSeconds`; conversions with no in-horizon
+    * touch are credited to 'direct'. Returns the per-conversion
+    * attribution log (userCol, tieCol, conv_ts, touch_type, touch_ts,
+    * revenue_cents) — the grain downstream ROAS/budget reports roll up.
+    *
+    * Determinism: the per-user order is made total by `tieCol`, the
+    * horizon test is exact integer epoch-seconds, and revenue is integer
+    * cents — nothing float-ordering-dependent.
+    *
+    * Scale: ONE window partitioned by user (each partition is one user's
+    * events — bounded), carrying a single struct of the running last
+    * touch; no self-join of conversions against touches, which is the
+    * O(touches × conversions) shape this operator exists to avoid. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String, valueCol: String,
+      touchTypes: Seq[String], conversionType: String,
+      lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touch types must be non-empty and disjoint from the conversion type")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsCol).as("t_ts"), col(typeCol).as("t_type")))
+    events
+      .withColumn("_lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .withColumn("_in_horizon", col("_lt").isNotNull &&
+        (unix_timestamp(col(tsCol)) - unix_timestamp(col("_lt.t_ts")))
+          .cast("long") <= lit(lookbackSeconds))
+      .select(col(userCol), col(tieCol), col(tsCol).as("conv_ts"),
+        when(col("_in_horizon"), col("_lt.t_type")).otherwise(lit("direct"))
+          .as("touch_type"),
+        when(col("_in_horizon"), col("_lt.t_ts")).as("touch_ts"),
+        round(col(valueCol) * 100).cast("long").as("revenue_cents"))
+  }
+
   /** Shuffle-key skew profile — the diagnostic to run BEFORE a big join
     * or aggregation: the hottest key's row share bounds the operation's
     * parallelism (that task does `top1_share` of the work no matter how

@@ -214,6 +214,39 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("lastTouchAttribution: latest in-horizon touch wins, stale/absent → direct") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view then click then purchase — click (latest) wins
+      (1L, "view", 10L, 10.0), (1L, "click", 20L, 0.0),
+      (1L, "purchase", 30L, 9.99),
+      // user 1 again: second purchase still credits the same click
+      (1L, "purchase", 40L, 5.00),
+      // user 2: only touch is outside the 100 s horizon → direct
+      (2L, "view", 10L, 0.0), (2L, "purchase", 200L, 3.50),
+      // user 3: no touches at all → direct
+      (3L, "signup", 5L, 0.0), (3L, "purchase", 8L, 1.25),
+      // user 4: touch at the SAME ts as the purchase but smaller event
+      // id — strictly-before by the (ts, event_id) total order → credited
+      (4L, "click", 50L, 0.0), (4L, "purchase", 50L, 2.00)
+    ).zipWithIndex.map { case ((u, t, s, v), i) =>
+      (u, t, new java.sql.Timestamp(s * 1000), i.toLong, v)
+    }.toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = Transforms.lastTouchAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "value", Seq("view", "click"), "purchase", 100L)
+      .select(col("user_id").as[Long], col("touch_type").as[String],
+        col("revenue_cents").as[Long]).collect().toSet
+    assert(got == Set((1L, "click", 999L), (1L, "click", 500L),
+      (2L, "direct", 350L), (3L, "direct", 125L), (4L, "click", 200L)))
+    // horizon is inclusive: purchase exactly lookback seconds after the
+    // touch is still attributed
+    val edge = Transforms.lastTouchAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "value", Seq("view", "click"), "purchase", 190L)
+      .filter(col("user_id") === 2L)
+      .select(col("touch_type").as[String]).collect().toSeq
+    assert(edge == Seq("view"))
+  }
+
   test("cohortRetention: day-0 is full, later offsets count distinct actives") {
     import spark.implicits._
     def ts(day: Int, h: Int) = new java.sql.Timestamp(
