@@ -2160,6 +2160,17 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Exact ROC AUC — Mann-Whitney rank-sum over the DISTINCT-score
+    // aggregate (ties count half, all-integer until one exact rounding).
+    // Score = the deterministic integer projection p0; labels binarized
+    // at >= 5. The sort touches |distinct scores| rows, never the corpus.
+    "q158_roc_auc" -> ((s, d) => {
+      val e = embeddings(s, d)
+      graft.serving.ModelScoring.rocAuc(e,
+        Similarity.intProjection(col("embedding"), 0),
+        (col("label") >= 5).cast("long"))
+    }),
+
     // Last-touch attribution: each purchase credited to the user's most
     // recent view/click within 7 days, else 'direct' — one user-keyed
     // window, no touch×conversion self-join.
@@ -4266,6 +4277,39 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q158: same p0 quantized projection as q147, then pos/neg per
+    // distinct score, cumulative strictly-below negatives, u2 = 2U in
+    // exact integers; HUGEINT-safe, final ratioRound6 half-up
+    "q158_roc_auc" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS j,
+        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings,
+        |  LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |sc AS (
+        |  SELECT vec_id, max(label) AS label,
+        |    sum(qv * ((j * 17) % 67 % 7 - 3)) AS s
+        |  FROM ex GROUP BY vec_id),
+        |bys AS (
+        |  SELECT s, sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN label >= 5 THEN 0 ELSE 1 END) AS neg
+        |  FROM sc GROUP BY s),
+        |cum AS (
+        |  SELECT pos, neg,
+        |    coalesce(sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cneg
+        |  FROM bys),
+        |f AS (
+        |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg,
+        |    CAST(sum(2 * pos * cneg + pos * neg) AS BIGINT) AS u2
+        |  FROM cum)
+        |SELECT n_pos, n_neg, u2,
+        |  CAST((2000000 * u2 + 2 * n_pos * n_neg)
+        |    // (4 * n_pos * n_neg) AS DOUBLE) / 1e6 AS auc_r
+        |FROM f""".stripMargin,
+
     // q157: same strictly-before frame (ROWS ... 1 PRECEDING over ts,
     // event_id), IGNORE NULLS last_value per column (both CASEs share the
     // null mask so they pick the same row), integer-second horizon

@@ -74,16 +74,22 @@ object Similarity {
   def randomProjection(vectors: DataFrame, idCol: String, vecCol: String,
       outDim: Int = 8): DataFrame = {
     require(outDim <= 67, "coefficient rows repeat past outDim 67")
-    val q = transform(col(vecCol),
-      x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)).cast("long"))
-    val proj = (0 until outDim).map { i =>
-      aggregate(
-        zip_with(q, sequence(lit(0L), size(col(vecCol)).cast("long") - 1L),
-          (x, j) => x * (pmod(pmod(lit(31L * i) + j * 17L + j * lit(13L * i),
-            lit(67L)), lit(7L)) - lit(3L))),
-        lit(0L), (acc, x) => acc + x).as(s"p$i")
-    }
+    val proj = (0 until outDim).map(i => intProjection(col(vecCol), i).as(s"p$i"))
     vectors.select((col(idCol) +: proj): _*)
+  }
+
+  /** The i-th coordinate of [[randomProjection]] as a standalone column —
+    * the same micro-unit quantization and ±3 coefficient stream, exposed
+    * for consumers that need ONE deterministic integer score per vector
+    * (e.g. the AUC evaluation's ranking score). */
+  def intProjection(vec: Column, i: Int): Column = {
+    val q = transform(vec,
+      x => floor(x.cast("double") * lit(1000000d) + lit(0.5d)).cast("long"))
+    aggregate(
+      zip_with(q, sequence(lit(0L), size(vec).cast("long") - 1L),
+        (x, j) => x * (pmod(pmod(lit(31L * i) + j * 17L + j * lit(13L * i),
+          lit(67L)), lit(7L)) - lit(3L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Brute-force cosine top-k of `vectors` against the single row of

@@ -2,7 +2,8 @@ package graft.serving
 
 import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-inference scoring — the reference loads a pickled sklearn
@@ -33,4 +34,39 @@ object ModelScoring {
     model.transform(df.withColumn("features",
         array_to_vector(transform(col(arrayCol), x => x.cast("double")))))
       .drop("features", "rawPrediction", "probability")
+
+  /** Exact ROC AUC — the Mann-Whitney rank-sum identity, computed over the
+    * DISTINCT-score aggregate instead of a global per-row ranking:
+    * AUC = [Σ_s pos_s·cumneg_{<s} + ½·pos_s·neg_s] / (n_pos·n_neg),
+    * i.e. the probability a random positive outranks a random negative,
+    * ties counting half. Everything stays integer (u2 = 2·U) until one
+    * exact half-up rounding, so the value is engine-identical — average
+    * ranks never materialize as floats. `scoreExpr` must be integral (or
+    * otherwise bit-exact cross-engine); `labelExpr` is 1/0.
+    *
+    * Returns one row: n_pos, n_neg, u2, auc_r.
+    *
+    * Scale: one partial-aggregatable groupBy on the score (corpus-sized
+    * input collapses map-side), then a window + final aggregate over the
+    * DISTINCT-score table only — the single-partition sort touches
+    * |distinct scores| rows, never the corpus. For continuous scores at
+    * 100 TB, quantize scoreExpr (as q158 does) to bound that table. */
+  def rocAuc(df: DataFrame, scoreExpr: Column, labelExpr: Column): DataFrame = {
+    val byScore = df
+      .select(scoreExpr.as("s"), labelExpr.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cneg", coalesce(sum(col("neg")).over(below), lit(0L)))
+      .agg(sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("neg")).cast("long").as("n_neg"),
+        sum(col("pos") * col("cneg") * lit(2L) + col("pos") * col("neg"))
+          .cast("long").as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        graft.operators.Corpus.ratioRound6(
+          col("u2"), col("n_pos") * col("n_neg") * lit(2L)).as("auc_r"))
+  }
 }

@@ -98,6 +98,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(acc > 0.2, s"accuracy $acc")
   }
 
+  test("rocAuc: Mann-Whitney identity, half-credit ties, exact integers") {
+    def auc(rows: Seq[(Long, Int)]): (Long, Long, Long, Double) = {
+      val r = ModelScoring.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect()(0)
+      (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+        r.getAs[Long]("u2"), r.getAs[Double]("auc_r"))
+    }
+    // perfect separation: every positive above every negative
+    assert(auc(Seq((10L, 1), (9L, 1), (1L, 0), (2L, 0))) == ((2L, 2L, 8L, 1.0)))
+    // a single tied pair counts half: AUC = 0.5
+    assert(auc(Seq((5L, 1), (5L, 0))) == ((1L, 1L, 1L, 0.5)))
+    // mixed: wins (3>1, 3>2, 2>1) + one tie (2=2) → U = 3.5 of 4 → 0.875
+    assert(auc(Seq((1L, 0), (2L, 0), (3L, 1), (2L, 1))) == ((2L, 2L, 7L, 0.875)))
+    // anti-predictor: every positive BELOW every negative → 0.0
+    assert(auc(Seq((1L, 1), (9L, 0)))._4 == 0.0)
+  }
+
   test("writeMonthOverwrite replaces only the targeted partition") {
     val dir = java.nio.file.Files.createTempDirectory("wasde-out").toString
     val v1 = Seq(("2026-01", "a", 1.0), ("2026-02", "b", 2.0)).toDF("mes", "geo", "v")
