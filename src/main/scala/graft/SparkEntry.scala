@@ -2160,6 +2160,12 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Per-group OLS trend: closed-form slope of value-cents vs hours-
+    // since-anchor from four exact integer moment sums — one broadcast
+    // anchor + one map-side-combining aggregate, no windows.
+    "q159_ols_trend" -> ((s, d) =>
+      Transforms.olsTrend(events(s, d), "event_type", "ts", "value")),
+
     // Exact ROC AUC — Mann-Whitney rank-sum over the DISTINCT-score
     // aggregate (ties count half, all-integer until one exact rounding).
     // Score = the deterministic integer projection p0; labels binarized
@@ -4277,6 +4283,34 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q159: same hours-since-min-epoch x, cents y, four HUGEINT-safe
+    // moment sums cast to BIGINT, sign-aware half-up slope rounding
+    "q159_ols_trend" ->
+      """WITH t0 AS (SELECT min(date_diff('second',
+        |    TIMESTAMP '1970-01-01', ts)) AS t0 FROM events),
+        |xy AS (
+        |  SELECT event_type,
+        |    (date_diff('second', TIMESTAMP '1970-01-01', ts) - t0)
+        |      // 3600 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events, t0 WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM xy GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |    CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+        |  FROM m)
+        |SELECT event_type, n, slope_num, slope_den,
+        |  CASE WHEN slope_den = 0 THEN NULL
+        |    ELSE (CASE WHEN slope_num < 0 THEN -1 ELSE 1 END) *
+        |      CAST((2000000 * abs(slope_num) + slope_den)
+        |        // (2 * slope_den) AS DOUBLE) / 1e6
+        |  END AS slope_r
+        |FROM f""".stripMargin,
+
     // q158: same p0 quantized projection as q147, then pos/neg per
     // distinct score, cumulative strictly-below negatives, u2 = 2U in
     // exact integers; HUGEINT-safe, final ratioRound6 half-up

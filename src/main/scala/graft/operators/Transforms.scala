@@ -428,6 +428,43 @@ object Transforms {
         when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** Per-group OLS trend — closed-form least-squares slope of value vs
+    * time per group, the drift detector behind "is this metric trending"
+    * checks: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) in cents per
+    * hour. x is integer HOURS since the global min timestamp (anchoring
+    * and the coarse unit keep every moment sum — Σx², n·Σxy — inside
+    * LONG even at 10⁵ rows per group; raw epoch seconds would overflow
+    * at Σx²), y is integer cents. Both slope terms stay exact integers;
+    * the only float is one sign-aware half-up rounding, so the slope is
+    * engine-identical. Groups with a single distinct x get a NULL slope.
+    *
+    * Scale: one broadcast 1-row anchor + ONE partial-aggregatable hash
+    * aggregate carrying four moment sums — no windows, no sort, the
+    * textbook map-side-combine shape. */
+  def olsTrend(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val anchor = df.agg(
+      min(unix_timestamp(col(tsCol)).cast("long")).as("_t0"))
+    val xy = df.crossJoin(broadcast(anchor))
+      .select(col(groupCol),
+        call_function("div",
+          unix_timestamp(col(tsCol)).cast("long") - col("_t0"),
+          lit(3600L)).as("x"),
+        round(col(valueCol) * 100).cast("long").as("y"))
+      .filter(col("y").isNotNull)
+    val m = xy.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    val num = m("n") * m("sxy") - m("sx") * m("sy")
+    val den = m("n") * m("sxx") - m("sx") * m("sx")
+    m.select(col(groupCol), col("n").cast("long").as("n"),
+      num.cast("long").as("slope_num"), den.cast("long").as("slope_den"),
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(when(num < 0L, lit(-1.0)).otherwise(lit(1.0)) *
+          Corpus.ratioRound6(abs(num), den)).as("slope_r"))
+  }
+
   /** Last-touch attribution — the marketing-analytics staple: each
     * conversion event is credited to the most recent touch event by the
     * same user STRICTLY before it ((tsCol, tieCol) order), provided the

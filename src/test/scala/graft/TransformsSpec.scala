@@ -214,6 +214,26 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("olsTrend: hand-computed slope, negative trend sign, degenerate NULL") {
+    import spark.implicits._
+    // key a: y(cents) = 100·x exactly at x = 0,1,2 hours → slope 100 c/h
+    // key b: y falls 50 cents/hour; key c: one distinct x → NULL slope
+    val ev = Seq(
+      ("a", 0L, 0.00), ("a", 3600L, 1.00), ("a", 7200L, 2.00),
+      ("b", 0L, 9.00), ("b", 3600L, 8.50), ("b", 7200L, 8.00),
+      ("c", 100L, 1.00), ("c", 200L, 2.00) // both inside hour 0
+    ).map { case (k, s, v) => (k, new java.sql.Timestamp(s * 1000), v) }
+      .toDF("k", "ts", "value")
+    val got = Transforms.olsTrend(ev, "k", "ts", "value")
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den"),
+          Option(r.get(r.fieldIndex("slope_r"))))).toMap
+    // n=3, Σx=3, Σxx=5 → den = 15-9 = 6; a: Σxy=500, Σy=300 → num=600
+    assert(got("a") == ((600L, 6L, Some(100.0))))
+    assert(got("b") == ((-300L, 6L, Some(-50.0))))
+    assert(got("c")._3.isEmpty && got("c")._2 == 0L)
+  }
+
   test("lastTouchAttribution: latest in-horizon touch wins, stale/absent → direct") {
     import spark.implicits._
     val ev = Seq(
