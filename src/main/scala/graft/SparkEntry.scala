@@ -2160,6 +2160,13 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Chi-squared contingency profile lang × source: per-cell counts,
+    // marginals, and the integer-exact (N·O−R·C)²/(N·R·C) contribution —
+    // corpus collapses to the cell table before any window touches it.
+    "q160_chi_square" -> ((s, d) =>
+      graft.operators.Maintenance.chiSquareCells(
+        documents(s, d), "lang", "source")),
+
     // Per-group OLS trend: closed-form slope of value-cents vs hours-
     // since-anchor from four exact integer moment sums — one broadcast
     // anchor + one map-side-combining aggregate, no windows.
@@ -4283,6 +4290,30 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q160: same cell/marginal counts; HUGEINT keeps the squared
+    // numerator exact, and the per-cell micro-unit half-up rounding
+    // matches Spark's DECIMAL(38,0) div
+    "q160_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT lang, source, o,
+        |    sum(o) OVER (PARTITION BY lang) AS r,
+        |    sum(o) OVER (PARTITION BY source) AS c,
+        |    sum(o) OVER () AS n
+        |  FROM cells),
+        |f AS (
+        |  SELECT lang, source, o, r, c, n,
+        |    (n * o - r * c) * (n * o - r * c) AS num,
+        |    n * r * c AS den
+        |  FROM m)
+        |SELECT lang, source, CAST(o AS BIGINT) AS o, CAST(r AS BIGINT) AS r,
+        |  CAST(c AS BIGINT) AS c, CAST(n AS BIGINT) AS n,
+        |  CAST((2000000 * num + den) // (2 * den) AS BIGINT) AS contrib_u,
+        |  CAST(CAST((2000000 * num + den) // (2 * den) AS BIGINT)
+        |    AS DOUBLE) / 1e6 AS contrib_r
+        |FROM f""".stripMargin,
+
     // q159: same hours-since-min-epoch x, cents y, four HUGEINT-safe
     // moment sums cast to BIGINT, sign-aware half-up slope rounding
     "q159_ols_trend" ->

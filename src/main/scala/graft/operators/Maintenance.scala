@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lakehouse table maintenance. The reference never needs this (it
@@ -74,6 +75,41 @@ object Maintenance {
         (max(col("c")) / lit(100.0)).as("hi"),
         (sum(col("c").cast(DecimalType(18, 0))) / lit(100))
           .cast("double").as("sum_value"))
+  }
+
+  /** Chi-squared contingency profile of two categorical columns — the
+    * independence diagnostic behind "did the lang mix shift per source"
+    * style drift gates. One row per observed (a, b) cell with its count,
+    * marginals, and the cell's χ² contribution (N·O − R·C)²/(N·R·C) —
+    * the integer-exact rearrangement of (O−E)²/E that never materializes
+    * the fractional expectation. The numerator square is computed in
+    * DECIMAL(38,0) and the half-up micro-unit rounding happens per cell
+    * (microBits pattern), so each contribution — and any sum of them —
+    * is engine-identical. Σ contrib_u / 1e6 is the χ² statistic.
+    *
+    * Scale: one partial-aggregatable groupBy collapses the corpus to the
+    * |A|×|B|-bounded cell table; marginals are windows OVER THAT TABLE
+    * (cells, not rows), so nothing corpus-sized is sorted or re-read. */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("o"))
+    val wa = Window.partitionBy(col(aCol))
+    val wb = Window.partitionBy(col(bCol))
+    val wn = Window.partitionBy()
+    val withM = cells
+      .withColumn("r", sum(col("o")).over(wa))
+      .withColumn("c", sum(col("o")).over(wb))
+      .withColumn("n", sum(col("o")).over(wn))
+    val diff = col("n") * col("o") - col("r") * col("c")
+    val num = (diff * diff).cast(DecimalType(38, 0))
+    val den = (col("n") * col("r") * col("c")).cast(DecimalType(38, 0))
+    withM.select(col(aCol), col(bCol), col("o").cast("long").as("o"),
+      col("r").cast("long").as("r"), col("c").cast("long").as("c"),
+      col("n").cast("long").as("n"),
+      call_function("div", num * lit(2000000L) + den, den * lit(2L))
+        .as("contrib_u"))
+      .withColumn("contrib_r", col("contrib_u").cast("double") / lit(1e6))
   }
 
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.

@@ -365,6 +365,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(one.length == 1 && one(0).getAs[Long]("cnt") == 3L)
   }
 
+  test("chiSquareCells: hand-computed 2x2 contributions sum to the statistic") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    // counts: (a,x)=3 (a,y)=1 (b,x)=1 (b,y)=3 → E=2 everywhere,
+    // chi2 = 4 · (1²/2) = 2.0; per cell (N·O−R·C)²/(N·R·C) = 64/128 = 0.5
+    val rows = Seq.fill(3)(("a", "x")) ++ Seq(("a", "y")) ++
+      Seq(("b", "x")) ++ Seq.fill(3)(("b", "y"))
+    val got = Maintenance.chiSquareCells(rows.toDF("lang", "src"), "lang", "src")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("src")) ->
+        (r.getAs[Long]("o"), r.getAs[Long]("r"), r.getAs[Long]("c"),
+          r.getAs[Long]("n"), r.getAs[Long]("contrib_u"))).toMap
+    assert(got(("a", "x")) == ((3L, 4L, 4L, 8L, 500000L)))
+    assert(got(("b", "y")) == ((3L, 4L, 4L, 8L, 500000L)))
+    assert(got(("a", "y")) == ((1L, 4L, 4L, 8L, 500000L)))
+    assert(got.values.map(_._5).sum == 2000000L)
+    // independent columns → zero contribution everywhere
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+    val zero = Maintenance.chiSquareCells(ind.toDF("lang", "src"), "lang", "src")
+      .agg(sum(col("contrib_u"))).collect()(0).getLong(0)
+    assert(zero == 0L)
+  }
+
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
     import spark.implicits._
     val dirPath = java.nio.file.Files.createTempDirectory("compact")
