@@ -2160,6 +2160,13 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // OHLC daily bars per event type: first/last in strict (ts, id)
+    // order + min/max/count/sum cents — per-bucket window and the bar
+    // aggregate share ONE (key, day) shuffle.
+    "q161_ohlc_bars" -> ((s, d) =>
+      Transforms.ohlcBars(events(s, d), "event_type", "ts", "event_id",
+        "value")),
+
     // Chi-squared contingency profile lang × source: per-cell counts,
     // marginals, and the integer-exact (N·O−R·C)²/(N·R·C) contribution —
     // corpus collapses to the cell table before any window touches it.
@@ -4290,6 +4297,27 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q161: same per-(type, day) full-frame first/last over (ts,
+    // event_id) order, integer cents throughout
+    "q161_ohlc_bars" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT event_type, day, c,
+        |    first_value(c) OVER win AS open_c,
+        |    last_value(c) OVER win AS close_c
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY event_type, day ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day,
+        |  CAST(max(open_c) AS BIGINT) AS open_c,
+        |  CAST(max(close_c) AS BIGINT) AS close_c,
+        |  CAST(max(c) AS BIGINT) AS high_c, CAST(min(c) AS BIGINT) AS low_c,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS vol_c
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
     // q160: same cell/marginal counts; HUGEINT keeps the squared
     // numerator exact, and the per-cell micro-unit half-up rounding
     // matches Spark's DECIMAL(38,0) div

@@ -428,6 +428,38 @@ object Transforms {
         when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** OHLC resampling bars — the time-series downsampler (market candles,
+    * metric rollups): per key per day, the first/last value in strict
+    * (tsCol, tieCol) order plus the min/max/count/sum. Values are integer
+    * cents; first/last are windows over the (key, day) partition — the
+    * per-bucket ordering OHLC inherently needs — and the bar itself is
+    * one partial-aggregatable groupBy on top.
+    *
+    * Scale: the window partitions by (key, day), so each sort is one
+    * key-day's rows (bounded by bucket size, never corpus-sized), and the
+    * exchange it shares feeds the groupBy on the same keys — one shuffle
+    * total. */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("day", to_date(col(tsCol)))
+      .withColumn("c", cents)
+    val w = Window.partitionBy(col(keyCol), col("day"))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn("open_c", first(col("c")).over(w))
+      .withColumn("close_c", last(col("c")).over(w))
+      .groupBy(col(keyCol), col("day"))
+      .agg(max(col("open_c")).cast("long").as("open_c"),
+        max(col("close_c")).cast("long").as("close_c"),
+        max(col("c")).cast("long").as("high_c"),
+        min(col("c")).cast("long").as("low_c"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("vol_c"))
+  }
+
   /** Per-group OLS trend — closed-form least-squares slope of value vs
     * time per group, the drift detector behind "is this metric trending"
     * checks: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) in cents per

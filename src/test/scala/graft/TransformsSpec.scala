@@ -214,6 +214,33 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("ohlcBars: open/close follow (ts, id) order, day buckets isolate") {
+    import spark.implicits._
+    val day0 = 0L; val day1 = 86400L
+    val ev = Seq(
+      // key A day 0: open 5.00 (earliest); the last TWO events share
+      // ts=30 — the larger event_id (3.50) must win the close
+      ("A", day0 + 10, 1L, 5.00), ("A", day0 + 20, 2L, 1.00),
+      ("A", day0 + 20, 3L, 7.00), ("A", day0 + 30, 5L, 3.50),
+      ("A", day0 + 30, 4L, 3.00),
+      // key A day 1: single event
+      ("A", day1 + 5, 6L, 9.50),
+      // key B day 0: descending values
+      ("B", day0 + 1, 6L, 4.00), ("B", day0 + 2, 7L, 2.00)
+    ).map { case (k, s, id, v) =>
+      (k, new java.sql.Timestamp(s * 1000), id, v)
+    }.toDF("k", "ts", "id", "value")
+    val got = Transforms.ohlcBars(ev, "k", "ts", "id", "value")
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("open_c"), r.getAs[Long]("close_c"),
+          r.getAs[Long]("high_c"), r.getAs[Long]("low_c"),
+          r.getAs[Long]("n"), r.getAs[Long]("vol_c"))).toMap
+    assert(got(("A", "1970-01-01")) == ((500L, 350L, 700L, 100L, 5L, 1950L)))
+    assert(got(("A", "1970-01-02")) == ((950L, 950L, 950L, 950L, 1L, 950L)))
+    assert(got(("B", "1970-01-01")) == ((400L, 200L, 400L, 200L, 2L, 600L)))
+  }
+
   test("olsTrend: hand-computed slope, negative trend sign, degenerate NULL") {
     import spark.implicits._
     // key a: y(cents) = 100·x exactly at x = 0,1,2 hours → slope 100 c/h
