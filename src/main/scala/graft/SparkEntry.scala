@@ -2160,6 +2160,12 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Benford first-digit profile of event values: integer-cents string
+    // head (no log10 float hazard), observed vs log10(1+1/d) shares —
+    // map-only extraction, ≤9-row aggregate.
+    "q162_benford" -> ((s, d) =>
+      graft.operators.Maintenance.benfordProfile(events(s, d), "value")),
+
     // OHLC daily bars per event type: first/last in strict (ts, id)
     // order + min/max/count/sum cents — per-bucket window and the bar
     // aggregate share ONE (key, day) shuffle.
@@ -4297,6 +4303,27 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q162: same integer-cents leading digit via VARCHAR head, exact
+    // half-up shares, 6-dp Benford constants cast to DOUBLE
+    "q162_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(abs(round(value * 100)) AS BIGINT) AS c FROM events
+        |  WHERE value IS NOT NULL
+        |    AND CAST(abs(round(value * 100)) AS BIGINT) != 0),
+        |ct AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n
+        |  FROM v GROUP BY 1),
+        |f AS (SELECT digit, n, sum(n) OVER () AS total FROM ct)
+        |SELECT digit, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+        |  CAST((2000000 * n + total) // (2 * total) AS DOUBLE) / 1e6
+        |    AS share_r,
+        |  CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |    WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181
+        |    WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |    WHEN 9 THEN 0.045757 END AS DOUBLE) AS benford_r
+        |FROM f""".stripMargin,
+
     // q161: same per-(type, day) full-frame first/last over (ts,
     // event_id) order, integer cents throughout
     "q161_ohlc_bars" ->

@@ -112,6 +112,36 @@ object Maintenance {
       .withColumn("contrib_r", col("contrib_u").cast("double") / lit(1e6))
   }
 
+  /** Benford first-digit profile — the fraud/fabrication smell test for
+    * naturally-occurring amounts: observed share of each leading
+    * significant digit vs Benford's log10(1 + 1/d) expectation. The
+    * digit is the first character of the INTEGER-CENTS decimal string
+    * (for |v| ≥ 0.01 that equals the first significant digit of v),
+    * which sidesteps the floor(log10(v)) float hazard at powers of ten;
+    * integer-string casts are canonical on every engine. Expected shares
+    * are 6-dp constants, observed shares exact half-up ratios.
+    *
+    * Scale: map-only digit extraction + one partial-aggregatable groupBy
+    * to ≤ 9 rows; the total is a window over those 9 rows. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val c = abs(round(col(valueCol) * 100)).cast("long")
+    val counts = df
+      .filter(col(valueCol).isNotNull && c =!= 0L)
+      .groupBy(substring(c.cast("string"), 1, 1).cast("long").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val expected = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, d) =>
+      when(col("digit") === d.toLong, lit(benford(d - 1))).otherwise(acc)
+    }
+    counts
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n").cast("long").as("n"),
+        col("total").cast("long").as("total"),
+        Corpus.ratioRound6(col("n"), col("total")).as("share_r"),
+        expected.as("benford_r"))
+  }
+
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.
     *
     * Sizing is derived from the CURRENT on-disk bytes (post-compression),

@@ -387,6 +387,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(zero == 0L)
   }
 
+  test("benfordProfile: cents-string digit, zero/null excluded, shares sum to 1") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    // 123.45 → digit 1; 0.02 → 2 (sub-unit values still lead correctly);
+    // -9.00 → 9 (abs); 0.00 and null are excluded
+    val vals = Seq(Some(123.45), Some(0.02), Some(-9.00), Some(0.00),
+      None, Some(1.00), Some(19.99))
+    val got = Maintenance.benfordProfile(vals.toDF("value"), "value")
+      .collect().map(r => r.getAs[Long]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("total"),
+          r.getAs[Double]("benford_r"))).toMap
+    assert(got(1L) == ((3L, 5L, 0.301030)))
+    assert(got(2L) == ((1L, 5L, 0.176091)))
+    assert(got(9L) == ((1L, 5L, 0.045757)))
+    assert(got.values.map(_._1).sum == 5L)
+  }
+
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
     import spark.implicits._
     val dirPath = java.nio.file.Files.createTempDirectory("compact")
