@@ -2160,6 +2160,13 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Equi-depth histogram of event values: quantile buckets from the
+    // strictly-below cumulative over the distinct-value table — the
+    // profiling twin of q156's equi-width bins.
+    "q163_equidepth" -> ((s, d) =>
+      graft.operators.Maintenance.equiDepthHistogram(events(s, d), "value",
+        16)),
+
     // Benford first-digit profile of event values: integer-cents string
     // head (no log10 float hazard), observed vs log10(1+1/d) shares —
     // map-only extraction, ≤9-row aggregate.
@@ -4303,6 +4310,25 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q163: same strictly-below cumulative (ROWS ... 1 PRECEDING) over
+    // the distinct-cents table, floor-div bucket assignment
+    "q163_equidepth" ->
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+        |  WHERE value IS NOT NULL),
+        |bv AS (SELECT c, count(*) AS n FROM ev GROUP BY 1),
+        |cw AS (
+        |  SELECT c, n,
+        |    coalesce(sum(n) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cum_lt,
+        |    sum(n) OVER () AS total
+        |  FROM bv)
+        |SELECT CAST((cum_lt * 16) // total AS BIGINT) AS bucket,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  min(c) / 100.0 AS lo, max(c) / 100.0 AS hi
+        |FROM cw GROUP BY 1""".stripMargin,
+
     // q162: same integer-cents leading digit via VARCHAR head, exact
     // half-up shares, 6-dp Benford constants cast to DOUBLE
     "q162_benford" ->

@@ -142,6 +142,37 @@ object Maintenance {
         expected.as("benford_r"))
   }
 
+  /** Exact equi-depth histogram — quantile buckets instead of [[
+    * equiWidthHistogram]]'s fixed-width bins: bucket(v) = ⌊cum_lt(v)·B/N⌋
+    * where cum_lt counts rows STRICTLY below v, so every duplicate of a
+    * value lands in one bucket (a corpus-hot value owns its whole span
+    * and later buckets may be empty — depth is approximate exactly when
+    * the data is, never arbitrarily split). All-integer arithmetic;
+    * per-bucket row/distinct counts and observed value extremes.
+    *
+    * Scale: one partial-aggregatable groupBy collapses the corpus to the
+    * distinct-value table; the cumulative window sorts THAT table only
+    * (the q158 AUC posture — quantize the value to bound it at 100 TB). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "need at least one bucket")
+    val byV = df
+      .select(round(col(valueCol) * 100).cast("long").as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("c")).agg(count(lit(1)).as("n"))
+    val below = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byV
+      .withColumn("cum_lt", coalesce(sum(col("n")).over(below), lit(0L)))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .groupBy(call_function("div", col("cum_lt") * lit(buckets.toLong),
+        col("total")).as("bucket"))
+      .agg(sum(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        (min(col("c")) / lit(100.0)).as("lo"),
+        (max(col("c")) / lit(100.0)).as("hi"))
+  }
+
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.
     *
     * Sizing is derived from the CURRENT on-disk bytes (post-compression),

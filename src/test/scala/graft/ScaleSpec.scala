@@ -404,6 +404,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == 5L)
   }
 
+  test("equiDepthHistogram: hot value owns its span, uniform splits evenly") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    // 4×1.00, 2×2.00, 2×3.00, B=4: cum_lt 0/4/6 → buckets 0/2/3
+    // (the hot 1.00 spans buckets 0-1, so bucket 1 is empty)
+    val hot = Seq.fill(4)(1.00) ++ Seq.fill(2)(2.00) ++ Seq.fill(2)(3.00)
+    val g1 = Maintenance.equiDepthHistogram(
+      hot.map(Tuple1(_)).toDF("value"), "value", 4)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    assert(g1 == Map(0L -> ((4L, 1L, 1.00, 1.00)),
+      2L -> ((2L, 1L, 2.00, 2.00)), 3L -> ((2L, 1L, 3.00, 3.00))))
+    // uniform 1..8 once each, B=4 → every bucket holds exactly 2 rows
+    val g2 = Maintenance.equiDepthHistogram(
+      (1 to 8).map(v => Tuple1(v.toDouble)).toDF("value"), "value", 4)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_rows"))
+      .toMap
+    assert(g2 == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
     import spark.implicits._
     val dirPath = java.nio.file.Files.createTempDirectory("compact")
