@@ -2160,6 +2160,12 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Pairwise Jensen-Shannon divergence between source unigram
+    // distributions — bounded symmetric drift measure; inner word join +
+    // closed-form private-mass remainder, exact 0 for identical inputs.
+    "q164_js_divergence" -> ((s, d) =>
+      Corpus.jsDivergence(documents(s, d), "source", "text")),
+
     // Equi-depth histogram of event values: quantile buckets from the
     // strictly-below cumulative over the distinct-value table — the
     // profiling twin of q156's equi-width bins.
@@ -4310,6 +4316,50 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q164: same tokenizer as q111, A·B-scaled integer log arguments,
+    // micro-bit rounding per word, private-mass remainder, HUGEINT
+    // combine with one half-up division
+    "q164_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source AS g,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sw AS (SELECT g, w, count(*) AS n FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS tot FROM sw GROUP BY 1),
+        |j AS (
+        |  SELECT a.g AS s1, b.g AS s2, a.n AS na, b.n AS nb,
+        |    ta.tot AS ta, tb.tot AS tb
+        |  FROM sw a JOIN sw b ON a.w = b.w AND a.g < b.g
+        |  JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b.g),
+        |ag AS (
+        |  SELECT s1, s2, count(*) AS n_common,
+        |    sum(na * (1000000
+        |      + CAST(round(1e6 * log2(CAST(na * tb AS DOUBLE))) AS BIGINT)
+        |      - CAST(round(1e6 * log2(CAST(na * tb + nb * ta AS DOUBLE)))
+        |          AS BIGINT))) AS sp_in,
+        |    sum(nb * (1000000
+        |      + CAST(round(1e6 * log2(CAST(nb * ta AS DOUBLE))) AS BIGINT)
+        |      - CAST(round(1e6 * log2(CAST(na * tb + nb * ta AS DOUBLE)))
+        |          AS BIGINT))) AS sq_in,
+        |    sum(na) AS ca, sum(nb) AS cb
+        |  FROM j GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.g AS s1, q.g AS s2, p.tot AS ta, q.tot AS tb
+        |  FROM tot p, tot q WHERE p.g < q.g),
+        |f AS (
+        |  SELECT pr.s1, pr.s2, coalesce(ag.n_common, 0) AS n_common,
+        |    coalesce(ag.sp_in, 0)
+        |      + (pr.ta - coalesce(ag.ca, 0)) * 1000000 AS sp,
+        |    coalesce(ag.sq_in, 0)
+        |      + (pr.tb - coalesce(ag.cb, 0)) * 1000000 AS sq,
+        |    pr.ta AS ta, pr.tb AS tb
+        |  FROM pairs pr LEFT JOIN ag ON pr.s1 = ag.s1 AND pr.s2 = ag.s2)
+        |SELECT s1, s2, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(sp AS BIGINT) AS sp_ub, CAST(sq AS BIGINT) AS sq_ub, ta, tb,
+        |  CAST((2 * (sp * tb + sq * ta) + 2 * ta * tb)
+        |    // (4 * ta * tb) AS DOUBLE) / 1e6 AS js_r
+        |FROM f""".stripMargin,
+
     // q163: same strictly-below cumulative (ROWS ... 1 PRECEDING) over
     // the distinct-cents table, floor-div bucket assignment
     "q163_equidepth" ->

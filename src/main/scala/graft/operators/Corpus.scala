@@ -315,6 +315,67 @@ object Corpus {
           col("n_tok")).as("entropy_r"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between group unigram
+    * distributions — the bounded, symmetric corpus-drift measure ([0, 1]
+    * bit) PSI can't give when supports differ (JS never divides by zero).
+    * Per shared word, the P-side term weight is
+    * 1 + log2(a·B) − log2(a·B + b·A) (the A·B-scaled rearrangement of
+    * log2(2p/(p+q)) that keeps every log argument an exact integer
+    * product); words private to one group contribute exactly their full
+    * probability mass, which is why an INNER join on the word suffices —
+    * the private-mass remainder (A − Σ_shared a)·1e6 is added in closed
+    * form. Per-word log factors are micro-bit rounded ([[microBits]])
+    * before the LONG sums, and the final combine runs in DECIMAL(38,0)
+    * with one half-up division: identical distributions give EXACTLY 0.
+    *
+    * Scale: token explode → one (group, word) partial aggregate; the
+    * pair join shuffles on the WORD key (group-count-bounded fanout per
+    * word, never all-pairs over rows); totals broadcast. */
+  def jsDivergence(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(groupCol).as("g"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val sw = toks.groupBy(col("g"), col("w")).agg(count(lit(1)).as("n"))
+    val tot = sw.groupBy(col("g")).agg(sum(col("n")).cast("long").as("tot"))
+    val joined = sw.as("a")
+      .join(sw.as("b"),
+        col("a.w") === col("b.w") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("s1"), col("b.g").as("s2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .join(broadcast(tot.select(col("g").as("s1"), col("tot").as("ta"))), "s1")
+      .join(broadcast(tot.select(col("g").as("s2"), col("tot").as("tb"))), "s2")
+    val aB = col("na") * col("tb")
+    val bA = col("nb") * col("ta")
+    val agg = joined.groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("na") * (lit(1000000L) + microBits(aB) - microBits(aB + bA)))
+          .as("sp_in"),
+        sum(col("nb") * (lit(1000000L) + microBits(bA) - microBits(aB + bA)))
+          .as("sq_in"),
+        sum(col("na")).as("ca"), sum(col("nb")).as("cb"))
+    // pair scaffold keeps disjoint-vocabulary pairs (JS exactly 1 bit)
+    // that the inner word join would drop entirely
+    val pairs = tot.select(col("g").as("s1"), col("tot").as("ta"))
+      .crossJoin(tot.select(col("g").as("s2"), col("tot").as("tb")))
+      .filter(col("s1") < col("s2"))
+    val full = pairs.join(agg, Seq("s1", "s2"), "left")
+    val sp = (coalesce(col("sp_in"), lit(0L)) +
+      (col("ta") - coalesce(col("ca"), lit(0L))) * lit(1000000L))
+    val sq = (coalesce(col("sq_in"), lit(0L)) +
+      (col("tb") - coalesce(col("cb"), lit(0L))) * lit(1000000L))
+    val num = (sp.cast(DecimalType(38, 0)) * col("tb") +
+      sq.cast(DecimalType(38, 0)) * col("ta"))
+    val den = (col("ta").cast(DecimalType(38, 0)) * col("tb") * lit(2L))
+    full.select(col("s1"), col("s2"),
+      coalesce(col("n_common"), lit(0L)).cast("long").as("n_common"),
+      sp.cast("long").as("sp_ub"), sq.cast("long").as("sq_ub"),
+      col("ta").cast("long").as("ta"), col("tb").cast("long").as("tb"),
+      (call_function("div", num * lit(2L) + den, den * lit(2L))
+        .cast("double") / lit(1e6)).as("js_r"))
+  }
+
   /** Merge per-document MinHash signatures into per-group sketches:
     * element-wise lane MIN — associative and commutative, so Spark's partial
     * aggregation combines map-side and only (group, lane, hash) rows reach

@@ -526,6 +526,28 @@ class CorpusSpec extends AnyFunSuite {
 
   // ---- invertedIndex ----------------------------------------------------
 
+  test("jsDivergence: hand-checked value, exact 0 identical, exact 1 disjoint") {
+    import spark.implicits._
+    // g1 = "x x y" (A=3), g2 = "x z" (B=2); shared word x: a=2, b=1,
+    // aB=4, bA=3 → sp = 2·(1e6+2000000−2807355)+1·1e6 = 1385290,
+    // sq = (1e6+1584963−2807355)+1e6 = 777608,
+    // JS = halfup((1385290·2+777608·3)/12)/1e6 = 0.425284
+    val d1 = Seq(("g1", "x x y"), ("g2", "x z")).toDF("src", "text")
+    val r1 = Corpus.jsDivergence(d1, "src", "text").collect()(0)
+    assert(r1.getAs[Long]("n_common") == 1L)
+    assert(r1.getAs[Long]("sp_ub") == 1385290L)
+    assert(r1.getAs[Long]("sq_ub") == 777608L)
+    assert(r1.getAs[Double]("js_r") == 0.425284)
+    // identical distributions cancel to EXACTLY zero (no float residue)
+    val d2 = Seq(("a", "p q q r"), ("b", "q r p q")).toDF("src", "text")
+    assert(Corpus.jsDivergence(d2, "src", "text")
+      .collect()(0).getAs[Double]("js_r") == 0.0)
+    // disjoint vocabularies survive the inner join via the pair scaffold
+    val d3 = Seq(("a", "only here"), ("b", "different words")).toDF("src", "text")
+    val r3 = Corpus.jsDivergence(d3, "src", "text").collect()(0)
+    assert(r3.getAs[Long]("n_common") == 0L && r3.getAs[Double]("js_r") == 1.0)
+  }
+
   test("invertedIndex: known answer, deterministic tie-break, plan shape") {
     val d = Seq(
       (1L, "apple banana apple"),
