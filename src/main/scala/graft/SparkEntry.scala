@@ -2160,6 +2160,22 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Calibration curve over the q158 score: equi-depth score deciles
+    // with exact per-bucket positive rates — the reliability diagram
+    // that tells you whether the score's ranking is trustworthy.
+    "q165_calibration" -> ((s, d) => {
+      val e = embeddings(s, d)
+      graft.serving.ModelScoring.calibrationCurve(e,
+        Similarity.intProjection(col("embedding"), 0),
+        (col("label") >= 5).cast("long"), 10)
+    }),
+
+    // Flesch reading-ease per document: integer regex counts (vowel-group
+    // syllable proxy, [.!?]+ sentences floored at 1), per-term half-up
+    // micro rounding — map-only, zero shuffle.
+    "q166_readability" -> ((s, d) =>
+      Corpus.readability(documents(s, d), "doc_id", "text")),
+
     // Pairwise Jensen-Shannon divergence between source unigram
     // distributions — bounded symmetric drift measure; inner word join +
     // closed-form private-mass remainder, exact 0 for identical inputs.
@@ -4316,6 +4332,57 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q165: q158's score CTE + q163's strictly-below bucket assignment,
+    // exact per-bucket counts/sums, one half-up rate rounding
+    "q165_calibration" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS j,
+        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings,
+        |  LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |sc AS (
+        |  SELECT vec_id, max(label) AS label,
+        |    sum(qv * ((j * 17) % 67 % 7 - 3)) AS s
+        |  FROM ex GROUP BY vec_id),
+        |bys AS (
+        |  SELECT s, count(*) AS n,
+        |    sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS pos
+        |  FROM sc GROUP BY s),
+        |cw AS (
+        |  SELECT s, n, pos,
+        |    coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cum_lt,
+        |    sum(n) OVER () AS total
+        |  FROM bys)
+        |SELECT CAST((cum_lt * 10) // total AS BIGINT) AS bucket,
+        |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(min(s) AS BIGINT) AS s_lo, CAST(max(s) AS BIGINT) AS s_hi,
+        |  CAST(sum(s * n) AS BIGINT) AS score_sum,
+        |  CAST((2000000 * sum(pos) + sum(n)) // (2 * sum(n)) AS DOUBLE)
+        |    / 1e6 AS pos_rate_r
+        |FROM cw GROUP BY 1""".stripMargin,
+
+    // q166: same integer regex counts (RE2 character classes are
+    // dialect-safe), identical per-term floor-div rounding
+    "q166_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(206835000
+        |    - (2 * 1015000 * n_words + n_sentences) // (2 * n_sentences)
+        |    - (2 * 84600000 * n_syllables + n_words) // (2 * n_words)
+        |    AS DOUBLE) / 1e6 AS flesch_r
+        |FROM b""".stripMargin,
+
     // q164: same tokenizer as q111, A·B-scaled integer log arguments,
     // micro-bit rounding per word, private-mass remainder, HUGEINT
     // combine with one half-up division

@@ -315,6 +315,39 @@ object Corpus {
           col("n_tok")).as("entropy_r"))
   }
 
+  /** Flesch reading-ease score per document — the classic readability
+    * gate (long sentences + polysyllabic words → low score): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words). Counts are pure
+    * integer regex counts (sentences = [.!?]+ runs floored at 1,
+    * syllables ≈ [aeiouy]+ vowel groups — the standard cheap proxy), and
+    * each ratio term is half-up rounded to micro-units independently, so
+    * the score is an exact LONG difference scaled once.
+    *
+    * Scale: map-only (three regex passes per row inside codegen, no
+    * shuffle at all). */
+  def readability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
+          .as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"),
+        size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("n_syllables"))
+    val t2 = call_function("div",
+      lit(2L) * lit(1015000L) * col("n_words") + col("n_sentences"),
+      lit(2L) * col("n_sentences"))
+    val t3 = call_function("div",
+      lit(2L) * lit(84600000L) * col("n_syllables") + col("n_words"),
+      lit(2L) * col("n_words"))
+    base.select(col(idCol), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      ((lit(206835000L) - t2 - t3).cast("double") / lit(1e6))
+        .as("flesch_r"))
+  }
+
   /** Pairwise Jensen-Shannon divergence between group unigram
     * distributions — the bounded, symmetric corpus-drift measure ([0, 1]
     * bit) PSI can't give when supports differ (JS never divides by zero).

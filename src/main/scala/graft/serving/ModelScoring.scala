@@ -35,6 +35,42 @@ object ModelScoring {
         array_to_vector(transform(col(arrayCol), x => x.cast("double")))))
       .drop("features", "rawPrediction", "probability")
 
+  /** Calibration curve (reliability diagram) — equi-depth score buckets
+    * with the exact positive rate per bucket: does "top decile by score"
+    * actually convert at a higher rate? Buckets come from the strictly-
+    * below cumulative over the DISTINCT-score table (the [[rocAuc]] /
+    * equi-depth posture: duplicates of one score never split), so a
+    * corpus-hot score owns its whole span. All counts and the score sum
+    * are exact integers; the positive rate is one half-up rounding.
+    *
+    * Returns ≤ `buckets` rows: bucket, n, n_pos, s_lo, s_hi, score_sum,
+    * pos_rate_r.
+    *
+    * Scale: identical to [[rocAuc]] — corpus collapses map-side to
+    * distinct scores; the only sort touches that table. */
+  def calibrationCurve(df: DataFrame, scoreExpr: Column, labelExpr: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "need at least one bucket")
+    val byScore = df
+      .select(scoreExpr.as("s"), labelExpr.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_lt", coalesce(sum(col("n")).over(below), lit(0L)))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .groupBy(call_function("div", col("cum_lt") * lit(buckets.toLong),
+        col("total")).as("bucket"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        min(col("s")).cast("long").as("s_lo"),
+        max(col("s")).cast("long").as("s_hi"),
+        sum(col("s") * col("n")).cast("long").as("score_sum"))
+      .withColumn("pos_rate_r",
+        graft.operators.Corpus.ratioRound6(col("n_pos"), col("n")))
+  }
+
   /** Exact ROC AUC — the Mann-Whitney rank-sum identity, computed over the
     * DISTINCT-score aggregate instead of a global per-row ranking:
     * AUC = [Σ_s pos_s·cumneg_{<s} + ½·pos_s·neg_s] / (n_pos·n_neg),

@@ -526,6 +526,25 @@ class CorpusSpec extends AnyFunSuite {
 
   // ---- invertedIndex ----------------------------------------------------
 
+  test("readability: hand-computed Flesch, sentence floor, empty filtered") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, 2 sentences, 6 vowel groups →
+      // 206.835 − 1.015·3 − 84.6·1 = 119.19
+      (1L, "The cat sat. The dog ran!"),
+      // no terminal punctuation → sentence floor 1; 2 words, 3 groups →
+      // 206.835 − 2.03 − 126.9 = 77.905
+      (2L, "hello world"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val got = Corpus.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_syllables"), r.getAs[Double]("flesch_r"))).toMap
+    assert(got == Map(
+      1L -> ((6L, 2L, 6L, 119.19)),
+      2L -> ((2L, 1L, 3L, 77.905))))
+  }
+
   test("jsDivergence: hand-checked value, exact 0 identical, exact 1 disjoint") {
     import spark.implicits._
     // g1 = "x x y" (A=3), g2 = "x z" (B=2); shared word x: a=2, b=1,

@@ -115,6 +115,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(auc(Seq((1L, 1), (9L, 0)))._4 == 0.0)
   }
 
+  test("calibrationCurve: monotone fixture buckets, exact rates, hot score owns span") {
+    def curve(rows: Seq[(Long, Int)], b: Int) =
+      ModelScoring.calibrationCurve(rows.toDF("s", "y"), col("s"), col("y"), b)
+        .collect().map(r => r.getAs[Long]("bucket") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+            r.getAs[Double]("pos_rate_r"))).toMap
+    // 8 distinct scores, perfectly calibrated upper half, 4 buckets
+    val rows = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0),
+      (5L, 1), (6L, 1), (7L, 1), (8L, 1))
+    assert(curve(rows, 4) == Map(0L -> ((2L, 0L, 0.0)), 1L -> ((2L, 0L, 0.0)),
+      2L -> ((2L, 2L, 1.0)), 3L -> ((2L, 2L, 1.0))))
+    // one hot score (4 copies, half positive) owns buckets 0-1's span
+    val hot = Seq((1L, 0), (1L, 1), (1L, 0), (1L, 1), (9L, 1), (9L, 0))
+    val got = curve(hot, 3)
+    assert(got == Map(0L -> ((4L, 2L, 0.5)), 2L -> ((2L, 1L, 0.5))))
+  }
+
   test("writeMonthOverwrite replaces only the targeted partition") {
     val dir = java.nio.file.Files.createTempDirectory("wasde-out").toString
     val v1 = Seq(("2026-01", "a", 1.0), ("2026-02", "b", 2.0)).toDF("mes", "geo", "v")
