@@ -2160,6 +2160,31 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Vocabulary coverage curve: top-100 words by frequency with
+    // cumulative token share — the tokenizer-design query; both windows
+    // sort the vocab table only.
+    "q168_vocab_coverage" -> ((s, d) =>
+      Corpus.vocabCoverage(documents(s, d), "text", topK = 100)),
+
+    // Week-over-week deltas per event type: calendar equi-join against
+    // day−7 (honest NULL when no prior week, unlike a lag-7 row window).
+    "q169_wow_delta" -> ((s, d) =>
+      Transforms.weekOverWeek(events(s, d), "event_type", "ts", "value")),
+
+    // Per-source quality scorecard: exact shares of docs passing the
+    // English / Flesch≥60 / ≥50-words gates — map-side indicators, ONE
+    // hash aggregate, no per-gate subquery joins.
+    "q170_source_scorecard" -> ((s, d) =>
+      Corpus.sourceScorecard(documents(s, d), "source", "text", "lang",
+        "n_chars")),
+
+    // Clickstream path mining: each user's first-3-events path with
+    // exact frequency shares — one user-keyed window + aggregate on a
+    // shared exchange, alphabet-bounded path table.
+    "q167_path_mining" -> ((s, d) =>
+      Transforms.pathMining(events(s, d), "user_id", "event_type", "ts",
+        "event_id", k = 3)),
+
     // Calibration curve over the q158 score: equi-depth score deciles
     // with exact per-bucket positive rates — the reliability diagram
     // that tells you whether the score's ranking is trustworthy.
@@ -4332,6 +4357,91 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q168: same (n DESC, w) total order for rank and inclusive
+    // cumulative, same tokenizer as q111
+    "q168_vocab_coverage" ->
+      """WITH wc AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT w, count(*) AS n FROM wc GROUP BY 1),
+        |r AS (
+        |  SELECT w, n,
+        |    row_number() OVER (ORDER BY n DESC, w) AS rank,
+        |    sum(n) OVER (ORDER BY n DESC, w ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(n) OVER () AS total
+        |  FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, w, CAST(n AS BIGINT) AS n,
+        |  CAST(cum_n AS BIGINT) AS cum_n, CAST(total AS BIGINT) AS total,
+        |  CAST((2000000 * cum_n + total) // (2 * total) AS DOUBLE) / 1e6
+        |    AS cover_r
+        |FROM r WHERE rank <= 100""".stripMargin,
+
+    // q169: same daily rollup, LEFT self-join on day − 7
+    "q169_wow_delta" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |    coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS val_c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.event_type, c.day, CAST(c.n AS BIGINT) AS n,
+        |  CAST(c.val_c AS BIGINT) AS val_c,
+        |  CAST(p.n AS BIGINT) AS n_prev,
+        |  CAST(c.n - p.n AS BIGINT) AS delta_n,
+        |  CAST(c.val_c - p.val_c AS BIGINT) AS delta_val_c
+        |FROM daily c LEFT JOIN daily p
+        |  ON p.event_type = c.event_type AND p.day = c.day - 7""".stripMargin,
+
+    // q170: identical gate expressions (q166's counts + micro Flesch),
+    // one aggregate, exact half-up shares
+    "q170_source_scorecard" ->
+      """WITH g AS (
+        |  SELECT source, n_chars AS nc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+        |    CASE WHEN 206835000
+        |      - (2 * 1015000 * nw + ns) // (2 * ns)
+        |      - (2 * 84600000 * sy + nw) // (2 * nw) >= 60000000
+        |      THEN 1 ELSE 0 END AS is_readable,
+        |    CASE WHEN nw >= 50 THEN 1 ELSE 0 END AS is_long
+        |  FROM (
+        |    SELECT source, lang, n_chars,
+        |      CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |        AS BIGINT) AS nw,
+        |      greatest(CAST(1 AS BIGINT),
+        |        CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |        AS ns,
+        |      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |        AS BIGINT) AS sy
+        |    FROM documents WHERE length(trim(text)) > 0))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  CAST((2000000 * sum(nc) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1e6 AS mean_chars_r,
+        |  CAST((2000000 * sum(is_en) + count(*)) // (2 * count(*))
+        |    AS DOUBLE) / 1e6 AS en_share_r,
+        |  CAST((2000000 * sum(is_readable) + count(*)) // (2 * count(*))
+        |    AS DOUBLE) / 1e6 AS readable_share_r,
+        |  CAST((2000000 * sum(is_long) + count(*)) // (2 * count(*))
+        |    AS DOUBLE) / 1e6 AS long_share_r
+        |FROM g GROUP BY source""".stripMargin,
+
+    // q167: same (ts, event_id) row_number truncation; DuckDB's ordered
+    // string_agg replaces the sorted-struct join
+    "q167_path_mining" ->
+      """WITH rn AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM rn WHERE rn <= 3 GROUP BY user_id),
+        |c AS (SELECT path, count(*) AS n FROM p GROUP BY 1),
+        |f AS (SELECT path, n, sum(n) OVER () AS total FROM c)
+        |SELECT path, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+        |  CAST((2000000 * n + total) // (2 * total) AS DOUBLE) / 1e6
+        |    AS share_r
+        |FROM f""".stripMargin,
+
     // q165: q158's score CTE + q163's strictly-below bucket assignment,
     // exact per-bucket counts/sums, one half-up rate rounding
     "q165_calibration" ->

@@ -315,6 +315,33 @@ object Corpus {
           col("n_tok")).as("entropy_r"))
   }
 
+  /** Vocabulary coverage curve — the "how big must the vocab be" tokenizer
+    * design query: words ranked by frequency (ties broken by the word
+    * itself for a total order), with each rank's cumulative token share.
+    * The top-`topK` rows ARE the coverage curve; cover_r at rank V is the
+    * share of all token occurrences a V-word vocabulary captures.
+    *
+    * Scale: the corpus collapses to the vocab table in one partial-
+    * aggregatable groupBy; ranking + cumulative sum sort THAT table only
+    * (vocab-bounded — the q158 posture), and both windows share one sort
+    * order. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val wc = docs.filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val ord = Window.orderBy(col("n").desc, col("w"))
+    wc.withColumn("rank", row_number().over(ord))
+      .withColumn("cum_n", sum(col("n"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .filter(col("rank") <= topK)
+      .select(col("rank").cast("long").as("rank"), col("w"),
+        col("n").cast("long").as("n"), col("cum_n").cast("long").as("cum_n"),
+        col("total").cast("long").as("total"),
+        ratioRound6(col("cum_n"), col("total")).as("cover_r"))
+  }
+
   /** Flesch reading-ease score per document — the classic readability
     * gate (long sentences + polysyllabic words → low score): 206.835 −
     * 1.015·(words/sentences) − 84.6·(syllables/words). Counts are pure
@@ -326,26 +353,63 @@ object Corpus {
     * Scale: map-only (three regex passes per row inside codegen, no
     * shuffle at all). */
   def readability(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val base = docs.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol),
-        size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
-          .as("n_words"),
-        greatest(lit(1L),
-          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
-            .cast("long")).as("n_sentences"),
-        size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"),
-          lit(0))).cast("long").as("n_syllables"))
-    val t2 = call_function("div",
-      lit(2L) * lit(1015000L) * col("n_words") + col("n_sentences"),
-      lit(2L) * col("n_sentences"))
-    val t3 = call_function("div",
-      lit(2L) * lit(84600000L) * col("n_syllables") + col("n_words"),
-      lit(2L) * col("n_words"))
-    base.select(col(idCol), col("n_words"), col("n_sentences"),
-      col("n_syllables"),
-      ((lit(206835000L) - t2 - t3).cast("double") / lit(1e6))
-        .as("flesch_r"))
+      textCol: String): DataFrame =
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), wordsCount(col(textCol)).as("n_words"),
+        sentencesCount(col(textCol)).as("n_sentences"),
+        syllablesCount(col(textCol)).as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (fleschMicro(col("n_words"), col("n_sentences"), col("n_syllables"))
+          .cast("double") / lit(1e6)).as("flesch_r"))
+
+  /** The [[readability]] building blocks as standalone columns — shared
+    * with composite per-source gates so the two stay definitionally
+    * identical. */
+  def wordsCount(text: Column): Column =
+    size(split(trim(lower(text)), "\\s+")).cast("long")
+  def sentencesCount(text: Column): Column =
+    greatest(lit(1L),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+  def syllablesCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+  def fleschMicro(w: Column, s: Column, syl: Column): Column =
+    lit(206835000L) -
+      call_function("div", lit(2L) * lit(1015000L) * w + s, lit(2L) * s) -
+      call_function("div", lit(2L) * lit(84600000L) * syl + w, lit(2L) * w)
+
+  /** Per-source quality scorecard — the one-table curation dashboard:
+    * for each source, document count, exact mean length, and the exact
+    * share of documents passing each gate (English, Flesch ≥ 60,
+    * ≥ 50 words). Every gate is a verified building block ([[
+    * readability]]'s counts, the lang column) evaluated map-side; the
+    * scorecard is ONE partial-aggregatable aggregate over gate
+    * indicators — no joins between per-gate subqueries.
+    *
+    * Scale: map-only gate evaluation + one hash aggregate to |sources|
+    * rows. */
+  def sourceScorecard(docs: DataFrame, sourceCol: String, textCol: String,
+      langCol: String, nCharsCol: String): DataFrame = {
+    val w = wordsCount(col(textCol))
+    val s = sentencesCount(col(textCol))
+    val syl = syllablesCount(col(textCol))
+    val gates = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(sourceCol), col(nCharsCol).cast("long").as("nc"),
+        when(col(langCol) === "en", 1L).otherwise(0L).as("is_en"),
+        when(fleschMicro(w, s, syl) >= lit(60000000L), 1L).otherwise(0L)
+          .as("is_readable"),
+        when(w >= 50L, 1L).otherwise(0L).as("is_long"))
+    gates.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+        sum(col("is_en")).as("n_en"), sum(col("is_readable")).as("n_read"),
+        sum(col("is_long")).as("n_long"))
+      .select(col(sourceCol), col("n_docs").cast("long").as("n_docs"),
+        col("sum_chars").cast("long").as("sum_chars"),
+        ratioRound6(col("sum_chars"), col("n_docs")).as("mean_chars_r"),
+        ratioRound6(col("n_en"), col("n_docs")).as("en_share_r"),
+        ratioRound6(col("n_read"), col("n_docs")).as("readable_share_r"),
+        ratioRound6(col("n_long"), col("n_docs")).as("long_share_r"))
   }
 
   /** Pairwise Jensen-Shannon divergence between group unigram

@@ -428,6 +428,69 @@ object Transforms {
         when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** Week-over-week deltas — the seasonality-aware change detector: per
+    * (group, day), the daily count and cents sum joined against the SAME
+    * WEEKDAY one week earlier. A lag-7 window would silently compare
+    * against "7 rows earlier" when days are missing; the calendar equi-
+    * join compares against the true date or yields NULL (no prior week),
+    * which is the honest answer.
+    *
+    * Scale: one partial-aggregatable daily rollup, then a self equi-join
+    * on (group, day−7) — both sides are the (group × day)-bounded daily
+    * table, not the corpus. */
+  def weekOverWeek(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(round(col(valueCol) * 100).cast("long")), lit(0L))
+          .as("val_c"))
+    daily.as("cur")
+      .join(daily.as("prev"),
+        col(s"cur.$groupCol") === col(s"prev.$groupCol") &&
+          col("prev.day") === date_sub(col("cur.day"), 7), "left")
+      .select(col(s"cur.$groupCol").as(groupCol), col("cur.day").as("day"),
+        col("cur.n").cast("long").as("n"),
+        col("cur.val_c").cast("long").as("val_c"),
+        col("prev.n").cast("long").as("n_prev"),
+        (col("cur.n") - col("prev.n")).cast("long").as("delta_n"),
+        (col("cur.val_c") - col("prev.val_c")).cast("long").as("delta_val_c"))
+  }
+
+  /** Clickstream path mining — the "what journeys do users actually
+    * take" product query: each user's first `k` event types in strict
+    * (tsCol, tieCol) order joined into one '>' path string, then path
+    * frequencies with exact shares. The truncation at `k` is what keeps
+    * the path alphabet finite (≤ |types|^k) and the aggregate partial-
+    * aggregatable.
+    *
+    * Determinism: the per-user order is total via `tieCol`; the path is
+    * built by sorting the collected (rank, type) structs — collect_list
+    * order is NOT relied upon.
+    *
+    * Scale: ONE user-keyed window + the per-user aggregate reuse the
+    * same exchange; the path table is alphabet-bounded and its total is
+    * a window over that table. */
+  def pathMining(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need at least one step")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val paths = events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col(userCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("rn"), col(typeCol)))),
+          x => x.getField(typeCol)), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("path"), col("n").cast("long").as("n"),
+        col("total").cast("long").as("total"),
+        Corpus.ratioRound6(col("n"), col("total")).as("share_r"))
+  }
+
   /** OHLC resampling bars — the time-series downsampler (market candles,
     * metric rollups): per key per day, the first/last value in strict
     * (tsCol, tieCol) order plus the min/max/count/sum. Values are integer

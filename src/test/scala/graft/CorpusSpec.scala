@@ -526,6 +526,41 @@ class CorpusSpec extends AnyFunSuite {
 
   // ---- invertedIndex ----------------------------------------------------
 
+  test("vocabCoverage: frequency-desc rank, word tiebreak, cumulative shares") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = Corpus.vocabCoverage(docs, "text", topK = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("w"),
+        r.getAs[Long]("n"), r.getAs[Long]("cum_n"),
+        r.getAs[Double]("cover_r")))
+    assert(got.toSeq == Seq((1L, "a", 3L, 3L, 0.5),
+      (2L, "b", 2L, 5L, 0.833333)))
+    // tie on frequency → lexicographic word order decides the rank
+    val tie = Seq((1L, "z y z y")).toDF("doc_id", "text")
+    val tw = Corpus.vocabCoverage(tie, "text", topK = 2)
+      .orderBy("rank").collect().map(_.getAs[String]("w"))
+    assert(tw.toSeq == Seq("y", "z"))
+  }
+
+  test("sourceScorecard: exact gate shares, one row per source") {
+    import spark.implicits._
+    val docs = Seq(
+      // en, 2 words, 2 sentences, 2 syllables → Flesch 121.22 (readable)
+      ("s1", "Go. Go.", "en", 7L),
+      // fr, 60 words, 1 sentence, 180 syllables → Flesch −107.865
+      ("s1", Seq.fill(60)("banana").mkString(" "), "fr", 100L)
+    ).toDF("source", "text", "lang", "n_chars")
+    val r = Corpus.sourceScorecard(docs, "source", "text", "lang", "n_chars")
+      .collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("sum_chars") == 107L)
+    assert(r.getAs[Double]("mean_chars_r") == 53.5)
+    assert(r.getAs[Double]("en_share_r") == 0.5)
+    assert(r.getAs[Double]("readable_share_r") == 0.5)
+    assert(r.getAs[Double]("long_share_r") == 0.5)
+  }
+
   test("readability: hand-computed Flesch, sentence floor, empty filtered") {
     import spark.implicits._
     val docs = Seq(

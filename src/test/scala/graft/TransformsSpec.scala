@@ -214,6 +214,51 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("weekOverWeek: calendar-true lag, NULL without prior week") {
+    import spark.implicits._
+    val day = 86400L
+    val ev = Seq(
+      ("X", 0L, 1.00), ("X", 10L, 2.00),          // day 0: n=2, 300c
+      ("X", 7 * day, 2.00), ("X", 7 * day + 5, 1.50), ("X", 7 * day + 9, 1.50),
+      // day 6 (NOT a week boundary) must not pair with day 0
+      ("Y", 6 * day, 4.00)
+    ).map { case (k, s, v) => (k, new java.sql.Timestamp(s * 1000), v) }
+      .toDF("k", "ts", "value")
+    val got = Transforms.weekOverWeek(ev, "k", "ts", "value")
+      .collect().map(r => (r.getAs[String]("k"),
+        r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("val_c"),
+          Option(r.get(r.fieldIndex("n_prev"))),
+          Option(r.get(r.fieldIndex("delta_n"))))).toMap
+    assert(got(("X", "1970-01-08")) == ((3L, 500L, Some(2L), Some(1L))))
+    assert(got(("X", "1970-01-01")) == ((2L, 300L, None, None)))
+    assert(got(("Y", "1970-01-07")) == ((1L, 400L, None, None)))
+  }
+
+  test("pathMining: ordered truncated paths, short journeys kept, exact shares") {
+    import spark.implicits._
+    val ev = Seq(
+      // users 1,2 share view>click>purchase (order by ts, id-tiebreak)
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L), (1L, "purchase", 30L, 3L),
+      (1L, "view", 40L, 4L), // 4th event must be truncated away
+      (2L, "view", 5L, 5L), (2L, "click", 5L, 6L), (2L, "purchase", 9L, 7L),
+      // user 3: only one event → 1-step path survives
+      (3L, "signup", 1L, 8L),
+      // user 4: same events as 1 but scrambled times → different path
+      (4L, "purchase", 1L, 9L), (4L, "click", 2L, 10L), (4L, "view", 3L, 11L)
+    ).map { case (u, t, s, id) =>
+      (u, t, new java.sql.Timestamp(s * 1000), id)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val got = Transforms.pathMining(ev, "user_id", "event_type", "ts",
+        "event_id", 3)
+      .collect().map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("share_r"))).toMap
+    assert(got == Map(
+      "view>click>purchase" -> ((2L, 0.5)),
+      "signup" -> ((1L, 0.25)),
+      "purchase>click>view" -> ((1L, 0.25))))
+  }
+
   test("ohlcBars: open/close follow (ts, id) order, day buckets isolate") {
     import spark.implicits._
     val day0 = 0L; val day1 = 86400L
