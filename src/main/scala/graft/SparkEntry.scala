@@ -2160,6 +2160,24 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Column completeness/cardinality profile (Deequ-style): one pruned
+    // single-column aggregate per column, unioned — never a multi-
+    // distinct row expansion.
+    "q171_column_profile" -> ((s, d) =>
+      graft.operators.Maintenance.columnProfile(events(s, d),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))),
+
+    // Rolling 7-day active users: DAU/WAU/stickiness via W× explode of
+    // the DISTINCT (day, user) table — no sliding-window distinct state.
+    "q172_rolling_active" -> ((s, d) =>
+      Transforms.rollingActiveUsers(events(s, d), "user_id", "ts", 7)),
+
+    // Inter-event gap profile: per-user consecutive gaps in exponential
+    // buckets (pure integer comparisons, no floor(log2) hazard).
+    "q173_gap_profile" -> ((s, d) =>
+      Transforms.interEventGaps(events(s, d), "user_id", "ts", "event_id",
+        20)),
+
     // Vocabulary coverage curve: top-100 words by frequency with
     // cumulative token share — the tokenizer-design query; both windows
     // sort the vocab table only.
@@ -4357,6 +4375,62 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q171: UNION ALL of per-column aggregates, identical counts
+    "q171_column_profile" ->
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map(c =>
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count($c) AS BIGINT) AS n_nonnull,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST((2000000 * count($c) + count(*)) // (2 * count(*))
+             |    AS DOUBLE) / 1e6 AS completeness_r
+             |FROM events""".stripMargin)
+        .mkString("\nUNION ALL\n"),
+
+    // q172: same W-day coverage explode over the DISTINCT day×user
+    // table, trailing partial days dropped at max(day)
+    "q172_rolling_active" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |mx AS (SELECT max(day) AS mxd FROM du),
+        |cov AS (
+        |  SELECT day + CAST(i AS INTEGER) AS day_c, user_id
+        |  FROM du, LATERAL unnest(range(0, 7)) AS t(i)),
+        |wau AS (
+        |  SELECT day_c, count(DISTINCT user_id) AS wau FROM cov, mx
+        |  WHERE day_c <= mxd GROUP BY 1),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du
+        |        GROUP BY 1)
+        |SELECT w.day_c AS day, CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+        |  CAST(w.wau AS BIGINT) AS wau,
+        |  CAST((2000000 * coalesce(d.dau, 0) + w.wau) // (2 * w.wau)
+        |    AS DOUBLE) / 1e6 AS stickiness_r
+        |FROM wau w LEFT JOIN dau d ON d.day = w.day_c""".stripMargin,
+
+    // q173: same (ts, event_id) lag gaps, identical integer-threshold
+    // CASE chain
+    "q173_gap_profile" ->
+      s"""WITH g AS (
+         |  SELECT date_diff('second',
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+         |    ts) AS gap_s
+         |  FROM events),
+         |f AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL),
+         |b AS (
+         |  SELECT CASE WHEN gap_s = 0 THEN 0
+         |${(1 to 20).map(b => s"    WHEN gap_s < ${1L << b} THEN $b")
+            .mkString("\n")}
+         |    ELSE 21 END AS bucket, gap_s
+         |  FROM f),
+         |c AS (SELECT bucket, count(*) AS n, min(gap_s) AS lo_s,
+         |        max(gap_s) AS hi_s FROM b GROUP BY 1),
+         |t AS (SELECT bucket, n, lo_s, hi_s, sum(n) OVER () AS total FROM c)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+         |  CAST(lo_s AS BIGINT) AS lo_s, CAST(hi_s AS BIGINT) AS hi_s,
+         |  CAST((2000000 * n + total) // (2 * total) AS DOUBLE) / 1e6
+         |    AS share_r
+         |FROM t""".stripMargin,
+
     // q168: same (n DESC, w) total order for rank and inclusive
     // cumulative, same tokenizer as q111
     "q168_vocab_coverage" ->

@@ -173,6 +173,29 @@ object Maintenance {
         (max(col("c")) / lit(100.0)).as("hi"))
   }
 
+  /** Column completeness/cardinality profile — the ingest-time data-
+    * quality report (Deequ-style): per column, row count, non-null
+    * count, exact distinct count, and the completeness share. One row
+    * per profiled column, any column type.
+    *
+    * Scale: one aggregate PER COLUMN, unioned — deliberately not a
+    * single multi-countDistinct aggregate (that expands every row
+    * |cols|× before the shuffle); each per-column plan prunes the scan
+    * to that one column, so the work is Σ |column bytes|, not
+    * |cols| × |table|. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n"), count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column"), col("n").cast("long").as("n"),
+          col("n_nonnull").cast("long").as("n_nonnull"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          Corpus.ratioRound6(col("n_nonnull"), col("n"))
+            .as("completeness_r"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.
     *
     * Sizing is derived from the CURRENT on-disk bytes (post-compression),

@@ -428,6 +428,69 @@ object Transforms {
         when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** Inter-event gap profile — the arrival-process fingerprint behind
+    * sessionization-timeout and bot-detection choices: per-user
+    * consecutive-event gaps in integer seconds, bucketed exponentially
+    * (bucket 0 = zero gap, bucket b = [2^(b−1), 2^b) s, capped). The
+    * when-chain bucket assignment is pure integer comparison — no
+    * floor(log2) float hazard at power-of-two boundaries.
+    *
+    * Scale: ONE user-keyed window (bounded partitions) and a ≤ 22-key
+    * aggregate; map-side partials collapse everything before the
+    * exchange. */
+  def interEventGaps(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, maxBucket: Int = 20): DataFrame = {
+    require(maxBucket >= 1, "need at least one exponential bucket")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val gaps = events
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select((unix_timestamp(col(tsCol)) -
+        unix_timestamp(col("prev_ts"))).cast("long").as("gap_s"))
+    val bucket = (1 to maxBucket).foldLeft(
+      when(col("gap_s") === 0L, lit(0L))) { (acc, b) =>
+      acc.when(col("gap_s") < lit(1L << b), lit(b.toLong))
+    }.otherwise(lit(maxBucket + 1L))
+    gaps.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("gap_s")).cast("long").as("lo_s"),
+        max(col("gap_s")).cast("long").as("hi_s"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("bucket"), col("n").cast("long").as("n"), col("lo_s"),
+        col("hi_s"), Corpus.ratioRound6(col("n"), col("total")).as("share_r"))
+  }
+
+  /** Rolling 7-day active users — DAU/WAU/stickiness without a sliding-
+    * window distinct: each (day, user) activity row is exploded to the
+    * `windowDays` report days it covers (a user active on day d counts
+    * toward every day in [d, d+W−1]), then one exact distinct per report
+    * day. Stickiness = DAU/WAU is the classic engagement ratio.
+    *
+    * Scale: the explode fans out the DISTINCT (day, user) table W× —
+    * bounded by W · |active user-days|, never W× the event log — and the
+    * per-day countDistinct is an ordinary shuffle on the day key. Report
+    * days past the data's max day are dropped (they'd be partial). */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must cover at least one day")
+    val du = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct()
+    val maxDay = du.agg(max(col("day")).as("mxd"))
+    val dau = du.groupBy(col("day")).agg(countDistinct(col("u")).as("dau"))
+    du.select(explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("day"), col("u"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("mxd"))
+      .groupBy(col("day")).agg(countDistinct(col("u")).as("wau"))
+      .join(dau, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).cast("long").as("dau"),
+        col("wau").cast("long").as("wau"),
+        Corpus.ratioRound6(coalesce(col("dau"), lit(0L)), col("wau"))
+          .as("stickiness_r"))
+  }
+
   /** Week-over-week deltas — the seasonality-aware change detector: per
     * (group, day), the daily count and cents sum joined against the SAME
     * WEEKDAY one week earlier. A lag-7 window would silently compare

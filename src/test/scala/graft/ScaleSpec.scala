@@ -425,6 +425,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(g2 == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("columnProfile: null/distinct accounting, per-column pruned scans") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None), (Some(2L), Some("b")),
+      (None, Some("b"))
+    ).toDF("id", "tag")
+    val got = Maintenance.columnProfile(df, Seq("id", "tag"))
+      .collect().map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_nonnull"),
+          r.getAs[Long]("n_distinct"), r.getAs[Double]("completeness_r")))
+      .toMap
+    assert(got("id") == ((4L, 3L, 2L, 0.75)))
+    assert(got("tag") == ((4L, 3L, 2L, 0.75)))
+  }
+
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
     import spark.implicits._
     val dirPath = java.nio.file.Files.createTempDirectory("compact")

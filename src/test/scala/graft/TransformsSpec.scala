@@ -214,6 +214,48 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("rollingActiveUsers: window coverage, dedup within window, stickiness") {
+    import spark.implicits._
+    val day = 86400L
+    val ev = Seq(
+      // user 1 active days 0 and 1 → covers days 0..7 but counts ONCE per day
+      (1L, 0L), (1L, day),
+      // user 2 active day 3 only
+      (2L, 3 * day),
+      // second event same user same day → no double count
+      (1L, day + 100L)
+    ).map { case (u, s) => (u, new java.sql.Timestamp(s * 1000)) }
+      .toDF("user_id", "ts")
+    val got = Transforms.rollingActiveUsers(ev, "user_id", "ts", 3)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+          r.getAs[Double]("stickiness_r"))).toMap
+    // max day = Jan 4 (day 3); trailing cover rows past it are dropped
+    assert(got == Map(
+      "1970-01-01" -> ((1L, 1L, 1.0)),       // u1
+      "1970-01-02" -> ((1L, 1L, 1.0)),       // u1 (both activity days cover)
+      "1970-01-03" -> ((0L, 1L, 0.0)),       // u1 trailing, no same-day
+      "1970-01-04" -> ((1L, 2L, 0.5))))      // u2 active, u1 still in window
+  }
+
+  test("interEventGaps: exponential buckets, zero-gap bucket, overflow cap") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: gaps 0s, 1s, 3s, 1_050_000s (overflow past 2^20)
+      (1L, 0L, 1L), (1L, 0L, 2L), (1L, 1L, 3L), (1L, 4L, 4L),
+      (1L, 1050004L, 5L),
+      // user 2 contributes no gap (single event)
+      (2L, 7L, 6L)
+    ).map { case (u, s, id) => (u, new java.sql.Timestamp(s * 1000), id) }
+      .toDF("user_id", "ts", "event_id")
+    val got = Transforms.interEventGaps(ev, "user_id", "ts", "event_id", 20)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("lo_s"), r.getAs[Long]("hi_s")))
+      .toMap
+    assert(got == Map(0L -> ((1L, 0L, 0L)), 1L -> ((1L, 1L, 1L)),
+      2L -> ((1L, 3L, 3L)), 21L -> ((1L, 1050000L, 1050000L))))
+  }
+
   test("weekOverWeek: calendar-true lag, NULL without prior week") {
     import spark.implicits._
     val day = 86400L
