@@ -2160,6 +2160,24 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Token-mass Gini over documents: grouped-data identity, exact
+    // integer moments, one doc-table sort.
+    "q174_gini" -> ((s, d) =>
+      Corpus.giniConcentration(documents(s, d), "doc_id", "text")),
+
+    // Zipf-law fit: slope of log2(freq) vs log2(rank) over the vocab
+    // table — micro-bit axes, decimal moment sums, one row out.
+    "q175_zipf_fit" -> ((s, d) => Corpus.zipfFit(documents(s, d), "text")),
+
+    // Cross-source near-dup leakage matrix over the q29 candidates:
+    // which source pairs share duplicated content, with exact shares.
+    "q176_leakage_matrix" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.crossGroupPairMatrix(
+        Dedup.minhashCandidatesPortable(docs, "doc_id", "text"),
+        docs, "doc_id", "source")
+    }),
+
     // Column completeness/cardinality profile (Deequ-style): one pruned
     // single-column aggregate per column, unioned — never a multi-
     // distinct row expansion.
@@ -4375,6 +4393,71 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q176: q29's banded-LSH pair CTEs, source decoration, unordered
+    // pair normalization via least/greatest
+    "q176_leakage_matrix" ->
+      s"""WITH $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |lab AS (
+         |  SELECT least(a.source, b.source) AS src_a,
+         |    greatest(a.source, b.source) AS src_b
+         |  FROM pairs p
+         |  JOIN documents a ON a.doc_id = p.id_a
+         |  JOIN documents b ON b.doc_id = p.id_b),
+         |c AS (SELECT src_a, src_b, count(*) AS n_pairs FROM lab
+         |      GROUP BY 1, 2),
+         |f AS (SELECT src_a, src_b, n_pairs, sum(n_pairs) OVER () AS total
+         |      FROM c)
+         |SELECT src_a, src_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(total AS BIGINT) AS total,
+         |  CAST((2000000 * n_pairs + total) // (2 * total) AS DOUBLE) / 1e6
+         |    AS share_r,
+         |  src_a != src_b AS is_cross
+         |FROM f""".stripMargin,
+
+    // q174: same ascending (x, doc_id) rank, HUGEINT moments, half-up
+    "q174_gini" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS x
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, doc_id) AS i
+        |      FROM lens),
+        |m AS (SELECT count(*) AS n, sum(x) AS t, sum(x * i) AS s FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(t AS BIGINT)
+        |    AS total_tokens,
+        |  CASE WHEN n * t = 0 THEN NULL
+        |    ELSE CAST((2000000 * (2 * s - (n + 1) * t) + n * t)
+        |      // (2 * n * t) AS DOUBLE) / 1e6 END AS gini_r
+        |FROM m""".stripMargin,
+
+    // q175: same (n DESC, w) rank, micro-bit axes, q159's closed form in
+    // HUGEINT, sign-aware half-up
+    "q175_zipf_fit" ->
+      """WITH wc AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT w, count(*) AS n FROM wc GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(round(1e6 * log2(CAST(row_number()
+        |      OVER (ORDER BY n DESC, w) AS DOUBLE))) AS BIGINT) AS x,
+        |    CAST(round(1e6 * log2(CAST(n AS DOUBLE))) AS BIGINT) AS y
+        |  FROM c),
+        |m AS (
+        |  SELECT count(*) AS v, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM r),
+        |f AS (
+        |  SELECT v, v * sxy - sx * sy AS num, v * sxx - sx * sx AS den
+        |  FROM m)
+        |SELECT CAST(v AS BIGINT) AS vocab,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |      CAST((2000000 * abs(num) + den) // (2 * den) AS DOUBLE) / 1e6
+        |  END AS slope_r
+        |FROM f""".stripMargin,
+
     // q171: UNION ALL of per-column aggregates, identical counts
     "q171_column_profile" ->
       Seq("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -379,6 +379,67 @@ object Corpus {
       call_function("div", lit(2L) * lit(1015000L) * w + s, lit(2L) * s) -
       call_function("div", lit(2L) * lit(84600000L) * syl + w, lit(2L) * w)
 
+  /** Token-mass Gini coefficient — how unequally the corpus's tokens are
+    * spread across documents (0 = every doc the same length, → 1 = a few
+    * giants hold everything): the grouped-data identity
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) with x ascending and the
+    * rank made total by the doc id. All moments are exact integer sums;
+    * the single division happens half-up in DECIMAL(38,0) (the rank-
+    * weighted moment outgrows LONG·2e6 at corpus scale). For ascending
+    * order the numerator is provably ≥ 0 — no sign handling.
+    *
+    * Scale: the ranking window sorts the doc-LENGTH table (one row per
+    * doc, not per token); the moments then collapse in one aggregate. */
+  def giniConcentration(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val lens = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), wordsCount(col(textCol)).as("x"))
+    val ranked = lens.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col(idCol))).cast("long"))
+    val m = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
+      sum(col("x") * col("i")).as("s"))
+    val num = (m("s") * lit(2L) - (m("n") + lit(1L)) * m("t"))
+      .cast(DecimalType(38, 0))
+    val den = (m("n") * m("t")).cast(DecimalType(38, 0))
+    m.select(m("n").cast("long").as("n_docs"),
+      m("t").cast("long").as("total_tokens"),
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(call_function("div", num * lit(2000000L) + den,
+          den * lit(2L)).cast("double") / lit(1e6)).as("gini_r"))
+  }
+
+  /** Zipf-law fit — the sanity check that a corpus's word-frequency
+    * distribution has the power-law head natural language should (slope
+    * of log2(freq) vs log2(rank) ≈ −1; a far-off slope flags templated
+    * or synthetic text). Both axes are micro-bit integers ([[
+    * microBits]]), the slope is the q159 closed form with DECIMAL(38,0)
+    * moment sums (V·Σx² outgrows LONG), sign-aware half-up rounding.
+    *
+    * Scale: corpus → vocab table in one groupBy; the ranking sorts that
+    * table only, and the moments collapse in one aggregate. */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wc = docs.filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val ranked = wc.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("w"))).cast("long"))
+    val x = microBits(col("rank"))
+    val y = microBits(col("n"))
+    val dec = DecimalType(38, 0)
+    val m = ranked.agg(count(lit(1)).as("v"),
+      sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
+      sum((x * y).cast(dec)).as("sxy"), sum((x * x).cast(dec)).as("sxx"))
+    val num = m("v") * m("sxy") - m("sx") * m("sy")
+    val den = m("v") * m("sxx") - m("sx") * m("sx")
+    m.select(m("v").cast("long").as("vocab"),
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise((when(num < 0L, lit(-1.0)).otherwise(lit(1.0))) *
+          (call_function("div", abs(num) * lit(2000000L) + den,
+            den * lit(2L)).cast("double") / lit(1e6))).as("slope_r"))
+  }
+
   /** Per-source quality scorecard — the one-table curation dashboard:
     * for each source, document count, exact mean length, and the exact
     * share of documents passing each gate (English, Flesch ≥ 60,

@@ -116,6 +116,33 @@ object Dedup {
       md5MinhashSignatures(docs, idCol, textCol, shingleN, numHashes),
       numHashes, bands, maxBucket)
 
+  /** Cross-group near-dup leakage matrix — where duplicate pairs live:
+    * candidate pairs labeled with their two docs' groups (sources,
+    * splits), counted per unordered group pair with exact shares and an
+    * is_cross flag. A heavy cross-group cell means content is leaking
+    * between sources (or between train and eval splits — the q126
+    * hazard made visible as a matrix).
+    *
+    * Scale: two id-keyed joins decorate the (already candidate-bounded)
+    * pair list; the matrix aggregate is |groups|²-bounded. */
+  def crossGroupPairMatrix(pairs: DataFrame, docs: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    pairs
+      .join(docs.select(col(idCol).as("id_a"), col(groupCol).as("ga")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(groupCol).as("gb")), "id_b")
+      .select(least(col("ga"), col("gb")).as("src_a"),
+        greatest(col("ga"), col("gb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("total", sum(col("n_pairs")).over(w))
+      .select(col("src_a"), col("src_b"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("total").cast("long").as("total"),
+        Corpus.ratioRound6(col("n_pairs"), col("total")).as("share_r"),
+        (col("src_a") =!= col("src_b")).as("is_cross"))
+  }
+
   /** Per-doc md5 MinHash lane minima as a (doc_id, ls: array) table — the
     * expensive text pass, separated so a caller can localCheckpoint it and
     * feed BOTH [[candidatesFromSignatures]] and signature-level analytics

@@ -526,6 +526,33 @@ class CorpusSpec extends AnyFunSuite {
 
   // ---- invertedIndex ----------------------------------------------------
 
+  test("giniConcentration: equal lengths → 0, known unequal fixture") {
+    import spark.implicits._
+    val eq = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+    val r0 = Corpus.giniConcentration(eq, "doc_id", "text").collect()(0)
+    assert(r0.getAs[Long]("total_tokens") == 9L)
+    assert(r0.getAs[Double]("gini_r") == 0.0)
+    // lengths 1, 3: ranks 1, 2 → G = (2·(1+6) − 3·4)/(2·4) = 2/8 = 0.25
+    val un = Seq((1L, "a"), (2L, "b b b")).toDF("doc_id", "text")
+    val r1 = Corpus.giniConcentration(un, "doc_id", "text").collect()(0)
+    assert(r1.getAs[Double]("gini_r") == 0.25)
+  }
+
+  test("zipfFit: two-point power-law fixture recovers slope -1 exactly") {
+    import spark.implicits._
+    // aa×2 (rank 1, x=0, y=1e6), bb×1 (rank 2, x=1e6, y=0): OLS through
+    // two exact micro-bit points → slope EXACTLY -1
+    val docs = Seq((1L, "aa aa bb")).toDF("doc_id", "text")
+    val r = Corpus.zipfFit(docs, "text").collect()(0)
+    assert(r.getAs[Long]("vocab") == 2L)
+    assert(r.getAs[Double]("slope_r") == -1.0)
+    // single-word corpus: degenerate x variance → NULL slope
+    val one = Seq((1L, "aa aa")).toDF("doc_id", "text")
+    assert(Option(Corpus.zipfFit(one, "text").collect()(0)
+      .get(1)).isEmpty)
+  }
+
   test("vocabCoverage: frequency-desc rank, word tiebreak, cumulative shares") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")

@@ -394,4 +394,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
+
+  test("crossGroupPairMatrix: unordered labels, shares, is_cross flag") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val docs = Seq((1L, "web"), (2L, "web"), (3L, "books"), (4L, "news"),
+      (5L, "books")).toDF("doc_id", "source")
+    val got = Dedup.crossGroupPairMatrix(pairs, docs, "doc_id", "source")
+      .collect().map(r => (r.getAs[String]("src_a"),
+        r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("share_r"),
+          r.getAs[Boolean]("is_cross"))).toMap
+    // (1,3) and (2,3) normalize to books-web via least/greatest,
+    // (4,5) is books-news, (1,2) stays within-web
+    assert(got == Map(
+      ("books", "web") -> ((2L, 0.5, true)),
+      ("books", "news") -> ((1L, 0.25, true)),
+      ("web", "web") -> ((1L, 0.25, false))))
+  }
 }
