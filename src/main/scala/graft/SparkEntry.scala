@@ -2160,6 +2160,26 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Day-of-week seasonality index per event type (Monday=1 ISO
+    // numbering — the one stable across engines); ≤ types×7 cells.
+    "q177_dow_seasonality" -> ((s, d) =>
+      Transforms.dowSeasonality(events(s, d), "event_type", "ts")),
+
+    // Grid-cell density map over the synthetic customer points: 5-degree
+    // cells, exact shares, observed bounding boxes — the spatial GROUP BY
+    // that replaces point-level joins.
+    "q178_grid_density" -> ((s, d) =>
+      graft.operators.GeoJoin.gridDensity(custPoints(s, d), "lat", "lon",
+        5.0)),
+
+    // k-core peeling (k=2, 3 unrolled rounds) over the near-dup
+    // candidate graph: dense-community extraction with a bounded,
+    // oracle-unrollable plan.
+    "q179_kcore" -> ((s, d) =>
+      graft.operators.Graph.kCorePeel(
+        Dedup.minhashCandidatesPortable(documents(s, d), "doc_id", "text"),
+        k = 2, rounds = 3)),
+
     // Token-mass Gini over documents: grouped-data identity, exact
     // integer moments, one doc-table sort.
     "q174_gini" -> ((s, d) =>
@@ -4393,6 +4413,57 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q177: DuckDB isodow == Spark weekday()+1 (both Monday=1)
+    "q177_dow_seasonality" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, dow, n,
+        |  sum(n) OVER (PARTITION BY event_type) AS total FROM c)
+        |SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+        |  CAST(total AS BIGINT) AS total,
+        |  CAST((2000000 * 7 * n + total) // (2 * total) AS DOUBLE) / 1e6
+        |    AS index_r
+        |FROM f""".stripMargin,
+
+    // q178: q17's exact point derivation, identical floor/shift order
+    "q178_grid_density" ->
+      """WITH p AS (SELECT
+        |  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100 - 85 AS lat,
+        |  CAST((c_custkey * 91) % 35000 AS DOUBLE) / 100 - 175 AS lon
+        | FROM customer),
+        |c AS (
+        |  SELECT CAST(floor((lat + 90.0) / 5.0) AS BIGINT) AS cell_lat,
+        |    CAST(floor((lon + 180.0) / 5.0) AS BIGINT) AS cell_lon,
+        |    count(*) AS n, min(lat) AS lat_lo, max(lat) AS lat_hi,
+        |    min(lon) AS lon_lo, max(lon) AS lon_hi
+        |  FROM p GROUP BY 1, 2),
+        |f AS (SELECT *, sum(n) OVER () AS total FROM c)
+        |SELECT cell_lat, cell_lon, CAST(n AS BIGINT) AS n, lat_lo, lat_hi,
+        |  lon_lo, lon_hi,
+        |  CAST((2000000 * n + total) // (2 * total) AS DOUBLE) / 1e6
+        |    AS share_r
+        |FROM f""".stripMargin,
+
+    // q179: q29's pair CTEs, then the SAME 3 peels unrolled — degree
+    // filter + two-sided node restriction per round
+    "q179_kcore" -> {
+      val rounds = (1 to 3).map(i =>
+        s"""k$i AS (SELECT a FROM e${i - 1} GROUP BY a
+           |  HAVING count(*) >= 2),
+           |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN k$i x ON x.a = e.a JOIN k$i y ON y.a = e.b)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |e0 AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |$rounds
+         |SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e3 GROUP BY a""".stripMargin
+    },
+
     // q176: q29's banded-LSH pair CTEs, source decoration, unordered
     // pair normalization via least/greatest
     "q176_leakage_matrix" ->

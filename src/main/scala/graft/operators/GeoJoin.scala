@@ -214,6 +214,37 @@ object GeoJoin {
     * to brute force (GeoJoinSpec): candidates at radius r are a superset of
     * those at any smaller radius, and the (dist, rightKey) ordering is
     * radius-independent. */
+  /** Grid-cell density map — the spatial GROUP BY behind heatmaps and
+    * density-based pre-filters: points binned into `cellDeg`-degree
+    * cells via floor((lat+90)/cellDeg), with per-cell counts, observed
+    * bounding box (exact min/max, no arithmetic), and exact shares.
+    * The +90/+180 shift keeps the floor argument non-negative so the
+    * binning is the same truncation on every engine; mirror the exact
+    * operation order in any oracle.
+    *
+    * Scale: map-only cell assignment + one partial-aggregatable groupBy
+    * on ≤ (360/cellDeg)² cells — the canonical pre-aggregation that
+    * replaces point-level spatial joins at 100 TB. */
+  def gridDensity(points: DataFrame, latCol: String, lonCol: String,
+      cellDeg: Double): DataFrame = {
+    require(cellDeg > 0, "cell size must be positive")
+    val cells = points.groupBy(
+        floor((col(latCol) + lit(90.0)) / lit(cellDeg)).cast("long")
+          .as("cell_lat"),
+        floor((col(lonCol) + lit(180.0)) / lit(cellDeg)).cast("long")
+          .as("cell_lon"))
+      .agg(count(lit(1)).as("n"),
+        min(col(latCol)).as("lat_lo"), max(col(latCol)).as("lat_hi"),
+        min(col(lonCol)).as("lon_lo"), max(col(lonCol)).as("lon_hi"))
+    cells
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("cell_lat"), col("cell_lon"),
+        col("n").cast("long").as("n"), col("lat_lo"), col("lat_hi"),
+        col("lon_lo"), col("lon_hi"),
+        Corpus.ratioRound6(col("n"), col("total")).as("share_r"))
+  }
+
   def knnJoinBanded(left: DataFrame, right: DataFrame, k: Int, radiusM: Double,
       leftKey: String, rightKey: String,
       lat1: String, lon1: String, lat2: String, lon2: String): DataFrame = {

@@ -11,6 +11,37 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** k-core peeling (fixed unrolled rounds) — the dense-community
+    * extractor: repeatedly drop nodes with degree < k and re-restrict
+    * the edge list, `rounds` times. After enough rounds this converges
+    * to the true k-core; a FIXED round count keeps the plan bounded and
+    * cross-engine reproducible (the oracle unrolls the same rounds), the
+    * same posture as [[integerPageRank]]'s fixed iterations. Returns the
+    * surviving nodes with their degree in the peeled subgraph.
+    *
+    * Scale: each round is one degree aggregate + two semi-join-shaped
+    * equi-joins on the (candidate-pair-sized) edge list; the list is
+    * checkpointed per round so lineage stays O(rounds), not O(2^rounds).
+    */
+  def kCorePeel(pairs: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 10, "bounded peeling")
+    var edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("a"))
+      edges = edges
+        .join(keep, "a")
+        .join(keep.withColumnRenamed("a", "b"), "b")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    edges.groupBy(col("a").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("core_deg"))
+  }
+
   /** Deterministic integer PageRank over an undirected pair list.
     *
     * The recurrence runs in exact "rank units" (LONG), not doubles:

@@ -428,6 +428,30 @@ object Transforms {
         when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** Day-of-week seasonality index — the "is Tuesday really our big
+    * day" profile: per (group, ISO weekday), the event count and the
+    * seasonal index n·7/total (1.0 = flat week). Weekday is Monday=1
+    * ..Sunday=7 (Spark's weekday()+1 == DuckDB's isodow — the one
+    * cross-engine-stable numbering). Exact integer counts, one half-up
+    * rounding.
+    *
+    * Scale: one partial-aggregatable groupBy to ≤ |groups|·7 rows; the
+    * per-group total is a window over that table. */
+  def dowSeasonality(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val cells = events
+      .groupBy(col(groupCol), (weekday(col(tsCol)) + lit(1)).cast("long")
+        .as("dow"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy(col(groupCol))))
+      .select(col(groupCol), col("dow"), col("n").cast("long").as("n"),
+        col("total").cast("long").as("total"),
+        Corpus.ratioRound6(col("n") * lit(7L), col("total"))
+          .as("index_r"))
+  }
+
   /** Inter-event gap profile — the arrival-process fingerprint behind
     * sessionization-timeout and bot-detection choices: per-user
     * consecutive-event gaps in integer seconds, bucketed exponentially

@@ -55,4 +55,17 @@ class GraphSpec extends AnyFunSuite {
       .select("id", "units").as[(Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("kCorePeel: pendant chain peels away, triangle core survives") {
+    import spark.implicits._
+    // triangle 1-2-3 (2-core) with a pendant path 3-4-5: one peel drops
+    // 5 (deg 1), the next drops 4; the triangle's degrees never dip
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Graph.kCorePeel(es, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3 kills the triangle entirely
+    assert(Graph.kCorePeel(es, k = 3, rounds = 2).count() == 0L)
+  }
 }

@@ -214,6 +214,23 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("dowSeasonality: Monday-1 numbering, per-group totals, flat index 1.0") {
+    import spark.implicits._
+    // 1970-01-01 was a Thursday (isodow 4); +1 day → Friday (5)
+    val ev = Seq(
+      ("A", 0L), ("A", 0L), ("A", 86400L),      // A: Thu ×2, Fri ×1
+      ("B", 86400L)                              // B: Fri only
+    ).map { case (k, s) => (k, new java.sql.Timestamp(s * 1000)) }
+      .toDF("k", "ts")
+    val got = Transforms.dowSeasonality(ev, "k", "ts")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("dow")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("index_r"))).toMap
+    // A-Thu: 2/3·7 = 4.666667 (half-up), A-Fri: 7/3 = 2.333333
+    assert(got == Map(
+      ("A", 4L) -> ((2L, 4.666667)), ("A", 5L) -> ((1L, 2.333333)),
+      ("B", 5L) -> ((1L, 7.0))))
+  }
+
   test("rollingActiveUsers: window coverage, dedup within window, stickiness") {
     import spark.implicits._
     val day = 86400L
