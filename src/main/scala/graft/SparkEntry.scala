@@ -2160,6 +2160,37 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Reciprocal-rank fusion of two deterministic top-50 rankings
+    // (chars-desc and distinct-words-desc): micro-rounded reciprocals,
+    // exact fused order, absent-rank contributes nothing.
+    "q180_rrf_fusion" -> ((s, d) => {
+      val docs = documents(s, d)
+      val rankA = docs.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("n_chars").desc,
+          col("doc_id"))).cast("long").as("rank"))
+        .filter(col("rank") <= 50)
+      val rankB = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("w")).as("types"))
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("types").desc,
+            col("doc_id"))).cast("long").as("rank"))
+        .filter(col("rank") <= 50)
+      Corpus.rrfFuse(rankA, rankB, "doc_id", topK = 50)
+    }),
+
+    // Conditional next-event entropy per from-state: the q138 transition
+    // counts through the exact micro-bit entropy identity.
+    "q181_transition_entropy" -> ((s, d) =>
+      Transforms.transitionEntropy(events(s, d), "user_id", "event_type",
+        "ts", "event_id")),
+
+    // Fano-factor burstiness of daily counts per event type: exact
+    // integer moment identity, no windows.
+    "q182_fano" -> ((s, d) =>
+      Transforms.fanoBurstiness(events(s, d), "event_type", "ts")),
+
     // Day-of-week seasonality index per event type (Monday=1 ISO
     // numbering — the one stable across engines); ≤ types×7 cells.
     "q177_dow_seasonality" -> ((s, d) =>
@@ -4413,6 +4444,69 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q180: same two rankings, FULL OUTER fuse, identical micro-rounded
+    // reciprocals; the top-50 set is deterministic (fused desc, doc_id)
+    "q180_rrf_fusion" ->
+      """WITH ra AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC,
+        |    doc_id) AS BIGINT) AS rank
+        |  FROM documents),
+        |fa AS (SELECT * FROM ra WHERE rank <= 50),
+        |tb AS (
+        |  SELECT doc_id, count(DISTINCT w) AS types FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  GROUP BY doc_id),
+        |rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY types DESC,
+        |  doc_id) AS BIGINT) AS rank FROM tb),
+        |fb AS (SELECT * FROM rb WHERE rank <= 50),
+        |j AS (
+        |  SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+        |    fa.rank AS rank_a, fb.rank AS rank_b
+        |  FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id)
+        |SELECT doc_id, rank_a, rank_b,
+        |  CAST(coalesce((2000000 + (60 + rank_a)) // (2 * (60 + rank_a)), 0)
+        |    + coalesce((2000000 + (60 + rank_b)) // (2 * (60 + rank_b)), 0)
+        |    AS BIGINT) AS fused_u
+        |FROM j ORDER BY fused_u DESC, doc_id LIMIT 50""".stripMargin,
+
+    // q181: q138's successor pairs, q111's micro-bit entropy identity
+    "q181_transition_entropy" ->
+      """WITH nx AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |p AS (SELECT from_type, next_type, count(*) AS n FROM nx
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |a AS (
+        |  SELECT from_type, sum(n) AS n_from, count(*) AS n_successors,
+        |    sum(n * CAST(round(1e6 * log2(CAST(n AS DOUBLE))) AS BIGINT))
+        |      AS sum_ub
+        |  FROM p GROUP BY 1)
+        |SELECT from_type, CAST(n_from AS BIGINT) AS n_from,
+        |  CAST(n_successors AS BIGINT) AS n_successors,
+        |  CAST((2 * (CAST(round(1e6 * log2(CAST(n_from AS DOUBLE)))
+        |      AS BIGINT) * n_from - sum_ub) + n_from)
+        |    // (2 * n_from) AS DOUBLE) / 1e6 AS h_r
+        |FROM a""".stripMargin,
+
+    // q182: same daily rollup and exact moment identity
+    "q182_fano" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS d, sum(x) AS sx,
+        |        sum(x * x) AS sxx FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(d AS BIGINT) AS n_days,
+        |  CAST(sx AS BIGINT) AS n_events,
+        |  CAST((2000000 * sx + d) // (2 * d) AS DOUBLE) / 1e6
+        |    AS daily_mean_r,
+        |  CAST((2000000 * (d * sxx - sx * sx) + d * sx) // (2 * d * sx)
+        |    AS DOUBLE) / 1e6 AS fano_r
+        |FROM m""".stripMargin,
+
     // q177: DuckDB isodow == Spark weekday()+1 (both Monday=1)
     "q177_dow_seasonality" ->
       """WITH c AS (

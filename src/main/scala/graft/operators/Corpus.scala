@@ -379,6 +379,34 @@ object Corpus {
       call_function("div", lit(2L) * lit(1015000L) * w + s, lit(2L) * s) -
       call_function("div", lit(2L) * lit(84600000L) * syl + w, lit(2L) * w)
 
+  /** Reciprocal-rank fusion — the standard zero-tuning way to merge two
+    * rankings (lexical + semantic retrieval, or any pair of orderings):
+    * fused(d) = Σ_r 1/(k0 + rank_r(d)), k0 = 60. Each reciprocal is
+    * half-up rounded to micro-units BEFORE the sum (exact LONG — the
+    * microBits posture for rationals), so fused scores and the final
+    * ordering are engine-identical; documents absent from one ranking
+    * simply contribute nothing. Returns the fused top-`topK` with a
+    * deterministic (score desc, id) order.
+    *
+    * Scale: a full-outer equi-join of two (id, rank) tables — both
+    * already topK-bounded by their producers — plus one
+    * TakeOrderedAndProject. */
+  def rrfFuse(rankA: DataFrame, rankB: DataFrame, idCol: String,
+      topK: Int, k0: Int = 60): DataFrame = {
+    def recipU(rank: Column): Column =
+      coalesce(call_function("div",
+        lit(2000000L) + (lit(k0.toLong) + rank),
+        (lit(k0.toLong) + rank) * lit(2L)), lit(0L))
+    val a = rankA.select(col(idCol), col("rank").as("rank_a"))
+    val b = rankB.select(col(idCol), col("rank").as("rank_b"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a").cast("long").as("rank_a"),
+        col("rank_b").cast("long").as("rank_b"),
+        (recipU(col("rank_a")) + recipU(col("rank_b"))).as("fused_u"))
+      .orderBy(col("fused_u").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Token-mass Gini coefficient — how unequally the corpus's tokens are
     * spread across documents (0 = every doc the same length, → 1 = a few
     * giants hold everything): the grouped-data identity

@@ -428,6 +428,61 @@ object Transforms {
         when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** Conditional next-event entropy — how predictable each state's
+    * successor is (H(next | from) in bits; 0 = deterministic flow, high
+    * = anything can follow): the q138 transition counts folded through
+    * the exact micro-bit identity H = (µb(N)·N − Σ n·µb(n)) / N with one
+    * half-up division — the [[Corpus.wordEntropy]] arithmetic applied to
+    * the transition matrix.
+    *
+    * Scale: one user-keyed window for successor pairs (bounded
+    * partitions), one type²-bounded aggregate, then per-from rollup. */
+  def transitionEntropy(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val microBits = (x: Column) =>
+      round(lit(1e6) * log2(x.cast("double"))).cast("long")
+    val pairs = events
+      .withColumn("next_type", lead(col(typeCol), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"),
+        count(lit(1)).as("n_successors"),
+        sum(col("n") * microBits(col("n"))).as("sum_ub"))
+      .select(col("from_type"), col("n_from").cast("long").as("n_from"),
+        col("n_successors").cast("long").as("n_successors"),
+        (call_function("div",
+          (microBits(col("n_from")) * col("n_from") - col("sum_ub"))
+            * lit(2L) + col("n_from"),
+          col("n_from") * lit(2L)).cast("double") / lit(1e6)).as("h_r"))
+  }
+
+  /** Fano-factor burstiness — variance-to-mean of DAILY counts per
+    * group (1 ≈ Poisson arrivals, ≫ 1 = bursty, < 1 = regular): from
+    * the exact integer identity F = (d·Σx² − (Σx)²) / (d·Σx) over the
+    * per-day count table. Both the factor and the daily mean are one
+    * half-up rounding away from exact integer moments.
+    *
+    * Scale: daily rollup (partial-aggregatable), then a |groups|-bounded
+    * moment aggregate — no windows at all. */
+  def fanoBurstiness(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val m = daily.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("d"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val num = m("d") * m("sxx") - m("sx") * m("sx")
+    m.select(col(groupCol), m("d").cast("long").as("n_days"),
+      m("sx").cast("long").as("n_events"),
+      Corpus.ratioRound6(m("sx"), m("d")).as("daily_mean_r"),
+      Corpus.ratioRound6(num, m("d") * m("sx")).as("fano_r"))
+  }
+
   /** Day-of-week seasonality index — the "is Tuesday really our big
     * day" profile: per (group, ISO weekday), the event count and the
     * seasonal index n·7/total (1.0 = flat week). Weekday is Monday=1

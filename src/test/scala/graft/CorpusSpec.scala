@@ -526,6 +526,25 @@ class CorpusSpec extends AnyFunSuite {
 
   // ---- invertedIndex ----------------------------------------------------
 
+  test("rrfFuse: micro-exact reciprocals, one-sided docs, deterministic ties") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("doc_id", "rank")
+    val got = Corpus.rrfFuse(a, b, "doc_id", topK = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("fused_u")).toMap
+    // 1e6/61 = 16393.44 → 16393; 1e6/62 = 16129.03 → 16129;
+    // 1e6/63 = 15873.02 → 15873
+    assert(got(10L) == 16393L + 16129L)
+    assert(got(20L) == 16129L + 16393L)
+    assert(got(30L) == 15873L)  // absent from B contributes nothing
+    assert(got(40L) == 15873L)
+    // 10 and 20 tie exactly; 30/40 tie — doc_id must break both
+    val order = Corpus.rrfFuse(a, b, "doc_id", topK = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(order == Seq(10L, 20L, 30L, 40L))
+  }
+
   test("giniConcentration: equal lengths → 0, known unequal fixture") {
     import spark.implicits._
     val eq = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))

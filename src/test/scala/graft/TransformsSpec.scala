@@ -214,6 +214,43 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("transitionEntropy: deterministic successor → 0 bits, uniform → 1 bit") {
+    import spark.implicits._
+    val ev = Seq(
+      // from 'a' the successor is ALWAYS 'b' (2 transitions) → H = 0
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L),
+      (1L, "b", 40L, 4L),
+      // from 'b': successors 'a' and 'c' once each → H = 1 bit
+      (1L, "c", 50L, 5L)
+    ).map { case (u, t, s, id) =>
+      (u, t, new java.sql.Timestamp(s * 1000), id)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val got = Transforms.transitionEntropy(ev, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => r.getAs[String]("from_type") ->
+        (r.getAs[Long]("n_from"), r.getAs[Double]("h_r"))).toMap
+    assert(got("a") == ((2L, 0.0)))
+    assert(got("b") == ((2L, 1.0)))
+  }
+
+  test("fanoBurstiness: constant days → 0, known dispersion fixture") {
+    import spark.implicits._
+    val day = 86400L
+    val ev =
+      // type A: 2 events/day for 3 days → variance 0 → Fano 0
+      (0 until 3).flatMap(i => Seq(("A", i * day), ("A", i * day + 1))) ++
+      // type B: days with 1 and 3 events: mean 2, pop-var 1 → Fano 0.5
+      Seq(("B", 0L), ("B", day), ("B", day + 2), ("B", day + 3))
+    val df = ev.map { case (k, s) => (k, new java.sql.Timestamp(s * 1000)) }
+      .toDF("k", "ts")
+    val got = Transforms.fanoBurstiness(df, "k", "ts")
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("daily_mean_r"),
+          r.getAs[Double]("fano_r"))).toMap
+    assert(got("A") == ((3L, 2.0, 0.0)))
+    assert(got("B") == ((2L, 2.0, 0.5)))
+  }
+
   test("dowSeasonality: Monday-1 numbering, per-group totals, flat index 1.0") {
     import spark.implicits._
     // 1970-01-01 was a Thursday (isodow 4); +1 day → Friday (5)
