@@ -2160,6 +2160,26 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Winsorized summary of event values: exact-rank p1/p99 thresholds,
+    // clip counts, outlier-robust mean — all over the distinct-cents
+    // table.
+    "q183_winsorize" -> ((s, d) =>
+      graft.operators.Maintenance.winsorizedStats(events(s, d), "value",
+        pLow = 1, pHigh = 99)),
+
+    // Event-type co-occurrence: user-day baskets, within-basket pairs,
+    // support + lift — the (user, day)-keyed self-join with |types|²
+    // bounded fanout.
+    "q184_cooccurrence" -> ((s, d) =>
+      Transforms.typeCooccurrence(events(s, d), "user_id", "ts",
+        "event_type")),
+
+    // Per-user lifetime rollup: first/last/active-days/conversions/
+    // revenue in ONE map-side-combining aggregate.
+    "q185_user_lifetime" -> ((s, d) =>
+      Transforms.userLifetime(events(s, d), "user_id", "ts", "event_type",
+        "value", "purchase")),
+
     // Reciprocal-rank fusion of two deterministic top-50 rankings
     // (chars-desc and distinct-words-desc): micro-rounded reciprocals,
     // exact fused order, absent-rank contributes nothing.
@@ -4444,6 +4464,77 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q183: same distinct-cents cumulative, cum·100 >= n·p threshold
+    // pick (≡ ceil-rank), clamp, cents-exact winsorized sum
+    "q183_winsorize" ->
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+        |  WHERE value IS NOT NULL),
+        |bv AS (SELECT c, count(*) AS cnt FROM ev GROUP BY 1),
+        |cw AS (
+        |  SELECT c, cnt,
+        |    sum(cnt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM bv),
+        |th AS (
+        |  SELECT min(CASE WHEN cum * 100 >= n * 1 THEN c END) AS lo_c,
+        |    min(CASE WHEN cum * 100 >= n * 99 THEN c END) AS hi_c,
+        |    max(n) AS n
+        |  FROM cw),
+        |cl AS (
+        |  SELECT bv.cnt, bv.c, th.lo_c, th.hi_c, th.n,
+        |    greatest(th.lo_c, least(th.hi_c, bv.c)) AS w
+        |  FROM bv, th)
+        |SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(lo_c) AS BIGINT)
+        |    AS lo_c, CAST(max(hi_c) AS BIGINT) AS hi_c,
+        |  CAST(sum(CASE WHEN c < lo_c THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN c > hi_c THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(sum(cnt * w) AS BIGINT) AS wins_sum_c,
+        |  CAST((2000000 * sum(cnt * w) + max(n) * 100)
+        |    // (2 * max(n) * 100) AS DOUBLE) / 1e6 AS wins_mean_r
+        |FROM cl""".stripMargin,
+
+    // q184: same distinct user-day-type baskets, a<b pair join, exact
+    // support and lift rationals
+    "q184_cooccurrence" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day,
+        |    event_type AS t
+        |  FROM events),
+        |tot AS (SELECT count(*) AS n_baskets FROM
+        |  (SELECT DISTINCT u, day FROM b)),
+        |pt AS (SELECT t, count(*) AS nt FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT x.t AS type_a, y.t AS type_b, count(*) AS nab
+        |  FROM b x JOIN b y ON x.u = y.u AND x.day = y.day AND x.t < y.t
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, CAST(p.nab AS BIGINT) AS nab,
+        |  CAST(tot.n_baskets AS BIGINT) AS n_baskets,
+        |  CAST((2000000 * p.nab + tot.n_baskets) // (2 * tot.n_baskets)
+        |    AS DOUBLE) / 1e6 AS support_r,
+        |  CAST((2000000 * p.nab * tot.n_baskets + a.nt * c.nt)
+        |    // (2 * a.nt * c.nt) AS DOUBLE) / 1e6 AS lift_r
+        |FROM p
+        |JOIN pt a ON a.t = p.type_a JOIN pt c ON c.t = p.type_b, tot"""
+        .stripMargin,
+
+    // q185: one user rollup, conversion-filtered cents sum coalesced
+    "q185_user_lifetime" ->
+      """SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_conversions,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+        |    AS revenue_c,
+        |  CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts)
+        |    AS DATE)) AS BIGINT) AS span_days
+        |FROM events GROUP BY user_id""".stripMargin,
+
     // q180: same two rankings, FULL OUTER fuse, identical micro-rounded
     // reciprocals; the top-50 set is deterministic (fused desc, doc_id)
     "q180_rrf_fusion" ->

@@ -196,6 +196,47 @@ object Maintenance {
     }.reduce(_ unionByName _)
   }
 
+  /** Winsorized summary — robust statistics after clipping to exact-rank
+    * percentile thresholds: lo = smallest value whose inclusive
+    * cumulative count ≥ ⌈n·pLow/100⌉ (hi likewise at pHigh), values
+    * clamped to [lo, hi] before the cents-exact sum. Exact-rank (not
+    * interpolated) thresholds keep every quantity integer, so the
+    * outlier-robust mean is engine-identical. One row: n, thresholds,
+    * clip counts, winsorized sum and mean.
+    *
+    * Scale: the corpus collapses once to the distinct-cents table; the
+    * cumulative, the threshold picks, and the clamped re-aggregation all
+    * run over that table (the q163 posture). */
+  def winsorizedStats(df: DataFrame, valueCol: String, pLow: Int = 1,
+      pHigh: Int = 99): DataFrame = {
+    require(0 <= pLow && pLow < pHigh && pHigh <= 100, "need 0<=lo<hi<=100")
+    val byV = df.select(round(col(valueCol) * 100).cast("long").as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val cum = byV.withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    val th = cum.agg(
+      min(when(col("cum") * lit(100L) >= col("n") * lit(pLow.toLong),
+        col("c"))).as("lo_c"),
+      min(when(col("cum") * lit(100L) >= col("n") * lit(pHigh.toLong),
+        col("c"))).as("hi_c"),
+      max(col("n")).as("n"))
+    val clamped = byV.crossJoin(broadcast(th))
+      .select(col("cnt"), col("c"), col("lo_c"), col("hi_c"), col("n"),
+        greatest(col("lo_c"), least(col("hi_c"), col("c"))).as("w"))
+    clamped.groupBy(col("lo_c"), col("hi_c"), col("n"))
+      .agg(sum(when(col("c") < col("lo_c"), col("cnt")).otherwise(0L))
+          .cast("long").as("n_clip_lo"),
+        sum(when(col("c") > col("hi_c"), col("cnt")).otherwise(0L))
+          .cast("long").as("n_clip_hi"),
+        sum(col("cnt") * col("w")).cast("long").as("wins_sum_c"))
+      .select(col("n").cast("long").as("n"), col("lo_c"), col("hi_c"),
+        col("n_clip_lo"), col("n_clip_hi"), col("wins_sum_c"),
+        Corpus.ratioRound6(col("wins_sum_c"), col("n") * lit(100L))
+          .as("wins_mean_r"))
+  }
+
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.
     *
     * Sizing is derived from the CURRENT on-disk bytes (post-compression),

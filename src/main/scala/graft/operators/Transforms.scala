@@ -428,6 +428,67 @@ object Transforms {
         when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** Event-type co-occurrence (market-basket support + lift) — which
+    * behaviors happen TOGETHER: baskets are distinct (user, day, type)
+    * activity, pairs are the within-basket type pairs (a < b), and each
+    * pair reports support (basket share) and lift
+    * P(ab)·T / (P(a)·P(b)·T²) — both exact half-up rationals. Lift > 1
+    * means the pair co-occurs more than independence predicts.
+    *
+    * Scale: the self-join is keyed on (user, day) with fanout bounded by
+    * |types|² per basket — never a corpus×corpus join; all three count
+    * tables are partial-aggregatable. */
+  def typeCooccurrence(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val baskets = events.select(col(userCol).as("u"),
+        to_date(col(tsCol)).as("day"), col(typeCol).as("t"))
+      .distinct()
+    val totals = baskets.select(col("u"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val perType = baskets.groupBy(col("t")).agg(count(lit(1)).as("nt"))
+    val pairs = baskets.as("x")
+      .join(baskets.as("y"),
+        col("x.u") === col("y.u") && col("x.day") === col("y.day") &&
+          col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+      .agg(count(lit(1)).as("nab"))
+    pairs
+      .join(broadcast(perType.select(col("t").as("type_a"),
+        col("nt").as("na"))), "type_a")
+      .join(broadcast(perType.select(col("t").as("type_b"),
+        col("nt").as("nb"))), "type_b")
+      .crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"), col("nab").cast("long").as("nab"),
+        col("n_baskets").cast("long").as("n_baskets"),
+        Corpus.ratioRound6(col("nab"), col("n_baskets")).as("support_r"),
+        Corpus.ratioRound6(col("nab") * col("n_baskets"),
+          col("na") * col("nb")).as("lift_r"))
+  }
+
+  /** Per-user lifetime rollup — the "customer 360" base table: first and
+    * last activity, distinct active days, event count, conversion count
+    * and exact revenue cents, and the activity span in whole days. One
+    * partial-aggregatable groupBy; every downstream LTV / churn model
+    * starts here.
+    *
+    * Scale: one hash aggregate keyed on the user — the canonical
+    * map-side-combining rollup. */
+  def userLifetime(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String,
+      conversionType: String): DataFrame =
+    events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"),
+        countDistinct(to_date(col(tsCol))).cast("long").as("active_days"),
+        count(lit(1)).cast("long").as("n_events"),
+        sum(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+          .cast("long").as("n_conversions"),
+        coalesce(sum(when(col(typeCol) === conversionType,
+          round(col(valueCol) * 100).cast("long"))), lit(0L))
+          .cast("long").as("revenue_c"))
+      .withColumn("span_days",
+        datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+          .cast("long"))
+
   /** Conditional next-event entropy — how predictable each state's
     * successor is (H(next | from) in bits; 0 = deterministic flow, high
     * = anything can follow): the q138 transition counts folded through

@@ -441,6 +441,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(got("tag") == ((4L, 3L, 2L, 0.75)))
   }
 
+  test("winsorizedStats: exact-rank thresholds, clip accounting, robust mean") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    // cents 1..9 and one outlier 100; p10/p90 → lo=1, hi=9; the outlier
+    // clamps to 9: sum = 45 + 9 = 54 → mean 0.054
+    val vals = ((1 to 9).map(_ / 100.0) :+ 1.00)
+    val r = Maintenance.winsorizedStats(
+      vals.map(Tuple1(_)).toDF("value"), "value", pLow = 10, pHigh = 90)
+      .collect()(0)
+    assert((r.getAs[Long]("n"), r.getAs[Long]("lo_c"), r.getAs[Long]("hi_c"),
+      r.getAs[Long]("n_clip_lo"), r.getAs[Long]("n_clip_hi"),
+      r.getAs[Long]("wins_sum_c"), r.getAs[Double]("wins_mean_r")) ==
+      ((10L, 1L, 9L, 0L, 1L, 54L, 0.054)))
+  }
+
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
     import spark.implicits._
     val dirPath = java.nio.file.Files.createTempDirectory("compact")

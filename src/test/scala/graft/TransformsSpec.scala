@@ -214,6 +214,47 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("typeCooccurrence: basket pairs, support and lift, independence = 1") {
+    import spark.implicits._
+    val day = 86400L
+    val ev = Seq(
+      // 4 baskets: {a,b} {a,b} {a} {b} → nab=2, na=3, nb=3, T=4
+      (1L, "a", 0L), (1L, "b", 1L),
+      (2L, "a", 0L), (2L, "b", 1L),
+      (3L, "a", 0L), (4L, "b", 0L),
+      // duplicate same-basket event must not inflate counts
+      (1L, "a", 2L)
+    ).map { case (u, t, s) => (u, t, new java.sql.Timestamp(s * 1000)) }
+      .toDF("user_id", "event_type", "ts")
+    val r = Transforms.typeCooccurrence(ev, "user_id", "ts", "event_type")
+      .collect()(0)
+    // support 2/4 = 0.5; lift = 2·4/(3·3) = 8/9 = 0.888889
+    assert((r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+      r.getAs[Long]("nab"), r.getAs[Long]("n_baskets"),
+      r.getAs[Double]("support_r"), r.getAs[Double]("lift_r")) ==
+      (("a", "b", 2L, 4L, 0.5, 0.888889)))
+  }
+
+  test("userLifetime: rollup fields, conversion revenue, day span") {
+    import spark.implicits._
+    val day = 86400L
+    val ev = Seq(
+      (1L, "view", 0L, 5.00), (1L, "purchase", day, 9.99),
+      (1L, "purchase", day + 10, 0.01), (1L, "view", 2 * day, 1.00),
+      (2L, "view", 0L, 2.00)
+    ).map { case (u, t, s, v) =>
+      (u, t, new java.sql.Timestamp(s * 1000), v)
+    }.toDF("user_id", "event_type", "ts", "value")
+    val got = Transforms.userLifetime(ev, "user_id", "ts", "event_type",
+        "value", "purchase")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("active_days"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_conversions"), r.getAs[Long]("revenue_c"),
+          r.getAs[Long]("span_days"))).toMap
+    assert(got(1L) == ((3L, 4L, 2L, 1000L, 2L)))
+    assert(got(2L) == ((1L, 1L, 0L, 0L, 0L)))
+  }
+
   test("transitionEntropy: deterministic successor → 0 bits, uniform → 1 bit") {
     import spark.implicits._
     val ev = Seq(
