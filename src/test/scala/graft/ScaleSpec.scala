@@ -335,6 +335,48 @@ class ScaleSpec extends AnyFunSuite {
       withLiteral.getAs[Long]("lane_a"))
   }
 
+  test("plan shapes: round-8 continuation operators stay scale-safe") {
+    val sfDir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    // q157 attribution: ONE user-keyed window, never a touch×conversion
+    // self-join (the O(T·C) shape the operator exists to avoid)
+    val p157 = plan("q157_attribution")
+    assert(p157.contains("Window") && !p157.contains("Join"), p157)
+
+    // q161 OHLC: the per-bucket window and the bar aggregate share one
+    // (key, day) hash exchange — exactly one shuffle in the whole plan
+    val p161 = plan("q161_ohlc_bars")
+    assert(p161.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      p161)
+
+    // q159 OLS / q182 Fano: pure aggregate chains — no windows, no sorts
+    val p159 = plan("q159_ols_trend")
+    assert(!p159.contains("Window") && !p159.contains("SortMergeJoin"), p159)
+    val p182 = plan("q182_fano")
+    assert(!p182.contains("Window") && !p182.contains("Sort"), p182)
+
+    // q184 co-occurrence: the basket self-join is an equi-join on
+    // (user, day) — no cartesian pairing of baskets
+    val p184 = plan("q184_cooccurrence")
+    assert(!p184.contains("CartesianProduct"), p184)
+
+    // q180 RRF: global top-k via TakeOrderedAndProject, not a full sort
+    val p180 = plan("q180_rrf_fusion")
+    assert(p180.contains("TakeOrderedAndProject"), p180)
+
+    // q166 readability: map-only — zero exchanges at any corpus size
+    val p166 = plan("q166_readability")
+    assert(!p166.contains("Exchange"), p166)
+
+    // q173 gaps / q167 paths: user-partitioned windows, never global
+    val p173 = plan("q173_gap_profile")
+    assert(p173.contains("Window"), p173)
+    val p167 = plan("q167_path_mining")
+    assert(p167.contains("Window"), p167)
+  }
+
   test("equiWidthHistogram: exact bins, conserved mass, extremes in end bins") {
     import spark.implicits._
     import graft.operators.Maintenance
