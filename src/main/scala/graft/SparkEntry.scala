@@ -2160,6 +2160,19 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Linear multi-touch attribution: equal split across the last 5
+    // in-horizon touches — q157's window, micro-unit credit quanta, no
+    // touch×conversion join.
+    "q186_linear_attribution" -> ((s, d) =>
+      Transforms.linearAttribution(events(s, d), "user_id", "event_type",
+        "ts", "event_id", "value", Seq("view", "click"), "purchase",
+        lookbackSeconds = 604800L, maxTouches = 5)),
+
+    // Churn snapshot: inactivity decay curve at the data's own anchor,
+    // exact shares, 14-day churn line.
+    "q187_churn_snapshot" -> ((s, d) =>
+      Transforms.churnSnapshot(events(s, d), "user_id", "ts", 14)),
+
     // Winsorized summary of event values: exact-rank p1/p99 thresholds,
     // clip counts, outlier-robust mean — all over the distinct-cents
     // table.
@@ -4464,6 +4477,60 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q186: join-shaped oracle mirror of the window plan — rank ALL
+    // strictly-before touches desc, keep rnk<=5 AND horizon, recount n,
+    // identical half-up credit/revenue quanta
+    "q186_linear_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |pairs AS (
+        |  SELECT c.event_id AS conv_id,
+        |    CAST(round(c.value * 100) AS BIGINT) AS cents, c.ts AS conv_ts,
+        |    t.event_type AS touch_type, t.ts AS t_ts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY t.ts DESC, t.event_id DESC) AS rnk
+        |  FROM conv c JOIN tch t ON t.user_id = c.user_id
+        |    AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))),
+        |kept AS (
+        |  SELECT * FROM pairs
+        |  WHERE rnk <= 5 AND date_diff('second', t_ts, conv_ts) <= 604800),
+        |sized AS (
+        |  SELECT touch_type, cents,
+        |    count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM kept),
+        |cr AS (
+        |  SELECT touch_type,
+        |    (2000000 + n) // (2 * n) AS credit_u,
+        |    (2 * cents * 1000 + n) // (2 * n) AS rev_mu
+        |  FROM sized)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_credits,
+        |  CAST(sum(credit_u) AS BIGINT) AS credit_u,
+        |  CAST(sum(rev_mu) AS BIGINT) AS revenue_mu
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    // q187: same user rollup, data-anchored inactivity, exact shares
+    "q187_churn_snapshot" ->
+      """WITH ld AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day FROM events
+        |  GROUP BY 1),
+        |a AS (SELECT max(last_day) AS anchor FROM ld),
+        |g AS (
+        |  SELECT date_diff('day', last_day, anchor) AS days_inactive
+        |  FROM ld, a),
+        |c AS (SELECT days_inactive, count(*) AS n_users FROM g GROUP BY 1),
+        |f AS (SELECT days_inactive, n_users, sum(n_users) OVER () AS total
+        |      FROM c)
+        |SELECT CAST(days_inactive AS BIGINT) AS days_inactive,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  days_inactive > 14 AS is_churned,
+        |  CAST((2000000 * n_users + total) // (2 * total) AS DOUBLE) / 1e6
+        |    AS share_r
+        |FROM f""".stripMargin,
+
     // q183: same distinct-cents cumulative, cum·100 >= n·p threshold
     // pick (≡ ceil-rank), clamp, cents-exact winsorized sum
     "q183_winsorize" ->

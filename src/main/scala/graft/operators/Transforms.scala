@@ -465,6 +465,31 @@ object Transforms {
           col("na") * col("nb")).as("lift_r"))
   }
 
+  /** Churn snapshot — the inactivity decay curve at the data's own
+    * anchor (max activity day): per days-since-last-activity, how many
+    * users sit there, whether that bucket counts as churned at
+    * `inactiveDays`, and the exact share. The anchor comes from the data
+    * (deterministic), not the wall clock.
+    *
+    * Scale: one user rollup (map-side combining), a broadcast 1-row
+    * anchor, and a ≤ |distinct gaps| aggregate + total window. */
+  def churnSnapshot(events: DataFrame, userCol: String, tsCol: String,
+      inactiveDays: Int = 14): DataFrame = {
+    val lastDay = events.groupBy(col(userCol))
+      .agg(max(to_date(col(tsCol))).as("last_day"))
+    val anchor = lastDay.agg(max(col("last_day")).as("anchor"))
+    lastDay.crossJoin(broadcast(anchor))
+      .select(datediff(col("anchor"), col("last_day")).cast("long")
+        .as("days_inactive"))
+      .groupBy(col("days_inactive"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("total", sum(col("n_users")).over(Window.partitionBy()))
+      .select(col("days_inactive"),
+        col("n_users").cast("long").as("n_users"),
+        (col("days_inactive") > inactiveDays.toLong).as("is_churned"),
+        Corpus.ratioRound6(col("n_users"), col("total")).as("share_r"))
+  }
+
   /** Per-user lifetime rollup — the "customer 360" base table: first and
     * last activity, distinct active days, event count, conversion count
     * and exact revenue cents, and the activity span in whole days. One
@@ -801,6 +826,56 @@ object Transforms {
           .as("touch_type"),
         when(col("_in_horizon"), col("_lt.t_ts")).as("touch_ts"),
         round(col(valueCol) * 100).cast("long").as("revenue_cents"))
+  }
+
+  /** Linear multi-touch attribution — [[lastTouchAttribution]]'s
+    * fairness-minded sibling: each conversion's credit (and revenue) is
+    * split equally across its last `maxTouches` in-horizon touches.
+    * Credit quanta are micro-units and revenue milli-cents, each touch's
+    * share rounded half-up independently (mirrored exactly by the
+    * oracle), so the per-touch-type totals are engine-identical.
+    * Conversions with no in-horizon touch earn nothing here — they are
+    * the 'direct' bucket q157 reports.
+    *
+    * Scale: the touch list rides the SAME user-keyed window as q157
+    * (bounded by `maxTouches` per row, not by history length, thanks to
+    * the slice); the per-conversion size recount is a window over the
+    * ≤ maxTouches exploded rows. No touch×conversion join. */
+  def linearAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, valueCol: String,
+      touchTypes: Seq[String], conversionType: String,
+      lookbackSeconds: Long, maxTouches: Int = 5): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touch types must be non-empty and disjoint from the conversion type")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsCol).as("t_ts"), col(typeCol).as("t_type")))
+    val allT = collect_list(touch).over(w)
+    val exploded = events
+      // slice(-K) errors/empties when the list is shorter than K — short
+      // histories keep the whole list
+      .withColumn("_tl", when(size(allT) <= maxTouches, allT)
+        .otherwise(slice(allT, -maxTouches, maxTouches)))
+      .filter(col(typeCol) === conversionType)
+      .select(col(tieCol).as("conv_id"),
+        round(col(valueCol) * 100).cast("long").as("cents"),
+        col(tsCol).as("conv_ts"), explode(col("_tl")).as("t"))
+      .filter((unix_timestamp(col("conv_ts")) -
+        unix_timestamp(col("t.t_ts"))).cast("long") <= lit(lookbackSeconds))
+    val n = count(lit(1)).over(Window.partitionBy(col("conv_id")))
+    exploded
+      .withColumn("n", n)
+      .select(col("t.t_type").as("touch_type"),
+        call_function("div", lit(2000000L) + col("n"), col("n") * lit(2L))
+          .as("credit_u"),
+        call_function("div", lit(2L) * col("cents") * lit(1000L) + col("n"),
+          col("n") * lit(2L)).as("rev_mu"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).cast("long").as("n_credits"),
+        sum(col("credit_u")).cast("long").as("credit_u"),
+        sum(col("rev_mu")).cast("long").as("revenue_mu"))
   }
 
   /** Shuffle-key skew profile — the diagnostic to run BEFORE a big join

@@ -214,6 +214,46 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("linearAttribution: equal split, last-5 cap, horizon, no-touch drops") {
+    import spark.implicits._
+    val ev = (Seq(
+      // u1: view + click before purchase 3.00 → 50/50 split
+      (1L, "view", 10L, 1L, 0.0), (1L, "click", 20L, 2L, 0.0),
+      (1L, "purchase", 30L, 3L, 3.00)) ++
+      // u2: SIX views then purchase 1.00 → only the last 5 credited
+      (1 to 6).map(i => (2L, "view", i.toLong, (3 + i).toLong, 0.0)) ++ Seq(
+      (2L, "purchase", 7L, 10L, 1.00),
+      // u3: lone touch far outside the horizon → nothing credited
+      (3L, "view", 0L, 11L, 0.0), (3L, "purchase", 500L, 12L, 9.99)))
+      .map { case (u, t, s, id, v) =>
+        (u, t, new java.sql.Timestamp(s * 1000), id, v)
+      }.toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = Transforms.linearAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "value", Seq("view", "click"), "purchase",
+        lookbackSeconds = 100L, maxTouches = 5)
+      .collect().map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("credit_u"),
+          r.getAs[Long]("revenue_mu"))).toMap
+    // u1: 2 touches à 500000 credit / 150000 mu; u2: 5 à 200000 / 20000
+    assert(got == Map(
+      "view" -> ((6L, 500000L + 1000000L, 150000L + 100000L)),
+      "click" -> ((1L, 500000L, 150000L))))
+  }
+
+  test("churnSnapshot: data-anchored gaps, churn line, exact shares") {
+    import spark.implicits._
+    val day = 86400L
+    val ev = Seq((1L, 0L), (2L, 20 * day), (3L, 20 * day), (3L, 0L))
+      .map { case (u, s) => (u, new java.sql.Timestamp(s * 1000)) }
+      .toDF("user_id", "ts")
+    val got = Transforms.churnSnapshot(ev, "user_id", "ts", 14)
+      .collect().map(r => r.getAs[Long]("days_inactive") ->
+        (r.getAs[Long]("n_users"), r.getAs[Boolean]("is_churned"),
+          r.getAs[Double]("share_r"))).toMap
+    assert(got == Map(
+      0L -> ((2L, false, 0.666667)), 20L -> ((1L, true, 0.333333))))
+  }
+
   test("typeCooccurrence: basket pairs, support and lift, independence = 1") {
     import spark.implicits._
     val day = 86400L
