@@ -287,4 +287,52 @@ object PropertySpec extends Properties("graft") {
         .as[String].collect().toSeq
       once == twice
     }
+
+  property("rocAuc stays in [0,1] and u2 obeys the rank-sum identity bound") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(-50L, 50L), Gen.oneOf(0, 1)))) { rows =>
+      val hasBoth = rows.exists(_._2 == 1) && rows.exists(_._2 == 0)
+      !hasBoth || {
+        val r = graft.serving.ModelScoring
+          .rocAuc(rows.toDF("s", "y"), col("s"), col("y")).collect()(0)
+        val (np, nn, u2, auc) = (r.getAs[Long]("n_pos"),
+          r.getAs[Long]("n_neg"), r.getAs[Long]("u2"),
+          r.getAs[Double]("auc_r"))
+        np + nn == rows.size && u2 >= 0 && u2 <= 2 * np * nn &&
+          auc >= 0.0 && auc <= 1.0
+      }
+    }
+
+  property("histograms conserve mass: equi-width and equi-depth row sums") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-10000, 10000))) { cents =>
+      val df = cents.map(_ / 100.0).map(Tuple1(_)).toDF("value")
+      val w = graft.operators.Maintenance.equiWidthHistogram(df, "value", 8)
+        .agg(sum(col("cnt"))).collect()(0).getLong(0)
+      val d = graft.operators.Maintenance.equiDepthHistogram(df, "value", 8)
+        .agg(sum(col("n_rows"))).collect()(0).getLong(0)
+      w == cents.size && d == cents.size
+    }
+
+  property("winsorizedStats: thresholds ordered, clips+kept = n, mean in range") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-10000, 10000))) { cents =>
+      val df = cents.map(_ / 100.0).map(Tuple1(_)).toDF("value")
+      val r = graft.operators.Maintenance
+        .winsorizedStats(df, "value", 10, 90).collect()(0)
+      val (n, lo, hi) = (r.getAs[Long]("n"), r.getAs[Long]("lo_c"),
+        r.getAs[Long]("hi_c"))
+      val clips = r.getAs[Long]("n_clip_lo") + r.getAs[Long]("n_clip_hi")
+      lo <= hi && n == cents.size && clips <= n &&
+        r.getAs[Long]("wins_sum_c") >= lo * n &&
+        r.getAs[Long]("wins_sum_c") <= hi * n
+    }
+
+  property("giniConcentration lands in [0, 1) on non-empty corpora") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1, 30))) { lens =>
+      val docs = lens.zipWithIndex
+        .map { case (k, i) => (i.toLong, Seq.fill(k)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val g = graft.operators.Corpus.giniConcentration(docs, "doc_id", "text")
+        .collect()(0).getAs[Double]("gini_r")
+      g >= 0.0 && g < 1.0
+    }
 }
