@@ -2160,6 +2160,18 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Numeric distribution drift: first vs second half of the period on
+    // SHARED global bin edges, PSI contributions per bin.
+    "q188_numeric_drift" -> ((s, d) =>
+      graft.operators.Maintenance.numericDrift(events(s, d), "value", "ts",
+        bins = 10)),
+
+    // Lagged cross-correlation view→purchase at 7 days: signed r² from
+    // exact integer moments over calendar-paired daily counts.
+    "q189_lagged_corr" -> ((s, d) =>
+      Transforms.laggedCrossCorrelation(events(s, d), "event_type", "ts",
+        "view", "purchase", lagDays = 7)),
+
     // Linear multi-touch attribution: equal split across the last 5
     // in-horizon touches — q157's window, micro-unit credit quanta, no
     // touch×conversion join.
@@ -4477,6 +4489,71 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q188: q156's bin formula over global edges, integer midpoint-day
+    // split, q131's smoothed PSI arithmetic on the bin label
+    "q188_numeric_drift" ->
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT min(c) AS mn, max(c) AS mx, min(day) AS d0,
+        |              max(day) AS d1 FROM ev),
+        |bn AS (
+        |  SELECT ((c - mn) * 10) // (mx - mn + 1) AS bin,
+        |    date_diff('day', d0, day) <=
+        |      date_diff('day', d0, d1) // 2 AS is_a
+        |  FROM ev, st),
+        |a AS (SELECT bin, count(*) AS n_a FROM bn WHERE is_a GROUP BY 1),
+        |b AS (SELECT bin, count(*) AS n_b FROM bn WHERE NOT is_a
+        |      GROUP BY 1),
+        |cats AS (
+        |  SELECT coalesce(a.bin, b.bin) AS bin,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        |tot AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b,
+        |               count(*) AS v FROM cats)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(round(1e6 * (
+        |    log2(CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE))
+        |    - log2(CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + v AS DOUBLE))))
+        |    AS BIGINT) AS lr_ub,
+        |  round((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE)
+        |       - CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + v AS DOUBLE))
+        |    * CAST(CAST(round(1e6 * (
+        |        log2(CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE))
+        |        - log2(CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + v AS DOUBLE))))
+        |        AS BIGINT) AS DOUBLE) / 1e6, 6) AS contrib_r
+        |FROM cats, tot""".stripMargin,
+
+    // q189: same calendar pairing and exact moment identities; signed
+    // r² via HUGEINT with one half-up rounding
+    "q189_lagged_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT x.n AS x, y.n AS y
+        |  FROM daily x JOIN daily y
+        |    ON x.event_type = 'view' AND y.event_type = 'purchase'
+        |    AND y.day = x.day + 7),
+        |m AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p),
+        |f AS (
+        |  SELECT n, n * sxy - sx * sy AS cov, n * sxx - sx * sx AS vx,
+        |    n * syy - sy * sy AS vy
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(cov AS BIGINT) AS cov_num,
+        |  CAST(vx AS BIGINT) AS varx_num, CAST(vy AS BIGINT) AS vary_num,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |    ELSE (CASE WHEN cov < 0 THEN -1 ELSE 1 END) *
+        |      CAST((2000000 * cov * cov + vx * vy) // (2 * vx * vy)
+        |        AS DOUBLE) / 1e6
+        |  END AS signed_r2
+        |FROM f""".stripMargin,
+
     // q186: join-shaped oracle mirror of the window plan — rank ALL
     // strictly-before touches desc, keep rnk<=5 AND horizon, recount n,
     // identical half-up credit/revenue quanta

@@ -237,6 +237,36 @@ object Maintenance {
           .as("wins_mean_r"))
   }
 
+  /** Numeric distribution drift — "did the value distribution move
+    * between the first and second half of the period": values quantized
+    * to integer cents, binned with the [[equiWidthHistogram]] formula
+    * over the GLOBAL min/max (both periods share the exact same bin
+    * edges — separate per-period binning would manufacture drift), the
+    * time split at the integer midpoint day, and the per-bin PSI
+    * contributions delegated to [[Corpus.distributionDrift]] (Laplace-
+    * smoothed, micro-bit log ratios).
+    *
+    * Scale: map-only bin/period assignment after one broadcast stats
+    * row; the drift compare runs on two ≤ `bins`-row aggregates. */
+  def numericDrift(df: DataFrame, valueCol: String, tsCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "need at least one bin")
+    val ev = df.filter(col(valueCol).isNotNull)
+      .select(round(col(valueCol) * 100).cast("long").as("c"),
+        to_date(col(tsCol)).as("day"))
+    val stats = ev.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+      min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val binned = ev.crossJoin(broadcast(stats))
+      .withColumn("bin",
+        expr(s"CAST(((c - mn) * $bins) DIV (mx - mn + 1) AS BIGINT)"))
+      .withColumn("is_a", datediff(col("day"), col("d0")).cast("long") <=
+        call_function("div", datediff(col("d1"), col("d0")).cast("long"),
+          lit(2L)))
+    Corpus.distributionDrift(
+      binned.filter(col("is_a")).select(col("bin")),
+      binned.filter(!col("is_a")).select(col("bin")), "bin")
+  }
+
   /** Rewrite a parquet directory into ~`targetBytes`-sized files.
     *
     * Sizing is derived from the CURRENT on-disk bytes (post-compression),

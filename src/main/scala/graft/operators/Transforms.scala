@@ -546,6 +546,49 @@ object Transforms {
           col("n_from") * lit(2L)).cast("double") / lit(1e6)).as("h_r"))
   }
 
+  /** Lagged cross-correlation (signed r²) — "do views predict purchases
+    * a week out": daily counts of two event types paired by a calendar
+    * lag (the q169 equi-join, never a row-offset window), then the
+    * Pearson numerator/denominators as exact integer moments. r itself
+    * needs square roots, so the ENGINE-EXACT statistic reported is the
+    * signed coefficient of determination sign(cov)·cov²/(varx·vary) —
+    * monotone in |r|, exact rationals end to end (DECIMAL combine, one
+    * half-up rounding). Pairs where either series is constant get NULL.
+    *
+    * Scale: two daily rollups + a day-keyed equi-join on the day-bounded
+    * tables + one moment aggregate. */
+  def laggedCrossCorrelation(events: DataFrame, typeCol: String,
+      tsCol: String, typeX: String, typeY: String,
+      lagDays: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val x = daily.filter(col(typeCol) === typeX)
+      .select(col("day").as("day_x"), col("n").as("x"))
+    val y = daily.filter(col(typeCol) === typeY)
+      .select(col("day").as("day_y"), col("n").as("y"))
+    val paired = x.join(y,
+      col("day_y") === date_add(col("day_x"), lagDays))
+      .select(col("x"), col("y"))
+    val m = paired.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val cov = m("n") * m("sxy") - m("sx") * m("sy")
+    val vx = m("n") * m("sxx") - m("sx") * m("sx")
+    val vy = m("n") * m("syy") - m("sy") * m("sy")
+    val num = (cov * cov).cast(DecimalType(38, 0))
+    val den = (vx.cast(DecimalType(38, 0)) * vy)
+    m.select(m("n").cast("long").as("n_pairs"),
+      cov.cast("long").as("cov_num"), vx.cast("long").as("varx_num"),
+      vy.cast("long").as("vary_num"),
+      when(vx === 0L || vy === 0L, lit(null).cast("double"))
+        .otherwise((when(cov < 0L, lit(-1.0)).otherwise(lit(1.0))) *
+          (call_function("div", num * lit(2000000L) + den, den * lit(2L))
+            .cast("double") / lit(1e6))).as("signed_r2"))
+  }
+
   /** Fano-factor burstiness — variance-to-mean of DAILY counts per
     * group (1 ≈ Poisson arrivals, ≫ 1 = bursty, < 1 = regular): from
     * the exact integer identity F = (d·Σx² − (Σx)²) / (d·Σx) over the

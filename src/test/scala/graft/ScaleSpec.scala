@@ -498,6 +498,21 @@ class ScaleSpec extends AnyFunSuite {
       ((10L, 1L, 9L, 0L, 1L, 54L, 0.054)))
   }
 
+  test("numericDrift: identical period distributions → zero contributions") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val day = 86400L
+    // days 0-1 (period A) and 2-3 (period B) carry the SAME value mix
+    val rows = for (d <- 0 to 3; v <- Seq(1.00, 2.00, 2.00)) yield
+      (v, new java.sql.Timestamp(d * day * 1000))
+    val got = Maintenance.numericDrift(rows.toDF("value", "ts"), "value",
+        "ts", bins = 4).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getAs[Long]("lr_ub") == 0L &&
+      r.getAs[Double]("contrib_r") == 0.0), got.mkString("\n"))
+    assert(got.forall(r => r.getAs[Long]("n_a") == r.getAs[Long]("n_b")))
+  }
+
   test("compact rewrites a small-file directory to the target sizing, losslessly") {
     import spark.implicits._
     val dirPath = java.nio.file.Files.createTempDirectory("compact")

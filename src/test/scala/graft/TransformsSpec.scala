@@ -214,6 +214,31 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("laggedCrossCorrelation: perfect lag tracking → ±1, constant → NULL") {
+    import spark.implicits._
+    val day = 86400L
+    def ev(ys: Seq[Long]) = (
+      Seq(("v", 0L, 1), ("v", day, 2), ("v", 2 * day, 3)).flatMap {
+        case (t, s, k) => Seq.fill(k)((t, s)) } ++
+      ys.zipWithIndex.flatMap { case (k, i) =>
+        Seq.fill(k.toInt)(("p", (i + 1) * day)) })
+      .map { case (t, s) => (t, new java.sql.Timestamp(s * 1000)) }
+      .toDF("event_type", "ts")
+    // y_{t+1} = 2·x_t exactly → signed r² = +1
+    val up = Transforms.laggedCrossCorrelation(ev(Seq(2L, 4L, 6L)),
+      "event_type", "ts", "v", "p", 1).collect()(0)
+    assert(up.getAs[Long]("n_pairs") == 3L)
+    assert(up.getAs[Double]("signed_r2") == 1.0)
+    // reversed y → perfect anticorrelation → −1
+    val dn = Transforms.laggedCrossCorrelation(ev(Seq(6L, 4L, 2L)),
+      "event_type", "ts", "v", "p", 1).collect()(0)
+    assert(dn.getAs[Double]("signed_r2") == -1.0)
+    // constant y → zero variance → NULL
+    val fl = Transforms.laggedCrossCorrelation(ev(Seq(3L, 3L, 3L)),
+      "event_type", "ts", "v", "p", 1).collect()(0)
+    assert(Option(fl.get(fl.fieldIndex("signed_r2"))).isEmpty)
+  }
+
   test("linearAttribution: equal split, last-5 cap, horizon, no-touch drops") {
     import spark.implicits._
     val ev = (Seq(
