@@ -2160,6 +2160,28 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // North star: growth report — q185's lifetime table segmented at the
+    // data's anchor (churned / customer / prospect) and rolled up, all
+    // in ONE plan; proves the analytics family COMPOSES.
+    "q190_growth_report" -> ((s, d) => {
+      val lt = Transforms.userLifetime(events(s, d), "user_id", "ts",
+        "event_type", "value", "purchase")
+      val anchor = lt.agg(max(to_date(col("last_ts"))).as("anchor"))
+      lt.crossJoin(broadcast(anchor))
+        .withColumn("segment",
+          when(datediff(col("anchor"), to_date(col("last_ts"))) > 14,
+            "churned")
+            .when(col("revenue_c") >= 75000L, "vip")
+            .when(col("n_conversions") > 0L, "customer")
+            .otherwise("prospect"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(col("revenue_c")).cast("long").as("revenue_c"),
+          sum(col("active_days")).cast("long").as("active_days"))
+        .withColumn("mean_active_r",
+          Corpus.ratioRound6(col("active_days"), col("n_users")))
+    }),
+
     // Numeric distribution drift: first vs second half of the period on
     // SHARED global bin edges, PSI contributions per bin.
     "q188_numeric_drift" -> ((s, d) =>
@@ -4489,6 +4511,33 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q190: inlined q185 rollup + anchor segmentation + segment rollup
+    "q190_growth_report" ->
+      """WITH lt AS (
+        |  SELECT user_id, max(ts) AS last_ts,
+        |    count(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS n_conversions,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS revenue_c
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT max(CAST(last_ts AS DATE)) AS anchor FROM lt),
+        |seg AS (
+        |  SELECT CASE
+        |      WHEN date_diff('day', CAST(last_ts AS DATE), anchor) > 14
+        |        THEN 'churned'
+        |      WHEN revenue_c >= 75000 THEN 'vip'
+        |      WHEN n_conversions > 0 THEN 'customer'
+        |      ELSE 'prospect' END AS segment,
+        |    active_days, revenue_c
+        |  FROM lt, a)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(revenue_c) AS BIGINT) AS revenue_c,
+        |  CAST(sum(active_days) AS BIGINT) AS active_days,
+        |  CAST((2000000 * sum(active_days) + count(*)) // (2 * count(*))
+        |    AS DOUBLE) / 1e6 AS mean_active_r
+        |FROM seg GROUP BY 1""".stripMargin,
+
     // q188: q156's bin formula over global edges, integer midpoint-day
     // split, q131's smoothed PSI arithmetic on the bin label
     "q188_numeric_drift" ->
