@@ -2160,6 +2160,37 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // §2.8 depth — STREAMING OHLC bars: the q161 resample as a REAL
+    // AvailableNow streaming aggregation (complete mode). Ordered
+    // open/close come from min_by/max_by over the (ts, event_id) struct
+    // — aggregate functions the state store can fold incrementally,
+    // where window-function first/last would be unsupported in
+    // streaming. The oracle is q161's batch SQL: stream/batch parity is
+    // the assertion.
+    "q191_streaming_ohlc" -> ((s, d) => {
+      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val qname = s"q191_mem_$tok"
+      s.catalog.dropTempView(qname)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        graft.streaming.StreamingOps.runAvailableNow(
+            s, s"$d/events.parquet", qname, outputMode = "complete") { ev =>
+          val ord = struct(col("ts"), col("event_id"))
+          ev.filter(col("value").isNotNull)
+            .withColumn("day", to_date(col("ts")))
+            .withColumn("c", round(col("value") * 100).cast("long"))
+            .groupBy(col("event_type"), col("day"))
+            .agg(min_by(col("c"), ord).cast("long").as("open_c"),
+              max_by(col("c"), ord).cast("long").as("close_c"),
+              max(col("c")).cast("long").as("high_c"),
+              min(col("c")).cast("long").as("low_c"),
+              count(lit(1)).cast("long").as("n"),
+              sum(col("c")).cast("long").as("vol_c"))
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // North star: growth report — q185's lifetime table segmented at the
     // data's anchor (churned / customer / prospect) and rolled up, all
     // in ONE plan; proves the analytics family COMPOSES.
@@ -4511,6 +4542,27 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q191: the q161 batch SQL verbatim — the streaming run must equal
+    // the batch resample (stream/batch parity is the point)
+    "q191_streaming_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT event_type, day, c,
+        |    first_value(c) OVER win AS open_c,
+        |    last_value(c) OVER win AS close_c
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY event_type, day ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day,
+        |  CAST(max(open_c) AS BIGINT) AS open_c,
+        |  CAST(max(close_c) AS BIGINT) AS close_c,
+        |  CAST(max(c) AS BIGINT) AS high_c, CAST(min(c) AS BIGINT) AS low_c,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS vol_c
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
     // q190: inlined q185 rollup + anchor segmentation + segment rollup
     "q190_growth_report" ->
       """WITH lt AS (

@@ -185,4 +185,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming OHLC (min_by/max_by state fold) equals the batch resample") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q191_streaming_ohlc")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7))).toSet
+    val batch = graft.operators.Transforms.ohlcBars(
+        graft.Tables.events(spark, sfDir), "event_type", "ts", "event_id",
+        "value")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
