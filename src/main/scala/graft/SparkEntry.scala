@@ -2160,6 +2160,42 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Bucketed co-located join as a QUERY: both fact tables written
+    // bucketBy(8) on the join key, then joined WITHOUT a join-side
+    // exchange (the 100 TB co-location strategy the ScaleSpec bucketing
+    // test proves; here it carries a driver-checked result too). The
+    // only shuffle in the plan is the final small groupBy.
+    "q192_bucketed_join" -> ((s, d) => {
+      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val tOrders = s"q192_orders_$tok"
+      val tItems = s"q192_items_$tok"
+      // idempotent re-run: drop catalog entries AND any orphaned warehouse
+      // dirs (a killed prior run leaves the location without metadata)
+      Seq(tOrders, tItems).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+        val loc = java.nio.file.Paths.get(
+          Option(wh.getPath).getOrElse(wh.toString)).resolve(t)
+        if (java.nio.file.Files.exists(loc))
+          java.nio.file.Files.walk(loc)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(tOrders)
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tItems)
+      s.table(tOrders)
+        .join(s.table(tItems), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sumc(col("l_quantity")).as("sum_qty"))
+    }),
+
     // §2.8 depth — STREAMING OHLC bars: the q161 resample as a REAL
     // AvailableNow streaming aggregation (complete mode). Ordered
     // open/close come from min_by/max_by over the (ts, event_id) struct
@@ -4542,6 +4578,15 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q192: plain join + rollup — bucketing changes the plan, not the
+    // answer
+    "q192_bucketed_join" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     // q191: the q161 batch SQL verbatim — the streaming run must equal
     // the batch resample (stream/batch parity is the point)
     "q191_streaming_ohlc" ->

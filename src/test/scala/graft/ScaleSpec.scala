@@ -375,6 +375,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(p173.contains("Window"), p173)
     val p167 = plan("q167_path_mining")
     assert(p167.contains("Window"), p167)
+
+    // q192 bucketed join: with broadcast off (forcing the large×large
+    // path this operator exists for), bucket co-location removes BOTH
+    // join-side exchanges — the only hashpartitioning shuffle left is
+    // the final small groupBy
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p192 = plan("q192_bucketed_join")
+      assert(p192.contains("SortMergeJoin"), p192)
+      assert(
+        p192.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+        p192)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("equiWidthHistogram: exact bins, conserved mass, extremes in end bins") {
