@@ -2160,6 +2160,25 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Fingerprint mergeability as a QUERY: fingerprint two disjoint
+    // halves, fold them, emit alongside the direct whole-table
+    // fingerprint — the rows must be identical (incremental maintenance
+    // of the q140 sketch, per-partition fold instead of full recompute).
+    "q193_fingerprint_merge" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      val li = lineitem(s, d)
+      val even = li.filter(col("l_orderkey") % 2 === 0)
+      val odd = li.filter(col("l_orderkey") % 2 === 1)
+      val merged = graft.operators.Maintenance.mergeFingerprints(
+        graft.operators.Maintenance.tableFingerprint(even, cols),
+        graft.operators.Maintenance.tableFingerprint(odd, cols))
+      val direct = graft.operators.Maintenance.tableFingerprint(li, cols)
+      merged.select(lit("merged").as("method"), col("n_rows"),
+          col("lane_a"), col("lane_b"))
+        .unionByName(direct.select(lit("direct").as("method"),
+          col("n_rows"), col("lane_a"), col("lane_b")))
+    }),
+
     // Bucketed co-located join as a QUERY: both fact tables written
     // bucketBy(8) on the join key, then joined WITHOUT a join-side
     // exchange (the 100 TB co-location strategy the ScaleSpec bucketing
@@ -4578,6 +4597,36 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q193: q140's lane CTE with parity filters, residue-add merge, and
+    // the direct whole-table row
+    "q193_fingerprint_merge" ->
+      """WITH h AS (SELECT l_orderkey % 2 AS par, md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_suppkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(2)))) AS m
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT par, count(*) AS n,
+        |    CAST(CAST(sum(('0x' || substring(m, 1, 15))::BIGINT) AS HUGEINT)
+        |      % 2305843009213693952 AS BIGINT) AS la,
+        |    CAST(CAST(sum(('0x' || substring(m, 17, 15))::BIGINT)
+        |      AS HUGEINT) % 2305843009213693952 AS BIGINT) AS lb
+        |  FROM h GROUP BY par)
+        |SELECT 'merged' AS method, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(la) AS HUGEINT) % 2305843009213693952 AS BIGINT)
+        |    AS lane_a,
+        |  CAST(CAST(sum(lb) AS HUGEINT) % 2305843009213693952 AS BIGINT)
+        |    AS lane_b
+        |FROM f
+        |UNION ALL
+        |SELECT 'direct', CAST(count(*) AS BIGINT),
+        |  CAST(CAST(sum(('0x' || substring(m, 1, 15))::BIGINT) AS HUGEINT)
+        |    % 2305843009213693952 AS BIGINT),
+        |  CAST(CAST(sum(('0x' || substring(m, 17, 15))::BIGINT) AS HUGEINT)
+        |    % 2305843009213693952 AS BIGINT)
+        |FROM h""".stripMargin,
+
     // q192: plain join + rollup — bucketing changes the plan, not the
     // answer
     "q192_bucketed_join" ->

@@ -46,6 +46,23 @@ object Maintenance {
         (col("sb") % two61).cast("long").as("lane_b"))
   }
 
+  /** Merge two [[tableFingerprint]] results into the fingerprint of the
+    * UNION of their (disjoint) inputs — the incremental-maintenance
+    * property that lets a 100 TB table's fingerprint be maintained
+    * per-partition and folded, never recomputed: counts add, and lane
+    * sums add mod 2^61 ((x+y) mod m = ((x mod m)+(y mod m)) mod m, and
+    * two residues < 2^61 sum within LONG). */
+  def mergeFingerprints(fa: DataFrame, fb: DataFrame): DataFrame = {
+    val two61 = lit(2305843009213693952L)
+    fa.select(col("n_rows").as("n1"), col("lane_a").as("a1"),
+        col("lane_b").as("b1"))
+      .crossJoin(fb.select(col("n_rows").as("n2"), col("lane_a").as("a2"),
+        col("lane_b").as("b2")))
+      .select((col("n1") + col("n2")).cast("long").as("n_rows"),
+        ((col("a1") + col("a2")) % two61).cast("long").as("lane_a"),
+        ((col("b1") + col("b2")) % two61).cast("long").as("lane_b"))
+  }
+
   /** Exact equi-width histogram of a 2-decimal numeric column — the data
     * profile behind load-time sanity gates (distribution drift, outlier
     * bands) and bin-pruned range scans. Values are quantized to integer

@@ -498,6 +498,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(got("tag") == ((4L, 3L, 2L, 0.75)))
   }
 
+  test("mergeFingerprints: folded disjoint halves equal the direct fingerprint") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val rows = (1L to 200L).map(i => (i, s"v$i", i % 7)).toDF("id", "s", "k")
+    val cols = Seq("id", "s", "k")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Maintenance.tableFingerprint(df, cols).collect()(0)
+    val direct = fp(rows)
+    val merged = Maintenance.mergeFingerprints(
+        Maintenance.tableFingerprint(rows.filter($"id" % 2 === 0), cols),
+        Maintenance.tableFingerprint(rows.filter($"id" % 2 === 1), cols))
+      .collect()(0)
+    assert(merged.toSeq == direct.toSeq)
+    // a merge of NON-disjoint inputs must NOT equal the direct value
+    // (double-counted rows shift the lanes) — the disjointness contract
+    val overlap = Maintenance.mergeFingerprints(
+        Maintenance.tableFingerprint(rows, cols),
+        Maintenance.tableFingerprint(rows.limit(1), cols)).collect()(0)
+    assert(overlap.toSeq != direct.toSeq)
+  }
+
   test("winsorizedStats: exact-rank thresholds, clip accounting, robust mean") {
     import spark.implicits._
     import graft.operators.Maintenance
