@@ -2160,6 +2160,13 @@ object SparkEntry {
           sum(col("keeper_weight")).cast("long").as("total_tokens"))
     }),
 
+    // Recency sequence features: per-user last-5 event-type ids as fixed
+    // columns (alphabetical broadcast dictionary) — the model-input
+    // featurizer; window and aggregate share one user exchange.
+    "q194_sequence_features" -> ((s, d) =>
+      Transforms.sequenceFeatures(events(s, d), "user_id", "event_type",
+        "ts", "event_id", k = 5)),
+
     // Fingerprint mergeability as a QUERY: fingerprint two disjoint
     // halves, fold them, emit alongside the direct whole-table
     // fingerprint — the rows must be identical (incremental maintenance
@@ -4597,6 +4604,29 @@ object SparkEntry {
           s"  CAST(sum(qv * ((${31 * i} + j*${17 + 13 * i}) % 67 % 7 - 3)) " +
             s"AS BIGINT) AS p$i").mkString(",\n")}
         |FROM ex GROUP BY vec_id""".stripMargin,
+    // q194: same desc (ts, event_id) recency rank, same alphabetical
+    // dictionary, conditional-max slot fold
+    "q194_sequence_features" ->
+      """WITH dict AS (
+        |  SELECT t, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS tid
+        |  FROM (SELECT DISTINCT event_type AS t FROM events)),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |j AS (
+        |  SELECT r.user_id, r.rn, d.tid FROM r
+        |  JOIN dict d ON d.t = r.event_type WHERE r.rn <= 5)
+        |SELECT user_id,
+        |  coalesce(max(CASE WHEN rn = 1 THEN tid END), 0) AS f1,
+        |  coalesce(max(CASE WHEN rn = 2 THEN tid END), 0) AS f2,
+        |  coalesce(max(CASE WHEN rn = 3 THEN tid END), 0) AS f3,
+        |  coalesce(max(CASE WHEN rn = 4 THEN tid END), 0) AS f4,
+        |  coalesce(max(CASE WHEN rn = 5 THEN tid END), 0) AS f5,
+        |  CAST(count(*) AS BIGINT) AS n_recent
+        |FROM j GROUP BY user_id""".stripMargin,
+
     // q193: q140's lane CTE with parity filters, residue-add merge, and
     // the direct whole-table row
     "q193_fingerprint_merge" ->

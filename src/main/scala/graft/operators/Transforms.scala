@@ -490,6 +490,36 @@ object Transforms {
         Corpus.ratioRound6(col("n_users"), col("total")).as("share_r"))
   }
 
+  /** Recency sequence features — the model-input featurizer: per user,
+    * the type ids of the last `k` events in strict (tsCol, tieCol)
+    * DESCENDING order as fixed columns f1..fk (f1 = most recent; 0 =
+    * shorter history). Type ids come from a broadcast alphabetical
+    * dictionary, so the encoding is deterministic and engine-portable;
+    * fixed COLUMNS (not arrays) keep the output comparator-simple and
+    * the aggregate a plain conditional-max fold.
+    *
+    * Scale: one user-keyed window shares its exchange with the per-user
+    * aggregate; the type dictionary is |types|-sized and broadcast. */
+  def sequenceFeatures(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, "need at least one recency slot")
+    val dict = events.select(col(typeCol).as("_t")).distinct()
+      .withColumn("_tid",
+        row_number().over(Window.orderBy(col("_t"))).cast("long"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val ranked = events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .join(broadcast(dict), col(typeCol) === col("_t"))
+    val slots = (1 to k).map(i =>
+      coalesce(max(when(col("_rn") === i, col("_tid"))), lit(0L))
+        .as(s"f$i"))
+    ranked.groupBy(col(userCol))
+      .agg(slots.head, slots.tail :+
+        count(lit(1)).cast("long").as("n_recent"): _*)
+  }
+
   /** Per-user lifetime rollup — the "customer 360" base table: first and
     * last activity, distinct active days, event count, conversion count
     * and exact revenue cents, and the activity span in whole days. One

@@ -214,6 +214,26 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("sequenceFeatures: recency order, same-ts tiebreak, short-history zeros") {
+    import spark.implicits._
+    // dictionary (alphabetical): click=1, purchase=2, view=3
+    val ev = Seq(
+      // u1: view@10, click@20, purchase@30 → recency [purchase, click, view]
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L), (1L, "purchase", 30L, 3L),
+      // u2: two events at the SAME ts — larger event_id is more recent
+      (2L, "view", 5L, 4L), (2L, "click", 5L, 5L)
+    ).map { case (u, t, s, id) =>
+      (u, t, new java.sql.Timestamp(s * 1000), id)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val got = Transforms.sequenceFeatures(ev, "user_id", "event_type",
+        "ts", "event_id", k = 5)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((1 to 5).map(i => r.getAs[Long](s"f$i")),
+          r.getAs[Long]("n_recent"))).toMap
+    assert(got(1L) == ((Seq(2L, 1L, 3L, 0L, 0L), 3L)))
+    assert(got(2L) == ((Seq(1L, 3L, 0L, 0L, 0L), 2L)))
+  }
+
   test("laggedCrossCorrelation: perfect lag tracking → ±1, constant → NULL") {
     import spark.implicits._
     val day = 86400L
