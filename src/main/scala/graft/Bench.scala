@@ -56,6 +56,12 @@ object Bench {
       sec
     }
 
+    // Corpus fingerprint BEFORE timing (also serves as file-cache warmup):
+    // makes a regenerated corpus self-evident in the artifact rather than
+    // reconstructed forensically (the round-8 post-close regeneration).
+    val (corpusFull, corpusMd5) = CorpusCheck.stamp(spark, sfDir)
+    System.err.println(s"[bench] corpus_md5=$corpusMd5")
+
     // Warmup: spin up executor threads, codegen, parquet footer caches.
     runOnce("q01_pricing_summary")
 
@@ -91,10 +97,27 @@ object Bench {
       s"""{"queries":${qJson(key)},"sf":"$sfDir","n":${results.size},""" +
         s""""failed":$nFailed,"metric":"total","unit":"sec","value":${f3(total)}}"""
     println(line(shortKey))
+    // The capture window keeps only the LAST ~2000 stdout chars; at 194
+    // queries the per-query line above cannot fit, so a head-truncated
+    // capture is unparseable (BENCH_r08 `parsed: null`). Emit a compact
+    // SELF-CONTAINED totals line LAST — the tail always ends with complete
+    // JSON: totals, failure count, slowest queries, and the corpus
+    // fingerprint hash (environment-drift guard; full per-table
+    // fingerprints are in target/bench_last.json).
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val failedNames = results.filter(_._2 < 0).map(r => "\"" + shortKey(r._1) + "\"")
+      .take(12).mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","unit":"sec","value":${f3(total)},""" +
+        s""""n":${results.size},"failed":$nFailed,"failed_q":$failedNames,""" +
+        s""""slowest":$slowest,"sf":"$sfDir","corpus_md5":"$corpusMd5"}""")
     // Belt-and-braces full-name copy for readers of the repo; never let a
     // missing target/ dir (foreign cwd) fail the bench after the fact.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), line(identity))
+      java.nio.file.Paths.get("target/bench_last.json"),
+      line(identity) + "\n" + s"""{"corpus":$corpusFull}""")
     catch { case _: java.io.IOException => }
     spark.stop()
   }

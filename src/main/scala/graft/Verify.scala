@@ -19,6 +19,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Environment-drift guard: stamp a content fingerprint of every input
+    // table into the artifact dir, so a regenerated corpus (the round-8
+    // post-close surprise) is self-evident in the record.
+    try {
+      val (full, combined) = CorpusCheck.stamp(spark, sfDir)
+      Files.writeString(Paths.get(s"$outDir/corpus_fingerprint.json"),
+        s"""{"corpus_md5":"$combined","sf":"$sfDir","tables":$full}""")
+      System.err.println(s"[verify] corpus_md5=$combined")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] corpus fingerprint failed: ${e.getMessage}")
+    }
     // Fail-loud: a query that throws must not silently vanish from the
     // compare (r4 shipped a broken query with no oracle evidence that way).
     // Record every failure in a manifest AND write a poison one-row parquet

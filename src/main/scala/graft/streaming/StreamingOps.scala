@@ -60,8 +60,9 @@ object StreamingOps {
 
   /** Stream the events parquet directory with `Trigger.AvailableNow` through
     * `transform` into an in-memory table; returns the collected result.
-    * Handles the corpus's TIMESTAMP(NANOS) via nanosAsLong + conversion,
-    * mirroring [[graft.Tables.events]]. */
+    * Normalizes a `ts` column across all three corpus timestamp encodings
+    * (NANOS-as-long, MICROS-NTZ, plain TIMESTAMP) via
+    * [[graft.Tables.normalizeEventTime]]. */
   def runAvailableNow(spark: SparkSession, path: String, queryName: String,
       outputMode: String = "append")(
       transform: DataFrame => DataFrame): DataFrame = {
@@ -77,9 +78,11 @@ object StreamingOps {
       } else path
     val batchSchema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(batchSchema).parquet(streamPath)
+    // Same three-encoding normalization as the batch path — `withWatermark`
+    // is the strictest consumer (rejects NTZ outright), so the stream must
+    // see session-TZ TIMESTAMP regardless of how the corpus was written.
     val events =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      if (batchSchema.fieldNames.contains("ts")) graft.Tables.normalizeEventTime(raw)
       else raw
     val q = transform(events).writeStream
       .outputMode(outputMode)
