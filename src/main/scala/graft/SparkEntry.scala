@@ -2688,6 +2688,51 @@ object SparkEntry {
         .select(col("event_type"), col("med_r"), col("mad_r"),
           col("n").cast("long").as("n"),
           col("n_outlier").cast("long").as("n_outlier"))
+    }),
+
+    // ANN QUALITY as a query (VERDICT r8 item 8): recall@10 of the two
+    // deterministic approximate rankings — int8 symmetric quantization
+    // (q65 family: integer dot replaces double cosine) and lattice-LSH
+    // bucket restriction (q32 family: candidates limited to the query's
+    // 8-bit hyperplane bucket) — against the exact brute-force cosine
+    // top-10, for 10 query vectors. Both approximations are exact integer
+    // arithmetic, so DuckDB reproduces the approximate sets and the
+    // recall column is computed exactly ((hits in top-10)/10). The IVF
+    // path (q83) stays exactness-configured: KMeans centroids aren't
+    // SQL-reproducible. Scale: queries broadcast, one n×10 scored pass,
+    // per-qid windows — never all-pairs over the corpus.
+    "q195_ann_recall" -> ((s, d) => {
+      val k = 10
+      val e = embeddings(s, d)
+      val vd = Similarity.toDoubleArray(col("embedding"))
+      val scale = lit(127.0) / array_max(transform(vd, x => abs(x)))
+      val base = e.select(col("vec_id"), col("embedding"),
+        transform(vd, x => round(x * scale).cast("long")).as("iv"),
+        Similarity.hyperplaneSignatureLattice(col("embedding"), 8)
+          .as("bucket"))
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("iv").as("qv"), col("bucket").as("qbucket"))
+      val pairs = base.crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"), col("bucket"), col("qbucket"),
+          Similarity.cosine(col("embedding"), col("qe")).as("sim"),
+          aggregate(zip_with(col("iv"), col("qv"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("qdot"))
+      def topK(df: DataFrame, order: Seq[Column]) = df.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("qid")).orderBy(order: _*)))
+        .filter(col("rnk") <= k).select(col("qid"), col("vec_id"))
+      val exactTop = topK(pairs, Seq(col("sim").desc, col("vec_id").asc))
+      val int8Top = topK(pairs, Seq(col("qdot").desc, col("vec_id").asc))
+      val lshTop = topK(pairs.filter(col("bucket") === col("qbucket")),
+        Seq(col("sim").desc, col("vec_id").asc))
+      def recallOf(approx: DataFrame, m: String) = qs.select(col("qid"))
+        .join(exactTop.join(approx, Seq("qid", "vec_id"))
+            .groupBy(col("qid")).agg(count(lit(1)).as("h")),
+          Seq("qid"), "left")
+        .select(col("qid").cast("long").as("qid"), lit(m).as("method"),
+          coalesce(col("h"), lit(0L)).cast("long").as("n_hit"),
+          (coalesce(col("h"), lit(0L)) / lit(k.toDouble)).as("recall"))
+      recallOf(int8Top, "int8").unionByName(recallOf(lshTop, "lsh"))
     })
   )
 
@@ -5839,7 +5884,70 @@ object SparkEntry {
          |       WHEN substr(md5(CAST(CAST(cluster AS BIGINT) AS VARCHAR)), 1, 2) < 'e6'
          |         THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM clus""".stripMargin
+         |FROM clus""".stripMargin,
+
+    // Recall@10 of the int8-quantized ranking and the 8-bit lattice-LSH
+    // bucket restriction vs exact cosine top-10, 10 query vectors. Both
+    // approximate sets are exact integer arithmetic (same quantization as
+    // q65, same lattice coefficients as q32 with 8 lanes), so the recall
+    // column is an exact count/10.
+    "q195_ann_recall" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         unnest(range(0, len(embedding))) AS j
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, max(abs(x)) AS mx FROM u GROUP BY vec_id),
+        |qv AS (SELECT u.vec_id, j, x,
+        |    CAST(round(x * (127.0 / m.mx)) AS BIGINT) AS qx
+        |  FROM u JOIN m USING (vec_id)),
+        |lanes AS (SELECT unnest(range(0, 8)) AS i),
+        |proj AS (
+        |  SELECT u.vec_id, l.i,
+        |    sum(x * CAST((l.i * 31 + j * 17) % 7 - 3 AS DOUBLE)) AS p
+        |  FROM u CROSS JOIN lanes l GROUP BY u.vec_id, l.i),
+        |sig AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN p >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)
+        |      AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id),
+        |pair AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+        |    sum(a.x * b.x) AS dp, CAST(sum(a.qx * b.qx) AS BIGINT) AS qdot
+        |  FROM qv a JOIN qv b USING (j) WHERE a.vec_id < 10
+        |  GROUP BY a.vec_id, b.vec_id),
+        |scored AS (
+        |  SELECT p.qid, p.vec_id, p.dp / (nq.nrm * nv.nrm) AS sim, p.qdot,
+        |    sq.bucket AS qbucket, sv.bucket AS bucket
+        |  FROM pair p
+        |  JOIN nrm nq ON nq.vec_id = p.qid
+        |  JOIN nrm nv ON nv.vec_id = p.vec_id
+        |  JOIN sig sq ON sq.vec_id = p.qid
+        |  JOIN sig sv ON sv.vec_id = p.vec_id),
+        |exact_top AS (
+        |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+        |    FROM scored) WHERE r <= 10),
+        |int8_top AS (
+        |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS r
+        |    FROM scored) WHERE r <= 10),
+        |lsh_top AS (
+        |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+        |    FROM scored WHERE bucket = qbucket) WHERE r <= 10),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10),
+        |hit8 AS (SELECT e.qid, count(*) AS h FROM exact_top e
+        |  JOIN int8_top a USING (qid, vec_id) GROUP BY e.qid),
+        |hitl AS (SELECT e.qid, count(*) AS h FROM exact_top e
+        |  JOIN lsh_top a USING (qid, vec_id) GROUP BY e.qid)
+        |SELECT qid, 'int8' AS method, CAST(coalesce(h, 0) AS BIGINT) AS n_hit,
+        |  coalesce(h, 0) / 10.0 AS recall
+        |FROM qids LEFT JOIN hit8 USING (qid)
+        |UNION ALL
+        |SELECT qid, 'lsh' AS method, CAST(coalesce(h, 0) AS BIGINT) AS n_hit,
+        |  coalesce(h, 0) / 10.0 AS recall
+        |FROM qids LEFT JOIN hitl USING (qid)""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the
