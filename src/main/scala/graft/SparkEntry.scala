@@ -2733,7 +2733,15 @@ object SparkEntry {
           coalesce(col("h"), lit(0L)).cast("long").as("n_hit"),
           (coalesce(col("h"), lit(0L)) / lit(k.toDouble)).as("recall"))
       recallOf(int8Top, "int8").unionByName(recallOf(lshTop, "lsh"))
-    })
+    }),
+
+    // Exact duplicated-span REMOVAL (ExactSubstr rewrite, word-aligned):
+    // 5-word grams shared by ≥2 docs mark their covered tokens; docs are
+    // rewritten without them. The rewrite arm the detection-only passage
+    // operators (q119 winnowing, q95 boilerplate measure) were missing.
+    "q196_span_removal" -> ((s, d) =>
+      Dedup.duplicatedSpanRemoval(documents(s, d), "doc_id", "text",
+        gramN = 5, minDocs = 2))
   )
 
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
@@ -5947,7 +5955,37 @@ object SparkEntry {
         |UNION ALL
         |SELECT qid, 'lsh' AS method, CAST(coalesce(h, 0) AS BIGINT) AS n_hit,
         |  coalesce(h, 0) / 10.0 AS recall
-        |FROM qids LEFT JOIN hitl USING (qid)""".stripMargin
+        |FROM qids LEFT JOIN hitl USING (qid)""".stripMargin,
+
+    // Word-aligned: same tokenizer as q64 (trim/lower/\s+ split); a token
+    // is dropped iff ANY 5-gram covering it appears in >= 2 distinct docs.
+    "q196_span_removal" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok,
+        |         unnest(range(0, len(toks))) AS i FROM base),
+        |gr0 AS (SELECT doc_id, unnest(range(0, len(toks) - 4)) AS s
+        |        FROM base WHERE len(toks) >= 5),
+        |grams AS (SELECT g0.doc_id, g0.s,
+        |    array_to_string(list_slice(b.toks, g0.s + 1, g0.s + 5), ' ') AS g
+        |  FROM gr0 g0 JOIN base b USING (doc_id)),
+        |hot AS (SELECT g FROM grams GROUP BY g
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hs AS (SELECT doc_id, s FROM grams JOIN hot USING (g)),
+        |covered AS (SELECT DISTINCT t.doc_id, t.i
+        |  FROM tk t JOIN hs h ON h.doc_id = t.doc_id
+        |    AND t.i BETWEEN h.s AND h.s + 4),
+        |kept AS (SELECT t.doc_id, t.i, t.tok
+        |  FROM tk t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.i = t.i
+        |  WHERE c.i IS NULL),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY i) AS txt
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(b.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  coalesce(k.txt, '') AS text_clean
+        |FROM base b LEFT JOIN ka k USING (doc_id)""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

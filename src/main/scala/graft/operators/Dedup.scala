@@ -622,6 +622,62 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** Exact duplicated-SPAN removal — the REWRITE arm of the substring-dedup
+    * family (the "ExactSubstr" cleanup of Lee et al. 2022, word-aligned):
+    * any `gramN`-word n-gram appearing in ≥ `minDocs` distinct documents
+    * marks every token it covers as duplicated; each document is rewritten
+    * with all covered tokens removed. Overlapping hot grams merge
+    * naturally (a token is dropped if ANY covering gram is hot), so a long
+    * copied passage disappears wholesale while the unique remainder of the
+    * document survives in original order. Complements [[lineDedup]]
+    * (line-granular, exact-match lines only) and [[boilerplateSpans]]
+    * (which MEASURES n-gram boilerplate but rewrites nothing): a copied
+    * paragraph with re-wrapped line breaks defeats line identity but not
+    * word n-grams.
+    *
+    * Tokenization is `split(trim(lower(text)), "\\s+")` — the engine's
+    * shared oracle-portable tokenizer (q64 precedent). Output per input
+    * doc (empty-text docs excluded): (doc_id, n_tokens, n_dropped,
+    * text_clean), with text_clean = kept tokens joined by single spaces
+    * (normalized, as with lineDedup's rewrite).
+    *
+    * Scale: the gram dictionary groups by the gram STRING (exact by
+    * construction; hash grams to 64-bit first at scales where gram
+    * strings dominate the shuffle — same shape, same note as
+    * [[lineDedup]]). Per-doc hot-start lists are bounded by document
+    * length, collected on the doc_id partition, never global. The
+    * rewrite is a per-row lambda, O(tokens × hot-spans) worst case per
+    * document — no shuffle beyond the dictionary join and one groupBy
+    * per side. A document never moves whole through the gram exchange;
+    * only (gram, doc, pos) rows do. */
+  def duplicatedSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(gramN >= 2, s"gramN must be >= 2: $gramN")
+    val base = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+    val grams = base.filter(size(col("toks")) >= gramN)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $gramN), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $gramN)))")))
+      .toDF("doc_id", "s", "g")
+    val hot = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val starts = grams.join(hot, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("s"))).as("starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("st", coalesce(col("starts"), expr("array()")))
+      .withColumn("kept", expr(
+        s"filter(toks, (t, i) -> NOT exists(st, s0 -> s0 <= i AND i <= s0 + ${gramN - 1}))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_dropped"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
+
   /** Leakage-safe train/val/test split: assign the SPLIT to the near-dup
     * CLUSTER, not the document — a near-dup pair straddling train and eval
     * leaks the eval answer into training (the standard decontamination

@@ -285,6 +285,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3L) == (("", 1L, 1L)))
   }
 
+  test("duplicatedSpanRemoval: shared passage excised, overlap merged, unique text kept in order") {
+    import spark.implicits._
+    // Docs 1 and 2 share the 7-word passage "the quick brown fox jumps over
+    // fences" (three overlapping hot 5-grams merge into ONE covered span);
+    // their unique prefix/suffix tokens survive in order. Doc 3 is unique
+    // and untouched; doc 4 is entirely the shared passage → fully dropped;
+    // doc 5 is shorter than one gram → no grams, untouched.
+    val p = "The quick brown fox jumps over fences"
+    val docs = Seq(
+      (1L, s"alpha beta $p gamma"),
+      (2L, s"$p delta epsilon zeta"),
+      (3L, "a wholly unique document with original words"),
+      (4L, p),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanRemoval(docs, "doc_id", "text",
+        gramN = 5, minDocs = 2)
+      .select(col("doc_id").as[Long], col("n_tokens").as[Long],
+        col("n_dropped").as[Long], col("text_clean").as[String])
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((10L, 7L, "alpha beta gamma")))
+    assert(got(2L) == ((10L, 7L, "delta epsilon zeta")))
+    assert(got(3L) == ((7L, 0L, "a wholly unique document with original words")))
+    assert(got(4L) == ((7L, 7L, "")))
+    assert(got(5L) == ((2L, 0L, "tiny doc")))
+  }
+
   test("lineDedup treats the delimiter literally, not as a regex") {
     import spark.implicits._
     val docs = Seq(
