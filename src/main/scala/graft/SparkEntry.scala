@@ -2741,7 +2741,35 @@ object SparkEntry {
     // operators (q119 winnowing, q95 boilerplate measure) were missing.
     "q196_span_removal" -> ((s, d) =>
       Dedup.duplicatedSpanRemoval(documents(s, d), "doc_id", "text",
-        gramN = 5, minDocs = 2))
+        gramN = 5, minDocs = 2)),
+
+    // Sequence-packing layout: concat-and-cut every 256 tokens per source,
+    // each doc reported with its pack span + straddle count (the packing
+    // job's attention-mask accounting). Per-source prefix sum — one
+    // exchange, O(1)-state window.
+    "q197_sequence_packing" -> ((s, d) =>
+      Corpus.sequencePacking(documents(s, d), "source", "doc_id", "text",
+        seqLen = 256)),
+
+    // Water-filling mixture solve: per-source token caps, weight = numeric
+    // source suffix + 1 (deterministic unequal weights), budget = half the
+    // corpus tokens. Saturated sources take capacity; the shortfall
+    // redistributes in weight proportion (exact integer membership test,
+    // one-divide allocation).
+    "q198_waterfill" -> ((s, d) => {
+      val caps = documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(Corpus.wordsCount(col("text"))).as("cap"))
+        .withColumn("w",
+          (regexp_extract(col("source"), "(\\d+)$", 1).cast("long") + 1L)
+            .as("w"))
+      val budget = caps.agg((sum(col("cap")) / 2L).cast("long").as("budget"))
+      val withB = caps.crossJoin(broadcast(budget))
+      Corpus.waterfillAllocation(withB, "source", "cap", "w", "budget")
+        .select(col("source"), col("cap").cast("long").as("cap"),
+          col("w").cast("long").as("w"), col("is_saturated"),
+          col("alloc"))
+    })
   )
 
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
@@ -5985,7 +6013,57 @@ object SparkEntry {
         |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
         |  CAST(len(b.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
         |  coalesce(k.txt, '') AS text_clean
-        |FROM base b LEFT JOIN ka k USING (doc_id)""".stripMargin
+        |FROM base b LEFT JOIN ka k USING (doc_id)""".stripMargin,
+
+    "q197_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |o AS (SELECT source, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_off
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, start_off,
+        |  start_off // 256 AS pack_first,
+        |  (start_off + n_tokens - 1) // 256 AS pack_last,
+        |  (start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS n_packs
+        |FROM o""".stripMargin,
+
+    "q198_waterfill" ->
+      """WITH caps AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS cap,
+        |    CAST(CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) + 1
+        |      AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT CAST(sum(cap) // 2 AS BIGINT) AS budget FROM caps),
+        |o AS (SELECT c.*, b.budget,
+        |    sum(w) OVER () AS w_tot,
+        |    coalesce(sum(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before,
+        |    coalesce(sum(w) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_before
+        |  FROM caps c CROSS JOIN b),
+        |f AS (SELECT *, CASE WHEN cap * (w_tot - w_before)
+        |      <= (budget - c_before) * w THEN 1 ELSE 0 END AS cond
+        |  FROM o),
+        |g AS (SELECT *,
+        |    min(cond) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sat
+        |  FROM f),
+        |h AS (SELECT *,
+        |    coalesce(sum(CASE WHEN sat = 1 THEN cap END) OVER (), 0) AS c_sat,
+        |    coalesce(sum(CASE WHEN sat = 1 THEN w END) OVER (), 0) AS w_sat
+        |  FROM g)
+        |SELECT source, cap, w, sat = 1 AS is_saturated,
+        |  CASE WHEN sat = 1 THEN CAST(cap AS DOUBLE)
+        |       ELSE CAST(budget - c_sat AS DOUBLE) * CAST(w AS DOUBLE)
+        |            / CAST(w_tot - w_sat AS DOUBLE) END AS alloc
+        |FROM h""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

@@ -191,6 +191,92 @@ object Corpus {
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
   }
 
+  /** Sequence-packing layout (the GPT-style "concatenate and cut every
+    * `seqLen` tokens" training-data packing): per source, documents
+    * concatenate in `idCol` order into one token stream that is cut into
+    * fixed-length packs; each document is reported with the pack span it
+    * occupies — `pack_first`/`pack_last` (0-based pack ids within the
+    * source) and `n_packs` (how many packs the document straddles, the
+    * cross-boundary attention-mask accounting a packing job needs).
+    * Tokenization is [[wordsCount]]'s (trim/lower/\s+ — oracle-portable);
+    * empty-text documents are excluded (they occupy no tokens).
+    *
+    * Scale: the layout is a per-source prefix sum — ONE exchange on the
+    * source key and an O(1)-state running-sum window inside it (same
+    * shape as [[budgetSample]]). A corpus with few giant sources sorts
+    * long runs inside single partitions; pre-split such sources into
+    * shards upstream (source, shard) if that skew materializes — the
+    * operator is agnostic to what the grouping key means. */
+  def sequencePacking(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, seqLen: Int = 2048): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        wordsCount(col(textCol)).as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("start_off"),
+        expr(s"start_off DIV $seqLen").as("pack_first"),
+        expr(s"(start_off + n_tokens - 1) DIV $seqLen").as("pack_last"))
+      .withColumn("n_packs", (col("pack_last") - col("pack_first") + 1L))
+  }
+
+  /** Water-filling budget allocation across sources — the mixture-
+    * construction SOLVE: given per-source token capacity `capCol`, desired
+    * mixture weight `wCol`, and a total token `budgetCol` (constant across
+    * rows, e.g. crossJoined from an aggregate), find the unique allocation
+    * a_s = min(cap_s, t·w_s) with Σ a_s = budget. Sources that cannot
+    * meet their weighted share saturate at capacity and their shortfall
+    * redistributes to the rest in weight proportion — the step [[
+    * temperatureRebalance]] (which computes target WEIGHTS) and
+    * [[budgetSample]] (which draws docs for ONE source's budget) need
+    * between them.
+    *
+    * Exact by construction: the saturated set is the maximal prefix in
+    * cap/w ratio order whose membership test `cap_i · R_{i-1} ≤
+    * (B − C_{i-1}) · w_i` is evaluated in INTEGER cross-multiplication
+    * (no division), with the prefix-AND making the standard monotonicity
+    * explicit rather than assumed. Only the final per-source allocation
+    * divides — one multiply + one divide in identical order on both
+    * engines, so the doubles are bit-equal. Long overflow bound:
+    * cap·ΣW and (B−C)·w must stay < 2⁶³ — fine for token counts < 2⁴⁰
+    * with weight sums < 2²⁰; pre-scale weights down otherwise.
+    *
+    * Scale: the input is the per-source STATS table (one row per source,
+    * vocabulary-bounded by contract) — the global-order windows here sort
+    * that bounded table, never document rows; the allocation then joins
+    * back to documents as a broadcast. */
+  def waterfillAllocation(perGroup: DataFrame, keyCol: String,
+      capCol: String, wCol: String, budgetCol: String): DataFrame = {
+    val ratio = col(capCol).cast("double") / col(wCol).cast("double")
+    val ord = Window.orderBy(ratio.asc, col(keyCol).asc)
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val everything = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perGroup
+      .withColumn("_wTot", sum(col(wCol)).over(everything))
+      .withColumn("_cBefore", coalesce(sum(col(capCol)).over(before), lit(0L)))
+      .withColumn("_wBefore", coalesce(sum(col(wCol)).over(before), lit(0L)))
+      .withColumn("_cond", when(col(capCol) * (col("_wTot") - col("_wBefore"))
+        <= (col(budgetCol) - col("_cBefore")) * col(wCol), 1L).otherwise(0L))
+      .withColumn("_sat", min(col("_cond")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_cSat",
+        coalesce(sum(when(col("_sat") === 1L, col(capCol))).over(everything),
+          lit(0L)))
+      .withColumn("_wSat",
+        coalesce(sum(when(col("_sat") === 1L, col(wCol))).over(everything),
+          lit(0L)))
+      .select(col(keyCol), col(capCol), col(wCol),
+        (col("_sat") === 1L).as("is_saturated"),
+        when(col("_sat") === 1L, col(capCol).cast("double"))
+          .otherwise((col(budgetCol) - col("_cSat")).cast("double") *
+            col(wCol).cast("double") /
+            (col("_wTot") - col("_wSat")).cast("double")).as("alloc"))
+  }
+
   /** Per-group token-budget selection: order documents inside each group by
     * a deterministic hash key, admit each while the budget is not yet
     * exhausted BEFORE it (so the first over-budget document is still taken —

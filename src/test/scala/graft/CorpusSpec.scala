@@ -66,6 +66,67 @@ class CorpusSpec extends AnyFunSuite {
     assert(12 * (chunks.length - 1) + chunks.last >= 100)
   }
 
+  // ---- sequencePacking ---------------------------------------------------
+
+  test("sequence packing: offsets accumulate per source, straddles counted, empty docs excluded") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      ("a", 1L, words(6)),   // [0,6)   pack 0
+      ("a", 2L, words(3)),   // [6,9)   straddles packs 0-1 (seqLen 8)
+      ("a", 3L, words(8)),   // [9,17)  straddles packs 1-2
+      ("a", 4L, "   "),      // empty after trim → excluded
+      ("b", 5L, words(20))). // [0,20) in its own source: packs 0-2
+      toDF("source", "doc_id", "text")
+    val got = Corpus.sequencePacking(df, "source", "doc_id", "text",
+        seqLen = 8)
+      .select($"doc_id", $"start_off", $"pack_first", $"pack_last",
+        $"n_packs")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, 1L)))
+    assert(got(2L) == ((6L, 0L, 1L, 2L)))
+    assert(got(3L) == ((9L, 1L, 2L, 2L)))
+    assert(!got.contains(4L))
+    assert(got(5L) == ((0L, 0L, 2L, 3L)))
+  }
+
+  // ---- waterfillAllocation ----------------------------------------------
+
+  test("waterfill: saturated take capacity, rest split by weight, sum == budget") {
+    // caps 10/40/200, weights 2/1/1, budget 150: s1 needs t*2 but has only
+    // 10 → saturates (10/2=5 is the smallest ratio); remaining 140 splits
+    // 1:1 → 70 each; s2 (cap 40 < 70)?? 40/1=40 ≤ t → also saturates.
+    // After s1,s2 saturate: remaining 100 to s3 alone.
+    val df = Seq(("s1", 10L, 2L), ("s2", 40L, 1L), ("s3", 200L, 1L))
+      .toDF("source", "cap", "w").withColumn("budget", lit(150L))
+    val got = Corpus.waterfillAllocation(df, "source", "cap", "w", "budget")
+      .select($"source", $"is_saturated", $"alloc")
+      .as[(String, Boolean, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("s1") == ((true, 10.0)))
+    assert(got("s2") == ((true, 40.0)))
+    assert(got("s3") == ((false, 100.0)))
+    assert(got.values.map(_._2).sum == 150.0)
+  }
+
+  test("waterfill: budget above total capacity saturates everything") {
+    val df = Seq(("a", 5L, 1L), ("b", 7L, 3L))
+      .toDF("source", "cap", "w").withColumn("budget", lit(100L))
+    val got = Corpus.waterfillAllocation(df, "source", "cap", "w", "budget")
+      .select($"is_saturated", $"alloc").as[(Boolean, Double)].collect()
+    assert(got.forall(_._1) && got.map(_._2).sum == 12.0)
+  }
+
+  test("waterfill: no saturation → pure weight-proportional split") {
+    val df = Seq(("a", 100L, 1L), ("b", 100L, 3L))
+      .toDF("source", "cap", "w").withColumn("budget", lit(40L))
+    val got = Corpus.waterfillAllocation(df, "source", "cap", "w", "budget")
+      .select($"source", $"is_saturated", $"alloc")
+      .as[(String, Boolean, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((false, 10.0)) && got("b") == ((false, 30.0)))
+  }
+
   // ---- budgetSample ------------------------------------------------------
 
   test("budget sample: admits docs while budget not exhausted before them") {

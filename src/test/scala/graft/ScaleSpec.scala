@@ -392,6 +392,28 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("plan shapes: round-9 operators stay scale-safe") {
+    val sfDir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    // q195 recall report: the only product-shaped join is corpus × the
+    // 10 broadcast query vectors — a BroadcastNestedLoopJoin over a
+    // 10-row side, never a shuffled cartesian of the corpus with itself
+    val p195 = plan("q195_ann_recall")
+    assert(!p195.contains("CartesianProduct"), p195)
+    assert(p195.contains("BroadcastNestedLoopJoin") ||
+      p195.contains("BroadcastExchange"), p195)
+
+    // q196 span removal: gram dictionary + rewrite are equi-joins only;
+    // the rewrite itself is a per-row lambda (no window, no sort of the
+    // corpus, no cartesian)
+    val p196 = plan("q196_span_removal")
+    assert(!p196.contains("CartesianProduct") &&
+      !p196.contains("BroadcastNestedLoopJoin"), p196)
+    assert(!p196.contains("Window"), p196)
+  }
+
   test("equiWidthHistogram: exact bins, conserved mass, extremes in end bins") {
     import spark.implicits._
     import graft.operators.Maintenance
