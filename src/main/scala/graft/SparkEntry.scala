@@ -28,6 +28,12 @@ object SparkEntry {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def sumd(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** nDCG@10 position discounts 1/log2(i+1), i = 1..10 — shared by the
+    * q199 Spark plan and its oracle SQL so both sides add the identical
+    * doubles in the identical fixed order. */
+  private val ndcgConsts: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
   /** Exact scale-2 sums via integer cents: the multiply/convert happens in
     * LONG (one codegen'd round+cast per row instead of a decimal conversion),
     * only the accumulator is DECIMAL(18,0) → no overflow at any row count.
@@ -2769,6 +2775,56 @@ object SparkEntry {
         .select(col("source"), col("cap").cast("long").as("cap"),
           col("w").cast("long").as("w"), col("is_saturated"),
           col("alloc"))
+    }),
+
+    // Retrieval-quality metrics for the approximate ranking (q195's
+    // companion): per query vector, MRR and nDCG@10 of the int8-quantized
+    // ranking, with relevance = membership in the exact cosine top-10.
+    // IDCG is the fixed all-relevant prefix sum, so nDCG is comparable
+    // across queries; transcendental outputs rounded to 6dp (house rule).
+    "q199_ranking_quality" -> ((s, d) => {
+      val k = 10
+      val e = embeddings(s, d)
+      val vd = Similarity.toDoubleArray(col("embedding"))
+      val scale = lit(127.0) / array_max(transform(vd, x => abs(x)))
+      val base = e.select(col("vec_id"), col("embedding"),
+        transform(vd, x => round(x * scale).cast("long")).as("iv"))
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("iv").as("qv"))
+      val pairs = base.crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosine(col("embedding"), col("qe")).as("sim"),
+          aggregate(zip_with(col("iv"), col("qv"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("qdot"))
+      val exactTop = pairs.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("vec_id").asc)))
+        .filter(col("rnk") <= k).select(col("qid"), col("vec_id"))
+      val ranked = pairs.withColumn("pos",
+          row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("qdot").desc, col("vec_id").asc)))
+        .filter(col("pos") <= k)
+        .join(exactTop.withColumn("rel", lit(1L)), Seq("qid", "vec_id"),
+          "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      // DCG in FIXED term order (q66 bm25 precedent): per-position terms
+      // rel_i · c_i with Scala-computed constants c_i = 1/log2(i+1) added
+      // left-to-right — no aggregation-order nondeterminism, and the SQL
+      // oracle embeds the SAME double constants (shortest round-trip repr,
+      // parsed back to identical bits).
+      val dcgExpr = ndcgConsts.zipWithIndex.map { case (c, i) =>
+        max(when(col("pos") === (i + 1), col("rel"))).cast("double") * lit(c)
+      }.reduce(_ + _)
+      ranked.groupBy(col("qid"))
+        .agg(
+          coalesce(min(when(col("rel") === 1L, col("pos"))), lit(0))
+            .cast("long").as("first_rel_pos"),
+          round(coalesce(max(when(col("rel") === 1L,
+              lit(1.0) / col("pos").cast("double"))), lit(0.0)), 6).as("mrr"),
+          round(dcgExpr / lit(ndcgConsts.sum), 6).as("ndcg"))
+        .select(col("qid").cast("long").as("qid"), col("first_rel_pos"),
+          col("mrr"), col("ndcg"))
     })
   )
 
@@ -6063,7 +6119,51 @@ object SparkEntry {
         |  CASE WHEN sat = 1 THEN CAST(cap AS DOUBLE)
         |       ELSE CAST(budget - c_sat AS DOUBLE) * CAST(w AS DOUBLE)
         |            / CAST(w_tot - w_sat AS DOUBLE) END AS alloc
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    "q199_ranking_quality" -> {
+      val dcgSql = ndcgConsts.zipWithIndex.map { case (c, i) =>
+        s"CAST(max(CASE WHEN pos = ${i + 1} THEN rel END) AS DOUBLE) * $c"
+      }.mkString(" + ")
+      s"""WITH u AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         unnest(range(0, len(embedding))) AS j
+         |  FROM embeddings),
+         |m AS (SELECT vec_id, max(abs(x)) AS mx FROM u GROUP BY vec_id),
+         |qv AS (SELECT u.vec_id, j, x,
+         |    CAST(round(x * (127.0 / m.mx)) AS BIGINT) AS qx
+         |  FROM u JOIN m USING (vec_id)),
+         |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id),
+         |pair AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         |    sum(a.x * b.x) AS dp, CAST(sum(a.qx * b.qx) AS BIGINT) AS qdot
+         |  FROM qv a JOIN qv b USING (j) WHERE a.vec_id < 10
+         |  GROUP BY a.vec_id, b.vec_id),
+         |scored AS (
+         |  SELECT p.qid, p.vec_id, p.dp / (nq.nrm * nv.nrm) AS sim, p.qdot
+         |  FROM pair p
+         |  JOIN nrm nq ON nq.vec_id = p.qid
+         |  JOIN nrm nv ON nv.vec_id = p.vec_id),
+         |exact_top AS (
+         |  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+         |    FROM scored) WHERE r <= 10),
+         |ranked AS (
+         |  SELECT s.qid, s.vec_id, s.pos,
+         |    CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS rel
+         |  FROM (SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS pos
+         |    FROM scored) s
+         |  LEFT JOIN exact_top e ON e.qid = s.qid AND e.vec_id = s.vec_id
+         |  WHERE s.pos <= 10)
+         |SELECT qid,
+         |  CAST(coalesce(min(CASE WHEN rel = 1 THEN pos END), 0) AS BIGINT)
+         |    AS first_rel_pos,
+         |  round(coalesce(max(CASE WHEN rel = 1
+         |    THEN 1.0 / CAST(pos AS DOUBLE) END), 0.0), 6) AS mrr,
+         |  round(($dcgSql) / ${ndcgConsts.sum}, 6) AS ndcg
+         |FROM ranked GROUP BY qid""".stripMargin
+    }
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

@@ -335,4 +335,23 @@ object PropertySpec extends Properties("graft") {
         .collect()(0).getAs[Double]("gini_r")
       g >= 0.0 && g < 1.0
     }
+
+  property("waterfill: alloc≤cap, saturated==cap, Σalloc==min(budget, Σcap)") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 1000L), Gen.choose(1L, 9L))),
+      Gen.choose(0L, 5000L)) { (rows, budget) =>
+      val df = rows.zipWithIndex
+        .map { case ((cap, w), i) => (s"s$i", cap, w) }
+        .toDF("source", "cap", "w")
+        .withColumn("budget", lit(budget))
+      val got = graft.operators.Corpus
+        .waterfillAllocation(df, "source", "cap", "w", "budget")
+        .select($"cap", $"is_saturated", $"alloc")
+        .as[(Long, Boolean, Double)].collect()
+      val totalCap = rows.map(_._1).sum
+      val expect = math.min(budget, totalCap).toDouble
+      got.forall { case (cap, sat, a) =>
+        a >= -1e-9 && a <= cap + 1e-9 && (!sat || a == cap.toDouble)
+      } && math.abs(got.map(_._3).sum - expect) <= 1e-6 * math.max(expect, 1.0)
+    }
 }
