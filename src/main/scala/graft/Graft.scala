@@ -107,6 +107,9 @@ object Graft {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2, delim: String = "\n"): DataFrame =
     operators.Dedup.lineDedup(docs, idCol, textCol, minDocs, delim)
+  def duplicatedSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 5, minDocs: Int = 2): DataFrame =
+    operators.Dedup.duplicatedSpanRemoval(docs, idCol, textCol, gramN, minDocs)
   def bloomSemiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
       bitsPerKey: Int = 10, numHashes: Int = 5,
       expectedKeys: Long = -1L): DataFrame =
@@ -230,6 +233,13 @@ object Graft {
   def budgetSample(docs: DataFrame, groupCol: String, idCol: String,
       weight: Column, budget: Long): DataFrame =
     operators.Corpus.budgetSample(docs, groupCol, idCol, weight, budget)
+  def sequencePacking(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, seqLen: Int = 2048): DataFrame =
+    operators.Corpus.sequencePacking(docs, sourceCol, idCol, textCol, seqLen)
+  def waterfillAllocation(perGroup: DataFrame, keyCol: String, capCol: String,
+      wCol: String, budgetCol: String): DataFrame =
+    operators.Corpus.waterfillAllocation(perGroup, keyCol, capCol, wCol,
+      budgetCol)
   def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     operators.Corpus.wordEntropy(docs, idCol, textCol)
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,

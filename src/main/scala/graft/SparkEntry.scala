@@ -2825,6 +2825,25 @@ object SparkEntry {
           round(dcgExpr / lit(ndcgConsts.sum), 6).as("ndcg"))
         .select(col("qid").cast("long").as("qid"), col("first_rel_pos"),
           col("mrr"), col("ndcg"))
+    }),
+
+    // Curation v2 — ONE plan composing the round-9 operators: duplicated-
+    // span removal rewrites the corpus, a post-rewrite quality gate drops
+    // docs left with < 10 surviving tokens (boilerplate shells), and the
+    // survivors get their sequence-packing layout on the CLEANED token
+    // stream. The composition is the point: the rewrite feeds the gate
+    // feeds the layout without materializing between stages.
+    "q200_curation_v2" -> ((s, d) => {
+      val cleaned = Dedup.duplicatedSpanRemoval(documents(s, d), "doc_id",
+          "text", gramN = 5, minDocs = 2)
+        .filter(col("n_tokens") - col("n_dropped") >= 10)
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      val packed = Corpus.sequencePacking(
+        cleaned.join(src, "doc_id"), "source", "doc_id", "text_clean",
+        seqLen = 256)
+      packed.select(col("source"), col("doc_id"), col("n_tokens"),
+        col("start_off"), col("pack_first"), col("pack_last"),
+        col("n_packs"))
     })
   )
 
@@ -6163,7 +6182,43 @@ object SparkEntry {
          |    THEN 1.0 / CAST(pos AS DOUBLE) END), 0.0), 6) AS mrr,
          |  round(($dcgSql) / ${ndcgConsts.sum}, 6) AS ndcg
          |FROM ranked GROUP BY qid""".stripMargin
-    }
+    },
+
+    // q196's rewrite → >=10-surviving-tokens gate → q197's packing over
+    // the cleaned stream (token count = kept tokens).
+    "q200_curation_v2" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok,
+        |         unnest(range(0, len(toks))) AS i FROM base),
+        |gr0 AS (SELECT doc_id, unnest(range(0, len(toks) - 4)) AS s
+        |        FROM base WHERE len(toks) >= 5),
+        |grams AS (SELECT g0.doc_id, g0.s,
+        |    array_to_string(list_slice(b.toks, g0.s + 1, g0.s + 5), ' ') AS g
+        |  FROM gr0 g0 JOIN base b USING (doc_id)),
+        |hot AS (SELECT g FROM grams GROUP BY g
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hs AS (SELECT doc_id, s FROM grams JOIN hot USING (g)),
+        |covered AS (SELECT DISTINCT t.doc_id, t.i
+        |  FROM tk t JOIN hs h ON h.doc_id = t.doc_id
+        |    AND t.i BETWEEN h.s AND h.s + 4),
+        |kept AS (SELECT t.doc_id, count(*) AS n_kept
+        |  FROM tk t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.i = t.i
+        |  WHERE c.i IS NULL GROUP BY t.doc_id),
+        |gated AS (SELECT d.source, k.doc_id, k.n_kept AS n_tokens
+        |  FROM kept k JOIN documents d USING (doc_id)
+        |  WHERE k.n_kept >= 10),
+        |o AS (SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_off
+        |  FROM gated)
+        |SELECT source, doc_id, n_tokens, start_off,
+        |  start_off // 256 AS pack_first,
+        |  (start_off + n_tokens - 1) // 256 AS pack_last,
+        |  (start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS n_packs
+        |FROM o""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the
