@@ -2844,6 +2844,20 @@ object SparkEntry {
       packed.select(col("source"), col("doc_id"), col("n_tokens"),
         col("start_off"), col("pack_first"), col("pack_last"),
         col("n_packs"))
+    }),
+
+    // Directional as-of (pandas merge_asof parity): every event matched to
+    // its NEAREST same-user purchase within a 6h tolerance — backward wins
+    // ties. Same one-exchange union+carry plan as q44's backward as-of.
+    "q201_asof_directional" -> ((s, d) => {
+      val ev = events(s, d)
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("pval"))
+      Transforms.asofJoinDirectional(left, purchases, "user_id", "ts",
+          Seq("pval"), direction = "nearest", toleranceSeconds = 21600L)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"), col("pval"))
     })
   )
 
@@ -6218,7 +6232,50 @@ object SparkEntry {
         |  start_off // 256 AS pack_first,
         |  (start_off + n_tokens - 1) // 256 AS pack_last,
         |  (start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS n_packs
-        |FROM o""".stripMargin
+        |FROM o""".stripMargin,
+
+    // Same union+ordered-carry formulation as the Spark plan; per-column
+    // fills share one deterministic ordering (rts, pval tiebreak), so they
+    // pick the same matched row.
+    "q201_asof_directional" ->
+      """WITH l AS (SELECT user_id, ts, event_id, 1 AS is_left,
+        |    CAST(NULL AS TIMESTAMP) AS rts, CAST(NULL AS DOUBLE) AS pval
+        |  FROM events),
+        |r AS (SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id,
+        |    0 AS is_left, ts AS rts, value AS pval
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |f AS (SELECT *,
+        |  last_value(rts IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, is_left, rts, pval
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_rts,
+        |  last_value(pval IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, is_left, rts, pval
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_pval,
+        |  first_value(rts IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, is_left DESC, rts, pval
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_rts,
+        |  first_value(pval IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, is_left DESC, rts, pval
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_pval
+        |  FROM u),
+        |ch AS (SELECT *, CASE
+        |    WHEN b_rts IS NULL THEN f_rts
+        |    WHEN f_rts IS NULL THEN b_rts
+        |    WHEN epoch_us(ts) - epoch_us(b_rts)
+        |      <= epoch_us(f_rts) - epoch_us(ts) THEN b_rts ELSE f_rts
+        |  END AS m_rts, CASE
+        |    WHEN b_rts IS NULL THEN f_pval
+        |    WHEN f_rts IS NULL THEN b_pval
+        |    WHEN epoch_us(ts) - epoch_us(b_rts)
+        |      <= epoch_us(f_rts) - epoch_us(ts) THEN b_pval ELSE f_pval
+        |  END AS m_pval FROM f WHERE is_left = 1),
+        |tol AS (SELECT *, abs(epoch_us(ts) - epoch_us(m_rts))
+        |    <= 21600000000 AS ok FROM ch)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN ok THEN m_rts END AS asof_ts,
+        |  CASE WHEN ok THEN m_pval END AS pval
+        |FROM tol""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

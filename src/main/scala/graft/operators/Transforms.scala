@@ -170,6 +170,77 @@ object Transforms {
     filled.filter(col("_is_left") === 1).drop("_is_left")
   }
 
+  /** Directional as-of join — [[asofJoin]] widened to the full
+    * pandas-merge_asof surface: `direction` ∈ backward (latest right with
+    * rts ≤ ts — [[asofJoin]]'s semantics), forward (earliest right with
+    * rts ≥ ts), nearest (smaller |rts − ts|, backward wins ties), all
+    * inclusive at equal timestamps; `toleranceSeconds ≥ 0` nulls the
+    * payload when the matched |Δts| exceeds it (the match is dropped, the
+    * left row survives — merge_asof semantics).
+    *
+    * Same scale shape as [[asofJoin]]: tag + union + per-key ordered
+    * carry — ONE exchange on the key (the two fill directions sort the
+    * same exchange twice; Catalyst reuses it), O(1) state per key, no
+    * range product. The right payload travels as ONE struct so k payload
+    * columns cost one fill, not k. Right rows tie-break by the payload
+    * struct itself, so equal-(key, ts) right rows resolve
+    * deterministically on both engines. Output: every left row +
+    * `asof_ts` (matched right timestamp, null when no match/out of
+    * tolerance) + the payload columns. */
+  def asofJoinDirectional(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payloadCols: Seq[String], direction: String = "backward",
+      toleranceSeconds: Long = -1L): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown direction: $direction")
+    val leftCols = left.columns.filterNot(c => c == key || c == ts)
+    val rStruct = struct(
+      (col(ts).as("_rts") +: payloadCols.map(col)): _*)
+    val lTagged = left.withColumn("_is_left", lit(1))
+      .select(Seq(col(key), col(ts), col("_is_left")) ++ leftCols.map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("_rts",
+            right.schema(ts).dataType) +:
+            payloadCols.map(c => org.apache.spark.sql.types.StructField(c,
+              right.schema(c).dataType)))).as("_r"): _*)
+    val rTagged = right.withColumn("_is_left", lit(0))
+      .select(Seq(col(key), col(ts), col("_is_left")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("_r"): _*)
+    val u = lTagged.unionByName(rTagged)
+    // backward: right(0) sorts BEFORE left(1) at equal ts → inclusive ≤
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("_is_left").asc, col("_r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: left(1) sorts BEFORE right(0) at equal ts → inclusive ≥
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("_is_left").desc, col("_r").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = direction match {
+      case "backward" =>
+        u.withColumn("_m", last(col("_r"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        u.withColumn("_m", first(col("_r"), ignoreNulls = true).over(wF))
+      case "nearest" =>
+        val b = last(col("_r"), ignoreNulls = true).over(wB)
+        val f = first(col("_r"), ignoreNulls = true).over(wF)
+        val dB = unix_micros(col(ts)) - unix_micros(b.getField("_rts"))
+        val dF = unix_micros(f.getField("_rts")) - unix_micros(col(ts))
+        u.withColumn("_m",
+          when(b.isNull, f).when(f.isNull, b)
+            .when(dB <= dF, b).otherwise(f))
+    }
+    val withTol =
+      if (toleranceSeconds < 0) filled
+      else filled.withColumn("_m",
+        when(abs(unix_micros(col(ts)) -
+            unix_micros(col("_m").getField("_rts"))) <=
+          toleranceSeconds * 1000000L, col("_m")))
+    withTol.filter(col("_is_left") === 1)
+      .select((Seq(col(key), col(ts)) ++ leftCols.map(col)) ++
+        (col("_m").getField("_rts").as("asof_ts") +:
+          payloadCols.map(c => col("_m").getField(c).as(c))): _*)
+  }
+
   /** Interval join WITHOUT an equi-key: pairs (l, r) with
     * `l(ts) ∈ [r(lo), r(hi))`. The naive plan is a cross join with a range
     * predicate — O(|L|·|R|) at any scale. This banded form buckets time into

@@ -68,6 +68,33 @@ class TransformsSpec extends AnyFunSuite {
       ("u2", 5, "d", None))) // no right row for u2 → left join null
   }
 
+  test("asofJoinDirectional: forward/nearest/tolerance semantics per key") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // right at 10s and 25s (user u1); left probes at 10, 20, 30
+    val left = Seq(("u1", ts(10000000), 1L), ("u1", ts(20000000), 2L),
+      ("u1", ts(30000000), 3L)).toDF("k", "t", "eid")
+    val right = Seq(("u1", ts(10000000), 1.0), ("u1", ts(25000000), 2.5))
+      .toDF("k", "t", "price")
+    def run(dir: String, tol: Long = -1L) =
+      Transforms.asofJoinDirectional(left, right, "k", "t", Seq("price"),
+          direction = dir, toleranceSeconds = tol)
+        .select($"eid", $"price").as[(Long, Option[Double])]
+        .collect().toMap
+    // forward: earliest right at-or-after (inclusive at equal ts)
+    assert(run("forward") == Map(1L -> Some(1.0), 2L -> Some(2.5),
+      3L -> None))
+    // nearest: 20s is 10s from 10s-right and 5s from 25s-right → 2.5;
+    // 30s only has backward 25s → 2.5; 10s ties to itself
+    assert(run("nearest") == Map(1L -> Some(1.0), 2L -> Some(2.5),
+      3L -> Some(2.5)))
+    // nearest with 4s tolerance: only the exact-ts match survives
+    assert(run("nearest", tol = 4L) == Map(1L -> Some(1.0), 2L -> None,
+      3L -> None))
+    // backward matches the legacy asofJoin semantics
+    assert(run("backward") == Map(1L -> Some(1.0), 2L -> Some(1.0),
+      3L -> Some(2.5)))
+  }
+
   test("melt then pivot round-trips") {
     val wide = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "a", "b")
     val long = Transforms.melt(wide, Seq("id"), Seq("a", "b"), "k", "v")
