@@ -2858,7 +2858,13 @@ object SparkEntry {
           Seq("pval"), direction = "nearest", toleranceSeconds = 21600L)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_ts"), col("pval"))
-    })
+    }),
+
+    // Character-level edit-distance-1 join WITHOUT a blocking key (q49's
+    // scalable complement): customer-name pairs via the exact deletion-
+    // neighborhood scheme (SymSpell) — no frequency caps, no recall loss.
+    "q202_editdist_join" -> ((s, d) =>
+      Dedup.editDistanceJoin(customer(s, d), "c_custkey", "c_name"))
   )
 
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
@@ -6275,7 +6281,27 @@ object SparkEntry {
         |SELECT event_id, user_id, ts,
         |  CASE WHEN ok THEN m_rts END AS asof_ts,
         |  CASE WHEN ok THEN m_pval END AS pval
-        |FROM tol""".stripMargin
+        |FROM tol""".stripMargin,
+
+    // Same deletion-neighborhood scheme: i = 0 keeps the string, i in
+    // 1..len deletes character i; neighborhoods intersect iff dist <= 1.
+    "q202_editdist_join" ->
+      """WITH base AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |v0 AS (SELECT id, s, unnest(range(0, length(s) + 1)) AS i FROM base),
+        |var AS (SELECT DISTINCT id,
+        |    CASE WHEN i = 0 THEN s
+        |         ELSE substring(s, 1, CAST(i - 1 AS INT)) ||
+        |              substring(s, CAST(i + 1 AS INT),
+        |                CAST(length(s) - i AS INT)) END AS v
+        |  FROM v0),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM var a JOIN var b ON a.v = b.v AND a.id < b.id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(levenshtein(sa.s, sb.s) AS BIGINT) AS dist
+        |FROM cand c
+        |JOIN base sa ON sa.id = c.id_a
+        |JOIN base sb ON sb.id = c.id_b
+        |WHERE levenshtein(sa.s, sb.s) <= 1""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

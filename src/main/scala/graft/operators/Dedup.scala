@@ -556,6 +556,46 @@ object Dedup {
           .as("cont_r"))
   }
 
+  /** Edit-distance-1 self-join — CHARACTER-level record linkage (ID typos,
+    * OCR noise), the scalable complement of a key-blocked levenshtein join
+    * (q49 blocks on brand; this needs no blocking key). Emits unordered
+    * pairs (id_a < id_b) with levenshtein ≤ 1 — EXACT, no recall cap.
+    *
+    * Candidate scheme: deletion neighborhood (SymSpell/FastSS). Each
+    * string explodes into itself plus its `len` single-deletion variants;
+    * two strings are within edit distance 1 iff their neighborhoods
+    * intersect (substitution at i → both delete position i; insertion in
+    * b → deleting it recovers a, which is its own variant; equality is
+    * the identity variant). Gram/prefix filters need frequency caps on
+    * templated vocabularies — this needs none: the blow-up is a LINEAR
+    * ×(len+1) explode, variant posting lists are bounded by the true
+    * near-match density, and the exact `levenshtein` verify touches only
+    * genuine candidates. Long strings should be pre-hashed to a bounded
+    * key prefix upstream if `len` is unbounded (the scheme targets short
+    * identifier-like strings). */
+  def editDistanceJoin(rows: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val base = rows.select(col(idCol).as("id"), col(strCol).as("s"))
+    // i = 0 keeps the string itself; i in 1..len deletes character i.
+    val variants = base.select(col("id"),
+      explode(expr(
+        "transform(sequence(0, length(s)), " +
+          "i -> IF(i = 0, s, concat(substring(s, 1, i - 1), " +
+          "substring(s, i + 1, length(s) - i))))")).as("v"))
+      .distinct()
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Keeper selection — the step that turns near-dup CLUSTERS into an
     * actual deduplicated corpus: per cluster, keep the member with the
     * highest `weightCol` (ties → smallest id). `members` is

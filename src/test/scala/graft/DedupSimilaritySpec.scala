@@ -311,6 +311,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 0L, "tiny doc")))
   }
 
+  test("editDistanceJoin equals brute-force levenshtein<=1 on random-ish strings") {
+    import spark.implicits._
+    val strs = Seq("alpha", "alphb", "alpha1", "lpha", "beta", "betas",
+      "gamma", "gamm", "gamme", "delta", "dleta", "x", "", "xy")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val got = Dedup.editDistanceJoin(df, "id", "s")
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)]
+      .collect().toSet
+    val brute = (for {
+      (a, i) <- strs.zipWithIndex; (b, j) <- strs.zipWithIndex
+      if i < j
+      d = {
+        // classic DP levenshtein
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (x, y) =>
+          if (x == 0) y else if (y == 0) x else 0 }
+        for (x <- 1 to a.length; y <- 1 to b.length)
+          m(x)(y) = math.min(math.min(m(x - 1)(y) + 1, m(x)(y - 1) + 1),
+            m(x - 1)(y - 1) + (if (a(x - 1) == b(y - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      if d <= 1
+    } yield (i.toLong, j.toLong, d.toLong)).toSet
+    assert(got == brute)
+  }
+
   test("lineDedup treats the delimiter literally, not as a regex") {
     import spark.implicits._
     val docs = Seq(
