@@ -2837,13 +2837,23 @@ object SparkEntry {
       val cleaned = Dedup.duplicatedSpanRemoval(documents(s, d), "doc_id",
           "text", gramN = 5, minDocs = 2)
         .filter(col("n_tokens") - col("n_dropped") >= 10)
+        // the layout needs the CLEANED token count, not the rewritten
+        // string — selecting only the count lets Catalyst prune the
+        // text_clean concat out of the plan entirely
+        .select(col("doc_id"),
+          (col("n_tokens") - col("n_dropped")).as("n_tokens"))
       val src = documents(s, d).select(col("doc_id"), col("source"))
-      val packed = Corpus.sequencePacking(
-        cleaned.join(src, "doc_id"), "source", "doc_id", "text_clean",
-        seqLen = 256)
-      packed.select(col("source"), col("doc_id"), col("n_tokens"),
-        col("start_off"), col("pack_first"), col("pack_last"),
-        col("n_packs"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cleaned.join(src, "doc_id")
+        .withColumn("start_off",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("start_off"),
+          expr("start_off DIV 256").as("pack_first"),
+          expr("(start_off + n_tokens - 1) DIV 256").as("pack_last"),
+          (expr("(start_off + n_tokens - 1) DIV 256") -
+            expr("start_off DIV 256") + 1L).as("n_packs"))
     }),
 
     // Directional as-of (pandas merge_asof parity): every event matched to

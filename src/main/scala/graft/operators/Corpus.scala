@@ -198,6 +198,9 @@ object Corpus {
     * occupies — `pack_first`/`pack_last` (0-based pack ids within the
     * source) and `n_packs` (how many packs the document straddles, the
     * cross-boundary attention-mask accounting a packing job needs).
+    * Extends q91's hash-bucketed start-bin assignment: this keys by the
+    * REAL source column and reports the full span, not just where the
+    * document starts.
     * Tokenization is [[wordsCount]]'s (trim/lower/\s+ — oracle-portable);
     * empty-text documents are excluded (they occupy no tokens).
     *
