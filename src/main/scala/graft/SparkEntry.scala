@@ -2874,7 +2874,26 @@ object SparkEntry {
     // scalable complement): customer-name pairs via the exact deletion-
     // neighborhood scheme (SymSpell) — no frequency caps, no recall loss.
     "q202_editdist_join" -> ((s, d) =>
-      Dedup.editDistanceJoin(customer(s, d), "c_custkey", "c_name"))
+      Dedup.editDistanceJoin(customer(s, d), "c_custkey", "c_name")),
+
+    // Hilbert layout key (q69's Z-order sibling): locality-preserving
+    // space-filling index over the same (custkey, day) normalization —
+    // native codegen'd expression (per-level rotation state can't be a
+    // Column tree without exponential subtree replication).
+    "q203_hilbert_key" -> ((s, d) => {
+      val o = orders(s, d).withColumn("day",
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+      val stats = o.agg(min("o_custkey").as("ck_lo"),
+        max("o_custkey").as("ck_hi"),
+        min("day").as("d_lo"), max("day").as("d_hi"))
+      def scale16(c: Column, lo: Column, hi: Column): Column =
+        (((c - lo) * lit(65535L)) / (hi - lo)).cast("long")
+      o.crossJoin(broadcast(stats)).select(col("o_orderkey"),
+        graft.functions.HilbertOps.hilbert16(
+          scale16(col("o_custkey"), col("ck_lo"), col("ck_hi")),
+          scale16(col("day"), col("d_lo"), col("d_hi"))).as("h"))
+    })
   )
 
   /** Literal WASDE-shaped sheet rows (FIXTURES.md §9 features: footnote
@@ -3066,8 +3085,41 @@ object SparkEntry {
        |SELECT o_orderkey, CAST($terms AS BIGINT) AS z FROM k""".stripMargin
   }
 
+  /** 16 unrolled Hilbert walk levels as chained subqueries — per-level
+    * state (x, y, d) materializes as row VALUES, so the oracle mirrors the
+    * native expression's loop without expression-tree blow-up. */
+  private def q203OracleSql: String = {
+    val steps = (0 until 16).map { i =>
+      val s = 1L << (15 - i)
+      val prev = if (i == 0) "k" else s"h${i - 1}"
+      s"""h$i AS (SELECT o_orderkey,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+         |  d + CAST($s AS BIGINT) * $s * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+         |    WHEN rx = 0 THEN 1 WHEN ry = 0 THEN 3 ELSE 2 END) AS d
+         |  FROM (SELECT o_orderkey, x, y, d,
+         |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM $prev))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+       |  FROM orders),
+       |r AS (SELECT min(o_custkey) AS cklo, max(o_custkey) AS ckhi,
+       |             min(day) AS dlo, max(day) AS dhi FROM raw),
+       |k AS (
+       |  SELECT o_orderkey,
+       |    ((o_custkey - r.cklo) * 65535) // (r.ckhi - r.cklo) AS x,
+       |    ((day - r.dlo) * 65535) // (r.dhi - r.dlo) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM raw CROSS JOIN r),
+       |$steps
+       |SELECT o_orderkey, CAST(d AS BIGINT) AS h FROM h15""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = { val base = Map(
     "q69_zorder_key" -> q69OracleSql,
+    "q203_hilbert_key" -> q203OracleSql,
     "q71_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id,

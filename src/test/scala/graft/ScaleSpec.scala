@@ -392,6 +392,33 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("hilbert16: round-trip identity, unit-step adjacency, injectivity") {
+    import graft.functions.HilbertOps
+    val rnd = new scala.util.Random(7)
+    // round-trip + adjacency at random positions across the full curve
+    (0 until 2000).foreach { _ =>
+      val d = (rnd.nextLong() & Long.MaxValue) % (65536L * 65536L - 1)
+      val (x, y) = HilbertOps.d2xy16(d)
+      assert(HilbertOps.xy2d16(x, y) == d)
+      val (x2, y2) = HilbertOps.d2xy16(d + 1)
+      // the Hilbert walk moves exactly one grid cell per step — the
+      // locality property Z-order lacks at power-of-two boundaries
+      assert(math.abs(x2 - x) + math.abs(y2 - y) == 1,
+        s"d=$d: ($x,$y) -> ($x2,$y2)")
+    }
+    // injectivity on a dense sub-grid
+    val keys = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield HilbertOps.xy2d16(x, y)
+    assert(keys.distinct.size == 64 * 64)
+    // the expression evaluates identically via codegen
+    import spark.implicits._
+    val df = Seq((3L, 5L), (0L, 0L), (65535L, 65535L)).toDF("a", "b")
+    val got = df.select(HilbertOps.hilbert16(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(got == Seq(HilbertOps.xy2d16(3, 5), HilbertOps.xy2d16(0, 0),
+      HilbertOps.xy2d16(65535, 65535)))
+  }
+
   test("plan shapes: round-9 operators stay scale-safe") {
     val sfDir = "/root/testdata/sf0.001"
     def plan(name: String): String =
