@@ -2876,6 +2876,33 @@ object SparkEntry {
     "q202_editdist_join" -> ((s, d) =>
       Dedup.editDistanceJoin(customer(s, d), "c_custkey", "c_name")),
 
+    // Incremental JOIN maintenance — the materialized-view delta algebra:
+    // with base/delta splits L = L0 ∪ ΔL, R = R0 ∪ ΔR, the join of the
+    // full inputs equals J0 ∪ (ΔL⋈R0) ∪ (L0⋈ΔR) ∪ (ΔL⋈ΔR). The query
+    // computes the union-of-four-joins form; the ORACLE computes the
+    // direct join of the unioned inputs — an independent derivation, not
+    // a mirror, so the compare proves the maintenance identity itself.
+    // At scale this is how a 100 TB join view absorbs a day's delta
+    // without re-joining history: three small joins instead of one
+    // full-history one.
+    "q204_join_maintenance" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val l = lineitem(s, d).select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_quantity"))
+      val o0 = o.filter(col("o_orderkey") % 10 < 8)
+      val dO = o.filter(col("o_orderkey") % 10 >= 8)
+      val l0 = l.filter(col("l_orderkey") % 7 < 5)
+      val dL = l.filter(col("l_orderkey") % 7 >= 5)
+      def j(a: DataFrame, b: DataFrame) =
+        a.join(b, col("o_orderkey") === col("l_orderkey"))
+      val inc = j(o0, l0).unionByName(j(dO, l0))
+        .unionByName(j(o0, dL)).unionByName(j(dO, dL))
+      inc.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sumd(col("l_extendedprice")).as("revenue"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+    }),
+
     // Hilbert layout key (q69's Z-order sibling): locality-preserving
     // space-filling index over the same (custkey, day) normalization —
     // native codegen'd expression (per-level rotation state can't be a
@@ -3120,6 +3147,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = { val base = Map(
     "q69_zorder_key" -> q69OracleSql,
     "q203_hilbert_key" -> q203OracleSql,
+    // Deliberately NOT a mirror: the oracle joins the full inputs
+    // directly, so the compare proves the delta-maintenance identity.
+    "q204_join_maintenance" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q71_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id,
