@@ -2903,6 +2903,37 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("qty"))
     }),
 
+    // Cross-table referential-integrity report (q68's single-table
+    // sibling): orphan-FK counts across the star schema via anti-joins —
+    // the distributed shape of a constraint checker (parents broadcast
+    // when small, shuffle otherwise; only counts move to the driver).
+    // The current corpus is fully intact (all five relations 0 orphans,
+    // including events.user_id→customer) — the report derives that
+    // rather than assuming it, and flags drift on regeneration.
+    "q205_fk_integrity" -> ((s, d) => {
+      def rel(name: String, child: DataFrame, fk: String, parent: DataFrame,
+          pk: String) = {
+        val orphans = child.filter(col(fk).isNotNull)
+          .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        child.agg(count(lit(1)).as("n_child"),
+            sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+          .crossJoin(orphans)
+          .select(lit(name).as("relation"), col("n_child").cast("long"),
+            col("n_null_fk").cast("long"), col("n_orphan").cast("long"))
+      }
+      rel("lineitem.orderkey->orders", lineitem(s, d), "l_orderkey",
+          orders(s, d), "o_orderkey")
+        .unionByName(rel("orders.custkey->customer", orders(s, d),
+          "o_custkey", customer(s, d), "c_custkey"))
+        .unionByName(rel("customer.nationkey->nation", customer(s, d),
+          "c_nationkey", nation(s, d), "n_nationkey"))
+        .unionByName(rel("supplier.nationkey->nation", supplier(s, d),
+          "s_nationkey", nation(s, d), "n_nationkey"))
+        .unionByName(rel("events.user_id->customer", events(s, d),
+          "user_id", customer(s, d), "c_custkey"))
+    }),
+
     // Hilbert layout key (q69's Z-order sibling): locality-preserving
     // space-filling index over the same (custkey, day) normalization —
     // native codegen'd expression (per-level rotation state can't be a
@@ -3147,6 +3178,47 @@ object SparkEntry {
   def oracleSql: Map[String, String] = { val base = Map(
     "q69_zorder_key" -> q69OracleSql,
     "q203_hilbert_key" -> q203OracleSql,
+    "q205_fk_integrity" ->
+      """WITH rel AS (
+        |  SELECT 'lineitem.orderkey->orders' AS relation,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_fk,
+        |    (SELECT count(*) FROM lineitem c WHERE c.l_orderkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM orders p
+        |        WHERE p.o_orderkey = c.l_orderkey)) AS n_orphan
+        |  UNION ALL
+        |  SELECT 'orders.custkey->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |    (SELECT count(*) FROM orders c WHERE c.o_custkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM customer p
+        |        WHERE p.c_custkey = c.o_custkey))
+        |  UNION ALL
+        |  SELECT 'customer.nationkey->nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+        |    (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM nation p
+        |        WHERE p.n_nationkey = c.c_nationkey))
+        |  UNION ALL
+        |  SELECT 'supplier.nationkey->nation',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL),
+        |    (SELECT count(*) FROM supplier c WHERE c.s_nationkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM nation p
+        |        WHERE p.n_nationkey = c.s_nationkey))
+        |  UNION ALL
+        |  SELECT 'events.user_id->customer',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events WHERE user_id IS NULL),
+        |    (SELECT count(*) FROM events c WHERE c.user_id IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM customer p
+        |        WHERE p.c_custkey = c.user_id)))
+        |SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_null_fk AS BIGINT) AS n_null_fk,
+        |  CAST(n_orphan AS BIGINT) AS n_orphan
+        |FROM rel""".stripMargin,
+
     // Deliberately NOT a mirror: the oracle joins the full inputs
     // directly, so the compare proves the delta-maintenance identity.
     "q204_join_maintenance" ->
