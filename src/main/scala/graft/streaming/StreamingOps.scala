@@ -58,6 +58,60 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Checkpointed incremental UPSERT — [[runIncremental]]'s append sink
+    * replaced by last-writer-wins key merge via `foreachBatch`: each
+    * micro-batch is reduced to one row per key (`seqCol` max, within-batch),
+    * then merged into the target parquet by rewriting it WITHOUT the
+    * incoming keys and appending the new versions — the streaming form of
+    * the reference's delete-then-insert idempotent re-load
+    * (`HTGPIWASDE/__init__.py:124-134`) and the batch
+    * `writeMonthOverwrite`. Re-running with the same checkpoint after new
+    * files land merges just the delta; replaying an already-seen key
+    * replaces, never duplicates.
+    *
+    * Scale: the rewrite is target ∖ batch-keys (one anti-join) + append —
+    * at lake scale the same merge keys to PARTITIONS via dynamic partition
+    * overwrite ([[graft.pipelines.WasdeTransforms.writeMonthOverwrite]]);
+    * this key-level variant is for unpartitioned targets. The atomic-swap
+    * caveat of Maintenance.compact applies to the rewrite step. */
+  def runUpsert(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpointDir: String,
+      targetDir: String, keyCols: Seq[String], seqCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val q = spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val keyed = batch.withColumn("_rn", row_number().over(
+            Window.partitionBy(keyCols.map(col): _*)
+              .orderBy(col(seqCol).desc)))
+          .filter(col("_rn") === 1).drop("_rn")
+        val tgt = new java.io.File(targetDir)
+        val merged =
+          if (!tgt.exists()) keyed
+          else spark.read.parquet(targetDir)
+            .join(keyed.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .unionByName(keyed)
+        // rewrite via a temp dir then swap — reading and overwriting the
+        // same path in one job would race the scan
+        val tmp = targetDir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (tgt.exists()) {
+          val old = new java.io.File(targetDir + "_old")
+          tgt.renameTo(old)
+          new java.io.File(tmp).renameTo(tgt)
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(old)
+        } else new java.io.File(tmp).renameTo(tgt)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream the events parquet directory with `Trigger.AvailableNow` through
     * `transform` into an in-memory table; returns the collected result.
     * Normalizes a `ts` column across all three corpus timestamp encodings

@@ -23,6 +23,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.toString == b.toString)
   }
 
+  test("streaming upsert: replayed keys replace, new keys append, within-batch last-writer wins") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("ups-in").toString
+    val ckpt = Files.createTempDirectory("ups-ckpt").toString
+    val out = Files.createTempDirectory("ups-out").toString + "/tgt"
+    import spark.implicits._
+
+    // within-batch duplicate for key 2: seq 5 must win over seq 4
+    Seq((1L, 1L, "a"), (2L, 4L, "old"), (2L, 5L, "b"))
+      .toDF("id", "seq", "payload").coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    StreamingOps.runUpsert(spark, in, schema, ckpt, out,
+      keyCols = Seq("id"), seqCol = "seq")
+    def state() = spark.read.parquet(out)
+      .select($"id", $"seq", $"payload").as[(Long, Long, String)]
+      .collect().toSet
+    assert(state() == Set((1L, 1L, "a"), (2L, 5L, "b")))
+
+    // second batch: key 2 replayed with a newer version, key 3 new
+    Seq((2L, 9L, "b2"), (3L, 1L, "c"))
+      .toDF("id", "seq", "payload").coalesce(1)
+      .write.mode("append").parquet(in)
+    StreamingOps.runUpsert(spark, in, schema, ckpt, out,
+      keyCols = Seq("id"), seqCol = "seq")
+    assert(state() == Set((1L, 1L, "a"), (2L, 9L, "b2"), (3L, 1L, "c")))
+
+    // re-run with no new input → unchanged (idempotent)
+    StreamingOps.runUpsert(spark, in, schema, ckpt, out,
+      keyCols = Seq("id"), seqCol = "seq")
+    assert(state() == Set((1L, 1L, "a"), (2L, 9L, "b2"), (3L, 1L, "c")))
+  }
+
   test("checkpointed incremental runs process only new files") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("inc-in").toString
