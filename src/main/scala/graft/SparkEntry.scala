@@ -2934,6 +2934,26 @@ object SparkEntry {
           "user_id", customer(s, d), "c_custkey"))
     }),
 
+    // Per-dimension embedding profile — the drift monitor an embedding
+    // pipeline runs before/after a model swap: for each vector dimension,
+    // exact micro-unit sums (count, Σx, Σx²) plus raw min/max. Integer
+    // sums are order-independent and engine-exact (the q65 micro-unit
+    // pattern); consumers derive mean/std without the engine committing
+    // to a division order. One narrow posexplode + one aggregate — no
+    // shuffle of vectors, only (dim, partial-sum) rows.
+    "q206_embedding_profile" -> ((s, d) =>
+      embeddings(s, d)
+        .select(posexplode(Similarity.toDoubleArray(col("embedding")))
+          .as(Seq("j", "x")))
+        .withColumn("xm", round(col("x") * lit(1000000.0)).cast("long"))
+        .groupBy(col("j"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("xm")).cast("long").as("sum_micro"),
+          sum(col("xm") * col("xm")).cast("long").as("sumsq_micro"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+        .select(col("j").cast("long").as("j"), col("n"), col("sum_micro"),
+          col("sumsq_micro"), col("min_x"), col("max_x"))),
+
     // Hilbert layout key (q69's Z-order sibling): locality-preserving
     // space-filling index over the same (custkey, day) normalization —
     // native codegen'd expression (per-level rotation state can't be a
@@ -3178,6 +3198,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] = { val base = Map(
     "q69_zorder_key" -> q69OracleSql,
     "q203_hilbert_key" -> q203OracleSql,
+    "q206_embedding_profile" ->
+      """WITH u AS (
+        |  SELECT unnest(range(0, len(embedding))) AS j,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |m AS (SELECT j, x, CAST(round(x * 1000000.0) AS BIGINT) AS xm FROM u)
+        |SELECT CAST(j AS BIGINT) AS j, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(xm) AS BIGINT) AS sum_micro,
+        |  CAST(sum(xm * xm) AS BIGINT) AS sumsq_micro,
+        |  min(x) AS min_x, max(x) AS max_x
+        |FROM m GROUP BY j""".stripMargin,
+
     "q205_fk_integrity" ->
       """WITH rel AS (
         |  SELECT 'lineitem.orderkey->orders' AS relation,

@@ -336,6 +336,26 @@ object PropertySpec extends Properties("graft") {
       g >= 0.0 && g < 1.0
     }
 
+  property("asofJoinDirectional(nearest) equals brute-force nearest with backward ties") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0L, 50L)),
+      Gen.nonEmptyListOf(Gen.choose(0L, 50L))) { (lts, rtsRaw) =>
+      // unique right timestamps (the operator's documented contract)
+      val rts = rtsRaw.distinct
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      val left = lts.zipWithIndex.map { case (s, i) => ("k", t(s), i.toLong) }
+        .toDF("k", "ts", "eid")
+      val right = rts.map(s => ("k", t(s), s.toDouble)).toDF("k", "ts", "p")
+      val got = Transforms.asofJoinDirectional(left, right, "k", "ts",
+          Seq("p"), direction = "nearest")
+        .select($"eid", $"p").as[(Long, Option[Double])].collect().toMap
+      lts.zipWithIndex.forall { case (s, i) =>
+        // brute force: min |Δ|, backward (rts <= ts) wins ties
+        val best = rts.minBy(r => (math.abs(r - s), if (r <= s) 0 else 1))
+        got(i.toLong).contains(best.toDouble)
+      }
+    }
+
   property("waterfill: alloc≤cap, saturated==cap, Σalloc==min(budget, Σcap)") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 1000L), Gen.choose(1L, 9L))),
