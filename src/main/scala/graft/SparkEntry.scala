@@ -34,6 +34,42 @@ object SparkEntry {
   private val ndcgConsts: Seq[Double] =
     (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
 
+  /** Water-filling CTE chain (shared by q198 and q207): per-source caps,
+    * suffix-weight ratios, integer saturation prefix-AND, and the final
+    * one-divide allocation as `wf_alloc(source, cap, w, sat, alloc)`. */
+  private val waterfillCtes: String =
+    """caps AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+      |      AS BIGINT) AS cap,
+      |    CAST(CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) + 1
+      |      AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |b AS (SELECT CAST(sum(cap) // 2 AS BIGINT) AS budget FROM caps),
+      |o AS (SELECT c.*, b.budget,
+      |    sum(w) OVER () AS w_tot,
+      |    coalesce(sum(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before,
+      |    coalesce(sum(w) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_before
+      |  FROM caps c CROSS JOIN b),
+      |f AS (SELECT *, CASE WHEN cap * (w_tot - w_before)
+      |      <= (budget - c_before) * w THEN 1 ELSE 0 END AS cond
+      |  FROM o),
+      |g AS (SELECT *,
+      |    min(cond) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sat
+      |  FROM f),
+      |h AS (SELECT *,
+      |    coalesce(sum(CASE WHEN sat = 1 THEN cap END) OVER (), 0) AS c_sat,
+      |    coalesce(sum(CASE WHEN sat = 1 THEN w END) OVER (), 0) AS w_sat
+      |  FROM g),
+      |wf_alloc AS (SELECT source, cap, w, sat,
+      |  CASE WHEN sat = 1 THEN CAST(cap AS DOUBLE)
+      |       ELSE CAST(budget - c_sat AS DOUBLE) * CAST(w AS DOUBLE)
+      |            / CAST(w_tot - w_sat AS DOUBLE) END AS alloc
+      |FROM h)""".stripMargin
+
   /** Exact scale-2 sums via integer cents: the multiply/convert happens in
     * LONG (one codegen'd round+cast per row instead of a decimal conversion),
     * only the accumulator is DECIMAL(18,0) → no overflow at any row count.
@@ -2932,6 +2968,28 @@ object SparkEntry {
           "s_nationkey", nation(s, d), "n_nationkey"))
         .unionByName(rel("events.user_id->customer", events(s, d),
           "user_id", customer(s, d), "c_custkey"))
+    }),
+
+    // Mixture DRAW — the consumption step closing q198's loop: water-fill
+    // the per-source allocations, then admit each source's documents in
+    // the deterministic md5 order until its OWN allocation is exhausted
+    // (low-water mark, as budgetSample). Solve → draw in one plan.
+    "q207_mixture_draw" -> ((s, d) => {
+      val docs = documents(s, d).select(col("source"), col("doc_id"),
+        Corpus.wordsCount(col("text")).as("n_tok"))
+      val caps = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast("long").as("cap"))
+        .withColumn("w",
+          regexp_extract(col("source"), "(\\d+)$", 1).cast("long") + 1L)
+      val budget = caps.agg((sum(col("cap")) / 2L).cast("long").as("budget"))
+      val alloc = Corpus.waterfillAllocation(
+          caps.crossJoin(broadcast(budget)), "source", "cap", "w", "budget")
+        .select(col("source"), col("alloc"))
+      Corpus.allocatedSample(docs.join(broadcast(alloc), "source"),
+          "source", "doc_id", col("n_tok"), "alloc")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("wt")).cast("long").as("tokens_drawn"))
     }),
 
     // Per-dimension embedding profile — the drift monitor an embedding
@@ -6330,37 +6388,24 @@ object SparkEntry {
         |FROM o""".stripMargin,
 
     "q198_waterfill" ->
-      """WITH caps AS (
-        |  SELECT source,
-        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
-        |      AS BIGINT) AS cap,
-        |    CAST(CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) + 1
-        |      AS BIGINT) AS w
-        |  FROM documents GROUP BY source),
-        |b AS (SELECT CAST(sum(cap) // 2 AS BIGINT) AS budget FROM caps),
-        |o AS (SELECT c.*, b.budget,
-        |    sum(w) OVER () AS w_tot,
-        |    coalesce(sum(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before,
-        |    coalesce(sum(w) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_before
-        |  FROM caps c CROSS JOIN b),
-        |f AS (SELECT *, CASE WHEN cap * (w_tot - w_before)
-        |      <= (budget - c_before) * w THEN 1 ELSE 0 END AS cond
-        |  FROM o),
-        |g AS (SELECT *,
-        |    min(cond) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sat
-        |  FROM f),
-        |h AS (SELECT *,
-        |    coalesce(sum(CASE WHEN sat = 1 THEN cap END) OVER (), 0) AS c_sat,
-        |    coalesce(sum(CASE WHEN sat = 1 THEN w END) OVER (), 0) AS w_sat
-        |  FROM g)
-        |SELECT source, cap, w, sat = 1 AS is_saturated,
-        |  CASE WHEN sat = 1 THEN CAST(cap AS DOUBLE)
-        |       ELSE CAST(budget - c_sat AS DOUBLE) * CAST(w AS DOUBLE)
-        |            / CAST(w_tot - w_sat AS DOUBLE) END AS alloc
-        |FROM h""".stripMargin,
+      s"""WITH $waterfillCtes
+         |SELECT source, cap, w, sat = 1 AS is_saturated, alloc
+         |FROM wf_alloc""".stripMargin,
+
+    "q207_mixture_draw" ->
+      s"""WITH $waterfillCtes,
+         |docs AS (SELECT source, doc_id,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+         |      AS BIGINT) AS n_tok,
+         |    md5('bud|' || CAST(doc_id AS VARCHAR)) AS skey
+         |  FROM documents),
+         |adm AS (SELECT d.source, d.n_tok, a.alloc,
+         |    sum(d.n_tok) OVER (PARTITION BY d.source ORDER BY d.skey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM docs d JOIN wf_alloc a USING (source))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_drawn
+         |FROM adm WHERE cum - n_tok < alloc GROUP BY source""".stripMargin,
 
     "q199_ranking_quality" -> {
       val dcgSql = ndcgConsts.zipWithIndex.map { case (c, i) =>

@@ -300,6 +300,26 @@ object Corpus {
         col("cum_wt").cast("long").as("cum_wt"))
   }
 
+  /** [[budgetSample]] with a PER-GROUP budget column — the consumption
+    * step of [[waterfillAllocation]]: admit documents in the same
+    * deterministic md5 order while the GROUP'S OWN budget (e.g. its
+    * water-filled allocation, carried as a column) is not exhausted before
+    * them. Same low-water-mark semantics and O(1)-state window; the only
+    * difference is the budget riding on the row instead of a constant. */
+  def allocatedSample(docs: DataFrame, groupCol: String, idCol: String,
+      weight: Column, budgetCol: String, salt: String = "bud"): DataFrame = {
+    val skey = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("skey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(groupCol), col(idCol), weight.cast("long").as("wt"),
+        col(budgetCol).as("_bud"), skey.as("skey"))
+      .withColumn("cum_wt", sum(col("wt")).over(w))
+      .filter(col("cum_wt") - col("wt") < col("_bud"))
+      .select(col(groupCol), col(idCol), col("wt"),
+        col("cum_wt").cast("long").as("cum_wt"))
+  }
+
   /** Deterministic weighted sampling without replacement per group
     * (Efraimidis–Spirakis A-ES): each document draws u ∈ (0,1] from its own
     * md5 (52 bits → an exactly-representable dyadic rational) and ranks by
