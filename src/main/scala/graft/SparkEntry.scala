@@ -2970,6 +2970,34 @@ object SparkEntry {
           "user_id", customer(s, d), "c_custkey"))
     }),
 
+    // Format-parity proof as a QUERY: the same projection round-trips
+    // through parquet, CSV, JSON, and ORC, and each copy's
+    // order-invariant content fingerprint (q140's two mod-2^61 lanes)
+    // must equal the oracle's fingerprint of the source table — a lossy
+    // writer/reader in ANY format goes red. Integer/string columns only
+    // (the fingerprint contract; CSV/JSON carry no type metadata, so the
+    // read-back applies the explicit schema).
+    "q208_format_parity" -> ((s, d) => {
+      val base = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+      base.write.mode("overwrite").parquet(s"$tmp/p")
+      base.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
+      base.write.mode("overwrite").json(s"$tmp/j")
+      base.write.mode("overwrite").orc(s"$tmp/o")
+      val sch = base.schema
+      def fp(df: DataFrame, label: String) =
+        graft.operators.Maintenance.tableFingerprint(df, df.columns.toSeq)
+          .select(lit(label).as("format"), col("n_rows"), col("lane_a"),
+            col("lane_b"))
+      fp(s.read.parquet(s"$tmp/p"), "parquet")
+        .unionByName(fp(
+          s.read.schema(sch).option("header", "true").csv(s"$tmp/c"), "csv"))
+        .unionByName(fp(s.read.schema(sch).json(s"$tmp/j"), "json"))
+        .unionByName(fp(s.read.orc(s"$tmp/o"), "orc"))
+    }),
+
     // Mixture DRAW — the consumption step closing q198's loop: water-fill
     // the per-source allocations, then admit each source's documents in
     // the deterministic md5 order until its OWN allocation is exhausted
@@ -6391,6 +6419,28 @@ object SparkEntry {
       s"""WITH $waterfillCtes
          |SELECT source, cap, w, sat = 1 AS is_saturated, alloc
          |FROM wf_alloc""".stripMargin,
+
+    // One fingerprint of the SOURCE rows, replicated under each format
+    // label — equality with the Spark side proves each round-trip
+    // lossless.
+    "q208_format_parity" ->
+      """WITH h AS (SELECT md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_returnflag AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_linestatus AS VARCHAR), chr(2)),
+        |    coalesce(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), chr(2))))
+        |    AS m
+        |  FROM lineitem),
+        |fp AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(('0x' || substring(m, 1, 15))::BIGINT) AS HUGEINT)
+        |    % 2305843009213693952 AS BIGINT) AS lane_a,
+        |  CAST(CAST(sum(('0x' || substring(m, 17, 15))::BIGINT) AS HUGEINT)
+        |    % 2305843009213693952 AS BIGINT) AS lane_b
+        |FROM h)
+        |SELECT f.format, fp.n_rows, fp.lane_a, fp.lane_b
+        |FROM (VALUES ('parquet'), ('csv'), ('json'), ('orc')) f(format)
+        |CROSS JOIN fp""".stripMargin,
 
     "q207_mixture_draw" ->
       s"""WITH $waterfillCtes,
