@@ -356,6 +356,29 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("editDistanceJoin equals brute force on random small-alphabet strings") =
+    Prop.forAll(Gen.listOfN(12,
+      Gen.choose(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)))) { strs =>
+      def lev(a: String, b: String): Int = {
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (x, y) =>
+          if (x == 0) y else if (y == 0) x else 0 }
+        for (x <- 1 to a.length; y <- 1 to b.length)
+          m(x)(y) = math.min(math.min(m(x - 1)(y) + 1, m(x)(y - 1) + 1),
+            m(x - 1)(y - 1) + (if (a(x - 1) == b(y - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      val df = strs.zipWithIndex.map { case (s2, i) => (i.toLong, s2) }
+        .toDF("id", "s")
+      val got = graft.operators.Dedup.editDistanceJoin(df, "id", "s")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        i <- strs.indices; j <- strs.indices
+        if i < j && lev(strs(i), strs(j)) <= 1
+      } yield (i.toLong, j.toLong)).toSet
+      got == brute
+    }
+
   property("waterfill: alloc≤cap, saturated==cap, Σalloc==min(budget, Σcap)") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 1000L), Gen.choose(1L, 9L))),
