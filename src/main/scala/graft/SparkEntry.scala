@@ -2970,6 +2970,41 @@ object SparkEntry {
           "user_id", customer(s, d), "c_custkey"))
     }),
 
+    // Decile lift/gains table — the model-eval report scoring pipelines
+    // ship with every propensity model: rank by score into deciles, then
+    // per-decile and cumulative lift vs the base rate. All rates are
+    // single divides of exact integer cross-products (n_pos·N vs n·N_pos),
+    // so the doubles are bit-equal cross-engine; ntile is total-ordered by
+    // (score desc, event_id). Complements q158 (exact ROC AUC) and q165
+    // (calibration curve) as the third standard scoring diagnostic.
+    // Scale note: exact ntile is a global sort — correct for report-sized
+    // scored sets; at 100 TB bucket by equi-depth score boundaries
+    // (q163's percentile approach) instead of ranking every row.
+    "q209_lift_table" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"),
+        col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      val decd = ev.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("score").desc, col("event_id"))))
+      val per = decd.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+      val tot = per.agg(sum(col("n")).as("nn"), sum(col("n_pos")).as("np"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.crossJoin(broadcast(tot))
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .withColumn("cum_pos", sum(col("n_pos")).over(w))
+        .select(col("decile").cast("long").as("decile"),
+          col("n").cast("long").as("n"),
+          col("n_pos").cast("long").as("n_pos"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+            .as("rate_r"),
+          round((col("n_pos") * col("nn")).cast("double") /
+            (col("n") * col("np")).cast("double"), 6).as("lift_r"),
+          round((col("cum_pos") * col("nn")).cast("double") /
+            (col("cum_n") * col("np")).cast("double"), 6).as("cum_lift_r"))
+    }),
+
     // Format-parity proof as a QUERY: the same projection round-trips
     // through parquet, CSV, JSON, and ORC, and each copy's
     // order-invariant content fingerprint (q140's two mod-2^61 lanes)
@@ -6419,6 +6454,30 @@ object SparkEntry {
       s"""WITH $waterfillCtes
          |SELECT source, cap, w, sat = 1 AS is_saturated, alloc
          |FROM wf_alloc""".stripMargin,
+
+    "q209_lift_table" ->
+      """WITH ev AS (SELECT event_id, value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |d AS (SELECT *, ntile(10) OVER (ORDER BY score DESC, event_id)
+        |    AS decile FROM ev),
+        |per AS (SELECT decile, count(*) AS n, sum(label) AS n_pos
+        |  FROM d GROUP BY decile),
+        |tot AS (SELECT sum(n) AS nn, sum(n_pos) AS np FROM per),
+        |c AS (SELECT p.*, t.nn, t.np,
+        |    sum(n) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        |  FROM per p CROSS JOIN tot t)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_r,
+        |  round(CAST(n_pos * nn AS DOUBLE) / CAST(n * np AS DOUBLE), 6)
+        |    AS lift_r,
+        |  round(CAST(cum_pos * nn AS DOUBLE) / CAST(cum_n * np AS DOUBLE), 6)
+        |    AS cum_lift_r
+        |FROM c""".stripMargin,
 
     // One fingerprint of the SOURCE rows, replicated under each format
     // label — equality with the Spark side proves each round-trip
