@@ -2970,6 +2970,38 @@ object SparkEntry {
           "user_id", customer(s, d), "c_custkey"))
     }),
 
+    // Curation WATERFALL — the per-stage survival funnel every dataset
+    // paper publishes: raw → non-empty → ≥10 tokens → exact-dedup keeper
+    // (earliest per digest) → duplicated-span rewrite survivors. Each
+    // stage applies to the previous stage's survivors, token counts use
+    // the shared tokenizer, and the span stage counts KEPT tokens — so
+    // the report states exactly what a training run would consume.
+    "q210_curation_waterfall" -> ((s, d) => {
+      val raw = documents(s, d).select(col("doc_id"), col("text"),
+        Corpus.wordsCount(col("text")).as("n_tok"))
+      val s1 = raw.filter(length(trim(col("text"))) > 0)
+      val s2 = s1.filter(col("n_tok") >= 10)
+      val s3 = s2.withColumn("_rn", row_number().over(
+          Window.partitionBy(TextFunctions.fingerprint(col("text")))
+            .orderBy(col("doc_id"))))
+        .filter(col("_rn") === 1).drop("_rn")
+      val s4 = Dedup.duplicatedSpanRemoval(s3, "doc_id", "text",
+          gramN = 5, minDocs = 2)
+        .select(col("doc_id"),
+          (col("n_tokens") - col("n_dropped")).as("n_tok"))
+        .filter(col("n_tok") >= 10)
+      def stage(i: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("n_docs"),
+            coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("n_tokens"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("name"),
+            col("n_docs"), col("n_tokens"))
+      stage(0, "raw", raw)
+        .unionByName(stage(1, "non_empty", s1))
+        .unionByName(stage(2, "min_tokens", s2))
+        .unionByName(stage(3, "exact_keeper", s3))
+        .unionByName(stage(4, "span_clean", s4))
+    }),
+
     // Decile lift/gains table — the model-eval report scoring pipelines
     // ship with every propensity model: rank by score into deciles, then
     // per-decile and cumulative lift vs the base rate. All rates are
@@ -6454,6 +6486,52 @@ object SparkEntry {
       s"""WITH $waterfillCtes
          |SELECT source, cap, w, sat = 1 AS is_saturated, alloc
          |FROM wf_alloc""".stripMargin,
+
+    "q210_curation_waterfall" ->
+      """WITH raw AS (SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s1 AS (SELECT * FROM raw WHERE length(trim(text)) > 0),
+        |s2 AS (SELECT * FROM s1 WHERE n_tok >= 10),
+        |s3 AS (SELECT doc_id, text, n_tok FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn FROM s2) WHERE rn = 1),
+        |base AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM s3),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok,
+        |         unnest(range(0, len(toks))) AS i FROM base),
+        |gr0 AS (SELECT doc_id, unnest(range(0, len(toks) - 4)) AS s
+        |        FROM base WHERE len(toks) >= 5),
+        |grams AS (SELECT g0.doc_id, g0.s,
+        |    array_to_string(list_slice(b.toks, g0.s + 1, g0.s + 5), ' ') AS g
+        |  FROM gr0 g0 JOIN base b USING (doc_id)),
+        |hot AS (SELECT g FROM grams GROUP BY g
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hs AS (SELECT doc_id, s FROM grams JOIN hot USING (g)),
+        |covered AS (SELECT DISTINCT t.doc_id, t.i
+        |  FROM tk t JOIN hs h ON h.doc_id = t.doc_id
+        |    AND t.i BETWEEN h.s AND h.s + 4),
+        |kept AS (SELECT t.doc_id, count(*) AS n_kept
+        |  FROM tk t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.i = t.i
+        |  WHERE c.i IS NULL GROUP BY t.doc_id),
+        |s4 AS (SELECT doc_id, n_kept AS n_tok FROM kept WHERE n_kept >= 10),
+        |st AS (
+        |  SELECT 0 AS stage, 'raw' AS name, count(*) AS n_docs,
+        |    coalesce(sum(n_tok), 0) AS n_tokens FROM raw
+        |  UNION ALL SELECT 1, 'non_empty', count(*),
+        |    coalesce(sum(n_tok), 0) FROM s1
+        |  UNION ALL SELECT 2, 'min_tokens', count(*),
+        |    coalesce(sum(n_tok), 0) FROM s2
+        |  UNION ALL SELECT 3, 'exact_keeper', count(*),
+        |    coalesce(sum(n_tok), 0) FROM s3
+        |  UNION ALL SELECT 4, 'span_clean', count(*),
+        |    coalesce(sum(n_tok), 0) FROM s4)
+        |SELECT CAST(stage AS BIGINT) AS stage, name,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM st""".stripMargin,
 
     "q209_lift_table" ->
       """WITH ev AS (SELECT event_id, value AS score,
