@@ -439,6 +439,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p196.contains("CartesianProduct") &&
       !p196.contains("BroadcastNestedLoopJoin"), p196)
     assert(!p196.contains("Window"), p196)
+
+    // q197 packing: a per-source window, no joins at all
+    val p197 = plan("q197_sequence_packing")
+    assert(p197.contains("Window") && !p197.contains("Join"), p197)
+
+    // q201 directional as-of (nearest = BOTH fill directions): the
+    // union+carry still shuffles the key exactly once — the two ordered
+    // fills reuse one exchange
+    val p201 = plan("q201_asof_directional")
+    assert(
+      p201.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      p201)
+
+    // q202 edit-distance and q204 join-maintenance: equi-joins only
+    val p202 = plan("q202_editdist_join")
+    assert(!p202.contains("CartesianProduct") &&
+      !p202.contains("BroadcastNestedLoopJoin"), p202)
+    val p204 = plan("q204_join_maintenance")
+    assert(!p204.contains("CartesianProduct"), p204)
+
+    // q206 embedding profile: explode + one aggregate — no join, no window
+    val p206 = plan("q206_embedding_profile")
+    assert(!p206.contains("Join") && !p206.contains("Window"), p206)
   }
 
   test("equiWidthHistogram: exact bins, conserved mass, extremes in end bins") {
