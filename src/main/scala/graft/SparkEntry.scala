@@ -2970,6 +2970,39 @@ object SparkEntry {
           "user_id", customer(s, d), "c_custkey"))
     }),
 
+    // Frequency-of-frequencies spectrum over word TRIGRAMS (Good–Turing
+    // input): N_r = number of trigram types occurring exactly r times,
+    // r ≤ 10 plus a tail bucket, each bucket's token mass, and the
+    // Good–Turing adjusted count r* = (r+1)·N_{r+1}/N_r (one divide of
+    // exact ints → bit-equal doubles). Trigrams, not unigrams: the
+    // corpus's unigram vocabulary is ~31 types all far into the tail,
+    // while the trigram spectrum has the hapax-heavy head GT smoothing
+    // actually consumes. Two aggregates, both map-side partial.
+    "q211_frequency_spectrum" -> ((s, d) => {
+      val tf = documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(split(trim(lower(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("r"))
+      val spec = tf
+        .groupBy(when(col("r") <= 10, col("r")).otherwise(lit(-1L))
+          .as("r_bucket"))
+        .agg(count(lit(1)).as("n_types"), sum(col("r")).as("token_mass"))
+      val next = spec.select((col("r_bucket") - 1L).as("r_bucket"),
+        col("n_types").as("n_next"))
+      spec.join(next, Seq("r_bucket"), "left")
+        .select(col("r_bucket").cast("long").as("r_bucket"),
+          col("n_types").cast("long").as("n_types"),
+          col("token_mass").cast("long").as("token_mass"),
+          when(col("r_bucket").between(1L, 9L) && col("n_next").isNotNull,
+            round((col("r_bucket") + 1L).cast("double") *
+              col("n_next").cast("double") /
+              col("n_types").cast("double"), 6)).as("gt_r"))
+    }),
+
     // Curation WATERFALL — the per-stage survival funnel every dataset
     // paper publishes: raw → non-empty → ≥10 tokens → exact-dedup keeper
     // (earliest per digest) → duplicated-span rewrite survivors. Each
@@ -6486,6 +6519,29 @@ object SparkEntry {
       s"""WITH $waterfillCtes
          |SELECT source, cap, w, sat = 1 AS is_saturated, alloc
          |FROM wf_alloc""".stripMargin,
+
+    "q211_frequency_spectrum" ->
+      """WITH base AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g0 AS (SELECT toks, unnest(range(0, len(toks) - 2)) AS s
+        |       FROM base WHERE len(toks) >= 3),
+        |tf AS (
+        |  SELECT array_to_string(list_slice(toks, s + 1, s + 3), ' ')
+        |      AS term, count(*) AS r
+        |  FROM g0 GROUP BY 1),
+        |spec AS (
+        |  SELECT CASE WHEN r <= 10 THEN r ELSE -1 END AS r_bucket,
+        |    count(*) AS n_types, sum(r) AS token_mass
+        |  FROM tf GROUP BY 1)
+        |SELECT CAST(s.r_bucket AS BIGINT) AS r_bucket,
+        |  CAST(s.n_types AS BIGINT) AS n_types,
+        |  CAST(s.token_mass AS BIGINT) AS token_mass,
+        |  CASE WHEN s.r_bucket BETWEEN 1 AND 9 AND n2.n_types IS NOT NULL
+        |    THEN round(CAST(s.r_bucket + 1 AS DOUBLE) *
+        |      CAST(n2.n_types AS DOUBLE) / CAST(s.n_types AS DOUBLE), 6)
+        |  END AS gt_r
+        |FROM spec s LEFT JOIN spec n2 ON n2.r_bucket = s.r_bucket + 1""".stripMargin,
 
     "q210_curation_waterfall" ->
       """WITH raw AS (SELECT doc_id, text,
