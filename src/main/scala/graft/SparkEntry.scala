@@ -2970,6 +2970,14 @@ object SparkEntry {
           "user_id", customer(s, d), "c_custkey"))
     }),
 
+    // Time-bounded conversion funnel (q135's windowed sibling): each
+    // stage must land within 30 minutes of the previous stage's earliest
+    // qualifying event — the funnel semantics product analytics actually
+    // uses (an unbounded funnel credits conversions months later).
+    "q212_funnel_within" -> ((s, d) =>
+      Transforms.funnelWithin(events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGapSeconds = 1800L)),
+
     // Frequency-of-frequencies spectrum over word TRIGRAMS (Good–Turing
     // input): N_r = number of trigram types occurring exactly r times,
     // r ≤ 10 plus a tail bucket, each bucket's token mass, and the
@@ -6519,6 +6527,25 @@ object SparkEntry {
       s"""WITH $waterfillCtes
          |SELECT source, cap, w, sat = 1 AS is_saturated, alloc
          |FROM wf_alloc""".stripMargin,
+
+    "q212_funnel_within" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |    AND epoch_us(e.ts) - epoch_us(s1.t1) <= 1800000000
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |    AND epoch_us(e.ts) - epoch_us(s2.t2) <= 1800000000
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST(1 + (CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END) +
+        |    (CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS stages_reached
+        |FROM s1
+        |LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id""".stripMargin,
 
     "q211_frequency_spectrum" ->
       """WITH base AS (

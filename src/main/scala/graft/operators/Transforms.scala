@@ -499,6 +499,36 @@ object Transforms {
         when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** [[funnel]] with a per-step TIME BOUND — the real-world conversion
+    * funnel: each stage must occur within `maxGapSeconds` of the
+    * previous stage's (earliest-qualifying) timestamp, not merely after
+    * it. An unbounded funnel credits a purchase three months after the
+    * view; this one doesn't. Same sequential min-ts chaining and scale
+    * shape (stage joins are user-keyed equi-joins; the per-stage frontier
+    * is one row per user). */
+  def funnelWithin(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], maxGapSeconds: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapSeconds > 0, s"maxGapSeconds must be positive")
+    val gapUs = maxGapSeconds * 1000000L
+    var frontier = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val nxt = events.filter(col(typeCol) === st).as("e")
+        .join(frontier.as("f"),
+          col(s"e.$userCol") === col(s"f.$userCol") &&
+            col(s"e.$tsCol") > col(s"f.t$i") &&
+            unix_micros(col(s"e.$tsCol")) - unix_micros(col(s"f.t$i"))
+              <= gapUs)
+        .groupBy(col(s"f.$userCol").as(userCol))
+        .agg(min(col(s"e.$tsCol")).as(s"t${i + 1}"))
+      frontier = frontier.join(nxt, Seq(userCol), "left")
+    }
+    frontier.withColumn("stages_reached",
+      stages.indices.map(i =>
+        when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
   /** Event-type co-occurrence (market-basket support + lift) — which
     * behaviors happen TOGETHER: baskets are distinct (user, day, type)
     * activity, pairs are the within-basket type pairs (a < b), and each

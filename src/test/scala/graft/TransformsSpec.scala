@@ -95,6 +95,24 @@ class TransformsSpec extends AnyFunSuite {
       3L -> Some(2.5)))
   }
 
+  test("funnelWithin: stages outside the gap do not count, inside do") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+    val ev = Seq(
+      // u1: click 40min after view → outside 30min gap → stage 1 only
+      ("u1", "view", ts(0)), ("u1", "click", ts(40)),
+      // u2: click +10min, purchase +50min after click → stages 2
+      ("u2", "view", ts(0)), ("u2", "click", ts(10)),
+      ("u2", "purchase", ts(60)),
+      // u3: all three within gaps → stages 3
+      ("u3", "view", ts(0)), ("u3", "click", ts(20)),
+      ("u3", "purchase", ts(45))).toDF("user_id", "event_type", "ts")
+    val got = Transforms.funnelWithin(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGapSeconds = 1800L)
+      .select($"user_id", $"stages_reached").as[(String, Long)]
+      .collect().toMap
+    assert(got == Map("u1" -> 1L, "u2" -> 2L, "u3" -> 3L))
+  }
+
   test("melt then pivot round-trips") {
     val wide = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "a", "b")
     val long = Transforms.melt(wide, Seq("id"), Seq("a", "b"), "k", "v")
