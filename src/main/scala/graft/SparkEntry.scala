@@ -2970,6 +2970,19 @@ object SparkEntry {
           "user_id", customer(s, d), "c_custkey"))
     }),
 
+    // Leakage-safe k-FOLD assignment (q126's 3-way split generalized):
+    // near-dup cluster members share a fold, fold id from the cluster
+    // md5 mod 5 — no fold's validation half shares a near-duplicate with
+    // its training half.
+    "q213_kfold_split" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+      val clusters = Dedup.connectedComponents(docs, "doc_id", pairs)
+      Dedup.leakageSafeKFold(clusters, k = 5)
+        .select(col("doc_id"), col("cluster").cast("long").as("cluster"),
+          col("fold").cast("long").as("fold"))
+    }),
+
     // Time-bounded conversion funnel (q135's windowed sibling): each
     // stage must land within 30 minutes of the previous stage's earliest
     // qualifying event — the funnel semantics product analytics actually
@@ -6527,6 +6540,24 @@ object SparkEntry {
       s"""WITH $waterfillCtes
          |SELECT source, cap, w, sat = 1 AS is_saturated, alloc
          |FROM wf_alloc""".stripMargin,
+
+    // fold = first 8 md5 hex chars of the cluster label mod 5 (both
+    // engines parse the hex to the same 32-bit non-negative int)
+    "q213_kfold_split" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |clus AS (SELECT src AS doc_id, min(dst) AS cluster
+         |         FROM reach GROUP BY src)
+         |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+         |  CAST(('0x' || substring(md5(CAST(CAST(cluster AS BIGINT) AS VARCHAR)), 1, 8))::BIGINT
+         |    % 5 AS BIGINT) AS fold
+         |FROM clus""".stripMargin,
 
     "q212_funnel_within" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -750,6 +750,20 @@ object Dedup {
         .otherwise(lit("test")))
   }
 
+  /** [[leakageSafeSplit]] generalized to k-fold cross-validation: every
+    * member of a near-dup cluster lands in the SAME fold (fold id =
+    * first 8 md5 hex chars of the cluster label, mod k — deterministic,
+    * engine-portable, ~uniform across folds), so no fold's validation
+    * half shares a near-duplicate with its training half. Same one-map
+    * shape: no shuffle, no RNG state. */
+  def leakageSafeKFold(members: DataFrame, clusterCol: String = "cluster",
+      k: Int = 5): DataFrame = {
+    require(k >= 2 && k <= 256, s"k must be in [2, 256]: $k")
+    members.withColumn("fold",
+      pmod(conv(substring(md5(col(clusterCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(k.toLong)))
+  }
+
   /** Corpus-frequency boilerplate detection — the C4-style "drop text
     * units that repeat across the corpus" cleanup, over word n-gram spans
     * (this corpus has no line structure; on line-structured text pass the
