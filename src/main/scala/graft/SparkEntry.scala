@@ -2970,6 +2970,28 @@ object SparkEntry {
           "user_id", customer(s, d), "c_custkey"))
     }),
 
+    // Pairwise dimension covariance screen (q206's bivariate sibling):
+    // for every dim pair j1 < j2, exact micro-unit sums (n, Σx1, Σx2,
+    // Σx1·x2) — the redundant-feature / dead-correlation screen run
+    // before PCA or feature pruning. Integer sums are order-independent
+    // and engine-exact; consumers derive cov/corr. The self-join is
+    // keyed on vec_id with |dims|² fanout per row — never row×row.
+    "q214_dim_covariance" -> ((s, d) => {
+      val ex = embeddings(s, d).select(col("vec_id"),
+        posexplode(transform(Similarity.toDoubleArray(col("embedding")),
+          x => round(x * lit(1000000.0)).cast("long"))).as(Seq("j", "xm")))
+      ex.as("a").join(ex.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.j") < col("b.j"))
+        .groupBy(col("a.j").as("j1"), col("b.j").as("j2"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("a.xm")).cast("long").as("sum1_micro"),
+          sum(col("b.xm")).cast("long").as("sum2_micro"),
+          sum(col("a.xm") * col("b.xm")).cast("long").as("sum12_micro2"))
+        .select(col("j1").cast("long").as("j1"),
+          col("j2").cast("long").as("j2"), col("n"),
+          col("sum1_micro"), col("sum2_micro"), col("sum12_micro2"))
+    }),
+
     // Leakage-safe k-FOLD assignment (q126's 3-way split generalized):
     // near-dup cluster members share a fold, fold id from the cluster
     // md5 mod 5 — no fold's validation half shares a near-duplicate with
@@ -6540,6 +6562,20 @@ object SparkEntry {
       s"""WITH $waterfillCtes
          |SELECT source, cap, w, sat = 1 AS is_saturated, alloc
          |FROM wf_alloc""".stripMargin,
+
+    "q214_dim_covariance" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS j,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS xm
+        |  FROM embeddings)
+        |SELECT CAST(a.j AS BIGINT) AS j1, CAST(b.j AS BIGINT) AS j2,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a.xm) AS BIGINT) AS sum1_micro,
+        |  CAST(sum(b.xm) AS BIGINT) AS sum2_micro,
+        |  CAST(sum(a.xm * b.xm) AS BIGINT) AS sum12_micro2
+        |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.j < b.j
+        |GROUP BY a.j, b.j""".stripMargin,
 
     // fold = first 8 md5 hex chars of the cluster label mod 5 (both
     // engines parse the hex to the same 32-bit non-negative int)
