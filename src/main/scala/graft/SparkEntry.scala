@@ -2970,6 +2970,42 @@ object SparkEntry {
           "user_id", customer(s, d), "c_custkey"))
     }),
 
+    // STL-lite daily decomposition (q177's DOW index taken to the full
+    // classical decomposition): per day, trend = centered 7-day moving
+    // average, seasonal = DOW mean minus overall mean, residual = the
+    // rest — each a single divide (or divide-difference in fixed order)
+    // over exact integer window sums, so doubles are bit-equal
+    // cross-engine. Scale-safe by construction: the windows run over the
+    // DAILY AGGREGATE (bounded by calendar days), never event rows.
+    "q215_stl_decompose" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wT = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val wAll = Window.orderBy(col("day")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val trend = col("trend_sum").cast("double") /
+        col("trend_cnt").cast("double")
+      val seasonal = col("dow_sum").cast("double") /
+        col("dow_cnt").cast("double") -
+        col("tot_sum").cast("double") / col("tot_cnt").cast("double")
+      daily
+        .withColumn("dow", (weekday(col("day")) + lit(1)).cast("long"))
+        .withColumn("trend_sum", sum(col("n")).over(wT))
+        .withColumn("trend_cnt", count(lit(1)).over(wT))
+        .withColumn("dow_sum",
+          sum(col("n")).over(Window.partitionBy(col("dow"))))
+        .withColumn("dow_cnt",
+          count(lit(1)).over(Window.partitionBy(col("dow"))))
+        .withColumn("tot_sum", sum(col("n")).over(wAll))
+        .withColumn("tot_cnt", count(lit(1)).over(wAll))
+        .select(col("day"), col("dow"), col("n").cast("long").as("n"),
+          round(trend, 6).as("trend_r"),
+          round(seasonal, 6).as("seasonal_r"),
+          round(col("n").cast("double") - trend - seasonal, 6)
+            .as("residual_r"))
+    }),
+
     // Pairwise dimension covariance screen (q206's bivariate sibling):
     // for every dim pair j1 < j2, exact micro-unit sums (n, Σx1, Σx2,
     // Σx1·x2) — the redundant-feature / dead-correlation screen run
@@ -6562,6 +6598,33 @@ object SparkEntry {
       s"""WITH $waterfillCtes
          |SELECT source, cap, w, sat = 1 AS is_saturated, alloc
          |FROM wf_alloc""".stripMargin,
+
+    "q215_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, CAST(isodow(day) AS BIGINT) AS dow, n,
+        |  sum(n) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend_sum,
+        |  count(*) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend_cnt,
+        |  sum(n) OVER (PARTITION BY isodow(day)) AS dow_sum,
+        |  count(*) OVER (PARTITION BY isodow(day)) AS dow_cnt,
+        |  sum(n) OVER () AS tot_sum,
+        |  count(*) OVER () AS tot_cnt
+        |  FROM daily)
+        |SELECT day, dow, CAST(n AS BIGINT) AS n,
+        |  round(CAST(trend_sum AS DOUBLE) / CAST(trend_cnt AS DOUBLE), 6)
+        |    AS trend_r,
+        |  round(CAST(dow_sum AS DOUBLE) / CAST(dow_cnt AS DOUBLE) -
+        |    CAST(tot_sum AS DOUBLE) / CAST(tot_cnt AS DOUBLE), 6)
+        |    AS seasonal_r,
+        |  round(CAST(n AS DOUBLE) -
+        |    CAST(trend_sum AS DOUBLE) / CAST(trend_cnt AS DOUBLE) -
+        |    (CAST(dow_sum AS DOUBLE) / CAST(dow_cnt AS DOUBLE) -
+        |     CAST(tot_sum AS DOUBLE) / CAST(tot_cnt AS DOUBLE)), 6)
+        |    AS residual_r
+        |FROM w""".stripMargin,
 
     "q214_dim_covariance" ->
       """WITH u AS (
