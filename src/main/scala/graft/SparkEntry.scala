@@ -3006,6 +3006,48 @@ object SparkEntry {
             .as("residual_r"))
     }),
 
+    // Residual anomaly days — q215's decomposition closed into an
+    // actionable detector with q117's robust fence: a day is anomalous
+    // when its residual sits more than 3σ-equivalent (4.4478·MAD) from
+    // the residual median. Medians are exact interpolated percentiles
+    // rounded to 6dp BEFORE reuse (q117 pattern) so both engines
+    // threshold with identical doubles.
+    "q216_residual_anomalies" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wT = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val wAll = Window.orderBy(col("day")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val trend = col("trend_sum").cast("double") /
+        col("trend_cnt").cast("double")
+      val seasonal = col("dow_sum").cast("double") /
+        col("dow_cnt").cast("double") -
+        col("tot_sum").cast("double") / col("tot_cnt").cast("double")
+      val resid = daily
+        .withColumn("dow", (weekday(col("day")) + lit(1)).cast("long"))
+        .withColumn("trend_sum", sum(col("n")).over(wT))
+        .withColumn("trend_cnt", count(lit(1)).over(wT))
+        .withColumn("dow_sum",
+          sum(col("n")).over(Window.partitionBy(col("dow"))))
+        .withColumn("dow_cnt",
+          count(lit(1)).over(Window.partitionBy(col("dow"))))
+        .withColumn("tot_sum", sum(col("n")).over(wAll))
+        .withColumn("tot_cnt", count(lit(1)).over(wAll))
+        .select(col("day"), col("n").cast("long").as("n"),
+          (col("n").cast("double") - trend - seasonal).as("resid"))
+      val med = resid.agg(
+        round(expr("percentile(resid, 0.5D)"), 6).as("med_r"))
+      val stats = resid.crossJoin(broadcast(med))
+        .agg(first(col("med_r")).as("med_r"),
+          round(expr("percentile(abs(resid - med_r), 0.5D)"), 6).as("mad_r"))
+      resid.crossJoin(broadcast(stats))
+        .select(col("day"), col("n"), round(col("resid"), 6).as("resid_r"),
+          col("med_r"), col("mad_r"),
+          (abs(col("resid") - col("med_r")) >
+            lit(4.4478) * col("mad_r")).as("is_anomaly"))
+    }),
+
     // Pairwise dimension covariance screen (q206's bivariate sibling):
     // for every dim pair j1 < j2, exact micro-unit sums (n, Σx1, Σx2,
     // Σx1·x2) — the redundant-feature / dead-correlation screen run
@@ -6598,6 +6640,35 @@ object SparkEntry {
       s"""WITH $waterfillCtes
          |SELECT source, cap, w, sat = 1 AS is_saturated, alloc
          |FROM wf_alloc""".stripMargin,
+
+    "q216_residual_anomalies" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, n,
+        |  sum(n) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend_sum,
+        |  count(*) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend_cnt,
+        |  sum(n) OVER (PARTITION BY isodow(day)) AS dow_sum,
+        |  count(*) OVER (PARTITION BY isodow(day)) AS dow_cnt,
+        |  sum(n) OVER () AS tot_sum,
+        |  count(*) OVER () AS tot_cnt
+        |  FROM daily),
+        |r AS (SELECT day, n,
+        |  CAST(n AS DOUBLE) -
+        |    CAST(trend_sum AS DOUBLE) / CAST(trend_cnt AS DOUBLE) -
+        |    (CAST(dow_sum AS DOUBLE) / CAST(dow_cnt AS DOUBLE) -
+        |     CAST(tot_sum AS DOUBLE) / CAST(tot_cnt AS DOUBLE)) AS resid
+        |  FROM w),
+        |m AS (SELECT round(quantile_cont(resid, 0.5), 6) AS med_r FROM r),
+        |s AS (SELECT m.med_r,
+        |    round(quantile_cont(abs(r.resid - m.med_r), 0.5), 6) AS mad_r
+        |  FROM r CROSS JOIN m GROUP BY m.med_r)
+        |SELECT r.day, CAST(r.n AS BIGINT) AS n,
+        |  round(r.resid, 6) AS resid_r, s.med_r, s.mad_r,
+        |  abs(r.resid - s.med_r) > 4.4478 * s.mad_r AS is_anomaly
+        |FROM r CROSS JOIN s""".stripMargin,
 
     "q215_stl_decompose" ->
       """WITH daily AS (
