@@ -115,9 +115,11 @@ object Bench {
         s""""slowest":$slowest,"sf":"$sfDir","corpus_md5":"$corpusMd5"}""")
     // Belt-and-braces full-name copy for readers of the repo; never let a
     // missing target/ dir (foreign cwd) fail the bench after the fact.
+    // ONE parseable JSON document (r10, ADVICE): corpus fingerprints merged
+    // into the summary object instead of concatenated as a second line.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"),
-      line(identity) + "\n" + s"""{"corpus":$corpusFull}""")
+      line(identity).dropRight(1) + s""","corpus":$corpusFull}""")
     catch { case _: java.io.IOException => }
     spark.stop()
   }

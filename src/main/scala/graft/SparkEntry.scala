@@ -2788,10 +2788,13 @@ object SparkEntry {
     // Sequence-packing layout: concat-and-cut every 256 tokens per source,
     // each doc reported with its pack span + straddle count (the packing
     // job's attention-mask accounting). Per-source prefix sum — one
-    // exchange, O(1)-state window.
+    // exchange, O(1)-state window. Terminal orderBy (r10): outputs are
+    // ≤5k rows and the driver's hash proved order-sensitive in r9 even
+    // though sorted-row content was judge-verified exact at both SFs —
+    // a deterministic produced order removes the last degree of freedom.
     "q197_sequence_packing" -> ((s, d) =>
       Corpus.sequencePacking(documents(s, d), "source", "doc_id", "text",
-        seqLen = 256)),
+        seqLen = 256).orderBy(col("source"), col("doc_id"))),
 
     // Water-filling mixture solve: per-source token caps, weight = numeric
     // source suffix + 1 (deterministic unequal weights), budget = half the
@@ -2890,6 +2893,8 @@ object SparkEntry {
           expr("(start_off + n_tokens - 1) DIV 256").as("pack_last"),
           (expr("(start_off + n_tokens - 1) DIV 256") -
             expr("start_off DIV 256") + 1L).as("n_packs"))
+        // deterministic produced order — see q197's r10 note
+        .orderBy(col("source"), col("doc_id"))
     }),
 
     // Directional as-of (pandas merge_asof parity): every event matched to
@@ -3070,6 +3075,27 @@ object SparkEntry {
           col("sum1_micro"), col("sum2_micro"), col("sum12_micro2"))
     }),
 
+    // The COMPLETE 47-rule POI categorizer (`PGSITE/__init__.py:144-281`)
+    // under the oracle: every part row gets a probe (name, type) pair
+    // cycling through one probe per reference rule + the no-match default,
+    // then the full last-writer-wins chain categorizes over BOTH columns.
+    // The oracle SQL is GENERATED from the same rule table
+    // (reversed-order first-match-wins CASE), so rule data cannot drift
+    // between the two sides. One codegen'd projection, no shuffle.
+    "q217_poi_categorize_full" -> ((s, d) => {
+      import graft.pipelines.SiteScoringPipeline
+      val probes = SiteScoringPipeline.ruleProbes
+      val n = probes.size
+      val names = array(probes.map(p => lit(p._1)): _*)
+      val types = array(probes.map(p => lit(p._2)): _*)
+      val idx = (col("p_partkey") % n).cast("int") + 1
+      part(s, d).select(col("p_partkey"),
+          element_at(names, idx).as("poi_name"),
+          element_at(types, idx).as("poi_type"))
+        .withColumn("poi_category", SiteScoringPipeline.categorizePoi(
+          col("poi_name"), col("poi_type")))
+    }),
+
     // Leakage-safe k-FOLD assignment (q126's 3-way split generalized):
     // near-dup cluster members share a fold, fold id from the cluster
     // md5 mod 5 — no fold's validation half shares a near-duplicate with
@@ -3202,7 +3228,13 @@ object SparkEntry {
       val base = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
         col("l_returnflag"), col("l_linestatus"),
         col("l_quantity").cast("long").as("qty"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+      // FIXED temp path, overwritten per run (r10, ADVICE): a fresh
+      // createTempDirectory per invocation leaked four lineitem copies per
+      // Verify/Bench run. The dir cannot be deleted inside the query (the
+      // returned DataFrame reads it lazily), so reuse-with-overwrite bounds
+      // the footprint to one copy per format.
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-fmt-q208").toString
       base.write.mode("overwrite").parquet(s"$tmp/p")
       base.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
       base.write.mode("overwrite").json(s"$tmp/j")
@@ -6634,7 +6666,7 @@ object SparkEntry {
         |  start_off // 256 AS pack_first,
         |  (start_off + n_tokens - 1) // 256 AS pack_last,
         |  (start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS n_packs
-        |FROM o""".stripMargin,
+        |FROM o ORDER BY source, doc_id""".stripMargin,
 
     "q198_waterfill" ->
       s"""WITH $waterfillCtes
@@ -6669,6 +6701,30 @@ object SparkEntry {
         |  round(r.resid, 6) AS resid_r, s.med_r, s.mad_r,
         |  abs(r.resid - s.med_r) > 4.4478 * s.mad_r AS is_anomaly
         |FROM r CROSS JOIN s""".stripMargin,
+
+    // GENERATED from SiteScoringPipeline.fullRules/ruleProbes — the SQL is
+    // the reversed rule list as a first-match-wins CASE (= Spark's
+    // last-writer-wins), so the two sides share one rule table by
+    // construction. RE2 handles every pattern (\b, (?:), \s?).
+    "q217_poi_categorize_full" -> {
+      import graft.pipelines.SiteScoringPipeline._
+      val n = ruleProbes.size
+      def arm(sel: ((String, String)) => String, as: String) =
+        ruleProbes.zipWithIndex
+          .map { case (p, i) => s"WHEN $i THEN '${sel(p)}'" }
+          .mkString(s"CASE p_partkey % $n ", " ", s" END AS $as")
+      val chain = fullRules.reverse.map { case (f, pat, cat) =>
+        val in = if (f == "type") "poi_type" else "poi_name"
+        s"WHEN regexp_matches($in, '$pat') THEN '$cat'"
+      }.mkString("CASE ", " ", s" ELSE '$defaultCategory' END")
+      s"""WITH probes AS (SELECT p_partkey,
+         |  ${arm(_._1, "poi_name")},
+         |  ${arm(_._2, "poi_type")}
+         |  FROM part)
+         |SELECT p_partkey, poi_name, poi_type,
+         |  $chain AS poi_category
+         |FROM probes""".stripMargin
+    },
 
     "q215_stl_decompose" ->
       """WITH daily AS (
@@ -6956,7 +7012,7 @@ object SparkEntry {
         |  start_off // 256 AS pack_first,
         |  (start_off + n_tokens - 1) // 256 AS pack_last,
         |  (start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS n_packs
-        |FROM o""".stripMargin,
+        |FROM o ORDER BY source, doc_id""".stripMargin,
 
     // Same union+ordered-carry formulation as the Spark plan; per-column
     // fills share one deterministic ordering (rts, pval tiebreak), so they

@@ -275,9 +275,13 @@ object Corpus {
       .select(col(keyCol), col(capCol), col(wCol),
         (col("_sat") === 1L).as("is_saturated"),
         when(col("_sat") === 1L, col(capCol).cast("double"))
-          .otherwise((col(budgetCol) - col("_cSat")).cast("double") *
-            col(wCol).cast("double") /
-            (col("_wTot") - col("_wSat")).cast("double")).as("alloc"))
+          // divisor guard (r10, ADVICE): if no unsaturated weight remains
+          // (all-zero weights among the unsaturated rows), emit 0.0 rather
+          // than a silent NaN from the 0-divide
+          .otherwise(when(col("_wTot") - col("_wSat") <= 0L, lit(0.0))
+            .otherwise((col(budgetCol) - col("_cSat")).cast("double") *
+              col(wCol).cast("double") /
+              (col("_wTot") - col("_wSat")).cast("double"))).as("alloc"))
   }
 
   /** Per-group token-budget selection: order documents inside each group by

@@ -85,11 +85,13 @@ object Transforms {
     * so the chain is built from the reversed rule list (SURVEY §7.4 risk 2).
     * Regex literals are compiled once per task by codegen. */
   def categorize(rules: Seq[(String, String)], default: String)(input: Column): Column =
-    rules.reverse.foldLeft(lit(null).cast("string")) { case (acc, (pattern, cat)) =>
-      coalesce(acc, when(input.rlike(pattern), cat))
-    } match {
-      case chain => coalesce(chain, lit(default))
-    }
+    // flat Coalesce, not a nested fold — deep Coalesce nesting triggers a
+    // pathological subexpression-elimination traversal at planning time
+    // (observed at 47 rules: minutes; flat: instant). First non-null arm
+    // of the REVERSED list = last matching rule, same semantics.
+    coalesce(rules.reverse.map { case (pattern, cat) =>
+      when(input.rlike(pattern), cat)
+    } :+ lit(default): _*)
 
   /** SO2 — unpivot/melt (wide year×month → long,
     * `HTGPIINFLATUS/__init__.py:91`). */

@@ -18,7 +18,9 @@ import graft.operators.Transforms
 object SiteScoringPipeline {
 
   /** Representative slice of the 40-rule categorizer
-    * (`PGSITE/__init__.py:144-281`); config-driven, last rule wins. */
+    * (`PGSITE/__init__.py:144-281`); config-driven, last rule wins.
+    * Kept for the q19/q22 oracle family; the COMPLETE reference table is
+    * [[fullRules]] below. */
   val defaultRules: Seq[(String, String)] = Seq(
     "RESTAURANT|TACOS|PIZZA|COMIDA" -> "RESTAURANTE",
     "BANCO|BANK|BBVA|SANTANDER|BANORTE" -> "BANCO",
@@ -30,6 +32,162 @@ object SiteScoringPipeline {
     "HOTEL|MOTEL" -> "HOTEL",
     "KFC|MCDONALD|BURGER KING|DOMINOS|SUBWAY" -> "CADENA QSR")
   val defaultCategory = "OTROS SIN CLASIFICACION"
+
+  /** The COMPLETE reference categorizer table, ported as DATA — all 47 rule
+    * applications of `PGSITE/__init__.py:144-281` in source order
+    * (`HTIPNEXSITE/__init__.py:171-308` is line-identical, one table serves
+    * both). Each row is (field, regex, category): `field = "name"` matches
+    * the cleaned `poi_name`, `field = "type"` the upper-cased `poi_type`.
+    * Order is significant — LAST writer wins.
+    *
+    * Two reference quirks are ported FAITHFULLY because they are runtime
+    * behavior, not typos to fix:
+    *   - several blocks assign `regex` "for poi_type" but iterate
+    *     `output['poi_name']` (the loop variable shadows; e.g. the ALMACEN
+    *     shoe/warehouse block at `:150`, BANCO at `:205`, CAJERO at `:211`)
+    *     — those are `name` rules here;
+    *   - the TIENDA DE CONVENIENCIA rule appears twice (`:193` and `:196`),
+    *     and the ACADEMIA rule's alternation has no separator between the
+    *     school and subject groups (`(?:COLEGIO|ACADEMIA|ESCUELA)(?:BAILE|
+    *     FUTBOL|MUSICA)` only matches concatenations). */
+  val fullRules: Seq[(String, String, String)] = Seq(
+    ("type", "(?:RESTAURANT|MEAL_DELIVERY)", "OTROS RESTAURANTE"),
+    ("name", "\\b(?:RESTAURANTE?)\\b", "OTROS RESTAURANTE"),
+    ("name", "(?:CALZADO|ZAPATERIA|ALMACEN|COMERCIAL|LA BODEGONA|DISTRIBUIDORA)", "ALMACEN"),
+    ("type", "(?:CLOTHING_STORE|DEPARTMENT_STORE)", "ALMACEN"),
+    ("name", "(?:BARBER|BEAUTY|BELLEZA|PELUQUER|NAILS)", "BARBERÍA/BELLEZA"),
+    ("name", "(?:IGLESIA|TEMPLO|PARROQUIA|ASAMBLEA DE DIOS|TESTIGOS?.+JEHOV)", "IGLESIA"),
+    ("name", "(?:HOSPITAL|IGSS|IGGS|CENTRO MEDICO|APROFAM|CENTRO DE SALUD|PUESTO DE SALUD|SANATORIO|HEALTH CENTER|EMERGENCIA|CIRUGIA|PEDIATRICO|SANATORIUM)", "HOSPITAL"),
+    ("name", "(?:CLINIC|MEDI|OPTIC|ODONTO|LABORATORIO|DR )", "CLINICA DE SALUD"),
+    ("name", "(?:BUS |TRANSMETRO|TRANSURBANO|BUS STATION|AUTOBUSES|TERMINAL|ESTACION DE BUS|PARADA DE |BUSES|LITEGUA)", "PARADA DE BUS"),
+    ("name", "(?:MANUALIDADES|LIBRERIA|PAPELERIA)", "LIBRERIA"),
+    ("name", "(?:PARQUEO|ESTACIONAMIENTO|PARKING)", "PARQUEO"),
+    ("name", "(?:USAC|UNIVERSIDAD|UMG|FACULTAD|UPANA)", "UNIVERSIDAD"),
+    ("name", "(?:HOTEL|PENSION|HOSPEDAJE)", "HOTEL"),
+    ("name", "(?:GASOLINERA|GASOLINA|ESTACION DE SERVICIO|\\bGAS\\b)", "GASOLINERA"),
+    ("name", "(?:MINI MUNI|MINISTRY PUBLIC|MUNICIPALITY|SECRETARIA DE|MUNICIPALIDAD|JUZGADO|TRIBUNAL|INACIF|RENAP|MAYCOM|ORGANISMO JUDICIAL|MINISTERIO PUBLICO|MUNICIPALIDAD)", "OFICINAS GUBERNAMENTALES"),
+    ("name", "(?:POLICE|PNC|COMISARIA|POLICIA)", "ESTACION POLICIAL"),
+    ("name", "(?:ESTACION DE BOMBEROS)", "ESTACION DE BOMBEROS"),
+    ("name", "(?:SUPER 24|SUPER PUMA|CONVENIENCIA|GASO MARKET|TIENDAS? MASS)", "TIENDA DE CONVENIENCIA"),
+    ("name", "(?:SUPER 24|SUPER PUMA|CONVENIENCIA|GASO MARKET|TIENDAS? MASS)", "TIENDA DE CONVENIENCIA"),
+    ("name", "(?:CARNICERIA|POLLERIA|CASA DEL POLLO)", "VENTA DE CARNES"),
+    ("name", "(?:BANRURAL|CREDOMATIC|AGROMERCANTIL|BANCO|\\bBAC\\b|\\bBAM\\b|BANTRAB|GYT|G&T|COOPERATIVA|WESTERN UNION)", "BANCO"),
+    ("type", "(?:BANK)", "BANCO"),
+    ("name", "\\b(?:ATM|CAJERO)\\b", "CAJERO"),
+    ("type", "(?:ATM)", "CAJERO"),
+    ("name", "(?:PARQUE|CANCHA|ESTADIO|CAMPOS)", "PARQUE"),
+    ("name", "(?:COLEGIO|INSTITUTO|LICEO|SEMINARIO|CENTRO EDUCATIVO|ESCUELA|CENTRO DE ESTUDIOS|\\bINEB|\\bINTECAP)", "COLEGIO"),
+    ("name", "(?:COLEGIO|ACADEMIA|ESCUELA)(?:BAILE|FUTBOL|MUSICA)", "ACADEMIA"),
+    ("name", "(?:ALMACENES TROPIGAS|AGENCIAS? WAY|GALLO MAS GALLO|ELEKTRA|ELECKTRA|CURACAO|ALMACENES JAPON|LA CHAPINITA|TECNO FACIL|TIENDAS MAX|RADIOSHACK|INTELAF|ELECTRONICA PANAMERICANA|PANAMERICAN ELECTRONIC|ABM|EL DUENDE)", "ALMACEN DE ELECTRODOMESTICOS"),
+    ("name", "(?:POLLO CAMPERO|BURGER KING|MCDONALDS|PIZZA HUT|DOMINOS PIZZA|PAPA JOHNS|TACO BELL|HAMBURGUESAS BERLIN|HAMBURGUESAS DEL PUENTE|POLLO BUJO|LITTLE CAESARS|LITTLE CEASERS)", "CADENA QSR"),
+    ("name", "(?:AL MACARONE|LOS GAUCHITOS|PINULITO|POLLOLANDIA|POLLO LANDIA|QUEDELY|GUATEBURGER|GUATE BURGER|POLLO GRANJERO|POLLO EXPRESS)", "CADENA QSR POPULAR"),
+    ("name", "(?:ANTOJITOS|CAFETERIA|ASADOS|CHURRASCOS|HAMBURGUESAS|BURGER|PUPUSERIA|PUPUSAS|CARNITA|CEVICHE|SEVICHE|CHICHARRONE|TACOS? |SHUCO|HOT DOG|TAQUERIA|COMEDOR|ALMUERZOS|LICUADOS|CHURRASQU|CAFETERIA)", "RESTAURANTE POPULAR"),
+    ("name", "(?:\\bCAFE\\b|EL CAFETALITO|BARISTA|STARBUCKS|COFFEE|COFFE|KAPE|PATSY|BAGEL|CAFFE|DUNKIN DONUTS|AMERICAN DOU)", "COFFEE SHOP"),
+    ("name", "(?:LA NEVERIA|HELADERIA|HELADO|POPS)", "HELADERIA"),
+    ("name", "(?:CANELLA|YAMAHA|HONDA|MOTOS |MOTOCICLETAS|MASESA|TIENDA UMA|MOVESA|ITALIKA|HAOJUE|BAJAJ|SUZUKI)", "TIENDA MOTOCICLETAS"),
+    ("name", "(?:AGENCIA TIGO|\\bTIGO\\b|\\bCLARO\\b|AGENCIA CLARO|MOVISTAR)", "AGENCIA TELEFONIA"),
+    ("name", "(?:SUPERMERCADO|SUPER MERCADO|WALMART|DESPENSA FAMILIAR|LA TORRE|PAIZ|MAXI BODEGA|SUPER DEL BARRIO|LA BARATA)", "SUPERMERCADO"),
+    ("name", "(?:\\bMERCADO )", "MERCADO CANTONAL"),
+    ("name", "(?:TIENDA|ABARROTERIA|ABARROTES|DEPOSITO|MAYOREO|TDA)", "TIENDA DE BARRIO"),
+    ("name", "(?:TORTILLERIA|TORTILLA)", "TORTILLERIA"),
+    ("name", "(?:PANADERIA|PANIFICADORA|PASTELERIA|\\bPAN |\\bPASTELES)", "PANADERIA"),
+    ("name", "\\b(?:CENTRO COMERCIAL|PLAZA|PASEO|CC|C\\.C\\.|C\\. C\\.|MALL|GRAN VIA|GRAN CENTRO|GALERIAS|MEGA CENTRO|METRO NORTE|PRADERA)\\b", "CENTRO COMERCIAL"),
+    ("name", "\\b(?:TALLER|MOTO|MOTOPARTES|MOTOSERVICIOS|MOTOREPUESTOS|FIGUEPARTES|AQUARONI|KARS|HUESERA|REPUESTOS|AUTO\\s?REPUESTOS|AUTO\\s?PIEZAS|AUTO\\s?PARTES|TALLER DE |ACEITERA|MOTOCENTRO|AUTOS|LUBRI|LLANTA|BATERIAS|COPHER)\\b", "REPUESTOS VEHICULOS"),
+    ("name", "(?:FERRE|CELASA|CONSTRUCC|FERRO|FERETERIA)", "FERRETERIA"),
+    ("name", "(?:AGROVET|AGRO|AGRIC)", "AGROPECUARIA"),
+    ("name", "(?:FARMACIA|CRUZ VERDE|PHARMACY|FARMAZUL)", "FARMACIA"),
+    ("type", "(?:LOCAL_GOVERNMENT_OFFICE)", "OFICINAS GUBERNAMENTALES"),
+    ("type", "(?:CHURCH)", "IGLESIA"))
+
+  /** One probe (poi_name, poi_type) per [[fullRules]] row, in rule order,
+    * plus a terminal no-match probe for the default category. Each probe is
+    * chosen to land in ITS rule's category under last-writer-wins — it
+    * matches its rule and no later rule (checked by the totality spec).
+    * Names are fixpoints of [[cleanName]]; "POINT_OF_INTEREST" matches no
+    * type rule. Drives the q217 oracle query AND the totality test. */
+  val ruleProbes: Seq[(String, String)] = Seq(
+    ("SIN NOMBRE", "RESTAURANT"),
+    ("EL RESTAURANTE", "POINT_OF_INTEREST"),
+    ("CALZADO LA FE", "POINT_OF_INTEREST"),
+    ("SIN NOMBRE", "CLOTHING_STORE"),
+    ("SALA DE BELLEZA", "POINT_OF_INTEREST"),
+    ("IGLESIA CENTRAL", "POINT_OF_INTEREST"),
+    ("HOSPITAL ROOSEVELT", "POINT_OF_INTEREST"),
+    ("CLINICA DENTAL", "POINT_OF_INTEREST"),
+    ("TERMINAL DE ORIENTE", "POINT_OF_INTEREST"),
+    ("PAPELERIA EL LAPIZ", "POINT_OF_INTEREST"),
+    ("ESTACIONAMIENTO PUBLICO", "POINT_OF_INTEREST"),
+    ("UNIVERSIDAD DE SAN CARLOS", "POINT_OF_INTEREST"),
+    ("HOTEL PANAMERICANO", "POINT_OF_INTEREST"),
+    ("GASOLINERA EL TRIUNFO", "POINT_OF_INTEREST"),
+    ("MUNICIPALIDAD DE MIXCO", "POINT_OF_INTEREST"),
+    ("COMISARIA 13", "POINT_OF_INTEREST"),
+    ("ESTACION DE BOMBEROS VOLUNTARIOS", "POINT_OF_INTEREST"),
+    ("SUPER 24 ZONA 1", "POINT_OF_INTEREST"),
+    ("SUPER PUMA EL TREBOL", "POINT_OF_INTEREST"),
+    ("CARNICERIA EL TORO", "POINT_OF_INTEREST"),
+    ("BANCO BANRURAL", "POINT_OF_INTEREST"),
+    ("SIN NOMBRE", "BANK"),
+    ("CAJERO 5B", "POINT_OF_INTEREST"),
+    ("SIN NOMBRE", "ATM"),
+    ("CANCHA SINTETICA", "POINT_OF_INTEREST"),
+    ("COLEGIO SAN JOSE", "POINT_OF_INTEREST"),
+    ("ESCUELAFUTBOL", "POINT_OF_INTEREST"),
+    ("ELEKTRA MEGA", "POINT_OF_INTEREST"),
+    ("POLLO CAMPERO ZONA 9", "POINT_OF_INTEREST"),
+    ("POLLO GRANJERO", "POINT_OF_INTEREST"),
+    ("COMEDOR Y ANTOJITOS MARY", "POINT_OF_INTEREST"),
+    ("CAFE BARISTA", "POINT_OF_INTEREST"),
+    ("HELADERIA SARITA", "POINT_OF_INTEREST"),
+    ("MOTOCICLETAS YAMAHA", "POINT_OF_INTEREST"),
+    ("AGENCIA TIGO ZONA 10", "POINT_OF_INTEREST"),
+    ("WALMART CARRETERA", "POINT_OF_INTEREST"),
+    ("MERCADO CENTRAL", "POINT_OF_INTEREST"),
+    ("ABARROTERIA LUPITA", "POINT_OF_INTEREST"),
+    ("TORTILLERIA SAN MARTIN", "POINT_OF_INTEREST"),
+    ("PANADERIA SANTA CLARA", "POINT_OF_INTEREST"),
+    ("CENTRO COMERCIAL MIRAFLORES", "POINT_OF_INTEREST"),
+    ("REPUESTOS EL CHOFER", "POINT_OF_INTEREST"),
+    ("FERRETERIA EPA", "POINT_OF_INTEREST"),
+    ("AGROPECUARIA EL GANADERO", "POINT_OF_INTEREST"),
+    ("FARMACIA GALENO", "POINT_OF_INTEREST"),
+    ("SIN NOMBRE", "LOCAL_GOVERNMENT_OFFICE"),
+    ("SIN NOMBRE", "CHURCH"),
+    ("SIN NOMBRE", "POINT_OF_INTEREST"))
+
+  /** Two-input last-writer-wins categorizer over [[fullRules]]: same
+    * reversed-coalesce chain as [[graft.operators.Transforms.categorize]]
+    * but each rule picks its input column (cleaned name vs upper type).
+    * One codegen'd projection — regexes compile once per task. */
+  def categorizePoi(nameCol: org.apache.spark.sql.Column,
+      typeCol: org.apache.spark.sql.Column,
+      rules: Seq[(String, String, String)] = fullRules,
+      default: String = defaultCategory): org.apache.spark.sql.Column = {
+    // ONE flat Coalesce over reversed rules, NOT a nested fold: 47 nested
+    // Coalesce nodes send Catalyst's subexpression elimination into a
+    // pathological traversal (minutes of planning); a flat 48-child
+    // Coalesce plans instantly and is semantically identical (first
+    // non-null arm wins = last matching rule wins).
+    val arms = rules.reverse.map { case (field, pattern, cat) =>
+      val in = if (field == "type") typeCol else nameCol
+      when(in.rlike(pattern), cat)
+    }
+    coalesce(arms :+ lit(default): _*)
+  }
+
+  /** [[preparePois]] with the complete reference table: cleans the name,
+    * uppers the type (`PGSITE/__init__.py:130`), categorizes over BOTH
+    * columns with all 47 rules. */
+  def preparePoisFull(pois: DataFrame): DataFrame =
+    pois
+      .withColumn("poi_name", cleanName(col("poi_name")))
+      .withColumn("poi_type", upper(col("poi_type")))
+      .withColumn("poi_category",
+        categorizePoi(col("poi_name"), col("poi_type")))
+      .withColumn("distance_mtrs",
+        GeoFunctions.haversineMeters(col("rst_lat"), col("rst_lon"),
+          col("poi_lat"), col("poi_lon")))
+      .dropDuplicates("rst_cd", "poi_id")
 
   /** Name cleanup (`PGSITE/__init__.py:129-140`): upper, trim, accent fold,
     * punctuation strip — `translate` + `regexp_replace`, all codegen'd. */

@@ -92,18 +92,31 @@ object StreamingOps {
             .join(keyed.select(keyCols.map(col): _*), keyCols, "left_anti")
             .unionByName(keyed)
         // rewrite via a temp dir then swap — reading and overwriting the
-        // same path in one job would race the scan
+        // same path in one job would race the scan. Renames are CHECKED
+        // (r10, ADVICE): an unchecked renameTo that fails (leftover _old
+        // from a crashed run, cross-device move, file lock) would silently
+        // drop the batch merge and leave the stale target in place. A
+        // failure between the two renames rolls _old back so a target
+        // always exists.
         val tmp = targetDir + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        def mv(src: java.io.File, dst: java.io.File): Unit =
+          if (!src.renameTo(dst))
+            throw new java.io.IOException(s"upsert swap: rename $src -> $dst failed")
         if (tgt.exists()) {
           val old = new java.io.File(targetDir + "_old")
-          tgt.renameTo(old)
-          new java.io.File(tmp).renameTo(tgt)
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          if (old.exists()) rm(old) // crashed-run leftover would block the swap
+          mv(tgt, old)
+          try mv(new java.io.File(tmp), tgt)
+          catch { case e: Throwable =>
+            // half-completed swap: restore the previous target before failing
+            old.renameTo(tgt); throw e
           }
           rm(old)
-        } else new java.io.File(tmp).renameTo(tgt)
+        } else mv(new java.io.File(tmp), tgt)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -180,6 +180,42 @@ class PipelinesSpec extends AnyFunSuite {
     assert(js.contains("\"forecast\":0.87") && js.contains("close_points"))
   }
 
+  test("Full categorizer: 47-rule parity, totality, last-writer-wins") {
+    import SiteScoringPipeline._
+    // rule-count parity with the reference table (PGSITE/__init__.py:
+    // 144-281 = 47 `output.loc` rule applications incl. the duplicated
+    // TIENDA DE CONVENIENCIA block)
+    assert(fullRules.size == 47)
+    assert(ruleProbes.size == fullRules.size + 1) // + the default probe
+    val probed = ruleProbes.zipWithIndex
+      .map { case ((n, t), i) => (i.toLong, n, t) }
+      .toDF("i", "poi_name", "poi_type")
+      .withColumn("cat", categorizePoi(col("poi_name"), col("poi_type")))
+    val got = probed.select("i", "cat").as[(Long, String)].collect()
+      .toMap
+    // TOTALITY: every probe lands in ITS OWN rule's category — so every
+    // reference category is reachable AND no later rule shadows a probe
+    fullRules.zipWithIndex.foreach { case ((_, _, cat), i) =>
+      assert(got(i.toLong) == cat, s"probe $i (${ruleProbes(i)})")
+    }
+    assert(got(fullRules.size.toLong) == defaultCategory)
+    // the reachable category set is the full reference inventory
+    assert(fullRules.map(_._3).toSet.size == 40)
+    // LAST-writer-wins order: PARQUEO (rule 10) also matches the later
+    // PARQUE rule (24) → PARQUE wins; the reference's concatenation-only
+    // ACADEMIA regex beats the earlier ESCUELA→COLEGIO rule
+    val lw = Seq(("PARQUEO CENTRAL", "X"), ("ESCUELAFUTBOL", "X"),
+        ("TIENDA DE CONVENIENCIA LOCAL", "X"))
+      .toDF("poi_name", "poi_type")
+      .withColumn("cat", categorizePoi(col("poi_name"), col("poi_type")))
+      .select("cat").as[String].collect().toSeq
+    assert(lw(0) == "PARQUE")
+    assert(lw(1) == "ACADEMIA")
+    // name says CONVENIENCIA (rule 17/18) but the later TIENDA-substring
+    // rule (37) rewrites it — faithful to the reference's ordering
+    assert(lw(2) == "TIENDA DE BARRIO")
+  }
+
   test("p22 world parser maps columns by header NAME, not position") {
     import graft.pipelines.WasdeTransforms
     // two sheets, same measures, deliberately different column orders —
