@@ -34,6 +34,29 @@ object SparkEntry {
   private val ndcgConsts: Seq[Double] =
     (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
 
+  /** DuckDB CASE mapping `keyCol % n -> probe field` over
+    * [[graft.pipelines.SiteScoringPipeline.ruleProbes]] (shared by the
+    * q217/q218 oracles — generated from the one probe table). */
+  private def poiProbeCaseSql(keyCol: String,
+      sel: ((String, String)) => String, as: String): String = {
+    val probes = graft.pipelines.SiteScoringPipeline.ruleProbes
+    probes.zipWithIndex
+      .map { case (p, i) => s"WHEN $i THEN '${sel(p)}'" }
+      .mkString(s"CASE $keyCol % ${probes.size} ", " ", s" END AS $as")
+  }
+
+  /** DuckDB categorizer: the REVERSED
+    * [[graft.pipelines.SiteScoringPipeline.fullRules]] as a first-match-wins
+    * CASE over `poi_name`/`poi_type` — equals Spark's last-writer-wins
+    * chain by construction (shared by the q217/q218 oracles). */
+  private lazy val categorizeCaseSql: String = {
+    import graft.pipelines.SiteScoringPipeline.{fullRules, defaultCategory}
+    fullRules.reverse.map { case (f, pat, cat) =>
+      val in = if (f == "type") "poi_type" else "poi_name"
+      s"WHEN regexp_matches($in, '$pat') THEN '$cat'"
+    }.mkString("CASE ", " ", s" ELSE '$defaultCategory' END")
+  }
+
   /** Water-filling CTE chain (shared by q198 and q207): per-source caps,
     * suffix-weight ratios, integer saturation prefix-AND, and the final
     * one-divide allocation as `wf_alloc(source, cap, w, sat, alloc)`. */
@@ -3094,6 +3117,58 @@ object SparkEntry {
           element_at(types, idx).as("poi_type"))
         .withColumn("poi_category", SiteScoringPipeline.categorizePoi(
           col("poi_name"), col("poi_type")))
+    }),
+
+    // The reference's SERVING path end to end as ONE plan
+    // (`HTIPNEXSITE/__init__.py:133-375`): site → nearby-POI set (broadcast
+    // theta-join + per-site top-20, the q18/J3 shape) → 47-rule categorize
+    // → pivoted per-category feature vector → model score (broadcast
+    // per-category weight fold over the PIVOTED columns — the sklearn
+    // stand-in kept linear so the oracle derives the same score
+    // INDEPENDENTLY from the long form, proving pivot+fold end to end)
+    // → top-3 close points as ranked columns. Sites are every 97th
+    // customer; POIs are the suppliers wearing the rule-probe names.
+    // One broadcast join, one window, one pivot — no corpus shuffle.
+    "q218_serving_path" -> ((s, d) => {
+      import graft.pipelines.SiteScoringPipeline
+      val probes = SiteScoringPipeline.ruleProbes
+      val np = probes.size
+      val names = array(probes.map(p => lit(p._1)): _*)
+      val types = array(probes.map(p => lit(p._2)): _*)
+      val pidx = (col("s_suppkey") % np).cast("int") + 1
+      val sites = custPoints(s, d).filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("rst_cd"), col("lat"), col("lon"))
+      val pois = suppPoints(s, d).select(col("s_suppkey"),
+        element_at(names, pidx).as("poi_name"),
+        element_at(types, pidx).as("poi_type"),
+        col("s_lat"), col("s_lon"))
+      val w = Window.partitionBy(col("rst_cd"))
+        .orderBy(col("dist").asc, col("s_suppkey").asc)
+      val nearby = sites.crossJoin(broadcast(pois))
+        .withColumn("dist", GeoFunctions.haversineMeters(
+          col("lat"), col("lon"), col("s_lat"), col("s_lon")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .withColumn("poi_category", SiteScoringPipeline.categorizePoi(
+          col("poi_name"), col("poi_type")))
+      val cats = (SiteScoringPipeline.fullRules.map(_._3).distinct :+
+        SiteScoringPipeline.defaultCategory)
+      val piv = nearby.groupBy(col("rst_cd"))
+        .pivot("poi_category", cats).agg(count(lit(1)))
+        .na.fill(0L, cats)
+      val score = cats.map(c => col(c) * lit((c.length % 7) + 1L))
+        .reduce(_ + _)
+      val top3 = nearby.groupBy(col("rst_cd")).agg(
+        count(lit(1)).cast("long").as("n_pois"),
+        max(when(col("rk") === 1, col("s_suppkey"))).cast("long").as("pos1_id"),
+        round(max(when(col("rk") === 1, col("dist"))), 1).as("pos1_m"),
+        max(when(col("rk") === 2, col("s_suppkey"))).cast("long").as("pos2_id"),
+        round(max(when(col("rk") === 2, col("dist"))), 1).as("pos2_m"),
+        max(when(col("rk") === 3, col("s_suppkey"))).cast("long").as("pos3_id"),
+        round(max(when(col("rk") === 3, col("dist"))), 1).as("pos3_m"))
+      piv.select(col("rst_cd"), score.cast("long").as("score"))
+        .join(top3, "rst_cd")
+        .orderBy(col("rst_cd"))
     }),
 
     // Leakage-safe k-FOLD assignment (q126's 3-way split generalized):
@@ -6706,25 +6781,52 @@ object SparkEntry {
     // the reversed rule list as a first-match-wins CASE (= Spark's
     // last-writer-wins), so the two sides share one rule table by
     // construction. RE2 handles every pattern (\b, (?:), \s?).
-    "q217_poi_categorize_full" -> {
-      import graft.pipelines.SiteScoringPipeline._
-      val n = ruleProbes.size
-      def arm(sel: ((String, String)) => String, as: String) =
-        ruleProbes.zipWithIndex
-          .map { case (p, i) => s"WHEN $i THEN '${sel(p)}'" }
-          .mkString(s"CASE p_partkey % $n ", " ", s" END AS $as")
-      val chain = fullRules.reverse.map { case (f, pat, cat) =>
-        val in = if (f == "type") "poi_type" else "poi_name"
-        s"WHEN regexp_matches($in, '$pat') THEN '$cat'"
-      }.mkString("CASE ", " ", s" ELSE '$defaultCategory' END")
+    "q217_poi_categorize_full" ->
       s"""WITH probes AS (SELECT p_partkey,
-         |  ${arm(_._1, "poi_name")},
-         |  ${arm(_._2, "poi_type")}
+         |  ${poiProbeCaseSql("p_partkey", _._1, "poi_name")},
+         |  ${poiProbeCaseSql("p_partkey", _._2, "poi_type")}
          |  FROM part)
          |SELECT p_partkey, poi_name, poi_type,
-         |  $chain AS poi_category
-         |FROM probes""".stripMargin
-    },
+         |  $categorizeCaseSql AS poi_category
+         |FROM probes""".stripMargin,
+
+    // Independent derivation on purpose: the oracle computes the model
+    // score from the LONG per-POI form (sum of per-row category weights)
+    // while the Spark plan goes through the pivoted wide vector — equal
+    // results prove the pivot+fold identity, not just mirror arithmetic.
+    // Haversine operand order matches the proven q18 formulation.
+    "q218_serving_path" ->
+      s"""WITH sites AS (SELECT c_custkey AS rst_cd,
+         |  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100 - 85 AS lat,
+         |  CAST((c_custkey * 91) % 35000 AS DOUBLE) / 100 - 175 AS lon
+         | FROM customer WHERE c_custkey % 97 = 0),
+         |pois AS (SELECT s_suppkey,
+         |  ${poiProbeCaseSql("s_suppkey", _._1, "poi_name")},
+         |  ${poiProbeCaseSql("s_suppkey", _._2, "poi_type")},
+         |  CAST((s_suppkey * 53) % 17000 AS DOUBLE) / 100 - 85 AS s_lat,
+         |  CAST((s_suppkey * 71) % 35000 AS DOUBLE) / 100 - 175 AS s_lon
+         | FROM supplier),
+         |j AS (SELECT rst_cd, s_suppkey, poi_name, poi_type,
+         |  12742000.0 * asin(sqrt(
+         |    sin(radians(s_lat - lat) / 2) * sin(radians(s_lat - lat) / 2) +
+         |    cos(radians(lat)) * cos(radians(s_lat)) *
+         |    sin(radians(s_lon - lon) / 2) * sin(radians(s_lon - lon) / 2))) AS dist
+         | FROM sites CROSS JOIN pois),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY rst_cd
+         |       ORDER BY dist, s_suppkey) AS BIGINT) AS rk FROM j),
+         |nearby AS (SELECT r.*,
+         |   $categorizeCaseSql AS poi_category
+         |  FROM r WHERE rk <= 20)
+         |SELECT rst_cd,
+         |  CAST(sum(length(poi_category) % 7 + 1) AS BIGINT) AS score,
+         |  CAST(count(*) AS BIGINT) AS n_pois,
+         |  CAST(max(CASE WHEN rk = 1 THEN s_suppkey END) AS BIGINT) AS pos1_id,
+         |  round(max(CASE WHEN rk = 1 THEN dist END), 1) AS pos1_m,
+         |  CAST(max(CASE WHEN rk = 2 THEN s_suppkey END) AS BIGINT) AS pos2_id,
+         |  round(max(CASE WHEN rk = 2 THEN dist END), 1) AS pos2_m,
+         |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
+         |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
+         |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
 
     "q215_stl_decompose" ->
       """WITH daily AS (

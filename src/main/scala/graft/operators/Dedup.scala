@@ -419,17 +419,28 @@ object Dedup {
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val base = spread.filter(length(trim(col(textCol))) > 0)
     // charShingles is distinct per doc, so (doc_id, tok) rows are already
-    // unique — no row-level distinct/shuffle needed. NOT checkpointed,
-    // although two consumers follow (the dfreq aggregate and the join
-    // below): pinning a corpus-sized (doc_id, shingle) intermediate in
-    // executor storage is the wrong trade at scale — recomputing costs one
-    // extra column-pruned scan + one native shingling pass, and keeping
-    // the aggregate/join as separate shuffles (instead of a count window
-    // per tok) lets AQE split a corpus-hot shingle's join partition.
-    val toks = base
+    // unique — no row-level distinct/shuffle needed. Two consumers follow
+    // (the dfreq aggregate and the join below); whether to materialize the
+    // corpus-sized (doc_id, shingle) table between them is SIZE-DISPATCHED,
+    // measured at sf0.1 shape (5k docs / 1.35M shingle rows, local[32]):
+    //   - recompute both branches (old shape):        8.0 s warm
+    //   - localCheckpoint toks, branches read it:     3.4 s warm
+    //   - dfreq as a count-window over tok (no join): 1.8 s warm, REJECTED —
+    //     a window partition cannot be split, so one corpus-hot shingle
+    //     (a stopword 8-gram in ~every doc) becomes an unbounded straggler
+    //     at 100 TB, whereas the aggregate/join pair stays splittable
+    //     (partial agg collapses the hot key; AQE splits the join side).
+    // So: under a proven input-size bound the explode is checkpointed once
+    // (the 2.4× local win); above it, recompute — one extra column-pruned
+    // scan + native shingling pass beats pinning a corpus-sized
+    // intermediate in executor storage.
+    val toksPlan = base
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.charShingles(
           TextFunctions.normalize(col(textCol)), shingleK)).as("tok"))
+    val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(512L << 20)
+    val toks = if (inputSmall) toksPlan.localCheckpoint() else toksPlan
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     // per-doc rarest-p prefix WITHOUT a global sort-window: hash-aggregate
     // each doc's (dfreq, tok) pairs back into one array, array_sort it
