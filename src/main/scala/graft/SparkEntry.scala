@@ -3171,6 +3171,14 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // Content-defined chunking dedup profile (Rabin-style CDC): boundaries
+    // anchored to content via an exact-integer rolling hash, so an edit
+    // shifts only the chunks it touches — the chunk-level dup report
+    // fixed-stride chunking (q55) cannot give. All-long output.
+    "q219_cdc_chunks" -> ((s, d) =>
+      Corpus.cdcChunkStats(documents(s, d), "doc_id", "text",
+        window = 8, divisor = 64)),
+
     // Leakage-safe k-FOLD assignment (q126's 3-way split generalized):
     // near-dup cluster members share a fold, fold id from the cluster
     // md5 mod 5 — no fold's validation half shares a near-duplicate with
@@ -6827,6 +6835,37 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // Same exact-integer rolling hash (constants from Corpus.cdcPows);
+    // DuckDB range() is end-exclusive = Spark's guarded sequence(w, n-1).
+    "q219_cdc_chunks" -> {
+      val terms = Corpus.cdcPows(8).zipWithIndex
+        .map { case (p, k) => s"codes[i - $k] * $p" }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |c AS (SELECT doc_id, text,
+         |  list_transform(range(1, length(text) + 1),
+         |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
+         |  FROM d),
+         |b AS (SELECT doc_id, text,
+         |  list_concat(list_filter(range(8, length(text)),
+         |    i -> ($terms) % 64 = 0), [length(text)]) AS bnd
+         |  FROM c),
+         |ch AS (SELECT doc_id, unnest(list_transform(range(1, len(bnd) + 1),
+         |    j -> substr(text,
+         |      CASE WHEN j = 1 THEN 1 ELSE bnd[j - 1] + 1 END,
+         |      bnd[j] - CASE WHEN j = 1 THEN 0 ELSE bnd[j - 1] END)))
+         |    AS chunk FROM b),
+         |h AS (SELECT doc_id, md5(chunk) AS ch, length(chunk) AS clen
+         |  FROM ch),
+         |nd AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM h GROUP BY ch)
+         |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS BIGINT)
+         |    AS shared_len
+         |FROM h JOIN nd USING (ch) GROUP BY h.doc_id""".stripMargin
+    },
 
     "q215_stl_decompose" ->
       """WITH daily AS (

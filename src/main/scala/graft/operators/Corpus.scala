@@ -479,6 +479,73 @@ object Corpus {
   /** The [[readability]] building blocks as standalone columns — shared
     * with composite per-source gates so the two stay definitionally
     * identical. */
+  /** Rolling-hash powers 31^0..31^(w-1) for [[cdcChunkStats]] — public so
+    * the oracle SQL embeds the identical long constants. */
+  def cdcPows(window: Int): Seq[Long] =
+    Iterator.iterate(1L)(_ * 31L).take(window).toSeq
+
+  /** Content-defined chunking dedup profile — the storage-dedup primitive
+    * (Rabin-style CDC) applied to corpus text: a chunk boundary falls after
+    * position i whenever the rolling hash of the trailing `window` chars is
+    * ≡ 0 (mod `divisor`), so boundaries are CONTENT-anchored — inserting a
+    * line into a document shifts only the chunks it touches, and every
+    * other chunk keeps its identity. Fixed-size chunking (the q55 stride
+    * shape) loses all alignment after one insertion; CDC is how chunk-level
+    * dedup survives edits.
+    *
+    * The rolling hash is the exact integer Σ_{k<w} code(i−k)·31^k — no
+    * modular reduction needed (max codepoint · 31^7 · 8 ≈ 2.4e17 < 2^63),
+    * so both engines compute identical longs from identical codepoints.
+    * Per doc: n_chunks, plus how much of the doc (chunks, chars) is shared
+    * with ≥1 other document — the chunk-level dup-rate report.
+    *
+    * Scale: chunking is MAP-ONLY higher-order expressions (no UDF); the
+    * only shuffles are the chunk-hash aggregate (partial-agg collapses hot
+    * boilerplate chunks map-side) and the equi-join back — never all-pairs.
+    * Returns (idCol, n_chunks, n_shared, shared_len) — all LONG. */
+  def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 2 && divisor >= 2, "degenerate CDC parameters")
+    val hashTerms = cdcPows(window).zipWithIndex
+      .map { case (p, k) => s"element_at(codes, i - $k) * ${p}L" }
+      .mkString(" + ")
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .withColumn("codes", expr(
+        "transform(sequence(1, length(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))"))
+      // interior boundaries end at n-1 so appending n never duplicates;
+      // sequence() would run DESCENDING for short docs, hence the guard
+      .withColumn("bnd", expr(
+        s"""concat(
+           |  CASE WHEN length(t) > $window
+           |       THEN filter(sequence($window, length(t) - 1),
+           |                   i -> ($hashTerms) % $divisor = 0)
+           |       ELSE array() END,
+           |  array(length(t)))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(bnd)), j ->
+          |  substr(t,
+          |    CASE WHEN j = 1 THEN 1 ELSE element_at(bnd, j - 1) + 1 END,
+          |    element_at(bnd, j) -
+          |      CASE WHEN j = 1 THEN 0 ELSE element_at(bnd, j - 1) END))"""
+          .stripMargin)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("ch"),
+        length(col("chunk")).cast("long").as("clen"))
+      // shared = appears in ≥2 DISTINCT documents (an intra-doc repeat is
+      // not dedup-able across docs); partial distinct-agg then equi-join
+      .transform { h =>
+        val nd = h.groupBy(col("ch"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        h.join(nd, "ch")
+      }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long").as("n_shared"),
+        sum(when(col("nd") >= 2, col("clen")).otherwise(0L)).cast("long")
+          .as("shared_len"))
+  }
+
   def wordsCount(text: Column): Column =
     size(split(trim(lower(text)), "\\s+")).cast("long")
   def sentencesCount(text: Column): Column =

@@ -709,6 +709,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("n_common") == 0L && r3.getAs[Double]("js_r") == 1.0)
   }
 
+  test("cdcChunkStats: content-anchored boundaries survive a prefix edit") {
+    // The CDC property fixed-stride chunking lacks: prepend text to a doc
+    // and the boundaries re-anchor, so the unedited tail's chunks keep
+    // their identity and are detected as SHARED between the two versions.
+    val body = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the quiet forest before nightfall arrives ") * 6
+    val d = Seq(
+      (1L, body),
+      (2L, "PREFIX INSERTED AT THE FRONT >>> " + body),
+      (3L, "completely unrelated content with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val out = Corpus.cdcChunkStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n1, s1, l1) = out(1L)
+    val (n2, s2, _) = out(2L)
+    val (_, s3, l3) = out(3L)
+    // both versions chunk into several pieces and share most of the body:
+    // over half of doc 1's characters sit in chunks doc 2 also contains
+    assert(n1 > 3 && n2 > 3, s"chunking degenerated: $out")
+    assert(s1 > 0 && s2 > 0, s"no shared chunks after prefix edit: $out")
+    assert(l1 * 2 > body.length, s"shared_len too small: $out")
+    // the unrelated doc shares nothing
+    assert(s3 == 0L && l3 == 0L, s"false sharing: $out")
+    // chunks partition the text exactly: per-doc shared_len <= length
+    assert(l1 <= body.length)
+  }
+
   test("invertedIndex: known answer, deterministic tie-break, plan shape") {
     val d = Seq(
       (1L, "apple banana apple"),
