@@ -3179,6 +3179,74 @@ object SparkEntry {
       Corpus.cdcChunkStats(documents(s, d), "doc_id", "text",
         window = 8, divisor = 64)),
 
+    // SemDeDup end to end: the embedding-space analogue of q63/q86 —
+    // LSH-bucketed cosine near-dup pairs (never all-pairs) → connected
+    // components (bounded dispatch) → keeper = min-id member. Semantic
+    // clusters deduplicate to ONE representative each; the per-vector
+    // verdict (cluster, keeper flag, cluster size) is the curation list a
+    // semantic-dedup pass feeds downstream. The oracle re-derives the
+    // transitive closure with a recursive CTE — an independent algorithm,
+    // not a mirror of the label-propagation/union-find path.
+    "q220_semantic_dedup" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val pairs = Similarity.lshNearPairs(e, "vec_id", "embedding",
+          bits = 4, minSim = 0.35,
+          signature = Similarity.hyperplaneSignatureLattice)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.connectedComponents(e, "vec_id", pairs)
+      val sizes = clusters.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("long").as("cluster_size"))
+      clusters.join(sizes, "cluster")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cluster").cast("long").as("cluster"),
+          (col("vec_id") === col("cluster")).as("is_keeper"),
+          col("cluster_size"))
+    }),
+
+    // Full-domain k-anonymity generalization — the privacy gate a dataset
+    // release runs before publication: quasi-identifier (nation, balance
+    // bin) is generalized UP a fixed ladder (decile → quintile → nation
+    // only → whole table) to the FIRST level where every nonempty group
+    // holds ≥ k rows. ALL ladder levels' group sizes come from ONE
+    // grouping-sets pass (no per-level scans); the 4-row level-minimum
+    // table broadcasts back to pick the chosen level. Exact integer bin
+    // math (cents + integer DIV) on both engines.
+    "q221_k_anonymity" -> ((s, d) => {
+      val kAnon = 25L
+      val base = customer(s, d).select(
+          col("c_nationkey").cast("long").as("nation"),
+          (cents(col("c_acctbal")) + lit(100000L) - lit(1L)).as("sh"))
+        .select(col("nation"),
+          expr("(sh * 10) DIV 1099999").as("decile"))
+        .withColumn("quintile", expr("decile DIV 2"))
+      val gs = base
+        .groupingSets(Seq(
+            Seq(col("nation"), col("decile")),
+            Seq(col("nation"), col("quintile")),
+            Seq(col("nation")),
+            Seq()),
+          col("nation"), col("decile"), col("quintile"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          grouping(col("nation")).as("gn"),
+          grouping(col("decile")).as("gd"),
+          grouping(col("quintile")).as("gq"))
+        .withColumn("level",
+          when(col("gn") === 1, lit(3L))
+            .when(col("gd") === 0, lit(0L))
+            .when(col("gq") === 0, lit(1L))
+            .otherwise(lit(2L)))
+      val chosen = gs.groupBy(col("level")).agg(min(col("n")).as("min_n"))
+        .filter(col("min_n") >= kAnon)
+        .agg(min(col("level")).as("chosen"))
+      gs.crossJoin(broadcast(chosen))
+        .filter(col("level") === col("chosen"))
+        .select(col("level"),
+          coalesce(col("nation"), lit(-1L)).as("nation"),
+          coalesce(col("decile"), lit(-1L)).as("decile"),
+          coalesce(col("quintile"), lit(-1L)).as("quintile"),
+          col("n"))
+    }),
+
     // Leakage-safe k-FOLD assignment (q126's 3-way split generalized):
     // near-dup cluster members share a fold, fold id from the cluster
     // md5 mod 5 — no fold's validation half shares a near-duplicate with
@@ -6866,6 +6934,51 @@ object SparkEntry {
          |    AS shared_len
          |FROM h JOIN nd USING (ch) GROUP BY h.doc_id""".stripMargin
     },
+
+    // q220: lattice-LSH sims (q94's shared CTEs) + recursive-CTE closure —
+    // independent of the engine's union-find/label-propagation path.
+    "q220_semantic_dedup" ->
+      s"""WITH RECURSIVE $latticeSimCtes,
+         |ne AS (SELECT id_a, id_b FROM sims WHERE sim >= 0.35),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM ne
+         |          UNION SELECT id_b, id_a FROM ne),
+         |reach(src, dst) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |clus AS (SELECT src AS vec_id, min(dst) AS cluster
+         |         FROM reach GROUP BY src),
+         |sz AS (SELECT cluster, count(*) AS cluster_size
+         |       FROM clus GROUP BY cluster)
+         |SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+         |  CAST(c.cluster AS BIGINT) AS cluster,
+         |  c.vec_id = c.cluster AS is_keeper,
+         |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
+         |FROM clus c JOIN sz USING (cluster)""".stripMargin,
+
+    // q221: identical ladder via GROUPING SETS; grouping() flags (not
+    // grouping_id bit order, which differs per engine) derive the level.
+    "q221_k_anonymity" ->
+      """WITH base AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  ((CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000 - 1) * 10)
+        |    // 1099999 AS decile
+        | FROM customer),
+        |b2 AS (SELECT nation, decile, decile // 2 AS quintile FROM base),
+        |gs AS (SELECT nation, decile, quintile,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    grouping(nation) AS gn, grouping(decile) AS gd,
+        |    grouping(quintile) AS gq
+        |  FROM b2 GROUP BY GROUPING SETS ((nation, decile),
+        |    (nation, quintile), (nation), ())),
+        |lv AS (SELECT *, CAST(CASE WHEN gn = 1 THEN 3 WHEN gd = 0 THEN 0
+        |    WHEN gq = 0 THEN 1 ELSE 2 END AS BIGINT) AS level FROM gs),
+        |ch AS (SELECT min(level) AS chosen FROM (
+        |  SELECT level, min(n) AS min_n FROM lv GROUP BY level)
+        |  WHERE min_n >= 25)
+        |SELECT level, coalesce(nation, -1) AS nation,
+        |  coalesce(decile, -1) AS decile,
+        |  coalesce(quintile, -1) AS quintile, n
+        |FROM lv CROSS JOIN ch WHERE level = chosen""".stripMargin,
 
     "q215_stl_decompose" ->
       """WITH daily AS (
