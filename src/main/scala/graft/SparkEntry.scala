@@ -3247,6 +3247,76 @@ object SparkEntry {
           col("n"))
     }),
 
+    // §2.8 depth — append-mode WATERMARK LATE-DROP semantics as a REAL
+    // two-micro-batch execution under the oracle: the corpus's last-48h
+    // tail arrives in batch 1 (advancing the watermark to max(ts) − 1h);
+    // everything earlier arrives in batch 2 and is late by construction —
+    // every batch-2 row's window closed long before, so Structured
+    // Streaming must DROP them all and the output holds ONLY batch-1
+    // windows closed by the final watermark. The oracle computes exactly
+    // that tail-only window set; had the engine admitted late rows (or
+    // emitted unclosed windows), the row set itself would differ.
+    "q222_watermark_late_drop" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val base = events(s, d).select(col("event_id"), col("ts"),
+        col("event_type"))
+      val mx = base.agg(max(col("ts"))).head().getTimestamp(0)
+      val tsplit = new java.sql.Timestamp(mx.getTime - 48L * 3600 * 1000)
+      val dir = java.nio.file.Paths.get("target", "tmp", s"q222_src_$tok")
+      def rmTree(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rmTree(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rmTree(dir); java.nio.file.Files.createDirectories(dir)
+      // one plain parquet FILE per micro-batch, name- and mtime-ordered so
+      // the file source's batch order is deterministic either way it sorts
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = dir.resolve(name + "_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = dir.resolve(name)
+        java.nio.file.Files.move(part, dst)
+        rmTree(tmp)
+        dst.toFile.setLastModified(mtime)
+      }
+      val outDir = java.nio.file.Paths.get("target", "tmp", s"q222_out_$tok")
+      val ckpt = java.nio.file.Paths.get("target", "tmp", s"q222_ck_$tok")
+      rmTree(outDir); rmTree(ckpt)
+      writeOne(base.filter(col("ts") >= lit(tsplit)), "0001.parquet", 1000000L)
+      val sch = s.read.parquet(dir.toString).schema
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // two INCREMENTAL AvailableNow runs against one checkpoint: run 1
+      // sees only the tail file (watermark persists to state); run 2 sees
+      // only the early file with the RESTORED watermark — every row late
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(sch).parquet(dir.toString)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n").cast("long").as("n"))
+          .writeStream.format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      try {
+        runOnce()
+        writeOne(base.filter(col("ts") < lit(tsplit)), "0002.parquet",
+          2000000L)
+        runOnce()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(outDir.toString)
+    }),
+
     // Leakage-safe k-FOLD assignment (q126's 3-way split generalized):
     // near-dup cluster members share a fold, fold id from the cluster
     // md5 mod 5 — no fold's validation half shares a near-duplicate with
@@ -6979,6 +7049,21 @@ object SparkEntry {
         |  coalesce(decile, -1) AS decile,
         |  coalesce(quintile, -1) AS quintile, n
         |FROM lv CROSS JOIN ch WHERE level = chosen""".stripMargin,
+
+    // q222: only the last-48h tail's windows closed by the final watermark
+    // (max tail ts − 1h) may appear; every earlier event was late in its
+    // micro-batch and dropped. Window emission boundary: end <= watermark.
+    "q222_watermark_late_drop" ->
+      """WITH mx AS (SELECT max(ts) AS mx FROM events),
+        |a AS (SELECT ts, event_type FROM events CROSS JOIN mx
+        |      WHERE ts >= mx - INTERVAL 48 HOUR),
+        |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM a),
+        |w AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |        count(*) AS n
+        |      FROM a GROUP BY 1, 2)
+        |SELECT window_start, event_type, CAST(n AS BIGINT) AS n
+        |FROM w CROSS JOIN wm
+        |WHERE window_start + INTERVAL 1 HOUR <= wm.wm""".stripMargin,
 
     "q215_stl_decompose" ->
       """WITH daily AS (
