@@ -506,30 +506,14 @@ object Corpus {
   def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 8, divisor: Int = 64): DataFrame = {
     require(window >= 2 && divisor >= 2, "degenerate CDC parameters")
-    val hashTerms = cdcPows(window).zipWithIndex
-      .map { case (p, k) => s"element_at(codes, i - $k) * ${p}L" }
-      .mkString(" + ")
     docs
       .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
-      .withColumn("codes", expr(
-        "transform(sequence(1, length(t)), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))"))
-      // interior boundaries end at n-1 so appending n never duplicates;
-      // sequence() would run DESCENDING for short docs, hence the guard
-      .withColumn("bnd", expr(
-        s"""concat(
-           |  CASE WHEN length(t) > $window
-           |       THEN filter(sequence($window, length(t) - 1),
-           |                   i -> ($hashTerms) % $divisor = 0)
-           |       ELSE array() END,
-           |  array(length(t)))""".stripMargin))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(bnd)), j ->
-          |  substr(t,
-          |    CASE WHEN j = 1 THEN 1 ELSE element_at(bnd, j - 1) + 1 END,
-          |    element_at(bnd, j) -
-          |      CASE WHEN j = 1 THEN 0 ELSE element_at(bnd, j - 1) END))"""
-          .stripMargin)).as("chunk"))
+      .select(col(idCol).as("doc_id"),
+        // ONE native codegen pass (boundaries + slicing); the equivalent
+        // three-lambda HOF chain ran interpreted per position and was the
+        // whole cost of the operator (6.7 s -> chunking at scan speed)
+        explode(graft.functions.CdcOps.cdcChunksCol(
+          col(textCol), window, divisor)).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("ch"),
         length(col("chunk")).cast("long").as("clen"))
       // shared = appears in ≥2 DISTINCT documents (an intra-doc repeat is
