@@ -524,6 +524,12 @@ object Dedup {
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val base = spread.filter(length(trim(col(textCol))) > 0)
+    // THREE consumers follow (dfreq, prefix join, index join), but unlike
+    // prefixJaccardPairs a checkpoint here LOSES: measured at sf0.1 shape
+    // (tools/P154), warm 4.1-4.5 s recomputing vs 5.3-5.4 s checkpointed —
+    // the index side's join prunes the recomputed scan and pipelines,
+    // while a checkpoint forces the full materialized table through the
+    // join. Recompute is also the at-scale shape, so no dispatch needed.
     val toks = base
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.charShingles(
