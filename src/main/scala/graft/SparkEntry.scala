@@ -34,6 +34,24 @@ object SparkEntry {
   private val ndcgConsts: Seq[Double] =
     (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
 
+  /** Declarative data-quality suite (q223) — constraints as DATA, shared
+    * verbatim by the Spark one-pass evaluator and the generated oracle.
+    * Predicates are engine-portable SQL (both Spark `expr` and DuckDB
+    * parse them identically). qty_le_30 violates on purpose (~40% of
+    * lineitem) so the report exercises a non-zero lane. */
+  private val dqRules: Seq[(String, String, String)] = Seq(
+    ("qty_positive", "l_quantity > 0", "error"),
+    ("qty_le_30", "l_quantity <= 30", "warn"),
+    ("discount_range", "l_discount BETWEEN 0.00 AND 0.10", "error"),
+    ("tax_range", "l_tax BETWEEN 0.00 AND 0.08", "error"),
+    ("price_positive", "l_extendedprice > 0", "error"),
+    ("ship_in_era", "l_shipdate >= DATE '1992-01-01'", "error"),
+    ("linenumber_positive", "l_linenumber >= 1", "error"),
+    ("returnflag_domain", "l_returnflag IN ('A','N','R')", "error"),
+    ("linestatus_domain", "l_linestatus IN ('O','F')", "error"),
+    ("keys_positive", "l_orderkey > 0 AND l_partkey > 0 AND l_suppkey > 0",
+      "error"))
+
   /** DuckDB CASE mapping `keyCol % n -> probe field` over
     * [[graft.pipelines.SiteScoringPipeline.ruleProbes]] (shared by the
     * q217/q218 oracles — generated from the one probe table). */
@@ -3170,6 +3188,36 @@ object SparkEntry {
         .join(top3, "rst_cd")
         .orderBy(col("rst_cd"))
     }),
+
+    // XML source/sink round-trip under the q208 fingerprint gate: the same
+    // projection writes through Spark 4's built-in XML format and reads
+    // back with the explicit schema; the order-invariant fingerprint must
+    // equal the oracle's fingerprint of the source table (a lossy XML
+    // writer/reader — entity escaping, type coercion, dropped rows — goes
+    // red). Same fixed scratch dir discipline as q208.
+    "q224_xml_roundtrip" -> ((s, d) => {
+      val base = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"))
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-fmt-q224").toString
+      base.write.mode("overwrite").format("xml")
+        .option("rootTag", "rows").option("rowTag", "row")
+        .save(s"$tmp/x")
+      val back = s.read.format("xml").option("rowTag", "row")
+        .schema(base.schema).load(s"$tmp/x")
+      graft.operators.Maintenance.tableFingerprint(back, back.columns.toSeq)
+        .select(lit("xml").as("format"), col("n_rows"), col("lane_a"),
+          col("lane_b"))
+    }),
+
+    // Declarative data-quality rule suite: N constraints-as-data evaluated
+    // in ONE aggregate pass (per-rule conditional sums; a NULL predicate
+    // counts as a violation). The Deequ shape without a job per rule; the
+    // oracle re-evaluates each predicate independently from the same rule
+    // table.
+    "q223_dq_rules" -> ((s, d) =>
+      graft.operators.Maintenance.dqRuleReport(lineitem(s, d), dqRules)),
 
     // Content-defined chunking dedup profile (Rabin-style CDC): boundaries
     // anchored to content via an exact-integer rolling hash, so an edit
@@ -6973,6 +7021,36 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q224: q208's fingerprint SQL with the single 'xml' format row.
+    "q224_xml_roundtrip" ->
+      """WITH h AS (SELECT md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_returnflag AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_linestatus AS VARCHAR), chr(2)),
+        |    coalesce(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), chr(2))))
+        |    AS m
+        |  FROM lineitem)
+        |SELECT 'xml' AS format, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(('0x' || substring(m, 1, 15))::BIGINT) AS HUGEINT)
+        |    % 2305843009213693952 AS BIGINT) AS lane_a,
+        |  CAST(CAST(sum(('0x' || substring(m, 17, 15))::BIGINT) AS HUGEINT)
+        |    % 2305843009213693952 AS BIGINT) AS lane_b
+        |FROM h""".stripMargin,
+
+    // GENERATED from dqRules — one scan per rule is fine for the oracle;
+    // the engine side proves the one-pass shape.
+    "q223_dq_rules" -> dqRules.map { case (name, pred, sev) =>
+      s"""SELECT '$name' AS rule, '$sev' AS severity,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN NOT coalesce(($pred), FALSE) THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_viol,
+         |  CAST((sum(CASE WHEN NOT coalesce(($pred), FALSE) THEN 1 ELSE 0
+         |      END) * 2000000 + count(*)) // (count(*) * 2) AS DOUBLE) / 1e6
+         |    AS viol_rate_r
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     // Same exact-integer rolling hash (constants from Corpus.cdcPows);
     // DuckDB range() is end-exclusive = Spark's guarded sequence(w, n-1).

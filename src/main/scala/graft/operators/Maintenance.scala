@@ -63,6 +63,37 @@ object Maintenance {
         ((col("b1") + col("b2")) % two61).cast("long").as("lane_b"))
   }
 
+  /** Declarative data-quality rule suite — constraints as DATA (the
+    * categorizer-table pattern applied to validation): each rule is
+    * (name, SQL predicate, severity), and ALL rules evaluate in ONE
+    * aggregate pass over the table (per-rule conditional sums — no
+    * per-rule scan, no Deequ-style job per constraint). A NULL predicate
+    * counts as a violation (the three-valued-logic trap made explicit).
+    * Returns one row per rule: rule, severity, n_rows, n_viol,
+    * viol_rate_r (exact half-up 6dp).
+    *
+    * Scale: one partial-aggregatable scan regardless of rule count; the
+    * explode of the N-rule result struct array touches N rows total. */
+  def dqRuleReport(df: DataFrame,
+      rules: Seq[(String, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.zipWithIndex.map { case ((_, pred, _), i) =>
+      sum(when(!coalesce(expr(pred), lit(false)), 1L).otherwise(0L))
+        .as(s"_v$i")
+    }
+    val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val rows = rules.zipWithIndex.map { case ((name, _, sev), i) =>
+      struct(lit(name).as("rule"), lit(sev).as("severity"),
+        col("_n").cast("long").as("n_rows"),
+        col(s"_v$i").cast("long").as("n_viol"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.severity").as("severity"),
+        col("r.n_rows").as("n_rows"), col("r.n_viol").as("n_viol"))
+      .withColumn("viol_rate_r",
+        Corpus.ratioRound6(col("n_viol"), col("n_rows")))
+  }
+
   /** Exact equi-width histogram of a 2-decimal numeric column — the data
     * profile behind load-time sanity gates (distribution drift, outlier
     * bands) and bin-pruned range scans. Values are quantized to integer
