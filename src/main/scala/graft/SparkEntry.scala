@@ -3189,6 +3189,57 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // Salted skew join as a QUERY: half the fact lands on ONE key (the
+    // 100 TB hot-key shape); the plan salts the fact side (linenumber mod
+    // S) and explodes the dim side ×S so the hot key spreads over S
+    // reducers — and the ORACLE computes the UNSALTED join, so the compare
+    // proves the salting transformation is result-identical, not just
+    // that it runs. AQE skew-split is the automatic cousin; salting is
+    // the form that also survives non-AQE engines and stateful joins.
+    "q225_salted_join" -> ((s, d) => {
+      val saltN = 8
+      val f = lineitem(s, d).select(
+          when(col("l_orderkey") % 10 < 5, lit(1L))
+            .otherwise(col("l_partkey")).as("k"),
+          col("l_extendedprice"), col("l_linenumber"))
+        .withColumn("salt",
+          pmod(col("l_linenumber").cast("long"), lit(saltN.toLong)))
+      val dim = part(s, d).select(col("p_partkey").as("k"), col("p_brand"))
+        .withColumn("salt",
+          explode(array((0 until saltN).map(i => lit(i.toLong)): _*)))
+      f.join(dim, Seq("k", "salt"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sumd(col("l_extendedprice")).as("revenue"))
+    }),
+
+    // Linear-counting distinct sketch with the MERGE identity proven (the
+    // q193 posture for approximate distinct): occupied md5-bucket sets of
+    // two disjoint halves union-merge into exactly the direct sketch, and
+    // the -m·ln(empty/m) estimate is deterministic (integer occupancy,
+    // one libm ln, 6dp round) — a cardinality sketch both engines compute
+    // bit-identically, unlike HLL implementations.
+    "q226_linear_counting" -> ((s, d) => {
+      val m = 4096L
+      def bucket(c: Column) =
+        conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+          .cast("long") % m
+      val li = lineitem(s, d).select(col("l_orderkey"),
+        bucket(col("l_partkey")).as("b"))
+      def est(occ: Column) = round(lit(-4096.0) *
+        log((lit(m) - occ).cast("double") / lit(4096.0)), 6)
+      val aHalf = li.filter(col("l_orderkey") % 2 === 0).select("b").distinct()
+      val bHalf = li.filter(col("l_orderkey") % 2 === 1).select("b").distinct()
+      val merged = aHalf.unionByName(bHalf).distinct()
+        .agg(count(lit(1)).as("occ"))
+        .select(lit("merged").as("method"),
+          col("occ").cast("long").as("occupied"), est(col("occ")).as("est_r"))
+      val direct = li.select("b").distinct().agg(count(lit(1)).as("occ"))
+        .select(lit("direct").as("method"),
+          col("occ").cast("long").as("occupied"), est(col("occ")).as("est_r"))
+      merged.unionByName(direct)
+    }),
+
     // XML source/sink round-trip under the q208 fingerprint gate: the same
     // projection writes through Spark 4's built-in XML format and reads
     // back with the explicit schema; the order-invariant fingerprint must
@@ -7021,6 +7072,37 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q225: the UNSALTED join — an independent derivation; equality proves
+    // the salting transformation preserves results.
+    "q225_salted_join" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN l_orderkey % 10 < 5 THEN 1 ELSE l_partkey END AS k,
+        |    l_extendedprice
+        |  FROM lineitem)
+        |SELECT p.p_brand,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(f.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM f JOIN part p ON p.p_partkey = f.k
+        |GROUP BY p.p_brand""".stripMargin,
+
+    // q226: same md5 bucket, same ln operand order.
+    "q226_linear_counting" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 4096 AS b
+        |  FROM lineitem),
+        |a AS (SELECT DISTINCT b FROM li WHERE l_orderkey % 2 = 0),
+        |bb AS (SELECT DISTINCT b FROM li WHERE l_orderkey % 2 = 1),
+        |m AS (SELECT count(*) AS occ FROM
+        |  (SELECT b FROM a UNION SELECT b FROM bb)),
+        |dd AS (SELECT count(DISTINCT b) AS occ FROM li)
+        |SELECT 'merged' AS method, CAST(occ AS BIGINT) AS occupied,
+        |  round(-4096 * ln((4096 - occ) / 4096.0), 6) AS est_r FROM m
+        |UNION ALL
+        |SELECT 'direct', CAST(occ AS BIGINT),
+        |  round(-4096 * ln((4096 - occ) / 4096.0), 6) FROM dd""".stripMargin,
 
     // q224: q208's fingerprint SQL with the single 'xml' format row.
     "q224_xml_roundtrip" ->
