@@ -3189,6 +3189,28 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // Jaro-Winkler name-similarity profile — the record-linkage metric
+    // Spark lacks (levenshtein exists; JW weights shared prefixes and
+    // tolerates transpositions, the name/address-matching standard) as a
+    // native codegen'd expression, fixture-matched against DuckDB's
+    // jaro_winkler_similarity exactly. Blocked self-join (first name
+    // token), per-block pair profile; min/max survive the driver's
+    // tolerant float compare, counts are integers.
+    "q227_jw_profile" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      p.as("a").join(p.as("b"), col("a.blk") === col("b.blk") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.blk").as("blk"),
+          graft.functions.JaroWinklerOps.jaroWinklerCol(
+            col("a.p_name"), col("b.p_name")).as("jw"))
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          round(min(col("jw")), 6).as("min_jw_r"),
+          round(max(col("jw")), 6).as("max_jw_r"))
+    }),
+
     // Salted skew join as a QUERY: half the fact lands on ONE key (the
     // 100 TB hot-key shape); the plan salts the fact side (linenumber mod
     // S) and explodes the dim side ×S so the hot key spreads over S
@@ -7072,6 +7094,21 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q227: DuckDB's built-in jaro_winkler_similarity IS the oracle for
+    // the native expression (fixture-matched exactly; 6dp rounding on the
+    // block extrema absorbs any last-ulp formulation drift).
+    "q227_jw_profile" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] AS blk
+        |  FROM part WHERE p_partkey % 4 = 0),
+        |pr AS (SELECT a.blk,
+        |    jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |  FROM p a JOIN p b ON a.blk = b.blk
+        |    AND a.p_partkey < b.p_partkey)
+        |SELECT blk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(min(jw), 6) AS min_jw_r, round(max(jw), 6) AS max_jw_r
+        |FROM pr GROUP BY blk""".stripMargin,
 
     // q225: the UNSALTED join — an independent derivation; equality proves
     // the salting transformation preserves results.

@@ -8,6 +8,39 @@ class TextHashSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.session
   import spark.implicits._
 
+  test("jaroWinkler matches DuckDB jaro_winkler_similarity on fixtures") {
+    import graft.functions.JaroWinklerOps.jaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // every expected value sampled from DuckDB's jaro_winkler_similarity
+    // (the oracle function) — exact doubles
+    val fixtures = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("a", "a", 1.0),
+      ("abc", "xyz", 0.0),
+      ("ab", "ba", 0.0),
+      ("green almond antique", "green almond antiqu", 0.99),
+      ("aquamarine rose salmon powder sky",
+        "aquamarine rose white tomato saddle", 0.8808850408850409),
+      ("new plate", "new table", 0.9305555555555555),
+      ("old anvil", "old gear", 0.836111111111111))
+    fixtures.foreach { case (a, b, want) =>
+      val got = jaroWinkler(u(a), u(b))
+      assert(got == want, s"jw($a, $b) = $got, want $want")
+      assert(jaroWinkler(u(b), u(a)) == want, "symmetry")
+    }
+    // codegen path through a DataFrame
+    val df = fixtures.map { case (a, b, w) => (a, b, w) }
+      .toDF("a", "b", "want")
+      .withColumn("got",
+        graft.functions.JaroWinklerOps.jaroWinklerCol(col("a"), col("b")))
+    assert(df.filter(col("got") =!= col("want")).count() == 0)
+  }
+
   test("tokenCount / charShingles / fingerprint basics") {
     val df = Seq("  the quick  brown fox ", "the quick brown fox").toDF("t")
       .select(
