@@ -3189,6 +3189,31 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // Rendezvous (highest-random-weight) shard assignment + resize
+    // rebalance report: shard(d) = argmax_s md5(d#s), so growing the
+    // cluster N→N+1 moves ONLY the docs the new shard wins (expected
+    // 1/(N+1) ≈ 11.1% here) — the partitioning-story query: consistent
+    // assignment bounds data movement on resize, where mod-N hashing
+    // reshuffles ~everything. Both assignments per doc come from ONE
+    // map-side struct-argmax over the shard list — no explode, no
+    // shuffle until the ≤N-row report aggregate.
+    "q228_rendezvous_shards" -> ((s, d) => {
+      def assign(n: Int) = expr(
+        s"""array_max(transform(sequence(0, ${n - 1}), sid ->
+           |  struct(md5(concat(cast(doc_id as string), '#',
+           |    cast(sid as string))) as h, sid))).sid""".stripMargin)
+        .cast("long")
+      documents(s, d)
+        .select(col("doc_id"), assign(8).as("old_shard"),
+          assign(9).as("new_shard"))
+        .groupBy(col("old_shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("old_shard") =!= col("new_shard"), 1L).otherwise(0L))
+            .cast("long").as("n_moved"))
+        .withColumn("moved_share_r",
+          Corpus.ratioRound6(col("n_moved"), col("n_docs")))
+    }),
+
     // Jaro-Winkler name-similarity profile — the record-linkage metric
     // Spark lacks (levenshtein exists; JW weights shared prefixes and
     // tolerates transpositions, the name/address-matching standard) as a
@@ -3356,6 +3381,10 @@ object SparkEntry {
             .when(col("gd") === 0, lit(0L))
             .when(col("gq") === 0, lit(1L))
             .otherwise(lit(2L)))
+        // group-bounded (≤ |nations|·|bins| rows) and consumed by BOTH the
+        // level-minimum pick and the final filter — materialize once so
+        // the grouping-sets pass over customer truly runs ONCE
+        .localCheckpoint()
       val chosen = gs.groupBy(col("level")).agg(min(col("n")).as("min_n"))
         .filter(col("min_n") >= kAnon)
         .agg(min(col("level")).as("chosen"))
@@ -7094,6 +7123,25 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q228: arg_max over the unnested shard list — same md5 keys.
+    "q228_rendezvous_shards" ->
+      """WITH x AS (SELECT doc_id, u.sid,
+        |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(u.sid AS VARCHAR))
+        |      AS h
+        |  FROM documents, LATERAL unnest(range(0, 9)) AS u(sid)),
+        |a8 AS (SELECT doc_id, arg_max(sid, h) AS old_shard
+        |       FROM x WHERE sid < 8 GROUP BY doc_id),
+        |a9 AS (SELECT doc_id, arg_max(sid, h) AS new_shard
+        |       FROM x GROUP BY doc_id)
+        |SELECT CAST(old_shard AS BIGINT) AS old_shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved,
+        |  CAST((sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+        |      * 2000000 + count(*)) // (count(*) * 2) AS DOUBLE) / 1e6
+        |    AS moved_share_r
+        |FROM a8 JOIN a9 USING (doc_id) GROUP BY old_shard""".stripMargin,
 
     // q227: DuckDB's built-in jaro_winkler_similarity IS the oracle for
     // the native expression (fixture-matched exactly; 6dp rounding on the

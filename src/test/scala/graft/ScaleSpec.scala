@@ -464,6 +464,57 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p206.contains("Join") && !p206.contains("Window"), p206)
   }
 
+  test("plan shapes: round-10 operators stay scale-safe") {
+    val sfDir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    // q217 full categorizer: one map-only projection — no join, no window,
+    // no exchange anywhere (and it must PLAN fast: the nested-coalesce
+    // formulation took minutes here)
+    val t0 = System.nanoTime()
+    val p217 = plan("q217_poi_categorize_full")
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "planning blow-up returned")
+    assert(!p217.contains("Join") && !p217.contains("Exchange"), p217)
+
+    // q218 serving path: POIs broadcast (never a shuffled product) and the
+    // top-20 rank limit pushed map-side via WindowGroupLimit
+    val p218 = plan("q218_serving_path")
+    assert(p218.contains("BroadcastExchange"), p218)
+    assert(!p218.contains("CartesianProduct"), p218)
+    assert(p218.contains("WindowGroupLimit"), p218)
+
+    // q219 CDC: native expression + equi-join only — no window over the
+    // corpus, no cartesian
+    val p219 = plan("q219_cdc_chunks")
+    assert(p219.contains("cdc_chunks"), p219)
+    assert(!p219.contains("CartesianProduct") &&
+      !p219.contains("BroadcastNestedLoopJoin"), p219)
+
+    // q221 k-anonymity: ALL ladder levels from ONE grouping-sets pass —
+    // the pass runs once during the checkpoint materialization, so the
+    // final plan reads the group-bounded checkpoint (ExistingRDD) and
+    // never rescans customer (no parquet, no second Expand)
+    val p221 = plan("q221_k_anonymity")
+    assert(p221.contains("ExistingRDD"), p221)
+    assert(!p221.contains("Expand") && !p221.contains("parquet"), p221)
+
+    // q225 salted join: the dim side explodes (Generate) and the join is
+    // an equi-join on (k, salt) — no cartesian, no nested loop
+    val p225 = plan("q225_salted_join")
+    assert(p225.contains("Generate"), p225)
+    assert(!p225.contains("CartesianProduct") &&
+      !p225.contains("BroadcastNestedLoopJoin"), p225)
+
+    // q228 rendezvous: both assignments map-side (no Generate, no join);
+    // the only exchange feeds the ≤N-row report aggregate
+    val p228 = plan("q228_rendezvous_shards")
+    assert(!p228.contains("Generate") && !p228.contains("Join"), p228)
+    assert(
+      p228.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      p228)
+  }
+
   test("equiWidthHistogram: exact bins, conserved mass, extremes in end bins") {
     import spark.implicits._
     import graft.operators.Maintenance
