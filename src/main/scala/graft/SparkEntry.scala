@@ -34,6 +34,14 @@ object SparkEntry {
   private val ndcgConsts: Seq[Double] =
     (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
 
+  /** q232's convex test polygon, CCW in (x=lon, y=lat) — shared by the
+    * Spark plan and the generated oracle SQL so the half-plane constants
+    * cannot drift. */
+  private val polyVerts: Seq[(Double, Double)] =
+    Seq((0.0, 0.0), (60.0, 20.0), (40.0, 70.0), (-20.0, 50.0))
+  private def polyEdges: Seq[((Double, Double), (Double, Double))] =
+    polyVerts.zip(polyVerts.tail :+ polyVerts.head)
+
   /** Declarative data-quality suite (q223) — constraints as DATA, shared
     * verbatim by the Spark one-pass evaluator and the generated oracle.
     * Predicates are engine-portable SQL (both Spark `expr` and DuckDB
@@ -3187,6 +3195,84 @@ object SparkEntry {
       piv.select(col("rst_cd"), score.cast("long").as("score"))
         .join(top3, "rst_cd")
         .orderBy(col("rst_cd"))
+    }),
+
+    // Entity resolution end to end — the MDM "golden record" build:
+    // blocked candidate pairs gated by Jaro-Winkler ≥ 0.9375 (15/16,
+    // EXACTLY representable in binary, so the threshold compare cannot
+    // straddle an ulp on either engine), transitive closure into
+    // identity clusters, then one canonical record per cluster (most
+    // frequent name, lexicographic tiebreak). The oracle rebuilds the
+    // whole chain independently: DuckDB's own jaro_winkler + a recursive
+    // CTE closure.
+    "q233_golden_record" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val pairs = p.as("a").join(p.as("b"), col("a.blk") === col("b.blk") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .filter(graft.functions.JaroWinklerOps.jaroWinklerCol(
+          col("a.p_name"), col("b.p_name")) >= 0.9375)
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"))
+      val clusters = Dedup.connectedComponents(
+        p.select(col("p_partkey")), "p_partkey", pairs)
+      val m = clusters
+        .join(p.select(col("p_partkey"), col("p_name")), "p_partkey")
+      val freq = m.groupBy(col("cluster"), col("p_name"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("cnt").desc, col("p_name").asc)
+      val golden = freq.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cluster"), col("p_name").as("golden_name"))
+      m.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          countDistinct(col("p_name")).cast("long").as("n_names"))
+        .join(golden, "cluster")
+        .select(col("cluster").cast("long").as("cluster"),
+          col("golden_name"), col("n_members"), col("n_names"))
+    }),
+
+    // Point-in-polygon containment (geofencing — the spatial predicate the
+    // geo family lacked): a convex CCW polygon membership test as the
+    // conjunction of per-edge cross-product signs. Identical double
+    // arithmetic on both engines (same operands, same order), so the
+    // boundary is bit-deterministic; the polygon is literal DATA shared
+    // with the generated oracle. Map-only until a 10-key aggregate.
+    "q232_point_in_polygon" -> ((s, d) => {
+      val inside = polyEdges.map { case ((x1, y1), (x2, y2)) =>
+        (lit(x2 - x1) * (col("lat") - lit(y1)) -
+          lit(y2 - y1) * (col("lon") - lit(x1))) >= 0
+      }.reduce(_ && _)
+      custPoints(s, d)
+        .groupBy((col("c_custkey") % 10).cast("long").as("grp"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(inside, 1L).otherwise(0L)).cast("long").as("n_inside"))
+        .withColumn("inside_share_r",
+          Corpus.ratioRound6(col("n_inside"), col("n")))
+    }),
+
+    // Aggregate maintenance under RETRACTIONS (q204's sibling for deletes):
+    // a maintained SUM/COUNT absorbs a retraction batch as NEGATIVE deltas
+    // — maintained = full-history agg + (−1)·retracted agg — while the
+    // ORACLE computes the direct agg over surviving rows only. Equality
+    // proves the retraction algebra (the streaming/update-mode and
+    // changelog-fold foundation): a 100 TB maintained view subtracts the
+    // day's deletes instead of re-aggregating history. Exact integer/
+    // decimal lanes so +/− cancellation is lossless.
+    "q231_agg_retraction" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_linenumber"))
+      val retracted = li.filter(col("l_linenumber") === 7)
+      def agg(df: DataFrame, sign: Long) = df.groupBy(col("l_returnflag"))
+        .agg((count(lit(1)) * sign).as("n"),
+          (sum(cents(col("l_quantity"))) * sign).as("q100"),
+          (sum(dec(col("l_extendedprice"))) * sign).as("p"))
+      agg(li, 1L).unionByName(agg(retracted, -1L))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          (sum(col("q100")) / 100).cast("double").as("sum_qty"),
+          sum(col("p")).cast("double").as("sum_price"))
     }),
 
     // §2.8 depth — stream-stream LEFT OUTER join: the semantics q148's
@@ -7201,6 +7287,68 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q233: DuckDB jaro_winkler + recursive-CTE closure — the full chain
+    // independently derived.
+    "q233_golden_record" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] AS blk
+        |  FROM part WHERE p_partkey % 4 = 0),
+        |pr AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM p a JOIN p b ON a.blk = b.blk
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9375),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+        |          UNION SELECT id_b, id_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT p_partkey, p_partkey FROM p
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |clus AS (SELECT src AS p_partkey, min(dst) AS cluster
+        |         FROM reach GROUP BY src),
+        |m AS (SELECT c.cluster, p.p_name
+        |      FROM clus c JOIN p USING (p_partkey)),
+        |freq AS (SELECT cluster, p_name, count(*) AS cnt
+        |         FROM m GROUP BY 1, 2),
+        |g AS (SELECT cluster, p_name AS golden_name FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY cnt DESC, p_name) AS rk FROM freq) WHERE rk = 1)
+        |SELECT CAST(m.cluster AS BIGINT) AS cluster, g.golden_name,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(count(DISTINCT m.p_name) AS BIGINT) AS n_names
+        |FROM m JOIN g USING (cluster)
+        |GROUP BY m.cluster, g.golden_name""".stripMargin,
+
+    // q232: generated from polyVerts — identical half-plane constants.
+    "q232_point_in_polygon" -> {
+      val cond = polyEdges.map { case ((x1, y1), (x2, y2)) =>
+        s"(${x2 - x1}) * (lat - (${y1})) - (${y2 - y1}) * (lon - (${x1})) >= 0"
+      }.mkString(" AND ")
+      s"""WITH p AS (SELECT c_custkey,
+         |  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100 - 85 AS lat,
+         |  CAST((c_custkey * 91) % 35000 AS DOUBLE) / 100 - 175 AS lon
+         | FROM customer)
+         |SELECT CAST(c_custkey % 10 AS BIGINT) AS grp,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_inside,
+         |  CAST((sum(CASE WHEN $cond THEN 1 ELSE 0 END) * 2000000
+         |      + count(*)) // (count(*) * 2) AS DOUBLE) / 1e6
+         |    AS inside_share_r
+         |FROM p GROUP BY 1""".stripMargin
+    },
+
+    // q231: the DIRECT aggregate over surviving rows — equality proves the
+    // negative-delta retraction algebra.
+    "q231_agg_retraction" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0
+        |    AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem WHERE l_linenumber <> 7
+        |GROUP BY l_returnflag""".stripMargin,
 
     // q230: matches + watermark-closed unmatched views, independently
     // derived in batch SQL. A view can emit null only when its whole
