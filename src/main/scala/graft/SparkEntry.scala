@@ -3458,7 +3458,10 @@ object SparkEntry {
     // writer/reader — entity escaping, type coercion, dropped rows — goes
     // red). Same fixed scratch dir discipline as q208.
     "q224_xml_roundtrip" -> ((s, d) => {
-      val base = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+      // 10% deterministic slice: XML is ~10x parquet bytes per row, and
+      // the parity proof needs row coverage, not volume
+      val base = lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"),
         col("l_returnflag"), col("l_linestatus"),
         col("l_quantity").cast("long").as("qty"))
       val tmp = java.nio.file.Paths.get(
@@ -7465,7 +7468,7 @@ object SparkEntry {
         |    coalesce(CAST(l_linestatus AS VARCHAR), chr(2)),
         |    coalesce(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), chr(2))))
         |    AS m
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_orderkey % 10 = 0)
         |SELECT 'xml' AS format, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(CAST(sum(('0x' || substring(m, 1, 15))::BIGINT) AS HUGEINT)
         |    % 2305843009213693952 AS BIGINT) AS lane_a,
