@@ -397,4 +397,30 @@ object PropertySpec extends Properties("graft") {
         a >= -1e-9 && a <= cap + 1e-9 && (!sat || a == cap.toDouble)
       } && math.abs(got.map(_._3).sum - expect) <= 1e-6 * math.max(expect, 1.0)
     }
+
+  // pure-Scala: full default case counts
+  private val wordGen = Gen.nonEmptyListOf(
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "longerword"))
+    .map(_.mkString(" "))
+
+  property("cdcChunks: chunks PARTITION the text (lossless reassembly)") =
+    Prop.forAll(wordGen, Gen.choose(2, 12), Gen.choose(2, 128)) {
+      (text, w, d) =>
+        val arr = graft.functions.CdcOps.cdcChunks(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text), w, d)
+        val chunks = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        chunks.mkString("") == text && chunks.forall(_.nonEmpty)
+    }
+
+  property("jaroWinkler: bounded, symmetric, identity = 1, deterministic") =
+    Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      import graft.functions.JaroWinklerOps.jaroWinkler
+      import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+      val jw = jaroWinkler(u(a), u(b))
+      jw >= 0.0 && jw <= 1.0 &&
+        jw == jaroWinkler(u(b), u(a)) &&
+        (a.isEmpty || jaroWinkler(u(a), u(a)) == 1.0) &&
+        jw == jaroWinkler(u(a), u(b))
+    }
 }
