@@ -3197,6 +3197,46 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // Repeated-PASSAGE detection over CDC chunk runs — the scalable
+    // approximation of suffix-array exact-substring dedup: two documents
+    // sharing K CONSECUTIVE content-defined chunks share one contiguous
+    // passage spanning them (chunk boundaries are content-anchored, so a
+    // shared passage yields aligned chunk runs regardless of position).
+    // Shared chunks join on hash (dfreq-capped, never all-pairs); runs
+    // are diagonal groups (d1, d2, j1−j2) segmented by the classic
+    // j − row_number trick. Reports pairs with a run ≥ 2 chunks.
+    "q234_repeated_chunk_runs" -> ((s, d) => {
+      val ch = documents(s, d).filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), posexplode(graft.functions.CdcOps
+          .cdcChunksCol(col("text"), 8, 64)).as(Seq("j", "c")))
+        .select(col("doc_id"), col("j").cast("long").as("j"),
+          md5(col("c")).as("ch"))
+      val capped = ch.groupBy(col("ch"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+        .filter(col("n") <= 20 && col("nd") >= 2).select("ch")
+      val cIn = ch.join(capped, "ch")
+      val p = cIn.select(col("ch"), col("doc_id").as("d1"), col("j").as("j1"))
+        .join(cIn.select(col("ch"), col("doc_id").as("d2"),
+          col("j").as("j2")), "ch")
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2", "j1", "j2").distinct()
+      val r = p.withColumn("diag", col("j1") - col("j2"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("d1"), col("d2"), col("diag"))
+          .orderBy(col("j1"))))
+        .withColumn("grp", col("j1") - col("rn"))
+      val runs = r.groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("d1"), col("d2")).agg(max(col("len")).as("max_run"))
+      val shared = p.groupBy(col("d1"), col("d2"))
+        .agg(countDistinct(col("j1")).as("n_shared"))
+      runs.join(shared, Seq("d1", "d2")).filter(col("max_run") >= 2)
+        .select(col("d1").cast("long").as("d1"),
+          col("d2").cast("long").as("d2"),
+          col("max_run").cast("long").as("max_run"),
+          col("n_shared").cast("long").as("n_shared"))
+    }),
+
     // Entity resolution end to end — the MDM "golden record" build:
     // blocked candidate pairs gated by Jaro-Winkler ≥ 0.9375 (15/16,
     // EXACTLY representable in binary, so the threshold compare cannot
@@ -7290,6 +7330,49 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q234: the q219 chunk CTEs with positions, diagonal runs in SQL.
+    "q234_repeated_chunk_runs" -> {
+      val terms = Corpus.cdcPows(8).zipWithIndex
+        .map { case (p, k) => s"codes[i - $k] * $p" }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |c AS (SELECT doc_id, text,
+         |  list_transform(range(1, length(text) + 1),
+         |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
+         |  FROM d),
+         |b AS (SELECT doc_id, text,
+         |  list_concat(list_filter(range(8, length(text)),
+         |    i -> ($terms) % 64 = 0), [length(text)]) AS bnd
+         |  FROM c),
+         |ch AS (SELECT doc_id, unnest(list_transform(range(1, len(bnd) + 1),
+         |    j -> {'j': j, 'c': substr(text,
+         |      CASE WHEN j = 1 THEN 1 ELSE bnd[j - 1] + 1 END,
+         |      bnd[j] - CASE WHEN j = 1 THEN 0 ELSE bnd[j - 1] END)}))
+         |    AS u FROM b),
+         |h AS (SELECT doc_id, CAST(u.j AS BIGINT) AS j, md5(u.c) AS ch
+         |  FROM ch),
+         |capped AS (SELECT ch FROM h GROUP BY ch
+         |  HAVING count(*) <= 20 AND count(DISTINCT doc_id) >= 2),
+         |p AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |    a.j AS j1, b.j AS j2
+         |  FROM h a JOIN capped USING (ch) JOIN h b ON a.ch = b.ch
+         |  WHERE a.doc_id < b.doc_id),
+         |r AS (SELECT d1, d2, j1 - j2 AS diag, j1,
+         |    row_number() OVER (PARTITION BY d1, d2, j1 - j2
+         |      ORDER BY j1) AS rn
+         |  FROM p),
+         |segs AS (SELECT d1, d2, count(*) AS len
+         |  FROM r GROUP BY d1, d2, diag, j1 - rn),
+         |runs AS (SELECT d1, d2, max(len) AS max_run
+         |  FROM segs GROUP BY d1, d2),
+         |sh AS (SELECT d1, d2, count(DISTINCT j1) AS n_shared
+         |  FROM p GROUP BY d1, d2)
+         |SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+         |  CAST(max_run AS BIGINT) AS max_run,
+         |  CAST(n_shared AS BIGINT) AS n_shared
+         |FROM runs JOIN sh USING (d1, d2) WHERE max_run >= 2""".stripMargin
+    },
 
     // q233: DuckDB jaro_winkler + recursive-CTE closure — the full chain
     // independently derived.
