@@ -260,6 +260,20 @@ object Graft {
 
   def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame =
     operators.Maintenance.tableFingerprint(df, cols)
+  def dqRuleReport(df: DataFrame,
+      rules: Seq[(String, String, String)]): DataFrame =
+    operators.Maintenance.dqRuleReport(df, rules)
+
+  // ---- round-10 additions ----
+  def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 64): DataFrame =
+    operators.Corpus.cdcChunkStats(docs, idCol, textCol, window, divisor)
+  def cdcChunks(text: Column, window: Int = 8, divisor: Int = 64): Column =
+    functions.CdcOps.cdcChunksCol(text, window, divisor)
+  def jaroWinkler(a: Column, b: Column): Column =
+    functions.JaroWinklerOps.jaroWinklerCol(a, b)
+  def categorizePoi(nameCol: Column, typeCol: Column): Column =
+    pipelines.SiteScoringPipeline.categorizePoi(nameCol, typeCol)
 
   // ---- streaming ----
   def windowedEventAgg(events: DataFrame, windowDur: String,
