@@ -3197,6 +3197,47 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // LSH candidate QUALITY report (the q195/q199 measurement posture for
+    // MinHash): on a deterministic doc subset, exact word-3-gram Jaccard
+    // ≥ 1/2 (integer cross-multiplied — no float threshold) is the ground
+    // truth; the oracle-portable MinHash LSH candidates are scored
+    // against it with exact precision/recall counts. The number a dedup
+    // pipeline must publish before anyone trusts its near-dup pass.
+    "q235_lsh_quality" -> ((s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") % 10 === 0)
+      val cand = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val sh = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.ShingleOps.wordShinglesCol(col("text"), 3)))
+          .as("s"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("ni"))
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .filter(col("ni") * 2 >= col("n1") + col("n2") - col("ni"))
+        .select(col("d1"), col("d2"))
+      val hit = cand.join(truth,
+        col("id_a") === col("d1") && col("id_b") === col("d2"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_cand").cast("long").as("n_cand"),
+          col("n_true").cast("long").as("n_true"),
+          col("n_hit").cast("long").as("n_hit"),
+          when(col("n_cand") > 0,
+            Corpus.ratioRound6(col("n_hit"), col("n_cand")))
+            .otherwise(lit(null).cast("double")).as("precision_r"),
+          when(col("n_true") > 0,
+            Corpus.ratioRound6(col("n_hit"), col("n_true")))
+            .otherwise(lit(null).cast("double")).as("recall_r"))
+    }),
+
     // Repeated-PASSAGE detection over CDC chunk runs — the scalable
     // approximation of suffix-array exact-substring dedup: two documents
     // sharing K CONSECUTIVE content-defined chunks share one contiguous
@@ -4017,10 +4058,10 @@ object SparkEntry {
 
   /** MinHash lane-minima CTEs (toks → shingles → 16 md5 lanes) — shared by
     * the LSH pair chain below and q96's streaming-dedup signature mirror. */
-  private val minhashLaneCtes: String =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-      |  FROM documents WHERE length(trim(text)) > 0),
+  private def minhashLaneCtesFor(extraWhere: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0$extraWhere),
       |sh AS (
       |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
       |  FROM toks,
@@ -4032,6 +4073,8 @@ object SparkEntry {
       |    min(substring(md5(s) || md5(s), CAST(2*lane+1 AS INTEGER), 8)) AS h
       |  FROM sh CROSS JOIN lanes GROUP BY doc_id, lane)""".stripMargin
 
+  private val minhashLaneCtes: String = minhashLaneCtesFor("")
+
   /** Lane CTEs + the per-doc md5-of-lanes signature (the exact-dedup /
     * streaming-dedup grouping key) — shared by q96 and q100. */
   private val minhashSigCtes: String =
@@ -4041,8 +4084,8 @@ object SparkEntry {
 
   /** Shared CTE chain producing the MinHash LSH candidate pairs (q29), also
     * the edge source for q63's recursive-CTE connected components. */
-  private val minhashPairCtes: String =
-    s"""$minhashLaneCtes,
+  private def minhashPairCtesFor(extraWhere: String): String =
+    s"""${minhashLaneCtesFor(extraWhere)},
       |banded AS (
       |  SELECT doc_id, CAST(lane // 4 AS BIGINT) AS band,
       |         md5(string_agg(h, '|' ORDER BY lane)) AS bh
@@ -4052,6 +4095,8 @@ object SparkEntry {
       |pruned AS (
       |  SELECT doc_id, band, bh FROM counted
       |  WHERE bucket_n <= 1000 AND bucket_n > 1)""".stripMargin
+
+  private val minhashPairCtes: String = minhashPairCtesFor("")
 
   private val minhashPairSelect: String =
     """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -7330,6 +7375,35 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q235: subset-filtered minhash pair CTEs + exact distinct-shingle
+    // Jaccard ground truth, integer-threshold gated.
+    "q235_lsh_quality" ->
+      s"""WITH ${minhashPairCtesFor(" AND doc_id % 10 = 0")},
+         |pairs AS ($minhashPairSelect),
+         |shx AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+         |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON d1 = s1.doc_id
+         |  JOIN sizes s2 ON d2 = s2.doc_id
+         |  WHERE ni * 2 >= s1.n + s2.n - ni),
+         |hit AS (SELECT 1 FROM pairs JOIN truth
+         |  ON id_a = d1 AND id_b = d2),
+         |c AS (SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT)
+         |    AS n_cand,
+         |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit)
+         |SELECT n_cand, n_true, n_hit,
+         |  CASE WHEN n_cand > 0 THEN
+         |    CAST((n_hit * 2000000 + n_cand) // (n_cand * 2) AS DOUBLE)
+         |      / 1e6 END AS precision_r,
+         |  CASE WHEN n_true > 0 THEN
+         |    CAST((n_hit * 2000000 + n_true) // (n_true * 2) AS DOUBLE)
+         |      / 1e6 END AS recall_r
+         |FROM c""".stripMargin,
 
     // q234: the q219 chunk CTEs with positions, diagonal runs in SQL.
     "q234_repeated_chunk_runs" -> {
