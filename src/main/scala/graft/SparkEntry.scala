@@ -3197,6 +3197,47 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // LSH band-sensitivity SWEEP — the tuning curve behind q235's single
+    // operating point: the same 16 minhash lanes banded as 2×8, 4×4, and
+    // 8×2 produce monotonically more candidates (and recall) as bands
+    // shrink; per configuration the exact candidate count and recall
+    // against the q235 ground truth. How an operator picks the
+    // bands/rows trade before a 100 TB dedup run.
+    "q236_lsh_band_sweep" -> ((s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") % 10 === 0)
+      val sh = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.ShingleOps.wordShinglesCol(col("text"), 3)))
+          .as("s"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val truth = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("ni"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .filter(col("ni") * 2 >= col("n1") + col("n2") - col("ni"))
+        .select(col("d1"), col("d2"))
+        .localCheckpoint() // consumed by all three sweep arms
+      Seq(2, 4, 8).map { b =>
+        val cand = Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+          bands = b).select(col("id_a"), col("id_b"))
+        val hit = cand.join(truth,
+          col("id_a") === col("d1") && col("id_b") === col("d2"))
+        cand.agg(count(lit(1)).as("n_cand"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(lit(b.toLong).as("bands"),
+            col("n_cand").cast("long").as("n_cand"),
+            col("n_true").cast("long").as("n_true"),
+            col("n_hit").cast("long").as("n_hit"),
+            when(col("n_true") > 0,
+              Corpus.ratioRound6(col("n_hit"), col("n_true")))
+              .otherwise(lit(null).cast("double")).as("recall_r"))
+      }.reduce(_ unionByName _)
+    }),
+
     // LSH candidate QUALITY report (the q195/q199 measurement posture for
     // MinHash): on a deterministic doc subset, exact word-3-gram Jaccard
     // ≥ 1/2 (integer cross-multiplied — no float threshold) is the ground
@@ -7375,6 +7416,49 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q236: per-band-count pair CTEs generated from the one lane chain.
+    "q236_lsh_band_sweep" -> {
+      val arms = Seq(2, 4, 8).map { b =>
+        val r = 16 / b
+        s"""banded$b AS (
+           |  SELECT doc_id, CAST(lane // $r AS BIGINT) AS band,
+           |         md5(string_agg(h, '|' ORDER BY lane)) AS bh
+           |  FROM minh GROUP BY doc_id, lane // $r),
+           |counted$b AS (SELECT *, count(*) OVER (PARTITION BY band, bh)
+           |    AS bucket_n FROM banded$b),
+           |pruned$b AS (SELECT doc_id, band, bh FROM counted$b
+           |  WHERE bucket_n <= 1000 AND bucket_n > 1),
+           |pairs$b AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM pruned$b a JOIN pruned$b b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |hit$b AS (SELECT 1 FROM pairs$b JOIN truth
+           |  ON id_a = d1 AND id_b = d2)""".stripMargin
+      }.mkString(",\n")
+      val rows = Seq(2, 4, 8).map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS bands,
+           |  CAST((SELECT count(*) FROM pairs$b) AS BIGINT) AS n_cand,
+           |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           |  CAST((SELECT count(*) FROM hit$b) AS BIGINT) AS n_hit,
+           |  CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+           |    CAST(((SELECT count(*) FROM hit$b) * 2000000 +
+           |      (SELECT count(*) FROM truth)) //
+           |      ((SELECT count(*) FROM truth) * 2) AS DOUBLE) / 1e6
+           |  END AS recall_r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${minhashLaneCtesFor(" AND doc_id % 10 = 0")},
+         |shx AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+         |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON d1 = s1.doc_id
+         |  JOIN sizes s2 ON d2 = s2.doc_id
+         |  WHERE ni * 2 >= s1.n + s2.n - ni),
+         |$arms
+         |$rows""".stripMargin
+    },
 
     // q235: subset-filtered minhash pair CTEs + exact distinct-shingle
     // Jaccard ground truth, integer-threshold gated.
