@@ -3197,6 +3197,60 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // Percent-of-parent hierarchy report over the region → nation →
+    // customer → orders chain (the BI drill-down shape; the only query
+    // family the region dimension anchors): per nation, revenue share of
+    // its region and of the world, exact integer-cents shares. Both dims
+    // broadcast; one fact exchange for the nation rollup.
+    "q238_hierarchy_shares" -> ((s, d) => {
+      val rev = orders(s, d).select(col("o_custkey"),
+          cents(col("o_totalprice")).as("c"))
+        .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey")), "o_custkey")
+        .groupBy(col("c_nationkey")).agg(sum(col("c")).as("nc"))
+      val dims = nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        .join(region(s, d).select(col("r_regionkey").as("n_regionkey"),
+          col("r_name")), "n_regionkey")
+      val wReg = Window.partitionBy(col("r_name"))
+      val wAll = Window.partitionBy()
+      rev.join(broadcast(dims), "c_nationkey")
+        .withColumn("rc", sum(col("nc")).over(wReg))
+        .withColumn("tc", sum(col("nc")).over(wAll))
+        .select(col("r_name"), col("n_name"),
+          (col("nc").cast("double") / 100).as("nation_rev"),
+          Corpus.ratioRound6(col("nc"), col("rc")).as("of_region_r"),
+          Corpus.ratioRound6(col("nc"), col("tc")).as("of_world_r"))
+    }),
+
+    // Largest-remainder (Hamilton) apportionment — exact-integer quota
+    // allocation: distribute a fixed sample budget across sources in
+    // proportion to token mass such that Σ alloc == budget EXACTLY
+    // (proportional rounding breaks this; floor + largest-fractional-
+    // remainder repair fixes it deterministically). remainder comparison
+    // is pure integers (w·B mod T), tiebreak on source — no floats
+    // anywhere. The quota solver behind every fixed-size stratified
+    // sample this engine draws.
+    "q237_apportionment" -> ((s, d) => {
+      val budget = 10000L
+      val w = documents(s, d).groupBy(col("source"))
+        .agg(sum(Corpus.wordsCount(col("text"))).as("w"))
+      val tot = w.agg(sum(col("w")).as("t"))
+      val base = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("w").cast("long").as("w"),
+          col("t").cast("long").as("t"),
+          expr(s"(w * ${budget}L) DIV t").as("fl"),
+          expr(s"(w * ${budget}L) % t").as("rem"))
+      val deficit = base.agg((lit(budget) - sum(col("fl"))).as("k"))
+      base.crossJoin(broadcast(deficit))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)))
+        .select(col("source"), col("w"),
+          (col("fl") + when(col("rk") <= col("k"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+    }),
+
     // LSH band-sensitivity SWEEP — the tuning curve behind q235's single
     // operating point: the same 16 minhash lanes banded as 2×8, 4×4, and
     // 8×2 produce monotonically more candidates (and recall) as bands
@@ -7416,6 +7470,44 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q238: same cents lanes + window shares.
+    "q238_hierarchy_shares" ->
+      """WITH rev AS (SELECT c.c_nationkey,
+        |    sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS nc
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_nationkey),
+        |d AS (SELECT n.n_nationkey, n.n_name, r.r_name
+        |  FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey),
+        |j AS (SELECT d.r_name, d.n_name, rev.nc,
+        |    sum(rev.nc) OVER (PARTITION BY d.r_name) AS rc,
+        |    sum(rev.nc) OVER () AS tc
+        |  FROM rev JOIN d ON d.n_nationkey = rev.c_nationkey)
+        |SELECT r_name, n_name,
+        |  CAST(nc AS DOUBLE) / 100 AS nation_rev,
+        |  CAST((nc * 2000000 + rc) // (rc * 2) AS DOUBLE) / 1e6
+        |    AS of_region_r,
+        |  CAST((nc * 2000000 + tc) // (tc * 2) AS DOUBLE) / 1e6
+        |    AS of_world_r
+        |FROM j""".stripMargin,
+
+    // q237: identical integer floor/remainder repair.
+    "q237_apportionment" ->
+      """WITH w AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(w) AS t FROM w),
+        |base AS (SELECT source, w.w, t.t,
+        |    (w.w * 10000) // t.t AS fl, (w.w * 10000) % t.t AS rem
+        |  FROM w CROSS JOIN t),
+        |k AS (SELECT 10000 - sum(fl) AS k FROM base),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+        |    AS rk FROM base)
+        |SELECT source, CAST(w AS BIGINT) AS w,
+        |  CAST(fl + CASE WHEN rk <= k.k THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r CROSS JOIN k""".stripMargin,
 
     // q236: per-band-count pair CTEs generated from the one lane chain.
     "q236_lsh_band_sweep" -> {
