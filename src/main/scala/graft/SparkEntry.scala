@@ -3197,6 +3197,53 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // Exact-dedup ROI summary — the one-row answer to "what does the
+    // dedup pass buy us": corpus docs/tokens, surviving keeper
+    // docs/tokens (min-id per normalized-text fingerprint), and the
+    // removed token share. The number that justifies (or kills) a
+    // pipeline stage at 100 TB.
+    "q240_dedup_impact" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        Corpus.wordsCount(col("text")).as("tok"),
+        TextFunctions.fingerprint(col("text")).as("h"))
+      docs.withColumn("rk", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("tok")).cast("long").as("tokens"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).cast("long")
+            .as("n_kept"),
+          sum(when(col("rk") === 1, col("tok")).otherwise(0L)).cast("long")
+            .as("tokens_kept"))
+        .withColumn("removed_share_r", Corpus.ratioRound6(
+          col("tokens") - col("tokens_kept"), col("tokens")))
+    }),
+
+    // Bot-rate session gate — the crawl/abuse filter a clickstream feeds
+    // through before analytics: q35's gap sessionization, then a flag for
+    // sessions sustaining > 6 events/minute, tested cross-multiplied in
+    // exact integers (n·60s > dur·6 — no float rate, no div-by-zero on
+    // single-event sessions). One user exchange shared by the lag window
+    // and the session rollup.
+    "q239_bot_rate_gate" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("flag",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 300000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("flag")).over(run).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          expr("(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 1000000")
+            .cast("long").as("dur_s"))
+        // single/short sessions can't establish a RATE — require volume
+        .withColumn("is_bot",
+          col("n") >= 10L && col("n") * 60L > col("dur_s") * 6L)
+    }),
+
     // Percent-of-parent hierarchy report over the region → nation →
     // customer → orders chain (the BI drill-down shape; the only query
     // family the region dimension anchors): per nation, revenue share of
@@ -7470,6 +7517,47 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q240: q23's fingerprint + q24's token count, min-id keeper window.
+    "q240_dedup_impact" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS BIGINT) AS tok,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        | FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id)
+        |   AS rk FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS tokens,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN rk = 1 THEN tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(((sum(tok) - sum(CASE WHEN rk = 1 THEN tok ELSE 0 END))
+        |      * 2000000 + sum(tok)) // (sum(tok) * 2) AS DOUBLE) / 1e6
+        |    AS removed_share_r
+        |FROM r""".stripMargin,
+
+    // q239: q35's session CTEs + the integer cross-multiplied rate gate.
+    "q239_bot_rate_gate" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |f AS (SELECT *, CASE WHEN prev IS NULL
+        |       OR epoch_us(ts) - epoch_us(prev) > 300000000 THEN 1 ELSE 0
+        |     END AS flag FROM x),
+        |sess AS (SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS session_id
+        | FROM f)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
+        |    AS BIGINT) AS dur_s,
+        |  count(*) >= 10 AND
+        |    count(*) * 60 > ((max(epoch_us(ts)) - min(epoch_us(ts)))
+        |      // 1000000) * 6 AS is_bot
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     // q238: same cents lanes + window shares.
     "q238_hierarchy_shares" ->
