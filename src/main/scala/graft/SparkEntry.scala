@@ -3197,6 +3197,50 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // Join-cardinality identity — the statistic a cost-based optimizer
+    // lives on, PROVEN: |A ⋈_k B| == Σ_k na_k·nb_k, where the right side
+    // comes only from the two per-key COUNT tables (what ANALYZE
+    // collects), never from executing the join. The query computes both
+    // sides independently (the oracle repeats both independently again);
+    // equality shows per-key histograms predict equi-join size exactly —
+    // and why a hot key's na·nb term is the skew bomb q225 defuses.
+    "q241_join_cardinality" -> ((s, d) => {
+      val la = orders(s, d).groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("na"))
+      val lb = lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("nb"))
+      val est = la.join(lb, "k")
+        .agg(sum(col("na") * col("nb")).cast("long").as("n"))
+        .select(lit("histogram_product").as("method"), col("n"))
+      val actual = orders(s, d).select(col("o_orderkey"))
+        .join(lineitem(s, d).select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("actual_join").as("method"), col("n"))
+      est.unionByName(actual)
+    }),
+
+    // Near-dup MINUS exact-dup delta — what the LSH pass adds beyond
+    // fingerprint dedup: candidate near-dup pairs partitioned into
+    // same-fingerprint (exact dups the cheap pass already catches) vs
+    // genuinely-near (the reason to pay for MinHash at all). One-row
+    // integer report.
+    "q242_near_vs_exact" -> ((s, d) => {
+      val docs = documents(s, d)
+      val fp = docs.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("h"))
+      val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+        .join(fp.select(col("doc_id").as("id_a"), col("h").as("ha")), "id_a")
+        .join(fp.select(col("doc_id").as("id_b"), col("h").as("hb")), "id_b")
+      pairs.agg(count(lit(1)).cast("long").as("n_near_pairs"),
+          sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).cast("long")
+            .as("n_exact"),
+          sum(when(col("ha") =!= col("hb"), 1L).otherwise(0L)).cast("long")
+            .as("n_genuinely_near"))
+        .withColumn("near_only_share_r", Corpus.ratioRound6(
+          col("n_genuinely_near"), col("n_near_pairs")))
+    }),
+
     // Exact-dedup ROI summary — the one-row answer to "what does the
     // dedup pass buy us": corpus docs/tokens, surviving keeper
     // docs/tokens (min-id per normalized-text fingerprint), and the
@@ -7517,6 +7561,40 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q241: both sides re-derived in SQL.
+    "q241_join_cardinality" ->
+      """WITH la AS (SELECT o_orderkey AS k, count(*) AS na
+        |  FROM orders GROUP BY 1),
+        |lb AS (SELECT l_orderkey AS k, count(*) AS nb
+        |  FROM lineitem GROUP BY 1)
+        |SELECT 'histogram_product' AS method,
+        |  CAST(sum(na * nb) AS BIGINT) AS n
+        |FROM la JOIN lb USING (k)
+        |UNION ALL
+        |SELECT 'actual_join', CAST(count(*) AS BIGINT)
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
+        .stripMargin,
+
+    // q242: minhash pairs + fingerprint equality split.
+    "q242_near_vs_exact" ->
+      s"""WITH $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |fp AS (SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         | FROM documents),
+         |j AS (SELECT p.id_a, p.id_b, a.h AS ha, b.h AS hb
+         |  FROM pairs p JOIN fp a ON a.doc_id = p.id_a
+         |  JOIN fp b ON b.doc_id = p.id_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_near_pairs,
+         |  CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact,
+         |  CAST(sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_genuinely_near,
+         |  CAST((sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END) * 2000000
+         |      + count(*)) // (count(*) * 2) AS DOUBLE) / 1e6
+         |    AS near_only_share_r
+         |FROM j""".stripMargin,
 
     // q240: q23's fingerprint + q24's token count, min-id keeper window.
     "q240_dedup_impact" ->
