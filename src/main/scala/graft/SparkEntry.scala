@@ -3197,6 +3197,60 @@ object SparkEntry {
         .orderBy(col("rst_cd"))
     }),
 
+    // Dup-cluster SIZE histogram — how duplicate mass is structured:
+    // many 2-doc pairs dedup cheaply, one giant boilerplate cluster is a
+    // different problem (transitivity over-merge risk, q139's cohesion
+    // concern). Composition: q63's clusters → size rollup → histogram;
+    // exact integer shares of docs captured per cluster size.
+    "q243_cluster_size_histogram" -> ((s, d) => {
+      val docs = documents(s, d)
+      val clusters = Dedup.connectedComponents(docs, "doc_id",
+        Dedup.minhashCandidatesPortable(docs, "doc_id", "text"))
+      val sizes = clusters.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"))
+      val tot = sizes.agg(sum(col("sz")).as("n_docs"))
+      sizes.groupBy(col("sz").cast("long").as("cluster_size"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).cast("long")
+            .as("n_docs_at_size"),
+          Corpus.ratioRound6(col("cluster_size") * col("n_clusters"),
+            col("n_docs")).as("doc_share_r"))
+    }),
+
+    // Per-source embedding CENTROID similarity matrix — corpus
+    // cartography: mean-pool each source's vectors (q125's pool), then
+    // pairwise cosine over the |sources|-bounded centroid table — which
+    // sources say the same thing in embedding space (merge candidates /
+    // mixture redundancy), never touching row×row vectors.
+    "q244_source_centroid_matrix" -> ((s, d) => {
+      // embeddings carry no source; derive a deterministic 8-way source
+      // id from vec_id (the corpus-sharding convention). Per-dimension
+      // sums are EXACT micro-unit longs (q65/q206 lane pattern) so
+      // partial-aggregation order cannot perturb the centroids; the one
+      // double division per pair uses identical operands on both engines.
+      val e = embeddings(s, d).select(
+        (col("vec_id") % 8).cast("long").as("src"),
+        transform(Similarity.toDoubleArray(col("embedding")),
+          x => round(x * lit(1000000.0)).cast("long")).as("v"))
+      val dim = e.select(size(col("v")).as("n")).head().getInt(0)
+      val lanes = (0 until dim).map(j =>
+        sum(element_at(col("v"), j + 1)).as(s"s$j"))
+      val cent = e.groupBy(col("src")).agg(lanes.head, lanes.tail: _*)
+      val dot = (0 until dim).map(j =>
+        col(s"a.s$j") * col(s"b.s$j")).reduce(_ + _)
+      def nrm(p: String) = sqrt((0 until dim).map(j =>
+        col(s"$p.s$j") * col(s"$p.s$j")).reduce(_ + _).cast("double"))
+      // RAW double output (no 6dp round): the operands are exact integer
+      // lanes, so both engines compute the identical IEEE double — while
+      // the two engines' round(x, 6) implementations can disagree by one
+      // ulp at a decimal boundary (observed on one pair at sf0.01)
+      cent.as("a").join(cent.as("b"), col("a.src") < col("b.src"))
+        .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+          (dot.cast("double") / (nrm("a") * nrm("b"))).as("cos"))
+    }),
+
     // Join-cardinality identity — the statistic a cost-based optimizer
     // lives on, PROVEN: |A ⋈_k B| == Σ_k na_k·nb_k, where the right side
     // comes only from the two per-key COUNT tables (what ANALYZE
@@ -7561,6 +7615,47 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rk = 3 THEN s_suppkey END) AS BIGINT) AS pos3_id,
          |  round(max(CASE WHEN rk = 3 THEN dist END), 1) AS pos3_m
          |FROM nearby GROUP BY rst_cd ORDER BY rst_cd""".stripMargin,
+
+    // q243: q63's recursive closure + size rollup.
+    "q243_cluster_size_histogram" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS ($minhashPairSelect),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |clus AS (SELECT src AS doc_id, min(dst) AS cluster
+         |         FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster, count(*) AS sz FROM clus
+         |          GROUP BY cluster),
+         |t AS (SELECT sum(sz) AS n_docs FROM sizes)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs_at_size,
+         |  CAST((sz * count(*) * 2000000 + t.n_docs) // (t.n_docs * 2)
+         |    AS DOUBLE) / 1e6 AS doc_share_r
+         |FROM sizes CROSS JOIN t GROUP BY sz, t.n_docs""".stripMargin,
+
+    // q244: micro-unit centroid lanes + one double divide per pair.
+    "q244_source_centroid_matrix" ->
+      """WITH u AS (SELECT CAST(vec_id % 8 AS BIGINT) AS src,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xm, j
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |        unnest(range(0, len(embedding))) AS j FROM embeddings)),
+        |c AS (SELECT src, j, sum(xm) AS sj FROM u GROUP BY src, j),
+        |p AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    sum(a.sj * b.sj) AS dot
+        |  FROM c a JOIN c b ON a.j = b.j AND a.src < b.src
+        |  GROUP BY 1, 2),
+        |n AS (SELECT src, sum(sj * sj) AS nn FROM c GROUP BY src)
+        |SELECT src_a, src_b,
+        |  CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+        |    AS cos
+        |FROM p JOIN n na ON na.src = p.src_a
+        |JOIN n nb ON nb.src = p.src_b""".stripMargin,
 
     // q241: both sides re-derived in SQL.
     "q241_join_cardinality" ->
