@@ -413,6 +413,26 @@ object PropertySpec extends Properties("graft") {
         chunks.mkString("") == text && chunks.forall(_.nonEmpty)
     }
 
+  property("apportionment: sums to budget exactly, within 1 of exact quota") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(1L, 1000L)).map(_.take(12)),
+      Gen.choose(1L, 5000L)) { (ws, budget) =>
+      // the q237 algebra in miniature: floor + largest-remainder repair
+      val t = ws.sum
+      val fl = ws.map(w => w * budget / t)
+      val rem = ws.map(w => (w * budget) % t)
+      val k = (budget - fl.sum).toInt
+      val order = rem.zipWithIndex.sortBy { case (r, i) => (-r, i) }
+        .map(_._2).take(k).toSet
+      val alloc = fl.zipWithIndex.map { case (f, i) =>
+        f + (if (order(i)) 1L else 0L)
+      }
+      alloc.sum == budget &&
+        alloc.zip(ws).forall { case (a, w) =>
+          math.abs(a - w.toDouble * budget / t) <= 1.0 + 1e-9
+        }
+    }
+
   property("jaroWinkler: bounded, symmetric, identity = 1, deterministic") =
     Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
       import graft.functions.JaroWinklerOps.jaroWinkler

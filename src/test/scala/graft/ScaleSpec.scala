@@ -515,6 +515,31 @@ class ScaleSpec extends AnyFunSuite {
       p228)
   }
 
+  test("dqRuleReport: one-pass suite, NULL predicate counts as violation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5.0), "ok"),
+      (2L, Some(-1.0), "ok"),
+      (3L, None, "bad"), // NULL value: `v > 0` is NULL → must count as viol
+      (4L, Some(10.0), "ok")).toDF("id", "v", "tag")
+    val out = graft.operators.Maintenance.dqRuleReport(df, Seq(
+        ("v_positive", "v > 0", "error"),
+        ("tag_ok", "tag = 'ok'", "warn"),
+        ("id_positive", "id > 0", "error")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // v_positive: rows 2 (false) and 3 (NULL) violate — the three-valued
+    // trap made explicit
+    assert(out("v_positive") == ((4L, 2L, 0.5)))
+    assert(out("tag_ok") == ((4L, 1L, 0.25)))
+    assert(out("id_positive") == ((4L, 0L, 0.0)))
+    // ONE aggregate pass regardless of rule count: a single scan of df
+    val plan = graft.operators.Maintenance.dqRuleReport(df,
+      Seq(("a", "v > 0", "e"), ("b", "id > 1", "e")))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("LocalTableScan")) <= 1, plan)
+  }
+
   test("equiWidthHistogram: exact bins, conserved mass, extremes in end bins") {
     import spark.implicits._
     import graft.operators.Maintenance
