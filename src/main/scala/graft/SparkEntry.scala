@@ -3238,10 +3238,17 @@ object SparkEntry {
       val lanes = (0 until dim).map(j =>
         sum(element_at(col("v"), j + 1)).as(s"s$j"))
       val cent = e.groupBy(col("src")).agg(lanes.head, lanes.tail: _*)
+      // DECIMAL(38,0) lanes for the pairwise reduction: a long lane
+      // product crosses Long.MaxValue at ~100x this vector count
+      // (worst term ~6e17 at sf0.1); decimal keeps the dot/norm EXACT
+      // (max ~6e20 << 1e38) and mirrors the oracle's HUGEINT sum, so
+      // both engines round to double exactly once, at the end.
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val dot = (0 until dim).map(j =>
-        col(s"a.s$j") * col(s"b.s$j")).reduce(_ + _)
+        col(s"a.s$j").cast(d38) * col(s"b.s$j")).reduce(_ + _)
       def nrm(p: String) = sqrt((0 until dim).map(j =>
-        col(s"$p.s$j") * col(s"$p.s$j")).reduce(_ + _).cast("double"))
+        col(s"$p.s$j").cast(d38) * col(s"$p.s$j")).reduce(_ + _)
+        .cast("double"))
       // RAW double output (no 6dp round): the operands are exact integer
       // lanes, so both engines compute the identical IEEE double — while
       // the two engines' round(x, 6) implementations can disagree by one
@@ -3785,8 +3792,9 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_partkey"),
         col("l_returnflag"), col("l_linestatus"),
         col("l_quantity").cast("long").as("qty"))
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-fmt-q224").toString
+      // same dataset-keyed scratch discipline as q208 (r11, ADVICE)
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-fmt-q224-${(d.hashCode & 0x7fffffff).toHexString}").toString
       base.write.mode("overwrite").format("xml")
         .option("rootTag", "rows").option("rowTag", "row")
         .save(s"$tmp/x")
@@ -4087,13 +4095,13 @@ object SparkEntry {
       val base = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
         col("l_returnflag"), col("l_linestatus"),
         col("l_quantity").cast("long").as("qty"))
-      // FIXED temp path, overwritten per run (r10, ADVICE): a fresh
-      // createTempDirectory per invocation leaked four lineitem copies per
-      // Verify/Bench run. The dir cannot be deleted inside the query (the
-      // returned DataFrame reads it lazily), so reuse-with-overwrite bounds
-      // the footprint to one copy per format.
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-fmt-q208").toString
+      // Scratch path keyed by dataset (r11, ADVICE): overwrite bounds the
+      // leak to one copy per format, and the per-sf-dir token keeps a
+      // concurrent/interleaved run at another scale factor from
+      // overwriting data under a still-unconsumed lazy DataFrame (the dir
+      // cannot be deleted inside the query — the result reads it lazily).
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-fmt-q208-${(d.hashCode & 0x7fffffff).toHexString}").toString
       base.write.mode("overwrite").parquet(s"$tmp/p")
       base.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
       base.write.mode("overwrite").json(s"$tmp/j")
@@ -5199,7 +5207,9 @@ object SparkEntry {
         | CAST(list_reverse_sort(embedding)[1] AS DOUBLE) AS largest
         |FROM embeddings""".stripMargin,
     "q57_html_table" ->
-      """SELECT * FROM (VALUES
+      """SELECT year, CAST(jan AS DOUBLE) AS jan, CAST(feb AS DOUBLE) AS feb,
+        |  h1_avg
+        |FROM (VALUES
         | (CAST(2023 AS BIGINT), 6.4, 6.0, CAST((6.4 + 6.0) / 2 AS DOUBLE)),
         | (CAST(2024 AS BIGINT), 3.1, 3.2, CAST((3.1 + 3.2) / 2 AS DOUBLE)),
         | (CAST(2025 AS BIGINT), 2.9, NULL, NULL))
@@ -7521,14 +7531,15 @@ object SparkEntry {
         |      AS n_tokens
         |  FROM documents WHERE length(trim(text)) > 0),
         |o AS (SELECT source, doc_id, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |      AS start_off
         |  FROM t)
         |SELECT source, doc_id, n_tokens, start_off,
-        |  start_off // 256 AS pack_first,
-        |  (start_off + n_tokens - 1) // 256 AS pack_last,
-        |  (start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS n_packs
+        |  CAST(start_off // 256 AS BIGINT) AS pack_first,
+        |  CAST((start_off + n_tokens - 1) // 256 AS BIGINT) AS pack_last,
+        |  CAST((start_off + n_tokens - 1) // 256 - start_off // 256 + 1
+        |    AS BIGINT) AS n_packs
         |FROM o ORDER BY source, doc_id""".stripMargin,
 
     "q198_waterfill" ->
@@ -8452,14 +8463,15 @@ object SparkEntry {
         |  FROM kept k JOIN documents d USING (doc_id)
         |  WHERE k.n_kept >= 10),
         |o AS (SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |      AS start_off
         |  FROM gated)
         |SELECT source, doc_id, n_tokens, start_off,
-        |  start_off // 256 AS pack_first,
-        |  (start_off + n_tokens - 1) // 256 AS pack_last,
-        |  (start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS n_packs
+        |  CAST(start_off // 256 AS BIGINT) AS pack_first,
+        |  CAST((start_off + n_tokens - 1) // 256 AS BIGINT) AS pack_last,
+        |  CAST((start_off + n_tokens - 1) // 256 - start_off // 256 + 1
+        |    AS BIGINT) AS n_packs
         |FROM o ORDER BY source, doc_id""".stripMargin,
 
     // Same union+ordered-carry formulation as the Spark plan; per-column
@@ -8608,7 +8620,7 @@ object SparkEntry {
           |  (2, '/files/oce-wasde-2026-07.xls')) v(ord, href)""".stripMargin) +
       ("q80_staged_ingest" ->
         """WITH src(entity, d, v) AS (
-          |  SELECT e, ('2026-01-0' || i)::DATE, i * 10.0
+          |  SELECT e, ('2026-01-0' || i)::DATE, CAST(i * 10.0 AS DOUBLE)
           |  FROM (VALUES ('A'),('B'),('C')) ee(e), generate_series(1, 6) s(i)),
           |wm(entity, wmd) AS (VALUES
           |  ('A', DATE '2026-01-03'), ('B', DATE '2026-01-05'),
@@ -8625,7 +8637,7 @@ object SparkEntry {
           |  ('CK26', DATE '1970-01-01'),
           |  ('CN26', DATE '1970-01-01')),
           |quotes AS (SELECT symbol, ('2026-03-' || i)::DATE AS d,
-          |    i * 10.0 + length(symbol) AS close
+          |    CAST(i * 10.0 + length(symbol) AS DOUBLE) AS close
           |  FROM syms, generate_series(18, 24) g(i))
           |SELECT q.symbol, q.d, q.close
           |FROM quotes q JOIN syms s ON q.symbol = s.symbol
@@ -8637,7 +8649,7 @@ object SparkEntry {
           |  (2, 'true', '2026-02-28', '2026-02-28 23:59:59'))
           |  v(r, c0, c1, c2)""".stripMargin) +
       ("q82_idempotent_reload" ->
-        """SELECT * FROM (VALUES
+        """SELECT month, k, CAST(v AS DOUBLE) AS v FROM (VALUES
           |  ('2026-01', 'a', 1.0), ('2026-01', 'b', 2.0),
           |  ('2026-02', 'c', 30.0), ('2026-02', 'd', 4.0))
           |  t(month, k, v)""".stripMargin) +

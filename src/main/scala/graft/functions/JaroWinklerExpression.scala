@@ -16,13 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * jaro = (m/l1 + m/l2 + (m−t)/m)/3, Winkler boost
   * jw = jaro + ℓ·0.1·(1−jaro) for common prefix ℓ ≤ 4 applied only when
   * jaro > 0.7; both-empty and no-match pairs score 0.0 (DuckDB
-  * convention). One compiled pass per pair, O(l1·l2) worst case with the
-  * usual early exits. */
+  * convention). Operates on Unicode CODEPOINTS (like the oracle), not
+  * UTF-16 code units, so supplementary-plane characters count as one
+  * symbol (r11, ADVICE). One compiled pass per pair, O(l1·l2) worst case
+  * with the usual early exits. */
 object JaroWinklerOps {
 
   def jaroWinkler(s1: UTF8String, s2: UTF8String): Double = {
-    val a = s1.toString
-    val b = s2.toString
+    val a = s1.toString.codePoints().toArray
+    val b = s2.toString.codePoints().toArray
     val l1 = a.length
     val l2 = b.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -37,7 +39,7 @@ object JaroWinklerOps {
       var j = jLo
       var found = false
       while (j <= jHi && !found) {
-        if (!m2(j) && a.charAt(i) == b.charAt(j)) {
+        if (!m2(j) && a(i) == b(j)) {
           m1(i) = true; m2(j) = true; matches += 1; found = true
         }
         j += 1
@@ -51,7 +53,7 @@ object JaroWinklerOps {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(j)) j += 1
-        if (a.charAt(i) != b.charAt(j)) t += 1
+        if (a(i) != b(j)) t += 1
         j += 1
       }
       i += 1
@@ -61,7 +63,7 @@ object JaroWinklerOps {
     if (jaro > 0.7) {
       var l = 0
       val maxL = math.min(4, math.min(l1, l2))
-      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      while (l < maxL && a(l) == b(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     } else jaro
   }

@@ -434,6 +434,11 @@ object Dedup {
     // (the 2.4× local win); above it, recompute — one extra column-pruned
     // scan + native shingling pass beats pinning a corpus-sized
     // intermediate in executor storage.
+    // Lifecycle: the returned DataFrame reads these checkpoint blocks
+    // lazily, so they cannot be unpersisted here; Verify/Bench release all
+    // persistent RDDs after each query's result is consumed, and other
+    // callers rely on ContextCleaner GC (the blocks are bounded by the
+    // size dispatch above).
     val toksPlan = base
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.charShingles(

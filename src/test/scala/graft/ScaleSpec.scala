@@ -515,6 +515,47 @@ class ScaleSpec extends AnyFunSuite {
       p228)
   }
 
+  test("plan shapes: round-10 ER/dedup additions stay scale-safe (r11 locks)") {
+    val sfDir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    // q233 golden record: candidate pairs come from the blocked equi-join
+    // on the first-name token — never a cartesian/nested loop over parts;
+    // the golden-name pick window is partitioned by cluster, never global
+    val p233 = plan("q233_golden_record")
+    assert(!p233.contains("CartesianProduct") &&
+      !p233.contains("BroadcastNestedLoopJoin"), p233)
+    assert(p233.contains("Window") && !p233.contains("SinglePartition"), p233)
+
+    // q227 JW band profile: the same blocked equi-join contract (the JW
+    // expression evaluates only inside blocks)
+    val p227 = plan("q227_jw_profile")
+    assert(!p227.contains("CartesianProduct") &&
+      !p227.contains("BroadcastNestedLoopJoin"), p227)
+
+    // q243 cluster-size histogram: downstream of the guarded CC the only
+    // product shape is the broadcast of the 1-row doc total (asserted
+    // honored); the rollup joins stay equi-joins — no shuffled cartesian
+    val p243 = plan("q243_cluster_size_histogram")
+    assert(!p243.contains("CartesianProduct"), p243)
+    assert(p243.contains("BroadcastExchange"), p243)
+
+    // q234 repeated-chunk runs: candidates from the frequency-capped
+    // chunk-hash equi-join; the run-length window is partitioned by
+    // (d1, d2, diag) — never a global single-partition window
+    val p234 = plan("q234_repeated_chunk_runs")
+    assert(!p234.contains("CartesianProduct") &&
+      !p234.contains("BroadcastNestedLoopJoin"), p234)
+    assert(p234.contains("Window") && !p234.contains("SinglePartition"), p234)
+
+    // q220 semantic dedup e2e: candidates only from the LSH bucket
+    // equi-join — never all-pairs over vectors
+    val p220 = plan("q220_semantic_dedup")
+    assert(!p220.contains("CartesianProduct") &&
+      !p220.contains("BroadcastNestedLoopJoin"), p220)
+  }
+
   test("dqRuleReport: one-pass suite, NULL predicate counts as violation") {
     import spark.implicits._
     val df = Seq(

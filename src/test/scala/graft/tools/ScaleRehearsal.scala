@@ -106,6 +106,77 @@ object ScaleRehearsal {
         .select(col("cluster")).distinct().count()
     }
 
+    // ---- round-10 families (r11 rehearsal): CDC chunking + runs ----
+    timed("q234_cdc_chunk_runs") {
+      // q234's chain: CDC chunk hashes → frequency-capped hash equi-join
+      // → diagonal run detection; the cap must keep the boilerplate
+      // chunk (in a third of all docs) out of the candidate join
+      import org.apache.spark.sql.expressions.Window
+      val ch = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), posexplode(graft.functions.CdcOps
+          .cdcChunksCol(col("text"), 8, 64)).as(Seq("j", "c")))
+        .select(col("doc_id"), col("j").cast("long").as("j"),
+          md5(col("c")).as("ch"))
+      val capped = ch.groupBy(col("ch"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+        .filter(col("n") <= 20 && col("nd") >= 2).select("ch")
+      val cIn = ch.join(capped, "ch")
+      val p = cIn.select(col("ch"), col("doc_id").as("d1"), col("j").as("j1"))
+        .join(cIn.select(col("ch"), col("doc_id").as("d2"),
+          col("j").as("j2")), "ch")
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2", "j1", "j2").distinct()
+      p.withColumn("diag", col("j1") - col("j2"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("d1"), col("d2"), col("diag"))
+          .orderBy(col("j1"))))
+        .groupBy(col("d1"), col("d2"), col("diag"),
+          (col("j1") - col("rn")).as("grp"))
+        .agg(count(lit(1)).as("len"))
+        .filter(col("len") >= 2).count()
+    }
+
+    // ---- round-10 families: JW-gated golden-record ER (q233 shape) ----
+    timed("q233_jw_golden_record") {
+      // synthetic dirty names: ~12k entities, 1-4 variants each differing
+      // in a trailing token — blocks on the first token, JW >= 15/16 gate,
+      // CC, then the most-frequent-name pick
+      import org.apache.spark.sql.expressions.Window
+      val adj = Vector("almond", "antique", "aquamarine", "azure", "beige",
+        "bisque", "black", "blanched", "blue", "blush", "brown", "burlywood",
+        "burnished", "chartreuse", "chiffon", "chocolate", "coral")
+      val nrnd = new scala.util.Random(44)
+      val nrows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var nid = 0L
+      while (nrows.length < nDocs / 2) {
+        val base = (0 until 4).map(_ => adj(nrnd.nextInt(adj.length)))
+        val variants = 1 + nrnd.nextInt(4)
+        (0 until variants).foreach { v =>
+          val name =
+            if (v == 0) base.mkString(" ")
+            else (base.dropRight(1) :+ (base.last + v)).mkString(" ")
+          nrows += ((nid, name)); nid += 1
+        }
+      }
+      val names = nrows.toSeq.toDF("id", "name")
+        .withColumn("blk", split(col("name"), " ").getItem(0))
+        .repartition(32).localCheckpoint()
+      val pairs = names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .filter(graft.functions.JaroWinklerOps.jaroWinklerCol(
+          col("a.name"), col("b.name")) >= 0.9375)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val clusters = Dedup.connectedComponents(
+        names.select(col("id")), "id", pairs)
+      val m = clusters.join(names.select(col("id"), col("name")), "id")
+      val freq = m.groupBy(col("cluster"), col("name"))
+        .agg(count(lit(1)).as("cnt"))
+      freq.withColumn("rk", row_number().over(Window
+          .partitionBy(col("cluster"))
+          .orderBy(col("cnt").desc, col("name").asc)))
+        .filter(col("rk") === 1).count()
+    }
+
     // ---- ANN / similarity family at 10x the sf0.1 embeddings table ----
     // 20k 64-dim vectors in ~2.3k clusters: each cluster is a base vector
     // plus small per-member noise (members sit well above cosine 0.9 of
@@ -151,6 +222,19 @@ object ScaleRehearsal {
     timed("q128_hard_negatives") {
       Similarity.hardNegatives(vecs, "vec_id", "embedding",
         anchorIds = Seq(0L, 100L, 1000L, 5000L), k = 8).count()
+    }
+
+    // ---- round-10 families: semantic dedup e2e (q220 shape) ----
+    timed("q220_semantic_dedup_e2e") {
+      // LSH candidate pairs → CC → per-cluster sizes: the full pipeline
+      // at 10x vectors, keeper share printed by the count
+      val pairs = Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+          bits = 4, minSim = 0.35,
+          signature = Similarity.hyperplaneSignatureLattice)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.connectedComponents(vecs, "vec_id", pairs)
+      clusters.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size")).count()
     }
     spark.stop()
   }

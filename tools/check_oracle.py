@@ -62,6 +62,43 @@ def rows_eq(ra, rb):
     return len(ra) == len(rb) and all(values_eq(a, b) for a, b in zip(ra, rb))
 
 
+def type_family(t):
+    """Group physical types into the families a type-tagged hasher keys on.
+
+    The r10 driver hash-reds (q197/q200) were rows-match/schema-match/
+    hash-MISMATCH caused purely by DuckDB widening a windowed sum(BIGINT)
+    to HUGEINT while Spark emits INT64 — identical values, different value
+    *types*. Any oracle column whose family differs from its Spark twin's
+    is one driver-hash red waiting to happen, even if today's value
+    compare passes."""
+    u = t.upper()
+    if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if u in ("HUGEINT", "UHUGEINT") or u.startswith("DECIMAL"):
+        return "wide"
+    if u in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    return u
+
+
+def type_parity(con, out_dir, name, sql):
+    """Returns [(col, oracle_type, spark_type)] whose families mismatch."""
+    try:
+        s_types = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
+        ).fetchall()}
+        w_types = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE {sql}").fetchall()}
+    except Exception:
+        return []
+    return [(c, w_types[c], s_types[c]) for c in w_types
+            if c in s_types
+            and type_family(w_types[c]) != type_family(s_types[c])]
+
+
 def tolerant_match(sa, sb):
     """Greedy multiset match with tolerance for the (small) sets of rows
     the sorted zip left unpaired — rescues rows whose float sort keys
@@ -113,6 +150,13 @@ def main():
             print(f"FAIL {name}: {e}")
             failed += 1
             continue
+        # type-family parity (the q197/q200 HUGEINT driver-hash trap):
+        # flagged even when the value compare below passes
+        tmis = type_parity(con, out_dir, name, sql)
+        if tmis:
+            print(f"TYPE {name}: oracle vs spark type-family mismatch "
+                  f"{tmis} — a type-tagged driver hash goes red on this")
+            failed += 1
         # driver semantics: sort columns by name, then sort rows
         sidx = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
         widx = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
