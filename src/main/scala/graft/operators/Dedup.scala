@@ -453,25 +453,63 @@ object Dedup {
     // row_number uses), slice the prefix, re-explode. Sorting ~n-element
     // arrays per doc beats a cluster-wide sort by (doc, dfreq, tok), and
     // the doc-side shuffle carries each doc once instead of once per tok.
-    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
-    val prefix = toks.join(dfreq, "tok")
+    // dfreq is distinct-shingle-sized — under the same input bound it
+    // fits a broadcast, turning toks⋈dfreq from a sort-merge join (which
+    // re-hashes the corpus-sized toks by tok right before the groupBy
+    // re-hashes it again by doc) into a map-side hash join with ONE
+    // shuffle of toks instead of two. Above the bound the shingle
+    // dictionary is itself corpus-scale — keep the shuffle join.
+    // (r11 net effect of this + the aggregate cap + the candidate length
+    // filter + the verify respread: 7.4 → 5.5 s warm at sf0.1,
+    // tools/P121b + Adjudicate.)
+    val prefixPre = toks
+      .join(if (inputSmall) broadcast(dfreq) else dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
-      .select(col("doc_id"), explode(expr(
+      // size(td) is the doc's distinct-shingle count (charShingles is
+      // distinct): carried as `n` so the PPJoin length filter below can
+      // kill size-incompatible pairs at the candidate level
+      .select(col("doc_id"), size(col("td")).as("n"), explode(expr(
         s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
-      .select(col("doc_id"), col("x.tok").as("tok"))
-      .withColumn("nd", count(lit(1)).over(wTok))
-      .filter(col("nd") <= maxDocsPerTok)
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("n"), col("x.tok").as("tok"))
+    // cap-hot prefix tokens via aggregate + semi-join, NOT a count
+    // window: the partial aggregate collapses a corpus-hot prefix token
+    // map-side and the join stays splittable, where a window partition
+    // by tok cannot be split — the same at-scale reason the count-window
+    // dfreq variant was rejected above (the prefix biases toward rare
+    // shingles, but "rare" is a per-doc rank, not a global bound, so a
+    // hot-partition guarantee needs the aggregate shape).
+    val keepToks = prefixPre.groupBy(col("tok"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= maxDocsPerTok).select(col("tok"))
+    val prefix = prefixPre
+      .join(if (inputSmall) broadcast(keepToks) else keepToks, "tok")
+      .select(col("doc_id"), col("n"), col("tok"))
       // tiny (≤ prefix size per doc, cap per shingle) and consumed by BOTH
-      // sides of the candidate self-join — materialize once so the two
-      // windows above don't run twice
+      // sides of the candidate self-join — materialize once so the chain
+      // above doesn't run twice
       .localCheckpoint()
+    // PPJoin length filter at the CANDIDATE level: jacc = I/U ≤ min/max
+    // (I ≤ min(n_a,n_b), U ≥ max), so a pair with min·denT < max·numT
+    // cannot pass the exact threshold — dropped here, BEFORE the distinct
+    // shuffle and before the per-doc shingle arrays are hauled through
+    // the verify join (~1/3 of sf0.1 candidates die; exact math, so the
+    // oracle is untouched).
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.n"), col("b.n")) * denT >=
+        greatest(col("a.n"), col("b.n")) * numT)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    // The verify stage is CPU-dense per BYTE (a merge scan of two ~n-
+    // element hash arrays per pair), so AQE's bytes-based coalescing
+    // under-parallelizes it when the candidate table is small on disk —
+    // respread to the core count under the same input bound. At scale
+    // the candidate exchange is large and AQE sizes it correctly.
+    val candSpread = if (inputSmall)
+      cand.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    else cand
     // compact per-doc shingle-hash sets — one row per doc, no re-explode
     val arrs = docs
       .filter(length(trim(col(textCol))) > 0)
@@ -479,7 +517,7 @@ object Dedup {
         TextFunctions.charShingleHashes(
           TextFunctions.normalize(col(textCol)), shingleK).as("tokset"))
       .withColumn("n", size(col("tokset")))
-    cand
+    candSpread
       .join(arrs.as("sa"), col("sa.doc_id") === col("d1"))
       .join(arrs.as("sb"), col("sb.doc_id") === col("d2"))
       .withColumn("n_inter",

@@ -554,6 +554,18 @@ class ScaleSpec extends AnyFunSuite {
     val p220 = plan("q220_semantic_dedup")
     assert(!p220.contains("CartesianProduct") &&
       !p220.contains("BroadcastNestedLoopJoin"), p220)
+
+    // q121 prefix-Jaccard r11 shape: the hot-prefix cap is an aggregate +
+    // join (splittable under a corpus-hot shingle), NOT a count window —
+    // the final stage must carry no Window at all; candidates only from
+    // the shingle equi-join; the PPJoin length filter (least/greatest on
+    // the carried set sizes) runs at the candidate level, before the
+    // per-doc hash arrays are hauled through the verify join
+    val p121 = plan("q121_prefix_jaccard")
+    assert(!p121.contains("CartesianProduct") &&
+      !p121.contains("BroadcastNestedLoopJoin"), p121)
+    assert(!p121.contains("Window"), p121)
+    assert(p121.contains("least") && p121.contains("greatest"), p121)
   }
 
   test("dqRuleReport: one-pass suite, NULL predicate counts as violation") {
