@@ -433,6 +433,45 @@ object PropertySpec extends Properties("graft") {
         }
     }
 
+  property("prefixJaccardPairs (uncapped) equals brute force on random corpora") =
+    Prop.forAll(Gen.choose(8, 30), Gen.choose(1L, 9999L)) { (nDocs, seed) =>
+      // random lengths down to 1 token and a shared template with point
+      // mutations — exercises the slice boundary (size(td) near the
+      // prefix formula's edge), the length filter, and near-dup recall
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 30).map(i => s"v$i")
+      val template = (0 until 20).map(_ => vocab(rnd.nextInt(vocab.length)))
+      val rows = (0L until nDocs.toLong).map { i =>
+        val txt =
+          if (i % 3 == 0) // mutated template copy (likely near-dup pair)
+            template.zipWithIndex.map { case (w, j) =>
+              if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.length)) else w
+            }.mkString(" ")
+          else (0 until 1 + rnd.nextInt(24))
+            .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        (i, txt)
+      }
+      val d = rows.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .prefixJaccardPairs(d, "doc_id", "text", maxDocsPerTok = 10000)
+        .select("id_a", "id_b", "n_inter")
+        .as[(Long, Long, Long)].collect().toSet
+      val toks = d.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.charShingles(
+            graft.functions.TextFunctions.normalize(col("text")), 8)).as("s"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val brute = toks.as("x").join(toks.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("ni"))
+        .join(sizes.as("sx"), col("a") === col("sx.doc_id"))
+        .join(sizes.as("sy"), col("b") === col("sy.doc_id"))
+        .filter(col("ni") * 5 >= (col("sx.n") + col("sy.n") - col("ni")) * 3)
+        .select(col("a"), col("b"), col("ni").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      got == brute
+    }
+
   property("jaroWinkler: bounded, symmetric, identity = 1, deterministic") =
     Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
       import graft.functions.JaroWinklerOps.jaroWinkler
