@@ -170,20 +170,29 @@ object Dedup {
     candidatesFromBanded(banded, maxBucket)
   }
 
-  /** Shared LSH tail: prune oversized/singleton buckets with one window
-    * count, then self-join within buckets for distinct ordered pairs. */
+  /** Shared LSH tail: prune oversized/singleton buckets, then self-join
+    * within buckets for distinct ordered pairs. */
   private def candidatesFromBanded(banded: DataFrame, maxBucket: Int): DataFrame = {
-    // Window-count instead of a separate aggregate+join: the signature scan
-    // (the expensive part) is computed once, and the two self-join branches
-    // below share its shuffle via ReusedExchange.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
     // bands-per-doc rows only (tiny vs the signature computation feeding
-    // them) — checkpoint so the two self-join branches share one signature
-    // pass instead of recomputing shingles + hash lanes twice
-    val pruned = banded
-      .withColumn("bucket_n", count(lit(1)).over(w))
+    // them) — checkpoint ONCE so the bucket-count aggregate and the
+    // self-join branches all share one signature pass instead of
+    // recomputing shingles + hash lanes per consumer
+    val b0 = banded.localCheckpoint()
+    // bucket band via aggregate + semi-join, NOT a count window over
+    // (band, bh): the partial aggregate collapses a corpus-hot bucket
+    // map-side and the join stays splittable, where a window partition
+    // cannot be split — counting a hot bucket through a window is itself
+    // the straggler the maxBucket cap exists to prevent (r11 shape rule,
+    // as in prefixJaccardPairs / sharedPassagePairs).
+    val keep = b0.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
+      .select(col("band"), col("bh"))
+    val pruned = b0.join(keep, Seq("band", "bh"))
       .select(col("doc_id"), col("band"), col("bh"))
+      // consumed by BOTH self-join branches — materialize once so the
+      // band aggregate + semi-join above don't run twice (bounded: ≤ cap
+      // rows per bucket)
       .localCheckpoint()
     val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -453,17 +462,16 @@ object Dedup {
     // row_number uses), slice the prefix, re-explode. Sorting ~n-element
     // arrays per doc beats a cluster-wide sort by (doc, dfreq, tok), and
     // the doc-side shuffle carries each doc once instead of once per tok.
-    // dfreq is distinct-shingle-sized — under the same input bound it
-    // fits a broadcast, turning toks⋈dfreq from a sort-merge join (which
-    // re-hashes the corpus-sized toks by tok right before the groupBy
-    // re-hashes it again by doc) into a map-side hash join with ONE
-    // shuffle of toks instead of two. Above the bound the shingle
-    // dictionary is itself corpus-scale — keep the shuffle join.
-    // (r11 net effect of this + the aggregate cap + the candidate length
-    // filter + the verify respread: 7.4 → 5.5 s warm at sf0.1,
-    // tools/P121b + Adjudicate.)
+    // dfreq is distinct-shingle-sized. Do NOT force a broadcast here:
+    // the dictionary's size tracks corpus CONTENT, not input bytes (a
+    // 15 MB content-dense synthetic corpus produced a multi-million-row
+    // dictionary and a forced broadcast regressed the 10× rehearsal
+    // 33 → 53 s, r11) — AQE sees the aggregate's actual output size and
+    // converts this join to a broadcast hash join exactly when the
+    // dictionary is genuinely small, which is the repetitive-corpus case
+    // where it helps.
     val prefixPre = toks
-      .join(if (inputSmall) broadcast(dfreq) else dfreq, "tok")
+      .join(dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
       // size(td) is the doc's distinct-shingle count (charShingles is
@@ -483,7 +491,7 @@ object Dedup {
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") <= maxDocsPerTok).select(col("tok"))
     val prefix = prefixPre
-      .join(if (inputSmall) broadcast(keepToks) else keepToks, "tok")
+      .join(keepToks, "tok") // AQE broadcasts when actually small (above)
       .select(col("doc_id"), col("n"), col("tok"))
       // tiny (≤ prefix size per doc, cap per shingle) and consumed by BOTH
       // sides of the candidate self-join — materialize once so the chain
@@ -896,17 +904,30 @@ object Dedup {
       gram: Int = 16, win: Int = 8, minShared: Int = 8,
       maxDocsPerFp: Int = 10): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    val fps = docs
+    val fpsPlan = docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         explode(GraftBridge.column(graft.functions.WinnowFingerprints(
           GraftBridge.expression(
             graft.functions.TextFunctions.normalize(col(textCol))),
           gram, win))).as("fp"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val pruned = fps
-      .withColumn("n_docs", count(lit(1)).over(w))
+    // TWO consumers follow (the band aggregate and the join) — same
+    // size-dispatched materialization as prefixJaccardPairs: under a
+    // proven input bound the winnow pass is checkpointed once; above it,
+    // recompute beats pinning a corpus-sized intermediate.
+    val inputSmall = docs.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(512L << 20)
+    val fps = if (inputSmall) fpsPlan.localCheckpoint() else fpsPlan
+    // shared/cap band via aggregate + semi-join, NOT a count window over
+    // fp: the partial aggregate collapses a corpus-hot fingerprint (site
+    // boilerplate shared by millions of docs) map-side and the join
+    // stays splittable, where a window partition by fp cannot be split —
+    // the same at-scale shape rule as prefixJaccardPairs' caps (r11).
+    val fpBand = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1 && col("n_docs") <= maxDocsPerFp)
+      .select(col("fp"))
+    val pruned = fps.join(fpBand, "fp")
       .select(col("doc_id"), col("fp"))
       .localCheckpoint()
     pruned.as("a")
