@@ -472,6 +472,38 @@ object PropertySpec extends Properties("graft") {
       got == brute
     }
 
+  property("containmentPairs (uncapped) equals brute force on random corpora") =
+    Prop.forAll(Gen.choose(8, 24), Gen.choose(1L, 9999L)) { (nDocs, seed) =>
+      // random docs plus quote-in-article pairs: doc 3k+1 embeds doc 3k's
+      // text — the directed relation Jaccard misses
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 30).map(i => s"v$i")
+      val own = (0L until nDocs.toLong).map(i =>
+        i -> (0 until 4 + rnd.nextInt(20))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")).toMap
+      // doc 3k+1 embeds doc 3k's text — the directed relation
+      val d = (0L until nDocs.toLong).map(i =>
+        (i, if (i % 3 == 1) own(i - 1) + " " + own(i) else own(i)))
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .containmentPairs(d, "doc_id", "text", maxDocsPerTok = 10000)
+        .select("id_sub", "id_sup", "n_inter")
+        .as[(Long, Long, Long)].collect().toSet
+      val toks = d.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.charShingles(
+            graft.functions.TextFunctions.normalize(col("text")), 8)).as("s"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val brute = toks.as("x").join(toks.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("ni"))
+        .join(sizes.as("sx"), col("a") === col("sx.doc_id"))
+        .filter(col("ni") * 4 >= col("sx.n") * 3)
+        .select(col("a"), col("b"), col("ni").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      got == brute
+    }
+
   property("jaroWinkler: bounded, symmetric, identity = 1, deterministic") =
     Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
       import graft.functions.JaroWinklerOps.jaroWinkler
