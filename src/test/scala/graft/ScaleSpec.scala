@@ -566,6 +566,16 @@ class ScaleSpec extends AnyFunSuite {
       !p121.contains("BroadcastNestedLoopJoin"), p121)
     assert(!p121.contains("Window"), p121)
     assert(p121.contains("least") && p121.contains("greatest"), p121)
+
+    // same shape rule for the LSH bucket cap (q29/q107 family) and the
+    // winnow fingerprint band (q119): hot-key caps are aggregates +
+    // semi-joins, so no Window survives anywhere in these plans either
+    for (q <- Seq("q29_minhash_lsh", "q107_minhash_estimate",
+        "q119_shared_passages")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+        s"$q: $p")
+    }
   }
 
   test("dqRuleReport: one-pass suite, NULL predicate counts as violation") {
