@@ -599,11 +599,18 @@ object Dedup {
       .select(col("doc_id"), col("tok"))
     val index = toks.join(
       dfreq.filter(col("dfreq") <= maxDocsPerTok).select(col("tok")), "tok")
-    val cand = prefix.as("a")
+    val cand0 = prefix.as("a")
       .join(index.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("sub"), col("b.doc_id").as("sup"))
       .distinct()
+    // verify stage is CPU-dense per byte (merge scan per pair): respread
+    // to core count when the candidate table is small on disk, where
+    // AQE's bytes-based coalescing under-parallelizes it (same dispatch
+    // rationale as prefixJaccardPairs, r11)
+    val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(512L << 20)
+    val cand = if (inputSmall) cand0.repartition(par) else cand0
     val arrs = docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
