@@ -106,6 +106,32 @@ object ScaleRehearsal {
         .select(col("cluster")).distinct().count()
     }
 
+    // ---- r11: directed containment at 10x (q154 shape) ----
+    timed("q154_containment") {
+      Dedup.containmentPairs(docs, "doc_id", "text").count()
+    }
+
+    // ---- r11: edit-distance-1 join at 10x (q202 shape) ----
+    timed("q202_editdist_join") {
+      // ~25k identifier-like strings; every third is a 1-char typo of its
+      // predecessor — the SymSpell deletion-neighborhood join must stay
+      // linear in len and find exactly the planted pairs plus collisions
+      val ernd = new scala.util.Random(45)
+      val raw = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      (0L until (nDocs / 2).toLong).foreach { i =>
+        val s =
+          if (i % 3 == 2 && raw.nonEmpty) {
+            val prev = raw.last._2 // planted typo: substitute one char
+            val p = ernd.nextInt(prev.length)
+            prev.updated(p, ('a' + ernd.nextInt(26)).toChar)
+          } else
+            f"sku-${ernd.nextInt(100000)}%05d-${('a' + ernd.nextInt(26)).toChar}"
+        raw += ((i, s))
+      }
+      val strs = raw.toSeq.toDF("id", "s").localCheckpoint()
+      Dedup.editDistanceJoin(strs, "id", "s").count()
+    }
+
     // ---- round-10 families (r11 rehearsal): CDC chunking + runs ----
     timed("q234_cdc_chunk_runs") {
       // q234's chain: CDC chunk hashes → frequency-capped hash equi-join
