@@ -76,6 +76,13 @@ object ScaleRehearsal {
       val n = f
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"REHEARSAL $name rows=$n%d time=$secs%.1f s")
+      // same isolation hygiene as Bench (r5 lesson): localCheckpoint
+      // blocks pinned by a finished chain steal execution memory from the
+      // next one and widen the run-to-run band — release them before the
+      // next timing
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
 
     timed("q121_prefix_jaccard") {
