@@ -76,9 +76,20 @@ object Bench {
     // ONCE on the tiny sf0.001 corpus before timing. Nothing from the
     // timed corpus is read or cached here (different directory, caches
     // cleared), and `SPARK_GRAFT_NO_WARM=1` restores the raw cold run.
-    val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
+    // Canonical-path comparison (r11 ADVICE): a relative sfDir has a null
+    // string parent ("null/sf0.001" silently disabled the warmup) and a
+    // trailing-slash sfDir made the raw string inequality pass with
+    // warmDir == the timed corpus. Canonicalize both sides and guard the
+    // null parent; equality then means "same directory" regardless of
+    // spelling, and the warmup is skipped rather than run on the timed
+    // corpus.
+    val sfCanon = new java.io.File(sfDir).getCanonicalFile
+    val warmDirFile = Option(sfCanon.getParentFile)
+      .map(p => new java.io.File(p, "sf0.001").getCanonicalFile)
+    var warmSec = -1.0 // -1 in the result JSON = warmup did not run
     if (!sys.env.contains("SPARK_GRAFT_NO_WARM") &&
-        new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+        warmDirFile.exists(w => w.isDirectory && w != sfCanon)) {
+      val warmDir = warmDirFile.get.getPath
       val t0 = System.nanoTime()
       Seq("q121_prefix_jaccard", "q119_shared_passages",
         "q107_minhash_estimate", "q95_boilerplate_spans",
@@ -94,8 +105,11 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         spark.catalog.clearCache()
       }
-      System.err.println(
-        f"[bench] jit warmup done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      warmSec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] jit warmup done in $warmSec%.1f s")
+      // Leave a clean heap: the warmup churned ~12 queries of garbage, and
+      // without this the first TIMED query absorbs the resulting major GC.
+      System.gc()
     }
 
     // Optional args = subset of query names (local iteration); default all.
@@ -142,10 +156,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failedNames = results.filter(_._2 < 0).map(r => "\"" + shortKey(r._1) + "\"")
       .take(12).mkString("[", ",", "]")
+    // warm_s records whether (and how long) the JIT warmup ran — -1.0
+    // means it was skipped, so a cold-floor round is self-evident in the
+    // artifact instead of inferred from q-level spikes (r11 ADVICE: warmed
+    // and cold totals must be distinguishable round-over-round).
     println(
       s"""{"metric":"total","unit":"sec","value":${f3(total)},""" +
         s""""n":${results.size},"failed":$nFailed,"failed_q":$failedNames,""" +
-        s""""slowest":$slowest,"sf":"$sfDir","corpus_md5":"$corpusMd5"}""")
+        s""""slowest":$slowest,"warm_s":${f3(warmSec)},"sf":"$sfDir",""" +
+        s""""corpus_md5":"$corpusMd5"}""")
     // Belt-and-braces full-name copy for readers of the repo; never let a
     // missing target/ dir (foreign cwd) fail the bench after the fact.
     // ONE parseable JSON document (r10, ADVICE): corpus fingerprints merged

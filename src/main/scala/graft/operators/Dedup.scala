@@ -173,11 +173,17 @@ object Dedup {
   /** Shared LSH tail: prune oversized/singleton buckets, then self-join
     * within buckets for distinct ordered pairs. */
   private def candidatesFromBanded(banded: DataFrame, maxBucket: Int): DataFrame = {
-    // bands-per-doc rows only (tiny vs the signature computation feeding
-    // them) — checkpoint ONCE so the bucket-count aggregate and the
-    // self-join branches all share one signature pass instead of
-    // recomputing shingles + hash lanes per consumer
-    val b0 = banded.localCheckpoint()
+    // bands-per-doc rows, consumed by the bucket-count aggregate and both
+    // self-join branches. Whether to materialize them is SIZE-DISPATCHED
+    // under the same 512 MB input bound as prefixJaccardPairs /
+    // sharedPassagePairs (r11 at-scale rule): under the bound, checkpoint
+    // ONCE so three consumers share one signature pass; above it, a
+    // banded table is O(docs × bands) rows and pinning it in executor
+    // storage is worse than re-deriving it per consumer — recompute is
+    // the 100 TB shape.
+    val inputSmall = banded.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(512L << 20)
+    val b0 = if (inputSmall) banded.localCheckpoint() else banded
     // bucket band via aggregate + semi-join, NOT a count window over
     // (band, bh): the partial aggregate collapses a corpus-hot bucket
     // map-side and the join stays splittable, where a window partition
@@ -188,12 +194,13 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
       .select(col("band"), col("bh"))
-    val pruned = b0.join(keep, Seq("band", "bh"))
+    val prunedPlan = b0.join(keep, Seq("band", "bh"))
       .select(col("doc_id"), col("band"), col("bh"))
-      // consumed by BOTH self-join branches — materialize once so the
-      // band aggregate + semi-join above don't run twice (bounded: ≤ cap
-      // rows per bucket)
-      .localCheckpoint()
+    // consumed by BOTH self-join branches — under the bound, materialize
+    // once so the band aggregate + semi-join above don't run twice (≤ cap
+    // rows per bucket, but total rows still scale with the corpus, so the
+    // same dispatch applies)
+    val pruned = if (inputSmall) prunedPlan.localCheckpoint() else prunedPlan
     val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -474,10 +481,20 @@ object Dedup {
       .join(dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
-      // size(td) is the doc's distinct-shingle count (charShingles is
-      // distinct): carried as `n` so the PPJoin length filter below can
-      // kill size-incompatible pairs at the candidate level
-      .select(col("doc_id"), size(col("td")).as("n"), explode(expr(
+      // `n` feeds the PPJoin length filter below. Derive it from the
+      // HASHED shingle set (xxhash64 seed 42 = charShingleHashes), not
+      // size(td): the verify stage thresholds on hash-set sizes, and a
+      // within-doc hash collision would make the string count exceed the
+      // hash count — the two stages would then disagree on borderline
+      // pairs. With hash-derived n the filter is exactly implied by the
+      // verify threshold (n_inter ≤ min, union ≥ max), so it can only
+      // drop pairs verify would drop. The prefix slice below still uses
+      // size(td): it only sets how many rarest shingles witness the doc,
+      // where the string count is the correct (and oracle-mirrored) one.
+      .select(col("doc_id"),
+        size(array_distinct(transform(col("td"), x => xxhash64(x("tok")))))
+          .as("n"),
+        explode(expr(
         s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
       .select(col("doc_id"), col("n"), col("x.tok").as("tok"))
     // cap-hot prefix tokens via aggregate + semi-join, NOT a count
