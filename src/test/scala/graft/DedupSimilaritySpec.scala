@@ -465,4 +465,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       ("books", "news") -> ((1L, 0.25, true)),
       ("web", "web") -> ((1L, 0.25, false))))
   }
+
+  test("LSH candidate size dispatch: recompute path (huge stats) == checkpoint path") {
+    // A DataFrame rebuilt from a raw RDD gets the planner's default size
+    // estimate (Long.MaxValue-ish), which flips candidatesFromBanded's
+    // 512 MB input bound to the recompute branch — the 100 TB shape. The
+    // candidate set must be identical to the checkpointing branch the
+    // small LocalRelation input takes.
+    val hugeStats = spark.createDataFrame(docs.rdd, docs.schema)
+    assert(hugeStats.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(512L << 20), "RDD-backed input must exceed the dispatch bound")
+    assert(docs.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(512L << 20), "LocalRelation input must stay under the bound")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashCandidatesPortable(d, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8)
+        .as[(Long, Long)].collect().toSet
+    assert(run(hugeStats) == run(docs))
+  }
 }

@@ -576,6 +576,16 @@ class ScaleSpec extends AnyFunSuite {
       assert(!p.contains("Window") && !p.contains("CartesianProduct"),
         s"$q: $p")
     }
+
+    // q154 directed containment (r11-adjudicated recompute shape): the
+    // probe prefix ranks by global dfreq via the per-doc array-sort trick
+    // and the hot-token cap is a dfreq filter — no Window anywhere;
+    // candidates only from the rare-token equi-join, never a
+    // cartesian/nested loop over docs
+    val p154 = plan("q154_containment")
+    assert(!p154.contains("CartesianProduct") &&
+      !p154.contains("BroadcastNestedLoopJoin"), p154)
+    assert(!p154.contains("Window"), p154)
   }
 
   test("dqRuleReport: one-pass suite, NULL predicate counts as violation") {
