@@ -481,20 +481,20 @@ object Dedup {
       .join(dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
-      // `n` feeds the PPJoin length filter below. Derive it from the
-      // HASHED shingle set (xxhash64 seed 42 = charShingleHashes), not
-      // size(td): the verify stage thresholds on hash-set sizes, and a
-      // within-doc hash collision would make the string count exceed the
-      // hash count — the two stages would then disagree on borderline
-      // pairs. With hash-derived n the filter is exactly implied by the
-      // verify threshold (n_inter ≤ min, union ≥ max), so it can only
-      // drop pairs verify would drop. The prefix slice below still uses
-      // size(td): it only sets how many rarest shingles witness the doc,
-      // where the string count is the correct (and oracle-mirrored) one.
-      .select(col("doc_id"),
-        size(array_distinct(transform(col("td"), x => xxhash64(x("tok")))))
-          .as("n"),
-        explode(expr(
+      // size(td) is the doc's distinct shingle-STRING count, carried as
+      // `n` for the PPJoin length filter below. The verify stage
+      // thresholds on hash-ARRAY sizes (size(tokset)), so under a
+      // within-doc 64-bit collision n_str exceeds n_hash by the collision
+      // count and the two stages could disagree on a pair whose ratio
+      // sits within ~collisions/n of the threshold — the same ~n²/2⁶⁵
+      // event as the verify caveat above, subsumed by it (any such
+      // collision already shifts n_a/n_b/jacc off the string-set values),
+      // and deterministic, so a PropertySpec flake here means exactly
+      // this. Deriving n from the hashes instead was measured and
+      // rejected: the transform() HOF evaluates its lambda interpreted
+      // per element (87.7 s vs the 30.6-53.5 s band on the 10× rehearsal
+      // q121 chain).
+      .select(col("doc_id"), size(col("td")).as("n"), explode(expr(
         s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
       .select(col("doc_id"), col("n"), col("x.tok").as("tok"))
     // cap-hot prefix tokens via aggregate + semi-join, NOT a count

@@ -437,7 +437,15 @@ object PropertySpec extends Properties("graft") {
     Prop.forAll(Gen.choose(8, 30), Gen.choose(1L, 9999L)) { (nDocs, seed) =>
       // random lengths down to 1 token and a shared template with point
       // mutations — exercises the slice boundary (size(td) near the
-      // prefix formula's edge), the length filter, and near-dup recall
+      // prefix formula's edge), the length filter, and near-dup recall.
+      // NOTE this brute force counts shingle STRINGS while the operator's
+      // verify stage merge-scans 64-bit HASH arrays (and its candidate
+      // length filter uses string counts): a within-doc xxhash64
+      // collision (~n²/2⁶⁵, deterministic per text) would make this
+      // property fail reproducibly for that seed with n_inter off by the
+      // collision count — that signature means the documented collision
+      // caveat fired, not an operator bug (see prefixJaccardPairs
+      // docstring).
       val rnd = new scala.util.Random(seed)
       val vocab = (0 until 30).map(i => s"v$i")
       val template = (0 until 20).map(_ => vocab(rnd.nextInt(vocab.length)))
