@@ -41,6 +41,71 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Overlapping word n-grams of a token ARRAY, gram i starting at
+    * toks[i] — the array-input twin of [[wordShingles]] for callers that
+    * already hold a token array and need gram START POSITIONS in the
+    * caller's own index space (span rewriting: the rewrite must drop
+    * token i exactly when a hot gram covers index i, so tokenization must
+    * stay the caller's, not this expression's). Byte-for-byte the
+    * semantics of the HOF formulation it replaces
+    * (`transform(sequence(0, greatest(size(toks)-n, 0)),
+    * i -> concat_ws(' ', slice(toks, i+1, n)))`): an empty array yields
+    * one empty-string gram, 0 < size < n yields one partial gram, null
+    * elements are skipped by the space join exactly as concat_ws skips
+    * them. The HOF evaluates its lambda interpreted per gram — this is
+    * one compiled pass (same case-(b) rationale as [[wordShingles]]). */
+  def wordGrams(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    val count = math.max(len - n + 1, 1)
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder()
+      var first = true
+      var j = 0
+      while (j < n && i + j < len) {
+        if (!toks.isNullAt(i + j)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Tokens of `toks` NOT covered by any width-`n` span starting at the
+    * positions in `starts` (SORTED ascending, 0-based): token i is
+    * dropped iff some start s has s <= i <= s+n-1. One merge sweep over
+    * (tokens, starts) — O(len + |starts|) — replacing the HOF
+    * `filter(toks, (t, i) -> NOT exists(starts, s -> ...))`, whose
+    * interpreted exists() makes the rewrite O(len × |starts|) per
+    * document: a boilerplate-heavy doc with hundreds of hot-gram starts
+    * paid quadratically in the one place the whole operator exists to
+    * clean up. Semantics identical for sorted, non-null starts (the
+    * sort_array(collect_set(...)) the caller builds). */
+  def tokenSpanFilter(toks: ArrayData, starts: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    val ns = starts.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](len)
+    var si = 0
+    var activeEnd = -1L // rightmost s+n-1 among starts with s <= i
+    var i = 0
+    while (i < len) {
+      while (si < ns && starts.getInt(si) <= i) {
+        val e = starts.getInt(si).toLong + (n - 1)
+        if (e > activeEnd) activeEnd = e
+        si += 1
+      }
+      if (i > activeEnd) out += toks.getUTF8String(i)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Lower-case + whitespace-split (Character.isWhitespace), the shared
     * tokenizer of the native text-hash expressions. */
   def splitLower(text: UTF8String): Array[String] = {
@@ -133,6 +198,13 @@ object ShingleOps {
     GraftBridge.column(SortedLongIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  def wordGramsCol(toks: Column, n: Int): Column =
+    GraftBridge.column(WordGrams(GraftBridge.expression(toks), n))
+
+  def tokenSpanFilterCol(toks: Column, starts: Column, n: Int): Column =
+    GraftBridge.column(TokenSpanFilter(
+      GraftBridge.expression(toks), GraftBridge.expression(starts), n))
+
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -204,6 +276,46 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.ShingleOps.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `word_grams(array<string>, n) -> array<string>` — overlapping n-grams
+  * of a token array, gram i starting at toks[i], codegen'd (see
+  * ShingleOps.wordGrams for exact HOF-equivalence semantics). */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.wordGrams(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.wordGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `token_span_filter(array<string>, array<int>, n) -> array<string>` —
+  * tokens not covered by any width-n span starting at the given sorted
+  * positions; one merge sweep, codegen'd (see ShingleOps.tokenSpanFilter). */
+case class TokenSpanFilter(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  // kept tokens pass through verbatim, so nullability follows the input
+  // array's elements — claim nullable to stay truthful for any caller
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "token_span_filter"
+
+  override def nullSafeEval(toks: Any, starts: Any): Any =
+    ShingleOps.tokenSpanFilter(
+      toks.asInstanceOf[ArrayData], starts.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ShingleOps.tokenSpanFilter($a, $b, $n)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -49,11 +49,21 @@ object TextFunctions {
 
   /** Non-deduplicated word n-grams — for MIN-based consumers like MinHash,
     * where duplicates can't change the result and `array_distinct`'s O(n²)
-    * would dominate the scan. */
+    * would dominate the scan, and for positional consumers (span removal:
+    * gram index i starts at toks[i]). Native codegen'd expression
+    * (ShingleOps.wordGrams) with byte-for-byte the semantics of the HOF
+    * `transform(sequence(0, greatest(size-n, 0)), i -> concat_ws(' ',
+    * slice(toks, i+1, n)))` it replaces — the HOF lambda evaluates
+    * interpreted per gram (the charShingles lesson; a PropertySpec pin
+    * holds the equivalence on random arrays incl. empty/short/null). */
   def wordShinglesRaw(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    ShingleOps.wordGramsCol(toks, n)
+
+  /** Tokens not covered by any width-n span starting at the SORTED
+    * 0-based positions in `starts` — the span-rewrite kernel (native
+    * merge sweep; see ShingleOps.tokenSpanFilter). */
+  def tokenSpanFilter(toks: Column, starts: Column, n: Int): Column =
+    ShingleOps.tokenSpanFilterCol(toks, starts, n)
 
   /** Count of regex matches (thin alias; Spark 3.5+ regexp_count). */
   def matchCount(text: Column, pattern: String): Column =

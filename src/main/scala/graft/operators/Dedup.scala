@@ -788,10 +788,15 @@ object Dedup {
     val base = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         split(trim(lower(col(textCol))), "\\s+").as("toks"))
+    // native gram pass (ShingleOps.wordGrams): the HOF transform/slice/
+    // concat_ws formulation evaluates its lambda interpreted per gram —
+    // corpus × ~n_tok interpreted evals, run TWICE here (grams feeds both
+    // the dictionary aggregate and the starts join; recomputing the now-
+    // compiled pass stays cheaper at scale than pinning a corpus-content-
+    // sized gram table). posexplode's pos = gram start index in toks.
     val grams = base.filter(size(col("toks")) >= gramN)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $gramN), " +
-          s"i -> concat_ws(' ', slice(toks, i + 1, $gramN)))")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.wordShinglesRaw(col("toks"), gramN)))
       .toDF("doc_id", "s", "g")
     val hot = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -801,9 +806,15 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("s"))).as("starts"))
     base.join(starts, Seq("doc_id"), "left")
-      .withColumn("st", coalesce(col("starts"), expr("array()")))
-      .withColumn("kept", expr(
-        s"filter(toks, (t, i) -> NOT exists(st, s0 -> s0 <= i AND i <= s0 + ${gramN - 1}))"))
+      .withColumn("st",
+        coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
+      // native merge sweep (ShingleOps.tokenSpanFilter) over the sorted
+      // start list: the filter/exists HOF it replaces was O(tokens ×
+      // hot-spans) INTERPRETED per doc — quadratic exactly on the
+      // boilerplate-heavy documents this operator exists to clean
+      .withColumn("kept",
+        graft.functions.TextFunctions.tokenSpanFilter(
+          col("toks"), col("st"), gramN))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_dropped"),

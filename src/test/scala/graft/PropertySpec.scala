@@ -433,6 +433,44 @@ object PropertySpec extends Properties("graft") {
         }
     }
 
+  property("wordGrams equals the HOF transform/slice/concat_ws it replaces") =
+    Prop.forAll(Gen.choose(2, 6),
+      Gen.choose(0, 12).flatMap(k =>
+        Gen.listOfN(k, Gen.option(Gen.oneOf("a", "bb", "ccc", "", "d e"))))) {
+      (n, toksOpt) =>
+      // includes empty arrays, arrays shorter than n, null elements, and
+      // tokens that themselves contain spaces — every edge the HOF
+      // formulation defines behavior for
+      val df = Seq(Tuple1(toksOpt.map(_.orNull))).toDF("toks")
+      val native = df.select(
+        graft.functions.TextFunctions.wordShinglesRaw(col("toks"), n))
+        .as[Seq[String]].head()
+      val hof = df.select(transform(
+          sequence(lit(0), greatest(size(col("toks")) - lit(n), lit(0))),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+        .as[Seq[String]].head()
+      native == hof
+    }
+
+  property("tokenSpanFilter equals the filter/exists HOF it replaces") =
+    Prop.forAll(Gen.choose(2, 5), Gen.choose(0, 14), Gen.choose(1L, 9999L)) {
+      (n, len, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val toks = (0 until len).map(i => s"t$i")
+        // random start positions, including out-of-range and adjacent/
+        // overlapping spans; sorted ascending as the operator builds them
+        val starts = (0 until rnd.nextInt(6))
+          .map(_ => rnd.nextInt(len + 3)).distinct.sorted
+        val df = Seq((toks, starts)).toDF("toks", "st")
+        val native = df.select(graft.functions.TextFunctions
+            .tokenSpanFilter(col("toks"), col("st"), n))
+          .as[Seq[String]].head()
+        val hof = df.select(expr(
+            s"filter(toks, (t, i) -> NOT exists(st, s0 -> s0 <= i AND i <= s0 + ${n - 1}))"))
+          .as[Seq[String]].head()
+        native == hof
+    }
+
   property("prefixJaccardPairs (uncapped) equals brute force on random corpora") =
     Prop.forAll(Gen.choose(8, 30), Gen.choose(1L, 9999L)) { (nDocs, seed) =>
       // random lengths down to 1 token and a shared template with point

@@ -101,6 +101,14 @@ object ScaleRehearsal {
     timed("q119_shared_passages") {
       Dedup.sharedPassagePairs(docs, "doc_id", "text").count()
     }
+    timed("q196_span_removal") {
+      // 1/3 of docs carry the 19-word boilerplate prefix → ~15 hot-gram
+      // starts each: the chain the r12 native rewrite (wordGrams +
+      // tokenSpanFilter) moved off interpreted HOF lambdas
+      Dedup.duplicatedSpanRemoval(docs, "doc_id", "text",
+        gramN = 5, minDocs = 2)
+        .agg(sum(col("n_dropped"))).head.getLong(0)
+    }
     timed("q107_minhash_chain") {
       val sig = Dedup.md5MinhashSignatures(
         docs.filter(length(trim(col("text"))) > 0), "doc_id", "text",
