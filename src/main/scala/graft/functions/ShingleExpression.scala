@@ -106,6 +106,26 @@ object ShingleOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** SymSpell deletion neighborhood: [s, s minus char 1, …, s minus char
+    * len] — index 0 is the identity variant. Byte-for-byte the HOF
+    * `transform(sequence(0, length(s)), i -> IF(i = 0, s,
+    * concat(substring(s, 1, i-1), substring(s, i+1, len-i))))` it
+    * replaces (substringSQL is the built-in Substring's own code, so
+    * non-ASCII positions agree); that lambda evaluates interpreted
+    * len+1 times per string. */
+  def deletionVariants(s: UTF8String): ArrayData = {
+    val len = s.numChars()
+    val out = new Array[Any](len + 1)
+    out(0) = s
+    var i = 1
+    while (i <= len) {
+      out(i) = UTF8String.concat(
+        s.substringSQL(1, i - 1), s.substringSQL(i + 1, len - i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Lower-case + whitespace-split (Character.isWhitespace), the shared
     * tokenizer of the native text-hash expressions. */
   def splitLower(text: UTF8String): Array[String] = {
@@ -201,6 +221,9 @@ object ShingleOps {
   def wordGramsCol(toks: Column, n: Int): Column =
     GraftBridge.column(WordGrams(GraftBridge.expression(toks), n))
 
+  def deletionVariantsCol(s: Column): Column =
+    GraftBridge.column(DeletionVariants(GraftBridge.expression(s)))
+
   def tokenSpanFilterCol(toks: Column, starts: Column, n: Int): Column =
     GraftBridge.column(TokenSpanFilter(
       GraftBridge.expression(toks), GraftBridge.expression(starts), n))
@@ -294,6 +317,23 @@ case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.wordGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `deletion_variants(string) -> array<string>` — SymSpell deletion
+  * neighborhood with the identity variant at index 0, codegen'd (see
+  * ShingleOps.deletionVariants for exact HOF-equivalence semantics). */
+case class DeletionVariants(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "deletion_variants"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.deletionVariants(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.deletionVariants($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

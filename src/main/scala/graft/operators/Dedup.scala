@@ -668,12 +668,12 @@ object Dedup {
   def editDistanceJoin(rows: DataFrame, idCol: String,
       strCol: String): DataFrame = {
     val base = rows.select(col(idCol).as("id"), col(strCol).as("s"))
-    // i = 0 keeps the string itself; i in 1..len deletes character i.
+    // index 0 keeps the string itself; 1..len delete character i — native
+    // codegen'd pass (ShingleOps.deletionVariants): the HOF transform/
+    // substring formulation evaluated its lambda interpreted len+1 times
+    // per string (PropertySpec pins the equivalence)
     val variants = base.select(col("id"),
-      explode(expr(
-        "transform(sequence(0, length(s)), " +
-          "i -> IF(i = 0, s, concat(substring(s, 1, i - 1), " +
-          "substring(s, i + 1, length(s) - i))))")).as("v"))
+      explode(graft.functions.ShingleOps.deletionVariantsCol(col("s"))).as("v"))
       .distinct()
     val cand = variants.as("a")
       .join(variants.as("b"),
@@ -962,9 +962,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1 && col("n_docs") <= maxDocsPerFp)
       .select(col("fp"))
-    val pruned = fps.join(fpBand, "fp")
+    // consumed by both self-join sides; ≤ cap rows per fingerprint but
+    // total rows still scale with the corpus, so the same dispatch
+    // applies (checkpoint under the bound, recompute above it)
+    val prunedPlan = fps.join(fpBand, "fp")
       .select(col("doc_id"), col("fp"))
-      .localCheckpoint()
+    val pruned = if (inputSmall) prunedPlan.localCheckpoint() else prunedPlan
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -452,6 +452,23 @@ object PropertySpec extends Properties("graft") {
       native == hof
     }
 
+  property("deletionVariants equals the transform/substring HOF it replaces") =
+    Prop.forAll(Gen.choose(0, 12).flatMap(k => Gen.listOfN(k,
+      Gen.oneOf('a', 'b', 'Z', '0', ' ', 'é', '中'))).map(_.mkString)) { s =>
+      // includes the empty string, repeated chars, spaces, and multi-byte
+      // code points (substring positions are CHARACTER positions)
+      val df = Seq(Tuple1(s)).toDF("s")
+      val native = df.select(explode(
+          graft.functions.ShingleOps.deletionVariantsCol(col("s"))))
+        .as[String].collect().toSeq
+      val hof = df.select(explode(expr(
+          "transform(sequence(0, length(s)), " +
+            "i -> IF(i = 0, s, concat(substring(s, 1, i - 1), " +
+            "substring(s, i + 1, length(s) - i))))")))
+        .as[String].collect().toSeq
+      native == hof
+    }
+
   property("tokenSpanFilter equals the filter/exists HOF it replaces") =
     Prop.forAll(Gen.choose(2, 5), Gen.choose(0, 14), Gen.choose(1L, 9999L)) {
       (n, len, seed) =>
