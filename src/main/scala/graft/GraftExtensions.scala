@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.functions.{CharShingles, GopherRepetition, HaversineDistance, Md5MinhashLanes, Md5SimHashChunks, SimHash64, WordShingles}
+import graft.functions.{CharShingles, DeletionVariants, GopherRepetition, HaversineDistance, Md5MinhashLanes, Md5SimHashChunks, SimHash64, TokenSpanFilter, WordGrams, WordShingles}
 
 /** Spark-native extension point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -20,6 +20,8 @@ import graft.functions.{CharShingles, GopherRepetition, HaversineDistance, Md5Mi
   *  - `gopher_repetition(text)` → array<long> repetition stats (q143)
   *  - `md5_simhash_chunks(text)` / `md5_minhash_lanes(text, n, lanes)` —
   *    the engine-portable dedup signatures
+  *  - `word_grams(toks, n)` / `token_span_filter(toks, starts, n)` /
+  *    `deletion_variants(s)` — the span-rewrite and edit-distance kernels
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -60,6 +62,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "gopher_repetition(text) - [topScore_n, dupMass_n] for " +
           "n in {2,3,4,5,10} + [n_words, norm_chars]"),
       (exprs: Seq[Expression]) => GopherRepetition(exprs.head)))
+    // r12 span/edit-dist kernels (array-input n-grams with positional
+    // index space, span-rewrite merge sweep, SymSpell neighborhood)
+    e.injectFunction((FunctionIdentifier("word_grams"),
+      info("word_grams",
+        "word_grams(array<string>, n) - overlapping n-grams, gram i starts at toks[i]"),
+      (exprs: Seq[Expression]) => WordGrams(exprs(0), intArg(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("token_span_filter"),
+      info("token_span_filter",
+        "token_span_filter(toks, sorted_starts, n) - tokens not covered by any width-n span"),
+      (exprs: Seq[Expression]) =>
+        TokenSpanFilter(exprs(0), exprs(1), intArg(exprs(2)))))
+    e.injectFunction((FunctionIdentifier("deletion_variants"),
+      info("deletion_variants",
+        "deletion_variants(s) - [s, s minus char 1, ..., s minus char len]"),
+      (exprs: Seq[Expression]) => DeletionVariants(exprs.head)))
   }
 
   private def intArg(e: Expression): Int = e.eval(null) match {

@@ -31,7 +31,10 @@ class ScaleSpec extends AnyFunSuite {
           |       size(md5_minhash_lanes('a b c d e', 3, 16)) AS nl,
           |       size(char_shingles('abcdefgh', 8)) AS ncs,
           |       size(gopher_repetition('a a a a')) AS ng,
-          |       gopher_repetition('a a a a')[10] AS gw""".stripMargin)
+          |       gopher_repetition('a a a a')[10] AS gw,
+          |       word_grams(array('a','b','c'), 2) AS wg,
+          |       token_span_filter(array('a','b','c','d'), array(1), 2) AS sf,
+          |       deletion_variants('abc') AS dv""".stripMargin)
         .collect().head
       assert(r.getDouble(0) == 0.0)
       assert(r.getLong(1) == r.getLong(1))
@@ -41,6 +44,9 @@ class ScaleSpec extends AnyFunSuite {
       assert(r.getInt(5) == 1)    // one distinct 8-shingle of an 8-char string
       assert(r.getInt(6) == 12)   // 5 n-values x 2 + n_words + norm_chars
       assert(r.getLong(7) == 4L)  // n_words rides at index 10
+      assert(r.getSeq[String](8) == Seq("a b", "b c"))
+      assert(r.getSeq[String](9) == Seq("a", "d")) // span [1,2] drops b,c
+      assert(r.getSeq[String](10) == Seq("abc", "bc", "ac", "ab"))
     } finally {
       // do NOT stop: the SparkContext is shared with every other suite
       SparkSession.setDefaultSession(prev)
