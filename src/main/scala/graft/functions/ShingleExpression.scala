@@ -100,7 +100,8 @@ object ShingleOps {
         if (e > activeEnd) activeEnd = e
         si += 1
       }
-      if (i > activeEnd) out += toks.getUTF8String(i)
+      if (i > activeEnd)
+        out += (if (toks.isNullAt(i)) null else toks.getUTF8String(i))
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -348,6 +349,20 @@ case class TokenSpanFilter(left: Expression, right: Expression, n: Int)
   // array's elements — claim nullable to stay truthful for any caller
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "token_span_filter"
+  // starts are read through getInt: reject anything but array<int> at
+  // analysis time (a SQL caller handing array<bigint> would otherwise
+  // silently produce wrong spans — they must cast explicitly)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _),
+            ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_span_filter expects (array<string>, array<int>), got " +
+            s"(${l.sql}, ${r.sql})")
+    }
 
   override def nullSafeEval(toks: Any, starts: Any): Any =
     ShingleOps.tokenSpanFilter(
