@@ -637,6 +637,12 @@ object Dedup {
     cand
       .join(arrs.as("sa"), col("sa.doc_id") === col("sub"))
       .join(arrs.as("sb"), col("sb.doc_id") === col("sup"))
+      // length pre-filter, exact: I ≤ n_sup, so C = I/n_sub ≥ t forces
+      // n_sup·denT ≥ numT·n_sub — a sup much shorter than its sub cannot
+      // contain it. Kills the pair on two carried ints BEFORE the
+      // merge-scan of the hash arrays (the PPJoin-filter idea, containment
+      // form); implied by the exact threshold below, so oracle untouched.
+      .filter(col("sb.n") * denT >= col("sa.n") * numT)
       .withColumn("n_inter",
         TextFunctions.sortedIntersectCount(col("sa.tokset"), col("sb.tokset")))
       .filter(col("n_inter") * denT >= col("sa.n") * numT)

@@ -109,6 +109,19 @@ object ScaleRehearsal {
         gramN = 5, minDocs = 2)
         .agg(sum(col("n_dropped"))).head.getLong(0)
     }
+    // q144 shape A/B: the oracle-portable string posture vs the hashed
+    // production posture (8-byte keys through the distinct + aggregates).
+    // Same result counts required — the hash swap changes shuffle width,
+    // not semantics (modulo the documented ~n²/2⁶⁵ collision caveat).
+    val srcDocs = docs.withColumn("src",
+      concat(lit("s"), (col("doc_id") % 20).cast("string")))
+    timed("q144_source_novelty_strings") {
+      graft.operators.Corpus.sourceNovelty(srcDocs, "src", "text").count()
+    }
+    timed("q144_source_novelty_hashed") {
+      graft.operators.Corpus.sourceNovelty(srcDocs, "src", "text",
+        hashed = true).count()
+    }
     timed("q107_minhash_chain") {
       val sig = Dedup.md5MinhashSignatures(
         docs.filter(length(trim(col("text"))) > 0), "doc_id", "text",
