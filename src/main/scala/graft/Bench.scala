@@ -171,7 +171,8 @@ object Bench {
     // into the summary object instead of concatenated as a second line.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"),
-      line(identity).dropRight(1) + s""","corpus":$corpusFull}""")
+      line(identity).dropRight(1) +
+        s""","warm_s":${f3(warmSec)},"corpus":$corpusFull}""")
     catch { case _: java.io.IOException => }
     spark.stop()
   }
