@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.functions.{CharShingles, DeletionVariants, GopherRepetition, HaversineDistance, Md5MinhashLanes, Md5SimHashChunks, SimHash64, TokenSpanFilter, WordGrams, WordShingles}
+import graft.functions.{CdcChunks, CharShingleHashes, CharShingles, DeletionVariants, GopherRepetition, HaversineDistance, JaroWinkler, Md5MinhashLanes, Md5SimHashChunks, SimHash64, SortedLongIntersectCount, TokenSpanFilter, WordGrams, WordShingles}
 
 /** Spark-native extension point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -22,6 +22,10 @@ import graft.functions.{CharShingles, DeletionVariants, GopherRepetition, Havers
   *    the engine-portable dedup signatures
   *  - `word_grams(toks, n)` / `token_span_filter(toks, starts, n)` /
   *    `deletion_variants(s)` — the span-rewrite and edit-distance kernels
+  *  - `char_shingle_hashes(text, k)` / `sorted_intersect_count(a, b)` —
+  *    the exact-Jaccard verify pair
+  *  - `jaro_winkler(s1, s2)` / `cdc_chunks(text, w, d)` — record-linkage
+  *    similarity and content-defined chunking
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -77,6 +81,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("deletion_variants",
         "deletion_variants(s) - [s, s minus char 1, ..., s minus char len]"),
       (exprs: Seq[Expression]) => DeletionVariants(exprs.head)))
+    // the exact-verify and record-linkage kernels round out the surface
+    e.injectFunction((FunctionIdentifier("char_shingle_hashes"),
+      info("char_shingle_hashes",
+        "char_shingle_hashes(text, k) - sorted distinct xxhash64 of char k-shingles"),
+      (exprs: Seq[Expression]) => CharShingleHashes(exprs(0), intArg(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A∩B| of two sorted distinct long arrays"),
+      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(s1, s2) - similarity in [0, 1]"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "cdc_chunks(text, w, divisor) - content-defined chunk hashes"),
+      (exprs: Seq[Expression]) =>
+        CdcChunks(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
   }
 
   private def intArg(e: Expression): Int = e.eval(null) match {

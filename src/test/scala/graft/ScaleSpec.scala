@@ -34,7 +34,11 @@ class ScaleSpec extends AnyFunSuite {
           |       gopher_repetition('a a a a')[10] AS gw,
           |       word_grams(array('a','b','c'), 2) AS wg,
           |       token_span_filter(array('a','b','c','d'), array(1), 2) AS sf,
-          |       deletion_variants('abc') AS dv""".stripMargin)
+          |       deletion_variants('abc') AS dv,
+          |       sorted_intersect_count(char_shingle_hashes('abcdefgh', 8),
+          |                              char_shingle_hashes('abcdefgh', 8)) AS ic,
+          |       jaro_winkler('martha', 'martha') AS jw,
+          |       size(cdc_chunks('abcdef', 2, 4)) AS cc""".stripMargin)
         .collect().head
       assert(r.getDouble(0) == 0.0)
       assert(r.getLong(1) == r.getLong(1))
@@ -47,6 +51,9 @@ class ScaleSpec extends AnyFunSuite {
       assert(r.getSeq[String](8) == Seq("a b", "b c"))
       assert(r.getSeq[String](9) == Seq("a", "d")) // span [1,2] drops b,c
       assert(r.getSeq[String](10) == Seq("abc", "bc", "ac", "ab"))
+      assert(r.getLong(11) == 1L)      // one distinct 8-shingle ∩ itself
+      assert(r.getDouble(12) == 1.0)   // identical strings
+      assert(r.getInt(13) >= 1)        // at least one CDC chunk
     } finally {
       // do NOT stop: the SparkContext is shared with every other suite
       SparkSession.setDefaultSession(prev)
