@@ -70,11 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // index space, span-rewrite merge sweep, SymSpell neighborhood)
     e.injectFunction((FunctionIdentifier("word_grams"),
       info("word_grams",
-        "word_grams(array<string>, n) - overlapping n-grams, gram i starts at toks[i]"),
+        "word_grams(array<string>, n) - overlapping n-grams, gram i starts " +
+          "at toks[i]; NULL array -> NULL (array<string> only, " +
+          "checked at analysis)"),
       (exprs: Seq[Expression]) => WordGrams(exprs(0), intArg(exprs(1)))))
     e.injectFunction((FunctionIdentifier("token_span_filter"),
       info("token_span_filter",
-        "token_span_filter(toks, sorted_starts, n) - tokens not covered by any width-n span"),
+        "token_span_filter(toks, starts, n) - tokens not covered by any " +
+          "width-n span; starts must be array<int> with non-null elements " +
+          "(array_compact first), any order (normalized internally)"),
       (exprs: Seq[Expression]) =>
         TokenSpanFilter(exprs(0), exprs(1), intArg(exprs(2)))))
     e.injectFunction((FunctionIdentifier("deletion_variants"),

@@ -53,7 +53,14 @@ object ShingleOps {
     * one empty-string gram, 0 < size < n yields one partial gram, null
     * elements are skipped by the space join exactly as concat_ws skips
     * them. The HOF evaluates its lambda interpreted per gram — this is
-    * one compiled pass (same case-(b) rationale as [[wordShingles]]). */
+    * one compiled pass (same case-(b) rationale as [[wordShingles]]).
+    *
+    * ONE deliberate divergence from the HOF: a NULL input ARRAY is
+    * NULL-in/NULL-out (standard nullSafeEval contract), where the HOF
+    * chain returns `[""]` (greatest(null-size, 0) = 0 → one empty gram).
+    * Unreachable for internal callers (Dedup/SparkEntry filter
+    * `length(trim(text)) > 0` upstream) but observable to SQL users of
+    * `word_grams`; pinned by the PropertySpec null-array case. */
   def wordGrams(toks: ArrayData, n: Int): ArrayData = {
     val len = toks.numElements()
     val count = math.max(len - n + 1, 1)
@@ -85,18 +92,36 @@ object ShingleOps {
     * interpreted exists() makes the rewrite O(len × |starts|) per
     * document: a boilerplate-heavy doc with hundreds of hot-gram starts
     * paid quadratically in the one place the whole operator exists to
-    * clean up. Semantics identical for sorted, non-null starts (the
-    * sort_array(collect_set(...)) the caller builds). */
+    * clean up. Null start elements are rejected at analysis time
+    * (TokenSpanFilter.checkInputDataTypes — getInt would silently read a
+    * null slot as 0 and fabricate a span at position 0); an UNSORTED
+    * start array is normalized here with a one-off copy+sort after a
+    * linear sortedness check, so the internal sort_array(collect_set)
+    * caller pays one extra O(|starts|) scan and SQL callers get correct
+    * output regardless of order. */
   def tokenSpanFilter(toks: ArrayData, starts: ArrayData, n: Int): ArrayData = {
     val len = toks.numElements()
     val ns = starts.numElements()
+    var isSorted = true
+    var k = 1
+    while (isSorted && k < ns) {
+      if (starts.getInt(k) < starts.getInt(k - 1)) isSorted = false
+      k += 1
+    }
+    val st =
+      if (isSorted) starts
+      else {
+        val a = starts.toIntArray()
+        java.util.Arrays.sort(a)
+        UnsafeArrayData.fromPrimitiveArray(a)
+      }
     val out = new scala.collection.mutable.ArrayBuffer[Any](len)
     var si = 0
     var activeEnd = -1L // rightmost s+n-1 among starts with s <= i
     var i = 0
     while (i < len) {
-      while (si < ns && starts.getInt(si) <= i) {
-        val e = starts.getInt(si).toLong + (n - 1)
+      while (si < ns && st.getInt(si) <= i) {
+        val e = st.getInt(si).toLong + (n - 1)
         if (e > activeEnd) activeEnd = e
         si += 1
       }
@@ -312,6 +337,19 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_grams"
+  // elements are read through getUTF8String: anything but array<string>
+  // (e.g. array<int>, whose UnsafeArrayData packs 4-byte slots) would
+  // read misaligned offset/size words at runtime — garbage strings or a
+  // JVM crash. Reject at analysis time, same guard as TokenSpanFilter.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_grams expects array<string>, got ${t.sql}")
+    }
 
   override def nullSafeEval(v: Any): Any =
     ShingleOps.wordGrams(v.asInstanceOf[ArrayData], n)
@@ -351,13 +389,23 @@ case class TokenSpanFilter(left: Expression, right: Expression, n: Int)
   override def prettyName: String = "token_span_filter"
   // starts are read through getInt: reject anything but array<int> at
   // analysis time (a SQL caller handing array<bigint> would otherwise
-  // silently produce wrong spans — they must cast explicitly)
+  // silently produce wrong spans — they must cast explicitly), and
+  // reject nullable start elements (getInt reads a null slot as 0,
+  // fabricating a span at position 0 that drops tokens 0..n-1; the
+  // internal sort_array(collect_set) caller is containsNull=false by
+  // construction, SQL callers must array_compact first). Unsorted starts
+  // are NOT a precondition — eval normalizes with a copy+sort.
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _),
-            ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+            ArrayType(org.apache.spark.sql.types.IntegerType, false)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _),
+            ArrayType(org.apache.spark.sql.types.IntegerType, true)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "token_span_filter requires non-nullable start elements " +
+            "(array<int> with containsNull=false) - wrap in array_compact")
       case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"token_span_filter expects (array<string>, array<int>), got " +

@@ -812,8 +812,10 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("s"))).as("starts"))
     base.join(starts, Seq("doc_id"), "left")
+      // typedLit (not CAST(array() AS ARRAY<INT>)): the DDL cast parses as
+      // containsNull=true, which token_span_filter now rejects at analysis
       .withColumn("st",
-        coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
+        coalesce(col("starts"), typedLit(Array.empty[Int])))
       // native merge sweep (ShingleOps.tokenSpanFilter) over the sorted
       // start list: the filter/exists HOF it replaces was O(tokens ×
       // hot-spans) INTERPRETED per doc — quadratic exactly on the

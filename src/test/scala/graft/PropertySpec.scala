@@ -452,6 +452,24 @@ object PropertySpec extends Properties("graft") {
       native == hof
     }
 
+  property("wordGrams NULL-array divergence from the HOF is exactly the documented one") =
+    Prop.forAll(Gen.choose(2, 6)) { n =>
+      // the ONE deliberate divergence (ShingleOps.wordGrams docstring):
+      // native is NULL-in/NULL-out, the HOF chain returns [""] because
+      // greatest(size(NULL)-n, 0) coalesces to 0 and concat_ws skips the
+      // null slice. Unreachable internally (callers filter empty text
+      // upstream) but observable to SQL users of word_grams — pin both
+      // sides so any drift in either formulation trips this.
+      val df = Seq(Tuple1(null: Seq[String])).toDF("toks")
+      val native = df.select(
+        graft.functions.TextFunctions.wordShinglesRaw(col("toks"), n)).head()
+      val hof = df.select(transform(
+          sequence(lit(0), greatest(size(col("toks")) - lit(n), lit(0))),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+        .as[Seq[String]].head()
+      native.isNullAt(0) && hof == Seq("")
+    }
+
   property("deletionVariants equals the transform/substring HOF it replaces") =
     Prop.forAll(Gen.choose(0, 12).flatMap(k => Gen.listOfN(k,
       Gen.oneOf('a', 'b', 'Z', '0', ' ', 'é', '中'))).map(_.mkString)) { s =>
@@ -473,11 +491,18 @@ object PropertySpec extends Properties("graft") {
     Prop.forAll(Gen.choose(2, 5), Gen.choose(0, 14), Gen.choose(1L, 9999L)) {
       (n, len, seed) =>
         val rnd = new scala.util.Random(seed)
-        val toks = (0 until len).map(i => s"t$i")
+        // ~1 in 4 tokens null: pins the null-token pass-through branch of
+        // the merge sweep (kept nulls stay null) against the HOF
+        val toks = (0 until len)
+          .map(i => if (rnd.nextInt(4) == 0) null else s"t$i")
         // random start positions, including out-of-range and adjacent/
-        // overlapping spans; sorted ascending as the operator builds them
-        val starts = (0 until rnd.nextInt(6))
+        // overlapping spans; HALF the cases arrive UNSORTED (eval
+        // normalizes with a copy+sort — the HOF is order-insensitive, so
+        // equivalence must hold either way)
+        val startsSorted = (0 until rnd.nextInt(6))
           .map(_ => rnd.nextInt(len + 3)).distinct.sorted
+        val starts =
+          if (rnd.nextBoolean()) startsSorted else rnd.shuffle(startsSorted)
         val df = Seq((toks, starts)).toDF("toks", "st")
         val native = df.select(graft.functions.TextFunctions
             .tokenSpanFilter(col("toks"), col("st"), n))

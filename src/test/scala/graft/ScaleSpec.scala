@@ -61,6 +61,41 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel type guards reject bad inputs at analysis time") {
+    // word_grams over array<int> would read misaligned offset words at
+    // runtime (UnsafeArrayData packs 4-byte slots); token_span_filter
+    // with nullable starts would read a null slot as 0, fabricating a
+    // span at position 0. Both must die in analysis, not at eval.
+    import graft.functions.{ShingleOps, TextFunctions}
+    val wgErr = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Seq(1, 2, 3))).toDF("xs")
+        .select(ShingleOps.wordGramsCol(col("xs"), 2)).collect()
+    }
+    assert(wgErr.getMessage.contains("word_grams"))
+    val nullStarts = intercept[org.apache.spark.sql.AnalysisException] {
+      // Option elements -> array<int> with containsNull=true
+      Seq((Seq("a", "b", "c"), Seq(Option(1))))
+        .toDF("toks", "st")
+        .select(TextFunctions.tokenSpanFilter(col("toks"), col("st"), 2))
+        .collect()
+    }
+    assert(nullStarts.getMessage.contains("token_span_filter"))
+    val wideStarts = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq("a", "b"), Seq(1L))).toDF("toks", "st")
+        .select(TextFunctions.tokenSpanFilter(col("toks"), col("st"), 2))
+        .collect()
+    }
+    assert(wideStarts.getMessage.contains("token_span_filter"))
+    // and the normalization promise: unsorted starts give the same
+    // answer as sorted ones
+    val un = Seq((Seq("a", "b", "c", "d", "e"), Seq(3, 0)))
+      .toDF("toks", "st")
+      .select(TextFunctions.tokenSpanFilter(col("toks"), col("st"), 2)
+        .as("kept"))
+      .collect().head.getSeq[String](0)
+    assert(un == Seq("c")) // spans [0,1] and [3,4] leave only index 2
+  }
+
   test("BandedDistanceJoinRule rewrites SQL cross join + haversine filter") {
     val prev = SparkTestBase.session
     SparkSession.clearActiveSession()
