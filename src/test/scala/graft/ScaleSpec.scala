@@ -636,6 +636,77 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p154.contains("Window"), p154)
   }
 
+  test("plan shapes: r12 native kernels stay codegen'd, consumers lean (r13 locks)") {
+    val sfDir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    // compile-level: none of the three r12 kernels may regress to the
+    // interpreted CodegenFallback path — they exist to keep corpus-sized
+    // projections inside whole-stage codegen (each was measured 2-5x
+    // faster than the interpreted HOF it replaced)
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    for (c <- Seq(classOf[graft.functions.WordGrams],
+        classOf[graft.functions.TokenSpanFilter],
+        classOf[graft.functions.DeletionVariants]))
+      assert(!classOf[CodegenFallback].isAssignableFrom(c),
+        s"${c.getSimpleName} regressed to CodegenFallback")
+
+    // runtime: a kernel-bearing Project whole-stage-compiles (an
+    // exchange-free local plan is non-adaptive, so the *(n) codegen
+    // marker is visible directly in the executed-plan string), and the
+    // generated code actually compiles and runs
+    import spark.implicits._
+    // non-foldable input (a literal Seq constant-folds straight into a
+    // LocalTableScan, hiding the codegen question entirely)
+    val k = spark.range(3)
+      .select(array(concat(lit("a"), col("id").cast("string")), lit("b"),
+          lit("c")).as("toks"),
+        array(col("id").cast("int")).as("st"))
+      .select(graft.functions.ShingleOps.wordGramsCol(col("toks"), 2),
+        graft.functions.TextFunctions.tokenSpanFilter(
+          col("toks"), col("st"), 2),
+        graft.functions.ShingleOps.deletionVariantsCol(col("toks")(0)))
+    val kp = k.queryExecution.executedPlan.toString
+    assert(kp.contains("*(1)"), kp)
+    assert(k.collect().length == 3)
+
+    // q196/q200/q202/q210 (the kernels' consumer queries): candidates
+    // and dictionaries via equi-joins only — never a cartesian/nested
+    // loop — and the hash-exchange budget is locked at the r12 plan
+    // shape (q196: gram-dict partial/final + per-doc starts; q200 adds
+    // the dedup/report aggregates; q202: variant build/probe + band;
+    // q210: the full waterfall's stage aggregates). One MORE hash
+    // exchange than recorded = a lost reuse or a new shuffle.
+    for ((q, maxHashEx) <- Seq(
+        "q196_span_removal" -> 3,
+        "q200_curation_v2" -> 5,
+        "q202_editdist_join" -> 3,
+        "q210_curation_waterfall" -> 12)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      val n = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(n <= maxHashEx, s"$q grew extra hash exchanges ($n):\n$p")
+    }
+    // window discipline per consumer: the kernel chains themselves carry
+    // no Window (q196/q202 — hot-gram caps are aggregates + joins, the
+    // r11 rule); q200's one window is the source-partitioned packing
+    // running sum (never a global single partition); q210's windows are
+    // per-stage top-k with the rank limit pushed map-side
+    assert(!plan("q196_span_removal").contains("Window"))
+    assert(!plan("q202_editdist_join").contains("Window"))
+    val p200 = plan("q200_curation_v2")
+    assert(p200.contains("Window") && !p200.contains("SinglePartition"),
+      p200)
+    assert(plan("q210_curation_waterfall").contains("WindowGroupLimit"))
+    // and the kernels are actually IN these plans — the locks above
+    // guard the native-kernel formulation, not a silent HOF revert
+    assert(plan("q196_span_removal").contains("token_span_filter"))
+    assert(plan("q202_editdist_join").contains("deletion_variants"))
+    assert(plan("q200_curation_v2").contains("word_grams"))
+  }
+
   test("dqRuleReport: one-pass suite, NULL predicate counts as violation") {
     import spark.implicits._
     val df = Seq(
