@@ -229,11 +229,152 @@ object SiteScoringPipeline {
     piv.na.fill(0, countCols).na.fill(10000.0, minCols)
   }
 
-  /** Global counts (`PGSITE/__init__.py:308-309`). */
-  def globalCounts(prepared: DataFrame): DataFrame =
+  /** Per-deployment variant configuration. The reference ships the same
+    * site-scoring program three times with only DATA changed — feature
+    * category list, country constant, count-field suffix, missing-value
+    * fill, metric set, model blob name:
+    *
+    *   - `NEX`  — Guatemala (`HTIPNEXSITE/__init__.py:315,321-348,366`):
+    *     3 metrics per category (300M/100M counts + MIN_DIST), count
+    *     suffix `CANT`, missing/zero MIN_DIST → 10000
+    *   - `PL`   — Honduras (`HTIPPLSITE/__init__.py:324,338-380,405`):
+    *     5 metrics (counts + MAX/MIN/MEAN dist), suffix `CNT`, every
+    *     missing/non-positive value → 0
+    *   - `PLCR` — Costa Rica (`HTIPPLSITECR/__init__.py:324-334,417`):
+    *     the PL program with the CR category list (38 = PL's 39 minus
+    *     ESTACION DE BOMBEROS) and country constant
+    *
+    * Quirks ported as BEHAVIOR, not typos:
+    *   - the NEX list repeats OFICINAS GUBERNAMENTALES and OTROS
+    *     RESTAURANTE (42 raw / 40 distinct) — the reference writes
+    *     features into a dict keyed by field name, so repeats overwrite
+    *     in place: effective set = distinct, first position wins;
+    *   - every fill goes through `if value > 0` — a category whose
+    *     nearest POI sits at distance 0.0 gets the FILL, not 0.0-the-
+    *     measurement ([[featureVectorFor]] keeps this);
+    *   - `close_points` receives the country but its SQL country filter
+    *     is commented out (`--CNTRY_NM = ...` in all three variants) —
+    *     the stored-points lookup filters by chain only, and any chain
+    *     other than Casa_Del_Pollo maps to POLLOLANDIA
+    *     ([[closePointsChain]]). */
+  final case class SiteVariant(
+      name: String,
+      country: String,
+      featureCategories: Seq[String],
+      countSuffix: String,
+      fiveMetrics: Boolean,
+      minDistFill: Double)
+
+  private val plCategories: Seq[String] = Seq(
+    "BANCO", "FARMACIA", "COFFEE SHOP", "RESTAURANTE POPULAR", "IGLESIA",
+    "CLINICA DE SALUD", "OFICINAS GUBERNAMENTALES",
+    "OTROS SIN CLASIFICACION", "ALMACEN", "TIENDA DE BARRIO",
+    "OTROS RESTAURANTE", "COLEGIO", "REPUESTOS VEHICULOS", "SUPERMERCADO",
+    "FERRETERIA", "TIENDA MOTOCICLETAS", "PANADERIA", "CADENA QSR POPULAR",
+    "HOSPITAL", "AGROPECUARIA", "AGENCIA TELEFONIA", "PARQUE",
+    "MERCADO CANTONAL", "HOTEL", "CENTRO COMERCIAL", "HELADERIA",
+    "VENTA DE CARNES", "CAJERO", "ALMACEN DE ELECTRODOMESTICOS",
+    "BARBERÍA/BELLEZA", "CADENA QSR", "UNIVERSIDAD", "TORTILLERIA",
+    "ESTACION DE BOMBEROS", "ESTACION POLICIAL", "LIBRERIA", "PARQUEO",
+    "GASOLINERA", "PARADA DE BUS")
+
+  private val crCategories: Seq[String] = Seq(
+    "CAJERO", "COFFEE SHOP", "OTROS SIN CLASIFICACION",
+    "RESTAURANTE POPULAR", "IGLESIA", "COLEGIO", "VENTA DE CARNES",
+    "PARQUE", "CENTRO COMERCIAL", "OTROS RESTAURANTE", "CADENA QSR",
+    "CADENA QSR POPULAR", "AGROPECUARIA", "BARBERÍA/BELLEZA", "FERRETERIA",
+    "PANADERIA", "HELADERIA", "REPUESTOS VEHICULOS", "BANCO",
+    "CLINICA DE SALUD", "OFICINAS GUBERNAMENTALES", "ESTACION POLICIAL",
+    "TORTILLERIA", "FARMACIA", "PARADA DE BUS", "TIENDA DE BARRIO",
+    "HOTEL", "GASOLINERA", "MERCADO CANTONAL", "LIBRERIA",
+    "AGENCIA TELEFONIA", "ALMACEN", "UNIVERSIDAD", "PARQUEO", "HOSPITAL",
+    "SUPERMERCADO", "TIENDA MOTOCICLETAS", "ALMACEN DE ELECTRODOMESTICOS")
+
+  private val nexCategories: Seq[String] = Seq(
+    "BARBERIA BELLEZA", "IGLESIA", "HOSPITAL", "CLINICA DE SALUD",
+    "PARADA DE BUS", "LIBRERIA", "PARQUEO", "ESTADIO", "UNIVERSIDAD",
+    "HOTEL", "GASOLINERA", "OFICINAS GUBERNAMENTALES", "ESTACION POLICIAL",
+    "ESTACION DE BOMBEROS", "TIENDA DE CONVENIENCIA", "VENTA DE CARNES",
+    "BANCO", "CAJERO", "PARQUE", "COLEGIO",
+    "ALMACEN DE ELECTRODOMESTICOS", "CADENA QSR", "CADENA QSR POPULAR",
+    "RESTAURANTE POPULAR", "COFFEE SHOP", "HELADERIA", "AGENCIA TELEFONIA",
+    "SUPERMERCADO", "MERCADO CANTONAL", "FARMACIA", "TIENDA DE BARRIO",
+    "TORTILLERIA", "PANADERIA", "CENTRO COMERCIAL", "REPUESTOS VEHICULOS",
+    "FERRETERIA", "AGROPECUARIA", "OFICINAS GUBERNAMENTALES", "ALMACEN",
+    "OTROS RESTAURANTE", "OTROS RESTAURANTE", "OTROS SIN CLASIFICACION")
+
+  val variants: Map[String, SiteVariant] = Map(
+    "NEX" -> SiteVariant("NEX", "GUATEMALA", nexCategories,
+      countSuffix = "CANT", fiveMetrics = false, minDistFill = 10000.0),
+    "PL" -> SiteVariant("PL", "HONDURAS", plCategories,
+      countSuffix = "CNT", fiveMetrics = true, minDistFill = 0.0),
+    "PLCR" -> SiteVariant("PLCR", "COSTA RICA", crCategories,
+      countSuffix = "CNT", fiveMetrics = true, minDistFill = 0.0))
+
+  /** The chain mapping inside every variant's `close_points`
+    * (`HTIPNEXSITE/__init__.py:80-85` et al.): anything but Casa_Del_Pollo
+    * collapses to POLLOLANDIA. */
+  def closePointsChain(chain: String): String =
+    if (chain == "Casa_Del_Pollo") "CASA DEL POLLO" else "POLLOLANDIA"
+
+  /** [[featureVector]] under a variant's exact serving contract: the
+    * reference's field NAMES (`GEO_<CAT_SPACES_TO_UNDERSCORES>_<metric>`,
+    * `CANT` vs `CNT` count suffix), metric set (3 for NEX, 5 for PL/CR),
+    * and `value > 0`-guarded fills. Still ONE pivoted aggregation —
+    * a model artifact trained against the reference's frame scores
+    * unchanged on these columns. */
+  def featureVectorFor(prepared: DataFrame, v: SiteVariant): DataFrame = {
+    val cats = v.featureCategories.distinct
+    val base = prepared.groupBy(col("rst_cd"))
+    val piv =
+      if (v.fiveMetrics)
+        base.pivot("poi_category", cats).agg(
+          count(lit(1)).as("c300"),
+          count(when(col("distance_mtrs") <= 100, 1)).as("c100"),
+          max(col("distance_mtrs")).as("dmax"),
+          min(col("distance_mtrs")).as("dmin"),
+          avg(col("distance_mtrs")).as("dmean"))
+      else
+        base.pivot("poi_category", cats).agg(
+          count(lit(1)).as("c300"),
+          count(when(col("distance_mtrs") <= 100, 1)).as("c100"),
+          min(col("distance_mtrs")).as("dmin"))
+    // the reference's `if value > 0` guard: null (missing category) AND a
+    // legitimate 0/0.0 measurement both land on the fill — typed fills so
+    // count columns stay LONG and distance columns DOUBLE
+    def guarded(c: org.apache.spark.sql.Column,
+        fill: org.apache.spark.sql.Column) = when(c > 0, c).otherwise(fill)
+    val featCols = cats.flatMap { cat =>
+      val ref = "GEO_" + cat.replace(' ', '_')
+      val common = Seq(
+        guarded(piv(s"${cat}_c300"), lit(0L))
+          .as(s"${ref}_300M_${v.countSuffix}"),
+        guarded(piv(s"${cat}_c100"), lit(0L))
+          .as(s"${ref}_100M_${v.countSuffix}"))
+      val dists =
+        if (v.fiveMetrics) Seq(
+          guarded(piv(s"${cat}_dmax"), lit(0.0)).as(s"${ref}_MAX_DIST"),
+          guarded(piv(s"${cat}_dmin"), lit(v.minDistFill))
+            .as(s"${ref}_MIN_DIST"),
+          guarded(piv(s"${cat}_dmean"), lit(0.0)).as(s"${ref}_MEAN_DIST"))
+        else Seq(
+          guarded(piv(s"${cat}_dmin"), lit(v.minDistFill))
+            .as(s"${ref}_MIN_DIST"))
+      common ++ dists
+    }
+    piv.select(col("rst_cd") +: featCols: _*)
+  }
+
+  /** Global counts (`PGSITE/__init__.py:308-309`). The all-POI counts are
+    * computed over EVERY prepared row — including categories outside the
+    * variant's feature list — so they are a separate aggregate, not a
+    * horizontal sum of [[featureVectorFor]] columns. NEX names them
+    * `..._CANT` (`HTIPNEXSITE/__init__.py:318-319`), PL/CR `..._CNT`. */
+  def globalCounts(prepared: DataFrame, suffix: String = "CNT"): DataFrame =
     prepared.groupBy(col("rst_cd")).agg(
-      count(lit(1)).as("GEO_POI_300M_CNT"),
-      count(when(col("distance_mtrs") <= 100, 1)).as("GEO_POI_100M_CNT"))
+      count(lit(1)).as(s"GEO_POI_300M_$suffix"),
+      count(when(col("distance_mtrs") <= 100, 1))
+        .as(s"GEO_POI_100M_$suffix"))
 
   /** Top-3 nearest stored points to each site — the reference's generated
     * `ROW_NUMBER() OVER (ORDER BY mdist)` T-SQL (`HTIPNEXSITE/__init__.py:

@@ -216,6 +216,95 @@ class PipelinesSpec extends AnyFunSuite {
     assert(lw(2) == "TIENDA DE BARRIO")
   }
 
+  test("Site variants: NEX/PL/PLCR category lists, countries, serving contract") {
+    import SiteScoringPipeline._
+    val nex = variants("NEX"); val pl = variants("PL"); val cr = variants("PLCR")
+
+    // list provenance — sizes and set relationships exactly as in the
+    // reference files (HTIPNEXSITE:315 / HTIPPLSITE:324 / HTIPPLSITECR:324)
+    assert(nex.featureCategories.size == 42)
+    assert(nex.featureCategories.distinct.size == 40)
+    // the two NEX repeats the dict-overwrite quirk collapses
+    assert(nex.featureCategories.count(_ == "OFICINAS GUBERNAMENTALES") == 2)
+    assert(nex.featureCategories.count(_ == "OTROS RESTAURANTE") == 2)
+    assert(pl.featureCategories.size == 39 &&
+      pl.featureCategories.distinct.size == 39)
+    assert(cr.featureCategories.size == 38 &&
+      cr.featureCategories.distinct.size == 38)
+    // CR = the PL program minus the fire-station category
+    assert(pl.featureCategories.toSet -- cr.featureCategories.toSet ==
+      Set("ESTACION DE BOMBEROS"))
+    assert(cr.featureCategories.toSet.subsetOf(pl.featureCategories.toSet))
+    // GT-only categories, and the NEX-only unaccented BARBERIA spelling
+    assert(nex.featureCategories.toSet -- pl.featureCategories.toSet ==
+      Set("ESTADIO", "TIENDA DE CONVENIENCIA", "BARBERIA BELLEZA"))
+    assert(pl.featureCategories.toSet -- nex.featureCategories.toSet ==
+      Set("TIENDA MOTOCICLETAS", "BARBERÍA/BELLEZA"))
+    // country constants + the close_points chain collapse
+    assert(nex.country == "GUATEMALA" && pl.country == "HONDURAS" &&
+      cr.country == "COSTA RICA")
+    assert(closePointsChain("Casa_Del_Pollo") == "CASA DEL POLLO")
+    assert(closePointsChain("Pollolandia") == "POLLOLANDIA")
+    assert(closePointsChain("anything else") == "POLLOLANDIA")
+
+    // one shared fixture through each variant's serving contract
+    val prep = Seq(
+      ("S1", "BANCO", 50.0),
+      ("S1", "BANCO", 250.0),
+      ("S1", "ESTACION DE BOMBEROS", 120.0),
+      ("S1", "ACADEMIA", 90.0), // categorizer output OUTSIDE every list
+      ("S1", "HOTEL", 0.0), // zero distance: the `> 0` fill quirk
+      ("S2", "FARMACIA", 80.0))
+      .toDF("rst_cd", "poi_category", "distance_mtrs")
+
+    val plFv = featureVectorFor(prep, pl)
+    assert(plFv.columns.length == 1 + 39 * 5)
+    assert(plFv.columns.contains("GEO_ESTACION_DE_BOMBEROS_300M_CNT"))
+    assert(plFv.columns.contains("GEO_BARBERÍA/BELLEZA_MEAN_DIST"))
+    val s1 = plFv.filter(col("rst_cd") === "S1").head()
+    assert(s1.getAs[Long]("GEO_BANCO_300M_CNT") == 2L)
+    assert(s1.getAs[Long]("GEO_BANCO_100M_CNT") == 1L)
+    assert(s1.getAs[Double]("GEO_BANCO_MAX_DIST") == 250.0)
+    assert(s1.getAs[Double]("GEO_BANCO_MIN_DIST") == 50.0)
+    assert(s1.getAs[Double]("GEO_BANCO_MEAN_DIST") == 150.0)
+    // missing category under PL: EVERY metric fills to 0 — not 10000
+    assert(s1.getAs[Long]("GEO_CAJERO_300M_CNT") == 0L)
+    assert(s1.getAs[Double]("GEO_CAJERO_MIN_DIST") == 0.0)
+    assert(s1.getAs[Double]("GEO_CAJERO_MEAN_DIST") == 0.0)
+    // a 0.0 min fails the reference's `> 0` check → fill, even when the
+    // category IS present
+    assert(s1.getAs[Long]("GEO_HOTEL_300M_CNT") == 1L)
+    assert(s1.getAs[Double]("GEO_HOTEL_MIN_DIST") == 0.0)
+
+    val crFv = featureVectorFor(prep, cr)
+    assert(crFv.columns.length == 1 + 38 * 5)
+    assert(!crFv.columns.exists(_.contains("BOMBEROS"))) // dropped in CR
+    // otherwise byte-identical contract to PL on the shared fixture
+    val c1 = crFv.filter(col("rst_cd") === "S1").head()
+    assert(c1.getAs[Long]("GEO_BANCO_300M_CNT") == 2L)
+    assert(c1.getAs[Double]("GEO_BANCO_MEAN_DIST") == 150.0)
+
+    val nexFv = featureVectorFor(prep, nex)
+    // 40 DISTINCT categories × 3 metrics, CANT count suffix, no MAX/MEAN
+    assert(nexFv.columns.length == 1 + 40 * 3)
+    assert(nexFv.columns.contains("GEO_BANCO_300M_CANT"))
+    assert(!nexFv.columns.exists(_.endsWith("_MAX_DIST")))
+    assert(!nexFv.columns.exists(_.endsWith("_MEAN_DIST")))
+    val n1 = nexFv.filter(col("rst_cd") === "S1").head()
+    assert(n1.getAs[Long]("GEO_BANCO_300M_CANT") == 2L)
+    assert(n1.getAs[Double]("GEO_BANCO_MIN_DIST") == 50.0)
+    // NEX fills missing AND zero-distance MIN_DIST with 10000
+    assert(n1.getAs[Double]("GEO_CAJERO_MIN_DIST") == 10000.0)
+    assert(n1.getAs[Double]("GEO_HOTEL_MIN_DIST") == 10000.0)
+
+    // global counts run over EVERY prepared row — the ACADEMIA row that
+    // no variant's feature list carries still counts here
+    val g = globalCounts(prep.filter(col("rst_cd") === "S1"),
+      suffix = "CANT").head()
+    assert(g.getAs[Long]("GEO_POI_300M_CANT") == 5L)
+    assert(g.getAs[Long]("GEO_POI_100M_CANT") == 3L)
+  }
+
   test("p22 world parser maps columns by header NAME, not position") {
     import graft.pipelines.WasdeTransforms
     // two sheets, same measures, deliberately different column orders —
