@@ -424,37 +424,39 @@ object Dedup {
     * compact hash arrays ever move. Hash collisions within one document
     * (~n²/2⁶⁵) are the only way this can diverge from string-set
     * Jaccard — negligible and deterministic. */
-  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
-      maxDocsPerTok: Int = 20): DataFrame = {
-    require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
+  /** Shared front half of [[prefixJaccardPairs]] / [[prefixHotness]]:
+    * per-doc rarest-p prefix shingles as (doc_id, n, tok) rows, plus the
+    * size-dispatch verdict the caller's later stages reuse.
+    *
+    * charShingles is distinct per doc, so (doc_id, tok) rows are already
+    * unique — no row-level distinct/shuffle needed. Two consumers follow
+    * (the dfreq aggregate and the join below); whether to materialize the
+    * corpus-sized (doc_id, shingle) table between them is SIZE-DISPATCHED,
+    * measured at sf0.1 shape (5k docs / 1.35M shingle rows, local[32]):
+    *   - recompute both branches (old shape):        8.0 s warm
+    *   - localCheckpoint toks, branches read it:     3.4 s warm
+    *   - dfreq as a count-window over tok (no join): 1.8 s warm, REJECTED —
+    *     a window partition cannot be split, so one corpus-hot shingle
+    *     (a stopword 8-gram in ~every doc) becomes an unbounded straggler
+    *     at 100 TB, whereas the aggregate/join pair stays splittable
+    *     (partial agg collapses the hot key; AQE splits the join side).
+    * So: under a proven input-size bound the explode is checkpointed once
+    * (the 2.4× local win); above it, recompute — one extra column-pruned
+    * scan + native shingling pass beats pinning a corpus-sized
+    * intermediate in executor storage.
+    * Lifecycle: the returned DataFrame reads these checkpoint blocks
+    * lazily, so they cannot be unpersisted here; Verify/Bench release all
+    * persistent RDDs after each query's result is consumed, and other
+    * callers rely on ContextCleaner GC (the blocks are bounded by the
+    * size dispatch above). */
+  private def prefixToks(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numT: Int, denT: Int): (DataFrame, Boolean) = {
     // fan a narrower-than-cores scan out first (single-row-group test file;
     // a real corpus has plenty of scan partitions and skips this shuffle)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val base = spread.filter(length(trim(col(textCol))) > 0)
-    // charShingles is distinct per doc, so (doc_id, tok) rows are already
-    // unique — no row-level distinct/shuffle needed. Two consumers follow
-    // (the dfreq aggregate and the join below); whether to materialize the
-    // corpus-sized (doc_id, shingle) table between them is SIZE-DISPATCHED,
-    // measured at sf0.1 shape (5k docs / 1.35M shingle rows, local[32]):
-    //   - recompute both branches (old shape):        8.0 s warm
-    //   - localCheckpoint toks, branches read it:     3.4 s warm
-    //   - dfreq as a count-window over tok (no join): 1.8 s warm, REJECTED —
-    //     a window partition cannot be split, so one corpus-hot shingle
-    //     (a stopword 8-gram in ~every doc) becomes an unbounded straggler
-    //     at 100 TB, whereas the aggregate/join pair stays splittable
-    //     (partial agg collapses the hot key; AQE splits the join side).
-    // So: under a proven input-size bound the explode is checkpointed once
-    // (the 2.4× local win); above it, recompute — one extra column-pruned
-    // scan + native shingling pass beats pinning a corpus-sized
-    // intermediate in executor storage.
-    // Lifecycle: the returned DataFrame reads these checkpoint blocks
-    // lazily, so they cannot be unpersisted here; Verify/Bench release all
-    // persistent RDDs after each query's result is consumed, and other
-    // callers rely on ContextCleaner GC (the blocks are bounded by the
-    // size dispatch above).
     val toksPlan = base
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.charShingles(
@@ -497,6 +499,37 @@ object Dedup {
       .select(col("doc_id"), size(col("td")).as("n"), explode(expr(
         s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
       .select(col("doc_id"), col("n"), col("x.tok").as("tok"))
+    (prefixPre, inputSmall)
+  }
+
+  /** Prefix-hotness diagnostic for choosing [[prefixJaccardPairs]]'s
+    * `maxDocsPerTok` cap on an unfamiliar corpus: the distribution of
+    * nd = how many documents' PREFIXES carry each shingle, as
+    * (nd, n_toks) rows sorted hot-first. The cap's recall bound is
+    * exactly this distribution — every pair inside a near-dup cluster
+    * of m members shares prefix shingles with nd ≈ m, so a cap below m
+    * loses ALL of that cluster's pairs. Read the tail: the largest nd
+    * well below corpus size is the biggest genuine cluster — cap above
+    * it. An nd near the corpus size is template/boilerplate structure
+    * (every document near-dup of every other), which is q95/q196's job
+    * to strip, not a pairwise-dedup cap to chase. Aggregates only
+    * (shuffles by tok then by nd, both with map-side partial
+    * aggregation), so the diagnostic is linear in corpus shingles and
+    * safe to run — or to run on a sample — before committing to the
+    * quadratic-in-cluster-size candidate join. */
+  def prefixHotness(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numT: Int = 3, denT: Int = 5): DataFrame =
+    prefixToks(docs, idCol, textCol, shingleK, numT, denT)._1
+      .groupBy(col("tok")).agg(count(lit(1)).as("nd"))
+      .groupBy(col("nd")).agg(count(lit(1)).as("n_toks"))
+      .orderBy(col("nd").desc)
+
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
+      maxDocsPerTok: Int = 20): DataFrame = {
+    require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
+    val (prefixPre, inputSmall) =
+      prefixToks(docs, idCol, textCol, shingleK, numT, denT)
     // cap-hot prefix tokens via aggregate + semi-join, NOT a count
     // window: the partial aggregate collapses a corpus-hot prefix token
     // map-side and the join stays splittable, where a window partition

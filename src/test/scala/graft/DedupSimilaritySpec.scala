@@ -222,6 +222,108 @@ class DedupSimilaritySpec extends AnyFunSuite {
         yield (a, b)).toSet)
   }
 
+  test("skew injection: 200-member near-dup mega-cluster + corpus-hot " +
+      "boilerplate — recall at cap {5,20,diagnostic}, chain recovery") {
+    import spark.implicits._
+    // the r12 judge's rehearsal shape in unit form: one near-dup cluster
+    // LARGER than any cap a sane default would pick (200 members, each
+    // one word off the template), a boilerplate phrase in EVERY document
+    // (corpus-hot shingles), 60 unrelated docs, and a 12-member
+    // pure-boilerplate exact-dup cluster (the docs that are ONLY the
+    // boilerplate — the realistic cookie-banner page)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 3000).map(i => f"w$i%04dx${(i * 11) % 89}")
+    val boiler = "accept all cookies terms of service privacy policy"
+    val template = Vector.tabulate(24)(_ => vocab(rnd.nextInt(vocab.length)))
+    val mega = (0L until 200L).map { m =>
+      val words =
+        if (m == 0) template
+        else template.updated((m % 24).toInt, s"uniq${m}z${m * 3}")
+      (m, words.mkString(" ") + " " + boiler)
+    }
+    val unrelated = (1000L until 1060L).map(i =>
+      (i, (0 until 24).map(j => s"solo${i}q$j").mkString(" ") + " " + boiler))
+    val pureBoiler = (2000L until 2012L).map(i => (i, boiler))
+    val all = mega ++ unrelated ++ pureBoiler
+    val d = all.toDF("doc_id", "text")
+
+    // ground truth by brute force over the SAME normalize+shingle
+    // semantics (lower/trim/ws-collapse; distinct char 8-grams; the
+    // integer 5·I >= 3·U threshold)
+    def sh(s: String): Set[String] =
+      s.trim.toLowerCase.replaceAll("\\s+", " ").sliding(8).toSet
+    val sets = all.map { case (id, t) => id -> sh(t) }.toMap
+    val ids = all.map(_._1).toVector
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      inter = (sets(ids(i)) & sets(ids(j))).size
+      union = sets(ids(i)).size + sets(ids(j)).size - inter
+      if 5 * inter >= 3 * union
+    } yield (ids(i), ids(j))).toSet
+    val megaTruth = truth.filter { case (a, b) => a < 1000L && b < 1000L }
+    val boilerTruth = truth.filter { case (a, b) => a >= 2000L && b >= 2000L }
+    assert(megaTruth.size == 199 * 100) // C(200,2): all members mutual dups
+    assert(boilerTruth.size == 66) // C(12,2) exact dups
+    assert(truth == megaTruth ++ boilerTruth) // unrelated docs pair nothing
+
+    def found(cap: Int): Set[(Long, Long)] =
+      Dedup.prefixJaccardPairs(d, "doc_id", "text", maxDocsPerTok = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // cap 5 / default 20: the mega cluster exceeds both — recall
+    // COLLAPSES but is not exactly zero (tokens at each member's prefix
+    // CUT boundary land in only a few members' prefixes, so their
+    // prefix-nd is small even though their corpus dfreq is ~200; pairs
+    // found through them are verified-true — the cap costs recall, never
+    // precision). The 12-way boilerplate cluster fits under 20 only.
+    val at5 = found(5)
+    assert(at5.subsetOf(truth)) // exact verification: no false positives
+    val recall5 = at5.intersect(megaTruth).size.toDouble / megaTruth.size
+    assert(recall5 < 0.10, s"cap5 mega recall $recall5")
+    assert(at5.intersect(boilerTruth).isEmpty) // boiler prefix-nd = 12 > 5
+    val at20 = found(20)
+    assert(at20.subsetOf(truth))
+    assert(at20.intersect(boilerTruth) == boilerTruth)
+    val recall20 = at20.intersect(megaTruth).size.toDouble / megaTruth.size
+    assert(recall20 < 0.10, s"cap20 mega recall $recall20")
+
+    // recovery arm 1 — chain union at LOW cap: the exact-dup chain
+    // (hash-groupBy, no cap anywhere) returns every EXACT-dup cluster's
+    // pairs, so union(exact, capped-prefix) recovers the boilerplate
+    // cluster without touching the cap; it cannot recover the near-dup
+    // mega pairs (members differ), which need arm 2
+    val fp = d.select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("h"))
+    val exactPairs = fp.as("a")
+      .join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert((at5 ++ exactPairs).intersect(boilerTruth) == boilerTruth)
+    assert(exactPairs.intersect(megaTruth).isEmpty) // near-dups: arm 2's job
+
+    // recovery arm 2 — cluster-size-aware cap raise, with the cap read
+    // off the prefixHotness diagnostic instead of guessed: the hottest
+    // prefix-nd is the mega cluster (~200), NOT the corpus-hot
+    // boilerplate (272 docs) — prefixes exclude boilerplate shingles in
+    // every doc that has any content of its own, so the diagnostic is
+    // not inflated by template noise
+    val hot = Dedup.prefixHotness(d, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val maxNd = hot.map(_._1).max
+    // the hottest prefix token sits in MOST of the mega cluster's 200
+    // prefixes (not all — the per-member prefix cut shifts slightly with
+    // each member's unique word), and far below the 272-doc corpus: the
+    // diagnostic reads the cluster, not the boilerplate
+    assert(maxNd >= 150L && maxNd <= 200L, s"maxNd=$maxNd")
+    // cap = maxNd drops NOTHING (every prefix token has nd <= maxNd by
+    // definition), and the prefix filter alone is lossless — full
+    // recall, exact verification untouched
+    val raised = found(maxNd.toInt)
+    assert(raised == truth)
+  }
+
   test("containmentPairs: quote-in-article found directed, Jaccard misses it, cap binds") {
     import spark.implicits._
     val quote = "the quick brown fox jumps over the lazy dog again and again"

@@ -235,4 +235,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("watermark bounds state: dedup + stream-stream join evict, never accrete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+
+    // --- dedup state (q96 shape): 10 batches × 200 fresh keys, event time
+    // advancing 10 minutes per batch against a 2-minute watermark. The
+    // state store must hold roughly ONE batch's keys at any time — if the
+    // watermark failed to evict, it would accrete to the 2000-key union
+    // and an unbounded stream would OOM the store.
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = StreamingOps.dedupWithinWatermark(
+        in.toDF.toDF("id", "ts"), "2 minutes", Seq("id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_state_bound").start()
+    val dedupState = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0 until 10).foreach { b =>
+      in.addData((0 until 200).map(k =>
+        ((b * 200 + k).toLong, ts(b * 600L + k % 60))): _*)
+      q.processAllAvailable()
+      dedupState += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    }
+    q.stop()
+    // every batch's keys are fresh → 2000 distinct keys seen; flat state
+    assert(spark.table("dedup_state_bound").count() == 2000L)
+    // steady state: bounded by ~one batch of keys (+1 batch of eviction
+    // lag — rows leave in the batch AFTER the watermark passes them)
+    assert(dedupState.drop(2).forall(_ <= 450L),
+      s"dedup state grew: ${dedupState.mkString(",")}")
+
+    // --- stream-stream inner join state (q148 shape): both sides
+    // watermarked 2 minutes, 1-minute join interval, same 10-minute
+    // time hops — both sides' buffered rows must be evicted
+    val inL = MemoryStream[(Long, Timestamp, Long)]
+    val inR = MemoryStream[(Long, Timestamp, Long)]
+    val lw = inL.toDF.toDF("event_id", "ets", "user")
+      .withWatermark("ets", "2 minutes")
+    val rw = inR.toDF.toDF("p_id", "pts", "p_user")
+      .withWatermark("pts", "2 minutes")
+    val qj = lw.join(rw, expr(
+        "user = p_user AND ets >= pts AND ets < pts + INTERVAL 1 MINUTE"))
+      .select(col("event_id"), col("p_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("join_state_bound").start()
+    val joinState = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0 until 10).foreach { b =>
+      val t0 = b * 600L
+      inL.addData((0 until 100).map(k =>
+        ((b * 100 + k).toLong, ts(t0 + k % 50), (k % 7).toLong)): _*)
+      inR.addData((0 until 20).map(k =>
+        ((10000 + b * 20 + k).toLong, ts(t0 + k % 50), (k % 7).toLong)): _*)
+      qj.processAllAvailable()
+      joinState += qj.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    }
+    qj.stop()
+    assert(spark.table("join_state_bound").count() > 0L)
+    // 1200 rows ingested over the run; buffered join state stays ~one
+    // batch (120 rows both sides) + eviction lag
+    assert(joinState.drop(2).forall(_ <= 300L),
+      s"join state grew: ${joinState.mkString(",")}")
+  }
 }

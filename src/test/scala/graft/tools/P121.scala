@@ -4,7 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
-/** Scratch phase breakdown for q121 prefixJaccardPairs (dev probe). */
+/** Scratch phase breakdown for q121 prefixJaccardPairs (dev probe).
+  * Arg: a raw documents parquet path (e.g. the ScaleRehearsal corpus
+  * `target/scale_rehearsal_docs.parquet`) — defaults to the
+  * `SPARK_GRAFT_SF_DIR` documents table. The staged section mirrors the
+  * SHIPPED operator shape (aggregate + semi-join cap, PPJoin length
+  * filter), so per-stage numbers localize rehearsal-band variance to
+  * explode / prefix aggregate / candidates / verify (r12 VERDICT item 7). */
 object P121 {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,7 +22,10 @@ object P121 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = graft.Tables.documents(spark, sfDir)
+    val docs = args.headOption match {
+      case Some(p) if p.endsWith(".parquet") => spark.read.parquet(p)
+      case _ => graft.Tables.documents(spark, sfDir)
+    }
     val (idCol, textCol) = ("doc_id", "text")
     val (shingleK, numT, denT, maxDocsPerTok) = (8, 3, 5, 20)
 
@@ -38,22 +47,29 @@ object P121 {
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     time("dfreq")(dfreq.count())
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    // staged probe = the SHIPPED shape: prefix aggregate carrying n, the
+    // hot-token cap as aggregate + semi-join (splittable), PPJoin length
+    // filter at the candidate level
     val prefix0 = toks.join(dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), size(col("td")).as("n"), explode(expr(
         s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
-      .select(col("doc_id"), col("x.tok").as("tok"))
+      .select(col("doc_id"), col("n"), col("x.tok").as("tok"))
     time("prefix-pre-cap")(prefix0.count())
+    val keepToks = prefix0.groupBy(col("tok"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= maxDocsPerTok).select(col("tok"))
     val prefix = prefix0
-      .withColumn("nd", count(lit(1)).over(wTok))
-      .filter(col("nd") <= maxDocsPerTok)
-      .select(col("doc_id"), col("tok"))
+      .join(keepToks, "tok")
+      .select(col("doc_id"), col("n"), col("tok"))
       .localCheckpoint()
     time("prefix-capped-ckpt")(prefix.count())
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.n"), col("b.n")) * denT >=
+        greatest(col("a.n"), col("b.n")) * numT)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     time("cand")(cand.count())

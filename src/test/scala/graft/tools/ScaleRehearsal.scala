@@ -98,6 +98,49 @@ object ScaleRehearsal {
       Dedup.prefixJaccardPairs(docs, "doc_id", "text", maxDocsPerTok = 128)
         .count()
     }
+    // ---- r13: skew-injected recall rehearsal (r12 VERDICT item 1) ----
+    // ONE near-dup cluster bigger than every cap under test: 200 members,
+    // each one token off a shared 45-word base, every member carrying the
+    // corpus-hot boilerplate. Planted recall is measured directly
+    // (C(200,2) = 19900 within-cluster pairs, ids >= 10M so the count is
+    // exact), then the two prescribed recoveries: the prefixHotness
+    // diagnostic reads the cluster size off the corpus, and the cap
+    // raised above it restores the pairs.
+    val megaBase = (0 until 45).map(_ => vocab(rnd.nextInt(vocab.length)))
+    val mega = (0L until 200L).map { m =>
+      val words =
+        if (m == 0L) megaBase
+        else megaBase.updated((m % 45).toInt, s"mega${m}u${m * 7}")
+      (10000000L + m, words.mkString(" ") + " " + boiler)
+    }
+    val sdir = "target/scale_rehearsal_skew.parquet"
+    spark.read.parquet(dir)
+      .unionByName(mega.toDF("doc_id", "text"))
+      .repartition(32).write.mode("overwrite").parquet(sdir)
+    val skew = spark.read.parquet(sdir)
+    val planted = 199L * 100L
+    Seq(5, 20, 256).foreach { cap =>
+      timed(s"q121_skew_cap$cap") {
+        val megaPairs = Dedup.prefixJaccardPairs(skew, "doc_id", "text",
+            maxDocsPerTok = cap)
+          .filter(col("id_a") >= 10000000L && col("id_b") >= 10000000L)
+          .count()
+        println(s"REHEARSAL skew cap=$cap mega_recall=$megaPairs/$planted")
+        megaPairs
+      }
+    }
+    timed("prefix_hotness_diagnostic") {
+      // the cap you'd choose, read off the data: hottest prefix-nd rows
+      // (the mega cluster lands ~200; the boilerplate, corpus-hot in a
+      // third of 50k docs, must NOT inflate this — prefixes exclude it)
+      val top = Dedup.prefixHotness(skew, "doc_id", "text")
+        .limit(5).collect()
+      println("REHEARSAL hotness_top=" +
+        top.map(r => s"nd=${r.getLong(0)}(toks=${r.getLong(1)})")
+          .mkString(","))
+      top.length.toLong
+    }
+
     timed("q119_shared_passages") {
       Dedup.sharedPassagePairs(docs, "doc_id", "text").count()
     }
