@@ -148,7 +148,33 @@ object Bench {
     def shortKey(n: String) = n.takeWhile(_ != '_')
     require(names.map(shortKey).distinct.size == names.size,
       "short bench keys must stay unique")
-    val results = names.map(n => n -> runOnce(n))
+    // Tail-burst self-adjudication (r13 judge item 1): endpoint load
+    // samples + the early-query cidx both missed a mid-tail I/O burst
+    // (the r13 driver run stamped "quiet" around a 231 s board with q208
+    // at 13.5 s). Two in-run probes close that blind spot:
+    //  (a) the host load index is sampled after EVERY timed query, and
+    //      the artifact stamps its max and median — a burst anywhere in
+    //      the run now shows as load max >> median;
+    //  (b) on full runs a fixed cheap canary (q22, ~0.1 s warm,
+    //      content-independent plan) is re-run at 1/3, 2/3 and after the
+    //      last timed query; its spread is pure host state (the plan
+    //      never changes), so canary max/min >~ 3 marks the burst's
+    //      position without a judge re-run.
+    val fullRun = args.isEmpty
+    val canaryName = "q22_categorize"
+    val doCanary = fullRun && SparkEntry.queries.contains(canaryName)
+    if (doCanary) runOnce(canaryName) // prime: repeats below measure host, not JIT
+    val canaryAt: Set[Int] =
+      if (doCanary) Set(names.size / 3, (2 * names.size) / 3, names.size - 1)
+      else Set.empty
+    val canarySecs = scala.collection.mutable.ArrayBuffer[Double]()
+    val loadSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val results = names.zipWithIndex.map { case (n, i) =>
+      val r = n -> runOnce(n)
+      loadSamples += loadIdx()
+      if (canaryAt(i)) canarySecs += runOnce(canaryName)
+      r
+    }
     def qJson(key: String => String) = results
       .map { case (k, v) => "\"" + key(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -187,8 +213,21 @@ object Bench {
     val cidx =
       if (r2Set.size == 72 && r2Set.forall(_._2 >= 0)) r2Set.map(_._2).sum
       else -1.0
+    // r13 ADVICE: a full run whose q<=72 set is not exactly the frozen 72
+    // silently loses the contention signal — say so on stderr instead
+    if (fullRun && r2Set.size != 72) System.err.println(
+      s"[bench] cidx_s=-1: expected the frozen 72-query round-2 set, " +
+        s"saw ${r2Set.size} queries numbered <= 72 — renumbering broke it?")
+    val loadMax = if (loadSamples.isEmpty) -1.0 else loadSamples.max
+    val loadMed =
+      if (loadSamples.isEmpty) -1.0
+      else loadSamples.sorted.apply(loadSamples.size / 2)
+    val canaryJson =
+      canarySecs.map(f3).mkString("[", ",", "]")
     val loadJson = s""""cidx_s":${f3(cidx)},""" +
-      s""""load_idx":{"start":${f3(loadStart)},"end":${f3(loadEnd)}},""" +
+      s""""load_idx":{"start":${f3(loadStart)},"max":${f3(loadMax)},""" +
+      s""""med":${f3(loadMed)},"end":${f3(loadEnd)}},""" +
+      s""""canary_s":$canaryJson,""" +
       s""""nproc":${Runtime.getRuntime.availableProcessors()}"""
     println(
       s"""{"metric":"total","unit":"sec","value":${f3(total)},""" +

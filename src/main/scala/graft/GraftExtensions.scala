@@ -71,8 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_grams"),
       info("word_grams",
         "word_grams(array<string>, n) - overlapping n-grams, gram i starts " +
-          "at toks[i]; NULL array -> NULL (array<string> only, " +
-          "checked at analysis)"),
+          "at toks[i]; NULL array -> NULL (bare NULL literal included; " +
+          "element type must be string, checked at analysis)"),
       (exprs: Seq[Expression]) => WordGrams(exprs(0), intArg(exprs(1)))))
     e.injectFunction((FunctionIdentifier("token_span_filter"),
       info("token_span_filter",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram shingling: `word_shingles(text, n) -> array<string>`.
@@ -341,10 +341,14 @@ case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
   // (e.g. array<int>, whose UnsafeArrayData packs 4-byte slots) would
   // read misaligned offset/size words at runtime — garbage strings or a
   // JVM crash. Reject at analysis time, same guard as TokenSpanFilter.
+  // NullType IS accepted (r13 ADVICE): a bare SQL NULL literal — or an
+  // all-null untyped column — is always null-in/null-out, the same
+  // contract the help text documents for a typed null array; eval never
+  // reaches nullSafeEval and codegen short-circuits to a null result.
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) | NullType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -355,7 +359,13 @@ case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
     ShingleOps.wordGrams(v.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.wordGrams($c, $n)")
+    child.dataType match {
+      // a NullType child can't feed the ArrayData-typed helper call (its
+      // codegen slot is Object) — the result is a constant null
+      case NullType => ExprCode.forNullValue(dataType)
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.wordGrams($c, $n)")
+    }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -23,6 +23,8 @@ import graft.functions.{HashFunctions, TextFunctions}
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup: group on the MD5 of normalized text, keep the smallest id.
     * Returns (text_hash, keeper, n_dups). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -524,12 +526,50 @@ object Dedup {
       .groupBy(col("nd")).agg(count(lit(1)).as("n_toks"))
       .orderBy(col("nd").desc)
 
+  /** [[prefixJaccardPairs]]'s `maxDocsPerTok = 0` sentinel: derive the cap
+    * from the corpus itself instead of a hand guess. The rule is the one
+    * the [[prefixHotness]] Scaladoc tells a human to apply — cap at the
+    * largest prefix-nd that is NOT template structure, i.e. the largest
+    * nd strictly below `templateShare` × the prefix-bearing doc count.
+    * Genuine near-dup clusters (nd ≈ cluster size, far below the corpus)
+    * survive whole; corpus-spanning boilerplate (nd ≈ corpus size) stays
+    * capped out, which is q95/q196's job to strip, not a pairwise join's
+    * to enumerate quadratically. Costs two extra linear aggregate jobs
+    * over the prefix table (no window, no collect beyond two 1-row
+    * results); on a 100 TB corpus run [[prefixHotness]] on a sample and
+    * pass an explicit cap instead. */
+  private def autoCapFromHotness(prefixPre: DataFrame,
+      templateShare: Double): Int = {
+    val nDocs = prefixPre.agg(countDistinct(col("doc_id")))
+      .head().getLong(0)
+    val floor = math.max(2L, math.ceil(templateShare * nDocs).toLong)
+    val capRow = prefixPre.groupBy(col("tok"))
+      .agg(count(lit(1)).as("nd"))
+      .agg(max(when(col("nd") < floor, col("nd"))))
+      .head()
+    val cap =
+      if (capRow.isNullAt(0)) 2 // degenerate corpus: everything is template
+      else math.max(2L, capRow.getLong(0)).toInt
+    log.info(s"prefixJaccardPairs autoCap: nDocs=$nDocs " +
+      s"templateFloor=$floor -> maxDocsPerTok=$cap")
+    cap
+  }
+
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
-      maxDocsPerTok: Int = 20): DataFrame = {
+      maxDocsPerTok: Int = 20, templateShare: Double = 0.5): DataFrame = {
     require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
-    val (prefixPre, inputSmall) =
+    val (prefixPre0, inputSmall) =
       prefixToks(docs, idCol, textCol, shingleK, numT, denT)
+    // autoCap mode reads prefixPre twice (nd distribution) before the
+    // main pass consumes it twice more — pin it when the input is small
+    // enough that the r11 checkpoint decision already applies
+    val prefixPre =
+      if (maxDocsPerTok <= 0 && inputSmall) prefixPre0.localCheckpoint()
+      else prefixPre0
+    val effCap =
+      if (maxDocsPerTok > 0) maxDocsPerTok
+      else autoCapFromHotness(prefixPre, templateShare)
     // cap-hot prefix tokens via aggregate + semi-join, NOT a count
     // window: the partial aggregate collapses a corpus-hot prefix token
     // map-side and the join stays splittable, where a window partition
@@ -539,7 +579,7 @@ object Dedup {
     // hot-partition guarantee needs the aggregate shape).
     val keepToks = prefixPre.groupBy(col("tok"))
       .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") <= maxDocsPerTok).select(col("tok"))
+      .filter(col("nd") <= effCap).select(col("tok"))
     val prefix = prefixPre
       .join(keepToks, "tok") // AQE broadcasts when actually small (above)
       .select(col("doc_id"), col("n"), col("tok"))

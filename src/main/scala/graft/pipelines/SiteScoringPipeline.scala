@@ -263,7 +263,11 @@ object SiteScoringPipeline {
       featureCategories: Seq[String],
       countSuffix: String,
       fiveMetrics: Boolean,
-      minDistFill: Double)
+      minDistFill: Double,
+      // NEX alone filters the GLOBAL 300M count by distance <= 300
+      // (`HTIPNEXSITE/__init__.py:318`); PL/CR/PGSITE count every row
+      // (`HTIPPLSITE/__init__.py:335`, `PGSITE/__init__.py:308`)
+      globalCap300: Boolean = false)
 
   private val plCategories: Seq[String] = Seq(
     "BANCO", "FARMACIA", "COFFEE SHOP", "RESTAURANTE POPULAR", "IGLESIA",
@@ -305,7 +309,8 @@ object SiteScoringPipeline {
 
   val variants: Map[String, SiteVariant] = Map(
     "NEX" -> SiteVariant("NEX", "GUATEMALA", nexCategories,
-      countSuffix = "CANT", fiveMetrics = false, minDistFill = 10000.0),
+      countSuffix = "CANT", fiveMetrics = false, minDistFill = 10000.0,
+      globalCap300 = true),
     "PL" -> SiteVariant("PL", "HONDURAS", plCategories,
       countSuffix = "CNT", fiveMetrics = true, minDistFill = 0.0),
     "PLCR" -> SiteVariant("PLCR", "COSTA RICA", crCategories,
@@ -368,13 +373,29 @@ object SiteScoringPipeline {
   /** Global counts (`PGSITE/__init__.py:308-309`). The all-POI counts are
     * computed over EVERY prepared row — including categories outside the
     * variant's feature list — so they are a separate aggregate, not a
-    * horizontal sum of [[featureVectorFor]] columns. NEX names them
-    * `..._CANT` (`HTIPNEXSITE/__init__.py:318-319`), PL/CR `..._CNT`. */
+    * horizontal sum of [[featureVectorFor]] columns. This is the
+    * PGSITE/PL/CR shape: the 300M count is the plain row count. NEX's
+    * global 300M count is NOT — it filters by `distance_mtrs <= 300`
+    * (`HTIPNEXSITE/__init__.py:318`, vs `HTIPPLSITE/__init__.py:335`) —
+    * so the NEX path must go through [[globalCountsFor]]. */
   def globalCounts(prepared: DataFrame, suffix: String = "CNT"): DataFrame =
     prepared.groupBy(col("rst_cd")).agg(
       count(lit(1)).as(s"GEO_POI_300M_$suffix"),
       count(when(col("distance_mtrs") <= 100, 1))
         .as(s"GEO_POI_100M_$suffix"))
+
+  /** [[globalCounts]] under a variant's exact contract: the count suffix
+    * (`CANT` vs `CNT`) and NEX's `distance_mtrs <= 300` filter on the
+    * 300M count (`HTIPNEXSITE/__init__.py:318-319`). The Places radius is
+    * advisory and haversine vs geodesic differ, so rows beyond 300 m DO
+    * occur in a prepared frame — counting them (as the plain row count
+    * does) inflates `GEO_POI_300M_CANT` vs the NEX training frame. */
+  def globalCountsFor(prepared: DataFrame, v: SiteVariant): DataFrame =
+    prepared.groupBy(col("rst_cd")).agg(
+      (if (v.globalCap300) count(when(col("distance_mtrs") <= 300, 1))
+       else count(lit(1))).as(s"GEO_POI_300M_${v.countSuffix}"),
+      count(when(col("distance_mtrs") <= 100, 1))
+        .as(s"GEO_POI_100M_${v.countSuffix}"))
 
   /** Top-3 nearest stored points to each site — the reference's generated
     * `ROW_NUMBER() OVER (ORDER BY mdist)` T-SQL (`HTIPNEXSITE/__init__.py:

@@ -254,6 +254,7 @@ class PipelinesSpec extends AnyFunSuite {
       ("S1", "ESTACION DE BOMBEROS", 120.0),
       ("S1", "ACADEMIA", 90.0), // categorizer output OUTSIDE every list
       ("S1", "HOTEL", 0.0), // zero distance: the `> 0` fill quirk
+      ("S1", "PARQUE", 450.0), // beyond 300 m: NEX global-count filter
       ("S2", "FARMACIA", 80.0))
       .toDF("rst_cd", "poi_category", "distance_mtrs")
 
@@ -301,8 +302,18 @@ class PipelinesSpec extends AnyFunSuite {
     // no variant's feature list carries still counts here
     val g = globalCounts(prep.filter(col("rst_cd") === "S1"),
       suffix = "CANT").head()
-    assert(g.getAs[Long]("GEO_POI_300M_CANT") == 5L)
+    assert(g.getAs[Long]("GEO_POI_300M_CANT") == 6L)
     assert(g.getAs[Long]("GEO_POI_100M_CANT") == 3L)
+
+    // variant-dispatched global counts (r13 ADVICE): NEX filters the 300M
+    // count by distance <= 300 (`HTIPNEXSITE/__init__.py:318`) — the
+    // 450 m PARQUE row counts for PL/CR but NOT for NEX
+    val gn = globalCountsFor(prep.filter(col("rst_cd") === "S1"), nex).head()
+    assert(gn.getAs[Long]("GEO_POI_300M_CANT") == 5L)
+    assert(gn.getAs[Long]("GEO_POI_100M_CANT") == 3L)
+    val gp = globalCountsFor(prep.filter(col("rst_cd") === "S1"), pl).head()
+    assert(gp.getAs[Long]("GEO_POI_300M_CNT") == 6L)
+    assert(gp.getAs[Long]("GEO_POI_100M_CNT") == 3L)
   }
 
   test("p22 world parser maps columns by header NAME, not position") {

@@ -38,7 +38,8 @@ class ScaleSpec extends AnyFunSuite {
           |       sorted_intersect_count(char_shingle_hashes('abcdefgh', 8),
           |                              char_shingle_hashes('abcdefgh', 8)) AS ic,
           |       jaro_winkler('martha', 'martha') AS jw,
-          |       size(cdc_chunks('abcdef', 2, 4)) AS cc""".stripMargin)
+          |       size(cdc_chunks('abcdef', 2, 4)) AS cc,
+          |       word_grams(NULL, 2) AS wgn""".stripMargin)
         .collect().head
       assert(r.getDouble(0) == 0.0)
       assert(r.getLong(1) == r.getLong(1))
@@ -54,6 +55,10 @@ class ScaleSpec extends AnyFunSuite {
       assert(r.getLong(11) == 1L)      // one distinct 8-shingle ∩ itself
       assert(r.getDouble(12) == 1.0)   // identical strings
       assert(r.getInt(13) >= 1)        // at least one CDC chunk
+      // bare NULL literal (NullType, no cast) is NULL-in/NULL-out — the
+      // help text's contract covers it, not just a typed null array
+      // (r13 ADVICE)
+      assert(r.isNullAt(14))
     } finally {
       // do NOT stop: the SparkContext is shared with every other suite
       SparkSession.setDefaultSession(prev)
@@ -72,6 +77,11 @@ class ScaleSpec extends AnyFunSuite {
         .select(ShingleOps.wordGramsCol(col("xs"), 2)).collect()
     }
     assert(wgErr.getMessage.contains("word_grams"))
+    // ...but an untyped NULL passes analysis and returns NULL (r13
+    // ADVICE: the guard is about element layout, not about nullness)
+    assert(spark.range(1)
+      .select(ShingleOps.wordGramsCol(lit(null), 2).as("w"))
+      .collect().head.isNullAt(0))
     val nullStarts = intercept[org.apache.spark.sql.AnalysisException] {
       // Option elements -> array<int> with containsNull=true
       Seq((Seq("a", "b", "c"), Seq(Option(1))))
