@@ -559,6 +559,8 @@ object Dedup {
       shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
       maxDocsPerTok: Int = 20, templateShare: Double = 0.5): DataFrame = {
     require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
+    require(maxDocsPerTok > 0 || (templateShare > 0 && templateShare <= 1),
+      s"autoCap mode needs templateShare in (0,1]: $templateShare")
     val (prefixPre0, inputSmall) =
       prefixToks(docs, idCol, textCol, shingleK, numT, denT)
     // autoCap mode reads prefixPre twice (nd distribution) before the
