@@ -717,6 +717,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan("q200_curation_v2").contains("word_grams"))
   }
 
+  test("plan shapes: round-14 additions stay scale-safe (q245-q247 locks)") {
+    val sfDir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    // q245 prefixHotness: the diagnostic must stay STRICTLY cheaper than
+    // the join it advises — aggregates and one dictionary equi-join only,
+    // never a Window (the r11 rule: a count window partitioned by tok is
+    // unsplittable on a corpus-hot token) and never a candidate self-join
+    val p245 = plan("q245_prefix_hotness")
+    assert(!p245.contains("Window"), p245)
+    assert(!p245.contains("CartesianProduct") &&
+      !p245.contains("BroadcastNestedLoopJoin"), p245)
+    val n245 = p245.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(n245 <= 5, s"q245 grew extra hash exchanges ($n245):\n$p245")
+
+    // q246/q247 variant contracts: ONE pivoted aggregate + ONE global
+    // aggregate over the same prepared frame, joined on the ≤20-row site
+    // key — the reference's 40-category × 5-metric Python loop as two
+    // exchanges per aggregate, no window, no cartesian, and the final
+    // join never shuffles the pivot (broadcast or partitioning reuse)
+    for (q <- Seq("q246_nex_contract", "q247_pl_contract")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: $p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      val n = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(n <= 4, s"$q grew extra hash exchanges ($n):\n$p")
+    }
+  }
+
   test("dqRuleReport: one-pass suite, NULL predicate counts as violation") {
     import spark.implicits._
     val df = Seq(

@@ -129,6 +129,21 @@ object ScaleRehearsal {
         megaPairs
       }
     }
+    timed("q121_skew_autocap") {
+      // r14: the cap derived from the data (maxDocsPerTok = 0) must
+      // recover the full planted recall the hand caps above lose — the
+      // template floor is 0.5 × 50,200 docs, the hottest prefix-nd is
+      // the ~200-member mega cluster, so autoCap lands at ≈ maxNd and
+      // the prefix filter is lossless (same id-filter pushdown as the
+      // capped arms: this times the diagnostic + the mega slice, not a
+      // full-corpus join)
+      val megaPairs = Dedup.prefixJaccardPairs(skew, "doc_id", "text",
+          maxDocsPerTok = 0)
+        .filter(col("id_a") >= 10000000L && col("id_b") >= 10000000L)
+        .count()
+      println(s"REHEARSAL skew autocap mega_recall=$megaPairs/$planted")
+      megaPairs
+    }
     timed("prefix_hotness_diagnostic") {
       // the cap you'd choose, read off the data: hottest prefix-nd rows
       // (the mega cluster lands ~200; the boilerplate, corpus-hot in a
