@@ -602,4 +602,84 @@ object PropertySpec extends Properties("graft") {
         (a.isEmpty || jaroWinkler(u(a), u(a)) == 1.0) &&
         jw == jaroWinkler(u(a), u(b))
     }
+
+  property("prefixJaccardPairs cap is monotone: pairs(c1) ⊆ pairs(c2) ⊆ truth for c1 ≤ c2") =
+    Prop.forAll(Gen.choose(6, 14), Gen.choose(1L, 9999L)) { (nDocs, seed) =>
+      // the r13/r14 recall-bound contract as an invariant: raising the
+      // cap may only ADD pairs (keepToks grows, so prefix rows, then
+      // candidates, then verified pairs, are each supersets), and no cap
+      // may ever admit a pair the exact verify rejects — the cap trades
+      // recall, never precision. Tiny vocab forces heavy shingle overlap.
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 8).map(i => s"w$i")
+      val docs = (0L until nDocs.toLong).map(i =>
+        (i, (0 until 5 + rnd.nextInt(8))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      val d = docs.toDF("doc_id", "text")
+      def sh(s: String): Set[String] =
+        s.trim.toLowerCase.replaceAll("\\s+", " ").sliding(8).toSet
+      val sets = docs.map { case (id, t) => id -> sh(t) }.toMap
+      val truth = (for {
+        i <- docs.indices.iterator; j <- (i + 1) until docs.size
+        a = docs(i)._1; b = docs(j)._1
+        inter = (sets(a) & sets(b)).size
+        if 5 * inter >= 3 * (sets(a).size + sets(b).size - inter)
+      } yield (a, b)).toSet
+      def pairs(cap: Int): Set[(Long, Long)] =
+        graft.operators.Dedup.prefixJaccardPairs(d, "doc_id", "text",
+            maxDocsPerTok = cap)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val c1 = 1 + rnd.nextInt(4)
+      val c2 = c1 + rnd.nextInt(nDocs)
+      val (p1, p2) = (pairs(c1), pairs(c2))
+      p1.subsetOf(p2) && p2.subsetOf(truth) && pairs(nDocs) == truth
+    }
+
+  property("featureVectorFor matches an independent reference on random frames") =
+    Prop.forAll(Gen.choose(1L, 99999L)) { seed =>
+      // the q246/q247 serving contract re-derived in plain Scala — counts,
+      // 100 m counts, max/min/mean with the reference's `value > 0` fill
+      // quirk — and compared cell-by-cell for BOTH metric shapes (NEX 3,
+      // PL 5). Whole-metre distances keep every double exact, so == is
+      // the right comparison (same discipline as the DuckDB oracle).
+      import graft.pipelines.SiteScoringPipeline
+      val rnd = new scala.util.Random(seed)
+      val cats = Seq("BANCO", "FARMACIA", "PARQUE", "HOTEL", "ACADEMIA")
+      val rows = (0 until 3 + rnd.nextInt(40)).map { _ =>
+        (s"S${rnd.nextInt(3)}", cats(rnd.nextInt(cats.size)),
+          rnd.nextInt(501).toDouble)
+      }
+      val prep = rows.toDF("rst_cd", "poi_category", "distance_mtrs")
+      Seq("NEX", "PL").forall { vn =>
+        val v = SiteScoringPipeline.variants(vn)
+        val got = SiteScoringPipeline.featureVectorFor(prep, v)
+          .collect().map(r => r.getAs[String]("rst_cd") -> r).toMap
+        val sites = rows.map(_._1).distinct
+        got.keySet == sites.toSet && sites.forall { s =>
+          val r = got(s)
+          v.featureCategories.distinct.forall { cat =>
+            val ds = rows.filter(x => x._1 == s && x._2 == cat).map(_._3)
+            val ref = "GEO_" + cat.replace(' ', '_')
+            def fill(m: Option[Double], f: Double) =
+              m.filter(_ > 0).getOrElse(f)
+            val okCommon =
+              r.getAs[Long](s"${ref}_300M_${v.countSuffix}") == ds.size.toLong &&
+              r.getAs[Long](s"${ref}_100M_${v.countSuffix}") ==
+                ds.count(_ <= 100).toLong
+            val okDists =
+              if (v.fiveMetrics)
+                r.getAs[Double](s"${ref}_MAX_DIST") ==
+                  fill(ds.maxOption, 0.0) &&
+                r.getAs[Double](s"${ref}_MIN_DIST") ==
+                  fill(ds.minOption, v.minDistFill) &&
+                r.getAs[Double](s"${ref}_MEAN_DIST") ==
+                  fill(if (ds.isEmpty) None else Some(ds.sum / ds.size), 0.0)
+              else
+                r.getAs[Double](s"${ref}_MIN_DIST") ==
+                  fill(ds.minOption, v.minDistFill)
+            okCommon && okDists
+          }
+        }
+      }
+    }
 }
