@@ -658,11 +658,19 @@ object Dedup {
     * Verification is exact and never re-explodes: candidates merge-scan
     * the two docs' sorted shingle-hash arrays (native
     * `sorted_intersect_count`), C = n_inter/n_sub as one IEEE divide of
-    * exact ints. Both directions of a mutual near-dup emit. */
+    * exact ints. Both directions of a mutual near-dup emit.
+    *
+    * `maxDocsPerTok = 0` derives the cap from the corpus (r14, mirroring
+    * [[prefixJaccardPairs]]'s auto mode): largest dfreq below
+    * `templateShare` × docs — a quote syndicated into more articles than
+    * the default cap is recovered without hand tuning, while
+    * corpus-spanning boilerplate stays capped out. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, numT: Int = 3, denT: Int = 4,
-      maxDocsPerTok: Int = 20): DataFrame = {
+      maxDocsPerTok: Int = 20, templateShare: Double = 0.5): DataFrame = {
     require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
+    require(maxDocsPerTok > 0 || (templateShare > 0 && templateShare <= 1),
+      s"autoCap mode needs templateShare in (0,1]: $templateShare")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
@@ -678,6 +686,27 @@ object Dedup {
         explode(TextFunctions.charShingles(
           TextFunctions.normalize(col(textCol)), shingleK)).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    // maxDocsPerTok = 0: derive the cap from the data, same rule as
+    // prefixJaccardPairs's autoCap but over FULL-corpus dfreq (the cap
+    // here binds the index side's posting lists, which carry every doc,
+    // not just prefixes) — the largest dfreq strictly below
+    // templateShare × docs is the biggest genuine containment family;
+    // dfreq ≈ corpus size is boilerplate. Two extra linear jobs
+    // (doc count + dictionary max), auto mode only.
+    val effCap =
+      if (maxDocsPerTok > 0) maxDocsPerTok
+      else {
+        val nDocs = base.select(col(idCol)).distinct().count()
+        val floor = math.max(2L, math.ceil(templateShare * nDocs).toLong)
+        val capRow = dfreq
+          .agg(max(when(col("dfreq") < floor, col("dfreq")))).head()
+        val cap =
+          if (capRow.isNullAt(0)) 2
+          else math.max(2L, capRow.getLong(0)).toInt
+        log.info(s"containmentPairs autoCap: nDocs=$nDocs " +
+          s"templateFloor=$floor -> maxDocsPerTok=$cap")
+        cap
+      }
     // probe prefix: rank by global dfreq via the per-doc array-sort trick
     // (no cluster-wide sort), slice the rarest n − ceil(t·n) + 1, then
     // drop cap-hot tokens
@@ -687,10 +716,10 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
       .select(col("doc_id"), col("x.dfreq").as("dfreq"), col("x.tok").as("tok"))
-      .filter(col("dfreq") <= maxDocsPerTok)
+      .filter(col("dfreq") <= effCap)
       .select(col("doc_id"), col("tok"))
     val index = toks.join(
-      dfreq.filter(col("dfreq") <= maxDocsPerTok).select(col("tok")), "tok")
+      dfreq.filter(col("dfreq") <= effCap).select(col("tok")), "tok")
     val cand0 = prefix.as("a")
       .join(index.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))

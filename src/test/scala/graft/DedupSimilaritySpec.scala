@@ -400,6 +400,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.isEmpty, capped.toSeq)
   }
 
+  test("containmentPairs autoCap: syndicated quote above the default cap " +
+      "recovered with no hand-chosen cap") {
+    import spark.implicits._
+    // one quote syndicated into 29 articles: every quote shingle has
+    // dfreq 30 > the default cap of 20, so the default loses ALL 29
+    // directed pairs; autoCap reads the dfreq tail (30 ≪ 0.5 × 100
+    // docs) and recovers them — the directed-join form of the r14
+    // auto-cap contract
+    val quote = (1 to 12).map(j => s"qq${j}zz${j * 5 % 41}").mkString(" ")
+    val articles = (10L until 39L).map(i =>
+      (i, quote + " " + (1 to 60).map(j => s"art${i}w$j").mkString(" ")))
+    val solo = (100L until 170L).map(i =>
+      (i, (1 to 40).map(j => s"solo${i}v$j").mkString(" ")))
+    val d = ((1L, quote) +: articles) ++ solo
+    val df = d.toDF("doc_id", "text")
+    val expected = articles.map(a => (1L, a._1)).toSet
+    val byDefault = Dedup.containmentPairs(df, "doc_id", "text")
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    assert(byDefault.intersect(expected).isEmpty, byDefault)
+    val auto = Dedup.containmentPairs(df, "doc_id", "text",
+      maxDocsPerTok = 0)
+    val got = auto.select("id_sub", "id_sup").as[(Long, Long)]
+      .collect().toSet
+    assert(expected.subsetOf(got), (expected -- got).toSeq.sorted.take(5))
+    // exactness untouched: every emitted pair is a true containment
+    val rs = auto.select(col("cont_r").as[Double]).collect()
+    assert(rs.forall(r => r >= 0.75 && r <= 1.0))
+    assert(!auto.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("sharedPassagePairs finds the copied span, not unrelated docs") {
     import spark.implicits._
     // a ~250-char distinctive passage shared by docs 1 and 2 with
