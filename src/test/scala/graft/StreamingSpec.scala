@@ -299,4 +299,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(joinState.drop(2).forall(_ <= 300L),
       s"join state grew: ${joinState.mkString(",")}")
   }
+
+  test("RocksDB state store: dedup + stateful sessionize produce identical " +
+      "output and the watermark still evicts") {
+    // r14: the provider a cluster deployment runs (state off-heap/on-disk,
+    // not bounded by executor memory) must be a pure swap — same rows,
+    // same state eviction — for both the built-in dedup state and the
+    // custom flatMapGroupsWithState operator. Provider is a per-query
+    // session conf; restore it so later suites keep the default store.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // dedup: 5 batches x 100 fresh keys + 20 repeats of batch-local
+      // keys; watermark evicts across batches, dedup holds within
+      val in = MemoryStream[(Long, Timestamp)]
+      val q = StreamingOps.dedupWithinWatermark(
+          in.toDF.toDF("id", "ts"), "2 minutes", Seq("id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rocksdb_dedup").start()
+      val state = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (0 until 5).foreach { b =>
+        val fresh = (0 until 100).map(k =>
+          ((b * 100 + k).toLong, ts(b * 600L + k % 60)))
+        val dups = (0 until 20).map(k =>
+          ((b * 100 + k).toLong, ts(b * 600L + k % 60)))
+        in.addData(fresh ++ dups: _*)
+        q.processAllAvailable()
+        state += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      q.stop()
+      // every fresh key exactly once (within-batch dups dropped), state
+      // bounded by ~one batch under RocksDB exactly as under the default
+      assert(spark.table("rocksdb_dedup").count() == 500L)
+      assert(state.drop(2).forall(_ <= 250L),
+        s"rocksdb dedup state grew: ${state.mkString(",")}")
+
+      // custom state: the sessionizer's flatMapGroupsWithState path must
+      // run unchanged on RocksDB (same session splits as the batch logic)
+      import graft.streaming.StatefulSessionize.Event
+      val sin = MemoryStream[Event]
+      val sq = graft.streaming.StatefulSessionize
+        .sessionize(sin.toDS(), gapSeconds = 300L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rocksdb_sessions").start()
+      // user 1: two events 1 min apart (one session), then a 21-min gap
+      // closes it on arrival; a later event closes the second session
+      sin.addData(Event(1L, 1L, 0L, 1.0), Event(1L, 2L, 60000000L, 1.0),
+        Event(1L, 3L, 1260000000L, 1.0))
+      sq.processAllAvailable()
+      sin.addData(Event(1L, 4L, 7200000000L, 1.0))
+      sq.processAllAvailable()
+      sq.stop()
+      val sessions = spark.table("rocksdb_sessions")
+        .select(col("user_id").cast("long"), col("n_events").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(sessions == Set((1L, 2L), (1L, 1L)), sessions.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }

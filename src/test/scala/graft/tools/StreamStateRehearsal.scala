@@ -37,9 +37,18 @@ object StreamStateRehearsal {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val dir = args.headOption.getOrElse("target/scale_rehearsal_docs.parquet")
+    val dir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("target/scale_rehearsal_docs.parquet")
     require(new java.io.File(dir).exists(),
       s"rehearsal corpus missing at $dir — run graft.tools.ScaleRehearsal first")
+    // --rocksdb: run the same rehearsal under the RocksDB state store —
+    // the provider a 1000-executor deployment uses (state off-heap, not
+    // bounded by executor memory). Same flat-line assertion must hold.
+    if (args.contains("--rocksdb")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      println("STREAMSTATE provider=RocksDB")
+    } else println("STREAMSTATE provider=HDFSBackedStateStore (default)")
 
     // real per-doc signatures, driver-side once (50k × ~45 B — bounded;
     // this is the batch generator for the stream, not pipeline code)
