@@ -98,9 +98,20 @@ object Graft {
       minShared, maxDocsPerFp)
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
-      maxDocsPerTok: Int = 20): DataFrame =
+      maxDocsPerTok: Int = 20, templateShare: Double = 0.5): DataFrame =
     operators.Dedup.prefixJaccardPairs(docs, idCol, textCol, shingleK, numT,
-      denT, maxDocsPerTok)
+      denT, maxDocsPerTok, templateShare)
+  def prefixHotness(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numT: Int = 3, denT: Int = 5): DataFrame =
+    operators.Dedup.prefixHotness(docs, idCol, textCol, shingleK, numT, denT)
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numT: Int = 3, denT: Int = 4,
+      maxDocsPerTok: Int = 20, templateShare: Double = 0.5): DataFrame =
+    operators.Dedup.containmentPairs(docs, idCol, textCol, shingleK, numT,
+      denT, maxDocsPerTok, templateShare)
+  def editDistanceJoin(rows: DataFrame, idCol: String,
+      strCol: String): DataFrame =
+    operators.Dedup.editDistanceJoin(rows, idCol, strCol)
   def leakageSafeSplit(members: DataFrame, clusterCol: String = "cluster",
       train256: Int = 204, val256: Int = 26): DataFrame =
     operators.Dedup.leakageSafeSplit(members, clusterCol, train256, val256)
