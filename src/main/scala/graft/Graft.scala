@@ -286,6 +286,22 @@ object Graft {
   def categorizePoi(nameCol: Column, typeCol: Column): Column =
     pipelines.SiteScoringPipeline.categorizePoi(nameCol, typeCol)
 
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame =
+    operators.Corpus.invertedIndex(docs, idCol, textCol, topK)
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.Corpus.readability(docs, idCol, textCol)
+
+  // ---- site-scoring serving contracts (reference deployment variants) ----
+  def siteVariants: Map[String, pipelines.SiteScoringPipeline.SiteVariant] =
+    pipelines.SiteScoringPipeline.variants
+  def featureVectorFor(prepared: DataFrame,
+      v: pipelines.SiteScoringPipeline.SiteVariant): DataFrame =
+    pipelines.SiteScoringPipeline.featureVectorFor(prepared, v)
+  def globalCountsFor(prepared: DataFrame,
+      v: pipelines.SiteScoringPipeline.SiteVariant): DataFrame =
+    pipelines.SiteScoringPipeline.globalCountsFor(prepared, v)
+
   // ---- streaming ----
   def windowedEventAgg(events: DataFrame, windowDur: String,
       watermarkDelay: String): DataFrame =
@@ -293,4 +309,16 @@ object Graft {
   def dedupStream(docs: DataFrame, idCol: String, textCol: String):
       org.apache.spark.sql.Dataset[streaming.StreamingDedup.DedupVerdict] =
     streaming.StreamingDedup.dedupStream(docs, idCol, textCol)
+  /** Watermark-BOUNDED streaming dedup — the shape whose state flat-lines
+    * at ~one batch of keys (proven at 10× in StreamStateRehearsal);
+    * [[dedupStream]] keeps all-time signature state by design. */
+  def dedupWithinWatermark(events: DataFrame, watermarkDelay: String,
+      idCols: Seq[String]): DataFrame =
+    streaming.StreamingOps.dedupWithinWatermark(events, watermarkDelay,
+      idCols)
+  def sessionize(events: org.apache.spark.sql.Dataset[
+        streaming.StatefulSessionize.Event],
+      gapSeconds: Long): org.apache.spark.sql.Dataset[
+        streaming.StatefulSessionize.Session] =
+    streaming.StatefulSessionize.sessionize(events, gapSeconds)
 }
