@@ -156,17 +156,28 @@ object Bench {
     //      the artifact stamps its max and median — a burst anywhere in
     //      the run now shows as load max >> median;
     //  (b) on full runs a fixed cheap canary (q22, ~0.1 s warm,
-    //      content-independent plan) is re-run at 1/3, 2/3 and after the
-    //      last timed query; its spread is pure host state (the plan
-    //      never changes), so canary max/min >~ 3 marks the burst's
-    //      position without a judge re-run.
+    //      content-independent plan) is re-run at three points in the
+    //      TAIL after its own timed execution; its spread is pure host
+    //      state (the plan never changes), so canary max/min >~ 3 marks
+    //      the burst's position without a judge re-run. The timed q22 run
+    //      itself is the JIT prime — repeats are placed strictly after it
+    //      (r14 review: a pre-loop prime warmed the timed q22, deflating
+    //      its recorded time and cidx_s vs their cold bands, and ran even
+    //      under SPARK_GRAFT_NO_WARM). q22 sits near mid-board in the
+    //      lexicographic order, so the canary covers the tail — exactly
+    //      where the r13 burst lived; the per-query load samples in (a)
+    //      cover the front half.
     val fullRun = args.isEmpty
     val canaryName = "q22_categorize"
-    val doCanary = fullRun && SparkEntry.queries.contains(canaryName)
-    if (doCanary) runOnce(canaryName) // prime: repeats below measure host, not JIT
+    val canaryIdx = names.indexOf(canaryName)
+    val doCanary = fullRun && canaryIdx >= 0
     val canaryAt: Set[Int] =
-      if (doCanary) Set(names.size / 3, (2 * names.size) / 3, names.size - 1)
-      else Set.empty
+      if (doCanary) {
+        val rest = names.size - 1 - canaryIdx
+        Set(canaryIdx + math.max(1, rest / 3),
+          canaryIdx + math.max(2, (2 * rest) / 3),
+          names.size - 1).filter(i => i > canaryIdx && i < names.size)
+      } else Set.empty
     val canarySecs = scala.collection.mutable.ArrayBuffer[Double]()
     val loadSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val results = names.zipWithIndex.map { case (n, i) =>

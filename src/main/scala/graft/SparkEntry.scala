@@ -203,22 +203,49 @@ object SparkEntry {
     java.lang.Long.toHexString(ProcessHandle.current().pid())
   private val scratchCreated =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => })
+    } catch { case _: java.io.IOException => }
   private lazy val scratchHook: Unit = Runtime.getRuntime.addShutdownHook(
-    new Thread(() => scratchCreated.forEach { root =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-            catch { case _: java.io.IOException => })
-      } catch { case _: java.io.IOException => }
-    }))
+    new Thread(() => scratchCreated.forEach(deleteRecursively)))
+  // Crash-leak sweep (r14 review): a shutdown hook never runs under
+  // SIGKILL / OOM-kill — and tools/SpillRehearsal deliberately drives
+  // such crashes — so orphaned per-pid dirs would otherwise accumulate
+  // until the tmp filesystem fills. Once per JVM, before the first dir is
+  // created, remove any sibling graft-fmt-* dir whose pid-hex suffix
+  // names a process that no longer exists (or exists but is dead); live
+  // concurrent runs and unparseable names are left untouched.
+  private lazy val scratchSweep: Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      java.nio.file.Files.list(tmp).iterator().asScala.toSeq
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("graft-fmt-"))
+        .foreach { p =>
+          val pidHex = p.getFileName.toString.split('-').last
+          val orphaned =
+            try {
+              val pid = java.lang.Long.parseLong(pidHex, 16)
+              val h = ProcessHandle.of(pid)
+              pid != ProcessHandle.current().pid() &&
+                (h.isEmpty || !h.get().isAlive)
+            } catch { case _: NumberFormatException => false }
+          if (orphaned) deleteRecursively(p)
+        }
+    } catch { case _: java.io.IOException => }
   private def scratchDir(tag: String, dataset: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dataset.getBytes("UTF-8")).take(6)
       .map(b => f"$b%02x").mkString
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-fmt-$tag-$key-$scratchNonce")
+    scratchSweep
     scratchHook
     scratchCreated.add(p)
     p.toString

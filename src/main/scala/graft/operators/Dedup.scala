@@ -542,15 +542,29 @@ object Dedup {
       templateShare: Double): Int = {
     val nDocs = prefixPre.agg(countDistinct(col("doc_id")))
       .head().getLong(0)
-    val floor = math.max(2L, math.ceil(templateShare * nDocs).toLong)
-    val capRow = prefixPre.groupBy(col("tok"))
+    val ndCounts = prefixPre.groupBy(col("tok"))
       .agg(count(lit(1)).as("nd"))
-      .agg(max(when(col("nd") < floor, col("nd"))))
-      .head()
+    capBelowTemplateFloor(ndCounts, "nd", nDocs, templateShare,
+      "prefixJaccardPairs")
+  }
+
+  /** Shared auto-cap rule for the `maxDocsPerTok = 0` modes: the largest
+    * per-token document count strictly below `templateShare` × `nDocs`.
+    * One linear aggregate over the (tok, count) table; the caller supplies
+    * whichever count binds its join (prefix-nd for the Jaccard join,
+    * full-corpus dfreq for the containment index). The Long→Int narrowing
+    * is clamped: a derived cap beyond Int.MaxValue (possible only when a
+    * "genuine" family spans >2^31 docs) saturates rather than wrapping
+    * negative, which would silently filter out every token. */
+  private[graft] def capBelowTemplateFloor(counts: DataFrame, countCol: String,
+      nDocs: Long, templateShare: Double, label: String): Int = {
+    val floor = math.max(2L, math.ceil(templateShare * nDocs).toLong)
+    val capRow = counts
+      .agg(max(when(col(countCol) < floor, col(countCol)))).head()
     val cap =
       if (capRow.isNullAt(0)) 2 // degenerate corpus: everything is template
-      else math.max(2L, capRow.getLong(0)).toInt
-    log.info(s"prefixJaccardPairs autoCap: nDocs=$nDocs " +
+      else math.min(math.max(2L, capRow.getLong(0)), Int.MaxValue.toLong).toInt
+    log.info(s"$label autoCap: nDocs=$nDocs " +
       s"templateFloor=$floor -> maxDocsPerTok=$cap")
     cap
   }
@@ -697,15 +711,8 @@ object Dedup {
       if (maxDocsPerTok > 0) maxDocsPerTok
       else {
         val nDocs = base.select(col(idCol)).distinct().count()
-        val floor = math.max(2L, math.ceil(templateShare * nDocs).toLong)
-        val capRow = dfreq
-          .agg(max(when(col("dfreq") < floor, col("dfreq")))).head()
-        val cap =
-          if (capRow.isNullAt(0)) 2
-          else math.max(2L, capRow.getLong(0)).toInt
-        log.info(s"containmentPairs autoCap: nDocs=$nDocs " +
-          s"templateFloor=$floor -> maxDocsPerTok=$cap")
-        cap
+        capBelowTemplateFloor(dfreq, "dfreq", nDocs, templateShare,
+          "containmentPairs")
       }
     // probe prefix: rank by global dfreq via the per-doc array-sort trick
     // (no cluster-wide sort), slice the rarest n − ceil(t·n) + 1, then

@@ -377,12 +377,20 @@ object SiteScoringPipeline {
     * PGSITE/PL/CR shape: the 300M count is the plain row count. NEX's
     * global 300M count is NOT — it filters by `distance_mtrs <= 300`
     * (`HTIPNEXSITE/__init__.py:318`, vs `HTIPPLSITE/__init__.py:335`) —
-    * so the NEX path must go through [[globalCountsFor]]. */
-  def globalCounts(prepared: DataFrame, suffix: String = "CNT"): DataFrame =
+    * so the NEX path must go through [[globalCountsFor]] — and this
+    * helper REFUSES a suffix that names a distance-filtered variant
+    * contract (r14 review: `globalCounts(prep, "CANT")` would otherwise
+    * mint NEX-named columns with the wrong, unfiltered semantics). */
+  def globalCounts(prepared: DataFrame, suffix: String = "CNT"): DataFrame = {
+    require(!variants.values.exists(v => v.globalCap300 && v.countSuffix == suffix),
+      s"suffix '$suffix' names a variant whose global 300M count is " +
+        "distance-filtered; use globalCountsFor(prepared, variants(...)) " +
+        "so the filter cannot be silently dropped")
     prepared.groupBy(col("rst_cd")).agg(
       count(lit(1)).as(s"GEO_POI_300M_$suffix"),
       count(when(col("distance_mtrs") <= 100, 1))
         .as(s"GEO_POI_100M_$suffix"))
+  }
 
   /** [[globalCounts]] under a variant's exact contract: the count suffix
     * (`CANT` vs `CNT`) and NEX's `distance_mtrs <= 300` filter on the

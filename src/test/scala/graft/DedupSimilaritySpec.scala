@@ -430,6 +430,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!auto.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("capBelowTemplateFloor: a derived cap beyond Int.MaxValue saturates " +
+      "instead of wrapping negative") {
+    import spark.implicits._
+    // r14 review: at billions of docs a genuine family can have nd above
+    // 2^31; .toInt would wrap negative and filter(nd <= cap) would then
+    // silently keep NOTHING. The clamp must saturate at Int.MaxValue.
+    val counts = Seq(2200000000L, 5L, 3L).toDF("nd")
+    val cap = Dedup.capBelowTemplateFloor(counts, "nd",
+      nDocs = 5000000000L, templateShare = 0.5, label = "test")
+    assert(cap == Int.MaxValue)
+    // and the ordinary path is untouched: max nd below the floor wins
+    val small = Seq(30L, 20L, 9000L).toDF("nd")
+    assert(Dedup.capBelowTemplateFloor(small, "nd",
+      nDocs = 130L, templateShare = 0.5, label = "test") == 30)
+  }
+
   test("sharedPassagePairs finds the copied span, not unrelated docs") {
     import spark.implicits._
     // a ~250-char distinctive passage shared by docs 1 and 2 with

@@ -300,10 +300,14 @@ class PipelinesSpec extends AnyFunSuite {
 
     // global counts run over EVERY prepared row — the ACADEMIA row that
     // no variant's feature list carries still counts here
-    val g = globalCounts(prep.filter(col("rst_cd") === "S1"),
-      suffix = "CANT").head()
-    assert(g.getAs[Long]("GEO_POI_300M_CANT") == 6L)
-    assert(g.getAs[Long]("GEO_POI_100M_CANT") == 3L)
+    val g = globalCounts(prep.filter(col("rst_cd") === "S1")).head()
+    assert(g.getAs[Long]("GEO_POI_300M_CNT") == 6L)
+    assert(g.getAs[Long]("GEO_POI_100M_CNT") == 3L)
+    // a suffix naming a distance-filtered variant contract (NEX's CANT)
+    // cannot be minted through the unfiltered helper (r14 review)
+    intercept[IllegalArgumentException] {
+      globalCounts(prep, suffix = "CANT")
+    }
 
     // variant-dispatched global counts (r13 ADVICE): NEX filters the 300M
     // count by distance <= 300 (`HTIPNEXSITE/__init__.py:318`) — the
