@@ -213,7 +213,10 @@ object Corpus {
   def sequencePacking(docs: DataFrame, sourceCol: String, idCol: String,
       textCol: String, seqLen: Int = 2048): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
-    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    // window over the RENAMED projection — referencing sourceCol/idCol
+    // here would fail analysis for any caller whose columns aren't
+    // literally named source/doc_id (r14 review)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.filter(length(trim(col(textCol))) > 0)
       .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
@@ -589,11 +592,15 @@ object Corpus {
       .select(col(idCol), wordsCount(col(textCol)).as("x"))
     val ranked = lens.withColumn("i",
       row_number().over(Window.orderBy(col("x"), col(idCol))).cast("long"))
+    // The rank-weighted moment and the (n+1)·t / n·t products outgrow
+    // LONG at corpus scale (≥ ~1e9 docs × 1e3 tokens) — accumulate and
+    // multiply in DECIMAL as zipfFit does; the oracle's HUGEINT sums are
+    // already exact (r14 review).
+    val dec = DecimalType(38, 0)
     val m = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
-      sum(col("x") * col("i")).as("s"))
-    val num = (m("s") * lit(2L) - (m("n") + lit(1L)) * m("t"))
-      .cast(DecimalType(38, 0))
-    val den = (m("n") * m("t")).cast(DecimalType(38, 0))
+      sum((col("x") * col("i")).cast(dec)).as("s"))
+    val num = m("s") * lit(2L) - (m("n") + lit(1L)).cast(dec) * m("t")
+    val den = m("n").cast(dec) * m("t")
     m.select(m("n").cast("long").as("n_docs"),
       m("t").cast("long").as("total_tokens"),
       when(den === 0L, lit(null).cast("double"))
@@ -696,8 +703,14 @@ object Corpus {
         col("a.n").as("na"), col("b.n").as("nb"))
       .join(broadcast(tot.select(col("g").as("s1"), col("tot").as("ta"))), "s1")
       .join(broadcast(tot.select(col("g").as("s2"), col("tot").as("tb"))), "s2")
-    val aB = col("na") * col("tb")
-    val bA = col("nb") * col("ta")
+    // DECIMAL products: na·tb pairs a word count with the OTHER group's
+    // token total, which wraps Long past ~1e19 (a 1e9-count word against
+    // a 1e10-token group) — microBits casts to double anyway, so the
+    // decimal input is free and the log argument stays exact-positive
+    // instead of silently negative → NaN (r14 review).
+    val decJs = DecimalType(38, 0)
+    val aB = col("na").cast(decJs) * col("tb")
+    val bA = col("nb").cast(decJs) * col("ta")
     val agg = joined.groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("n_common"),
         sum(col("na") * (lit(1000000L) + microBits(aB) - microBits(aB + bA)))

@@ -217,10 +217,18 @@ object Dedup {
         .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, banded on
-    * 4×16-bit chunks for sub-quadratic candidate generation. */
+    * 4×16-bit chunks for sub-quadratic candidate generation. Buckets with
+    * more than `maxBucket` docs are dropped before the self-join — the
+    * same capped-recall contract as [[minhashCandidates]] (r14 review:
+    * this was the one candidate generator without a hot-bucket cap, and
+    * a corpus-hot chunk — template boilerplate voting the same 16 bits —
+    * makes the join quadratic in one key). Empty/whitespace docs are
+    * excluded up front: they all hash to the same signature, which alone
+    * would form exactly such a bucket. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol)
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sigs = simhashSignatures(
+        docs.filter(length(trim(col(textCol))) > 0), idCol, textCol)
       .select(col(idCol).as("doc_id"), col("simhash"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
@@ -228,7 +236,17 @@ object Dedup {
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
       }: _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.band"), col("x.chunk"))
-    val a = banded.as("a"); val b = banded.as("b")
+    // cap via aggregate + semi-join, NOT a count window — the partial
+    // aggregate collapses a hot bucket map-side and the join stays
+    // splittable (the candidatesFromBanded shape). The signature pass is
+    // one native scalar per row, so recompute across the two consumers
+    // is the at-scale choice; no checkpoint dispatch needed.
+    val keep = banded.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
+      .select(col("band"), col("chunk"))
+    val pruned = banded.join(keep, Seq("band", "chunk"))
+    val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -149,9 +149,14 @@ object Maintenance {
       .withColumn("r", sum(col("o")).over(wa))
       .withColumn("c", sum(col("o")).over(wb))
       .withColumn("n", sum(col("o")).over(wn))
-    val diff = col("n") * col("o") - col("r") * col("c")
-    val num = (diff * diff).cast(DecimalType(38, 0))
-    val den = (col("n") * col("r") * col("c")).cast(DecimalType(38, 0))
+    // The products must be DECIMAL *before* any multiply: n·o and r·c
+    // are Long×Long (wraps past ~3e9 rows) and diff² reaches N⁴ — the
+    // oracle side is already exact (DuckDB windowed sums are HUGEINT),
+    // so Long wrap here would be a silent Spark-only divergence at scale.
+    val dec = DecimalType(38, 0)
+    val diff = col("n").cast(dec) * col("o") - col("r").cast(dec) * col("c")
+    val num = diff * diff
+    val den = col("n").cast(dec) * col("r") * col("c")
     withM.select(col(aCol), col(bCol), col("o").cast("long").as("o"),
       col("r").cast("long").as("r"), col("c").cast("long").as("c"),
       col("n").cast("long").as("n"),

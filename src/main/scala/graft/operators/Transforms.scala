@@ -144,33 +144,19 @@ object Transforms {
     * this is the canonical extension for time-series enrichment): for every
     * left row, the latest right row with `right.ts <= left.ts` per key.
     *
-    * Implemented as the scalable union + ordered carry-forward: tag both
-    * sides, union, window-sort by (key, ts, side) with right rows first at
-    * equal timestamps (inclusive as-of), last-non-null-fill the right
-    * payload, keep left rows. ONE shuffle on the key — no range cross
-    * product, no per-row binary search; state per key is O(1) during the
-    * window scan, so it survives any skew a range join would not. */
+    * Delegates to [[asofJoinDirectional]] with `direction = "backward"`
+    * (same plan shape: tag + union + ONE per-key ordered carry, no range
+    * product). The delegation matters for correctness, not just reuse:
+    * the old standalone body filled each payload column INDEPENDENTLY
+    * with its own last-non-null carry, so a matched right row holding a
+    * null in one payload column got that column stitched in from an
+    * OLDER right row — a row that never existed (r14 review). The struct
+    * carry matches the whole row, the way DuckDB's native ASOF JOIN (the
+    * q44 oracle) does. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      payloadCols: Seq[String]): DataFrame = {
-    val lTagged = left
-      .withColumn("_is_left", lit(1))
-      .select(Seq(col(key), col(ts), col("_is_left")) ++
-        left.columns.filterNot(c => c == key || c == ts).map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val rTagged = right
-      .withColumn("_is_left", lit(0))
-      .select(Seq(col(key), col(ts), col("_is_left")) ++
-        left.columns.filterNot(c => c == key || c == ts)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("_is_left"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_is_left") === 1).drop("_is_left")
-  }
+      payloadCols: Seq[String]): DataFrame =
+    asofJoinDirectional(left, right, key, ts, payloadCols,
+      direction = "backward").drop("asof_ts")
 
   /** Directional as-of join — [[asofJoin]] widened to the full
     * pandas-merge_asof surface: `direction` ∈ backward (latest right with
@@ -371,15 +357,24 @@ object Transforms {
     * Scale: ONE window partitioned by user (each partition is one user's
     * events — bounded), then a type²-bounded aggregate; the conditional
     * denominator is a window over that aggregate, not the corpus. */
-  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, tieCol: String): DataFrame = {
+  /** The (from_type, next_type, n) successor-pair count table — the
+    * shared core of [[eventTransitions]] and [[transitionEntropy]], so
+    * the successor ordering/tie semantics cannot drift between the
+    * transition matrix and its entropy (r14 review). */
+  private def transitionCounts(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tieCol))
-    val pairs = events
+    events
       .withColumn("next_type", lead(col(typeCol), 1).over(w))
       .filter(col("next_type").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val pairs = transitionCounts(events, userCol, typeCol, tsCol, tieCol)
     val wFrom = Window.partitionBy(col("from_type"))
     pairs
       .withColumn("n_from", sum(col("n")).over(wFrom))
@@ -483,15 +478,26 @@ object Transforms {
     * per-user event sorting, no sessionization state; k stages = k
     * bounded joins, the shape that survives a 100 TB event log. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, stages: Seq[String]): DataFrame = {
+      tsCol: String, stages: Seq[String]): DataFrame =
+    funnelChain(events, userCol, typeCol, tsCol, stages, gapUs = None)
+
+  /** Shared stage-chaining body for [[funnel]] / [[funnelWithin]] — the
+    * two differ ONLY by the optional per-step gap bound on the join
+    * predicate, so the frontier logic lives once (r14 review: the
+    * duplicated bodies could drift on a tie/null fix). */
+  private def funnelChain(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, stages: Seq[String],
+      gapUs: Option[Long]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     var frontier = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val after = col(s"e.$tsCol") > col(s"f.t$i")
+      val cond = gapUs.fold(after)(g => after &&
+        unix_micros(col(s"e.$tsCol")) - unix_micros(col(s"f.t$i")) <= g)
       val nxt = events.filter(col(typeCol) === st).as("e")
         .join(frontier.as("f"),
-          col(s"e.$userCol") === col(s"f.$userCol") &&
-            col(s"e.$tsCol") > col(s"f.t$i"))
+          col(s"e.$userCol") === col(s"f.$userCol") && cond)
         .groupBy(col(s"f.$userCol").as(userCol))
         .agg(min(col(s"e.$tsCol")).as(s"t${i + 1}"))
       frontier = frontier.join(nxt, Seq(userCol), "left")
@@ -510,25 +516,9 @@ object Transforms {
     * is one row per user). */
   def funnelWithin(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, stages: Seq[String], maxGapSeconds: Long): DataFrame = {
-    require(stages.nonEmpty, "funnel needs at least one stage")
     require(maxGapSeconds > 0, s"maxGapSeconds must be positive")
-    val gapUs = maxGapSeconds * 1000000L
-    var frontier = events.filter(col(typeCol) === stages.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
-    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
-      val nxt = events.filter(col(typeCol) === st).as("e")
-        .join(frontier.as("f"),
-          col(s"e.$userCol") === col(s"f.$userCol") &&
-            col(s"e.$tsCol") > col(s"f.t$i") &&
-            unix_micros(col(s"e.$tsCol")) - unix_micros(col(s"f.t$i"))
-              <= gapUs)
-        .groupBy(col(s"f.$userCol").as(userCol))
-        .agg(min(col(s"e.$tsCol")).as(s"t${i + 1}"))
-      frontier = frontier.join(nxt, Seq(userCol), "left")
-    }
-    frontier.withColumn("stages_reached",
-      stages.indices.map(i =>
-        when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+    funnelChain(events, userCol, typeCol, tsCol, stages,
+      gapUs = Some(maxGapSeconds * 1000000L))
   }
 
   /** Event-type co-occurrence (market-basket support + lift) — which
@@ -658,15 +648,9 @@ object Transforms {
     * partitions), one type²-bounded aggregate, then per-from rollup. */
   def transitionEntropy(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, tieCol: String): DataFrame = {
-    val w = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col(tieCol))
     val microBits = (x: Column) =>
       round(lit(1e6) * log2(x.cast("double"))).cast("long")
-    val pairs = events
-      .withColumn("next_type", lead(col(typeCol), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col(typeCol).as("from_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
+    val pairs = transitionCounts(events, userCol, typeCol, tsCol, tieCol)
     pairs.groupBy(col("from_type"))
       .agg(sum(col("n")).as("n_from"),
         count(lit(1)).as("n_successors"),
@@ -708,11 +692,16 @@ object Transforms {
       sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"))
-    val cov = m("n") * m("sxy") - m("sx") * m("sy")
-    val vx = m("n") * m("sxx") - m("sx") * m("sx")
-    val vy = m("n") * m("syy") - m("sy") * m("sy")
-    val num = (cov * cov).cast(DecimalType(38, 0))
-    val den = (vx.cast(DecimalType(38, 0)) * vy)
+    // DECIMAL before the multiplies: the moments are Longs and cov² ~
+    // (n·Σxy)² blows through 2⁶³ at ~1e6/day counts — the oracle's
+    // HUGEINT arithmetic is exact, so Long wrap would be a silent
+    // Spark-only divergence (r14 review).
+    val dec = DecimalType(38, 0)
+    val cov = m("n").cast(dec) * m("sxy") - m("sx").cast(dec) * m("sy")
+    val vx = m("n").cast(dec) * m("sxx") - m("sx").cast(dec) * m("sx")
+    val vy = m("n").cast(dec) * m("syy") - m("sy").cast(dec) * m("sy")
+    val num = cov * cov
+    val den = vx * vy
     m.select(m("n").cast("long").as("n_pairs"),
       cov.cast("long").as("cov_num"), vx.cast("long").as("varx_num"),
       vy.cast("long").as("vary_num"),
@@ -1035,12 +1024,17 @@ object Transforms {
       .withColumn("_tl", when(size(allT) <= maxTouches, allT)
         .otherwise(slice(allT, -maxTouches, maxTouches)))
       .filter(col(typeCol) === conversionType)
-      .select(col(tieCol).as("conv_id"),
+      .select(col(userCol).as("conv_user"), col(tieCol).as("conv_id"),
         round(col(valueCol) * 100).cast("long").as("cents"),
         col(tsCol).as("conv_ts"), explode(col("_tl")).as("t"))
       .filter((unix_timestamp(col("conv_ts")) -
         unix_timestamp(col("t.t_ts"))).cast("long") <= lit(lookbackSeconds))
-    val n = count(lit(1)).over(Window.partitionBy(col("conv_id")))
+    // recount keyed by (user, conv_id): tieCol's documented contract is
+    // only per-USER totality (q157's param), so two users sharing a tie
+    // value must not merge their conversions' touch counts (r14 review —
+    // a merged count under-credits every touch of both conversions)
+    val n = count(lit(1)).over(
+      Window.partitionBy(col("conv_user"), col("conv_id")))
     exploded
       .withColumn("n", n)
       .select(col("t.t_type").as("touch_type"),

@@ -90,6 +90,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(5L) == ((0L, 0L, 2L, 3L)))
   }
 
+  test("sequence packing resolves caller column names, not literal " +
+      "source/doc_id") {
+    // r14 review: the window referenced the INPUT names after the
+    // projection renamed them, so any non-default names crashed analysis
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq(("a", 1L, words(6)), ("a", 2L, words(3)))
+      .toDF("src", "id", "body")
+    val got = Corpus.sequencePacking(df, "src", "id", "body", seqLen = 8)
+      .select($"doc_id", $"start_off").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 6L))
+  }
+
   // ---- waterfillAllocation ----------------------------------------------
 
   test("waterfill: saturated take capacity, rest split by weight, sum == budget") {

@@ -40,6 +40,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(nd.contains((1L, 2L)) || nd.contains((1L, 3L)), s"got $nd")
   }
 
+  test("simhash near-dups: empty docs excluded, hot buckets capped") {
+    import spark.implicits._
+    // r14 review: every empty/whitespace doc hashes to ONE signature —
+    // without the filter they form a quadratic bucket (and meaningless
+    // pairs); without a cap a corpus-hot chunk does the same
+    val d = Seq((1L, "hello world foo bar baz"),
+      (2L, "hello world foo bar baz"),
+      (3L, "completely different text here now"),
+      (4L, "   "), (5L, "")).toDF("doc_id", "text")
+    val nd = Dedup.simhashNearDups(d, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd == Set((1L, 2L)), nd)
+    // cap 1: the (1,2) bucket has 2 docs > 1 → capped-recall contract
+    val capped = Dedup.simhashNearDups(d, "doc_id", "text",
+        maxHamming = 0, maxBucket = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(capped.isEmpty, capped.toSeq)
+  }
+
   test("ngram jaccard high for near-dups, low for unrelated") {
     val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3)
       .as[(Long, Long, Double)].collect()

@@ -330,6 +330,46 @@ class TransformsSpec extends AnyFunSuite {
       "click" -> ((1L, 500000L, 150000L))))
   }
 
+  test("linearAttribution: same tie value on two users' conversions does " +
+      "not merge their touch counts") {
+    import spark.implicits._
+    // r14 review: tieCol's contract is only per-USER totality, so both
+    // purchases here legitimately carry tie=2 — the recount must key on
+    // (user, conv_id), not conv_id alone (merged, u1's single touch
+    // would be credited 1/3 instead of 1/1)
+    val ev = Seq(
+      (1L, "view", 10L, 1L, 0.0), (1L, "purchase", 30L, 2L, 3.00),
+      (2L, "view", 10L, 1L, 0.0), (2L, "click", 20L, 3L, 0.0),
+      (2L, "purchase", 30L, 2L, 1.00))
+      .map { case (u, t, s, id, v) =>
+        (u, t, new java.sql.Timestamp(s * 1000), id, v) }
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = Transforms.linearAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "value", Seq("view", "click"), "purchase",
+        lookbackSeconds = 100L, maxTouches = 5)
+      .collect().map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("credit_u"),
+          r.getAs[Long]("revenue_mu"))).toMap
+    // u1: 1 touch à full credit; u2: 2 touches à half
+    assert(got == Map(
+      "view" -> ((2L, 1000000L + 500000L, 300000L + 50000L)),
+      "click" -> ((1L, 500000L, 50000L))))
+  }
+
+  test("asofJoin: a null inside the matched right row stays null — no " +
+      "stitching from older rows") {
+    // r14 review: the old per-column carry filled a=5.0 from ts=1 into
+    // the ts=2 match, fabricating a right row that never existed
+    val left = Seq(("k", 3)).toDF("k", "t")
+    val right = Seq(("k", 1, Some(5.0), Option.empty[Double]),
+      ("k", 2, Option.empty[Double], Some(7.0)))
+      .toDF("k", "t", "a", "b")
+    val out = Transforms.asofJoin(left, right, "k", "t", Seq("a", "b"))
+      .select("a", "b").as[(Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out == Seq((None, Some(7.0))))
+  }
+
   test("churnSnapshot: data-anchored gaps, churn line, exact shares") {
     import spark.implicits._
     val day = 86400L
