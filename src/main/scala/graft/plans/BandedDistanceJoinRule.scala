@@ -116,7 +116,14 @@ object BandedDistanceJoinRule extends Rule[LogicalPlan] {
         val band = Add(bandOf(lat1, bandDeg), Literal(dB.toLong))
         key(band, lon1, dL, bandDeg, radiusM)
       }).toSeq))
-    val gkL = AttributeReference("_graft_gk_l", LongType, nullable = false)()
+    // nullable = true: a left row with NULL lat/lon makes every array
+    // element null, and Explode then emits a null key — declaring the
+    // attribute non-nullable would let codegen skip the null check and
+    // read the zeroed slot as key 0 (band 0/cell 0), handing the row to
+    // NullPropagation/join-key optimizations as live bait (r14 review;
+    // today the retained haversine conjunct filters such rows, but the
+    // nullability must still tell the truth).
+    val gkL = AttributeReference("_graft_gk_l", LongType, nullable = true)()
     val gen = Generate(Explode(leftKeys), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(gkL), child = left)
 

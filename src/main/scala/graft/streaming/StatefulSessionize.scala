@@ -35,7 +35,15 @@ object StatefulSessionize {
           sorted.foreach { e =>
             open match {
               case Some(s) if e.tsMicros - s.lastMicros <= gapMicros =>
-                open = Some(OpenSession(s.startMicros, e.tsMicros, s.n + 1,
+                // min/max, NOT plain assignment: a late event from a LATER
+                // micro-batch (older than the open session's frontier but
+                // within the gap) must absorb into the session without
+                // regressing its bounds — a plain `lastMicros = e.tsMicros`
+                // would move the frontier backward, emitting end < start
+                // sessions and splitting on the next on-time event
+                // (r14 review). Within a batch the sort makes this a no-op.
+                open = Some(OpenSession(math.min(s.startMicros, e.tsMicros),
+                  math.max(s.lastMicros, e.tsMicros), s.n + 1,
                   s.total + e.value))
               case Some(s) =>
                 closed += Session(userId, s.startMicros, s.lastMicros, s.n, s.total)

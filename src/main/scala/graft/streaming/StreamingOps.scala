@@ -86,11 +86,21 @@ object StreamingOps {
               .orderBy(col(seqCol).desc)))
           .filter(col("_rn") === 1).drop("_rn")
         val tgt = new java.io.File(targetDir)
+        // seqCol ordering must hold ACROSS batches, not just within one:
+        // a late-landing file carrying an OLDER version of a key would
+        // otherwise anti-join away the target's newer row and install the
+        // stale one (r14 review). The winner is picked over target ∪ batch
+        // per key; at equal seq the batch row wins (idempotent replay
+        // replaces). Same one-exchange cost class as the old anti-join —
+        // both passes are keyed on the full target.
         val merged =
           if (!tgt.exists()) keyed
-          else spark.read.parquet(targetDir)
-            .join(keyed.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .unionByName(keyed)
+          else spark.read.parquet(targetDir).withColumn("_src", lit(0))
+            .unionByName(keyed.withColumn("_src", lit(1)))
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(keyCols.map(col): _*)
+                .orderBy(col(seqCol).desc, col("_src").desc)))
+            .filter(col("_rn") === 1).drop("_rn", "_src")
         // rewrite via a temp dir then swap — reading and overwriting the
         // same path in one job would race the scan. Renames are CHECKED
         // (r10, ADVICE): an unchecked renameTo that fails (leftover _old

@@ -67,6 +67,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(agged == windowed && agged.nonEmpty)
   }
 
+  test("BoundedTopKAgg rejects k <= 0 at construction") {
+    import graft.functions.BoundedTopKAgg
+    intercept[IllegalArgumentException](new BoundedTopKAgg(0))
+    intercept[IllegalArgumentException](new BoundedTopKAgg(-3))
+  }
+
+  test("array_dot matches the HOF form on mismatch and null holes") {
+    import graft.functions.VectorOps
+    // r14 review: the old loop truncated to the shorter array and read
+    // null slots as 0.0 — a dimension-mismatched embedding produced a
+    // plausible-looking wrong similarity instead of NULL
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))) // dim mismatch
+      .toDF("id", "a", "b")
+    val got = df.select($"id", VectorOps.dotCol($"a", $"b").as("d"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (s, x) -> s + x)").as("h"))
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((Some(14.0), Some(14.0))), 2L -> ((None, None))))
+    // null element → NULL (both forms)
+    val holed = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(1.0))))
+      .toDF("a", "b")
+      .select(VectorOps.dotCol($"a", $"b").as("d"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (s, x) -> s + x)").as("h"))
+      .as[(Option[Double], Option[Double])].head()
+    assert(holed == ((None, None)), holed)
+  }
+
+  test("native array expressions reject wrongly-typed arrays at analysis") {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.{SimHash64, SortedLongIntersectCount, ArrayDotProduct}
+    // r14 review: unguarded, these read misaligned UnsafeArrayData slots
+    // at runtime — garbage results or a JVM crash; now they fail analysis
+    val df = Seq((Seq(1, 2, 3), Seq("a", "b"))).toDF("ints", "strs")
+    def bad(c: org.apache.spark.sql.Column) =
+      intercept[org.apache.spark.sql.AnalysisException](df.select(c).collect())
+    bad(GraftBridge.column(SimHash64(GraftBridge.expression($"ints"))))
+    bad(GraftBridge.column(SortedLongIntersectCount(
+      GraftBridge.expression($"strs"), GraftBridge.expression($"strs"))))
+    bad(GraftBridge.column(ArrayDotProduct(
+      GraftBridge.expression($"strs"), GraftBridge.expression($"strs"))))
+  }
+
   test("HtmlTableReader parses the first table with header row") {
     val html =
       """<html><body><p>junk</p>

@@ -54,6 +54,16 @@ class StreamingSpec extends AnyFunSuite {
     StreamingOps.runUpsert(spark, in, schema, ckpt, out,
       keyCols = Seq("id"), seqCol = "seq")
     assert(state() == Set((1L, 1L, "a"), (2L, 9L, "b2"), (3L, 1L, "c")))
+
+    // a late-landing file carrying an OLDER version of key 2 must not
+    // clobber the target's newer row (r14 review: seqCol ordering holds
+    // ACROSS batches, not just within one)
+    Seq((2L, 1L, "stale"))
+      .toDF("id", "seq", "payload").coalesce(1)
+      .write.mode("append").parquet(in)
+    StreamingOps.runUpsert(spark, in, schema, ckpt, out,
+      keyCols = Seq("id"), seqCol = "seq")
+    assert(state() == Set((1L, 1L, "a"), (2L, 9L, "b2"), (3L, 1L, "c")))
   }
 
   test("checkpointed incremental runs process only new files") {
@@ -177,6 +187,50 @@ class StreamingSpec extends AnyFunSuite {
         .toDF("doc_id", "text"), "doc_id", "text")
       .collect().map(v => v.doc_id -> ((v.keeper, v.is_dup))).toMap
     assert(batch == got)
+  }
+
+  test("streaming dedup: contentless docs emit no verdict instead of " +
+      "collapsing into one md5-of-empty bucket") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    // r14 review: concat_ws resurrected the lanes' NULL to "", so every
+    // empty doc was flagged a dup of the first one. Batch mode exercises
+    // the same code path (flatMapGroupsWithState with empty state).
+    val d = Seq((1L, "the quick brown fox jumps over it"),
+      (2L, ""), (3L, "   "), (4L, "the quick brown fox jumps over it"))
+      .toDF("doc_id", "text")
+    val got = StreamingDedup.dedupStream(d, "doc_id", "text")
+      .collect().map(v => v.doc_id -> ((v.keeper, v.is_dup))).toMap
+    assert(got == Map(1L -> ((1L, false)), 4L -> ((1L, true))), got)
+  }
+
+  test("stateful sessionize: a late cross-batch event absorbs without " +
+      "regressing the session frontier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulSessionize
+    import graft.streaming.StatefulSessionize.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def us(s: Long) = s * 1000000L
+    val in = MemoryStream[Event]
+    val q = StatefulSessionize.sessionize(in.toDS(), gapSeconds = 60L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("slate").start()
+    in.addData(Event(1L, 10L, us(100), 1.0))
+    q.processAllAvailable()
+    // late event (t=10s, within gap of the frontier) then an on-time one
+    // (t=130s, 30s after the true frontier 100s): the buggy frontier
+    // regression would close a Session(start=100, end=10) here
+    in.addData(Event(1L, 11L, us(10), 1.0), Event(1L, 12L, us(130), 1.0))
+    q.processAllAvailable()
+    // close the open session with a far-future event
+    in.addData(Event(1L, 13L, us(1000), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("slate").as[Session].collect()
+    assert(sessions.forall(s => s.endMicros >= s.startMicros), sessions.toSeq)
+    assert(sessions.map(s => (s.startMicros, s.endMicros, s.n_events)).toSet ==
+      Set((us(10), us(130), 3L)), sessions.toSeq)
   }
 
   test("stream-stream interval join with watermarks matches batch result") {
