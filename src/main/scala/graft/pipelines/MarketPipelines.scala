@@ -45,12 +45,17 @@ object MarketPipelines {
       explode(arrays_zip(
         col("chart.result")(0)("timestamp"),
         col("chart.result")(0)("indicators")("quote")(0)("close"))).as("z"))
+    // TIMESTAMP interval arithmetic, not date_add: the reference's
+    // `timedelta(days=1)` keeps time-of-day, and Yahoo bars carry market
+    // time — date_add would truncate both bounds to midnight, excluding
+    // same-day bars inside the documented (wm + 1 day, now − 1 day]
+    // window until the next run (r14 review).
     Transforms.stampActualizacion(
       zipped.select(
         timestamp_seconds(col("z.timestamp")).as("Date"),
         col("z.close").cast("double").as("Close"))
-        .filter(col("Date") > date_add(lit(watermark), 1) &&
-          col("Date") <= date_add(lit(now), -1)))
+        .filter(col("Date") > lit(watermark) + expr("INTERVAL 1 DAY") &&
+          col("Date") <= lit(now) - expr("INTERVAL 1 DAY")))
   }
 
   /** WTI oil JSON `[Date, Close]` pairs (`HTGPIOILWTI/__init__.py:68-91`):

@@ -294,6 +294,15 @@ object SiteScoringPipeline {
     "AGENCIA TELEFONIA", "ALMACEN", "UNIVERSIDAD", "PARQUEO", "HOSPITAL",
     "SUPERMERCADO", "TIENDA MOTOCICLETAS", "ALMACEN DE ELECTRODOMESTICOS")
 
+  // PORTED QUIRK (r14 review sign-off): 'BARBERIA BELLEZA' and 'ESTADIO'
+  // can never match a categorizer output — the reference's own rules emit
+  // the accented 'BARBERÍA/BELLEZA' (`HTIPNEXSITE/__init__.py:182`) and
+  // map ESTADIO-named POIs to 'PARQUE' (`:239`), yet its NEX feature list
+  // (`:315`) pivots on these unmatched spellings, so the two NEX feature
+  // families are ALWAYS the fill value (0 / 10000) in the reference's
+  // training frames too. Faithful port of degenerate-but-spec'd features;
+  // "fixing" the spelling here would diverge from the deployed model's
+  // input contract.
   private val nexCategories: Seq[String] = Seq(
     "BARBERIA BELLEZA", "IGLESIA", "HOSPITAL", "CLINICA DE SALUD",
     "PARADA DE BUS", "LIBRERIA", "PARQUEO", "ESTADIO", "UNIVERSIDAD",

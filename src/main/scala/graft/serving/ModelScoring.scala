@@ -95,14 +95,28 @@ object ModelScoring {
         (count(lit(1)) - sum(col("y"))).as("neg"))
     val below = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // DECIMAL internal arithmetic (r14 review): u2 ≈ 2·n_pos·n_neg, so the
+    // Long per-row product pos·cneg·2 wraps (ANSI: throws) once
+    // n_pos·n_neg passes 2^62 — ~2e9 balanced rows, inside the operator's
+    // advertised scale. The exact decimal sum keeps auc_r correct far
+    // beyond that; only the u2 OUTPUT column (a bigint in the contract on
+    // both engines — the oracle's HUGEINT→BIGINT cast has the same bound)
+    // still caps at 2^63, where the cast fails loudly instead of wrapping.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     byScore
       .withColumn("cneg", coalesce(sum(col("neg")).over(below), lit(0L)))
       .agg(sum(col("pos")).cast("long").as("n_pos"),
         sum(col("neg")).cast("long").as("n_neg"),
-        sum(col("pos") * col("cneg") * lit(2L) + col("pos") * col("neg"))
-          .cast("long").as("u2"))
-      .select(col("n_pos"), col("n_neg"), col("u2"),
-        graft.operators.Corpus.ratioRound6(
-          col("u2"), col("n_pos") * col("n_neg") * lit(2L)).as("auc_r"))
+        sum(col("pos").cast(dec) * col("cneg") * lit(2L) +
+          col("pos").cast(dec) * col("neg")).as("u2d"))
+      .select(col("n_pos"), col("n_neg"),
+        col("u2d").cast("long").as("u2"),
+        // ratioRound6's shape over decimals (it force-casts to long):
+        // div(2e6·num + den, 2·den) — the div result is ≤ 2e6, always long
+        (call_function("div",
+          col("u2d") * lit(2000000L) +
+            col("n_pos").cast(dec) * col("n_neg") * lit(2L),
+          col("n_pos").cast(dec) * col("n_neg") * lit(4L))
+          .cast("double") / lit(1e6)).as("auc_r"))
   }
 }

@@ -271,7 +271,11 @@ private[graft] object Cfb {
     // miniFAT + ministream (or the data chain directly)
     if (useMini) {
       (0 until nMini).foreach(i => w32(if (i == nMini - 1) EndOfChain else i + 1))
-      (nMini * 4 until nMiniFatSectors * S).foreach(_ => w8(0))
+      // unused miniFAT slots are FREESECT per MS-CFB, like the main FAT
+      // above — zero-fill would read as "next mini sector = 0" and a
+      // strict validator can reject the container or mis-walk a chain
+      // into slot 0 (r14 review)
+      (nMini until nMiniFatSectors * (S / 4)).foreach(_ => w32(FreeSect))
       out.write(data)
       (data.length until nMiniStreamSectors * S).foreach(_ => w8(0))
     } else {

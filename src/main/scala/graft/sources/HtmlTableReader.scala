@@ -18,9 +18,14 @@ object HtmlTableReader {
   private val CellRe = "(?is)<t[dh][^>]*>(.*?)</t[dh]>".r
   private val TagRe = "(?s)<[^>]+>".r
 
+  // &amp; is decoded LAST: decoding it first would turn the encoded
+  // literal "&amp;lt;" into "&lt;" and then a second pass into "<" —
+  // double-unescaping (r14 review). With &amp; last, each entity is
+  // decoded exactly once.
   private def unescape(s: String): String = s
-    .replace("&nbsp;", " ").replace("&amp;", "&").replace("&lt;", "<")
+    .replace("&nbsp;", " ").replace("&lt;", "<")
     .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
+    .replace("&amp;", "&")
 
   /** Parse the first table of an HTML document into rows of trimmed cells. */
   def parseRows(html: String): Seq[Seq[String]] =
@@ -51,9 +56,22 @@ object HtmlTableReader {
     val data = rows.drop(headerRow + 1)
       .map(r => r.padTo(width, "").take(width))
       .map(org.apache.spark.sql.Row.fromSeq(_))
+    // de-duplicate column names: two blank headers (or two identical
+    // non-blank ones) would otherwise both resolve to the same name —
+    // the DataFrame builds, but any select on it throws
+    // AMBIGUOUS_REFERENCE and parquet writers reject it outright
+    // (r14 review). First occurrence keeps the bare name; repeats get a
+    // positional suffix, the pandas mangle_dupe_cols convention.
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val names = header.map { h0 =>
+      val h = if (h0.isEmpty) "col" else h0
+      val n = seen.getOrElse(h, 0)
+      seen(h) = n + 1
+      if (n == 0) h else s"${h}_$n"
+    }
     val schema = org.apache.spark.sql.types.StructType(
-      header.map(h => org.apache.spark.sql.types.StructField(
-        if (h.isEmpty) "col" else h, org.apache.spark.sql.types.StringType)))
+      names.map(h => org.apache.spark.sql.types.StructField(
+        h, org.apache.spark.sql.types.StringType)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(data, 1), schema)
   }

@@ -50,7 +50,16 @@ object StagedIngest {
     watermarks.select(col("entity"), col("max_date").cast("date"))
       .collect()
       .toSeq
-      .map(r => (r.getString(0), r.getDate(1).toLocalDate.plusDays(1)))
+      .map { r =>
+        // a NULL watermark (outer join, MAX over an empty slice) must fail
+        // with the entity named, not an opaque driver NPE mid-plan
+        // (r14 review); a bootstrap belongs in the watermark table itself,
+        // since only the caller knows each entity's history start
+        require(!r.isNullAt(1), s"null max_date watermark for entity " +
+          s"'${r.getString(0)}' — seed the watermark table with the " +
+          "entity's bootstrap date before planning fetches")
+        (r.getString(0), r.getDate(1).toLocalDate.plusDays(1))
+      }
       .filter { case (_, from) => !from.isAfter(today) }
       .map { case (e, from) => FetchSpec(e, from, today) }
       .sortBy(_.entity)

@@ -125,9 +125,7 @@ object XlsReader {
     case _    => "#N/A"
   }
 
-  private def renderNum(d: Double): String =
-    if (d == Math.rint(d) && math.abs(d) < 1e15) Math.round(d).toString
-    else d.toString
+  private def renderNum(d: Double): String = XlsxReader.renderDouble(d)
 
   private def render(d: Double, xf: Int, wb: Workbook): String =
     if (xf >= 0 && xf < wb.xfDate.length && wb.xfDate(xf))
@@ -197,10 +195,9 @@ object XlsReader {
         } else off = data + len
       }
     }
-    val builtinDate: Set[Int] =
-      ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
     Workbook(sst,
-      xfFmts.map(f => builtinDate(f) || customDate.getOrElse(f, false)).toIndexedSeq,
+      xfFmts.map(f => XlsxReader.BuiltinDateFmts(f) ||
+        customDate.getOrElse(f, false)).toIndexedSeq,
       sheets.toSeq, is1904)
   }
 

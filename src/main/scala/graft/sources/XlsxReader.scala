@@ -160,25 +160,32 @@ object XlsxReader {
     Workbook(sheets.toSeq, shared, dateStyle)
   }
 
-  /** `<si>` entries; rich-text runs concatenate their `<t>` descendants. */
+  /** `<si>` entries; rich-text runs concatenate their `<t>` descendants —
+    * EXCEPT inside `<rPh>` phonetic (furigana) runs, whose `<t>` holds the
+    * reading, not the text: appending it would corrupt every cell
+    * referencing the entry (e.g. "東京" would decode as "東京トウキョウ",
+    * r14 review). */
   private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     val r = reader(bytes)
     var sb: java.lang.StringBuilder = null
     var inT = false
+    var inRPh = false
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-          case "si" => sb = new java.lang.StringBuilder()
-          case "t"  => inT = true
-          case _    =>
+          case "si"  => sb = new java.lang.StringBuilder()
+          case "rPh" => inRPh = true
+          case "t"   => inT = !inRPh
+          case _     =>
         }
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
           if (inT && sb != null) sb.append(r.getText)
         case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
-          case "t"  => inT = false
-          case "si" => out += sb.toString; sb = null
-          case _    =>
+          case "t"   => inT = false
+          case "rPh" => inRPh = false
+          case "si"  => out += sb.toString; sb = null
+          case _     =>
         }
         case _ =>
       }
@@ -187,8 +194,10 @@ object XlsxReader {
     out.toIndexedSeq
   }
 
-  /** Built-in date/time number formats (ECMA-376 §18.8.30). */
-  private val BuiltinDateFmts: Set[Int] =
+  /** Built-in date/time number formats (ECMA-376 §18.8.30). Shared with
+    * [[XlsReader]] (BIFF8 uses the same ids) so the two codecs cannot
+    * drift (r14 review). */
+  private[sources] val BuiltinDateFmts: Set[Int] =
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
 
   /** A custom format code is a date format iff it contains a y/m/d/h/s
@@ -279,12 +288,15 @@ object XlsxReader {
     }
   }
 
-  /** Numeric cell → string: integral values drop the float ".0". */
-  private[sources] def renderNumber(raw: String): String = {
-    val d = raw.toDouble
+  /** Numeric cell → string: integral values drop the float ".0". The
+    * double form is shared with [[XlsReader]], whose scaladoc promises
+    * rendering identical to this reader (r14 review: one rule, one copy). */
+  private[sources] def renderDouble(d: Double): String =
     if (d == Math.rint(d) && math.abs(d) < 1e15) Math.round(d).toString
     else d.toString
-  }
+
+  private[sources] def renderNumber(raw: String): String =
+    renderDouble(raw.toDouble)
 
   private def decodeCell(t: String, style: Int, v: String, inline: String,
       wb: Workbook): String = t match {
@@ -337,6 +349,9 @@ object XlsxReader {
     val r = reader(bytes)
     var curRow = -1L
     var seqRow = -1L // fallback when <row> lacks an r attribute
+    var cellCol = -1 // resolved column of the open <c>
+    var seqCol = -1  // fallback when <c> lacks an r attribute (ECMA-376
+                     // makes it optional: position is "next column")
     var cellRef: String = null
     var cellT = ""
     var cellS = -1
@@ -353,8 +368,13 @@ object XlsxReader {
             curRow = Option(r.getAttributeValue(null, "r"))
               .map(_.toLong - 1).getOrElse(seqRow)
             seqRow = curRow
+            seqCol = -1
           case "c" =>
+            // r is OPTIONAL on <c> (same sequential fallback as <row>,
+            // r14 review: dropping ref-less cells was silent data loss)
             cellRef = r.getAttributeValue(null, "r")
+            cellCol = if (cellRef != null) colIndex(cellRef) else seqCol + 1
+            seqCol = cellCol
             cellT = Option(r.getAttributeValue(null, "t")).getOrElse("")
             cellS = Option(r.getAttributeValue(null, "s"))
               .map(_.toInt).getOrElse(-1)
@@ -374,12 +394,12 @@ object XlsxReader {
           case "is" => inIs = false
           case "t" if inIs => inT = false
           case "c" =>
-            if (cellRef != null) {
+            if (cellCol >= 0 && curRow >= 0) {
               val decoded = decodeCell(cellT, cellS, vBuf.toString,
                 isBuf.toString, wb)
-              cells((curRow, colIndex(cellRef))) = decoded
+              cells((curRow, cellCol)) = decoded
             }
-            cellRef = null
+            cellRef = null; cellCol = -1
           case _ =>
         }
         case _ =>

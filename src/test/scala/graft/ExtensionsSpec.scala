@@ -127,6 +127,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows == Set(("2026", "3.1"), ("2027", "2.9")))
   }
 
+  test("HtmlTableReader: single-pass entity decode, duplicate headers " +
+      "de-duplicated") {
+    // r14 review: &amp; decoded first double-unescaped "&amp;lt;" to "<";
+    // and two blank/duplicate headers produced ambiguous column names
+    val html =
+      """<table><tr><th></th><th></th><th>X</th><th>X</th></tr>
+        |<tr><td>&amp;lt;</td><td>a&amp;b</td><td>1</td><td>2</td></tr>
+        |</table>""".stripMargin
+    val df = HtmlTableReader.read(spark, html)
+    assert(df.columns.toSeq == Seq("col", "col_1", "X", "X_1"))
+    val r = df.as[(String, String, String, String)].head()
+    assert(r == (("&lt;", "a&b", "1", "2")), r)
+  }
+
   test("RandomForest scoring over embeddings is distributed and deterministic") {
     val emb = Tables.embeddings(spark, sfDir)
     val model = ModelScoring.trainOnArrays(emb, "embedding", "label", numTrees = 5)

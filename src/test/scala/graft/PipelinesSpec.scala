@@ -54,6 +54,15 @@ class PipelinesSpec extends AnyFunSuite {
     // 2026-01-01..03 epochs; Date > wm+1d keeps 01-02, 01-03 (strict >)
     val got = out.select("Close").as[Double].collect().toSet
     assert(got == Set(101.5, 102.5))
+    // TIMESTAMP window, not midnight-truncated (r14 review): a 14:30
+    // market bar exactly one day before `now` is INSIDE (.., now − 1d] —
+    // date_add would have truncated now to midnight and dropped it
+    val intraday = """{"chart":{"result":[{"timestamp":[1767364200],
+      |"indicators":{"quote":[{"close":[103.5]}]}}]}}""".stripMargin
+    val outI = MarketPipelines.snp500(spark.read.json(Seq(intraday).toDS),
+      java.sql.Timestamp.valueOf("2025-12-31 00:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-03 15:00:00"))
+    assert(outI.select("Close").as[Double].collect().toSeq == Seq(103.5))
   }
 
   test("OilWti: watermark filter + empty guard") {

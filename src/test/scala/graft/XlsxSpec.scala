@@ -104,6 +104,47 @@ class XlsxSpec extends AnyFunSuite {
     assert(beta == Seq(graft.sources.XlsxSheetRow("beta", 0L, Seq("plain shared", "7"))))
   }
 
+  test("optional refs and phonetic runs: ref-less cells place sequentially, " +
+      "rPh text is excluded from shared strings") {
+    // r14 review: ECMA-376 makes r optional on <c> (position = next
+    // column) and <rPh> holds the furigana READING, not the text
+    val bytes = zip(
+      "_rels/.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/sharedStrings.xml" ->
+        """<?xml version="1.0"?>
+          |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1">
+          |<si><t>東京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si>
+          |</sst>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        // row 1: NO cell refs at all → A1, B1 sequentially;
+        // row 2: explicit B2 then a ref-less cell → lands in C2
+        """<?xml version="1.0"?>
+          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheetData>
+          |<row r="1"><c t="s"><v>0</v></c><c><v>5</v></c></row>
+          |<row r="2"><c r="B2"><v>1</v></c><c><v>2</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val rows = XlsxReader.readSheet(bytes, "s")
+      .map(r => r.rowIdx -> r.cells).toMap
+    assert(rows(0L) == Seq("東京", "5"), rows(0L))
+    assert(rows(1L) == Seq("", "1", "2"), rows(1L))
+  }
+
   test("merged ranges fill only when asked") {
     // anchor A6 has a value in a second variant of the sheet
     val plain = XlsxReader.readSheet(handAuthored, "alpha")
