@@ -164,8 +164,10 @@ object Graft {
       queryVec: DataFrame, k: Int): DataFrame =
     operators.Similarity.bruteForceTopK(vectors, idCol, vecCol, queryVec, k)
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 16, minSim: Double = 0.9): DataFrame =
-    operators.Similarity.embeddingNearDup(vectors, idCol, vecCol, bits, minSim)
+      bits: Int = 16, minSim: Double = 0.9,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    operators.Similarity.embeddingNearDup(vectors, idCol, vecCol, bits, minSim,
+      maxBucket = maxBucket)
   def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
       anchorIds: Seq[Long], k: Int,
       bits: Int = 16, minSim: Double = 0.9): DataFrame =
@@ -197,8 +199,12 @@ object Graft {
       order: Seq[Column], keepFrac: Double): DataFrame =
     operators.Transforms.percentileFilter(df, partitionBy, order, keepFrac)
   def lshNearPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      bits: Int, minSim: Double): DataFrame =
-    operators.Similarity.lshNearPairs(vectors, idCol, vecCol, bits, minSim)
+      bits: Int, minSim: Double, maxBucket: Int = Int.MaxValue): DataFrame =
+    operators.Similarity.lshNearPairs(vectors, idCol, vecCol, bits, minSim,
+      maxBucket = maxBucket)
+  def bucketHotness(vectors: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16): DataFrame =
+    operators.Similarity.bucketHotness(vectors, idCol, vecCol, bits)
   def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
       nLists: Int): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
     operators.Similarity.ivfIndex(vectors, idCol, vecCol, nLists)

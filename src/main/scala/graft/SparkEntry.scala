@@ -4336,7 +4336,27 @@ object SparkEntry {
       val prep = variantFixture(orders(s, d), v)
       featureVectorFor(prep, v)
         .join(globalCountsFor(prep, v), Seq("rst_cd"))
-    })
+    }),
+
+    // bucketHotness under the oracle: the embedding-side mirror of q245 —
+    // the LSH bucket-size distribution that prices q32's within-bucket
+    // self-join (quadratic in m) before running it. Lattice hyperplanes
+    // so DuckDB reproduces the bucketing bit-for-bit.
+    "q248_bucket_hotness" -> ((s, d) =>
+      Similarity.bucketHotness(embeddings(s, d), "vec_id", "embedding",
+        bits = 4, signature = Similarity.hyperplaneSignatureLattice)),
+
+    // q32's pair join with the hot-bucket cap engaged (aggregate +
+    // semi-join, never a count window): buckets above 40 vectors are
+    // refused — the signature-collapse guard every text-side candidate
+    // generator carries, here exact under the oracle (the cap binds at
+    // every SF: the two hottest buckets exceed 40 at sf0.001/0.01, eight
+    // do at sf0.1).
+    "q249_lsh_capped" -> ((s, d) =>
+      Similarity.lshNearPairs(embeddings(s, d), "vec_id", "embedding",
+        bits = 4, minSim = 0.1,
+        signature = Similarity.hyperplaneSignatureLattice, maxBucket = 40)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r")))
   )
 
   /** Shared q246/q247 prepared-frame fixture: 20 sites, category picked
@@ -8746,7 +8766,29 @@ object SparkEntry {
     "q246_nex_contract" -> variantContractSql(
       graft.pipelines.SiteScoringPipeline.variants("NEX")),
     "q247_pl_contract" -> variantContractSql(
-      graft.pipelines.SiteScoringPipeline.variants("PL"))
+      graft.pipelines.SiteScoringPipeline.variants("PL")),
+
+    // q248: q245's embedding-side mirror — lattice-LSH bucket sizes,
+    // rolled up to the (m, n_buckets) hotness distribution. Reuses the
+    // q32 CTE chain's sig step (unreferenced tail CTEs are never run).
+    "q248_bucket_hotness" ->
+      s"""WITH $latticeSimCtes,
+         |bsz AS (SELECT bucket, count(*) AS m FROM sig GROUP BY bucket)
+         |SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_buckets
+         |FROM bsz GROUP BY m""".stripMargin,
+
+    // q249: q32 with the hot-bucket cap — both endpoints of a kept pair
+    // share one bucket, so filtering sims by the id_a side's bucket size
+    // is exactly the Spark semi-join's pair set.
+    "q249_lsh_capped" ->
+      s"""WITH $latticeSimCtes,
+         |bsz AS (SELECT bucket, count(*) AS m FROM sig GROUP BY bucket),
+         |keep AS (SELECT bucket FROM bsz WHERE m <= 40)
+         |SELECT s.id_a, s.id_b, round(s.sim, 6) AS sim_r
+         |FROM sims s
+         |JOIN sig g ON s.id_a = g.vec_id
+         |JOIN keep k ON g.bucket = k.bucket
+         |WHERE s.sim >= 0.1""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

@@ -199,19 +199,75 @@ object Similarity {
     sigBits.reduce(_ + _)
   }
 
+  /** Bucket-size hotness diagnostic for [[lshNearPairs]]'s `maxBucket`
+    * cap — the embedding-side mirror of [[Dedup.prefixHotness]]: the
+    * distribution of m = how many vectors share each signature bucket, as
+    * (m, n_buckets) rows sorted hot-first. The within-bucket self-join is
+    * quadratic in m, so the tail of this distribution IS the join's cost
+    * model: the largest m well below the corpus size is the biggest
+    * genuine semantic cluster — cap above it; an m approaching the corpus
+    * size means the signature has collapsed (near-constant embeddings, a
+    * dominant direction, or bits too few) and enumerating that bucket's
+    * pairs is a cross join in disguise. Aggregates only (shuffle by
+    * bucket then by m, both with map-side partial aggregation) — linear
+    * in the corpus, safe to run, or to run on a sample, before committing
+    * to the candidate join. */
+  def bucketHotness(vectors: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16,
+      signature: (Column, Int) => Column = hyperplaneSignature): DataFrame =
+    vectors
+      .select(signature(col(vecCol), bits).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("m").desc)
+
   /** LSH-bucketed near-neighbor pairs: bucket by hyperplane signature,
-    * score cosine only within buckets, keep pairs ≥ minSim. */
+    * score cosine only within buckets, keep pairs ≥ minSim.
+    *
+    * `maxBucket` is the hot-bucket guard every text-side candidate
+    * generator already carries: buckets holding more than `maxBucket`
+    * vectors are excluded from pair generation (aggregate + semi-join —
+    * splittable, never a count window). Unlike [[Dedup.prefixJaccardPairs]]'s
+    * per-token cap, a vector lives in exactly ONE bucket, so an excluded
+    * bucket's members produce no pairs at all — the cap is for signature
+    * COLLAPSE (an m ≈ corpus bucket whose pair set is a disguised cross
+    * join), not for shaving genuine clusters; read [[bucketHotness]] first.
+    * Defaults to `Int.MaxValue` (off — every bucket scored, the exact
+    * within-bucket semantics the oracle checks); `0` derives the cap from
+    * the bucket-size distribution itself: the largest m strictly below
+    * `templateShare` × the vector count, so genuine clusters (m ≪ corpus)
+    * survive whole and only collapse-scale buckets are refused. */
   def lshNearPairs(vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int = 16, minSim: Double = 0.9,
-      signature: (Column, Int) => Column = hyperplaneSignature): DataFrame = {
+      signature: (Column, Int) => Column = hyperplaneSignature,
+      maxBucket: Int = Int.MaxValue, templateShare: Double = 0.5): DataFrame = {
+    require(maxBucket > 0 || (templateShare > 0 && templateShare <= 1),
+      s"autoCap mode needs templateShare in (0,1]: $templateShare")
     // Carry a per-row norm column through the join (computed once per
     // vector; the join shuffle materializes it) so each candidate pair
     // costs one native dot product + a multiply. Normalizing the array
     // itself in a lambda re-evaluates the norm per element — higher-order
     // lambdas don't hoist loop-invariant subexpressions.
-    val sig = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"),
+    val sig0 = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
       signature(col(vecCol), bits).as("bucket"))
+    val sig =
+      if (maxBucket == Int.MaxValue) sig0
+      else {
+        val sizes = sig0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+        val effCap =
+          if (maxBucket > 0) maxBucket.toLong
+          else {
+            val nVecs = vectors.count()
+            Dedup.capBelowTemplateFloor(sizes, "m", nVecs, templateShare,
+              "lshNearPairs").toLong
+          }
+        // semi-join against the kept-bucket set: the partial aggregate
+        // collapses a collapsed-signature bucket map-side and AQE
+        // broadcasts the (≤ 2^bits row) bucket list
+        sig0.join(sizes.filter(col("m") <= effCap).select(col("bucket")),
+          "bucket")
+      }
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
@@ -229,8 +285,10 @@ object Similarity {
     * singleton buckets) report is_dup = false, dup_of = -1. */
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int = 16, minSim: Double = 0.9,
-      signature: (Column, Int) => Column = hyperplaneSignature): DataFrame = {
-    val pairs = lshNearPairs(vectors, idCol, vecCol, bits, minSim, signature)
+      signature: (Column, Int) => Column = hyperplaneSignature,
+      maxBucket: Int = Int.MaxValue, templateShare: Double = 0.5): DataFrame = {
+    val pairs = lshNearPairs(vectors, idCol, vecCol, bits, minSim, signature,
+      maxBucket, templateShare)
     // earliest-wins: min over the (already sparse) near-pair edges keyed
     // by the later endpoint — one hash aggregate over candidate ids
     val dupOf = pairs.groupBy(col("id_b").as(idCol))

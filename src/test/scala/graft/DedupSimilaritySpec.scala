@@ -108,6 +108,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("LSH hot-bucket cap: hotness reads the collapse, autoCap keeps genuine clusters") {
+    // 40 identical "template" vectors (signature collapse — their bucket's
+    // pair set is a disguised cross join), a 3-member genuine cluster in a
+    // different direction, and 5 alternating-sign singletons
+    val template = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => (j + 1).toFloat)))
+    val cluster = (100L until 103L).map(i =>
+      (i, Array.tabulate(8)(j => if (j % 2 == 0) -2f else 1f)))
+    val singles = (200L until 205L).map(i =>
+      (i, Array.tabulate(8)(j =>
+        if ((j + i) % 3 == 0) -(j + 7).toFloat else (i % 5 + j).toFloat)))
+    val vecs = (template ++ cluster ++ singles).toDF("vec_id", "embedding")
+
+    // the diagnostic's hottest row IS the collapsed bucket
+    val hot = Similarity.bucketHotness(vecs, "vec_id", "embedding", bits = 8)
+      .as[(Long, Long)].collect()
+    assert(hot.head._1 == 40L, s"hottest m: ${hot.head}")
+    assert(hot.exists(_._1 == 3L), s"cluster bucket missing: ${hot.toSeq}")
+
+    val clusterPairs = (for {
+      a <- 100L until 103L; b <- (a + 1) until 103L
+    } yield (a, b)).toSet
+
+    // explicit cap below the template size: the collapsed bucket produces
+    // no pairs, the genuine cluster's pairs all survive
+    val capped = Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+        bits = 8, minSim = 0.99, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == clusterPairs, s"capped: $capped")
+
+    // autoCap (maxBucket = 0): templateShare 0.5 × 48 vectors refuses the
+    // 40-bucket, keeps everything below — same pairs, no hand-chosen cap
+    val auto = Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+        bits = 8, minSim = 0.99, maxBucket = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == clusterPairs, s"auto: $auto")
+
+    // cap off (default): superset — the template bucket's quadratic pair
+    // set is back, identical vectors at sim 1
+    val off = Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+        bits = 8, minSim = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(off.size == clusterPairs.size + 40 * 39 / 2, s"off size: ${off.size}")
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

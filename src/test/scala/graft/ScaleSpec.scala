@@ -746,6 +746,25 @@ class ScaleSpec extends AnyFunSuite {
       val n = p.split("\n").count(_.contains("Exchange hashpartitioning"))
       assert(n <= 4, s"$q grew extra hash exchanges ($n):\n$p")
     }
+
+    // q248 bucketHotness: like q245, the diagnostic stays strictly
+    // cheaper than the join it advises — two aggregates over map-side
+    // signatures, no window, no join of any kind
+    val p248 = plan("q248_bucket_hotness")
+    assert(!p248.contains("Window"), p248)
+    assert(!p248.toLowerCase.contains("join"), p248)
+    val n248 = p248.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(n248 <= 2, s"q248 grew extra hash exchanges ($n248):\n$p248")
+
+    // q249 capped LSH pairs: the hot-bucket guard must be the aggregate +
+    // semi-join shape (splittable under a collapsed signature), never a
+    // count window, and the candidate join stays an equi-join
+    val p249 = plan("q249_lsh_capped")
+    assert(!p249.contains("Window"), p249)
+    assert(!p249.contains("CartesianProduct") &&
+      !p249.contains("BroadcastNestedLoopJoin"), p249)
+    val n249 = p249.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(n249 <= 5, s"q249 grew extra hash exchanges ($n249):\n$p249")
   }
 
   test("dqRuleReport: one-pass suite, NULL predicate counts as violation") {
