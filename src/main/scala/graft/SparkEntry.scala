@@ -4338,6 +4338,19 @@ object SparkEntry {
         .join(globalCountsFor(prep, v), Seq("rst_cd"))
     }),
 
+    // The PLCR (Costa Rica) contract closing the variant triple: PL's
+    // 5-metric `CNT` shape over the 38-category CR list (= PL minus
+    // ESTACION DE BOMBEROS — `HTIPPLSITECR/__init__.py:324`), same
+    // unfiltered global 300M count. With q246/q247 this puts ALL three
+    // deployment variants' serving frames under the oracle.
+    "q250_plcr_contract" -> ((s, d) => {
+      import graft.pipelines.SiteScoringPipeline._
+      val v = variants("PLCR")
+      val prep = variantFixture(orders(s, d), v)
+      featureVectorFor(prep, v)
+        .join(globalCountsFor(prep, v), Seq("rst_cd"))
+    }),
+
     // bucketHotness under the oracle: the embedding-side mirror of q245 —
     // the LSH bucket-size distribution that prices q32's within-bucket
     // self-join (quadratic in m) before running it. Lattice hyperplanes
@@ -8767,6 +8780,8 @@ object SparkEntry {
       graft.pipelines.SiteScoringPipeline.variants("NEX")),
     "q247_pl_contract" -> variantContractSql(
       graft.pipelines.SiteScoringPipeline.variants("PL")),
+    "q250_plcr_contract" -> variantContractSql(
+      graft.pipelines.SiteScoringPipeline.variants("PLCR")),
 
     // q248: q245's embedding-side mirror — lattice-LSH bucket sizes,
     // rolled up to the (m, n_buckets) hotness distribution. Reuses the

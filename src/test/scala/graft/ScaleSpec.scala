@@ -717,7 +717,7 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan("q200_curation_v2").contains("word_grams"))
   }
 
-  test("plan shapes: round-14 additions stay scale-safe (q245-q247 locks)") {
+  test("plan shapes: round-14 additions stay scale-safe (q245-q250 locks)") {
     val sfDir = "/root/testdata/sf0.001"
     def plan(name: String): String =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
@@ -738,7 +738,8 @@ class ScaleSpec extends AnyFunSuite {
     // key — the reference's 40-category × 5-metric Python loop as two
     // exchanges per aggregate, no window, no cartesian, and the final
     // join never shuffles the pivot (broadcast or partitioning reuse)
-    for (q <- Seq("q246_nex_contract", "q247_pl_contract")) {
+    for (q <- Seq("q246_nex_contract", "q247_pl_contract",
+        "q250_plcr_contract")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q: $p")
       assert(!p.contains("CartesianProduct") &&
