@@ -314,7 +314,14 @@ object Similarity {
     * the WHOLE corpus × anchors into #anchors tasks. The salt is a hash
     * of the candidate id: deterministic, and salt-invariant in the
     * result (every global top-k row survives its salt group's local
-    * top-k). Returns (anchor, negative, sim_r, rnk). */
+    * top-k). Returns (anchor, negative, sim_r, rnk).
+    *
+    * Deliberately NO `maxBucket` knob here: the [[lshNearPairs]] call
+    * computes EXCLUSIONS, and capping it would silently drop an
+    * anchor's near-duplicates from the exclusion set — returning them
+    * as "hard negatives", the exact false-negative poisoning the
+    * operator exists to prevent. On a collapse-prone corpus run
+    * [[bucketHotness]] first and dedup before mining. */
   def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
       anchorIds: Seq[Long], k: Int,
       bits: Int = 16, minSim: Double = 0.9,
