@@ -635,6 +635,37 @@ object PropertySpec extends Properties("graft") {
       p1.subsetOf(p2) && p2.subsetOf(truth) && pairs(nDocs) == truth
     }
 
+  property("lshNearPairs maxBucket is monotone: pairs(c1) ⊆ pairs(c2) ⊆ uncapped") =
+    Prop.forAll(Gen.choose(6, 20), Gen.choose(1L, 9999L)) { (nVecs, seed) =>
+      // the r14 hot-bucket guard's contract as an invariant: raising the
+      // cap only ADDS pairs (the kept-bucket set grows), no cap admits a
+      // pair the uncapped within-bucket scoring rejects (recall traded,
+      // never precision), a cap ≥ every bucket equals uncapped, and the
+      // autoCap sentinel (0) stays inside the uncapped set. Few basis
+      // directions + jitter force shared and collapsed buckets.
+      val rnd = new scala.util.Random(seed)
+      val basis = (0 until 3).map(k =>
+        Array.tabulate(6)(j => ((j + 2 * k) % 5 - 2).toFloat))
+      val vecs = (0L until nVecs.toLong).map { i =>
+        val b = basis(rnd.nextInt(basis.size))
+        val v = if (rnd.nextBoolean()) b
+          else b.map(x => x + rnd.nextInt(2).toFloat)
+        (i, v)
+      }.toDF("vec_id", "embedding")
+      def pairs(cap: Int): Set[(Long, Long)] =
+        graft.operators.Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+            bits = 6, minSim = 0.8, maxBucket = cap)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val un =
+        graft.operators.Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+            bits = 6, minSim = 0.8)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val c1 = 1 + rnd.nextInt(3)
+      val c2 = c1 + rnd.nextInt(nVecs)
+      pairs(c1).subsetOf(pairs(c2)) && pairs(c2).subsetOf(un) &&
+        pairs(nVecs) == un && pairs(0).subsetOf(un)
+    }
+
   property("featureVectorFor matches an independent reference on random frames") =
     Prop.forAll(Gen.choose(1L, 99999L)) { seed =>
       // the q246/q247 serving contract re-derived in plain Scala — counts,
