@@ -42,22 +42,34 @@ object Corpus {
   private def microBits(x: Column): Column =
     round(lit(1e6) * log2(x.cast("double"))).cast("long")
 
+  /** Wide exact-integer carrier for the rounding helpers and for
+    * aggregate-moment products ((38,0) holds any product of two
+    * corpus-scale counts; the r14-review overflow class). */
+  private[graft] val decWide = org.apache.spark.sql.types.DecimalType(38, 0)
+
   /** Exact half-up rounding of the rational num/den to 6 decimals, computed
-    * entirely in LONG: (2e6·num + den) DIV (2·den), then an exact double
-    * divide by 1e6. `round(num/den, 6)` on doubles is NOT portable — when
-    * the rational sits exactly on a 5e-7 tie (common for micro-bit
-    * averages), the two engines' double rounding resolves it differently. */
+    * entirely in exact integers: (2e6·num + den) DIV (2·den), then an exact
+    * double divide by 1e6. `round(num/den, 6)` on doubles is NOT portable —
+    * when the rational sits exactly on a 5e-7 tie (common for micro-bit
+    * averages), the two engines' double rounding resolves it differently.
+    * The carrier is DECIMAL(38,0), not LONG: 2e6·num wraps past 2⁶³ once
+    * num ≳ 4.6e12 — token-level counts cross that at corpus scale, and the
+    * oracle's exact integer arithmetic would diverge silently (the same
+    * r14-review class as the chi²/Gini/JS fixes). The DIV quotient is
+    * ≤ ~2e6·(num/den) — far inside LONG for any ratio this rounds — so the
+    * double result is bit-identical wherever the old math didn't wrap. */
   def ratioRound6(num: Column, den: Column): Column =
     call_function("div",
-      num.cast("long") * lit(2000000L) + den.cast("long"),
-      den.cast("long") * lit(2L)).cast("double") / lit(1e6)
+      num.cast(decWide) * lit(2000000L) + den.cast(decWide),
+      den.cast(decWide) * lit(2L)).cast("double") / lit(1e6)
 
   /** Same exact rounding for a value already in micro-units (num micro-bits
-    * over den instances → micro-bits average). */
+    * over den instances → micro-bits average). Same DECIMAL carrier: a
+    * corpus-group's micro-bit SUM alone can cross 2⁶²/2. */
   private def microAvgRound(numMicro: Column, den: Column): Column =
     call_function("div",
-      numMicro.cast("long") * lit(2L) + den.cast("long"),
-      den.cast("long") * lit(2L)).cast("double") / lit(1e6)
+      numMicro.cast(decWide) * lit(2L) + den.cast(decWide),
+      den.cast(decWide) * lit(2L)).cast("double") / lit(1e6)
 
   /** Per-document raw bigram instances (multiplicity preserved — these are
     * term frequencies, not document frequencies). Single-token documents

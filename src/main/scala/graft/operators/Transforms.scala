@@ -554,8 +554,10 @@ object Transforms {
       .select(col("type_a"), col("type_b"), col("nab").cast("long").as("nab"),
         col("n_baskets").cast("long").as("n_baskets"),
         Corpus.ratioRound6(col("nab"), col("n_baskets")).as("support_r"),
-        Corpus.ratioRound6(col("nab") * col("n_baskets"),
-          col("na") * col("nb")).as("lift_r"))
+        // products of two corpus-scale counts — DECIMAL before the
+        // multiply (r14 review class; helper-side cast is too late)
+        Corpus.ratioRound6(col("nab").cast(Corpus.decWide) * col("n_baskets"),
+          col("na").cast(Corpus.decWide) * col("nb")).as("lift_r"))
   }
 
   /** Churn snapshot — the inactivity decay curve at the data's own
@@ -727,11 +729,15 @@ object Transforms {
     val m = daily.groupBy(col(groupCol))
       .agg(count(lit(1)).as("d"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"))
-    val num = m("d") * m("sxx") - m("sx") * m("sx")
+    // d·Σx² and (Σx)² are products of corpus-scale moments — DECIMAL
+    // combine, the same shape laggedCrossCorrelation fixed (r14 review)
+    val num = m("d").cast(Corpus.decWide) * m("sxx") -
+      m("sx").cast(Corpus.decWide) * m("sx")
     m.select(col(groupCol), m("d").cast("long").as("n_days"),
       m("sx").cast("long").as("n_events"),
       Corpus.ratioRound6(m("sx"), m("d")).as("daily_mean_r"),
-      Corpus.ratioRound6(num, m("d") * m("sx")).as("fano_r"))
+      Corpus.ratioRound6(num,
+        m("d").cast(Corpus.decWide) * m("sx")).as("fano_r"))
   }
 
   /** Day-of-week seasonality index — the "is Tuesday really our big
@@ -944,8 +950,14 @@ object Transforms {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("y")).as("sxy"))
-    val num = m("n") * m("sxy") - m("sx") * m("sy")
-    val den = m("n") * m("sxx") - m("sx") * m("sx")
+    // n·Σxy etc. are products of corpus-scale moments — DECIMAL combine
+    // like laggedCrossCorrelation (r14 review); the declared LONG output
+    // columns get an explicit cast back (exact whenever it fits, where
+    // the old Long math would have wrapped silently)
+    val num = m("n").cast(Corpus.decWide) * m("sxy") -
+      m("sx").cast(Corpus.decWide) * m("sy")
+    val den = m("n").cast(Corpus.decWide) * m("sxx") -
+      m("sx").cast(Corpus.decWide) * m("sx")
     m.select(col(groupCol), col("n").cast("long").as("n"),
       num.cast("long").as("slope_num"), den.cast("long").as("slope_den"),
       when(den === 0L, lit(null).cast("double"))

@@ -487,6 +487,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == 1e-6)
   }
 
+  test("ratioRound6 stays exact past the old LONG carrier (r14 review class)") {
+    // 2e6 · 6e12 = 1.2e19 > 2⁶³ — the former Long carrier wrapped here
+    // (to a negative quotient); the DECIMAL carrier must match the
+    // BigDecimal derivation of the same half-up formula exactly
+    val cases = Seq((6000000000000L, 7L), (9000000000000000L, 9999991L),
+      (1L, 6000000000000L))
+    val got = cases.toDF("n", "d")
+      .select(Corpus.ratioRound6(col("n"), col("d")).as("r"))
+      .as[Double].collect().toSeq
+    val want = cases.map { case (n, d) =>
+      ((BigDecimal(n) * 2000000 + d) / (BigDecimal(d) * 2))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong.toDouble / 1e6
+    }
+    assert(got == want, s"$got vs $want")
+  }
+
   // ---- repetitionGate (Gopher) ------------------------------------------
 
   /** Driver-side reference of the Gopher stats — independent plain-Scala
