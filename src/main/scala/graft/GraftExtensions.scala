@@ -106,7 +106,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intArg(e: Expression): Int = e.eval(null) match {
     case i: Int => i
-    case l: Long => l.toInt
+    case l: Long =>
+      // fail at registration, not wrap: word_grams(text, 2^32 + 2) would
+      // otherwise silently become word_grams(text, 2)
+      require(l >= Int.MinValue && l <= Int.MaxValue,
+        s"integer argument out of range: $l")
+      l.toInt
     case _ => Cast(e, IntegerType).eval(null).asInstanceOf[Int]
   }
 }

@@ -120,7 +120,11 @@ object GeoJoin {
   private def rightIsSmall(right: DataFrame, max: Long): Boolean = {
     val key: AnyRef = right.queryExecution.analyzed
     Option(probeCache.get(key)).flatMap(_.get(max)).getOrElse {
-      val small = right.limit((max + 1).toInt).count() <= max
+      // clamp before the Int narrowing: a broadcastRightMax past 2^31
+      // used to wrap — negative (AnalysisException) or, worse, a small
+      // positive probe that routed a huge side into the broadcast path
+      val probeRows = math.min(max + 1, Int.MaxValue.toLong).toInt
+      val small = right.limit(probeRows).count() <= max
       probeCache.merge(key, Map(max -> small), (a, b) => a ++ b)
       small
     }

@@ -133,6 +133,16 @@ class GeoJoinSpec extends AnyFunSuite {
       .select("lid", "knn_rank", "rid", "dist_m")
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(viaDispatch == brute)
+
+    // a broadcastRightMax past 2^31 must clamp, not wrap, in the size
+    // probe (the old (max+1).toInt gave limit() a negative — or worse, a
+    // small positive that misrouted a huge side into the broadcast path)
+    val viaHugeMax = GeoJoin.knnJoin(left, right, 3, 1000000.0,
+      "lid", "rid", "lat", "lon", "s_lat", "s_lon",
+      broadcastRightMax = 5000000000L)
+      .select("lid", "knn_rank", "rid", "dist_m")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaHugeMax == brute)
   }
 
   test("knnBroadcastPlanned (custom LogicalPlan+Strategy+SparkPlan) row-identical") {

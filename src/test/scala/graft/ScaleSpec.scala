@@ -59,6 +59,13 @@ class ScaleSpec extends AnyFunSuite {
       // help text's contract covers it, not just a typed null array
       // (r13 ADVICE)
       assert(r.isNullAt(14))
+      // an integer argument past 2^31 fails registration loudly instead
+      // of wrapping (word_grams(.., 2^32+2) used to become n=2 silently)
+      val e = intercept[Exception](
+        s.sql("SELECT word_grams(array('a','b','c'), 4294967298)").collect())
+      assert(e.getMessage.contains("out of range") ||
+        Option(e.getCause).exists(_.getMessage.contains("out of range")),
+        e.getMessage)
     } finally {
       // do NOT stop: the SparkContext is shared with every other suite
       SparkSession.setDefaultSession(prev)
