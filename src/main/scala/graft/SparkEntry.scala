@@ -201,6 +201,18 @@ object SparkEntry {
   // longer litter the tmpdir across invocations.
   private val scratchNonce: String =
     java.lang.Long.toHexString(ProcessHandle.current().pid())
+
+  /** Per-dataset + per-process token for the streaming queries' scratch
+    * symlink dirs and sink view names — the same keying discipline as
+    * [[scratchDir]] (r13 ADVICE): MD5 of the full path (a 32-bit
+    * String.hashCode can collide across datasets) plus the process nonce
+    * (two concurrent runs over the SAME dataset must not race on a
+    * shared symlink or an in-memory sink view). Hex only, so it stays a
+    * valid temp-view identifier fragment. */
+  private def datasetTok(dataset: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dataset.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString + scratchNonce
   private val scratchCreated =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
   private def deleteRecursively(root: java.nio.file.Path): Unit =
@@ -1328,7 +1340,7 @@ object SparkEntry {
       // expose the table through a symlinked scratch dir. Path and view
       // names carry a per-dataset token so concurrent sessions over
       // different sf dirs don't race on the symlink or the sink view.
-      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val tok = datasetTok(d)
       val srcDir = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target", "tmp", s"q90_src_$tok"))
       val link = srcDir.resolve("lineitem.parquet")
@@ -1366,7 +1378,7 @@ object SparkEntry {
     // eagerly (no watermark wait), so the streaming result is exactly the
     // batch interval join the oracle computes.
     "q148_streaming_join" -> ((s, d) => {
-      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val tok = datasetTok(d)
       val qname = s"q148_mem_$tok"
       s.catalog.dropTempView(qname)
       // join state for ~minutes of events doesn't need 32 state-store
@@ -1836,7 +1848,7 @@ object SparkEntry {
       val path = s"$d/documents.parquet"
       // same symlinked-scratch-dir shape as q90 (FileStreamSource lists a
       // directory; per-dataset token keeps concurrent sessions apart)
-      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val tok = datasetTok(d)
       val srcDir = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target", "tmp", s"q96_src_$tok"))
       val link = srcDir.resolve("documents.parquet")
@@ -1955,7 +1967,7 @@ object SparkEntry {
     // query-construction time, the operator-under-test trade-off q42/q70
     // also take.
     "q103_schema_evolution" -> ((s, d) => {
-      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val tok = datasetTok(d)
       val dir = s"target/tmp/q103_data_$tok"
       val o = orders(s, d)
       o.filter(col("o_orderkey") % 2 === 0)
@@ -2061,7 +2073,7 @@ object SparkEntry {
     // against the source table. File-count collapse is asserted in
     // ScaleSpec; this query pins the data.
     "q104_compact_lossless" -> ((s, d) => {
-      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val tok = datasetTok(d)
       val dir = s"target/tmp/q104_data_$tok/t"
       orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
@@ -2405,7 +2417,7 @@ object SparkEntry {
     // test proves; here it carries a driver-checked result too). The
     // only shuffle in the plan is the final small groupBy.
     "q192_bucketed_join" -> ((s, d) => {
-      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val tok = datasetTok(d)
       val tOrders = s"q192_orders_$tok"
       val tItems = s"q192_items_$tok"
       // idempotent re-run: drop catalog entries AND any orphaned warehouse
@@ -2443,7 +2455,7 @@ object SparkEntry {
     // streaming. The oracle is q161's batch SQL: stream/batch parity is
     // the assertion.
     "q191_streaming_ohlc" -> ((s, d) => {
-      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val tok = datasetTok(d)
       val qname = s"q191_mem_$tok"
       s.catalog.dropTempView(qname)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -3736,7 +3748,7 @@ object SparkEntry {
     // attribution stream relies on, proven against an independent batch
     // derivation.
     "q230_streaming_outer_join" -> ((s, d) => {
-      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val tok = datasetTok(d)
       val qname = s"q230_mem_$tok"
       s.catalog.dropTempView(qname)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -4025,7 +4037,7 @@ object SparkEntry {
     // emitted unclosed windows), the row set itself would differ.
     "q222_watermark_late_drop" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val tok = java.lang.Integer.toHexString(d.hashCode)
+      val tok = datasetTok(d)
       val base = events(s, d).select(col("event_id"), col("ts"),
         col("event_type"))
       val mx = base.agg(max(col("ts"))).head().getTimestamp(0)
