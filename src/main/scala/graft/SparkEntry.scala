@@ -213,6 +213,19 @@ object SparkEntry {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dataset.getBytes("UTF-8")).take(6)
       .map(b => f"$b%02x").mkString + scratchNonce
+
+  /** target/tmp scratch dir registered for JVM-exit removal: datasetTok
+    * carries the process nonce, so without registration every run would
+    * leave fresh `q*_src_*` dirs behind (same lifecycle rule as
+    * [[scratchDir]] — deletion cannot happen inside a query whose
+    * returned DataFrame reads the dir lazily). */
+  private def tmpScratch(name: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target", "tmp", name))
+    scratchHook
+    scratchCreated.add(p)
+    p
+  }
   private val scratchCreated =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
   private def deleteRecursively(root: java.nio.file.Path): Unit =
@@ -1341,8 +1354,7 @@ object SparkEntry {
       // names carry a per-dataset token so concurrent sessions over
       // different sf dirs don't race on the symlink or the sink view.
       val tok = datasetTok(d)
-      val srcDir = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get("target", "tmp", s"q90_src_$tok"))
+      val srcDir = tmpScratch(s"q90_src_$tok")
       val link = srcDir.resolve("lineitem.parquet")
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(
@@ -1849,8 +1861,7 @@ object SparkEntry {
       // same symlinked-scratch-dir shape as q90 (FileStreamSource lists a
       // directory; per-dataset token keeps concurrent sessions apart)
       val tok = datasetTok(d)
-      val srcDir = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get("target", "tmp", s"q96_src_$tok"))
+      val srcDir = tmpScratch(s"q96_src_$tok")
       val link = srcDir.resolve("documents.parquet")
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(
@@ -1968,7 +1979,7 @@ object SparkEntry {
     // also take.
     "q103_schema_evolution" -> ((s, d) => {
       val tok = datasetTok(d)
-      val dir = s"target/tmp/q103_data_$tok"
+      val dir = tmpScratch(s"q103_data_$tok").toString
       val o = orders(s, d)
       o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -2074,7 +2085,7 @@ object SparkEntry {
     // ScaleSpec; this query pins the data.
     "q104_compact_lossless" -> ((s, d) => {
       val tok = datasetTok(d)
-      val dir = s"target/tmp/q104_data_$tok/t"
+      val dir = tmpScratch(s"q104_data_$tok").resolve("t").toString
       orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
         .repartition(64).write.mode("overwrite").parquet(dir)
@@ -4042,7 +4053,7 @@ object SparkEntry {
         col("event_type"))
       val mx = base.agg(max(col("ts"))).head().getTimestamp(0)
       val tsplit = new java.sql.Timestamp(mx.getTime - 48L * 3600 * 1000)
-      val dir = java.nio.file.Paths.get("target", "tmp", s"q222_src_$tok")
+      val dir = tmpScratch(s"q222_src_$tok")
       def rmTree(p: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(p))
           java.nio.file.Files.list(p).forEach(rmTree(_))
@@ -4062,8 +4073,8 @@ object SparkEntry {
         rmTree(tmp)
         dst.toFile.setLastModified(mtime)
       }
-      val outDir = java.nio.file.Paths.get("target", "tmp", s"q222_out_$tok")
-      val ckpt = java.nio.file.Paths.get("target", "tmp", s"q222_ck_$tok")
+      val outDir = tmpScratch(s"q222_out_$tok")
+      val ckpt = tmpScratch(s"q222_ck_$tok")
       rmTree(outDir); rmTree(ckpt)
       writeOne(base.filter(col("ts") >= lit(tsplit)), "0001.parquet", 1000000L)
       val sch = s.read.parquet(dir.toString).schema
