@@ -229,6 +229,9 @@ object Bench {
     if (fullRun && r2Set.size != 72) System.err.println(
       s"[bench] cidx_s=-1: expected the frozen 72-query round-2 set, " +
         s"saw ${r2Set.size} queries numbered <= 72 — renumbering broke it?")
+    else if (fullRun && !r2Set.forall(_._2 >= 0)) System.err.println(
+      "[bench] cidx_s=-1: a round-2-set query failed this run (see " +
+        "failed_q) — the contention signal is void, not renumbered")
     val loadMax = if (loadSamples.isEmpty) -1.0 else loadSamples.max
     val loadMed =
       if (loadSamples.isEmpty) -1.0
