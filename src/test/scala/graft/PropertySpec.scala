@@ -662,8 +662,13 @@ object PropertySpec extends Properties("graft") {
           .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       val c1 = 1 + rnd.nextInt(3)
       val c2 = c1 + rnd.nextInt(nVecs)
+      // mass conservation: every vector lives in exactly one bucket, so
+      // the hotness distribution accounts for the whole corpus
+      val mass = graft.operators.Similarity
+        .bucketHotness(vecs, "vec_id", "embedding", bits = 6)
+        .selectExpr("sum(m * n_buckets)").as[Long].head()
       pairs(c1).subsetOf(pairs(c2)) && pairs(c2).subsetOf(un) &&
-        pairs(nVecs) == un && pairs(0).subsetOf(un)
+        pairs(nVecs) == un && pairs(0).subsetOf(un) && mass == nVecs.toLong
     }
 
   property("featureVectorFor matches an independent reference on random frames") =
