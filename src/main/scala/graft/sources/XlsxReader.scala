@@ -44,7 +44,25 @@ object XlsxReader {
 
   // ---- zip + xml plumbing -------------------------------------------------
 
+  /** ZipInputStream scans LOCAL entry headers sequentially and never
+    * consults the central directory, so a TRUNCATED archive whose cut
+    * lands between entries (or anywhere past the requested member) would
+    * parse silently — a corrupt container must be loud, so require the
+    * mandatory end-of-central-directory record (PK\x05\x06; within the
+    * last 64 KiB + 22 bytes, per the zip comment-length bound) up front. */
+  private def requireCompleteZip(bytes: Array[Byte]): Unit = {
+    val tail = math.max(0, bytes.length - (64 * 1024 + 22))
+    val hasEocd = (tail until math.max(tail, bytes.length - 3)).exists { i =>
+      bytes(i) == 0x50 && bytes(i + 1) == 0x4b &&
+        bytes(i + 2) == 0x05 && bytes(i + 3) == 0x06
+    }
+    require(hasEocd,
+      "not a complete zip archive: end-of-central-directory record missing " +
+        "(truncated or corrupt workbook)")
+  }
+
   private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    requireCompleteZip(bytes)
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
     var e = zin.getNextEntry
@@ -60,6 +78,7 @@ object XlsxReader {
   /** First member whose name contains `nameSubstring` (the reference's
     * `[s for s in zf.namelist() if ".xls" in s][0]`). */
   def selectZipMember(zipBytes: Array[Byte], nameSubstring: String = ".xls"): Array[Byte] = {
+    requireCompleteZip(zipBytes)
     val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
     try {
       var e = zin.getNextEntry

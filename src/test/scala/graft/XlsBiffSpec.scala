@@ -164,4 +164,35 @@ class XlsBiffSpec extends AnyFunSuite {
     assert(XlsReader.readSheet(bytes, "u").head.cells ==
       Seq("café", "naïve — ünïcode", "ascii"))
   }
+
+  test("corrupt workbook bytes fail loudly — no hang, no silent rows") {
+    // both codecs are hand-written parsers: random garbage, truncation at
+    // any depth, and a flipped header byte must all raise (any throwable
+    // class — the contract is LOUD), bounded-time, never rows
+    val rnd = new scala.util.Random(42)
+    val sheet = XlsxSheet("s",
+      (1 to 40).map(i => Seq(XlsxCell.Str(s"r$i"), XlsxCell.Num(i))))
+    val goodXlsx = graft.sources.XlsxWriter.write(Seq(sheet))
+    val goodXls = XlsWriter.write(Seq(sheet))
+    def boom(label: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = try { Some(body) } catch { case _: Throwable => None }
+      assert(r.isEmpty, s"$label parsed corrupt bytes: $r")
+      assert((System.nanoTime() - t0) / 1e9 < 30.0, s"$label too slow")
+    }
+    val junk = Array.fill(4096)(rnd.nextInt().toByte)
+    boom("xlsx-junk")(graft.sources.XlsxReader.readSheet(junk, "s"))
+    boom("xls-junk")(XlsReader.readSheet(junk, "s"))
+    for (frac <- Seq(0.1, 0.5, 0.9)) {
+      boom(s"xlsx-trunc-$frac")(graft.sources.XlsxReader.readSheet(
+        goodXlsx.take((goodXlsx.length * frac).toInt), "s"))
+      boom(s"xls-trunc-$frac")(XlsReader.readSheet(
+        goodXls.take((goodXls.length * frac).toInt), "s"))
+    }
+    // CFB header byte 30 is the sector-shift — a flipped value must not
+    // turn into a giant or negative sector size that wanders off silently
+    val flipped = goodXls.clone()
+    flipped(30) = (flipped(30) ^ 0x7f).toByte
+    boom("xls-bad-sector-shift")(XlsReader.readSheet(flipped, "s"))
+  }
 }
