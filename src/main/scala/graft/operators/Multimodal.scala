@@ -78,8 +78,13 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val (w, h, feat) = FakeDecoder.decode(payload)
-          Row(id, payload.length.toLong, w, h, feat.toSeq)
+          // null payload → null metadata row, matching the SQL mirror's
+          // strlen(NULL) semantics — not a mid-job NPE
+          if (payload == null) Row(id, null, null, null, null)
+          else {
+            val (w, h, feat) = FakeDecoder.decode(payload)
+            Row(id, payload.length.toLong, w, h, feat.toSeq)
+          }
         }
       }
     spark.createDataFrame(rdd, decodedSchema)

@@ -41,6 +41,15 @@ class SourcesSpec extends AnyFunSuite {
     val got = chunks.select("chunk_idx", "chunk").collect()
       .map(r => (r.getInt(0), new String(r.getAs[Array[Byte]]("chunk")))).toSet
     assert(got == Set((0, "abc"), (2, "ghi")))
+
+    // null payload → null metadata row (the SQL mirror's strlen(NULL)
+    // semantics), never a mid-job NPE
+    val mixed = Seq((1L, Some("ab")), (2L, None)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val dec = Multimodal.decodeFeatures(mixed)
+      .orderBy("doc_id").collect()
+    assert(dec(0).getLong(1) == 2L && !dec(0).isNullAt(2))
+    assert(dec(1).isNullAt(1) && dec(1).isNullAt(2) && dec(1).isNullAt(4))
   }
 
   test("HTML link discovery finds pattern-matched hrefs in order") {
