@@ -316,6 +316,20 @@ object ScaleRehearsal {
     timed("q32_lsh_pairs") {
       Similarity.lshNearPairs(vecs, "vec_id", "embedding").count()
     }
+    // the r14 hot-bucket guard at rehearsal scale: the hotness diagnostic
+    // prices the within-bucket join, autoCap (maxBucket = 0) derives the
+    // cap from the distribution — on this non-collapsed corpus it must
+    // keep every genuine bucket, so the pair count equals uncapped
+    timed("bucket_hotness") {
+      val top = Similarity.bucketHotness(vecs, "vec_id", "embedding")
+        .limit(3).collect().map(r => s"m=${r.getLong(0)}(${r.getLong(1)})")
+      println(s"REHEARSAL hotness_top=${top.mkString(",")}")
+      top.length.toLong
+    }
+    timed("q32_lsh_pairs_autocap") {
+      Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+        maxBucket = 0).count()
+    }
     timed("q94_embedding_neardup") {
       Similarity.embeddingNearDup(vecs, "vec_id", "embedding")
         .filter(col("is_dup")).count()
