@@ -1709,10 +1709,11 @@ object SparkEntry {
     "q70_partitioned_write" -> ((s, d) => {
       // NOTE: constructing this query performs the write eagerly (same
       // trade-off as q42's CSV roundtrip) — the sink IS the operator under
-      // test. Path is scale-factor-specific so concurrent runs at
-      // different SFs can't clobber each other.
-      val tmp = "/root/repo/target/tmp/orders_by_year_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+      // test. Keyed per dataset AND per process (tmpScratch, removed at
+      // exit): concurrent runs at different SFs — or over the SAME
+      // dataset — can't clobber each other between write and read-back.
+      val tmp = tmpScratch("orders_by_year_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_$scratchNonce").toString
       orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")).cast("int"))
         // co-locate each partition's rows first: one right-sized file per
