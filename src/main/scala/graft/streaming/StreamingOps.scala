@@ -149,8 +149,13 @@ object StreamingOps {
     val streamPath =
       if (f.isFile) {
         val dir = java.nio.file.Files.createTempDirectory("graft-stream")
-        java.nio.file.Files.createSymbolicLink(
-          dir.resolve(f.getName), f.toPath.toAbsolutePath)
+        // unique per call, so unregistered dirs accumulate across
+        // bench/verify invocations — remove at JVM exit (the symlink and
+        // dir are empty weight once the run's micro-batches finish)
+        val link = dir.resolve(f.getName)
+        java.nio.file.Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
+        link.toFile.deleteOnExit()
+        dir.toFile.deleteOnExit()
         dir.toString
       } else path
     val batchSchema = spark.read.parquet(path).schema
