@@ -70,6 +70,94 @@ object Bench {
     }
     val loadStart = loadIdx()
 
+    // ---- mid-board I/O-burst probe (r14 judge item 1) -------------------
+    // Four rounds running, a driver board carried a host storage burst the
+    // artifact could not see: tail canaries live past the burst and loadavg
+    // moves ~0.03 per task stalled in disk sleep on a 32-core box, so six
+    // queries sat 4–13× over band while every stamp read quiet (BENCH_r14).
+    // This probe measures the DEVICE directly: a timed O_DIRECT read of a
+    // fixed 64 MiB file (page cache bypassed, so the number is cold-storage
+    // latency, not cache state), sampled before the board and after every
+    // ~25 timed queries, positions stamped. On a quiet host the value is
+    // flat; a cold-block-storage burst shows as a spike AT ITS POSITION.
+    // Fallback when O_DIRECT is unsupported (e.g. tmpfs): /proc/diskstats
+    // read-await delta (ms in reads / reads completed) over the interval.
+    val ioProbeMiB = 64
+    val ioProbePath: Option[java.nio.file.Path] =
+      try {
+        val dir = java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("target"))
+        val p = dir.resolve(s"ioprobe_${ProcessHandle.current().pid()}.bin")
+        val chunk = new Array[Byte](1 << 20)
+        new java.util.Random(0x10b57L).nextBytes(chunk)
+        val out = java.nio.file.Files.newOutputStream(p)
+        (0 until ioProbeMiB).foreach(_ => out.write(chunk))
+        out.close()
+        p.toFile.deleteOnExit()
+        Some(p)
+      } catch { case _: Throwable => None }
+    def directReadSec(): Double = {
+      val ch = java.nio.channels.FileChannel.open(ioProbePath.get,
+        java.nio.file.StandardOpenOption.READ,
+        com.sun.nio.file.ExtendedOpenOption.DIRECT)
+      try {
+        // O_DIRECT needs block-aligned buffers; 4096 covers every common fs
+        val buf = java.nio.ByteBuffer.allocateDirect((1 << 20) + 4096)
+          .alignedSlice(4096)
+        // Bounded probe: during a REAL storage burst a full 64 MiB read
+        // could take tens of seconds per sample and the probe must report
+        // the burst, not prolong the board — stop after ~2 s of wall time
+        // and extrapolate the per-64 MiB figure from the bytes that did
+        // arrive (at least one 1 MiB read always completes, so the value
+        // is defined; the quiet-host figure, ~0.02–0.03 s on BASELINE.md's
+        // reference host, is unaffected by the cap).
+        val capNs = 2L * 1000 * 1000 * 1000
+        val t0 = System.nanoTime()
+        var readB = 0L
+        var n = ch.read(buf)
+        while (n >= 0 && System.nanoTime() - t0 < capNs) {
+          readB += n; buf.clear(); n = ch.read(buf)
+        }
+        if (n >= 0) readB += n
+        val sec = (System.nanoTime() - t0) / 1e9
+        sec * (ioProbeMiB.toDouble * (1 << 20)) / math.max(readB, 1L)
+      } finally ch.close()
+    }
+    val ioDirect: Boolean =
+      ioProbePath.isDefined && (try { directReadSec(); true }
+      catch { case _: Throwable => false })
+    // diskstats fallback: (reads completed, ms spent reading) summed over
+    // real block devices (loop/ram excluded — they never carry the corpus)
+    def diskSnap(): Option[(Long, Long)] =
+      try {
+        val rows = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/diskstats"))
+        import scala.jdk.CollectionConverters._
+        val real = rows.asScala.map(_.trim.split("\\s+"))
+          .filter(f => f.length > 7 && // whole devices only, not partitions
+            f(2).matches("(vd|sd|xvd|hd)[a-z]+|nvme[0-9]+n[0-9]+"))
+        if (real.isEmpty) None
+        else Some((real.map(_(3).toLong).sum, real.map(_(6).toLong).sum))
+      } catch { case _: Throwable => None }
+    var lastDisk = diskSnap()
+    val ioUnit =
+      if (ioDirect) s"s_per_${ioProbeMiB}MiB_direct_read"
+      else if (lastDisk.isDefined) "ms_per_read_diskstats"
+      else "none"
+    def ioProbe(): Double =
+      if (ioDirect) {
+        try directReadSec() catch { case _: Throwable => -1.0 }
+      } else diskSnap() match {
+        case Some((r1, ms1)) =>
+          val v = lastDisk match {
+            case Some((r0, ms0)) if r1 > r0 => (ms1 - ms0).toDouble / (r1 - r0)
+            case _ => 0.0
+          }
+          lastDisk = Some((r1, ms1))
+          v
+        case None => -1.0
+      }
+
     // Corpus fingerprint BEFORE timing (also serves as file-cache warmup):
     // makes a regenerated corpus self-evident in the artifact rather than
     // reconstructed forensically (the round-8 post-close regeneration).
@@ -139,6 +227,18 @@ object Bench {
           "arg(s); each query runs once (cold)")
       deduped
     }
+    // Opt-in seeded board order (r14 judge item 7): BASELINE.md's own
+    // four-board analysis shows burst POSITION moves the total/cidx ratio,
+    // so a fixed lexicographic order correlates query identity with board
+    // position round over round. A seeded shuffle decorrelates them; the
+    // seed is stamped in the artifact so any board is reproducible. Unset
+    // = the historical sorted order (every recorded band assumes it).
+    val benchSeed: Option[Long] =
+      sys.env.get("SPARK_GRAFT_BENCH_SEED").flatMap(_.toLongOption)
+    val ordered = benchSeed match {
+      case Some(s) => new scala.util.Random(s).shuffle(names)
+      case None => names
+    }
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Short keys on stdout: "q88_decontamination" -> "q88". Every full
@@ -148,42 +248,47 @@ object Bench {
     def shortKey(n: String) = n.takeWhile(_ != '_')
     require(names.map(shortKey).distinct.size == names.size,
       "short bench keys must stay unique")
-    // Tail-burst self-adjudication (r13 judge item 1): endpoint load
-    // samples + the early-query cidx both missed a mid-tail I/O burst
-    // (the r13 driver run stamped "quiet" around a 231 s board with q208
-    // at 13.5 s). Two in-run probes close that blind spot:
-    //  (a) the host load index is sampled after EVERY timed query, and
-    //      the artifact stamps its max and median — a burst anywhere in
-    //      the run now shows as load max >> median;
-    //  (b) on full runs a fixed cheap canary (q22, ~0.1 s warm,
-    //      content-independent plan) is re-run at three points in the
-    //      TAIL after its own timed execution; its spread is pure host
-    //      state (the plan never changes), so canary max/min >~ 3 marks
-    //      the burst's position without a judge re-run. The timed q22 run
-    //      itself is the JIT prime — repeats are placed strictly after it
-    //      (r14 review: a pre-loop prime warmed the timed q22, deflating
-    //      its recorded time and cidx_s vs their cold bands, and ran even
-    //      under SPARK_GRAFT_NO_WARM). q22 sits near mid-board in the
-    //      lexicographic order, so the canary covers the tail — exactly
-    //      where the r13 burst lived; the per-query load samples in (a)
-    //      cover the front half.
+    // In-run host-state probes (r13 item 1 → r14 judge item 1). Three
+    // burst classes, three detectors, each with stamped POSITIONS so a
+    // spike is classifiable row-by-row without a judge re-run:
+    //  (a) load_idx after EVERY timed query (max vs median) — CPU storms;
+    //  (b) a dedicated canary at ~8 positions spread EVENLY through the
+    //      board — scheduler contention. The plan is pure built-ins
+    //      (range → modulo key → one 32-partition shuffle → sum): constant
+    //      work, NO corpus input, NO graft helper code, so priming it
+    //      cannot warm any timed board query (the r14 q22-reuse both
+    //      deflated timed q22's cold band and, being tail-anchored to
+    //      q22's board slot, missed the r14 burst across q121–q154);
+    //  (c) io_idx — the O_DIRECT cold-read probe above, every ~25 queries:
+    //      mid-board STORAGE bursts, the class (a)+(b) provably cannot see
+    //      (BENCH_r14: loadavg moved ~0.03/stalled-task and the canaries
+    //      sat past the burst while six queries ran 4–13× over band).
     val fullRun = args.isEmpty
-    val canaryName = "q22_categorize"
-    val canaryIdx = names.indexOf(canaryName)
-    val doCanary = fullRun && canaryIdx >= 0
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8L * 1000 * 1000, 1, 32)
+        .selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k").sum("v")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val canaryAt: Set[Int] =
-      if (doCanary) {
-        val rest = names.size - 1 - canaryIdx
-        Set(canaryIdx + math.max(1, rest / 3),
-          canaryIdx + math.max(2, (2 * rest) / 3),
-          names.size - 1).filter(i => i > canaryIdx && i < names.size)
-      } else Set.empty
-    val canarySecs = scala.collection.mutable.ArrayBuffer[Double]()
+      if (!fullRun) Set.empty
+      else (1 to 8).map(k => k * ordered.size / 8 - 1).filter(_ >= 0).toSet
+    if (fullRun) canaryOnce() // JIT/codegen prime — not a board query
+    // probe cadence override for burst-replay tests and local iteration
+    val ioEvery = sys.env.get("SPARK_GRAFT_IO_EVERY")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(25)
+    val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    val ioSamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val loadSamples = scala.collection.mutable.ArrayBuffer[Double]()
-    val results = names.zipWithIndex.map { case (n, i) =>
+    ioSamples += ((-1, ioProbe())) // pre-board reference sample
+    val results = ordered.zipWithIndex.map { case (n, i) =>
       val r = n -> runOnce(n)
       loadSamples += loadIdx()
-      if (canaryAt(i)) canarySecs += runOnce(canaryName)
+      if (canaryAt(i)) canarySamples += ((i, canaryOnce()))
+      if ((i + 1) % ioEvery == 0 || i == ordered.size - 1)
+        ioSamples += ((i, ioProbe()))
       r
     }
     def qJson(key: String => String) = results
@@ -236,12 +341,15 @@ object Bench {
     val loadMed =
       if (loadSamples.isEmpty) -1.0
       else loadSamples.sorted.apply(loadSamples.size / 2)
-    val canaryJson =
-      canarySecs.map(f3).mkString("[", ",", "]")
     val loadJson = s""""cidx_s":${f3(cidx)},""" +
       s""""load_idx":{"start":${f3(loadStart)},"max":${f3(loadMax)},""" +
       s""""med":${f3(loadMed)},"end":${f3(loadEnd)}},""" +
-      s""""canary_s":$canaryJson,""" +
+      s""""canary_s":${canarySamples.map(s => f3(s._2)).mkString("[", ",", "]")},""" +
+      s""""canary_pos":${canarySamples.map(_._1).mkString("[", ",", "]")},""" +
+      s""""io_idx":${ioSamples.map(s => f3(s._2)).mkString("[", ",", "]")},""" +
+      s""""io_pos":${ioSamples.map(_._1).mkString("[", ",", "]")},""" +
+      s""""io_unit":"$ioUnit",""" +
+      s""""seed":${benchSeed.map(_.toString).getOrElse("null")},""" +
       s""""nproc":${Runtime.getRuntime.availableProcessors()}"""
     println(
       s"""{"metric":"total","unit":"sec","value":${f3(total)},""" +

@@ -120,10 +120,15 @@ object GeoJoin {
   private def rightIsSmall(right: DataFrame, max: Long): Boolean = {
     val key: AnyRef = right.queryExecution.analyzed
     Option(probeCache.get(key)).flatMap(_.get(max)).getOrElse {
-      // clamp before the Int narrowing: a broadcastRightMax past 2^31
-      // used to wrap — negative (AnalysisException) or, worse, a small
-      // positive probe that routed a huge side into the broadcast path
-      val probeRows = math.min(max + 1, Int.MaxValue.toLong).toInt
+      // Saturate BEFORE incrementing: `max + 1` overflows at Long.MaxValue
+      // (the old min-then-narrow produced limit(0), which classified every
+      // side as small). A cap >= 2^31 - 1 cannot be probed with limit()
+      // anyway (Int rows), so such caps are documented as UNBOUNDED: the
+      // probe saturates at Int.MaxValue rows and a side at or beyond that
+      // is treated as broadcastable — callers wanting a real bound must
+      // pass one below 2^31 - 1.
+      val probeRows =
+        if (max >= Int.MaxValue - 1) Int.MaxValue else (max + 1).toInt
       val small = right.limit(probeRows).count() <= max
       probeCache.merge(key, Map(max -> small), (a, b) => a ++ b)
       small

@@ -241,6 +241,12 @@ object Similarity {
       bits: Int = 16, minSim: Double = 0.9,
       signature: (Column, Int) => Column = hyperplaneSignature,
       maxBucket: Int = Int.MaxValue, templateShare: Double = 0.5): DataFrame = {
+    // Only the documented 0 sentinel selects autoCap — a negative cap is a
+    // caller arithmetic bug (e.g. an Int-wrapped value) and must fail loudly
+    // rather than silently derive a cap from the data (r14 ADVICE).
+    require(maxBucket >= 0,
+      s"maxBucket must be >= 0 (0 = derive from the bucket-size " +
+        s"distribution): $maxBucket")
     require(maxBucket > 0 || (templateShare > 0 && templateShare <= 1),
       s"autoCap mode needs templateShare in (0,1]: $templateShare")
     // Carry a per-row norm column through the join (computed once per

@@ -50,28 +50,53 @@ object XlsxReader {
     * parse silently — a corrupt container must be loud, so require the
     * mandatory end-of-central-directory record (PK\x05\x06; within the
     * last 64 KiB + 22 bytes, per the zip comment-length bound) up front. */
-  private def requireCompleteZip(bytes: Array[Byte]): Unit = {
-    val tail = math.max(0, bytes.length - (64 * 1024 + 22))
-    val hasEocd = (tail until math.max(tail, bytes.length - 3)).exists { i =>
-      bytes(i) == 0x50 && bytes(i + 1) == 0x4b &&
-        bytes(i + 2) == 0x05 && bytes(i + 3) == 0x06
+  private def requireCompleteZip(bytes: Array[Byte]): Int = {
+    // A raw 4-byte signature grep is not enough: a truncated archive whose
+    // surviving compressed tail happens to contain PK\x05\x06 would still
+    // parse silently (r14 ADVICE). Scan candidates from the END (the real
+    // EOCD is the last structurally-consistent one — a zip comment may
+    // embed the signature bytes) and require the record's own geometry to
+    // fit the actual byte array: central directory [offset, offset+size)
+    // strictly before the record, comment length reaching at most EOF.
+    def u16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+      ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    val lo = math.max(0, bytes.length - (64 * 1024 + 22))
+    val entries = ((bytes.length - 22) to lo by -1).iterator.collect {
+      case i if bytes(i) == 0x50 && bytes(i + 1) == 0x4b &&
+          bytes(i + 2) == 0x05 && bytes(i + 3) == 0x06 =>
+        (u16(i + 10), u32(i + 12), u32(i + 16), u16(i + 20), i)
+    }.collectFirst {
+      case (n, cdSize, cdOffset, commentLen, i)
+          if cdOffset + cdSize <= i && i + 22 + commentLen <= bytes.length =>
+        n
     }
-    require(hasEocd,
-      "not a complete zip archive: end-of-central-directory record missing " +
-        "(truncated or corrupt workbook)")
+    require(entries.isDefined,
+      "not a complete zip archive: no structurally-consistent " +
+        "end-of-central-directory record (truncated or corrupt workbook)")
+    entries.get
   }
 
   private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
-    requireCompleteZip(bytes)
+    val expected = requireCompleteZip(bytes)
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
+    var n = 0
     var e = zin.getNextEntry
     while (e != null) {
       if (!e.isDirectory) out += (e.getName.stripPrefix("/") -> zin.readAllBytes())
+      n += 1
       zin.closeEntry()
       e = zin.getNextEntry
     }
     zin.close()
+    // EOCD entry count vs local headers actually read: a cut INSIDE the
+    // entry stream (before the surviving central directory tail) shows up
+    // here. 0xFFFF is the zip64 "see the 64-bit record" sentinel — not a
+    // real count, so it is not checked (xlsx workbooks never reach it).
+    require(expected == 0xFFFF || n == expected,
+      s"zip central directory claims $expected entries but $n local " +
+        "headers were read (truncated or corrupt workbook)")
     out.result()
   }
 

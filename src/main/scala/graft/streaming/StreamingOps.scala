@@ -154,8 +154,12 @@ object StreamingOps {
         // dir are empty weight once the run's micro-batches finish)
         val link = dir.resolve(f.getName)
         java.nio.file.Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
-        link.toFile.deleteOnExit()
+        // deleteOnExit runs in REVERSE registration order: register the dir
+        // FIRST so the link inside it is removed first and the then-empty
+        // dir second (the r14 order deleted the non-empty dir first, which
+        // failed silently and leaked the dir every call).
         dir.toFile.deleteOnExit()
+        link.toFile.deleteOnExit()
         dir.toString
       } else path
     val batchSchema = spark.read.parquet(path).schema
