@@ -477,20 +477,34 @@ object Dedup {
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val base = spread.filter(length(trim(col(textCol))) > 0)
+    // n = the doc's distinct-shingle count, computed at explode time and
+    // carried on every tok row (one int): it is both the PPJoin length
+    // filter's `n` AND the bound the prefix aggregate below needs to know
+    // its k from the first row it sees. The verify stage thresholds on
+    // hash-ARRAY sizes (size(tokset)), so under a within-doc 64-bit
+    // collision n_str exceeds n_hash by the collision count and the two
+    // stages could disagree on a pair whose ratio sits within
+    // ~collisions/n of the threshold — a ~n²/2⁶⁵ event, deterministic,
+    // so a PropertySpec flake means exactly this.
     val toksPlan = base
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.charShingles(
-          TextFunctions.normalize(col(textCol)), shingleK)).as("tok"))
+        TextFunctions.charShingles(
+          TextFunctions.normalize(col(textCol)), shingleK).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("n"),
+        explode(col("arr")).as("tok"))
     val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
       BigInt(512L << 20)
     val toks = if (inputSmall) toksPlan.localCheckpoint() else toksPlan
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     // per-doc rarest-p prefix WITHOUT a global sort-window: hash-aggregate
-    // each doc's (dfreq, tok) pairs back into one array, array_sort it
-    // (struct compare = dfreq then tok, the same order the oracle's
-    // row_number uses), slice the prefix, re-explode. Sorting ~n-element
-    // arrays per doc beats a cluster-wide sort by (doc, dfreq, tok), and
-    // the doc-side shuffle carries each doc once instead of once per tok.
+    // each doc's (dfreq, tok) pairs through the native bounded k-min
+    // aggregate (prefix_min_k, r14 judge item 2 — struct compare = dfreq
+    // then binary tok, the same order the oracle's row_number uses). The
+    // doc-side shuffle carries each doc once instead of once per tok, the
+    // partial buffer is BOUNDED at the prefix length k ≈ (1−t)·n (the
+    // collect_list + array_sort + slice form it replaces shipped all n
+    // structs per doc and sorted the full array — P121 attributed ~50% of
+    // the chain to it), and no n-element array is ever materialized.
     // dfreq is distinct-shingle-sized. Do NOT force a broadcast here:
     // the dictionary's size tracks corpus CONTENT, not input bytes (a
     // 15 MB content-dense synthetic corpus produced a multi-million-row
@@ -502,22 +516,10 @@ object Dedup {
     val prefixPre = toks
       .join(dfreq, "tok")
       .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
-      // size(td) is the doc's distinct shingle-STRING count, carried as
-      // `n` for the PPJoin length filter below. The verify stage
-      // thresholds on hash-ARRAY sizes (size(tokset)), so under a
-      // within-doc 64-bit collision n_str exceeds n_hash by the collision
-      // count and the two stages could disagree on a pair whose ratio
-      // sits within ~collisions/n of the threshold — the same ~n²/2⁶⁵
-      // event as the verify caveat above, subsumed by it (any such
-      // collision already shifts n_a/n_b/jacc off the string-set values),
-      // and deterministic, so a PropertySpec flake here means exactly
-      // this. Deriving n from the hashes instead was measured and
-      // rejected: the transform() HOF evaluates its lambda interpreted
-      // per element (87.7 s vs the 30.6-53.5 s band on the 10× rehearsal
-      // q121 chain).
-      .select(col("doc_id"), size(col("td")).as("n"), explode(expr(
-        s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
+      .agg(graft.functions.PrefixMinK.column(numT, denT)(
+        col("n"), col("dfreq"), col("tok")).as("pk"))
+      .select(col("doc_id"), col("pk.n").as("n"),
+        explode(col("pk.items")).as("x"))
       .select(col("doc_id"), col("n"), col("x.tok").as("tok"))
     (prefixPre, inputSmall)
   }
@@ -543,28 +545,6 @@ object Dedup {
       .groupBy(col("tok")).agg(count(lit(1)).as("nd"))
       .groupBy(col("nd")).agg(count(lit(1)).as("n_toks"))
       .orderBy(col("nd").desc)
-
-  /** [[prefixJaccardPairs]]'s `maxDocsPerTok = 0` sentinel: derive the cap
-    * from the corpus itself instead of a hand guess. The rule is the one
-    * the [[prefixHotness]] Scaladoc tells a human to apply — cap at the
-    * largest prefix-nd that is NOT template structure, i.e. the largest
-    * nd strictly below `templateShare` × the prefix-bearing doc count.
-    * Genuine near-dup clusters (nd ≈ cluster size, far below the corpus)
-    * survive whole; corpus-spanning boilerplate (nd ≈ corpus size) stays
-    * capped out, which is q95/q196's job to strip, not a pairwise join's
-    * to enumerate quadratically. Costs two extra linear aggregate jobs
-    * over the prefix table (no window, no collect beyond two 1-row
-    * results); on a 100 TB corpus run [[prefixHotness]] on a sample and
-    * pass an explicit cap instead. */
-  private def autoCapFromHotness(prefixPre: DataFrame,
-      templateShare: Double): Int = {
-    val nDocs = prefixPre.agg(countDistinct(col("doc_id")))
-      .head().getLong(0)
-    val ndCounts = prefixPre.groupBy(col("tok"))
-      .agg(count(lit(1)).as("nd"))
-    capBelowTemplateFloor(ndCounts, "nd", nDocs, templateShare,
-      "prefixJaccardPairs")
-  }
 
   /** Shared auto-cap rule for the `maxDocsPerTok = 0` modes: the largest
     * per-token document count strictly below `templateShare` × `nDocs`.
@@ -601,9 +581,6 @@ object Dedup {
     val prefixPre =
       if (maxDocsPerTok <= 0 && inputSmall) prefixPre0.localCheckpoint()
       else prefixPre0
-    val effCap =
-      if (maxDocsPerTok > 0) maxDocsPerTok
-      else autoCapFromHotness(prefixPre, templateShare)
     // cap-hot prefix tokens via aggregate + semi-join, NOT a count
     // window: the partial aggregate collapses a corpus-hot prefix token
     // map-side and the join stays splittable, where a window partition
@@ -611,8 +588,20 @@ object Dedup {
     // dfreq variant was rejected above (the prefix biases toward rare
     // shingles, but "rare" is a per-doc rank, not a global bound, so a
     // hot-partition guarantee needs the aggregate shape).
-    val keepToks = prefixPre.groupBy(col("tok"))
+    // ONE nd aggregate serves both the auto-cap derivation and the
+    // keep-set (r15: the autocap path used to compute the identical
+    // groupBy twice — a full extra pass over the prefix table).
+    val ndCounts = prefixPre.groupBy(col("tok"))
       .agg(count(lit(1)).as("nd"))
+    val effCap =
+      if (maxDocsPerTok > 0) maxDocsPerTok
+      else {
+        val nDocs = prefixPre.agg(countDistinct(col("doc_id")))
+          .head().getLong(0)
+        capBelowTemplateFloor(ndCounts, "nd", nDocs, templateShare,
+          "prefixJaccardPairs")
+      }
+    val keepToks = ndCounts
       .filter(col("nd") <= effCap).select(col("tok"))
     val prefix = prefixPre
       .join(keepToks, "tok") // AQE broadcasts when actually small (above)
@@ -707,16 +696,31 @@ object Dedup {
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val base = spread.filter(length(trim(col(textCol))) > 0)
-    // THREE consumers follow (dfreq, prefix join, index join), but unlike
-    // prefixJaccardPairs a checkpoint here LOSES: measured at sf0.1 shape
-    // (tools/P154), warm 4.1-4.5 s recomputing vs 5.3-5.4 s checkpointed —
-    // the index side's join prunes the recomputed scan and pipelines,
-    // while a checkpoint forces the full materialized table through the
-    // join. Recompute is also the at-scale shape, so no dispatch needed.
-    val toks = base
+    // n carried per tok row (one int) so the prefix aggregate below knows
+    // its bound from the first row — same shape as prefixToks; Catalyst
+    // prunes it from the dfreq and index consumers.
+    val toksPlan = base
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.charShingles(
-          TextFunctions.normalize(col(textCol)), shingleK)).as("tok"))
+        TextFunctions.charShingles(
+          TextFunctions.normalize(col(textCol)), shingleK).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("n"),
+        explode(col("arr")).as("tok"))
+    // PROBE side (dfreq + prefix aggregate) is checkpointed when the input
+    // is small — NOT for reuse, for HONEST STATS (r15): Catalyst's static
+    // size estimate is content-blind through Generate (no fan-out model),
+    // so a small parquet input estimated the 21M-row exploded table under
+    // the broadcast threshold and the initial plan BROADCAST the fan-out
+    // side of the dfreq join (measured 3× the whole prefix stage on the
+    // 10× rehearsal; at worst a driver OOM). A checkpointed RDD scan
+    // carries its REAL byte size, the static plan stays a shuffle join,
+    // and AQE still upgrades the dictionary side to broadcast from actual
+    // runtime sizes — exactly the r11-documented behavior. The INDEX side
+    // keeps the recomputed plan: its join prunes the recomputed scan and
+    // pipelines (the r11 containment measurement that rejected a full
+    // checkpoint here), and it never joins against a misestimated side.
+    val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(512L << 20)
+    val toks = if (inputSmall) toksPlan.localCheckpoint() else toksPlan
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     // maxDocsPerTok = 0: derive the cap from the data, same rule as
     // prefixJaccardPairs's autoCap but over FULL-corpus dfreq (the cap
@@ -732,18 +736,24 @@ object Dedup {
         capBelowTemplateFloor(dfreq, "dfreq", nDocs, templateShare,
           "containmentPairs")
       }
-    // probe prefix: rank by global dfreq via the per-doc array-sort trick
-    // (no cluster-wide sort), slice the rarest n − ceil(t·n) + 1, then
-    // drop cap-hot tokens
+    // probe prefix: rank by global dfreq via the native bounded k-min
+    // aggregate (no cluster-wide sort, no full per-doc array — the
+    // partial buffer caps at the prefix length, see PrefixMinK), keep the
+    // rarest n − ceil(t·n) + 1, then drop cap-hot tokens
     val prefix = toks.join(dfreq, "tok")
       .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
-      .select(col("doc_id"), explode(expr(
-        s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
+      .agg(graft.functions.PrefixMinK.column(numT, denT)(
+        col("n"), col("dfreq"), col("tok")).as("pk"))
+      .select(col("doc_id"), explode(col("pk.items")).as("x"))
       .select(col("doc_id"), col("x.dfreq").as("dfreq"), col("x.tok").as("tok"))
       .filter(col("dfreq") <= effCap)
       .select(col("doc_id"), col("tok"))
-    val index = toks.join(
+    // index side: the RECOMPUTED plan, not the checkpoint — its join
+    // prunes the recomputed scan and pipelines (tools/P154, r11: full
+    // checkpoint here measured 5.3-5.4 s vs 4.1-4.5 s recomputing), and
+    // the kept-token build side is a real aggregate whose size AQE reads
+    // at runtime.
+    val index = toksPlan.join(
       dfreq.filter(col("dfreq") <= effCap).select(col("tok")), "tok")
     val cand0 = prefix.as("a")
       .join(index.as("b"),
@@ -754,8 +764,6 @@ object Dedup {
     // to core count when the candidate table is small on disk, where
     // AQE's bytes-based coalescing under-parallelizes it (same dispatch
     // rationale as prefixJaccardPairs, r11)
-    val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(512L << 20)
     val cand = if (inputSmall) cand0.repartition(par) else cand0
     val arrs = docs
       .filter(length(trim(col(textCol))) > 0)

@@ -718,4 +718,40 @@ object PropertySpec extends Properties("graft") {
         }
       }
     }
+
+  property("prefix_min_k equals collect_list + array_sort + slice") =
+    Prop.forAll(Gen.choose(2, 7), Gen.choose(1L, 99999L)) { (denT, seed) =>
+      // Direct equivalence of the native bounded k-min aggregate (r15)
+      // against the declarative form it replaced, under the conditions
+      // that could break it: multiple partitions (forces partial-buffer
+      // merges through serialize/deserialize), dfreq ties broken by tok
+      // BINARY order (non-ASCII tokens incl. a supplementary-plane char,
+      // where JVM String order would diverge from UTF-8 order), and n at
+      // the slice formula's edges (n = 1, k = n).
+      val numT = 1 + (seed % (denT - 1)).toInt
+      val rnd = new scala.util.Random(seed)
+      val alphabet =
+        Seq("a", "zz", "é", "中", "𐍈", "�", "w")
+      val rows = (0 until 1 + rnd.nextInt(5)).flatMap { d =>
+        val toks = rnd.shuffle((0 until 200).map(i =>
+          alphabet(rnd.nextInt(alphabet.size)) + i.toString).distinct)
+          .take(1 + rnd.nextInt(40))
+        toks.map(t => (d.toLong, toks.size, 1L + rnd.nextInt(4), t))
+      }
+      val df = rows.toDF("doc_id", "n", "dfreq", "tok").repartition(5)
+      val viaAgg = df.groupBy(col("doc_id"))
+        .agg(graft.functions.PrefixMinK.column(numT, denT)(
+          col("n"), col("dfreq"), col("tok")).as("pk"))
+        .select(col("doc_id"), col("pk.n").as("n"), col("pk.items"))
+        .as[(Long, Int, Seq[(Long, String)])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val viaList = df.groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
+        .select(col("doc_id"), size(col("td")).as("n"), expr(
+          s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + " +
+            s"${denT - 1}) DIV $denT + 1)").as("items"))
+        .as[(Long, Int, Seq[(Long, String)])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      viaAgg == viaList
+    }
 }

@@ -39,22 +39,40 @@ object P121 {
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val base = spread.filter(length(trim(col(textCol))) > 0)
+    // checkpointed like the shipped small-input shape — ALSO the honest-
+    // stats guard (r15): without it the content-blind static estimate can
+    // broadcast the exploded fan-out side of the dfreq join
     val toks = base
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.charShingles(
-          TextFunctions.normalize(col(textCol)), shingleK)).as("tok"))
+        TextFunctions.charShingles(
+          TextFunctions.normalize(col(textCol)), shingleK).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("n"),
+        explode(col("arr")).as("tok"))
+      .localCheckpoint()
     time("toks")(toks.count())
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     time("dfreq")(dfreq.count())
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
-    // staged probe = the SHIPPED shape: prefix aggregate carrying n, the
-    // hot-token cap as aggregate + semi-join (splittable), PPJoin length
-    // filter at the candidate level
-    val prefix0 = toks.join(dfreq, "tok")
+    // staged probe = the SHIPPED shape: n carried on the tok rows, prefix
+    // via the native bounded k-min aggregate (r15 — replaced collect_list
+    // + array_sort + slice, the ~50% stage), the hot-token cap as
+    // aggregate + semi-join (splittable), PPJoin length filter at the
+    // candidate level
+    // the replaced declarative form, kept as an A/B stage so the table
+    // records the delta on the same corpus/run
+    val prefixOld = toks.join(dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
       .select(col("doc_id"), size(col("td")).as("n"), explode(expr(
         s"slice(array_sort(td), 1, size(td) - (size(td) * $numT + ${denT - 1}) DIV $denT + 1)")).as("x"))
+      .select(col("doc_id"), col("n"), col("x.tok").as("tok"))
+    time("prefix-collect-list-OLD")(prefixOld.count())
+    val prefix0 = toks.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.PrefixMinK.column(numT, denT)(
+        col("n"), col("dfreq"), col("tok")).as("pk"))
+      .select(col("doc_id"), col("pk.n").as("n"),
+        explode(col("pk.items")).as("x"))
       .select(col("doc_id"), col("n"), col("x.tok").as("tok"))
     time("prefix-pre-cap")(prefix0.count())
     val keepToks = prefix0.groupBy(col("tok"))
