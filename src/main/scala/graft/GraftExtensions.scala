@@ -26,6 +26,7 @@ import graft.functions.{CdcChunks, CharShingleHashes, CharShingles, DeletionVari
   *    the exact-Jaccard verify pair
   *  - `jaro_winkler(s1, s2)` / `cdc_chunks(text, w, d)` — record-linkage
   *    similarity and content-defined chunking
+  *  - `image_meta(binary)` — PNG/JPEG/GIF header decode (multimodal)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -102,6 +103,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cdc_chunks(text, w, divisor) - content-defined chunk hashes"),
       (exprs: Seq[Expression]) =>
         CdcChunks(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+    e.injectFunction((FunctionIdentifier("image_meta"),
+      info("image_meta",
+        "image_meta(binary) - struct(format,width,height,channels) from " +
+          "PNG/JPEG/GIF header bytes, null on malformed"),
+      (exprs: Seq[Expression]) => graft.functions.ImageMeta(exprs.head)))
   }
 
   private def intArg(e: Expression): Int = e.eval(null) match {

@@ -214,16 +214,22 @@ object SparkEntry {
       .digest(dataset.getBytes("UTF-8")).take(6)
       .map(b => f"$b%02x").mkString + scratchNonce
 
-  /** target/tmp scratch dir registered for JVM-exit removal: datasetTok
-    * carries the process nonce, so without registration every run would
-    * leave fresh `q*_src_*` dirs behind (same lifecycle rule as
-    * [[scratchDir]] — deletion cannot happen inside a query whose
-    * returned DataFrame reads the dir lazily). */
+  /** Scratch dir registered for JVM-exit removal: datasetTok carries the
+    * process nonce, so without registration every run would leave fresh
+    * `q*_src_*` dirs behind (same lifecycle rule as [[scratchDir]] —
+    * deletion cannot happen inside a query whose returned DataFrame reads
+    * the dir lazily). Lives under a per-process `graft-fmt-tmp-<pidhex>`
+    * parent in java.io.tmpdir so the dead-pid [[scratchSweep]] reclaims it
+    * after a SIGKILL/OOM run (which tools/SpillRehearsal deliberately
+    * drives) — the shutdown hook never fires on those, and the previous
+    * target/tmp location had no crash-leak reclamation (r14 ADVICE). */
   private def tmpScratch(name: String): java.nio.file.Path = {
-    val p = java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get("target", "tmp", name))
+    val parent = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-fmt-tmp-$scratchNonce")
+    val p = java.nio.file.Files.createDirectories(parent.resolve(name))
+    scratchSweep
     scratchHook
-    scratchCreated.add(p)
+    scratchCreated.add(parent)
     p
   }
   private val scratchCreated =
@@ -4388,8 +4394,73 @@ object SparkEntry {
       Similarity.lshNearPairs(embeddings(s, d), "vec_id", "embedding",
         bits = 4, minSim = 0.1,
         signature = Similarity.hyperplaneSignatureLattice, maxBucket = 40)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r")))
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))),
+
+    // Real multimodal header decode (r14 VERDICT missing-item 1): the
+    // native image_meta expression over literal image bytes built
+    // in-process — well-formed PNG/JPEG/GIF headers parse to (format,
+    // width, height, channels); a truncated SOF, a CRC-flipped IHDR, a
+    // scan-before-frame marker stream and plain non-image bytes each parse
+    // to NULL, never throw (the 100 TB posture: one corrupt blob = one
+    // null row). q149 posture: expected rows carried in the oracle VALUES.
+    "q251_image_meta" -> ((s, d) => {
+      import s.implicits._
+      imageFixture.toDF("img_id", "payload")
+        .select(col("img_id"),
+          graft.functions.ImageMeta.column(col("payload")).as("m"))
+        .select(col("img_id"), col("m.format").as("format"),
+          col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"),
+          col("m.channels").cast("long").as("channels"))
+    })
   )
+
+  // ---- q251 image fixtures: real header bytes, built not copied --------
+  private def pngFixture(w: Int, h: Int, colorType: Int,
+      corruptCrc: Boolean = false): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val typeAndData = "IHDR".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val crc = new java.util.zip.CRC32
+    crc.update(typeAndData)
+    val crcV = (if (corruptCrc) crc.getValue ^ 0xffL else crc.getValue).toInt
+    sig ++ java.nio.ByteBuffer.allocate(4).putInt(13).array() ++
+      typeAndData ++ java.nio.ByteBuffer.allocate(4).putInt(crcV).array()
+  }
+  private def jpegFixture(w: Int, h: Int, ch: Int,
+      sofMarker: Int = 0xc0): Array[Byte] = {
+    val sofLen = 8 + 3 * ch
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 + sofLen)
+    bb.put(0xff.toByte).put(0xd8.toByte)
+    bb.put(Array(0xff, 0xfe, 0, 4, 'h', 'i').map(_.toByte)) // COM segment
+    bb.put(0xff.toByte).put(sofMarker.toByte).putShort(sofLen.toShort)
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(ch.toByte)
+    (0 until ch).foreach(i =>
+      bb.put((i + 1).toByte).put(0x11.toByte).put(0.toByte))
+    bb.array()
+  }
+  private def gifFixture(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(w.toShort).putShort(h.toShort)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.array()
+  }
+  private def imageFixture: Seq[(Long, Array[Byte])] = Seq(
+    1L -> pngFixture(640, 480, 6), // RGBA
+    2L -> pngFixture(32, 8, 0), // grayscale
+    3L -> jpegFixture(1024, 768, 3), // baseline color
+    4L -> jpegFixture(17, 1, 1), // progressive would be 0xc2 — same header
+    5L -> gifFixture(320, 200),
+    6L -> jpegFixture(1024, 768, 3).dropRight(9), // truncated mid-SOF
+    7L -> pngFixture(640, 480, 6, corruptCrc = true), // bit-flipped IHDR
+    8L -> "not an image at all".getBytes("UTF-8"),
+    // SOS where the frame header should be: desync/no-SOF stream
+    9L -> Array(0xff, 0xd8, 0xff, 0xda, 0, 4, 0, 0).map(_.toByte))
 
   /** Shared q246/q247 prepared-frame fixture: 20 sites, category picked
     * round-robin from the variant's DISTINCT list plus one out-of-list
@@ -8822,7 +8893,29 @@ object SparkEntry {
          |FROM sims s
          |JOIN sig g ON s.id_a = g.vec_id
          |JOIN keep k ON g.bucket = k.bucket
-         |WHERE s.sim >= 0.1""".stripMargin
+         |WHERE s.sim >= 0.1""".stripMargin,
+
+    // q251: expected header-decode rows carried as VALUES (q149 posture —
+    // DuckDB has no image parser; the fixture bytes are deterministic and
+    // the spec additionally re-derives them against java.util.zip.CRC32 /
+    // the marker grammar). Malformed fixtures (6, 7, 9) and the non-image
+    // payload (8) pin the null-not-throw contract.
+    "q251_image_meta" ->
+      """SELECT CAST(img_id AS BIGINT) AS img_id, format,
+        | CAST(width AS BIGINT) AS width,
+        | CAST(height AS BIGINT) AS height,
+        | CAST(channels AS BIGINT) AS channels
+        |FROM (VALUES
+        |  (1, 'png', 640, 480, 4),
+        |  (2, 'png', 32, 8, 1),
+        |  (3, 'jpeg', 1024, 768, 3),
+        |  (4, 'jpeg', 17, 1, 1),
+        |  (5, 'gif', 320, 200, 3),
+        |  (6, NULL, NULL, NULL, NULL),
+        |  (7, NULL, NULL, NULL, NULL),
+        |  (8, NULL, NULL, NULL, NULL),
+        |  (9, NULL, NULL, NULL, NULL))
+        |  AS t(img_id, format, width, height, channels)""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

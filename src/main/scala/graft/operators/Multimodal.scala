@@ -7,14 +7,26 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (SURVEY north star): image/audio/video as
   * opaque `binary` columns with typed metadata, processed per-partition.
   *
-  * The actual media decode is STUBBED — the container ships no image/audio
-  * codecs — but the Spark-side plumbing is real: schema, batched
-  * per-partition iteration (the Scala analogue of `mapInPandas`: one decoder
-  * instantiation per partition, streamed row batches, no per-row setup cost),
-  * and deterministic pseudo-features so tests are stable. Swapping
-  * [[FakeDecoder]] for a JNI/codec-backed decoder changes no plan shape.
+  * HEADER decode is REAL since r15: [[imageMeta]] parses PNG/JPEG/GIF
+  * container headers (format, width, height, channels) natively inside
+  * whole-stage codegen — dependency-free, null on malformed bytes (see
+  * [[graft.functions.ImageHeaderOps]]; q251 pins it under the oracle).
+  * That covers what a training-data pipeline filters and routes images by.
+  * PIXEL decode (IDAT inflate, DCT) stays stubbed — the container ships no
+  * codecs — behind [[FakeDecoder]]'s deterministic pseudo-features, with
+  * the batched per-partition iteration shape (the Scala analogue of
+  * `mapInPandas`: one decoder instantiation per partition, streamed row
+  * batches) kept real so swapping in a JNI/codec-backed decoder changes no
+  * plan shape.
   */
 object Multimodal {
+
+  /** Real container-header decode: `struct(format, width, height,
+    * channels)` from PNG/JPEG/GIF bytes, null for malformed or non-image
+    * payloads. Codegen'd scalar — a dimension filter over billions of
+    * blobs runs at scan speed, no per-partition decoder setup needed. */
+  def imageMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ImageMeta.column(payload)
 
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
