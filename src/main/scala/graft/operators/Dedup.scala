@@ -494,7 +494,12 @@ object Dedup {
         explode(col("arr")).as("tok"))
     val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
       BigInt(512L << 20)
-    val toks = if (inputSmall) toksPlan.localCheckpoint() else toksPlan
+    // checkpoint exactly in the broadcast danger zone (r15): honest stats
+    // where the misestimate could broadcast the fan-out side, recompute
+    // (the at-scale shape — nothing pinned in the block manager) above it
+    val toks =
+      if (inBroadcastDangerZone(toksPlan)) toksPlan.localCheckpoint()
+      else toksPlan
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     // per-doc rarest-p prefix WITHOUT a global sort-window: hash-aggregate
     // each doc's (dfreq, tok) pairs through the native bounded k-min
@@ -638,9 +643,10 @@ object Dedup {
         TextFunctions.charShingleHashes(
           TextFunctions.normalize(col(textCol)), shingleK).as("tokset"))
       .withColumn("n", size(col("tokset")))
+    val arrsV = maybeBroadcastArrs(docs, arrs)
     candSpread
-      .join(arrs.as("sa"), col("sa.doc_id") === col("d1"))
-      .join(arrs.as("sb"), col("sb.doc_id") === col("d2"))
+      .join(arrsV.as("sa"), col("sa.doc_id") === col("d1"))
+      .join(arrsV.as("sb"), col("sb.doc_id") === col("d2"))
       .withColumn("n_inter",
         TextFunctions.sortedIntersectCount(col("sa.tokset"), col("sb.tokset")))
       .filter(col("n_inter") * denT >=
@@ -650,6 +656,60 @@ object Dedup {
         col("sa.n").cast("long").as("n_a"), col("sb.n").cast("long").as("n_b"),
         (col("n_inter").cast("double") /
           (col("sa.n") + col("sb.n") - col("n_inter")).cast("double")).as("jacc"))
+  }
+
+
+
+  /** Static-estimate danger zone for the exploded-toks joins (r15): the
+    * honest-stats checkpoint is needed exactly when Catalyst's
+    * content-blind estimate (no fan-out model through Generate) could
+    * drop the exploded side under the broadcast threshold and the
+    * initial plan would broadcast a huge fan-out (measured 3× the prefix
+    * stage; at worst a driver OOM). Above 4× the threshold the static
+    * plan is already a shuffle join and the checkpoint would only PIN
+    * the exploded table in the block manager — at the 100× rehearsal
+    * that pin (plus the rest of the chain's scratch) overran the local
+    * disk. 4× margin absorbs estimate wobble; a disabled threshold
+    * (-1 = broadcast off) means no trap and no checkpoint. */
+  private def inBroadcastDangerZone(toksPlan: DataFrame): Boolean = {
+    val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      toksPlan.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    thr > 0 &&
+      toksPlan.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(4L) * BigInt(thr)
+  }
+
+  /** Verify-side broadcast dispatch (r15, found by the 100× rehearsal):
+    * the verify stage joins the candidate pairs against the per-doc
+    * shingle-hash table TWICE (once per endpoint), and in the shuffle
+    * shape the SECOND join re-exchanges the candidate stream with the
+    * first endpoint's hash ARRAY attached — one ~n-long array PER
+    * CANDIDATE through an exchange. At 50k docs that was an unnoticed
+    * ~16 GB of shuffle; at 500k docs it was ~250 GB and a disk-full
+    * abort. Broadcasting the arrs table instead ships one array per DOC
+    * per executor (candidates/docs ≈ 20×, so ~20× less data, and the
+    * candidate stream pipelines through both joins with NO exchange).
+    * Gate: a bounded row-count probe vs a heap-proportional doc budget
+    * (maxMemory/8 ÷ 4 KB/doc assumed array size — the /8 headroom
+    * absorbs long-doc corpora); past the bound the shuffle shape is the
+    * honest at-scale cost and a cluster sizes its scratch disks for it.
+    * The probe counts the RAW docs side (bounded limit+count on the
+    * source scan), not arrs — counting arrs would compute every doc's
+    * hash array just to decide whether to broadcast it. */
+  private def maybeBroadcastArrs(docs: DataFrame, arrs: DataFrame): DataFrame = {
+    // a driver-side broadcast build also collects the table through
+    // spark.driver.maxResultSize — gate on BOTH limits (half/eighth for
+    // headroom), or the dispatch trades a disk-full abort for a
+    // maxResultSize abort (observed at the 100x rehearsal)
+    val maxResult = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      docs.sparkSession.conf.get("spark.driver.maxResultSize", "1g"))
+    val budgetBytes =
+      math.min(Runtime.getRuntime.maxMemory() / 8L,
+        if (maxResult <= 0) Long.MaxValue else maxResult / 2L)
+    val cap = math.min(budgetBytes / 4096L, Int.MaxValue.toLong - 1).toInt
+    val small = docs.limit(cap + 1).count() <= cap
+    if (small) broadcast(arrs) else arrs
   }
 
   /** Directed containment join — the ASYMMETRIC sibling of
@@ -720,7 +780,10 @@ object Dedup {
     // checkpoint here), and it never joins against a misestimated side.
     val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
       BigInt(512L << 20)
-    val toks = if (inputSmall) toksPlan.localCheckpoint() else toksPlan
+    // danger-zone-gated honest-stats checkpoint — see inBroadcastDangerZone
+    val toks =
+      if (inBroadcastDangerZone(toksPlan)) toksPlan.localCheckpoint()
+      else toksPlan
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     // maxDocsPerTok = 0: derive the cap from the data, same rule as
     // prefixJaccardPairs's autoCap but over FULL-corpus dfreq (the cap
@@ -771,9 +834,10 @@ object Dedup {
         TextFunctions.charShingleHashes(
           TextFunctions.normalize(col(textCol)), shingleK).as("tokset"))
       .withColumn("n", size(col("tokset")))
+    val arrsV = maybeBroadcastArrs(docs, arrs)
     cand
-      .join(arrs.as("sa"), col("sa.doc_id") === col("sub"))
-      .join(arrs.as("sb"), col("sb.doc_id") === col("sup"))
+      .join(arrsV.as("sa"), col("sa.doc_id") === col("sub"))
+      .join(arrsV.as("sb"), col("sb.doc_id") === col("sup"))
       // length pre-filter, exact: I ≤ n_sup, so C = I/n_sub ≥ t forces
       // n_sup·denT ≥ numT·n_sub — a sup much shorter than its sub cannot
       // contain it. Kills the pair on two carried ints BEFORE the

@@ -30,8 +30,12 @@ import graft.operators.Dedup
   *    ~1 per pair and CC needs only a spanning subset; a hard equality
   *    would encode the hash function, not the operator).
   *
-  * Run: `sbt "Test/runMain graft.tools.ScaleRehearsal100x"` (args:
-  * [nDocs]). Expect minutes, not seconds — that is the point.
+  * Run: `SPARK_DRIVER_MEM=48g sbt "Test/runMain
+  * graft.tools.ScaleRehearsal100x"` (args: [nDocs]). Expect minutes, not
+  * seconds — that is the point. The heap matters: 10g/32 tasks sits
+  * below the spill rehearsal's ~0.5 GB/task aggregation floor at this
+  * scale and fails LOUDLY (AGGREGATE_OUT_OF_MEMORY — the documented
+  * degrade-vs-cliff boundary, observed, not extrapolated).
   */
 object ScaleRehearsal100x {
 
@@ -39,8 +43,25 @@ object ScaleRehearsal100x {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 100x shuffles need partitions sized to fit task memory — 128 keeps
+      // ~1.6M tok rows per aggregate partition (AQE coalesces the small
+      // stages back down); 32 put the PrefixMinK partial over the
+      // aggregation floor at practical heaps
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "128"))
       .config("spark.sql.adaptive.enabled", "true")
+      // the verify-side arrs broadcast at 500k docs collects ~1.7 GB to
+      // the driver — raise maxResultSize so the dispatch can take the
+      // broadcast path (the operator gates on this conf; the 1 GB
+      // default routes back to the shuffle shape and its ~250 GB scratch)
+      .config("spark.driver.maxResultSize", "8g")
+      // shuffle files of COMPLETED jobs are reclaimed by the
+      // ContextCleaner only after a driver GC notices the dead
+      // ShuffleDependency — with a 48 g heap that never happens
+      // organically, and the accumulated files overran the (thin-
+      // provisioned, ~90 GB real) local disk twice. Force the periodic
+      // GC so scratch tracks the RUNNING job, not the whole arm.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.ui.enabled", "false")
       .appName("scale-rehearsal-100x").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
