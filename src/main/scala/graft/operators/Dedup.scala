@@ -486,19 +486,40 @@ object Dedup {
     // stages could disagree on a pair whose ratio sits within
     // ~collisions/n of the threshold — a ~n²/2⁶⁵ event, deterministic,
     // so a PropertySpec flake means exactly this.
+    //
+    // PLAN SHAPE IS LOAD-BEARING (r16, the q245 regression): the generator
+    // input must be the shingling EXPRESSION, not an alias of it.
+    // InferFiltersFromGenerate fires only when `explode`'s input is a bare
+    // attribute; with the r15 `arr`-alias shape it inferred
+    // `size(arr) > 0 AND isnotnull(arr)`, alias substitution rebuilt the
+    // full charShingles call inside that filter, and predicate pushdown
+    // carried it below the fan-out Repartition onto the narrow scan —
+    // serial, multiple shingling passes per row, q245 3.4–4.2 → 6.7 s.
+    // With the expression inline the rule skips (by design — "only
+    // generate extra predicates if the input is an attribute"), and `n`
+    // is computed once per doc in the Project BELOW the Generate (NOT in
+    // the select that holds the explode — there it lands in the Project
+    // ABOVE the Generate and is re-evaluated per shingle row, measured
+    // 21 s at sf0.1 shape).
+    val shingleExpr = TextFunctions.charShingles(
+      TextFunctions.normalize(col(textCol)), shingleK)
     val toksPlan = base
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.charShingles(
-          TextFunctions.normalize(col(textCol)), shingleK).as("arr"))
-      .select(col("doc_id"), size(col("arr")).as("n"),
-        explode(col("arr")).as("tok"))
+      .select(col(idCol).as("doc_id"), size(shingleExpr).as("n"),
+        col(textCol))
+      .select(col("doc_id"), col("n"), explode(shingleExpr).as("tok"))
     val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
       BigInt(512L << 20)
-    // checkpoint exactly in the broadcast danger zone (r15): honest stats
-    // where the misestimate could broadcast the fan-out side, recompute
-    // (the at-scale shape — nothing pinned in the block manager) above it
+    // checkpoint under EITHER gate (r16, restoring the r14 band the r15
+    // narrowing lost — q245 regressed 3.4–4.2 → 6.7 s when sf0.1-shaped
+    // inputs fell between the 40 MB danger zone and the 512 MB perf
+    // bound): inputSmall is the measured 2.4× branch-reuse win on small
+    // corpora, inBroadcastDangerZone is the honest-stats fix for the
+    // Generate misestimate that could broadcast the fan-out side. Above
+    // both, recompute — the at-scale shape, nothing pinned in the block
+    // manager.
     val toks =
-      if (inBroadcastDangerZone(toksPlan)) toksPlan.localCheckpoint()
+      if (inputSmall || inBroadcastDangerZone(toksPlan))
+        toksPlan.localCheckpoint()
       else toksPlan
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     // per-doc rarest-p prefix WITHOUT a global sort-window: hash-aggregate
@@ -643,7 +664,7 @@ object Dedup {
         TextFunctions.charShingleHashes(
           TextFunctions.normalize(col(textCol)), shingleK).as("tokset"))
       .withColumn("n", size(col("tokset")))
-    val arrsV = maybeBroadcastArrs(docs, arrs)
+    val arrsV = maybeBroadcastArrs(docs, textCol, arrs)
     candSpread
       .join(arrsV.as("sa"), col("sa.doc_id") === col("d1"))
       .join(arrsV.as("sb"), col("sb.doc_id") === col("d2"))
@@ -690,14 +711,20 @@ object Dedup {
     * abort. Broadcasting the arrs table instead ships one array per DOC
     * per executor (candidates/docs ≈ 20×, so ~20× less data, and the
     * candidate stream pipelines through both joins with NO exchange).
-    * Gate: a bounded row-count probe vs a heap-proportional doc budget
-    * (maxMemory/8 ÷ 4 KB/doc assumed array size — the /8 headroom
-    * absorbs long-doc corpora); past the bound the shuffle shape is the
-    * honest at-scale cost and a cluster sizes its scratch disks for it.
-    * The probe counts the RAW docs side (bounded limit+count on the
-    * source scan), not arrs — counting arrs would compute every doc's
-    * hash array just to decide whether to broadcast it. */
-  private def maybeBroadcastArrs(docs: DataFrame, arrs: DataFrame): DataFrame = {
+    * Gate: a bounded probe over the RAW docs side (one limit+agg job on
+    * the source scan — probing arrs would compute every doc's hash array
+    * just to decide whether to broadcast it) vs a heap-proportional byte
+    * budget. The probe reads ACTUAL text lengths, not an assumed
+    * bytes/doc (r15 ADVICE — a long-doc corpus blows a fixed 4 KB/doc
+    * assumption by 8×+ and aborts on the broadcast size limit where the
+    * shuffle shape would have completed): the payload is one 8-byte hash
+    * per distinct shingle ≤ 8 × text chars, doubled for row/array
+    * overhead in the broadcast relation. When the row bound holds the
+    * limit covered every doc, so the char total is exact, not a sample.
+    * Past either bound the shuffle shape is the honest at-scale cost and
+    * a cluster sizes its scratch disks for it. */
+  private def maybeBroadcastArrs(docs: DataFrame, textCol: String,
+      arrs: DataFrame): DataFrame = {
     // a driver-side broadcast build also collects the table through
     // spark.driver.maxResultSize — gate on BOTH limits (half/eighth for
     // headroom), or the dispatch trades a disk-full abort for a
@@ -707,8 +734,15 @@ object Dedup {
     val budgetBytes =
       math.min(Runtime.getRuntime.maxMemory() / 8L,
         if (maxResult <= 0) Long.MaxValue else maxResult / 2L)
-    val cap = math.min(budgetBytes / 4096L, Int.MaxValue.toLong - 1).toInt
-    val small = docs.limit(cap + 1).count() <= cap
+    // row cap only bounds the probe scan; 1 KB/doc floor keeps it from
+    // rejecting tiny-doc corpora the byte budget below would admit
+    val cap = math.min(budgetBytes / 1024L, Int.MaxValue.toLong - 1).toInt
+    val probe = docs.limit(cap + 1)
+      .agg(count(lit(1)).as("n"),
+        sum(length(col(textCol)).cast("long")).as("chars")).head()
+    val nDocs = probe.getLong(0)
+    val chars = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    val small = nDocs <= cap && chars <= budgetBytes / 16L
     if (small) broadcast(arrs) else arrs
   }
 
@@ -758,13 +792,16 @@ object Dedup {
     val base = spread.filter(length(trim(col(textCol))) > 0)
     // n carried per tok row (one int) so the prefix aggregate below knows
     // its bound from the first row — same shape as prefixToks; Catalyst
-    // prunes it from the dfreq and index consumers.
+    // prunes it from the dfreq and index consumers. Generator input stays
+    // the inline expression and `n` is computed in the Project BELOW the
+    // Generate — both load-bearing, see the prefixToks r16 comment
+    // (InferFiltersFromGenerate + alias pushdown below the Repartition).
+    val shingleExpr = TextFunctions.charShingles(
+      TextFunctions.normalize(col(textCol)), shingleK)
     val toksPlan = base
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.charShingles(
-          TextFunctions.normalize(col(textCol)), shingleK).as("arr"))
-      .select(col("doc_id"), size(col("arr")).as("n"),
-        explode(col("arr")).as("tok"))
+      .select(col(idCol).as("doc_id"), size(shingleExpr).as("n"),
+        col(textCol))
+      .select(col("doc_id"), col("n"), explode(shingleExpr).as("tok"))
     // PROBE side (dfreq + prefix aggregate) is checkpointed when the input
     // is small — NOT for reuse, for HONEST STATS (r15): Catalyst's static
     // size estimate is content-blind through Generate (no fan-out model),
@@ -780,9 +817,11 @@ object Dedup {
     // checkpoint here), and it never joins against a misestimated side.
     val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
       BigInt(512L << 20)
-    // danger-zone-gated honest-stats checkpoint — see inBroadcastDangerZone
+    // checkpoint under either the perf gate or the honest-stats gate —
+    // same dual dispatch (and the same r16 rationale) as prefixToks
     val toks =
-      if (inBroadcastDangerZone(toksPlan)) toksPlan.localCheckpoint()
+      if (inputSmall || inBroadcastDangerZone(toksPlan))
+        toksPlan.localCheckpoint()
       else toksPlan
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     // maxDocsPerTok = 0: derive the cap from the data, same rule as
@@ -834,7 +873,7 @@ object Dedup {
         TextFunctions.charShingleHashes(
           TextFunctions.normalize(col(textCol)), shingleK).as("tokset"))
       .withColumn("n", size(col("tokset")))
-    val arrsV = maybeBroadcastArrs(docs, arrs)
+    val arrsV = maybeBroadcastArrs(docs, textCol, arrs)
     cand
       .join(arrsV.as("sa"), col("sa.doc_id") === col("sub"))
       .join(arrsV.as("sb"), col("sb.doc_id") === col("sup"))

@@ -67,8 +67,13 @@ object XlsxReader {
           bytes(i + 2) == 0x05 && bytes(i + 3) == 0x06 =>
         (u16(i + 10), u32(i + 12), u32(i + 16), u16(i + 20), i)
     }.collectFirst {
+      // zip64 archives put 0xFFFFFFFF in cdOffset/cdSize (the real values
+      // live in the zip64 EOCD record) — the geometry test is meaningless
+      // for them, so accept on the comment-length bound alone rather than
+      // rejecting a valid zip64 workbook as truncated (r15 ADVICE).
       case (n, cdSize, cdOffset, commentLen, i)
-          if cdOffset + cdSize <= i && i + 22 + commentLen <= bytes.length =>
+          if (cdOffset == 0xFFFFFFFFL || cdSize == 0xFFFFFFFFL ||
+            cdOffset + cdSize <= i) && i + 22 + commentLen <= bytes.length =>
         n
     }
     require(entries.isDefined,
