@@ -27,6 +27,7 @@ import graft.functions.{CdcChunks, CharShingleHashes, CharShingles, DeletionVari
   *  - `jaro_winkler(s1, s2)` / `cdc_chunks(text, w, d)` — record-linkage
   *    similarity and content-defined chunking
   *  - `image_meta(binary)` — PNG/JPEG/GIF header decode (multimodal)
+  *  - `media_meta(binary)` — WAV/MP4 container-header decode (multimodal)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -108,6 +109,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "image_meta(binary) - struct(format,width,height,channels) from " +
           "PNG/JPEG/GIF header bytes, null on malformed"),
       (exprs: Seq[Expression]) => graft.functions.ImageMeta(exprs.head)))
+    e.injectFunction((FunctionIdentifier("media_meta"),
+      info("media_meta",
+        "media_meta(binary) - struct(format,duration_ms,channels," +
+          "sample_rate,bits,brand) from WAV/MP4 header bytes, null on " +
+          "malformed"),
+      (exprs: Seq[Expression]) => graft.functions.MediaMeta(exprs.head)))
   }
 
   private def intArg(e: Expression): Int = e.eval(null) match {

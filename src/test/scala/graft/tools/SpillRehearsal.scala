@@ -44,6 +44,11 @@ object SpillRehearsal {
     val dir = args.headOption.getOrElse("target/scale_rehearsal_docs.parquet")
     require(new java.io.File(dir).exists(),
       s"rehearsal corpus missing at $dir — run graft.tools.ScaleRehearsal first")
+    // "vecsOnly" second arg: run just the embedding cells — the text
+    // chains' ~0.5 GB/task aggregation floor sits ABOVE the vector path's
+    // working set, so the vector cells need heaps the text chains cannot
+    // survive to show their own degrade behavior (r16)
+    val vecsOnly = args.drop(1).headOption.contains("vecsOnly")
     val docs = spark.read.parquet(dir)
 
     val memSpill = new AtomicLong
@@ -80,16 +85,18 @@ object SpillRehearsal {
       spark.catalog.clearCache()
     }
 
-    timed("q121_prefix_jaccard") {
-      Dedup.prefixJaccardPairs(docs, "doc_id", "text").count()
-    }
-    timed("q154_containment") {
-      Dedup.containmentPairs(docs, "doc_id", "text").count()
-    }
-    timed("q63_connected_components") {
-      val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
-      Dedup.connectedComponents(docs, "doc_id", pairs)
-        .select(col("cluster")).distinct().count()
+    if (!vecsOnly) {
+      timed("q121_prefix_jaccard") {
+        Dedup.prefixJaccardPairs(docs, "doc_id", "text").count()
+      }
+      timed("q154_containment") {
+        Dedup.containmentPairs(docs, "doc_id", "text").count()
+      }
+      timed("q63_connected_components") {
+        val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
+        Dedup.connectedComponents(docs, "doc_id", pairs)
+          .select(col("cluster")).distinct().count()
+      }
     }
 
     // ---- r15 (r14 judge item 5): the EMBEDDING side under the same
@@ -114,6 +121,16 @@ object SpillRehearsal {
           bits = 4, minSim = 0.1,
           signature = Similarity.hyperplaneSignatureLattice,
           maxBucket = 40).count()
+      }
+      // the cell above proves the GUARD (4 lattice bits over 20k vecs →
+      // every bucket ≫ 40 → 0 pairs, constant at every heap); this one
+      // keeps the buckets so the within-bucket join actually runs under
+      // memory pressure — the cell that can spill (r16 first-run audit)
+      timed("q249_lsh_capped_loose") {
+        Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+          bits = 4, minSim = 0.35,
+          signature = Similarity.hyperplaneSignatureLattice,
+          maxBucket = 4000).count()
       }
       timed("q83_ivf_build_probe") {
         val (model, indexed) = Similarity.ivfIndex(vecs, "vec_id",
