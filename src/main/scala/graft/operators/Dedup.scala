@@ -469,6 +469,33 @@ object Dedup {
     * persistent RDDs after each query's result is consumed, and other
     * callers rely on ContextCleaner GC (the blocks are bounded by the
     * size dispatch above). */
+  /** (doc_id, n, tok) exploded shingle rows — the shared front of the
+    * prefix-filtered joins ([[prefixToks]] / [[containmentPairs]]).
+    *
+    * PLAN SHAPE IS LOAD-BEARING (r16, the q245 regression; locked in
+    * ScaleSpec): the generator input must be the shingling EXPRESSION,
+    * not an alias of it. InferFiltersFromGenerate fires only when
+    * `explode`'s input is a bare attribute; with the r15 `arr`-alias
+    * shape it inferred `size(arr) > 0 AND isnotnull(arr)`, alias
+    * substitution rebuilt the full charShingles call inside that filter,
+    * and predicate pushdown carried it below the fan-out Repartition onto
+    * the narrow scan — serial, multiple shingling passes per row, q245
+    * 3.4–4.2 → 6.7 s. With the expression inline the rule skips (by
+    * design — "only generate extra predicates if the input is an
+    * attribute"), and `n` is computed once per doc in the Project BELOW
+    * the Generate (NOT in the select that holds the explode — there it
+    * lands in the Project ABOVE the Generate and is re-evaluated per
+    * SHINGLE row, measured 21 s vs 0.6 s at sf0.1 shape). */
+  private[graft] def shingleToksPlan(base: DataFrame, idCol: String,
+      textCol: String, shingleK: Int): DataFrame = {
+    val shingleExpr = TextFunctions.charShingles(
+      TextFunctions.normalize(col(textCol)), shingleK)
+    base
+      .select(col(idCol).as("doc_id"), size(shingleExpr).as("n"),
+        col(textCol))
+      .select(col("doc_id"), col("n"), explode(shingleExpr).as("tok"))
+  }
+
   private def prefixToks(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numT: Int, denT: Int): (DataFrame, Boolean) = {
     // fan a narrower-than-cores scan out first (single-row-group test file;
@@ -486,27 +513,7 @@ object Dedup {
     // stages could disagree on a pair whose ratio sits within
     // ~collisions/n of the threshold — a ~n²/2⁶⁵ event, deterministic,
     // so a PropertySpec flake means exactly this.
-    //
-    // PLAN SHAPE IS LOAD-BEARING (r16, the q245 regression): the generator
-    // input must be the shingling EXPRESSION, not an alias of it.
-    // InferFiltersFromGenerate fires only when `explode`'s input is a bare
-    // attribute; with the r15 `arr`-alias shape it inferred
-    // `size(arr) > 0 AND isnotnull(arr)`, alias substitution rebuilt the
-    // full charShingles call inside that filter, and predicate pushdown
-    // carried it below the fan-out Repartition onto the narrow scan —
-    // serial, multiple shingling passes per row, q245 3.4–4.2 → 6.7 s.
-    // With the expression inline the rule skips (by design — "only
-    // generate extra predicates if the input is an attribute"), and `n`
-    // is computed once per doc in the Project BELOW the Generate (NOT in
-    // the select that holds the explode — there it lands in the Project
-    // ABOVE the Generate and is re-evaluated per shingle row, measured
-    // 21 s at sf0.1 shape).
-    val shingleExpr = TextFunctions.charShingles(
-      TextFunctions.normalize(col(textCol)), shingleK)
-    val toksPlan = base
-      .select(col(idCol).as("doc_id"), size(shingleExpr).as("n"),
-        col(textCol))
-      .select(col("doc_id"), col("n"), explode(shingleExpr).as("tok"))
+    val toksPlan = shingleToksPlan(base, idCol, textCol, shingleK)
     val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
       BigInt(512L << 20)
     // checkpoint under EITHER gate (r16, restoring the r14 band the r15
@@ -814,16 +821,8 @@ object Dedup {
     val base = spread.filter(length(trim(col(textCol))) > 0)
     // n carried per tok row (one int) so the prefix aggregate below knows
     // its bound from the first row — same shape as prefixToks; Catalyst
-    // prunes it from the dfreq and index consumers. Generator input stays
-    // the inline expression and `n` is computed in the Project BELOW the
-    // Generate — both load-bearing, see the prefixToks r16 comment
-    // (InferFiltersFromGenerate + alias pushdown below the Repartition).
-    val shingleExpr = TextFunctions.charShingles(
-      TextFunctions.normalize(col(textCol)), shingleK)
-    val toksPlan = base
-      .select(col(idCol).as("doc_id"), size(shingleExpr).as("n"),
-        col(textCol))
-      .select(col("doc_id"), col("n"), explode(shingleExpr).as("tok"))
+    // prunes it from the dfreq and index consumers.
+    val toksPlan = shingleToksPlan(base, idCol, textCol, shingleK)
     // PROBE side (dfreq + prefix aggregate) is checkpointed when the input
     // is small — NOT for reuse, for HONEST STATS (r15): Catalyst's static
     // size estimate is content-blind through Generate (no fan-out model),

@@ -1,0 +1,243 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Vector-side scale ladder (r16): the text chains have the 100×
+  * REHEARSAL100X ladder; the embedding path's at-scale evidence was
+  * structural only (bounded-work plans + a 20k-vector halved-heap grid).
+  * This arm runs the ANN operators at 100k / 400k / 1M vectors (5× / 20×
+  * / 50× the rehearsal vector set; 1M × 64d ≈ 256 MB — the shape of one
+  * executor's shard of a multi-billion-vector corpus) against PLANTED
+  * ground truth, with the same spill / peak-scratch stamps as the text
+  * ladder.
+  *
+  * Ground truth by construction (seeded, deterministic):
+  *  - planted near-dup clusters (sizes 2–20, ~30% of the corpus): member
+  *    = cluster base + N(0, 0.03²) per dim, so pairwise cosine ≈ 0.999
+  *    (angle θ ≈ 0.045 rad) and background pairs sit near 0. LSH pair
+  *    recall with a single b-bit hyperplane table is (1 − θ/π)^b —
+  *    ≈ 0.79 at b = 16 — so the assert floors at the CALIBRATED 0.72,
+  *    not an aspirational 1.0, and the binding scale claim is the
+  *    STABILITY of measured recall across ladder scales (single-table
+  *    LSH recall is per-pair; a drop with corpus size would mean bucket
+  *    caps or signature trouble). Precision is asserted exact: every
+  *    emitted pair has sim ≥ minSim by the operator's verify filter, so
+  *    cross-cluster false pairs at minSim = 0.9 must be ZERO.
+  *  - IVF recall@10: for 20 sampled cluster members, ivfTopK(nProbe =
+  *    16 of 256 lists — probing ~6% of the corpus) vs bruteForceTopK
+  *    ground truth; mean recall floored at 0.80 (a cluster lands in one
+  *    or two KMeans cells, so probe recall for clustered queries is
+  *    high by construction — the measured value and its stability are
+  *    the evidence).
+  *
+  * Run: `SPARK_DRIVER_MEM=48g sbt "Test/runMain
+  * graft.tools.VectorScaleRehearsal"` (args: [nVecs,nVecs,...]). */
+object VectorScaleRehearsal {
+
+  private def dirBytes(root: Path): Long = {
+    if (!Files.exists(root)) return 0L
+    var total = 0L
+    try {
+      val stream = Files.walk(root)
+      try {
+        stream.iterator().asScala.foreach { p =>
+          try { if (Files.isRegularFile(p)) total += Files.size(p) }
+          catch { case _: java.io.IOException => }
+        }
+      } finally stream.close()
+    } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => }
+    total
+  }
+
+  private def rmTree(root: Path): Unit = {
+    if (!Files.exists(root)) return
+    val stream = Files.walk(root)
+    try {
+      stream.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach { p =>
+          try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => }
+        }
+    } finally stream.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scratchRoot = Paths.get("target/spark-scratch-vec").toAbsolutePath
+    rmTree(scratchRoot)
+    Files.createDirectories(scratchRoot)
+    val budgetGb = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_GB", "30").toLong
+    val budget = budgetGb << 30
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", scratchRoot.toString)
+      .config("spark.ui.enabled", "false")
+      .appName("vector-scale-rehearsal").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val peakScratch = new AtomicLong
+    val overBudget = new AtomicBoolean(false)
+    val poller = new Thread(() => {
+      while (!Thread.currentThread().isInterrupted) {
+        val b = dirBytes(scratchRoot)
+        peakScratch.updateAndGet(p => math.max(p, b))
+        if (b > budget && overBudget.compareAndSet(false, true)) {
+          println(f"VECREHEARSAL SCRATCH BUDGET EXCEEDED: ${b / 1e9}%.1f GB" +
+            f" > $budgetGb GB — cancelling all jobs")
+          spark.sparkContext.cancelAllJobs()
+        }
+        try Thread.sleep(5000)
+        catch { case _: InterruptedException => return }
+      }
+    }, "vec-scratch-poller")
+    poller.setDaemon(true)
+    poller.start()
+
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val peakTask = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          peakTask.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+        }
+      }
+    })
+
+    def timed(scale: Int, name: String)(f: => Long): Unit = {
+      memSpill.set(0); diskSpill.set(0); peakTask.set(0); peakScratch.set(0)
+      val t0 = System.nanoTime()
+      val n = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      println(f"VECREHEARSAL n=$scale $name rows=$n%d time=$secs%.1f s " +
+        f"spill_mem=${memSpill.get / 1e6}%.0f MB " +
+        f"spill_disk=${diskSpill.get / 1e6}%.0f MB " +
+        f"peak_task=${peakTask.get / 1e6}%.0f MB " +
+        f"peak_scratch=${peakScratch.get / 1e9}%.2f GB")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    val dim = 64
+    val ladder = args.headOption.getOrElse("100000,400000,1000000")
+      .split(",").map(_.trim.toInt).toSeq
+
+    ladder.foreach { nVec =>
+      val rnd = new scala.util.Random(7)
+      // planted clusters cover ~30% of the corpus; the rest are background
+      // singletons. cluster >= 0 is the truth id, -1 is background.
+      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Float])](nVec)
+      var id = 0L
+      var cid = 0L
+      val clustered = (nVec * 3) / 10
+      while (rows.length < clustered) {
+        val sz = math.min(2 + rnd.nextInt(19), clustered - rows.length + 2)
+        val base = Array.fill(dim)(rnd.nextGaussian())
+        (0 until sz).foreach { _ =>
+          val v = base.map(x => (x + rnd.nextGaussian() * 0.03).toFloat)
+          rows += ((id, cid, v)); id += 1
+        }
+        cid += 1
+      }
+      // per-cluster planted pair count needs the sizes actually emitted
+      val sizes = rows.groupBy(_._2).map(_._2.size)
+      val truthPairs = sizes.filter(_ > 1).map(s => s.toLong * (s - 1) / 2).sum
+      while (rows.length < nVec) {
+        rows += ((id, -1L, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+        id += 1
+      }
+      val dir = s"target/vec_rehearsal_$nVec.parquet"
+      rows.toSeq.toDF("vec_id", "cluster", "embedding").repartition(64)
+        .write.mode("overwrite").parquet(dir)
+      // IVF queries come from clusters with ≥ 12 members so their TRUE
+      // top-10 is all siblings (sim ≈ 0.999) — a small-cluster query's
+      // top-10 tail is near-random background the 16/256 probe rightly
+      // misses, which would measure the CORPUS, not the index
+      val bigClusters = rows.iterator.filter(_._2 >= 0)
+        .toSeq.groupBy(_._2).filter(_._2.size >= 12)
+      val queryVecs = bigClusters.valuesIterator.flatten.take(20)
+        .map(_._3.map(_.toDouble).toSeq).toSeq
+      require(queryVecs.size == 20, s"query pool too small: ${queryVecs.size}")
+      rows.clear()
+      val vecs = spark.read.parquet(dir)
+      println(s"VECREHEARSAL n=$nVec clusters=$cid truth_pairs=$truthPairs")
+
+      val clusterOf = vecs.select(col("vec_id"), col("cluster"))
+
+      timed(nVec, "lsh_pair_recall") {
+        val pairs = Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+          bits = 16, minSim = 0.9, maxBucket = 0)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val withC = pairs
+          .join(clusterOf.withColumnRenamed("vec_id", "id_a")
+            .withColumnRenamed("cluster", "ca"), "id_a")
+          .join(clusterOf.withColumnRenamed("vec_id", "id_b")
+            .withColumnRenamed("cluster", "cb"), "id_b")
+        val within = withC
+          .filter(col("ca") === col("cb") && col("ca") >= 0).count()
+        val cross = withC
+          .filter(col("ca") =!= col("cb") || col("ca") < 0).count()
+        val recall = within.toDouble / truthPairs
+        println(f"VECREHEARSAL n=$nVec lsh within=$within/$truthPairs " +
+          f"(recall=$recall%.3f) cross=$cross")
+        // calibrated single-table floor (see header): (1 - θ/π)^16 ≈ 0.79
+        require(recall >= 0.72,
+          f"LSH pair recall $recall%.3f under the calibrated 0.72 floor")
+        // precision is exact by the verify filter: minSim 0.9 cannot be
+        // met by background pairs (cos ≈ N(0, 1/64)), so cross must be 0
+        require(cross == 0L, s"non-planted pairs at minSim=0.9: $cross")
+        within
+      }
+
+      timed(nVec, "ivf_recall_at_10") {
+        val (model, indexed0) = Similarity.ivfIndex(vecs, "vec_id",
+          "embedding", nLists = 256, fitSample = 0.05)
+        val indexed = indexed0.localCheckpoint()
+        val recalls = queryVecs.map { q =>
+          val truth = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+            Seq(Tuple1(q)).toDF("qe"), 10)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          val got = Similarity.ivfTopK(model, indexed, "vec_id", "embedding",
+            q, 10, nProbe = 16)
+            .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          (truth intersect got).size / 10.0
+        }
+        val mean = recalls.sum / recalls.size
+        println(f"VECREHEARSAL n=$nVec ivf mean_recall@10=$mean%.3f " +
+          f"(min=${recalls.min}%.2f) probing 16/256 lists")
+        require(mean >= 0.80,
+          f"IVF mean recall@10 $mean%.3f under the 0.80 floor")
+        (mean * 1000).toLong
+      }
+
+      timed(nVec, "bucket_hotness") {
+        Similarity.bucketHotness(vecs, "vec_id", "embedding",
+          bits = 16).count()
+      }
+      rmTree(Paths.get(dir))
+    }
+    println(s"VECREHEARSAL done scales=${ladder.mkString(",")}")
+    spark.stop()
+    rmTree(scratchRoot)
+  }
+}
