@@ -112,8 +112,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("media_meta"),
       info("media_meta",
         "media_meta(binary) - struct(format,duration_ms,channels," +
-          "sample_rate,bits,brand) from WAV/MP4 header bytes, null on " +
-          "malformed"),
+          "sample_rate,bits,brand,codec) from WAV/MP4 header bytes, " +
+          "null on malformed"),
       (exprs: Seq[Expression]) => graft.functions.MediaMeta(exprs.head)))
   }
 

@@ -4443,7 +4443,8 @@ object SparkEntry {
           col("m.channels").cast("long").as("channels"),
           col("m.sample_rate").cast("long").as("sample_rate"),
           col("m.bits").cast("long").as("bits"),
-          col("m.brand").as("brand"))
+          col("m.brand").as("brand"),
+          col("m.codec").as("codec"))
     })
   )
 
@@ -4541,11 +4542,27 @@ object SparkEntry {
     bb.put(new Array[Byte](24)).putInt(-1)
     mp4Box("mvhd", bb.array())
   }
+  /** One trak with a single stsd sample entry: codec fourcc + a
+    * spec-sized zero body (86-byte visual entry / 36-byte audio entry —
+    * the parser reads only the entry header, the size keeps the geometry
+    * honest). */
+  private def trakBox(codec: String): Array[Byte] = {
+    val entryBody = new Array[Byte](if (codec.endsWith("a")) 28 else 78)
+    val entry = java.nio.ByteBuffer.allocate(8 + entryBody.length)
+      .putInt(8 + entryBody.length).put(codec.getBytes("US-ASCII"))
+      .put(entryBody).array()
+    val stsdPayload = java.nio.ByteBuffer.allocate(8 + entry.length)
+      .putInt(0).putInt(1).put(entry).array() // ver/flags + entry_count
+    mp4Box("trak", mp4Box("mdia", mp4Box("minf",
+      mp4Box("stbl", mp4Box("stsd", stsdPayload)))))
+  }
   private def mp4Fixture(brand: String, mvhdVersion: Int, timescale: Int,
-      duration: Long, withMoov: Boolean = true): Array[Byte] =
+      duration: Long, withMoov: Boolean = true,
+      codecs: Seq[String] = Nil): Array[Byte] =
     ftypBox(brand) ++
       (if (withMoov)
-        mp4Box("moov", mvhdBox(mvhdVersion, timescale, duration))
+        mp4Box("moov", mvhdBox(mvhdVersion, timescale, duration) ++
+          codecs.flatMap(trakBox).toArray)
       else Array.emptyByteArray) ++
       mp4Box("mdat", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
   private def mediaFixture: Seq[(Long, Array[Byte])] = Seq(
@@ -4553,11 +4570,11 @@ object SparkEntry {
     1L -> wavFixture(1, 2, 44100, 16, 8820),
     // 4000 / 32000 = 125 ms mono 32-bit float
     2L -> wavFixture(3, 1, 8000, 32, 4000),
-    // mvhd v0: 5000 / 1000 ts = 5000 ms
-    3L -> mp4Fixture("isom", 0, 1000, 5000L),
+    // mvhd v0: 5000 / 1000 ts = 5000 ms; video+audio traks → "avc1+mp4a"
+    3L -> mp4Fixture("isom", 0, 1000, 5000L, codecs = Seq("avc1", "mp4a")),
     // mvhd v1: 1500 / 600 ts = 2500 ms (non-integer seconds exercises the
-    // overflow-safe two-step scaling)
-    4L -> mp4Fixture("mp42", 1, 600, 1500L),
+    // overflow-safe two-step scaling); audio-only → "mp4a"
+    4L -> mp4Fixture("mp42", 1, 600, 1500L, codecs = Seq("mp4a")),
     // brand-only init segment: no moov, duration stays null, row survives
     5L -> mp4Fixture("isom", 0, 0, 0L, withMoov = false),
     // truncated mid-data: RIFF size overruns the buffer
@@ -9068,22 +9085,22 @@ object SparkEntry {
         | CAST(duration_ms AS BIGINT) AS duration_ms,
         | CAST(channels AS BIGINT) AS channels,
         | CAST(sample_rate AS BIGINT) AS sample_rate,
-        | CAST(bits AS BIGINT) AS bits, brand
+        | CAST(bits AS BIGINT) AS bits, brand, codec
         |FROM (VALUES
-        |  (1, 'wav', 50, 2, 44100, 16, 'pcm'),
-        |  (2, 'wav', 125, 1, 8000, 32, 'ieee_float'),
-        |  (3, 'mp4', 5000, NULL, NULL, NULL, 'isom'),
-        |  (4, 'mp4', 2500, NULL, NULL, NULL, 'mp42'),
-        |  (5, 'mp4', NULL, NULL, NULL, NULL, 'isom'),
-        |  (6, NULL, NULL, NULL, NULL, NULL, NULL),
-        |  (7, NULL, NULL, NULL, NULL, NULL, NULL),
-        |  (8, NULL, NULL, NULL, NULL, NULL, NULL),
-        |  (9, NULL, NULL, NULL, NULL, NULL, NULL),
-        |  (10, NULL, NULL, NULL, NULL, NULL, NULL),
-        |  (11, NULL, NULL, NULL, NULL, NULL, NULL),
-        |  (12, NULL, NULL, NULL, NULL, NULL, NULL))
+        |  (1, 'wav', 50, 2, 44100, 16, 'pcm', NULL),
+        |  (2, 'wav', 125, 1, 8000, 32, 'ieee_float', NULL),
+        |  (3, 'mp4', 5000, NULL, NULL, NULL, 'isom', 'avc1+mp4a'),
+        |  (4, 'mp4', 2500, NULL, NULL, NULL, 'mp42', 'mp4a'),
+        |  (5, 'mp4', NULL, NULL, NULL, NULL, 'isom', NULL),
+        |  (6, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (7, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (8, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (9, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (10, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (11, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (12, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
         |  AS t(media_id, format, duration_ms, channels, sample_rate,
-        |       bits, brand)""".stripMargin
+        |       bits, brand, codec)""".stripMargin
   )
     // q73 runs the same parse over rows DECODED FROM XLSX BYTES, and q74
     // additionally selects the workbook out of a zip archive first; the

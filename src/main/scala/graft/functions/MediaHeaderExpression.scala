@@ -36,14 +36,14 @@ object MediaHeaderOps {
   private def fourcc(b: Array[Byte], i: Int): String =
     new String(b, i, 4, "US-ASCII")
 
+  private def utf8(s: String): Any =
+    if (s == null) null else UTF8String.fromString(s)
+
   private def row(format: String, durationMs: Any, channels: Any,
-      sampleRate: Any, bits: Any, brand: Any): GenericInternalRow =
+      sampleRate: Any, bits: Any, brand: String,
+      codec: String): GenericInternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(format),
-      durationMs, channels, sampleRate, bits,
-      brand match {
-        case null => null
-        case s: String => UTF8String.fromString(s)
-      }))
+      durationMs, channels, sampleRate, bits, utf8(brand), utf8(codec)))
 
   /** WAV: "RIFF" + le32 payload size + "WAVE", then an even-padded chunk
     * walk. Requires a complete RIFF payload (declared size within the
@@ -99,8 +99,9 @@ object MediaHeaderOps {
     val durationMs: Any =
       if (byteRate > 0) java.lang.Long.valueOf(dataBytes * 1000L / byteRate)
       else null
+    // for RIFF the fmt tag IS the codec; codec stays an mp4-side column
     row("wav", durationMs, Integer.valueOf(channels),
-      Integer.valueOf(sampleRate.toInt), Integer.valueOf(bits), brand)
+      Integer.valueOf(sampleRate.toInt), Integer.valueOf(bits), brand, null)
   }
 
   /** ISO BMFF (MP4/MOV family): a top-level box walk that must tile the
@@ -143,13 +144,35 @@ object MediaHeaderOps {
     var brand: String = null
     var durationMs: Any = null
     var moovBad = false
+    val codecs = scala.collection.mutable.LinkedHashSet.empty[String]
+    // trak → mdia → minf → stbl → stsd: each level is one more box walk;
+    // the first sample entry's fourcc is the track's codec identifier
+    // (avc1/hvc1/mp4a/…, ISO 14496-12 §8.5.2). A level that does not
+    // tile marks the row corrupt, same as moov itself.
+    def descend(from: Int, until: Int, path: List[String]): Unit = path match {
+      case Nil =>
+        // stsd payload: version+flags (4) + entry_count (4) +
+        // first entry header (size 4 + fourcc 4)
+        if (until - from >= 16 && be32(b, from + 4) >= 1L) {
+          val c = fourcc(b, from + 12)
+          if (c.forall(ch => ch >= 0x20 && ch < 0x7f)) codecs += c
+        }
+      case next :: rest =>
+        // evaluate the walk FIRST: `moovBad |= !walk(...)` reads the old
+        // flag before the callback can set it, losing inner failures
+        val tiled = walk(from, until) { (t, f, u) =>
+          if (t == next) descend(f, u, rest)
+        }
+        if (!tiled) moovBad = true
+    }
     val ok = walk(0, b.length) { (typ, pFrom, pUntil) =>
       if (typ == "ftyp" && brand == null) {
         if (pUntil - pFrom >= 8) brand = fourcc(b, pFrom)
       } else if (typ == "moov") {
         // a moov whose interior does not tile cleanly is corruption, not
-        // merely "no duration" — fail the row
-        moovBad |= !walk(pFrom, pUntil) { (ityp, iFrom, iUntil) =>
+        // merely "no duration" — fail the row (walk evaluated before the
+        // flag update, same ordering hazard as in descend)
+        val moovTiled = walk(pFrom, pUntil) { (ityp, iFrom, iUntil) =>
           if (ityp == "mvhd" && durationMs == null) {
             val ver = if (iFrom < iUntil) b(iFrom) & 0xff else -1
             if (ver == 0 && iFrom + 24 <= iUntil) {
@@ -163,13 +186,19 @@ object MediaHeaderOps {
               if (ts > 0 && dur >= 0) durationMs = java.lang.Long.valueOf(
                 dur / ts * 1000L + (dur % ts) * 1000L / ts)
             }
+          } else if (ityp == "trak") {
+            descend(iFrom, iUntil, List("mdia", "minf", "stbl", "stsd"))
           }
         }
+        if (!moovTiled) moovBad = true
       }
     }
     if (!ok || moovBad || brand == null ||
       !brand.forall(c => c >= 0x20 && c < 0x7f)) return null
-    row("mp4", durationMs, null, null, null, brand)
+    // '+'-joined distinct track codecs in trak order ("avc1+mp4a"); null
+    // when no trak carries a sample description (brand-only fragments)
+    val codec = if (codecs.isEmpty) null else codecs.mkString("+")
+    row("mp4", durationMs, null, null, null, brand, codec)
   }
 
   /** Sniff by signature, then parse; unrecognized or malformed → null. */
@@ -183,7 +212,10 @@ object MediaHeaderOps {
 }
 
 /** `media_meta(binary)` → `struct<format string, duration_ms bigint,
-  * channels int, sample_rate int, bits int, brand string>`, null when the
+  * channels int, sample_rate int, bits int, brand string, codec string>`
+  * (codec = '+'-joined distinct trak sample-entry fourccs for mp4, e.g.
+  * "avc1+mp4a"; null for wav — the fmt tag in `brand` IS wav's codec id),
+  * null when the
   * payload is not a recognized well-formed WAV/MP4 header. Codegen'd (the
   * generated code calls [[MediaHeaderOps.meta]] directly), so an
   * audio-duration filter over billions of blobs runs at scan speed with
@@ -209,7 +241,8 @@ object MediaMeta {
     StructField("channels", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("bits", IntegerType),
-    StructField("brand", StringType)))
+    StructField("brand", StringType),
+    StructField("codec", StringType)))
 
   def column(payload: Column): Column =
     GraftBridge.column(MediaMeta(GraftBridge.expression(payload)))

@@ -75,33 +75,47 @@ class MediaHeaderSpec extends AnyFunSuite {
     bb.put(new Array[Byte](24)).putInt(-1)
     box("mvhd", bb.array())
   }
+  private def trak(codec: String): Array[Byte] = {
+    val entryBody = new Array[Byte](if (codec.endsWith("a")) 28 else 78)
+    val entry = java.nio.ByteBuffer.allocate(8 + entryBody.length)
+      .putInt(8 + entryBody.length).put(codec.getBytes("US-ASCII"))
+      .put(entryBody).array()
+    val stsd = java.nio.ByteBuffer.allocate(8 + entry.length)
+      .putInt(0).putInt(1).put(entry).array()
+    box("trak", box("mdia", box("minf", box("stbl", box("stsd", stsd)))))
+  }
   private def mp4(brand: String, ver: Int, ts: Int, dur: Long,
-      withMoov: Boolean = true): Array[Byte] =
+      withMoov: Boolean = true,
+      codecs: Seq[String] = Nil): Array[Byte] =
     ftyp(brand) ++
-      (if (withMoov) box("moov", mvhd(ver, ts, dur))
+      (if (withMoov)
+        box("moov", mvhd(ver, ts, dur) ++ codecs.flatMap(trak).toArray)
       else Array.emptyByteArray) ++
       box("mdat", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
 
   private def metaOf(b: Array[Byte])
       : Option[(String, Option[Long], Option[Int], Option[Int],
-        Option[Int], Option[String])] =
+        Option[Int], Option[String], Option[String])] =
     Option(MediaHeaderOps.meta(b)).map { r =>
       def optI(i: Int) = Option(r.get(i, null)).map(_.asInstanceOf[Int])
       (r.get(0, null).toString,
         Option(r.get(1, null)).map(_.asInstanceOf[Long]),
         optI(2), optI(3), optI(4),
-        Option(r.get(5, null)).map(_.toString))
+        Option(r.get(5, null)).map(_.toString),
+        Option(r.get(6, null)).map(_.toString))
     }
 
   test("WAV happy paths: PCM stereo, float mono, odd-padded chunk walk") {
     assert(metaOf(wav(1, 2, 44100, 16, 8820)) ===
-      Some(("wav", Some(50L), Some(2), Some(44100), Some(16), Some("pcm"))))
+      Some(("wav", Some(50L), Some(2), Some(44100), Some(16), Some("pcm"),
+        None)))
     assert(metaOf(wav(3, 1, 8000, 32, 4000)) ===
       Some(("wav", Some(125L), Some(1), Some(8000), Some(32),
-        Some("ieee_float"))))
+        Some("ieee_float"), None)))
     // odd-sized chunk before data: walk must apply even padding to find it
     assert(metaOf(wav(1, 2, 44100, 16, 8820, oddExtra = true)) ===
-      Some(("wav", Some(50L), Some(2), Some(44100), Some(16), Some("pcm"))))
+      Some(("wav", Some(50L), Some(2), Some(44100), Some(16), Some("pcm"),
+        None)))
     // µ-law and an unknown tag map to their brand names
     assert(metaOf(wav(7, 1, 8000, 8, 8000)).flatMap(_._6) ===
       Some("mulaw"))
@@ -109,15 +123,26 @@ class MediaHeaderSpec extends AnyFunSuite {
       Some("fmt_42"))
   }
 
-  test("MP4 happy paths: mvhd v0, v1 fractional seconds, init segment") {
+  test("MP4 happy paths: mvhd v0, v1 fractional seconds, init segment, " +
+    "trak codecs") {
+    assert(metaOf(mp4("isom", 0, 1000, 5000L,
+      codecs = Seq("avc1", "mp4a"))) ===
+      Some(("mp4", Some(5000L), None, None, None, Some("isom"),
+        Some("avc1+mp4a"))))
+    // v1: 1500 ticks at 600 Hz = 2.5 s, two-step scaling exact; one trak
+    assert(metaOf(mp4("mp42", 1, 600, 1500L, codecs = Seq("mp4a"))) ===
+      Some(("mp4", Some(2500L), None, None, None, Some("mp42"),
+        Some("mp4a"))))
+    // duplicate codec across traks reported once, order preserved
+    assert(metaOf(mp4("isom", 0, 1000, 5000L,
+      codecs = Seq("mp4a", "avc1", "mp4a"))).flatMap(_._7) ===
+      Some("mp4a+avc1"))
+    // moov without traks: duration yes, codec null
     assert(metaOf(mp4("isom", 0, 1000, 5000L)) ===
-      Some(("mp4", Some(5000L), None, None, None, Some("isom"))))
-    // v1: 1500 ticks at 600 Hz = 2.5 s, two-step scaling exact
-    assert(metaOf(mp4("mp42", 1, 600, 1500L)) ===
-      Some(("mp4", Some(2500L), None, None, None, Some("mp42"))))
-    // brand-only fragment: live row, null duration
+      Some(("mp4", Some(5000L), None, None, None, Some("isom"), None)))
+    // brand-only fragment: live row, null duration, null codec
     assert(metaOf(mp4("isom", 0, 0, 0L, withMoov = false)) ===
-      Some(("mp4", None, None, None, None, Some("isom"))))
+      Some(("mp4", None, None, None, None, Some("isom"), None)))
   }
 
   test("malformation matrix: null, never throw") {
@@ -143,6 +168,9 @@ class MediaHeaderSpec extends AnyFunSuite {
           .putInt(4).put("mdat".getBytes("US-ASCII")).array()),
       "MP4 moov interior does not tile" ->
         (ftyp("isom") ++ box("moov", Array[Byte](0, 0, 0, 99, 'x', 'y'))),
+      "MP4 trak interior does not tile" ->
+        (ftyp("isom") ++ box("moov", mvhd(0, 1000, 5000L) ++
+          box("trak", Array[Byte](0, 0, 0, 77, 'z')))),
       "MP4 non-printable box type" ->
         (ftyp("isom") ++ java.nio.ByteBuffer.allocate(8)
           .putInt(8).put(Array[Byte](1, 2, 3, 4)).array()),
