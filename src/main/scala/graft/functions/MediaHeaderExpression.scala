@@ -87,7 +87,12 @@ object MediaHeaderOps {
       if ((csize & 1L) == 1L) i += 1 // chunks are even-padded
     }
     if (fmtTag < 0 || dataBytes < 0) return null // fmt or data missing
-    if (channels <= 0 || sampleRate <= 0) return null
+    // sampleRate is a u32 read as Long: a crafted rate ≥ 2^31 would pass
+    // a plain <= 0 guard and wrap negative at .toInt below — range-check
+    // it here; bits = 0 is equally garbage (r16 ADVICE: null-on-malformed
+    // means null, not wrapped/zero metadata)
+    if (channels <= 0 || sampleRate <= 0 || sampleRate > Int.MaxValue ||
+      bits <= 0) return null
     val brand = fmtTag match {
       case 1 => "pcm"
       case 3 => "ieee_float"
@@ -175,14 +180,18 @@ object MediaHeaderOps {
         val moovTiled = walk(pFrom, pUntil) { (ityp, iFrom, iUntil) =>
           if (ityp == "mvhd" && durationMs == null) {
             val ver = if (iFrom < iUntil) b(iFrom) & 0xff else -1
+            // all-ones duration (0xFFFFFFFF v0 / 2^64-1 v1) is the ISO
+            // 14496-12 "duration unknown" sentinel, not a real value —
+            // leave duration_ms null like a brand-only fragment rather
+            // than scaling it into a ~4.3M-second phantom (r16 ADVICE)
             if (ver == 0 && iFrom + 24 <= iUntil) {
               val ts = be32(b, iFrom + 12)
               val dur = be32(b, iFrom + 16)
-              if (ts > 0) durationMs = java.lang.Long.valueOf(
-                dur * 1000L / ts)
+              if (ts > 0 && dur != 0xFFFFFFFFL) durationMs =
+                java.lang.Long.valueOf(dur * 1000L / ts)
             } else if (ver == 1 && iFrom + 32 <= iUntil) {
               val ts = be32(b, iFrom + 20)
-              val dur = be64(b, iFrom + 24)
+              val dur = be64(b, iFrom + 24) // -1L = all-ones sentinel
               if (ts > 0 && dur >= 0) durationMs = java.lang.Long.valueOf(
                 dur / ts * 1000L + (dur % ts) * 1000L / ts)
             }

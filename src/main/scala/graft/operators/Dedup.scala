@@ -757,9 +757,15 @@ object Dedup {
     // row cap only bounds the probe scan; 1 KB/doc floor keeps it from
     // rejecting tiny-doc corpora the byte budget below would admit
     val cap = math.min(budgetBytes / 1024L, Int.MaxValue.toLong - 1).toInt
-    val probe = docs.limit(cap + 1)
-      .agg(count(lit(1)).as("n"),
-        sum(length(col(textCol)).cast("long")).as("chars")).head()
+    // project length BEFORE the limit (r16 ADVICE): limit(cap+1) funnels
+    // its input through a single-partition exchange, and with the raw
+    // docs as input that exchange carried cap+1 FULL text payloads —
+    // many GB through one task on a long-doc corpus, in the gate whose
+    // whole job is avoiding a heavy job. One 8-byte length per row
+    // crosses instead; count/sum semantics are identical.
+    val probe = docs.select(length(col(textCol)).cast("long").as("len"))
+      .limit(cap + 1)
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("chars")).head()
     val nDocs = probe.getLong(0)
     val chars = if (probe.isNullAt(1)) 0L else probe.getLong(1)
     // ÷48, not ÷16 (r16, measured on the halved-heap grid): the verify

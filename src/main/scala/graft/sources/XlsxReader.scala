@@ -69,11 +69,19 @@ object XlsxReader {
     }.collectFirst {
       // zip64 archives put 0xFFFFFFFF in cdOffset/cdSize (the real values
       // live in the zip64 EOCD record) — the geometry test is meaningless
-      // for them, so accept on the comment-length bound alone rather than
-      // rejecting a valid zip64 workbook as truncated (r15 ADVICE).
+      // for them, so accept on the comment-length bound INSTEAD… but only
+      // when the mandatory zip64 EOCD LOCATOR (PK\x06\x07, fixed 20 bytes
+      // immediately before the EOCD record, APPNOTE 4.3.15) is actually
+      // present (r16 ADVICE): a truncated archive whose surviving tail
+      // happens to carry 0xFFFFFFFF bytes must stay loud, and every
+      // genuine zip64 archive ships the locator by spec.
       case (n, cdSize, cdOffset, commentLen, i)
-          if (cdOffset == 0xFFFFFFFFL || cdSize == 0xFFFFFFFFL ||
-            cdOffset + cdSize <= i) && i + 22 + commentLen <= bytes.length =>
+          if (((cdOffset == 0xFFFFFFFFL || cdSize == 0xFFFFFFFFL) &&
+            i >= 20 && bytes(i - 20) == 0x50 && bytes(i - 19) == 0x4b &&
+            bytes(i - 18) == 0x06 && bytes(i - 17) == 0x07) ||
+            (cdOffset != 0xFFFFFFFFL && cdSize != 0xFFFFFFFFL &&
+              cdOffset + cdSize <= i)) &&
+            i + 22 + commentLen <= bytes.length =>
         n
     }
     require(entries.isDefined,

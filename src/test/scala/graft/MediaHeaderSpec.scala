@@ -145,6 +145,26 @@ class MediaHeaderSpec extends AnyFunSuite {
       Some(("mp4", None, None, None, None, Some("isom"), None)))
   }
 
+  test("WAV range guards: u32 sample rate past Int.MaxValue and zero bits " +
+    "are null, not wrapped/garbage metadata") {
+    // r16 ADVICE: rate is a u32 read as Long; 0x80000000 passed the <= 0
+    // guard and wrapped negative at .toInt — poke the rate field directly
+    val wrapped = wav(1, 2, 44100, 16, 400)
+    wrapped(24) = 0; wrapped(25) = 0; wrapped(26) = 0
+    wrapped(27) = 0x80.toByte // fmt body rate @ 12 (RIFF hdr) + 8 + 4
+    assert(metaOf(wrapped).isEmpty)
+    assert(metaOf(wav(1, 2, 44100, 0, 400)).isEmpty) // bits = 0
+  }
+
+  test("mvhd all-ones 'duration unknown' sentinel leaves duration null, " +
+    "row alive") {
+    // v0: u32 0xFFFFFFFF; v1: u64 all-ones — ISO 14496-12 unknown marker
+    assert(metaOf(mp4("isom", 0, 1000, 0xFFFFFFFFL)) ===
+      Some(("mp4", None, None, None, None, Some("isom"), None)))
+    assert(metaOf(mp4("mp42", 1, 600, -1L)) ===
+      Some(("mp4", None, None, None, None, Some("mp42"), None)))
+  }
+
   test("malformation matrix: null, never throw") {
     val cases: Seq[(String, Array[Byte])] = Seq(
       "truncated WAV (RIFF size overruns)" ->

@@ -244,6 +244,27 @@ class XlsxSpec extends AnyFunSuite {
     assert(XlsxReader.readSheet(bytes, "only").map(_.cells) == Seq(Seq("11")))
   }
 
+  test("zip64 EOCD sentinels accepted only with the zip64 locator present") {
+    // r16 ADVICE: 0xFFFFFFFF in cdSize/cdOffset disables the geometry
+    // test, so a truncated tail carrying those bytes parsed silently;
+    // genuine zip64 archives always ship the 20-byte EOCD locator
+    // (PK\x06\x07) immediately before the EOCD record — require it.
+    val base = handAuthored
+    val i0 = (base.length - 22 to 0 by -1).find(i =>
+      base(i) == 0x50 && base(i + 1) == 0x4b &&
+        base(i + 2) == 0x05 && base(i + 3) == 0x06).get
+    val withSent = base.clone()
+    java.util.Arrays.fill(withSent, i0 + 12, i0 + 20, 0xff.toByte)
+    // sentinels with NO locator: must stay loud (truncation posture)
+    assertThrows[IllegalArgumentException](XlsxReader.sheetNames(withSent))
+    // splice a structurally-plausible locator before the EOCD → parses
+    val locator = Array[Byte](0x50, 0x4b, 0x06, 0x07) ++ new Array[Byte](16)
+    val withLoc = withSent.take(i0) ++ locator ++ withSent.drop(i0)
+    assert(XlsxReader.sheetNames(withLoc) == Seq("alpha", "beta"))
+    assert(XlsxReader.readSheet(withLoc, "beta").map(_.cells) ==
+      Seq(Seq("plain shared", "7")))
+  }
+
   test("zip member selection picks the first .xls member (CFTC shape)") {
     val inner = XlsxWriter.write(Seq(XlsxSheet("XLS",
       Seq(Seq(XlsxCell.Str("a"), XlsxCell.Num(1))))))
