@@ -4343,6 +4343,20 @@ object SparkEntry {
       Dedup.prefixHotness(documents(s, d), "doc_id", "text",
         sample = Some(pmod(col("doc_id"), lit(4)) === 0))),
 
+    // Multi-table (OR-construction) hyperplane LSH (r16 VERDICT item 2):
+    // q32's lattice chain with a SECOND independent plane table — a pair
+    // is a candidate when it collides in either table, deduped across
+    // tables before the exact cosine verify. Table 0's planes are q32's
+    // exactly (plane index = tbl·bits + i), so q32's pair set is a
+    // subset of this one by construction and the output is the recall
+    // lift itself; DuckDB mirrors both tables, the OR-dedup, and the
+    // verify bit-for-bit.
+    "q254_ann_lsh_multitable" -> ((s, d) =>
+      Similarity.lshNearPairsTables(embeddings(s, d), "vec_id", "embedding",
+        bits = 4, minSim = 0.1, tables = 2,
+        signatureAt = Similarity.hyperplaneSignatureLatticeAt)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))),
+
     // The NEX variant's exact serving contract under the oracle (r13
     // judge item 8): 40-distinct-category × 3-metric frame with `CANT`
     // count naming, the `value > 0`-guarded 10000 MIN_DIST fill, and the
@@ -4714,6 +4728,45 @@ object SparkEntry {
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |dots AS (
+      |  SELECT p.id_a, p.id_b,
+      |    sum(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE)) AS dp
+      |  FROM pairs p
+      |  JOIN u ua ON ua.vec_id = p.id_a
+      |  JOIN u ub ON ub.vec_id = p.id_b AND ua.j = ub.j
+      |  GROUP BY p.id_a, p.id_b),
+      |sims AS (
+      |  SELECT d.id_a, d.id_b, d.dp / (na.nrm * nb.nrm) AS sim
+      |  FROM dots d
+      |  JOIN nrm na ON d.id_a = na.vec_id
+      |  JOIN nrm nb ON d.id_b = nb.vec_id)""".stripMargin
+
+  /** q254's multi-table lattice chain: 2 tables × 4 bits = 8 planes from
+    * the SAME lattice stream (plane = tbl·4 + i, so table 0 reproduces
+    * [[latticeSimCtes]]'s buckets exactly), per-(table, bucket) collision
+    * join, DISTINCT pair dedup across tables, then the identical exact
+    * cosine verify. */
+  private val latticeSimMultiCtes: String =
+    """u AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         unnest(range(0, len(embedding))) AS j
+      |  FROM embeddings),
+      |lanes AS (SELECT unnest(range(0, 8)) AS i),
+      |proj AS (
+      |  SELECT u.vec_id, l.i,
+      |    sum(CAST(x AS DOUBLE) * CAST((l.i * 31 + j * 17) % 7 - 3 AS DOUBLE)) AS p
+      |  FROM u CROSS JOIN lanes l GROUP BY u.vec_id, l.i),
+      |sig AS (
+      |  SELECT vec_id, CAST(i // 4 AS BIGINT) AS tbl,
+      |    sum(CASE WHEN p >= 0 THEN CAST(pow(2, i % 4) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id, i // 4),
+      |nrm AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM u GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |    AND a.vec_id < b.vec_id),
       |dots AS (
       |  SELECT p.id_a, p.id_b,
       |    sum(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE)) AS dp
@@ -9017,6 +9070,14 @@ object SparkEntry {
         |hot AS (SELECT tok, count(*) AS nd FROM prefix0 GROUP BY tok)
         |SELECT CAST(nd AS BIGINT) AS nd, CAST(count(*) AS BIGINT) AS n_toks
         |FROM hot GROUP BY nd""".stripMargin,
+
+    // q254: the multi-table OR-construction chain — 2 tables × 4 lattice
+    // bits, DISTINCT pair dedup across tables, exact cosine verify. Plane
+    // stream offset tbl·4 + i keeps table 0 identical to q32's buckets.
+    "q254_ann_lsh_multitable" ->
+      s"""WITH $latticeSimMultiCtes
+         |SELECT id_a, id_b, round(sim, 6) AS sim_r
+         |FROM sims WHERE sim >= 0.1""".stripMargin,
 
     // q246/q247: the variant serving contracts, SQL generated from the
     // same SiteVariant tables the Spark pivot reads (see

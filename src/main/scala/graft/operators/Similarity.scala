@@ -122,6 +122,43 @@ object Similarity {
     sigBits.reduce(_ + _)
   }
 
+  /** The hyperplane stream for OR-table `table`: plane index
+    * `table·bits + i` into the same xxhash64-derived coefficient family,
+    * so table 0 IS [[hyperplaneSignature]] bit-for-bit and every further
+    * table draws fresh independent planes. Used by [[lshNearPairsTables]];
+    * exposed so callers can bucket one table at a time. */
+  def hyperplaneSignatureAt(vec: Column, bits: Int, table: Int): Column = {
+    val vd = toDoubleArray(vec)
+    val sigBits = (0 until bits).map { i =>
+      val plane = table * bits + i
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1),
+          (x, j) => x * (pmod(xxhash64(lit(plane), j), lit(2000001L))
+            .cast("double") / lit(1000000.0) - lit(1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    sigBits.reduce(_ + _)
+  }
+
+  /** [[hyperplaneSignatureLattice]]'s OR-table sibling: plane index
+    * `table·bits + i` into the same integer lattice, table 0 identical to
+    * the single-table lattice signature — portable SQL, so the multi-table
+    * candidate chain is oracle-checkable end-to-end (q254). */
+  def hyperplaneSignatureLatticeAt(vec: Column, bits: Int, table: Int): Column = {
+    val vd = toDoubleArray(vec)
+    val sigBits = (0 until bits).map { i =>
+      val plane = table * bits + i
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1),
+          (x, j) => x * (pmod(lit(plane) * 31 + j * 17, lit(7)) - lit(3))
+            .cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    sigBits.reduce(_ + _)
+  }
+
   /** IVF (inverted-file) ANN index: partition vectors into `nLists` KMeans
     * cells; a query probes only the `nProbe` nearest cells. The 100 TB
     * shape: the corpus is clustered ONCE (sampled fit, map-side assignment),
@@ -281,6 +318,74 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Multi-table (OR-construction) LSH near pairs — the recall knob
+    * [[lshNearPairs]] does not have (r16 VERDICT item 2): `tables`
+    * independent hyperplane families bucket the corpus `tables` times,
+    * and a pair is a candidate when it collides in ANY table. Per-pair
+    * candidate recall lifts from r = (1−θ/π)^bits to 1 − (1−r)^L at ~L×
+    * bucketing + candidate-join cost; precision is untouched because the
+    * verify filter is still the exact cosine. At 16 bits / θ ≈ 0.04 rad
+    * that is 0.80 → 0.96 (L=2) → 0.9985 (L=4) — the measured VECREHEARSAL
+    * curve prices it.
+    *
+    * Scale shape: signatures are exploded MAP-SIDE into (vid, tbl,
+    * bucket) rows — the bucket shuffle carries ids and two longs, never
+    * vectors. Candidate pairs are DEDUPED ACROSS TABLES (one hash
+    * aggregate on the id pair) BEFORE the exact verify, so a pair
+    * colliding in all L tables is scored once; the verify then joins the
+    * two endpoints' vectors back by id. That is one more shuffle than the
+    * single-table shape (which carries vectors through its one bucket
+    * join) — the right trade whenever d ≫ the id width, i.e. always at
+    * embedding scale. `maxBucket`/`templateShare` cap per (table, bucket)
+    * exactly as in [[lshNearPairs]] (a collapsed bucket in ONE table does
+    * not poison the others). */
+  def lshNearPairsTables(vectors: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16, minSim: Double = 0.9, tables: Int = 2,
+      signatureAt: (Column, Int, Int) => Column = hyperplaneSignatureAt,
+      maxBucket: Int = Int.MaxValue, templateShare: Double = 0.5): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1: $tables")
+    require(maxBucket >= 0,
+      s"maxBucket must be >= 0 (0 = derive from the bucket-size " +
+        s"distribution): $maxBucket")
+    require(maxBucket > 0 || (templateShare > 0 && templateShare <= 1),
+      s"autoCap mode needs templateShare in (0,1]: $templateShare")
+    val base = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+    val sigs = vectors.select(col(idCol).as("vid"),
+      explode(array((0 until tables).map(l =>
+        struct(lit(l).as("tbl"),
+          signatureAt(col(vecCol), bits, l).as("bucket"))): _*)).as("s"))
+      .select(col("vid"), col("s.tbl").as("tbl"), col("s.bucket").as("bucket"))
+    val kept =
+      if (maxBucket == Int.MaxValue) sigs
+      else {
+        val sizes = sigs.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("m"))
+        val effCap =
+          if (maxBucket > 0) maxBucket.toLong
+          else {
+            val nVecs = vectors.count()
+            Dedup.capBelowTemplateFloor(sizes, "m", nVecs, templateShare,
+              "lshNearPairsTables").toLong
+          }
+        sigs.join(sizes.filter(col("m") <= effCap)
+          .select(col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      }
+    val a = kept.as("a"); val b = kept.as("b")
+    val cand = a.join(b, col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct() // OR-construction dedup BEFORE the exact verify
+    cand
+      .join(base.select(col("vid").as("id_a"), col("v").as("_va"),
+        col("nrm").as("_na")), Seq("id_a"))
+      .join(base.select(col("vid").as("id_b"), col("v").as("_vb"),
+        col("nrm").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Embedding-cosine near-duplicate verdicts — the semantic-dedup step of
     * a training-data pipeline: a document is a duplicate when some EARLIER
     * document's embedding sits within `minSim` cosine of its own, and the
@@ -292,9 +397,21 @@ object Similarity {
   def embeddingNearDup(vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int = 16, minSim: Double = 0.9,
       signature: (Column, Int) => Column = hyperplaneSignature,
-      maxBucket: Int = Int.MaxValue, templateShare: Double = 0.5): DataFrame = {
-    val pairs = lshNearPairs(vectors, idCol, vecCol, bits, minSim, signature,
-      maxBucket, templateShare)
+      maxBucket: Int = Int.MaxValue, templateShare: Double = 0.5,
+      tables: Int = 1,
+      signatureAt: (Column, Int, Int) => Column = hyperplaneSignatureAt)
+      : DataFrame = {
+    // tables = 1 keeps the measured single-table plan (signature applies);
+    // tables > 1 routes through the OR-construction chain, whose plane
+    // families come from signatureAt (the single-table `signature` lambda
+    // cannot say what its table-2 planes would be)
+    val pairs =
+      if (tables <= 1)
+        lshNearPairs(vectors, idCol, vecCol, bits, minSim, signature,
+          maxBucket, templateShare)
+      else
+        lshNearPairsTables(vectors, idCol, vecCol, bits, minSim, tables,
+          signatureAt, maxBucket, templateShare)
     // earliest-wins: min over the (already sparse) near-pair edges keyed
     // by the later endpoint — one hash aggregate over candidate ids
     val dupOf = pairs.groupBy(col("id_b").as(idCol))

@@ -153,6 +153,67 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(off.size == clusterPairs.size + 40 * 39 / 2, s"off size: ${off.size}")
   }
 
+  test("multi-table LSH: table 0 reproduces the single table, OR lifts " +
+    "recall, pairs deduped, cap per table") {
+    // a genuinely-near pair (cos ≈ 0.995) plus unrelated fillers: with
+    // FEW bits per table some near pairs land in different buckets in
+    // one table but collide in another — L tables can only ADD pairs
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(16)(j => rnd.nextGaussian().toFloat)
+    val vecs = ((0L until 30L).map { i =>
+      val v =
+        if (i < 10L) base.zipWithIndex.map { case (x, j) =>
+          x + (0.05 * ((i * 7 + j) % 5 - 2)).toFloat } // near-cluster of 10
+        else Array.tabulate(16)(_ => rnd.nextGaussian().toFloat)
+      (i, v)
+    }).toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val one = pairsOf(Similarity.lshNearPairsTables(vecs, "vec_id",
+      "embedding", bits = 6, minSim = 0.9, tables = 1))
+    val single = pairsOf(Similarity.lshNearPairs(vecs, "vec_id",
+      "embedding", bits = 6, minSim = 0.9))
+    assert(one.toSet == single.toSet, "tables=1 must equal lshNearPairs")
+    val two = pairsOf(Similarity.lshNearPairsTables(vecs, "vec_id",
+      "embedding", bits = 6, minSim = 0.9, tables = 2))
+    val four = pairsOf(Similarity.lshNearPairsTables(vecs, "vec_id",
+      "embedding", bits = 6, minSim = 0.9, tables = 4))
+    // monotone recall: every single-table pair survives, more may appear
+    assert(single.toSet.subsetOf(two.toSet), s"2-table lost pairs")
+    assert(two.toSet.subsetOf(four.toSet), s"4-table lost pairs")
+    // OR-dedup: no (id_a, id_b) appears twice even when both tables agree
+    assert(four.distinct.size == four.size, "pairs must be deduped")
+    // at 4 tables × 6 bits the 10-member cluster is essentially complete
+    val clusterPairs = (for { a <- 0L until 10L; b <- (a + 1) until 10L }
+      yield (a, b)).toSet
+    assert((clusterPairs -- four.toSet).size <= 3,
+      s"4-table recall too low: missing ${clusterPairs -- four.toSet}")
+    // the lattice family keeps table 0 == hyperplaneSignatureLattice too
+    val latticeOne = pairsOf(Similarity.lshNearPairsTables(vecs, "vec_id",
+      "embedding", bits = 4, minSim = 0.9, tables = 1,
+      signatureAt = Similarity.hyperplaneSignatureLatticeAt))
+    val latticeSingle = pairsOf(Similarity.lshNearPairs(vecs, "vec_id",
+      "embedding", bits = 4, minSim = 0.9,
+      signature = Similarity.hyperplaneSignatureLattice))
+    assert(latticeOne.toSet == latticeSingle.toSet)
+    // per-table cap: 25 identical vectors collapse EVERY table's bucket;
+    // cap 10 refuses them in each table independently, near pair survives
+    val collapse = ((0L until 25L).map(i =>
+      (i, Array.tabulate(8)(j => (j + 1).toFloat))) ++ Seq(
+      (100L, Array.tabulate(8)(j => if (j % 2 == 0) -2f else 1f)),
+      (101L, Array.tabulate(8)(j => if (j % 2 == 0) -2f else 1f))))
+      .toDF("vec_id", "embedding")
+    val capped = pairsOf(Similarity.lshNearPairsTables(collapse, "vec_id",
+      "embedding", bits = 8, minSim = 0.99, tables = 2, maxBucket = 10))
+    assert(capped.toSet == Set((100L, 101L)), s"capped: $capped")
+    // embeddingNearDup routes tables > 1 through the same chain
+    val nd = Similarity.embeddingNearDup(collapse, "vec_id", "embedding",
+        bits = 8, minSim = 0.99, maxBucket = 10, tables = 2)
+      .as[(Long, Boolean, Long)].collect()
+      .map { case (id, d, of) => id -> ((d, of)) }.toMap
+    assert(nd(101L) == ((true, 100L)) && nd(100L) == ((false, -1L)))
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
