@@ -4579,6 +4579,75 @@ object SparkEntry {
           codecs.flatMap(trakBox).toArray)
       else Array.emptyByteArray) ++
       mp4Box("mdat", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+  /** RF64 (EBU Tech 3306): sentinel 32-bit sizes; real sizes in a ds64
+    * chunk that must lead. `ds64First = false` builds the spec violation
+    * the parser must refuse. */
+  private def rf64Fixture(ch: Int, rate: Int, bits: Int, dataBytes: Int,
+      ds64First: Boolean = true): Array[Byte] = {
+    val byteRate = rate * ch * bits / 8
+    val fmt = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fmt.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(ch.toShort).putInt(rate).putInt(byteRate)
+      .putShort((ch * bits / 8).toShort).putShort(bits.toShort)
+    val riffSize = 4 + (8 + 28) + 24 + (8 + dataBytes)
+    val ds64 = java.nio.ByteBuffer.allocate(36)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ds64.put("ds64".getBytes("US-ASCII")).putInt(28)
+      .putLong(riffSize.toLong).putLong(dataBytes.toLong)
+      .putLong(if (byteRate > 0) dataBytes.toLong / (ch * bits / 8) else 0L)
+      .putInt(0)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RF64".getBytes("US-ASCII")).putInt(-1)
+      .put("WAVE".getBytes("US-ASCII"))
+    if (ds64First) bb.put(ds64.array()).put(fmt.array())
+    else bb.put(fmt.array()).put(ds64.array())
+    bb.put("data".getBytes("US-ASCII")).putInt(-1)
+      .put(new Array[Byte](dataBytes))
+    bb.array()
+  }
+  /** Fragmented-MP4 pieces (ISO 14496-12 §8.8): trak with explicit
+    * track_id + media timescale, mvex/mehd, and a one-traf moof. */
+  private def trakFragBox(trackId: Int, timescale: Int,
+      codec: String): Array[Byte] = {
+    val tkhd = mp4Box("tkhd", java.nio.ByteBuffer.allocate(84)
+      .putInt(0).putInt(0).putInt(0).putInt(trackId).array())
+    val mdhd = mp4Box("mdhd", java.nio.ByteBuffer.allocate(24)
+      .putInt(0).putInt(0).putInt(0).putInt(timescale).array())
+    val entryBody = new Array[Byte](28)
+    val entry = java.nio.ByteBuffer.allocate(8 + entryBody.length)
+      .putInt(8 + entryBody.length).put(codec.getBytes("US-ASCII"))
+      .put(entryBody).array()
+    val stsd = mp4Box("stsd", java.nio.ByteBuffer.allocate(8 + entry.length)
+      .putInt(0).putInt(1).put(entry).array())
+    mp4Box("trak", tkhd ++
+      mp4Box("mdia", mdhd ++ mp4Box("minf", mp4Box("stbl", stsd))))
+  }
+  private def mvexBox(fragDur: Long): Array[Byte] = {
+    val mehd = mp4Box("mehd", java.nio.ByteBuffer.allocate(8)
+      .putInt(0).putInt(fragDur.toInt).array())
+    val trex = mp4Box("trex", java.nio.ByteBuffer.allocate(24)
+      .putInt(0).putInt(1).putInt(1).putInt(0).putInt(0).putInt(0).array())
+    mp4Box("mvex", mehd ++ trex)
+  }
+  private def moofBox(trackId: Int, n: Int, defDur: Option[Int],
+      sampleDurs: Option[Seq[Int]], overrun: Boolean = false): Array[Byte] = {
+    val tfhdBody = java.nio.ByteBuffer
+      .allocate(8 + (if (defDur.isDefined) 4 else 0))
+    tfhdBody.putInt(if (defDur.isDefined) 0x8 else 0x0).putInt(trackId)
+    defDur.foreach(tfhdBody.putInt)
+    val durs = sampleDurs.getOrElse(Nil)
+    val trunBody = java.nio.ByteBuffer.allocate(8 + 4 * durs.size)
+    trunBody.putInt(if (sampleDurs.isDefined) 0x100 else 0x0)
+      .putInt(if (overrun) n + 1000 else n)
+    durs.foreach(trunBody.putInt)
+    val mfhd = mp4Box("mfhd", java.nio.ByteBuffer.allocate(8)
+      .putInt(0).putInt(1).array())
+    mp4Box("moof", mfhd ++ mp4Box("traf",
+      mp4Box("tfhd", tfhdBody.array()) ++ mp4Box("trun", trunBody.array())))
+  }
+
   private def mediaFixture: Seq[(Long, Array[Byte])] = Seq(
     // 8820 data bytes / 176400 B/s = 50 ms stereo 16-bit PCM
     1L -> wavFixture(1, 2, 44100, 16, 8820),
@@ -4604,7 +4673,32 @@ object SparkEntry {
     10L -> (ftypBox("isom") ++
       mp4Box("moov", Array[Byte](0, 0, 0, 99, 'x', 'y'))),
     11L -> "not media at all, just text".getBytes("UTF-8"),
-    12L -> "RIFFxxxx".getBytes("US-ASCII"))
+    12L -> "RIFFxxxx".getBytes("US-ASCII"),
+    // r17 depth rows (RF64 + fragmented MP4 + the r16 review guards):
+    // RF64 via ds64 indirection — 288000 B / 288000 B/s = 1000 ms
+    13L -> rf64Fixture(2, 48000, 24, 288000),
+    // fMP4 init segment with mvex/mehd: mvhd duration 0, total 7500
+    // ticks @ 1000 Hz from mehd → 7500 ms
+    14L -> (ftypBox("isom") ++ mp4Box("moov",
+      mvhdBox(0, 1000, 0L) ++ trakFragBox(1, 1000, "avc1") ++
+        mvexBox(7500L))),
+    // fMP4 without mehd: duration = moof sum on track 1 (media
+    // timescale 600): 10 × 60 default + (120+180+300) per-sample
+    // = 1200 ticks → 2000 ms
+    15L -> (ftypBox("isom") ++ mp4Box("moov",
+      mvhdBox(0, 1000, 0L) ++ trakFragBox(1, 600, "avc1")) ++
+      moofBox(1, 10, Some(60), None) ++
+      moofBox(1, 3, None, Some(Seq(120, 180, 300)))),
+    // RF64 whose ds64 is not the first chunk — spec violation, null
+    16L -> rf64Fixture(2, 48000, 24, 4800, ds64First = false),
+    // moof trun declares more samples than its box holds — corrupt, null
+    17L -> (ftypBox("isom") ++ mp4Box("moov",
+      mvhdBox(0, 1000, 0L) ++ trakFragBox(1, 600, "avc1")) ++
+      moofBox(1, 3, None, Some(Seq(120, 180, 300)), overrun = true)),
+    // WAV u32 sample rate past Int.MaxValue — must be null, not wrapped
+    18L -> wavFixture(1, 2, Int.MinValue, 16, 400),
+    // mvhd all-ones 'duration unknown' sentinel: row alive, duration null
+    19L -> mp4Fixture("isom", 0, 1000, 0xFFFFFFFFL, codecs = Seq("mp4a")))
 
   /** Shared q246/q247 prepared-frame fixture: 20 sites, category picked
     * round-robin from the variant's DISTINCT list plus one out-of-list
@@ -9141,6 +9235,10 @@ object SparkEntry {
     // pin null-not-throw on truncation, missing chunks, zero channels,
     // box overrun, corrupt moov, non-media bytes; row 5 pins the
     // brand-only init segment keeping a live row with null duration.
+    // r17 rows 13-19: RF64 ds64 indirection (happy + ds64-out-of-order),
+    // fragmented-MP4 duration via mvex/mehd and via the moof/trun sum,
+    // a trun overrun (corrupt → null), the wrapped-u32 sample rate, and
+    // the mvhd 'duration unknown' sentinel (live row, null duration).
     "q252_media_meta" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, format,
         | CAST(duration_ms AS BIGINT) AS duration_ms,
@@ -9159,7 +9257,14 @@ object SparkEntry {
         |  (9, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
         |  (10, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
         |  (11, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
-        |  (12, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+        |  (12, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (13, 'wav', 1000, 2, 48000, 24, 'pcm', NULL),
+        |  (14, 'mp4', 7500, NULL, NULL, NULL, 'isom', 'avc1'),
+        |  (15, 'mp4', 2000, NULL, NULL, NULL, 'isom', 'avc1'),
+        |  (16, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (17, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (18, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (19, 'mp4', NULL, NULL, NULL, NULL, 'isom', 'mp4a'))
         |  AS t(media_id, format, duration_ms, channels, sample_rate,
         |       bits, brand, codec)""".stripMargin
   )

@@ -28,6 +28,8 @@ object MediaHeaderOps {
   private def le32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def le64(b: Array[Byte], i: Int): Long =
+    le32(b, i) | (le32(b, i + 4) << 32)
   private def be32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
@@ -53,14 +55,39 @@ object MediaHeaderOps {
     * that is malformation: the 100 TB posture wants truncation loud).
     * duration_ms = data bytes × 1000 / byte rate, floor. The brand column
     * carries the fmt tag ("pcm", "ieee_float", "alaw", "mulaw",
-    * "extensible", else "fmt_<code>"). */
+    * "extensible", else "fmt_<code>").
+    *
+    * RF64 (EBU Tech 3306, the >4 GiB broadcast-WAV variant a 100 TB AV
+    * crawl actually meets — r16 VERDICT item 6): fourcc "RF64", the
+    * 32-bit RIFF and data size fields hold the 0xFFFFFFFF sentinel, and
+    * the REAL 64-bit sizes live in a mandatory `ds64` chunk that must be
+    * the first chunk after the form type. Both indirections are resolved
+    * here with the same truncation-loud bounds (a JVM byte array caps a
+    * single cell at 2 GiB, so what this buys in practice is correct
+    * parsing of RF64-written files of any size whose bytes fit, and a
+    * loud null — not garbage sizes — on header-only prefixes). Format
+    * stays "wav"; a missing/short/second-position ds64 is malformation. */
   def wav(b: Array[Byte]): GenericInternalRow = {
     if (b.length < 44) return null
-    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return null
-    val riffSize = le32(b, 4)
-    if (riffSize < 4 || 8 + riffSize > b.length) return null // truncated
+    val isRf64 = b(0) == 'R' && b(1) == 'F' && b(2) == '6' && b(3) == '4'
+    if (!isRf64 &&
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'))
+      return null
+    var riffSize = le32(b, 4)
     if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return null
+    var data64 = -1L
+    if (isRf64) {
+      // the 32-bit size field MUST be the sentinel and ds64 MUST lead
+      if (riffSize != 0xFFFFFFFFL) return null
+      if (b.length < 12 + 8 + 28 || fourcc(b, 12) != "ds64") return null
+      val dsSize = le32(b, 16)
+      if (dsSize < 28 || 20 + dsSize > b.length) return null
+      riffSize = le64(b, 20) // real RIFF payload size
+      data64 = le64(b, 28) // real data-chunk size
+      if (data64 < 0) return null
+    }
+    if (riffSize < 4 || 8 + riffSize > b.length) return null // truncated
     val end = (8 + riffSize).toInt
     var i = 12
     var fmtTag = -1
@@ -71,7 +98,10 @@ object MediaHeaderOps {
     var dataBytes = -1L
     while (i + 8 <= end) {
       val cid = fourcc(b, i)
-      val csize = le32(b, i + 4)
+      var csize = le32(b, i + 4)
+      // RF64 data chunk carries the sentinel; substitute the ds64 size
+      // for BOTH the overrun check and the walk advance
+      if (isRf64 && cid == "data" && csize == 0xFFFFFFFFL) csize = data64
       if (csize < 0 || i + 8 + csize > end) return null // chunk overrun
       if (cid == "fmt ") {
         if (csize < 16) return null
@@ -149,6 +179,20 @@ object MediaHeaderOps {
     var brand: String = null
     var durationMs: Any = null
     var moovBad = false
+    // fragmented-MP4 state (r16 VERDICT item 6): mvhd timescale (for the
+    // mvex/mehd total), per-track media timescales (trun durations are in
+    // the TRACK's timescale), accumulated moof ticks per track, and the
+    // honesty flags — fragBad marks structural moof corruption (null
+    // row), fragUnknown marks a traf whose duration is underivable (no
+    // per-sample durations and no tfhd default → duration stays null,
+    // row alive, same posture as a brand-only fragment)
+    var mvhdTs = -1L
+    var mehdDur = -1L
+    var fragBad = false
+    var fragUnknown = false
+    var sawMoof = false
+    val trackTs = scala.collection.mutable.HashMap.empty[Long, Long]
+    val fragTicks = scala.collection.mutable.HashMap.empty[Long, Long]
     val codecs = scala.collection.mutable.LinkedHashSet.empty[String]
     // trak → mdia → minf → stbl → stsd: each level is one more box walk;
     // the first sample entry's fourcc is the track's codec identifier
@@ -187,23 +231,135 @@ object MediaHeaderOps {
             if (ver == 0 && iFrom + 24 <= iUntil) {
               val ts = be32(b, iFrom + 12)
               val dur = be32(b, iFrom + 16)
+              if (ts > 0) mvhdTs = ts
               if (ts > 0 && dur != 0xFFFFFFFFL) durationMs =
                 java.lang.Long.valueOf(dur * 1000L / ts)
             } else if (ver == 1 && iFrom + 32 <= iUntil) {
               val ts = be32(b, iFrom + 20)
               val dur = be64(b, iFrom + 24) // -1L = all-ones sentinel
+              if (ts > 0) mvhdTs = ts
               if (ts > 0 && dur >= 0) durationMs = java.lang.Long.valueOf(
                 dur / ts * 1000L + (dur % ts) * 1000L / ts)
             }
           } else if (ityp == "trak") {
             descend(iFrom, iUntil, List("mdia", "minf", "stbl", "stsd"))
+            // track_id (tkhd) ↔ media timescale (mdia/mdhd) for the moof
+            // trun math; same tiling discipline as the codec descent
+            var tkId = -1L
+            val trakTiled = walk(iFrom, iUntil) { (t2, f2, u2) =>
+              if (t2 == "tkhd" && tkId < 0) {
+                val v2 = if (f2 < u2) b(f2) & 0xff else -1
+                if (v2 == 0 && f2 + 16 <= u2) tkId = be32(b, f2 + 12)
+                else if (v2 == 1 && f2 + 24 <= u2) tkId = be32(b, f2 + 20)
+              } else if (t2 == "mdia") {
+                val mdiaTiled = walk(f2, u2) { (t3, f3, u3) =>
+                  if (t3 == "mdhd") {
+                    val v3 = if (f3 < u3) b(f3) & 0xff else -1
+                    val ts3 =
+                      if (v3 == 0 && f3 + 16 <= u3) be32(b, f3 + 12)
+                      else if (v3 == 1 && f3 + 24 <= u3) be32(b, f3 + 20)
+                      else -1L
+                    if (tkId >= 0 && ts3 > 0) trackTs(tkId) = ts3
+                  }
+                }
+                if (!mdiaTiled) moovBad = true
+              }
+            }
+            if (!trakTiled) moovBad = true
+          } else if (ityp == "mvex") {
+            // movie-extends: mehd fragment_duration (in mvhd timescale)
+            // is the fMP4 total when mvhd's own duration is 0/unknown
+            val mvexTiled = walk(iFrom, iUntil) { (t2, f2, u2) =>
+              if (t2 == "mehd") {
+                val v2 = if (f2 < u2) b(f2) & 0xff else -1
+                if (v2 == 0 && f2 + 8 <= u2) mehdDur = be32(b, f2 + 4)
+                else if (v2 == 1 && f2 + 12 <= u2) mehdDur = be64(b, f2 + 4)
+              }
+            }
+            if (!mvexTiled) moovBad = true
           }
         }
         if (!moovTiled) moovBad = true
+      } else if (typ == "moof") {
+        sawMoof = true
+        // movie fragment: per-traf ticks = Σ trun sample durations when
+        // the 0x100 flag carries them, else sample_count × the tfhd
+        // default (0x8 flag); neither present → duration underivable
+        // (fragUnknown), structural overrun → corrupt row (fragBad)
+        val moofTiled = walk(pFrom, pUntil) { (ityp, iFrom, iUntil) =>
+          if (ityp == "traf") {
+            var tfTrack = -1L
+            var tfDefDur = -1L
+            val trafTiled = walk(iFrom, iUntil) { (t2, f2, u2) =>
+              if (t2 == "tfhd") {
+                if (u2 - f2 < 8) fragBad = true
+                else {
+                  val flags = be32(b, f2) & 0xffffffL
+                  tfTrack = be32(b, f2 + 4)
+                  var off = f2 + 8L
+                  if ((flags & 0x1L) != 0) off += 8 // base-data-offset
+                  if ((flags & 0x2L) != 0) off += 4 // sample-descr-index
+                  if ((flags & 0x8L) != 0) {
+                    if (off + 4 <= u2) tfDefDur = be32(b, off.toInt)
+                    else fragBad = true
+                  }
+                }
+              } else if (t2 == "trun") {
+                if (u2 - f2 < 8) fragBad = true
+                else {
+                  val flags = be32(b, f2) & 0xffffffL
+                  val n = be32(b, f2 + 4)
+                  var off = f2 + 8L
+                  if ((flags & 0x1L) != 0) off += 4 // data-offset
+                  if ((flags & 0x4L) != 0) off += 4 // first-sample-flags
+                  val stride = 4L * java.lang.Long.bitCount(flags & 0xf00L)
+                  if ((flags & 0x100L) != 0) {
+                    if (off + n * stride > u2) fragBad = true
+                    else {
+                      var k = 0L; var idx = off
+                      var ticks = 0L
+                      while (k < n) {
+                        ticks += be32(b, idx.toInt); idx += stride; k += 1
+                      }
+                      if (tfTrack >= 0) fragTicks(tfTrack) =
+                        fragTicks.getOrElse(tfTrack, 0L) + ticks
+                      else fragBad = true // trun before any tfhd
+                    }
+                  } else if (tfDefDur >= 0 && tfTrack >= 0)
+                    fragTicks(tfTrack) =
+                      fragTicks.getOrElse(tfTrack, 0L) + n * tfDefDur
+                  else fragUnknown = true
+                }
+              }
+            }
+            if (!trafTiled) fragBad = true
+          }
+        }
+        if (!moofTiled) fragBad = true
       }
     }
-    if (!ok || moovBad || brand == null ||
+    if (!ok || moovBad || fragBad || brand == null ||
       !brand.forall(c => c >= 0x20 && c < 0x7f)) return null
+    // duration precedence: a positive mvhd duration is authoritative;
+    // else the mvex/mehd fragment total (mvhd timescale); else the moof
+    // sum — max over tracks of its accumulated ticks in ITS media
+    // timescale (tracks run in parallel), defined only when every traf
+    // was derivable and every referenced track has a known timescale.
+    if (durationMs == null || durationMs.asInstanceOf[Long] == 0L) {
+      if (mvhdTs > 0 && mehdDur > 0) durationMs = java.lang.Long.valueOf(
+        mehdDur / mvhdTs * 1000L + (mehdDur % mvhdTs) * 1000L / mvhdTs)
+      else if (fragTicks.nonEmpty && !fragUnknown &&
+        fragTicks.keys.forall(trackTs.contains)) {
+        val ms = fragTicks.map { case (tk, ticks) =>
+          val ts = trackTs(tk)
+          ticks / ts * 1000L + (ticks % ts) * 1000L / ts
+        }.max
+        durationMs = java.lang.Long.valueOf(ms)
+      } else if (sawMoof || mehdDur >= 0) durationMs = null
+      // ^ a FRAGMENTED file whose total is underivable: mvhd's 0 is the
+      //   fMP4 "see fragments" placeholder, not a real zero — report
+      //   unknown; a plain movie with mvhd duration 0 keeps its 0
+    }
     // '+'-joined distinct track codecs in trak order ("avc1+mp4a"); null
     // when no trak carries a sample description (brand-only fragments)
     val codec = if (codecs.isEmpty) null else codecs.mkString("+")
@@ -213,7 +369,8 @@ object MediaHeaderOps {
   /** Sniff by signature, then parse; unrecognized or malformed → null. */
   def meta(b: Array[Byte]): GenericInternalRow = {
     if (b == null || b.length < 12) return null
-    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+    if ((b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' ||
+      b(0) == 'R' && b(1) == 'F' && b(2) == '6' && b(3) == '4') &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') wav(b)
     else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') mp4(b)
     else null

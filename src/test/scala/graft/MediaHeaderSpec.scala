@@ -53,6 +53,37 @@ class MediaHeaderSpec extends AnyFunSuite {
     bb.array()
   }
 
+  /** RF64 (EBU Tech 3306): sentinel 32-bit sizes, real sizes in a leading
+    * ds64 chunk. `ds64First = false` moves ds64 after fmt (spec violation
+    * the parser must reject); `sentinelRiff = false` writes a real 32-bit
+    * RIFF size where the sentinel belongs (also malformed). */
+  private def rf64(ch: Int, rate: Int, bits: Int, dataBytes: Int,
+      ds64First: Boolean = true, sentinelRiff: Boolean = true): Array[Byte] = {
+    val byteRate = rate * ch * bits / 8
+    val fmt = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fmt.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(ch.toShort).putInt(rate).putInt(byteRate)
+      .putShort((ch * bits / 8).toShort).putShort(bits.toShort)
+    val riffSize = 4 + (8 + 28) + 24 + (8 + dataBytes)
+    val ds64 = java.nio.ByteBuffer.allocate(36)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ds64.put("ds64".getBytes("US-ASCII")).putInt(28)
+      .putLong(riffSize.toLong).putLong(dataBytes.toLong)
+      .putLong(if (byteRate > 0) dataBytes.toLong / (ch * bits / 8) else 0L)
+      .putInt(0)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RF64".getBytes("US-ASCII"))
+      .putInt(if (sentinelRiff) -1 else riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    if (ds64First) bb.put(ds64.array()).put(fmt.array())
+    else bb.put(fmt.array()).put(ds64.array())
+    bb.put("data".getBytes("US-ASCII")).putInt(-1) // sentinel data size
+      .put(new Array[Byte](dataBytes))
+    bb.array()
+  }
+
   private def box(typ: String, payload: Array[Byte]): Array[Byte] =
     java.nio.ByteBuffer.allocate(8 + payload.length)
       .putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
@@ -92,6 +123,66 @@ class MediaHeaderSpec extends AnyFunSuite {
         box("moov", mvhd(ver, ts, dur) ++ codecs.flatMap(trak).toArray)
       else Array.emptyByteArray) ++
       box("mdat", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+
+  // -- fragmented-MP4 builders (ISO 14496-12 §8.8) --
+  private def tkhd(trackId: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(84) // v0 layout
+    bb.putInt(0).putInt(0).putInt(0).putInt(trackId) // ver/flags, c, m, id
+    box("tkhd", bb.array())
+  }
+  private def mdhd(timescale: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24)
+    bb.putInt(0).putInt(0).putInt(0).putInt(timescale)
+    box("mdhd", bb.array())
+  }
+  /** trak with explicit id + media timescale (+ optional codec entry). */
+  private def trakFrag(trackId: Int, timescale: Int,
+      codec: Option[String] = None): Array[Byte] = {
+    val stblKids = codec.map { c =>
+      val entryBody = new Array[Byte](28)
+      val entry = java.nio.ByteBuffer.allocate(8 + entryBody.length)
+        .putInt(8 + entryBody.length).put(c.getBytes("US-ASCII"))
+        .put(entryBody).array()
+      box("stsd", java.nio.ByteBuffer.allocate(8 + entry.length)
+        .putInt(0).putInt(1).put(entry).array())
+    }.getOrElse(box("stsd", java.nio.ByteBuffer.allocate(8)
+      .putInt(0).putInt(0).array()))
+    box("trak", tkhd(trackId) ++
+      box("mdia", mdhd(timescale) ++ box("minf", box("stbl", stblKids))))
+  }
+  private def mvex(mehdVer: Int, fragDur: Long): Array[Byte] = {
+    val mehd =
+      if (mehdVer == 0) box("mehd", java.nio.ByteBuffer.allocate(8)
+        .putInt(0).putInt(fragDur.toInt).array())
+      else box("mehd", java.nio.ByteBuffer.allocate(12)
+        .putInt(0x01000000).putLong(fragDur).array())
+    // trex is mandatory in real files; the parser must skip it cleanly
+    val trex = box("trex", java.nio.ByteBuffer.allocate(24)
+      .putInt(0).putInt(1).putInt(1).putInt(0).putInt(0).putInt(0).array())
+    box("mvex", mehd ++ trex)
+  }
+  /** One moof: tfhd (default duration when given) + trun (per-sample
+    * durations when given, else count-only). */
+  private def moof(trackId: Int, n: Int, defDur: Option[Int],
+      sampleDurs: Option[Seq[Int]], trunOverrun: Boolean = false)
+      : Array[Byte] = {
+    val tfhdFlags = if (defDur.isDefined) 0x8 else 0x0
+    val tfhdBody = java.nio.ByteBuffer
+      .allocate(8 + (if (defDur.isDefined) 4 else 0))
+    tfhdBody.putInt(tfhdFlags).putInt(trackId)
+    defDur.foreach(tfhdBody.putInt)
+    val trunFlags = if (sampleDurs.isDefined) 0x100 else 0x0
+    val durs = sampleDurs.getOrElse(Nil)
+    val trunBody = java.nio.ByteBuffer.allocate(8 + 4 * durs.size)
+    trunBody.putInt(trunFlags)
+      .putInt(if (trunOverrun) n + 1000 else n) // declared sample count
+    durs.foreach(trunBody.putInt)
+    val mfhd = box("mfhd", java.nio.ByteBuffer.allocate(8)
+      .putInt(0).putInt(1).array())
+    box("moof", mfhd ++
+      box("traf", box("tfhd", tfhdBody.array()) ++
+        box("trun", trunBody.array())))
+  }
 
   private def metaOf(b: Array[Byte])
       : Option[(String, Option[Long], Option[Int], Option[Int],
@@ -163,6 +254,66 @@ class MediaHeaderSpec extends AnyFunSuite {
       Some(("mp4", None, None, None, None, Some("isom"), None)))
     assert(metaOf(mp4("mp42", 1, 600, -1L)) ===
       Some(("mp4", None, None, None, None, Some("mp42"), None)))
+  }
+
+  test("RF64: ds64 indirection resolves real sizes; violations are null") {
+    // 288000 data bytes / (48000 × 2 × 24/8 = 288000 B/s) = 1000 ms
+    assert(metaOf(rf64(2, 48000, 24, 288000)) ===
+      Some(("wav", Some(1000L), Some(2), Some(48000), Some(24), Some("pcm"),
+        None)))
+    // mono 16-bit: 8000 bytes / 16000 B/s = 500 ms
+    assert(metaOf(rf64(1, 8000, 16, 8000)).flatMap(_._2) === Some(500L))
+    // ds64 not the first chunk → malformed (EBU Tech 3306 requires it)
+    assert(metaOf(rf64(2, 48000, 24, 4800, ds64First = false)).isEmpty)
+    // RF64 fourcc with a REAL 32-bit riff size where the sentinel belongs
+    assert(metaOf(rf64(2, 48000, 24, 4800, sentinelRiff = false)).isEmpty)
+    // truncation: the ds64-declared riff size overruns the buffer
+    assert(metaOf(rf64(2, 48000, 24, 288000).dropRight(64)).isEmpty)
+  }
+
+  test("fragmented MP4: mehd total, moof trun sums, unknown and corrupt") {
+    val initM = box("moov", mvhd(0, 1000, 0L) ++
+      trakFrag(1, 1000, Some("avc1")) ++ mvex(0, 7500L))
+    // mvhd duration 0 + mvex/mehd 7500 ticks @ 1000 Hz → 7500 ms
+    assert(metaOf(ftyp("isom") ++ initM) ===
+      Some(("mp4", Some(7500L), None, None, None, Some("isom"),
+        Some("avc1"))))
+    // v1 mehd, fractional: 1500 ticks @ 600 Hz = 2500 ms
+    assert(metaOf(ftyp("isom") ++ box("moov", mvhd(0, 600, 0L) ++
+      trakFrag(1, 600) ++ mvex(1, 1500L))).flatMap(_._2) === Some(2500L))
+    // mvhd unknown sentinel + mehd → mehd wins
+    assert(metaOf(ftyp("isom") ++ box("moov", mvhd(0, 1000, 0xFFFFFFFFL) ++
+      mvex(0, 3000L))).flatMap(_._2) === Some(3000L))
+    // no mehd: duration from moof sum — two fragments on track 1
+    // (media timescale 600): 10 × defDur 60 + per-sample (120+180+300)
+    // = 600 + 600 = 1200 ticks @ 600 Hz = 2000 ms
+    val moovNoMehd = box("moov", mvhd(0, 1000, 0L) ++
+      trakFrag(1, 600, Some("avc1")))
+    val frags = moof(1, 10, Some(60), None) ++
+      moof(1, 3, None, Some(Seq(120, 180, 300)))
+    assert(metaOf(ftyp("isom") ++ moovNoMehd ++ frags).flatMap(_._2) ===
+      Some(2000L))
+    // two tracks: duration = the LONGER track (they run in parallel)
+    val moov2 = box("moov", mvhd(0, 1000, 0L) ++
+      trakFrag(1, 1000) ++ trakFrag(2, 600))
+    val frags2 = moof(1, 4, Some(500), None) ++ // 2000 ticks @1000 = 2 s
+      moof(2, 3, None, Some(Seq(600, 600, 300))) // 1500 @600 = 2.5 s
+    assert(metaOf(ftyp("isom") ++ moov2 ++ frags2).flatMap(_._2) ===
+      Some(2500L))
+    // positive mvhd duration stays authoritative over fragments
+    assert(metaOf(ftyp("isom") ++ box("moov", mvhd(0, 1000, 4000L) ++
+      trakFrag(1, 600)) ++ moof(1, 10, Some(60), None)).flatMap(_._2) ===
+      Some(4000L))
+    // underivable: trun has neither per-sample durations nor a tfhd
+    // default → duration null, row ALIVE (init-segment posture)
+    assert(metaOf(ftyp("isom") ++ moovNoMehd ++ moof(1, 10, None, None)) ===
+      Some(("mp4", None, None, None, None, Some("isom"), Some("avc1"))))
+    // moof referencing a track with no known timescale → duration null
+    assert(metaOf(ftyp("isom") ++ moovNoMehd ++
+      moof(9, 10, Some(60), None)).flatMap(_._2) === None)
+    // structural corruption: trun declares more samples than bytes → null
+    assert(metaOf(ftyp("isom") ++ moovNoMehd ++
+      moof(1, 3, None, Some(Seq(120, 180, 300)), trunOverrun = true)).isEmpty)
   }
 
   test("malformation matrix: null, never throw") {
