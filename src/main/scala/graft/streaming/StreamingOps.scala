@@ -142,7 +142,18 @@ object StreamingOps {
     * [[graft.Tables.normalizeEventTime]]. */
   def runAvailableNow(spark: SparkSession, path: String, queryName: String,
       outputMode: String = "append")(
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame): DataFrame =
+    runAvailableNowProgress(spark, path, queryName, outputMode)(transform)._1
+
+  /** [[runAvailableNow]] that ALSO returns the run's
+    * `StreamingQueryProgress` records, so callers can surface the
+    * state-store metrics (rows held / updated / evicted, bytes) that back
+    * the bounded-state claims — numbers per run, not code comments
+    * (r16 VERDICT item 7). */
+  def runAvailableNowProgress(spark: SparkSession, path: String,
+      queryName: String, outputMode: String = "append")(
+      transform: DataFrame => DataFrame)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     // FileStreamSource needs a directory; single-file corpora get a
     // symlinked temp dir.
     val f = new java.io.File(path)
@@ -177,6 +188,27 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    (spark.table(queryName), q.recentProgress.toSeq)
+  }
+
+  /** Flatten labeled progress sequences into one state-metrics DataFrame:
+    * one row per (stream, micro-batch, stateful operator) with the
+    * state-store row counts and byte footprint. This is the artifact
+    * that turns "state is one long per signature" / "join state is
+    * watermark-bounded" from Scaladoc claims into recorded numbers. */
+  def stateMetrics(spark: SparkSession,
+      labeled: Seq[(String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])])
+      : DataFrame = {
+    import spark.implicits._
+    labeled.flatMap { case (label, progs) =>
+      progs.flatMap { p =>
+        p.stateOperators.zipWithIndex.map { case (so, i) =>
+          (label, p.batchId, i.toLong, so.operatorName,
+            so.numRowsTotal, so.numRowsUpdated, so.numRowsRemoved,
+            so.memoryUsedBytes, so.numShufflePartitions)
+        }
+      }
+    }.toDF("stream", "batch_id", "op_idx", "operator_name", "rows_total",
+      "rows_updated", "rows_removed", "mem_bytes", "n_store_partitions")
   }
 }

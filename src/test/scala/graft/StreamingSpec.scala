@@ -23,6 +23,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.toString == b.toString)
   }
 
+  test("state-store metrics: dedup state = one row per distinct signature, " +
+    "join state bounded, bytes recorded") {
+    // the q255 shape at sf0.001 — the invariants the rows-only oracle
+    // entry cannot check are pinned here
+    val m = SparkEntry.queries("q255_stream_state_metrics")(spark, sfDir)
+      .collect()
+    assert(m.nonEmpty)
+    val byStream = m.groupBy(_.getString(0))
+    assert(byStream.keySet == Set("dedup", "join"), byStream.keySet)
+    // dedup: final batch's state rows == distinct signatures of non-empty
+    // docs (one long per signature — the Scaladoc claim, now a number)
+    val dedupFinal = byStream("dedup").maxBy(_.getLong(1))
+    val distinctSigs = Tables.documents(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(graft.streaming.StreamingDedup.signature(col("text")).as("s"))
+      .filter(col("s").isNotNull).distinct().count()
+    assert(dedupFinal.getLong(4) == distinctSigs,
+      s"dedup rows_total ${dedupFinal.getLong(4)} != $distinctSigs")
+    // join: state rows bounded by the buffered view+click rows (both
+    // sides retained within the watermark), memory footprint recorded
+    val joinFinal = byStream("join").maxBy(_.getLong(1))
+    val ev = Tables.events(spark, sfDir)
+    val bound = ev.filter(col("event_type").isin("view", "click")).count()
+    assert(joinFinal.getLong(4) > 0 && joinFinal.getLong(4) <= bound,
+      s"join rows_total ${joinFinal.getLong(4)} vs bound $bound")
+    assert(m.forall(_.getLong(7) > 0), "mem_bytes must be recorded")
+    // the 4-partition store trim is visible in the artifact too
+    assert(m.forall(_.getLong(8) == 4L),
+      m.map(_.getLong(8)).toSeq.distinct.toString)
+  }
+
   test("streaming upsert: replayed keys replace, new keys append, within-batch last-writer wins") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("ups-in").toString
