@@ -53,11 +53,32 @@ import graft.operators.Dedup
   *    catch).
   *
   * Run: `SPARK_DRIVER_MEM=48g sbt "Test/runMain
-  * graft.tools.ScaleRehearsal100x"` (args: [nDocs,nDocs,...]). Expect
-  * minutes per scale — that is the point. The heap matters: 10g/32
-  * tasks sits below the spill rehearsal's ~0.5 GB/task aggregation
-  * floor at this scale and fails LOUDLY (AGGREGATE_OUT_OF_MEMORY — the
-  * documented degrade-vs-cliff boundary, observed, not extrapolated).
+  * graft.tools.ScaleRehearsal100x"` (args: [nDocs,nDocs,...] [corpus]).
+  * Expect minutes per scale — that is the point. The heap matters:
+  * 10g/32 tasks sits below the spill rehearsal's ~0.5 GB/task
+  * aggregation floor at this scale and fails LOUDLY
+  * (AGGREGATE_OUT_OF_MEMORY — the documented degrade-vs-cliff
+  * boundary, observed, not extrapolated).
+  *
+  * r17 additions (r16 VERDICT items 1 and 3):
+  *  - **corpus mode** (`args(1)` or `SPARK_GRAFT_CORPUS`): `uniform`
+  *    (default — the historical dictionary-adversarial corpus: random
+  *    words → nearly every shingle distinct → dfreq dictionary ≈ corpus
+  *    shingles, a worst-case scratch slope) vs `zipf` — word draws
+  *    follow Zipf(1.0) ranks over the same vocabulary, the realistic
+  *    text shape where hot words repeat and the shingle dictionary is a
+  *    fraction of corpus shingles. Planted-truth construction is
+  *    IDENTICAL (members still differ from base in exactly one word),
+  *    so the recall asserts carry over and the two recorded slopes
+  *    isolate corpus adversariality from engine behavior.
+  *  - **sampled-hotness arm**: each scale times the FULL prefix-hotness
+  *    diagnostic against q253's deterministic quarter-sample
+  *    (doc_id % 4 = 0) and derives the autoCap from both — the sampled
+  *    tail read at nd/rate as the Scaladoc prescribes. Asserted: both
+  *    caps admit every planted cluster (same recall-lossless decision)
+  *    and agree within 2×; recorded: the walls, which is the claimed
+  *    linear-term win measured at 10×–40× corpus instead of asserted
+  *    from toy scale.
   */
 object ScaleRehearsal100x {
 
@@ -161,6 +182,11 @@ object ScaleRehearsal100x {
 
     val ladder = args.headOption.getOrElse("50000,100000,200000")
       .split(",").map(_.trim.toInt).toSeq
+    val corpusMode = args.lift(1)
+      .orElse(sys.env.get("SPARK_GRAFT_CORPUS")).getOrElse("uniform")
+    require(corpusMode == "uniform" || corpusMode == "zipf",
+      s"corpus mode must be uniform|zipf: $corpusMode")
+    val modeTag = if (corpusMode == "uniform") "" else s" corpus=$corpusMode"
 
     def timed(scale: Int, name: String)(f: => Long): Boolean = {
       memSpill.set(0); diskSpill.set(0); peakTask.set(0); peakScratch.set(0)
@@ -169,7 +195,8 @@ object ScaleRehearsal100x {
         val n = f
         val secs = (System.nanoTime() - t0) / 1e9
         Thread.sleep(1000)
-        println(f"REHEARSAL100X n=$scale $name rows=$n%d time=$secs%.1f s " +
+        println(f"REHEARSAL100X n=$scale$modeTag $name rows=$n%d " +
+          f"time=$secs%.1f s " +
           f"spill_mem=${memSpill.get / 1e6}%.0f MB " +
           f"spill_disk=${diskSpill.get / 1e6}%.0f MB " +
           f"peak_task=${peakTask.get / 1e6}%.0f MB " +
@@ -196,6 +223,29 @@ object ScaleRehearsal100x {
     def runScale(nDocs: Int): Boolean = {
       val rnd = new scala.util.Random(42)
       val vocab = (0 until 40000).map(i => s"w${i}t${(i * 7) % 97}")
+      // Zipf(1.0) inverse CDF over vocab ranks (realistic-text arm):
+      // P(rank r) ∝ 1/r — ~half of all draws land in the top ~200 words,
+      // so shingles repeat across documents and the dfreq dictionary
+      // stops scaling with the corpus (the uniform arm's adversarial
+      // property). Tail draws still give every doc rare prefix shingles.
+      val zipfCdf: Array[Double] =
+        if (corpusMode != "zipf") null
+        else {
+          val cum = new Array[Double](vocab.length)
+          var acc = 0.0
+          var i = 0
+          while (i < vocab.length) { acc += 1.0 / (i + 1); cum(i) = acc; i += 1 }
+          var j = 0
+          while (j < vocab.length) { cum(j) /= acc; j += 1 }
+          cum
+        }
+      def drawWord(): String =
+        if (zipfCdf == null) vocab(rnd.nextInt(vocab.length))
+        else {
+          var i = java.util.Arrays.binarySearch(zipfCdf, rnd.nextDouble())
+          if (i < 0) i = -i - 1
+          vocab(math.min(i, vocab.length - 1))
+        }
       val boiler = "subscribe to our newsletter accept all cookies terms " +
         "of service privacy policy all rights reserved contact us about " +
         "careers"
@@ -214,7 +264,7 @@ object ScaleRehearsal100x {
       var id = 0L
       var cid = 0L
       sizes.foreach { sz =>
-        val base = (0 until 45).map(_ => vocab(rnd.nextInt(vocab.length)))
+        val base = (0 until 45).map(_ => drawWord())
         (0 until sz).foreach { m =>
           // each member differs from base in EXACTLY one word (same
           // construction as the mega cluster below), so any member pair
@@ -226,8 +276,7 @@ object ScaleRehearsal100x {
           // completed (r16)
           val words =
             if (m == 0) base
-            else base.updated((m * 13) % 44,
-              vocab(rnd.nextInt(vocab.length)))
+            else base.updated((m * 13) % 44, drawWord())
           // boiler membership is CLUSTER-level: a member pair straddling
           // the boiler boundary has J ≈ 0.60 — at the threshold, so the
           // "truth" would hinge on shingle-boundary accounting instead of
@@ -241,7 +290,7 @@ object ScaleRehearsal100x {
         cid += 1
       }
       // mega cluster (ids >= 10M, cluster = -2)
-      val megaBase = (0 until 45).map(_ => vocab(rnd.nextInt(vocab.length)))
+      val megaBase = (0 until 45).map(_ => drawWord())
       (0L until 200L).foreach { m =>
         val words =
           if (m == 0L) megaBase
@@ -340,8 +389,47 @@ object ScaleRehearsal100x {
             s"recall floor: $intactOk/$totalMulti intact")
         nClusters
       }
+
+      // ---- sampled-hotness arm (r16 item 3): the FULL prefix-hotness
+      // diagnostic vs q253's deterministic quarter-sample, at ladder
+      // scale. Recorded: both walls and both derived caps (sampled tail
+      // read at nd/rate per the Scaladoc). Asserted: the full cap admits
+      // every planted cluster, and the sampled cap agrees within 2× —
+      // binomial noise at rate 1/4 on a 200-member cluster is ±~12%, so
+      // a user applying the prescribed nd/rate reading with any sane
+      // margin reaches the SAME recall-lossless decision.
+      val ok4 = ok3 && {
+        val nAll = id + 200 + plantedCont.size
+        val largest = math.max(sizes.max.toLong, 200L)
+        var fullCap = 0L
+        var sampCap = 0L
+        val okF = timed(nDocs, "hotness_full") {
+          val hot = Dedup.prefixHotness(docs, "doc_id", "text")
+            .localCheckpoint()
+          fullCap = Dedup.capBelowTemplateFloor(hot, "nd", nAll, 0.5,
+            "rehearsal_hotness_full").toLong
+          hot.count()
+        }
+        val okS = okF && timed(nDocs, "hotness_sampled") {
+          val hot = Dedup.prefixHotness(docs, "doc_id", "text",
+            sample = Some(pmod(col("doc_id"), lit(4)) === 0))
+            .localCheckpoint()
+          sampCap = 4L * Dedup.capBelowTemplateFloor(hot, "nd", nAll / 4,
+            0.5, "rehearsal_hotness_sampled")
+          hot.count()
+        }
+        if (okS) {
+          println(s"REHEARSAL100X n=$nDocs$modeTag hotness_caps " +
+            s"full=$fullCap sampled_x4=$sampCap largest_planted=$largest")
+          require(fullCap >= largest,
+            s"full-hotness cap $fullCap below largest planted $largest")
+          require(sampCap >= fullCap / 2 && sampCap <= fullCap * 2,
+            s"sampled cap $sampCap vs full $fullCap beyond 2x")
+        }
+        okS
+      }
       rmTree(Paths.get(dir))
-      ok3
+      ok4
     }
 
     val completed = ladder.takeWhile { n =>

@@ -39,6 +39,18 @@ import graft.operators.Similarity
   *    high by construction — the measured value and its stability are
   *    the evidence).
   *
+  * r17 (r16 VERDICT item 2): a multi-table OR-construction sweep prices
+  * the recall knob. Single-table recall r = (1−θ/π)^bits is pinned by
+  * geometry (~0.80 at 16 bits for the planted θ); L tables lift
+  * candidate recall to 1 − (1−r)^L at ~L× bucketing/join cost. The
+  * sweep measures L ∈ {1,2,4} × bits ∈ {16,12} — the full grid at 100k,
+  * L ∈ {2,4} × 16 bits at 400k/1M (12-bit buckets at 1M hold ~244
+  * members → a ~16× candidate-join blowup; the single-box arm would
+  * spend hours re-measuring a cost the 100k grid already prices —
+  * logged, not silent). Asserts: recall within the geometric
+  * prediction's band, cross-cluster pairs STILL zero (the exact verify
+  * is L-independent).
+  *
   * Run: `SPARK_DRIVER_MEM=48g sbt "Test/runMain
   * graft.tools.VectorScaleRehearsal"` (args: [nVecs,nVecs,...]). */
 object VectorScaleRehearsal {
@@ -184,10 +196,8 @@ object VectorScaleRehearsal {
 
       val clusterOf = vecs.select(col("vec_id"), col("cluster"))
 
-      timed(nVec, "lsh_pair_recall") {
-        val pairs = Similarity.lshNearPairs(vecs, "vec_id", "embedding",
-          bits = 16, minSim = 0.9, maxBucket = 0)
-          .select(col("id_a"), col("id_b")).localCheckpoint()
+      // (within, cross) of a candidate-pair set against the planted truth
+      def pairStats(pairs: org.apache.spark.sql.DataFrame): (Long, Long) = {
         val withC = pairs
           .join(clusterOf.withColumnRenamed("vec_id", "id_a")
             .withColumnRenamed("cluster", "ca"), "id_a")
@@ -197,7 +207,17 @@ object VectorScaleRehearsal {
           .filter(col("ca") === col("cb") && col("ca") >= 0).count()
         val cross = withC
           .filter(col("ca") =!= col("cb") || col("ca") < 0).count()
+        (within, cross)
+      }
+
+      var recall1Table16 = -1.0 // single-table measured r for the L-curve
+      timed(nVec, "lsh_pair_recall") {
+        val pairs = Similarity.lshNearPairs(vecs, "vec_id", "embedding",
+          bits = 16, minSim = 0.9, maxBucket = 0)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val (within, cross) = pairStats(pairs)
         val recall = within.toDouble / truthPairs
+        recall1Table16 = recall
         println(f"VECREHEARSAL n=$nVec lsh within=$within/$truthPairs " +
           f"(recall=$recall%.3f) cross=$cross")
         // calibrated single-table floor (see header): (1 - θ/π)^16 ≈ 0.79
@@ -207,6 +227,45 @@ object VectorScaleRehearsal {
         // met by background pairs (cos ≈ N(0, 1/64)), so cross must be 0
         require(cross == 0L, s"non-planted pairs at minSim=0.9: $cross")
         within
+      }
+
+      // ---- multi-table OR sweep (r16 item 2): price the recall knob ----
+      // full grid at 100k; 16-bit L∈{2,4} at larger scales (12-bit
+      // buckets at 1M ≈ 244 members → ~16× candidate join; priced at
+      // 100k, skipped above it — recorded here, not silently)
+      val sweep: Seq[(Int, Int)] =
+        if (nVec <= 100000) Seq((16, 2), (16, 4), (12, 1), (12, 2), (12, 4))
+        else Seq((16, 2), (16, 4))
+      if (nVec > 100000)
+        println(s"VECREHEARSAL n=$nVec sweep: 12-bit arms priced at 100k " +
+          "only (bucket-size blowup is the documented cost, not new info)")
+      val recall1ByBits = scala.collection.mutable.Map(16 -> recall1Table16)
+      sweep.foreach { case (bits, l) =>
+        timed(nVec, s"lsh_b${bits}_L$l") {
+          val pairs = Similarity.lshNearPairsTables(vecs, "vec_id",
+            "embedding", bits = bits, minSim = 0.9, tables = l,
+            maxBucket = 0)
+            .select(col("id_a"), col("id_b")).localCheckpoint()
+          val (within, cross) = pairStats(pairs)
+          val recall = within.toDouble / truthPairs
+          if (l == 1) recall1ByBits(bits) = recall
+          val predicted = recall1ByBits.get(bits)
+            .map(r1 => 1.0 - math.pow(1.0 - r1, l))
+          println(f"VECREHEARSAL n=$nVec lsh_b${bits}_L$l " +
+            f"within=$within/$truthPairs (recall=$recall%.3f" +
+            predicted.map(p => f" predicted=$p%.3f").getOrElse("") +
+            f") cross=$cross")
+          // the OR-construction can only add candidates; the verify is
+          // exact, so precision stays absolute at every L
+          require(cross == 0L, s"non-planted pairs at minSim=0.9: $cross")
+          // floors: measured single-table r lifted by the OR formula,
+          // minus margin for per-table correlation noise
+          predicted.foreach { p =>
+            require(recall >= p - 0.06,
+              f"b$bits/L$l recall $recall%.3f under prediction $p%.3f - 0.06")
+          }
+          within
+        }
       }
 
       timed(nVec, "ivf_recall_at_10") {
