@@ -816,6 +816,37 @@ class ScaleSpec extends AnyFunSuite {
       s"size(char_shingles) must sit below the Generate:\n$plan")
   }
 
+  test("plan shape: multi-table LSH dedups candidates BEFORE the vector " +
+    "verify (r17 q254 lock)") {
+    // The OR-construction's cost story hangs on two shape facts: (1) the
+    // per-table bucket collision join happens on (vid, tbl, bucket) rows
+    // and its duplicates are collapsed by ONE distinct aggregate keyed on
+    // the id pair; (2) the exact cosine verify joins the endpoint vectors
+    // back AFTER that dedup, so a pair colliding in all L tables is
+    // scored once. In the optimized plan tree (children print deeper)
+    // that is: verify joins < distinct aggregate < bucket join.
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.operators.Similarity.lshNearPairsTables(
+        vecs, "vec_id", "embedding", bits = 4, minSim = 0.1, tables = 2,
+        signatureAt = graft.operators.Similarity.hyperplaneSignatureLatticeAt)
+      .queryExecution.optimizedPlan.toString
+    val lines = plan.split("\n")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      plan)
+    val aggIdx = lines.indexWhere(l => l.contains("Aggregate") &&
+      l.contains("id_a") && l.contains("id_b"))
+    assert(aggIdx >= 0, s"candidate-pair distinct missing:\n$plan")
+    val bucketJoinIdx = lines.indexWhere(l => l.contains("Join") &&
+      l.contains("bucket#"))
+    assert(bucketJoinIdx > aggIdx,
+      s"bucket collision join must sit BELOW the pair distinct:\n$plan")
+    val verifyJoinIdx = lines.indexWhere(l => l.contains("Join") &&
+      l.contains("id_a#"))
+    assert(verifyJoinIdx >= 0 && verifyJoinIdx < aggIdx,
+      s"vector verify joins must sit ABOVE the pair distinct:\n$plan")
+  }
+
   test("dqRuleReport: one-pass suite, NULL predicate counts as violation") {
     import spark.implicits._
     val df = Seq(
