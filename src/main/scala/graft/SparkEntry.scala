@@ -4357,6 +4357,21 @@ object SparkEntry {
         signatureAt = Similarity.hyperplaneSignatureLatticeAt)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))),
 
+    // Multi-probe LSH (the memory-cheap recall knob, q254's complement):
+    // ONE q32 lattice table probed at the home bucket plus every
+    // Hamming-1 neighbor — a pair is a candidate when its 4-bit
+    // signatures differ in at most one bit, then the identical exact
+    // cosine verify. Each pair is emitted exactly once by construction
+    // (home×probe with vid order — see the operator Scaladoc), so the
+    // DuckDB mirror is simply "popcount(xor(sig_a, sig_b)) <= 1" over
+    // q32's signature CTE: the board proves the bucketing trick equals
+    // the declarative Hamming predicate.
+    "q256_ann_lsh_multiprobe" -> ((s, d) =>
+      Similarity.lshNearPairsMultiProbe(embeddings(s, d), "vec_id",
+        "embedding", bits = 4, minSim = 0.1,
+        signature = Similarity.hyperplaneSignatureLattice)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))),
+
     // Streaming state-store observability (r16 VERDICT item 7): run the
     // two stateful stream classes the board exercises — signature-keyed
     // dedup state (q96's shape) and symmetric stream-stream join state
@@ -4906,6 +4921,49 @@ object SparkEntry {
       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
       |    AND a.vec_id < b.vec_id),
+      |dots AS (
+      |  SELECT p.id_a, p.id_b,
+      |    sum(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE)) AS dp
+      |  FROM pairs p
+      |  JOIN u ua ON ua.vec_id = p.id_a
+      |  JOIN u ub ON ub.vec_id = p.id_b AND ua.j = ub.j
+      |  GROUP BY p.id_a, p.id_b),
+      |sims AS (
+      |  SELECT d.id_a, d.id_b, d.dp / (na.nrm * nb.nrm) AS sim
+      |  FROM dots d
+      |  JOIN nrm na ON d.id_a = na.vec_id
+      |  JOIN nrm nb ON d.id_b = nb.vec_id)""".stripMargin
+
+  /** q256's multi-probe lattice chain: the SAME single-table signature as
+    * [[latticeSimCtes]] (q32's buckets exactly), but pairs qualify at
+    * signature Hamming distance ≤ 1 — the declarative form of probing the
+    * home bucket plus every one-bit flip. popcount over the 4-bit XOR is
+    * spelled with explicit shifts so the mirror is self-evidently the
+    * operator's predicate. */
+  private val latticeSimProbeCtes: String =
+    """u AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         unnest(range(0, len(embedding))) AS j
+      |  FROM embeddings),
+      |lanes AS (SELECT unnest(range(0, 4)) AS i),
+      |proj AS (
+      |  SELECT u.vec_id, l.i,
+      |    sum(CAST(x AS DOUBLE) * CAST((l.i * 31 + j * 17) % 7 - 3 AS DOUBLE)) AS p
+      |  FROM u CROSS JOIN lanes l GROUP BY u.vec_id, l.i),
+      |sig AS (
+      |  SELECT vec_id,
+      |    sum(CASE WHEN p >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |nrm AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |  FROM u GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+      |    AND ((xor(a.bucket, b.bucket) // 1) % 2
+      |       + (xor(a.bucket, b.bucket) // 2) % 2
+      |       + (xor(a.bucket, b.bucket) // 4) % 2
+      |       + (xor(a.bucket, b.bucket) // 8) % 2) <= 1),
       |dots AS (
       |  SELECT p.id_a, p.id_b,
       |    sum(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE)) AS dp
@@ -9215,6 +9273,15 @@ object SparkEntry {
     // stream offset tbl·4 + i keeps table 0 identical to q32's buckets.
     "q254_ann_lsh_multitable" ->
       s"""WITH $latticeSimMultiCtes
+         |SELECT id_a, id_b, round(sim, 6) AS sim_r
+         |FROM sims WHERE sim >= 0.1""".stripMargin,
+
+    // q256: multi-probe — q32's single lattice table, pairs at signature
+    // Hamming distance <= 1 (home bucket + every one-bit flip), identical
+    // exact verify. The SQL states the predicate declaratively; the Spark
+    // side reaches the same set through the home x probe bucket join.
+    "q256_ann_lsh_multiprobe" ->
+      s"""WITH $latticeSimProbeCtes
          |SELECT id_a, id_b, round(sim, 6) AS sim_r
          |FROM sims WHERE sim >= 0.1""".stripMargin,
 

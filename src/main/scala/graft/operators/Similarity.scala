@@ -386,6 +386,91 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Multi-probe LSH near pairs — the MEMORY-CHEAP recall knob, the
+    * complement of [[lshNearPairsTables]]: instead of building L
+    * independent tables (L× bucketing shuffle, L× signature state), ONE
+    * table is probed at the home bucket plus its `probes` Hamming-1
+    * neighbors (flip bit i of the signature, i < probes). A pair is a
+    * candidate when its signatures differ in at most one probed bit, so
+    * per-pair candidate recall lifts from r = p^bits to
+    * p^bits + probes · p^(bits−1) · (1−p), where p = 1 − θ/π — at 16
+    * bits / θ ≈ 0.045 rad that is 0.80 → ~0.98 with probes = 16, between
+    * L = 2 (0.96) and L = 4 (0.998) from a SINGLE table build (the
+    * VECREHEARSAL curve prices all three side by side).
+    *
+    * Scale shape: the home side carries (vid, vector, norm, bucket) once
+    * — the only side that ships payload. The probe side is (probes + 1)
+    * narrow (vid, bucket) rows per vector, exploded map-side from an
+    * inline-expression array (no attribute generator input — the r16
+    * InferFiltersFromGenerate lesson). Each qualifying pair is emitted
+    * EXACTLY ONCE by construction, no dedup aggregate needed: for a pair
+    * x < y, the home×probe join on (home.bucket = probe.bucket,
+    * home.vid < probe.vid) matches only x's home row against the single
+    * y-probe entry at XOR(sig_x, sig_y) — probe entries of one vector are
+    * pairwise-distinct buckets, and the vid order kills the mirrored
+    * match. The probe-side vector is joined back by id after candidate
+    * generation, exactly like the multi-table chain.
+    *
+    * `maxBucket`/`templateShare` keep [[lshNearPairs]]'s contract:
+    * members of a refused (collapsed) HOME bucket produce no pairs at all
+    * — they are dropped from both the home side and the probe side, so a
+    * collapse-scale bucket cannot leak its quadratic pair set through a
+    * neighboring bucket's join. `probes` defaults to `bits` (all
+    * signature bits probed); `probes = 0` degenerates to exactly
+    * [[lshNearPairs]]'s pair set. */
+  def lshNearPairsMultiProbe(vectors: DataFrame, idCol: String,
+      vecCol: String, bits: Int = 16, minSim: Double = 0.9,
+      probes: Int = -1,
+      signature: (Column, Int) => Column = hyperplaneSignature,
+      maxBucket: Int = Int.MaxValue, templateShare: Double = 0.5)
+      : DataFrame = {
+    val nProbes = if (probes < 0) bits else probes
+    require(nProbes <= bits,
+      s"probes must be <= bits (one flip per signature bit): $probes")
+    require(maxBucket >= 0,
+      s"maxBucket must be >= 0 (0 = derive from the bucket-size " +
+        s"distribution): $maxBucket")
+    require(maxBucket > 0 || (templateShare > 0 && templateShare <= 1),
+      s"autoCap mode needs templateShare in (0,1]: $templateShare")
+    val home0 = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
+      signature(col(vecCol), bits).as("bucket"))
+    val home =
+      if (maxBucket == Int.MaxValue) home0
+      else {
+        val sizes = home0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+        val effCap =
+          if (maxBucket > 0) maxBucket.toLong
+          else {
+            val nVecs = vectors.count()
+            Dedup.capBelowTemplateFloor(sizes, "m", nVecs, templateShare,
+              "lshNearPairsMultiProbe").toLong
+          }
+        home0.join(sizes.filter(col("m") <= effCap).select(col("bucket")),
+          "bucket")
+      }
+    // probe side: home bucket + one flip per probed bit, all from the
+    // inline signature expression (never an attribute — see Scaladoc)
+    val sigExpr = signature(col(vecCol), bits)
+    val probe0 = vectors.select(col(idCol).as("pvid"),
+      explode(array(sigExpr +: (0 until nProbes).map(i =>
+        sigExpr.bitwiseXOR(lit(1L << i))): _*)).as("pbucket"))
+    val probe =
+      if (maxBucket == Int.MaxValue) probe0
+      else probe0.join(home.select(col("vid").as("pvid")), Seq("pvid"))
+    val base = home.select(col("vid").as("id_b"), col("v").as("_vb"),
+      col("nrm").as("_nb"))
+    home.as("a")
+      .join(probe.as("b"), col("a.bucket") === col("b.pbucket") &&
+        col("a.vid") < col("b.pvid"))
+      .select(col("a.vid").as("id_a"), col("b.pvid").as("id_b"),
+        col("a.v").as("_va"), col("a.nrm").as("_na"))
+      .join(base, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Embedding-cosine near-duplicate verdicts — the semantic-dedup step of
     * a training-data pipeline: a document is a duplicate when some EARLIER
     * document's embedding sits within `minSim` cosine of its own, and the

@@ -214,6 +214,98 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(nd(101L) == ((true, 100L)) && nd(100L) == ((false, -1L)))
   }
 
+  test("multi-probe LSH: equals the declarative Hamming<=1 predicate, " +
+    "probes=0 degenerates to the single table, no duplicates, cap drops " +
+    "collapsed-bucket members entirely") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = Array.tabulate(16)(_ => rnd.nextGaussian().toFloat)
+    val vecs = ((0L until 40L).map { i =>
+      val v =
+        if (i < 12L) base.zipWithIndex.map { case (x, j) =>
+          x + (0.05 * ((i * 7 + j) % 5 - 2)).toFloat } // near-cluster of 12
+        else Array.tabulate(16)(_ => rnd.nextGaussian().toFloat)
+      (i, v)
+    }).toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+
+    // driver-side reference: signatures from the SAME expression, pairs
+    // at Hamming <= 1, verified by exact cosine — the declarative form
+    val sigs = vecs.select(col("vec_id"),
+      Similarity.hyperplaneSignature(col("embedding"), 6).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val raw = vecs.as[(Long, Array[Float])].collect().toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { j =>
+        dp += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
+        nb += b(j).toDouble * b(j)
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val want = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 1
+      if cosine(raw(a), raw(b)) >= 0.9
+    } yield (a, b)).toSet
+
+    val got = pairsOf(Similarity.lshNearPairsMultiProbe(vecs, "vec_id",
+      "embedding", bits = 6, minSim = 0.9))
+    assert(got.distinct.size == got.size,
+      "each qualifying pair must be emitted exactly once")
+    assert(got.toSet == want, s"multiprobe != Hamming<=1 reference: " +
+      s"extra=${got.toSet -- want} missing=${want -- got.toSet}")
+
+    // probes = 0 is exactly the single-table pair set
+    val zero = pairsOf(Similarity.lshNearPairsMultiProbe(vecs, "vec_id",
+      "embedding", bits = 6, minSim = 0.9, probes = 0))
+    val single = pairsOf(Similarity.lshNearPairs(vecs, "vec_id",
+      "embedding", bits = 6, minSim = 0.9))
+    assert(zero.toSet == single.toSet, "probes=0 must equal lshNearPairs")
+    // and the full probe set can only ADD pairs over the single table
+    assert(single.toSet.subsetOf(got.toSet), "probing lost home pairs")
+
+    // cap contract: members of a refused home bucket produce no pairs AT
+    // ALL — not even through a Hamming-1 neighbor's bucket. minSim = -1
+    // disables the verify so any leaked candidate would surface.
+    val collapse = ((0L until 25L).map(i =>
+      (i, Array.tabulate(8)(j => (j + 1).toFloat))) ++ Seq(
+      (100L, Array.tabulate(8)(j => if (j % 2 == 0) -2f else 1f)),
+      (101L, Array.tabulate(8)(j => if (j % 2 == 0) -2f else 1f))))
+      .toDF("vec_id", "embedding")
+    val capped = pairsOf(Similarity.lshNearPairsMultiProbe(collapse,
+      "vec_id", "embedding", bits = 8, minSim = -1.0, maxBucket = 10))
+    assert(capped.toSet == Set((100L, 101L)), s"capped: $capped")
+
+    // lattice family: the board query's exact configuration agrees with
+    // the declarative predicate too (4-bit lattice signature)
+    val latSigs = vecs.select(col("vec_id"),
+      Similarity.hyperplaneSignatureLattice(col("embedding"), 4).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val latWant = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      if java.lang.Long.bitCount(latSigs(a) ^ latSigs(b)) <= 1
+      if cosine(raw(a), raw(b)) >= 0.1
+    } yield (a, b)).toSet
+    val latGot = pairsOf(Similarity.lshNearPairsMultiProbe(vecs, "vec_id",
+      "embedding", bits = 4, minSim = 0.1,
+      signature = Similarity.hyperplaneSignatureLattice))
+    assert(latGot.toSet == latWant,
+      s"lattice multiprobe != reference: extra=${latGot.toSet -- latWant} " +
+        s"missing=${latWant -- latGot.toSet}")
+
+    // scale shape: the candidate join is an equi-join on the bucket —
+    // never a cartesian/nested-loop (the Hamming predicate must be
+    // reached through probe-bucket expansion, not pair enumeration)
+    val plan = Similarity.lshNearPairsMultiProbe(vecs, "vec_id",
+      "embedding", bits = 16, minSim = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"multiprobe plan degenerated to pair enumeration:\n$plan")
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -229,6 +229,28 @@ object VectorScaleRehearsal {
         within
       }
 
+      // ---- multi-probe arm (r17): the memory-cheap knob, priced against
+      // the OR-construction below. One 16-bit table probed at Hamming<=1:
+      // per-pair recall lifts from r = p^16 to r·(1 + 16·(1−p)/p) where
+      // p = r^(1/16) is the measured per-bit agreement — ~0.98 for the
+      // planted geometry, between L=2 and L=4 from a single table build.
+      timed(nVec, "lsh_b16_P16") {
+        val pairs = Similarity.lshNearPairsMultiProbe(vecs, "vec_id",
+          "embedding", bits = 16, minSim = 0.9, maxBucket = 0)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val (within, cross) = pairStats(pairs)
+        val recall = within.toDouble / truthPairs
+        val p = math.pow(recall1Table16, 1.0 / 16)
+        val predicted = recall1Table16 * (1.0 + 16.0 * (1.0 - p) / p)
+        println(f"VECREHEARSAL n=$nVec lsh_b16_P16 " +
+          f"within=$within/$truthPairs (recall=$recall%.3f " +
+          f"predicted=$predicted%.3f) cross=$cross")
+        require(cross == 0L, s"non-planted pairs at minSim=0.9: $cross")
+        require(recall >= predicted - 0.06,
+          f"P16 recall $recall%.3f under prediction $predicted%.3f - 0.06")
+        within
+      }
+
       // ---- multi-table OR sweep (r16 item 2): price the recall knob ----
       // full grid at 100k; 16-bit L∈{2,4} at larger scales (12-bit
       // buckets at 1M ≈ 244 members → ~16× candidate join; priced at
