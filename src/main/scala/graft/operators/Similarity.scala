@@ -484,14 +484,24 @@ object Similarity {
       signature: (Column, Int) => Column = hyperplaneSignature,
       maxBucket: Int = Int.MaxValue, templateShare: Double = 0.5,
       tables: Int = 1,
-      signatureAt: (Column, Int, Int) => Column = hyperplaneSignatureAt)
+      signatureAt: (Column, Int, Int) => Column = hyperplaneSignatureAt,
+      probes: Int = 0)
       : DataFrame = {
-    // tables = 1 keeps the measured single-table plan (signature applies);
-    // tables > 1 routes through the OR-construction chain, whose plane
-    // families come from signatureAt (the single-table `signature` lambda
-    // cannot say what its table-2 planes would be)
+    // tables = 1, probes = 0 keeps the measured single-table plan
+    // (signature applies); tables > 1 routes through the OR-construction
+    // chain, whose plane families come from signatureAt (the single-table
+    // `signature` lambda cannot say what its table-2 planes would be);
+    // probes > 0 routes through the Hamming-probe chain on the ONE
+    // `signature` table — the two recall knobs are alternatives, not
+    // composable (pick bucketing-cost OR probe-fanout)
+    require(tables <= 1 || probes <= 0,
+      s"tables and probes are alternative recall knobs — set one: " +
+        s"tables=$tables probes=$probes")
     val pairs =
-      if (tables <= 1)
+      if (probes > 0)
+        lshNearPairsMultiProbe(vectors, idCol, vecCol, bits, minSim,
+          probes, signature, maxBucket, templateShare)
+      else if (tables <= 1)
         lshNearPairs(vectors, idCol, vecCol, bits, minSim, signature,
           maxBucket, templateShare)
       else

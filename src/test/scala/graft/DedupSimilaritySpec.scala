@@ -278,6 +278,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", bits = 8, minSim = -1.0, maxBucket = 10))
     assert(capped.toSet == Set((100L, 101L)), s"capped: $capped")
 
+    // embeddingNearDup routes probes > 0 through the same chain (and
+    // refuses the two knobs together — they are alternatives)
+    val nd = Similarity.embeddingNearDup(collapse, "vec_id", "embedding",
+        bits = 8, minSim = 0.99, maxBucket = 10, probes = 8)
+      .as[(Long, Boolean, Long)].collect()
+      .map { case (id, d, of) => id -> ((d, of)) }.toMap
+    assert(nd(101L) == ((true, 100L)) && nd(100L) == ((false, -1L)))
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDup(collapse, "vec_id", "embedding",
+        tables = 2, probes = 8)
+    }
+
     // lattice family: the board query's exact configuration agrees with
     // the declarative predicate too (4-bit lattice signature)
     val latSigs = vecs.select(col("vec_id"),

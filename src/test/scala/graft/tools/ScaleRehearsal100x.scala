@@ -112,6 +112,18 @@ object ScaleRehearsal100x {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_ARMS: comma-set of {q121,q154,q63,hotness} restricting
+    // which arms run (default all). Exists because the arms' scratch
+    // footprints differ by ~10×: the measured 500k q121 attempt aborted
+    // at 74.5 GB live scratch under the budget guard, while q154/q63/
+    // hotness at the same scale fit comfortably — the filter lets the
+    // true-100× scales run for the arms the sandbox CAN hold, with the
+    // q121 abort recorded honestly instead of blocking them.
+    val armFilter = sys.env.get("SPARK_GRAFT_ARMS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def armOn(name: String): Boolean = armFilter.forall(_.contains(name))
+    armFilter.foreach(a =>
+      println(s"REHEARSAL100X arm filter: ${a.mkString(",")}"))
     val scratchRoot = Paths.get("target/spark-scratch-100x").toAbsolutePath
     rmTree(scratchRoot)
     Files.createDirectories(scratchRoot)
@@ -330,7 +342,7 @@ object ScaleRehearsal100x {
 
       val clusterOf = docs.select(col("doc_id"), col("cluster"))
 
-      val ok1 = timed(nDocs, "q121_autocap") {
+      val ok1 = !armOn("q121") || timed(nDocs, "q121_autocap") {
         val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
           maxDocsPerTok = 0).select(col("id_a"), col("id_b"))
           .localCheckpoint()
@@ -351,7 +363,7 @@ object ScaleRehearsal100x {
         all
       }
 
-      val ok2 = ok1 && timed(nDocs, "q154_containment") {
+      val ok2 = ok1 && (!armOn("q154") || timed(nDocs, "q154_containment") {
         val got = Dedup.containmentPairs(docs, "doc_id", "text")
           .select(col("id_sub"), col("id_sup")).localCheckpoint()
         val plantedDf = plantedCont.toDF("id_sub", "id_sup")
@@ -363,9 +375,9 @@ object ScaleRehearsal100x {
           s"q154 lost planted containment pairs: " +
             s"$found != ${plantedCont.size}")
         all
-      }
+      })
 
-      val ok3 = ok2 && timed(nDocs, "q63_connected_components") {
+      val ok3 = ok2 && (!armOn("q63") || timed(nDocs, "q63_connected_components") {
         val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text")
         val cc = Dedup.connectedComponents(docs, "doc_id", pairs)
           .withColumnRenamed("cluster", "comp")
@@ -388,7 +400,7 @@ object ScaleRehearsal100x {
           s"q63 planted clusters fragmented below the calibrated banded " +
             s"recall floor: $intactOk/$totalMulti intact")
         nClusters
-      }
+      })
 
       // ---- sampled-hotness arm (r16 item 3): the FULL prefix-hotness
       // diagnostic vs q253's deterministic quarter-sample, at ladder
@@ -398,7 +410,7 @@ object ScaleRehearsal100x {
       // binomial noise at rate 1/4 on a 200-member cluster is ±~12%, so
       // a user applying the prescribed nd/rate reading with any sane
       // margin reaches the SAME recall-lossless decision.
-      val ok4 = ok3 && {
+      val ok4 = ok3 && (!armOn("hotness") || {
         val nAll = id + 200 + plantedCont.size
         val largest = math.max(sizes.max.toLong, 200L)
         var fullCap = 0L
@@ -427,7 +439,7 @@ object ScaleRehearsal100x {
             s"sampled cap $sampCap vs full $fullCap beyond 2x")
         }
         okS
-      }
+      })
       rmTree(Paths.get(dir))
       ok4
     }
