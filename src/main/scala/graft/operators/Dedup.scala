@@ -644,8 +644,34 @@ object Dedup {
       else {
         val nDocs = prefixPre.agg(countDistinct(col("doc_id")))
           .head().getLong(0)
-        capBelowTemplateFloor(ndCounts, "nd", nDocs, templateShare,
+        val cap = capBelowTemplateFloor(ndCounts, "nd", nDocs, templateShare,
           "prefixJaccardPairs")
+        // Candidate-volume forecast (r17): the join below emits C(nd, 2)
+        // rows per kept token BEFORE the distinct, so one linear pass
+        // over the already-needed (tok, nd) table prices the pair stage
+        // exactly. On a finite-vocabulary corpus every token's nd grows
+        // WITH the corpus while the share-derived cap admits it until
+        // nd ≥ share·N — candidate volume then scales ~quadratically in
+        // corpus size (the measured 300k-doc Zipf-ladder cliff: 11 GB →
+        // 55+ GB live shuffle scratch at 1.5× the docs). Warn loudly
+        // when pairs-per-doc says the pair stage will dominate: the
+        // at-scale tool for that regime is banded minhash
+        // ([[minhashCandidatesPortable]] → [[connectedComponents]]),
+        // whose candidate volume is band-bounded, or an ABSOLUTE
+        // `maxDocsPerTok` at the largest genuine cluster size.
+        val predRow = ndCounts.filter(col("nd") <= cap)
+          .agg(sum(col("nd") * (col("nd") - 1) / 2)).head()
+        val predicted = if (predRow.isNullAt(0)) 0.0 else predRow.getDouble(0)
+        if (predicted > 10000.0 * nDocs)
+          log.warn(f"prefixJaccardPairs autoCap=$cap admits $predicted%.3e " +
+            f"candidate rows (${predicted / math.max(nDocs, 1)}%.0f per doc) " +
+            "— the pair stage will dominate; prefer banded minhash " +
+            "(minhashCandidatesPortable) or an absolute maxDocsPerTok at " +
+            "the largest genuine cluster size for this corpus shape")
+        else
+          log.info(f"prefixJaccardPairs autoCap=$cap predicted candidate " +
+            f"rows (pre-distinct) = $predicted%.3e")
+        cap
       }
     val keepToks = ndCounts
       .filter(col("nd") <= effCap).select(col("tok"))

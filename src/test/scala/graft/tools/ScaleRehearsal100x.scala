@@ -420,6 +420,19 @@ object ScaleRehearsal100x {
             .localCheckpoint()
           fullCap = Dedup.capBelowTemplateFloor(hot, "nd", nAll, 0.5,
             "rehearsal_hotness_full").toLong
+          // predicted candidate volume at the derived cap: the q121
+          // candidate join emits C(nd, 2) pairs per kept token, so
+          // Σ n_toks · nd(nd−1)/2 over nd ≤ cap IS the pre-distinct
+          // candidate row count — the number that explains whether the
+          // pair stage fits. One aggregate over the tiny (nd, n_toks)
+          // table; this is exactly the pre-commit read the Scaladoc
+          // prescribes, now printed so the ladder records the curve.
+          val predRow = hot.filter(col("nd") <= fullCap)
+            .agg(sum(col("n_toks") * col("nd") * (col("nd") - 1) / 2))
+            .head()
+          val pred = if (predRow.isNullAt(0)) 0.0 else predRow.getDouble(0)
+          println(f"REHEARSAL100X n=$nDocs$modeTag predicted_candidates=" +
+            f"${pred}%.3e at cap=$fullCap")
           hot.count()
         }
         val okS = okF && timed(nDocs, "hotness_sampled") {
