@@ -342,9 +342,18 @@ object ScaleRehearsal100x {
 
       val clusterOf = docs.select(col("doc_id"), col("cluster"))
 
-      val ok1 = !armOn("q121") || timed(nDocs, "q121_autocap") {
+      // SPARK_GRAFT_Q121_CAP: absolute maxDocsPerTok for the q121 arm
+      // (default 0 = the share-derived autocap). The Zipf ladder showed
+      // the autocap admitting ever-hotter background tokens as the corpus
+      // grows (cap 214→654 at 100k→500k while the largest genuine cluster
+      // stays 200), driving candidate volume ~N²; an absolute cap at the
+      // largest-genuine size is the operator's documented at-scale
+      // posture — this knob measures it on the same planted truth.
+      val q121Cap = sys.env.getOrElse("SPARK_GRAFT_Q121_CAP", "0").toInt
+      val q121Name = if (q121Cap > 0) s"q121_cap$q121Cap" else "q121_autocap"
+      val ok1 = !armOn("q121") || timed(nDocs, q121Name) {
         val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
-          maxDocsPerTok = 0).select(col("id_a"), col("id_b"))
+          maxDocsPerTok = q121Cap).select(col("id_a"), col("id_b"))
           .localCheckpoint()
         val withC = pairs
           .join(clusterOf.withColumnRenamed("doc_id", "id_a")
