@@ -436,12 +436,21 @@ object ScaleRehearsal100x {
           // pair stage fits. One aggregate over the tiny (nd, n_toks)
           // table; this is exactly the pre-commit read the Scaladoc
           // prescribes, now printed so the ladder records the curve.
-          val predRow = hot.filter(col("nd") <= fullCap)
-            .agg(sum(col("n_toks") * col("nd") * (col("nd") - 1) / 2))
-            .head()
-          val pred = if (predRow.isNullAt(0)) 0.0 else predRow.getDouble(0)
-          println(f"REHEARSAL100X n=$nDocs$modeTag predicted_candidates=" +
-            f"${pred}%.3e at cap=$fullCap")
+          // also at FIXED absolute caps: whether Σ C(nd,2) below a fixed
+          // cap grows linearly with the corpus (tokens migrate up past
+          // the cap as fast as new ones enter) or superlinearly (mass
+          // accumulates below it) decides whether an absolute cap
+          // linearizes the pair stage — measured, not modeled.
+          (Seq(100L, 200L, 300L, 500L) :+ fullCap).distinct.sorted
+            .foreach { c =>
+              val r = hot.filter(col("nd") <= c)
+                .agg(sum(col("n_toks") * col("nd") * (col("nd") - 1) / 2))
+                .head()
+              val pred = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+              val tag = if (c == fullCap) " (derived)" else ""
+              println(f"REHEARSAL100X n=$nDocs$modeTag " +
+                f"predicted_candidates=${pred}%.3e at cap=$c$tag")
+            }
           hot.count()
         }
         val okS = okF && timed(nDocs, "hotness_sampled") {
