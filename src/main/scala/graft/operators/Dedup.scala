@@ -613,12 +613,28 @@ object Dedup {
     cap
   }
 
+  /** `maxCandidates` (autocap mode only, 0 = off) bounds the pair
+    * stage by BUDGET instead of by recall: the cap becomes the largest
+    * nd whose cumulative forecast Σ n_toks · C(nd, 2) stays within the
+    * budget (and never exceeds the share-derived cap). This is the
+    * executable form of the candidate-volume guidance: on an
+    * open-vocabulary corpus the share-derived autocap admits ever-hotter
+    * tokens as the corpus grows (measured: cap 214→654 and forecast
+    * 2.0e8→4.6e9 candidates at 100k→500k Zipf docs, ≈ N^1.95), so a
+    * fixed scratch envelope needs the budget stated explicitly. The
+    * trade is recall ABOVE the chosen cap — clusters larger than it lose
+    * their pairs — and the chosen cap is logged loudly so the trade is
+    * visible, mirroring [[prefixHotness]]'s read-the-tail contract. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
-      maxDocsPerTok: Int = 20, templateShare: Double = 0.5): DataFrame = {
+      maxDocsPerTok: Int = 20, templateShare: Double = 0.5,
+      maxCandidates: Long = 0L): DataFrame = {
     require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
     require(maxDocsPerTok > 0 || (templateShare > 0 && templateShare <= 1),
       s"autoCap mode needs templateShare in (0,1]: $templateShare")
+    require(maxCandidates == 0L || maxDocsPerTok <= 0,
+      "maxCandidates budgets the AUTO cap — with an explicit " +
+        s"maxDocsPerTok=$maxDocsPerTok the caller has already chosen")
     val (prefixPre0, inputSmall) =
       prefixToks(docs, idCol, textCol, shingleK, numT, denT)
     // autoCap mode reads prefixPre twice (nd distribution) before the
@@ -671,7 +687,27 @@ object Dedup {
         else
           log.info(f"prefixJaccardPairs autoCap=$cap predicted candidate " +
             f"rows (pre-distinct) = $predicted%.3e")
-        cap
+        if (maxCandidates > 0L && predicted > maxCandidates) {
+          // largest nd whose CUMULATIVE forecast fits the budget: the
+          // (nd, Σ) rollup has at most one row per distinct nd value —
+          // hundreds of rows — so the cumulative scan is driver-side
+          val rollup = ndCounts.groupBy(col("nd"))
+            .agg(sum(col("nd") * (col("nd") - 1) / 2).as("pairs"))
+            .filter(col("nd") <= cap).orderBy(col("nd"))
+            .select(col("nd"), col("pairs")).collect()
+          var cum = 0.0
+          var budgetCap = 2L
+          rollup.foreach { r =>
+            cum += r.getDouble(1)
+            if (cum <= maxCandidates.toDouble) budgetCap = r.getLong(0)
+          }
+          val chosen = math.max(2L, math.min(budgetCap, cap.toLong)).toInt
+          log.warn(f"prefixJaccardPairs maxCandidates=$maxCandidates binds: " +
+            f"autoCap $cap -> $chosen (forecast $predicted%.3e over budget) " +
+            "— clusters larger than the chosen cap lose their pairs; read " +
+            "prefixHotness' tail before trusting recall at this budget")
+          chosen
+        } else cap
       }
     val keepToks = ndCounts
       .filter(col("nd") <= effCap).select(col("tok"))

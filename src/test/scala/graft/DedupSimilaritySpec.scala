@@ -318,6 +318,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"multiprobe plan degenerated to pair enumeration:\n$plan")
   }
 
+  test("prefixJaccardPairs maxCandidates budget binds the auto cap") {
+    import spark.implicits._
+    // two clusters of identical docs: size 4 (6 pairs) and size 10 (45
+    // pairs). Every prefix token of a cluster member has nd = cluster
+    // size, so a budget that affords the nd=4 cumulative forecast but
+    // not the nd=10 one must cap at 4 and keep ONLY the small cluster's
+    // pairs — the documented recall trade, chosen by budget.
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "nova pulsar quasar nebula comet meteor aurora eclipse orbit"
+    val docs = ((0L until 4L).map(i => (i, textA)) ++
+      (10L until 20L).map(i => (i, textB))).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val aPairs = (for { a <- 0L until 4L; b <- (a + 1) until 4L }
+      yield (a, b)).toSet
+    val bPairs = (for { a <- 10L until 20L; b <- (a + 1) until 20L }
+      yield (a, b)).toSet
+
+    // budget off: autocap (templateShare 1.0 keeps both clusters; the
+    // default 0.5 floor at 14 docs would refuse the 10-cluster anyway)
+    val off = pairsOf(Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      maxDocsPerTok = 0, templateShare = 1.0))
+    assert(off == aPairs ++ bPairs, s"budget-off pairs: $off")
+
+    // the nd=4 band forecasts ~6 pairs x (prefix toks); nd=10 adds 45x —
+    // a budget between the two cumulative sums must choose cap 4
+    val budgeted = pairsOf(Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      maxDocsPerTok = 0, templateShare = 1.0, maxCandidates = 1000L))
+    assert(budgeted == aPairs, s"budgeted pairs: $budgeted")
+    // and the budget-chosen cap is exactly the explicit-cap semantics
+    val explicit = pairsOf(Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      maxDocsPerTok = 4))
+    assert(budgeted == explicit)
+
+    // a budget larger than the full forecast changes nothing
+    val loose = pairsOf(Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      maxDocsPerTok = 0, templateShare = 1.0, maxCandidates = 100000000L))
+    assert(loose == off)
+    // refused alongside an explicit cap — the caller already chose
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        maxDocsPerTok = 4, maxCandidates = 10L)
+    }
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
