@@ -924,8 +924,31 @@ object Dedup {
       if (maxDocsPerTok > 0) maxDocsPerTok
       else {
         val nDocs = base.select(col(idCol)).distinct().count()
-        capBelowTemplateFloor(dfreq, "dfreq", nDocs, templateShare,
+        val cap = capBelowTemplateFloor(dfreq, "dfreq", nDocs, templateShare,
           "containmentPairs")
+        // Candidate-volume forecast (r17, q121's sibling): the probe ×
+        // index join emits at most pc(tok) · dfreq(tok) ≤ dfreq(tok)²
+        // rows per kept token, so Σ dfreq² over the kept dictionary is a
+        // pre-join upper bound on the pair stage — one map-side-combinable
+        // aggregate over the dfreq table the cap derivation already
+        // scans. The same share-derived-cap mechanism as the prefix join
+        // drives the same superlinear regime (measured: the 500k Zipf
+        // q154 arm aborted at 53.8 GB live scratch where 200k ran in
+        // 4 GB); warn toward banded minhash / an absolute cap when the
+        // bound says the index join will dominate.
+        val predRow = dfreq.filter(col("dfreq") <= cap)
+          .agg(sum(col("dfreq").cast("double") * col("dfreq"))).head()
+        val bound = if (predRow.isNullAt(0)) 0.0 else predRow.getDouble(0)
+        if (bound > 10000.0 * nDocs)
+          log.warn(f"containmentPairs autoCap=$cap admits up to " +
+            f"$bound%.3e candidate rows (${bound / math.max(nDocs, 1)}%.0f " +
+            "per doc, Σ dfreq² bound) — prefer banded minhash or an " +
+            "absolute maxDocsPerTok at the largest genuine syndication " +
+            "family for this corpus shape")
+        else
+          log.info(f"containmentPairs autoCap=$cap candidate upper bound " +
+            f"(Σ dfreq²) = $bound%.3e")
+        cap
       }
     // probe prefix: rank by global dfreq via the native bounded k-min
     // aggregate (no cluster-wide sort, no full per-doc array — the
