@@ -560,12 +560,19 @@ object Dedup {
   /** Prefix-hotness diagnostic for choosing [[prefixJaccardPairs]]'s
     * `maxDocsPerTok` cap on an unfamiliar corpus: the distribution of
     * nd = how many documents' PREFIXES carry each shingle, as
-    * (nd, n_toks) rows sorted hot-first. The cap's recall bound is
-    * exactly this distribution — every pair inside a near-dup cluster
-    * of m members shares prefix shingles with nd ≈ m, so a cap below m
-    * loses ALL of that cluster's pairs. Read the tail: the largest nd
-    * well below corpus size is the biggest genuine cluster — cap above
-    * it. An nd near the corpus size is template/boilerplate structure
+    * (nd, n_toks) rows sorted hot-first. The cap's recall bound reads
+    * from this distribution — a cluster of m members whose shared
+    * shingles ALL sit at nd ≈ m loses every pair under a cap below m.
+    * That is the WORST case (identical documents, no unique material):
+    * a candidate pair needs only ONE shared below-cap prefix token, and
+    * realistic near-dups carry them — shingles spanning the shared/
+    * unique-text boundary land at nd ≪ m (measured: the 200-member
+    * boilerplate cluster kept all 19,900 pairs under a cap of 199 at
+    * the 100k-doc rehearsal, connected entirely through sub-cap
+    * boundary shingles). Read the tail: the largest nd well below
+    * corpus size is the biggest genuine cluster — cap above it for a
+    * worst-case-safe recall floor; capping below trades recall only
+    * for identical-payload families. An nd near the corpus size is template/boilerplate structure
     * (every document near-dup of every other), which is q95/q196's job
     * to strip, not a pairwise-dedup cap to chase. Aggregates only
     * (shuffles by tok then by nd, both with map-side partial

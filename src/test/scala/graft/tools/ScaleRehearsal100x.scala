@@ -372,7 +372,59 @@ object ScaleRehearsal100x {
         all
       }
 
-      val ok2 = ok1 && (!armOn("q154") || timed(nDocs, "q154_containment") {
+      // budget arm (armOn("budget"), r17): the maxCandidates knob at
+      // ladder scale. First run falsified the naive expectation: a cap
+      // below the mega size did NOT lose the mega cluster — candidate
+      // generation needs only ONE shared below-cap prefix token per
+      // pair, and shingles spanning the boilerplate/unique-text
+      // boundary have nd < mega-size (two mega docs sharing a hot
+      // adjacent word), so every mega pair still connects. The hotness
+      // Scaladoc's "cap below m loses ALL of that cluster's pairs" is
+      // the worst case (identical docs, no unique material); realistic
+      // near-dups keep recall far below the cluster size. Asserted:
+      // the budget binds (operator picks a cap under the derived one)
+      // and planted recall is INTACT — the resilience, measured.
+      val okB = ok1 && (!armOn("budget") || {
+        // budget = the cumulative forecast at nd = mega−1, read from the
+        // hotness table: any budget in [cum(largest normal), cum(199)]
+        // must produce the same trade, and this choice pins the cap at
+        // the top of that window without hand-tuning per scale
+        val budget = sys.env.get("SPARK_GRAFT_Q121_BUDGET").map(_.toLong)
+          .getOrElse {
+            val r = Dedup.prefixHotness(docs, "doc_id", "text")
+              .filter(col("nd") < 200)
+              .agg(sum(col("n_toks") * col("nd") * (col("nd") - 1) / 2))
+              .head()
+            (if (r.isNullAt(0)) 0.0 else r.getDouble(0)).toLong
+          }
+        timed(nDocs, s"q121_budget$budget") {
+          val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+            maxDocsPerTok = 0, maxCandidates = budget)
+            .select(col("id_a"), col("id_b")).localCheckpoint()
+          val withC = pairs
+            .join(clusterOf.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("cluster", "ca"), "id_a")
+            .join(clusterOf.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("cluster", "cb"), "id_b")
+          val within = withC
+            .filter(col("ca") === col("cb") && col("ca") >= 0).count()
+          val mega = withC.filter(col("ca") === -2 && col("cb") === -2)
+            .count()
+          val all = pairs.count()
+          println(s"REHEARSAL100X n=$nDocs q121_budget within=$within/" +
+            s"$truthPairs mega=$mega/19900 total_pairs=$all")
+          require(within == truthPairs,
+            s"budget cap lost normal-cluster pairs: $within != $truthPairs")
+          // boundary-shingle resilience (see arm comment): full mega
+          // recall THROUGH the sub-cap tokens is the measured outcome
+          require(mega == 19900L,
+            s"mega recall under budget cap: $mega != 19900 — boundary " +
+              "shingles should connect every mega pair below the cap")
+          all
+        }
+      })
+
+      val ok2 = okB && (!armOn("q154") || timed(nDocs, "q154_containment") {
         val got = Dedup.containmentPairs(docs, "doc_id", "text")
           .select(col("id_sub"), col("id_sup")).localCheckpoint()
         val plantedDf = plantedCont.toDF("id_sub", "id_sup")
