@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Element-wise dot product — native compiled loop
     * ([[graft.functions.VectorOps]]), sequential left fold so results are
     * bit-identical to the HOF spelling and the oracle's ordered sum. */
@@ -302,8 +304,27 @@ object Similarity {
           if (maxBucket > 0) maxBucket.toLong
           else {
             val nVecs = vectors.count()
-            Dedup.capBelowTemplateFloor(sizes, "m", nVecs, templateShare,
-              "lshNearPairs").toLong
+            val cap = Dedup.capBelowTemplateFloor(sizes, "m", nVecs,
+              templateShare, "lshNearPairs").toLong
+            // candidate forecast (r17, the embedding mirror of the text
+            // side's): the within-bucket self-join emits C(m, 2) pairs
+            // per kept bucket — one aggregate over the bucket-size table
+            // the cap derivation already scans prices the join before it
+            // runs. Same warn routing as prefixJaccardPairs: a forecast
+            // that dwarfs the corpus says the signature has collapsed or
+            // the corpus needs more bits / an absolute cap.
+            val predRow = sizes.filter(col("m") <= cap)
+              .agg(sum(col("m") * (col("m") - 1) / 2)).head()
+            val pred = if (predRow.isNullAt(0)) 0.0 else predRow.getDouble(0)
+            if (pred > 10000.0 * nVecs)
+              log.warn(f"lshNearPairs autoCap=$cap admits $pred%.3e " +
+                f"candidate pairs (${pred / math.max(nVecs, 1)}%.0f per " +
+                "vector) — raise bits or set an absolute maxBucket at the " +
+                "largest genuine cluster size")
+            else
+              log.info(f"lshNearPairs autoCap=$cap predicted candidate " +
+                f"pairs = $pred%.3e")
+            cap
           }
         // semi-join against the kept-bucket set: the partial aggregate
         // collapses a collapsed-signature bucket map-side and AQE
