@@ -599,26 +599,50 @@ object Dedup {
       .groupBy(col("nd")).agg(count(lit(1)).as("n_toks"))
       .orderBy(col("nd").desc)
 
-  /** Shared auto-cap rule for the `maxDocsPerTok = 0` modes: the largest
-    * per-token document count strictly below `templateShare` × `nDocs`.
-    * One linear aggregate over the (tok, count) table; the caller supplies
+  /** Driver-side (countValue, nGroups) rollup of a per-key count table —
+    * at most one row per DISTINCT count value (hundreds even at corpus
+    * scale), collected ascending. One map-side-combinable aggregate over
+    * the table; the auto-cap rule, the candidate forecast and the
+    * cumulative budget cap are then all derived from this one array
+    * instead of each re-running the count table's lineage (r17 ADVICE:
+    * in autocap mode those were separate Spark actions, and at the large
+    * scales the mode targets each one re-derived the full explode +
+    * groupBy prefix pipeline). */
+  private[graft] def countRollup(counts: DataFrame,
+      countCol: String): Array[(Long, Long)] =
+    counts.groupBy(col(countCol)).agg(count(lit(1)).as("n_groups"))
+      .orderBy(col(countCol))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  /** Shared auto-cap rule for the `maxDocsPerTok = 0` modes over a
+    * collected [[countRollup]]: the largest per-token document count
+    * strictly below `templateShare` × `nDocs`. The caller supplies
     * whichever count binds its join (prefix-nd for the Jaccard join,
-    * full-corpus dfreq for the containment index). The Long→Int narrowing
-    * is clamped: a derived cap beyond Int.MaxValue (possible only when a
-    * "genuine" family spans >2^31 docs) saturates rather than wrapping
-    * negative, which would silently filter out every token. */
-  private[graft] def capBelowTemplateFloor(counts: DataFrame, countCol: String,
+    * full-corpus dfreq for the containment index, bucket size m for the
+    * LSH joins). The Long→Int narrowing is clamped: a derived cap beyond
+    * Int.MaxValue (possible only when a "genuine" family spans >2^31
+    * docs) saturates rather than wrapping negative, which would silently
+    * filter out every token. */
+  private[graft] def capBelowTemplateFloorLocal(rollup: Array[(Long, Long)],
       nDocs: Long, templateShare: Double, label: String): Int = {
     val floor = math.max(2L, math.ceil(templateShare * nDocs).toLong)
-    val capRow = counts
-      .agg(max(when(col(countCol) < floor, col(countCol)))).head()
+    val below = rollup.map(_._1).filter(_ < floor)
     val cap =
-      if (capRow.isNullAt(0)) 2 // degenerate corpus: everything is template
-      else math.min(math.max(2L, capRow.getLong(0)), Int.MaxValue.toLong).toInt
+      if (below.isEmpty) 2 // degenerate corpus: everything is template
+      else math.min(math.max(2L, below.max), Int.MaxValue.toLong).toInt
     log.info(s"$label autoCap: nDocs=$nDocs " +
       s"templateFloor=$floor -> maxDocsPerTok=$cap")
     cap
   }
+
+  /** [[capBelowTemplateFloorLocal]] over an uncollected (key, count)
+    * table — for callers (diagnostic tools, specs) that hold only the
+    * DataFrame; the operators themselves collect the rollup once and
+    * share it with their forecasts. */
+  private[graft] def capBelowTemplateFloor(counts: DataFrame, countCol: String,
+      nDocs: Long, templateShare: Double, label: String): Int =
+    capBelowTemplateFloorLocal(countRollup(counts, countCol), nDocs,
+      templateShare, label)
 
   /** `maxCandidates` (autocap mode only, 0 = off) bounds the pair
     * stage by BUDGET instead of by recall: the cap becomes the largest
@@ -631,24 +655,47 @@ object Dedup {
     * fixed scratch envelope needs the budget stated explicitly. The
     * trade is recall ABOVE the chosen cap — clusters larger than it lose
     * their pairs — and the chosen cap is logged loudly so the trade is
-    * visible, mirroring [[prefixHotness]]'s read-the-tail contract. */
+    * visible, mirroring [[prefixHotness]]'s read-the-tail contract.
+    *
+    * `autoRoute` (autocap mode only) lets the operator take the
+    * forecast's own advice (r17 VERDICT item 4): when the forecast
+    * exceeds the warn threshold (10⁴ candidates per doc — the measured
+    * pair-stage-dominates regime), the exact prefix join is REPLACED by
+    * the banded-minhash candidate chain ([[minhashCandidates]], 16 lanes
+    * / 8 bands of 2), feeding the IDENTICAL exact-Jaccard verify — same
+    * output contract, same threshold, band-bounded candidate volume.
+    * Recall through the route is probabilistic instead of cap-bounded: a
+    * true pair at word-shingle similarity s collides in ≥1 band w.p.
+    * 1−(1−s²)⁸ (≈0.97 at s=0.6, ≈1−2e−6 at s=0.9), INDEPENDENT of
+    * cluster size — exactly the regime (huge near-identical families)
+    * where the capped prefix join loses everything. Precision is
+    * untouched (the verify is exact either way). */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
       maxDocsPerTok: Int = 20, templateShare: Double = 0.5,
-      maxCandidates: Long = 0L): DataFrame = {
+      maxCandidates: Long = 0L, autoRoute: Boolean = false): DataFrame = {
     require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
     require(maxDocsPerTok > 0 || (templateShare > 0 && templateShare <= 1),
       s"autoCap mode needs templateShare in (0,1]: $templateShare")
     require(maxCandidates == 0L || maxDocsPerTok <= 0,
       "maxCandidates budgets the AUTO cap — with an explicit " +
         s"maxDocsPerTok=$maxDocsPerTok the caller has already chosen")
+    require(!autoRoute || maxDocsPerTok <= 0,
+      "autoRoute reads the autocap forecast — with an explicit " +
+        s"maxDocsPerTok=$maxDocsPerTok the caller has already chosen")
     val (prefixPre0, inputSmall) =
       prefixToks(docs, idCol, textCol, shingleK, numT, denT)
-    // autoCap mode reads prefixPre twice (nd distribution) before the
-    // main pass consumes it twice more — pin it when the input is small
-    // enough that the r11 checkpoint decision already applies
+    // autoCap mode consumes prefixPre from THREE actions (doc count, nd
+    // rollup, and the main keep-join pass that line-727-checkpoints the
+    // kept prefix anyway) — pin it REGARDLESS of input size (r17 ADVICE:
+    // each extra action otherwise re-derives the whole explode + dfreq +
+    // PrefixMinK pipeline at exactly the scales autocap targets). The
+    // pinned table is the PREFIX table (~(1−t)·n tokens per doc), the
+    // same size class the main pass pins below — not the full corpus
+    // explode the r15 size dispatch refuses to pin. Explicit-cap mode
+    // keeps the r11 dispatch: one pre-pass consumer only.
     val prefixPre =
-      if (maxDocsPerTok <= 0 && inputSmall) prefixPre0.localCheckpoint()
+      if (maxDocsPerTok <= 0 || inputSmall) prefixPre0.localCheckpoint()
       else prefixPre0
     // cap-hot prefix tokens via aggregate + semi-join, NOT a count
     // window: the partial aggregate collapses a corpus-hot prefix token
@@ -662,82 +709,131 @@ object Dedup {
     // groupBy twice — a full extra pass over the prefix table).
     val ndCounts = prefixPre.groupBy(col("tok"))
       .agg(count(lit(1)).as("nd"))
+    var routeToBanded = false
     val effCap =
       if (maxDocsPerTok > 0) maxDocsPerTok
       else {
         val nDocs = prefixPre.agg(countDistinct(col("doc_id")))
           .head().getLong(0)
-        val cap = capBelowTemplateFloor(ndCounts, "nd", nDocs, templateShare,
+        // ONE tiny driver-side rollup — at most one row per distinct nd
+        // value, hundreds of rows — serves the template-floor cap, the
+        // candidate forecast AND the cumulative budget cap (r17 ADVICE:
+        // these were three separate Spark actions over the nd table).
+        val rollup = countRollup(ndCounts, "nd")
+        val cap = capBelowTemplateFloorLocal(rollup, nDocs, templateShare,
           "prefixJaccardPairs")
         // Candidate-volume forecast (r17): the join below emits C(nd, 2)
-        // rows per kept token BEFORE the distinct, so one linear pass
-        // over the already-needed (tok, nd) table prices the pair stage
-        // exactly. On a finite-vocabulary corpus every token's nd grows
-        // WITH the corpus while the share-derived cap admits it until
-        // nd ≥ share·N — candidate volume then scales ~quadratically in
-        // corpus size (the measured 300k-doc Zipf-ladder cliff: 11 GB →
-        // 55+ GB live shuffle scratch at 1.5× the docs). Warn loudly
-        // when pairs-per-doc says the pair stage will dominate: the
-        // at-scale tool for that regime is banded minhash
-        // ([[minhashCandidatesPortable]] → [[connectedComponents]]),
-        // whose candidate volume is band-bounded, or an ABSOLUTE
-        // `maxDocsPerTok` at the largest genuine cluster size.
-        val predRow = ndCounts.filter(col("nd") <= cap)
-          .agg(sum(col("nd") * (col("nd") - 1) / 2)).head()
-        val predicted = if (predRow.isNullAt(0)) 0.0 else predRow.getDouble(0)
-        if (predicted > 10000.0 * nDocs)
-          log.warn(f"prefixJaccardPairs autoCap=$cap admits $predicted%.3e " +
-            f"candidate rows (${predicted / math.max(nDocs, 1)}%.0f per doc) " +
-            "— the pair stage will dominate; prefer banded minhash " +
-            "(minhashCandidatesPortable) or an absolute maxDocsPerTok at " +
-            "the largest genuine cluster size for this corpus shape")
-        else
+        // rows per kept token BEFORE the distinct, so the rollup prices
+        // the pair stage exactly. On a finite-vocabulary corpus every
+        // token's nd grows WITH the corpus while the share-derived cap
+        // admits it until nd ≥ share·N — candidate volume then scales
+        // ~quadratically in corpus size (the measured 300k-doc
+        // Zipf-ladder cliff: 11 GB → 55+ GB live shuffle scratch at 1.5×
+        // the docs). Warn loudly when pairs-per-doc says the pair stage
+        // will dominate — or, under `autoRoute`, switch to the
+        // band-bounded candidate chain outright.
+        def pairsAt(nd: Long, nToks: Long): Double =
+          nToks.toDouble * nd.toDouble * (nd - 1).toDouble / 2.0
+        val predicted = rollup.iterator.takeWhile(_._1 <= cap)
+          .map((pairsAt _).tupled).sum
+        if (predicted > 10000.0 * nDocs) {
+          routeToBanded = autoRoute
+          if (routeToBanded)
+            log.warn(f"prefixJaccardPairs autoCap=$cap admits " +
+              f"$predicted%.3e candidate rows " +
+              f"(${predicted / math.max(nDocs, 1)}%.0f per doc) — " +
+              "autoRoute engaging: banded-minhash candidates (16 lanes, " +
+              "8 bands) feed the same exact-Jaccard verify; recall is " +
+              "band-probabilistic instead of cap-bounded")
+          else
+            log.warn(f"prefixJaccardPairs autoCap=$cap admits " +
+              f"$predicted%.3e candidate rows " +
+              f"(${predicted / math.max(nDocs, 1)}%.0f per doc) " +
+              "— the pair stage will dominate; prefer banded minhash " +
+              "(minhashCandidatesPortable) or an absolute maxDocsPerTok at " +
+              "the largest genuine cluster size for this corpus shape")
+        } else
           log.info(f"prefixJaccardPairs autoCap=$cap predicted candidate " +
             f"rows (pre-distinct) = $predicted%.3e")
-        if (maxCandidates > 0L && predicted > maxCandidates) {
-          // largest nd whose CUMULATIVE forecast fits the budget: the
-          // (nd, Σ) rollup has at most one row per distinct nd value —
-          // hundreds of rows — so the cumulative scan is driver-side
-          val rollup = ndCounts.groupBy(col("nd"))
-            .agg(sum(col("nd") * (col("nd") - 1) / 2).as("pairs"))
-            .filter(col("nd") <= cap).orderBy(col("nd"))
-            .select(col("nd"), col("pairs")).collect()
+        if (!routeToBanded && maxCandidates > 0L && predicted > maxCandidates) {
+          // largest nd whose CUMULATIVE forecast fits the budget — same
+          // driver-side rollup, ascending scan
           var cum = 0.0
           var budgetCap = 2L
-          rollup.foreach { r =>
-            cum += r.getDouble(1)
-            if (cum <= maxCandidates.toDouble) budgetCap = r.getLong(0)
+          rollup.takeWhile(_._1 <= cap).foreach { case (nd, nToks) =>
+            cum += pairsAt(nd, nToks)
+            if (cum <= maxCandidates.toDouble) budgetCap = nd
           }
           val chosen = math.max(2L, math.min(budgetCap, cap.toLong)).toInt
-          log.warn(f"prefixJaccardPairs maxCandidates=$maxCandidates binds: " +
-            f"autoCap $cap -> $chosen (forecast $predicted%.3e over budget) " +
-            "— clusters larger than the chosen cap lose their pairs; read " +
-            "prefixHotness' tail before trusting recall at this budget")
+          // r17 ADVICE: when even the smallest viable cap (2) is over
+          // budget, the run PROCEEDS over budget — say so explicitly
+          // instead of letting the generic bind message imply the bound
+          // held; callers using maxCandidates as a hard scratch envelope
+          // must treat this corpus as un-runnable at this budget.
+          val admitted = rollup.iterator.takeWhile(_._1 <= chosen)
+            .map((pairsAt _).tupled).sum
+          if (admitted > maxCandidates.toDouble)
+            log.warn(f"prefixJaccardPairs maxCandidates=$maxCandidates is " +
+              f"NOT satisfiable: the minimum viable cap $chosen already " +
+              f"admits $admitted%.3e candidates — proceeding OVER budget; " +
+              "the stated scratch envelope does not hold on this corpus " +
+              "(route to banded minhash or drop the nd=2 band entirely)")
+          else
+            log.warn(f"prefixJaccardPairs maxCandidates=$maxCandidates " +
+              f"binds: autoCap $cap -> $chosen (forecast $predicted%.3e " +
+              "over budget) — clusters larger than the chosen cap lose " +
+              "their pairs; read prefixHotness' tail before trusting " +
+              "recall at this budget")
           chosen
         } else cap
       }
-    val keepToks = ndCounts
-      .filter(col("nd") <= effCap).select(col("tok"))
-    val prefix = prefixPre
-      .join(keepToks, "tok") // AQE broadcasts when actually small (above)
-      .select(col("doc_id"), col("n"), col("tok"))
-      // tiny (≤ prefix size per doc, cap per shingle) and consumed by BOTH
-      // sides of the candidate self-join — materialize once so the chain
-      // above doesn't run twice
-      .localCheckpoint()
-    // PPJoin length filter at the CANDIDATE level: jacc = I/U ≤ min/max
-    // (I ≤ min(n_a,n_b), U ≥ max), so a pair with min·denT < max·numT
-    // cannot pass the exact threshold — dropped here, BEFORE the distinct
-    // shuffle and before the per-doc shingle arrays are hauled through
-    // the verify join (~1/3 of sf0.1 candidates die; exact math, so the
-    // oracle is untouched).
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .filter(least(col("a.n"), col("b.n")) * denT >=
-        greatest(col("a.n"), col("b.n")) * numT)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    if (routeToBanded) {
+      // band-bounded candidate generation at the same word-shingle width
+      // the streaming/batch minhash dedups use; the verify below re-checks
+      // every candidate against the EXACT char-shingle threshold, so the
+      // output contract is unchanged — only recall semantics differ (see
+      // Scaladoc).
+      val cand = minhashCandidates(docs, idCol, textCol, shingleN = 3,
+        numHashes = 16, bands = 8)
+        .select(col("id_a").as("d1"), col("id_b").as("d2"))
+      jaccardVerify(docs, idCol, textCol, shingleK, numT, denT, cand,
+        inputSmall)
+    } else {
+      val keepToks = ndCounts
+        .filter(col("nd") <= effCap).select(col("tok"))
+      val prefix = prefixPre
+        .join(keepToks, "tok") // AQE broadcasts when actually small (above)
+        .select(col("doc_id"), col("n"), col("tok"))
+        // tiny (≤ prefix size per doc, cap per shingle) and consumed by BOTH
+        // sides of the candidate self-join — materialize once so the chain
+        // above doesn't run twice
+        .localCheckpoint()
+      // PPJoin length filter at the CANDIDATE level: jacc = I/U ≤ min/max
+      // (I ≤ min(n_a,n_b), U ≥ max), so a pair with min·denT < max·numT
+      // cannot pass the exact threshold — dropped here, BEFORE the distinct
+      // shuffle and before the per-doc shingle arrays are hauled through
+      // the verify join (~1/3 of sf0.1 candidates die; exact math, so the
+      // oracle is untouched).
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .filter(least(col("a.n"), col("b.n")) * denT >=
+          greatest(col("a.n"), col("b.n")) * numT)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      jaccardVerify(docs, idCol, textCol, shingleK, numT, denT, cand,
+        inputSmall)
+    }
+  }
+
+  /** Exact-Jaccard verify stage shared by [[prefixJaccardPairs]]' prefix
+    * join and its autoRoute banded-minhash chain: candidates (d1, d2)
+    * join the per-doc sorted shingle-hash arrays and every pair is
+    * re-checked against the exact integer threshold, so the caller's
+    * candidate generator can only cost recall, never precision. */
+  private def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numT: Int, denT: Int, cand: DataFrame,
+      inputSmall: Boolean): DataFrame = {
     // The verify stage is CPU-dense per BYTE (a merge scan of two ~n-
     // element hash arrays per pair), so AQE's bytes-based coalescing
     // under-parallelizes it when the candidate table is small on disk —
@@ -883,13 +979,30 @@ object Dedup {
     * [[prefixJaccardPairs]]'s auto mode): largest dfreq below
     * `templateShare` × docs — a quote syndicated into more articles than
     * the default cap is recovered without hand tuning, while
-    * corpus-spanning boilerplate stays capped out. */
+    * corpus-spanning boilerplate stays capped out.
+    *
+    * `autoRoute` (autocap mode only) mirrors [[prefixJaccardPairs]]: when
+    * the Σ dfreq² forecast exceeds the warn threshold, the prefix × index
+    * join is replaced by banded-minhash candidates verified in BOTH
+    * directions against the exact containment threshold. HONEST CAVEAT:
+    * the banded candidates collide on symmetric (Jaccard-like) word-
+    * shingle similarity, so an asymmetric containment pair whose Jaccard
+    * is low (a short quote inside a much longer doc) can be MISSED by the
+    * route even though the exact join would have found it under a cap.
+    * The blowup regime the route targets is template/near-identical
+    * families — pairs that are high in both measures — but when
+    * asymmetric recall matters more than the scratch envelope, set an
+    * absolute `maxDocsPerTok` instead of routing. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, numT: Int = 3, denT: Int = 4,
-      maxDocsPerTok: Int = 20, templateShare: Double = 0.5): DataFrame = {
+      maxDocsPerTok: Int = 20, templateShare: Double = 0.5,
+      autoRoute: Boolean = false): DataFrame = {
     require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
     require(maxDocsPerTok > 0 || (templateShare > 0 && templateShare <= 1),
       s"autoCap mode needs templateShare in (0,1]: $templateShare")
+    require(!autoRoute || maxDocsPerTok <= 0,
+      "autoRoute reads the autocap forecast — with an explicit " +
+        s"maxDocsPerTok=$maxDocsPerTok the caller has already chosen")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
@@ -927,36 +1040,64 @@ object Dedup {
     // templateShare × docs is the biggest genuine containment family;
     // dfreq ≈ corpus size is boilerplate. Two extra linear jobs
     // (doc count + dictionary max), auto mode only.
+    var routeToBanded = false
     val effCap =
       if (maxDocsPerTok > 0) maxDocsPerTok
       else {
         val nDocs = base.select(col(idCol)).distinct().count()
-        val cap = capBelowTemplateFloor(dfreq, "dfreq", nDocs, templateShare,
+        // ONE driver-side rollup (r17 ADVICE — the cap aggregate and the
+        // forecast aggregate were two separate passes over the dfreq
+        // table's full explode + groupBy lineage): at most one row per
+        // distinct dfreq value, hundreds driver-side.
+        val rollup = countRollup(dfreq, "dfreq")
+        val cap = capBelowTemplateFloorLocal(rollup, nDocs, templateShare,
           "containmentPairs")
         // Candidate-volume forecast (r17, q121's sibling): the probe ×
         // index join emits at most pc(tok) · dfreq(tok) ≤ dfreq(tok)²
         // rows per kept token, so Σ dfreq² over the kept dictionary is a
-        // pre-join upper bound on the pair stage — one map-side-combinable
-        // aggregate over the dfreq table the cap derivation already
-        // scans. The same share-derived-cap mechanism as the prefix join
-        // drives the same superlinear regime (measured: the 500k Zipf
-        // q154 arm aborted at 53.8 GB live scratch where 200k ran in
-        // 4 GB); warn toward banded minhash / an absolute cap when the
-        // bound says the index join will dominate.
-        val predRow = dfreq.filter(col("dfreq") <= cap)
-          .agg(sum(col("dfreq").cast("double") * col("dfreq"))).head()
-        val bound = if (predRow.isNullAt(0)) 0.0 else predRow.getDouble(0)
-        if (bound > 10000.0 * nDocs)
-          log.warn(f"containmentPairs autoCap=$cap admits up to " +
-            f"$bound%.3e candidate rows (${bound / math.max(nDocs, 1)}%.0f " +
-            "per doc, Σ dfreq² bound) — prefer banded minhash or an " +
-            "absolute maxDocsPerTok at the largest genuine syndication " +
-            "family for this corpus shape")
-        else
+        // pre-join upper bound on the pair stage. The same
+        // share-derived-cap mechanism as the prefix join drives the same
+        // superlinear regime (measured: the 500k Zipf q154 arm aborted
+        // at 53.8 GB live scratch where 200k ran in 4 GB); warn toward
+        // banded minhash / an absolute cap when the bound says the index
+        // join will dominate — or, under `autoRoute`, switch to it.
+        val bound = rollup.iterator.takeWhile(_._1 <= cap)
+          .map { case (df, nToks) => nToks.toDouble * df.toDouble * df.toDouble }
+          .sum
+        if (bound > 10000.0 * nDocs) {
+          routeToBanded = autoRoute
+          if (routeToBanded)
+            log.warn(f"containmentPairs autoCap=$cap admits up to " +
+              f"$bound%.3e candidate rows " +
+              f"(${bound / math.max(nDocs, 1)}%.0f per doc, Σ dfreq² " +
+              "bound) — autoRoute engaging: banded-minhash candidates " +
+              "verified in both directions; asymmetric low-Jaccard " +
+              "containments may be missed (see Scaladoc)")
+          else
+            log.warn(f"containmentPairs autoCap=$cap admits up to " +
+              f"$bound%.3e candidate rows (${bound / math.max(nDocs, 1)}%.0f " +
+              "per doc, Σ dfreq² bound) — prefer banded minhash or an " +
+              "absolute maxDocsPerTok at the largest genuine syndication " +
+              "family for this corpus shape")
+        } else
           log.info(f"containmentPairs autoCap=$cap candidate upper bound " +
             f"(Σ dfreq²) = $bound%.3e")
         cap
       }
+    if (routeToBanded) {
+      // each UNORDERED banded candidate is verified in BOTH directions —
+      // the exact threshold below keeps whichever direction(s) hold, so
+      // mutual near-dups still emit twice, matching the exact join's
+      // contract. The pair table is consumed by both union branches; pin
+      // it so the banding chain runs once.
+      val sym = minhashCandidates(docs, idCol, textCol, shingleN = 3,
+        numHashes = 16, bands = 8).localCheckpoint()
+      val cand = sym.select(col("id_a").as("sub"), col("id_b").as("sup"))
+        .unionByName(
+          sym.select(col("id_b").as("sub"), col("id_a").as("sup")))
+      return containmentVerify(docs, idCol, textCol, shingleK, numT, denT,
+        cand, inputSmall)
+    }
     // probe prefix: rank by global dfreq via the native bounded k-min
     // aggregate (no cluster-wide sort, no full per-doc array — the
     // partial buffer caps at the prefix length, see PrefixMinK), keep the
@@ -981,11 +1122,27 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("sub"), col("b.doc_id").as("sup"))
       .distinct()
+    containmentVerify(docs, idCol, textCol, shingleK, numT, denT, cand0,
+      inputSmall)
+  }
+
+  /** Exact directed-containment verify stage shared by
+    * [[containmentPairs]]' prefix × index join and its autoRoute
+    * banded-minhash chain: candidates (sub, sup) join the per-doc sorted
+    * shingle-hash arrays and C(sub→sup) = I/n_sub is re-checked against
+    * the exact integer threshold — candidate generators cost recall
+    * only, never precision. */
+  private def containmentVerify(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numT: Int, denT: Int,
+      cand0: DataFrame, inputSmall: Boolean): DataFrame = {
     // verify stage is CPU-dense per byte (merge scan per pair): respread
     // to core count when the candidate table is small on disk, where
     // AQE's bytes-based coalescing under-parallelizes it (same dispatch
     // rationale as prefixJaccardPairs, r11)
-    val cand = if (inputSmall) cand0.repartition(par) else cand0
+    val cand =
+      if (inputSmall)
+        cand0.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      else cand0
     val arrs = docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),

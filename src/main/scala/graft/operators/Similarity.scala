@@ -299,23 +299,32 @@ object Similarity {
     val sig =
       if (maxBucket == Int.MaxValue) sig0
       else {
-        val sizes = sig0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+        val sizes0 = sig0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+        // autocap consumes the bucket-size table twice (the driver
+        // rollup and the keep semi-join), and its lineage is the full
+        // per-vector signature computation — pin it (r17 ADVICE: the cap
+        // aggregate and the forecast aggregate were each a separate full
+        // signature pass). The table is ≤ min(2^bits, n) rows of two
+        // longs. Explicit maxBucket consumes it once; nothing pinned.
+        val sizes = if (maxBucket == 0) sizes0.localCheckpoint() else sizes0
         val effCap =
           if (maxBucket > 0) maxBucket.toLong
           else {
             val nVecs = vectors.count()
-            val cap = Dedup.capBelowTemplateFloor(sizes, "m", nVecs,
+            // ONE driver-side rollup serves the template-floor cap AND
+            // the forecast — at most one row per distinct bucket size
+            val rollup = Dedup.countRollup(sizes, "m")
+            val cap = Dedup.capBelowTemplateFloorLocal(rollup, nVecs,
               templateShare, "lshNearPairs").toLong
             // candidate forecast (r17, the embedding mirror of the text
             // side's): the within-bucket self-join emits C(m, 2) pairs
-            // per kept bucket — one aggregate over the bucket-size table
-            // the cap derivation already scans prices the join before it
+            // per kept bucket — the rollup prices the join before it
             // runs. Same warn routing as prefixJaccardPairs: a forecast
             // that dwarfs the corpus says the signature has collapsed or
             // the corpus needs more bits / an absolute cap.
-            val predRow = sizes.filter(col("m") <= cap)
-              .agg(sum(col("m") * (col("m") - 1) / 2)).head()
-            val pred = if (predRow.isNullAt(0)) 0.0 else predRow.getDouble(0)
+            val pred = rollup.iterator.takeWhile(_._1 <= cap)
+              .map { case (m, nb) => nb.toDouble * m.toDouble * (m - 1).toDouble / 2.0 }
+              .sum
             if (pred > 10000.0 * nVecs)
               log.warn(f"lshNearPairs autoCap=$cap admits $pred%.3e " +
                 f"candidate pairs (${pred / math.max(nVecs, 1)}%.0f per " +
@@ -380,14 +389,17 @@ object Similarity {
     val kept =
       if (maxBucket == Int.MaxValue) sigs
       else {
-        val sizes = sigs.groupBy(col("tbl"), col("bucket"))
+        val sizes0 = sigs.groupBy(col("tbl"), col("bucket"))
           .agg(count(lit(1)).as("m"))
+        // same autocap pin + driver rollup as [[lshNearPairs]] (r17
+        // ADVICE): two consumers, L×-signature lineage
+        val sizes = if (maxBucket == 0) sizes0.localCheckpoint() else sizes0
         val effCap =
           if (maxBucket > 0) maxBucket.toLong
           else {
             val nVecs = vectors.count()
-            Dedup.capBelowTemplateFloor(sizes, "m", nVecs, templateShare,
-              "lshNearPairsTables").toLong
+            Dedup.capBelowTemplateFloorLocal(Dedup.countRollup(sizes, "m"),
+              nVecs, templateShare, "lshNearPairsTables").toLong
           }
         sigs.join(sizes.filter(col("m") <= effCap)
           .select(col("tbl"), col("bucket")), Seq("tbl", "bucket"))
@@ -459,23 +471,37 @@ object Similarity {
     val home =
       if (maxBucket == Int.MaxValue) home0
       else {
-        val sizes = home0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+        val sizes0 = home0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+        // same autocap pin + driver rollup as [[lshNearPairs]] (r17
+        // ADVICE): two consumers, full-signature lineage
+        val sizes = if (maxBucket == 0) sizes0.localCheckpoint() else sizes0
         val effCap =
           if (maxBucket > 0) maxBucket.toLong
           else {
             val nVecs = vectors.count()
-            Dedup.capBelowTemplateFloor(sizes, "m", nVecs, templateShare,
-              "lshNearPairsMultiProbe").toLong
+            Dedup.capBelowTemplateFloorLocal(Dedup.countRollup(sizes, "m"),
+              nVecs, templateShare, "lshNearPairsMultiProbe").toLong
           }
         home0.join(sizes.filter(col("m") <= effCap).select(col("bucket")),
           "bucket")
       }
-    // probe side: home bucket + one flip per probed bit, all from the
-    // inline signature expression (never an attribute — see Scaladoc)
+    // probe side: home bucket + one flip per probed bit. The signature is
+    // projected ONCE as an attribute below the explode and the probe
+    // array is (probes + 1) one-instruction xor flips of that attribute
+    // (r17 VERDICT item 5 — the previous inline-expression array repeated
+    // the full signature expression nProbes+1 times and leaned on
+    // whole-stage codegen's subexpression elimination; an interpreted
+    // fallback would have evaluated 17 16-plane projections per row).
+    // InferFiltersFromGenerate stays inert: the generator input is the
+    // `array(...)` expression, not a bare attribute, and any filter it
+    // COULD infer would reference the already-projected `sig` attribute,
+    // never re-derive the signature (ScaleSpec-locked).
     val sigExpr = signature(col(vecCol), bits)
-    val probe0 = vectors.select(col(idCol).as("pvid"),
-      explode(array(sigExpr +: (0 until nProbes).map(i =>
-        sigExpr.bitwiseXOR(lit(1L << i))): _*)).as("pbucket"))
+    val probe0 = vectors
+      .select(col(idCol).as("pvid"), sigExpr.as("sig"))
+      .select(col("pvid"),
+        explode(array(col("sig") +: (0 until nProbes).map(i =>
+          col("sig").bitwiseXOR(lit(1L << i))): _*)).as("pbucket"))
     val probe =
       if (maxBucket == Int.MaxValue) probe0
       else probe0.join(home.select(col("vid").as("pvid")), Seq("pvid"))

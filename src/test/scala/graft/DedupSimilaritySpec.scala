@@ -342,10 +342,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       maxDocsPerTok = 0, templateShare = 1.0))
     assert(off == aPairs ++ bPairs, s"budget-off pairs: $off")
 
-    // the nd=4 band forecasts ~6 pairs x (prefix toks); nd=10 adds 45x —
-    // a budget between the two cumulative sums must choose cap 4
+    // a budget strictly between the nd=4 cumulative forecast and the
+    // full (nd=10) one must choose cap 4. Derive it from the corpus's
+    // OWN nd distribution via prefixHotness (r17 ADVICE: the previous
+    // hard-coded 1000 sat ~6% below the nd=10 sum, so an unrelated
+    // shingle-normalization change could flip the cap choice without
+    // any budget-logic regression) — the midpoint is maximally robust.
+    val ndDist = Dedup.prefixHotness(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def cumPairs(cap: Long): Double = ndDist.iterator
+      .filter(_._1 <= cap)
+      .map { case (nd, nToks) => nToks.toDouble * nd * (nd - 1) / 2 }.sum
+    val cum4 = cumPairs(4L); val cum10 = cumPairs(10L)
+    assert(cum4 > 0 && cum10 > cum4, s"fixture lost its two bands: $ndDist")
+    val budget = ((cum4 + cum10) / 2).toLong
     val budgeted = pairsOf(Dedup.prefixJaccardPairs(docs, "doc_id", "text",
-      maxDocsPerTok = 0, templateShare = 1.0, maxCandidates = 1000L))
+      maxDocsPerTok = 0, templateShare = 1.0, maxCandidates = budget))
     assert(budgeted == aPairs, s"budgeted pairs: $budgeted")
     // and the budget-chosen cap is exactly the explicit-cap semantics
     val explicit = pairsOf(Dedup.prefixJaccardPairs(docs, "doc_id", "text",
@@ -360,6 +372,124 @@ class DedupSimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.prefixJaccardPairs(docs, "doc_id", "text",
         maxDocsPerTok = 4, maxCandidates = 10L)
+    }
+
+    // degenerate budget (r17 ADVICE): a corpus of identical-doc PAIRS —
+    // every prefix token at nd = 2, so the nd=2 band ALONE exceeds a
+    // budget of 5 and no viable cap satisfies it. The documented
+    // contract is PROCEED at the floor cap with a loud not-satisfiable
+    // warn, never a silent empty result: all pairs still emit.
+    val pairTexts = (0 until 12).map(k =>
+      (0 until 10).map(j => f"pp$k%02dw$j%02d").mkString(" "))
+    val pairDocs = pairTexts.zipWithIndex.flatMap { case (t, k) =>
+      Seq((100L + 2 * k, t), (101L + 2 * k, t)) }.toDF("doc_id", "text")
+    val wantPairs = (0 until 12).map(k => (100L + 2 * k, 101L + 2 * k)).toSet
+    val overBudget = pairsOf(Dedup.prefixJaccardPairs(pairDocs, "doc_id",
+      "text", maxDocsPerTok = 0, templateShare = 1.0, maxCandidates = 5L))
+    assert(overBudget == wantPairs, s"over-budget floor run: $overBudget")
+  }
+
+  test("autoRoute: forecast blowout switches prefixJaccardPairs and " +
+      "containmentPairs to banded-minhash candidates (r17 VERDICT 4)") {
+    import spark.implicits._
+    // rehearsal corpus shape in miniature: two large near-identical
+    // families — the finite-vocabulary regime where every family
+    // member's prefix tokens sit at nd ≈ family size, just BELOW the
+    // share floor, so the share-derived autocap admits a ~quadratic
+    // candidate volume — plus per-doc-unique lone docs that pair nothing.
+    val wordsA = (0 until 120).map(i => f"alpha$i%03d").mkString(" ")
+    val wordsB = (0 until 120).map(i => f"bravo$i%03d").mkString(" ")
+    val clusterA = (0L until 120L).map(i => (i, s"$wordsA tl$i"))
+    val clusterB = (1000L until 1120L).map(i => (i, s"$wordsB tl$i"))
+    val lone = (2000L until 2010L).map(i =>
+      (i, (0 until 12).map(j => f"solo${i}x$j%02d").mkString(" ")))
+    val all = clusterA ++ clusterB ++ lone
+    val d = all.toDF("doc_id", "text")
+
+    // ground truth by brute force over the same normalize+shingle
+    // semantics, within the families only (lone docs share no 8-gram
+    // with anything; cross-family vocab is disjoint)
+    def sh(s: String): Set[String] =
+      s.trim.toLowerCase.replaceAll("\\s+", " ").sliding(8).toSet
+    val sets = all.map { case (id, t) => id -> sh(t) }.toMap
+    def familyTruth(ids: Seq[Long]): Set[(Long, Long)] =
+      (for {
+        i <- ids.indices.iterator
+        j <- (i + 1) until ids.size
+        inter = (sets(ids(i)) & sets(ids(j))).size
+        union = sets(ids(i)).size + sets(ids(j)).size - inter
+        if 5 * inter >= 3 * union
+      } yield (ids(i), ids(j))).toSet
+    val truth = familyTruth(clusterA.map(_._1)) ++
+      familyTruth(clusterB.map(_._1))
+    assert(truth.size == 2 * (119 * 120 / 2), s"fixture drift: ${truth.size}")
+
+    // the forecast must clear the warn threshold (route trigger): ~336
+    // shared prefix tokens per family at nd ≈ 120 → ~4.8e6 admitted
+    // candidates > 1e4 × 250 docs. Routed run = banded-minhash
+    // candidates + the SAME exact verify: full recall here (a 0.94
+    // word-shingle near-dup misses all 8 bands w.p. ~3e-8), zero false
+    // positives by construction.
+    val routed = Dedup.prefixJaccardPairs(d, "doc_id", "text",
+      maxDocsPerTok = 0, autoRoute = true)
+    val routedPlan = routed.queryExecution.optimizedPlan.toString
+    // engagement proof: the candidate join runs on the banded (band, bh)
+    // bucket columns; the un-routed exact path joins on prefix tok rows
+    // and never materializes band hashes
+    assert(routedPlan.contains("bh#"),
+      s"autoRoute did not engage (no banded chain in plan):\n$routedPlan")
+    val routedPairs = routed.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(routedPairs == truth,
+      s"routed pairs: extra=${routedPairs -- truth} " +
+        s"missing=${truth -- routedPairs}")
+    // same corpus, same autocap, autoRoute off: the exact join is kept
+    // (no lanes in the plan) and — the families being admitted by the
+    // share floor — finds the same truth, proving the route changed the
+    // CANDIDATE GENERATOR, not the semantics
+    val exact = Dedup.prefixJaccardPairs(d, "doc_id", "text",
+      maxDocsPerTok = 0)
+    assert(!exact.queryExecution.optimizedPlan.toString.contains("bh#"))
+    val exactPairs = exact.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(exactPairs == truth)
+
+    // containment: same route, candidates verified in BOTH directions
+    // against the exact C(sub→sup) = I/n_sub ≥ 3/4 threshold
+    def famContain(ids: Seq[Long]): Set[(Long, Long)] =
+      (for {
+        i <- ids.indices.iterator
+        j <- ids.indices.iterator
+        if i != j
+        inter = (sets(ids(i)) & sets(ids(j))).size
+        if 4 * inter >= 3 * sets(ids(i)).size
+      } yield (ids(i), ids(j))).toSet
+    val cTruth = famContain(clusterA.map(_._1)) ++
+      famContain(clusterB.map(_._1))
+    val cRouted = Dedup.containmentPairs(d, "doc_id", "text",
+      maxDocsPerTok = 0, autoRoute = true)
+    // engagement proof: the routed chain pins its banded candidates (an
+    // RDD scan in the plan) and never runs the prefix_min_k probe
+    // aggregate the exact prefix × index join is built on
+    val cPlan = cRouted.queryExecution.optimizedPlan.toString
+    assert(!cPlan.contains("prefix_min_k"),
+      s"containment autoRoute did not engage:\n$cPlan")
+    assert(Dedup.containmentPairs(d, "doc_id", "text", maxDocsPerTok = 0)
+      .queryExecution.optimizedPlan.toString.contains("prefix_min_k"),
+      "exact containment path lost its prefix_min_k probe marker")
+    val cPairs = cRouted.select("id_sub", "id_sup")
+      .as[(Long, Long)].collect().toSet
+    assert(cPairs == cTruth,
+      s"routed containment: extra=${cPairs -- cTruth} " +
+        s"missing=${cTruth -- cPairs}")
+    // refused alongside an explicit cap — the caller already chose
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(d, "doc_id", "text", maxDocsPerTok = 20,
+        autoRoute = true)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardPairs(d, "doc_id", "text", maxDocsPerTok = 20,
+        autoRoute = true)
     }
   }
 

@@ -847,6 +847,41 @@ class ScaleSpec extends AnyFunSuite {
       s"vector verify joins must sit ABOVE the pair distinct:\n$plan")
   }
 
+  test("plan shape: multi-probe LSH projects the signature ONCE below the " +
+    "probe explode (r17 item 5 lock)") {
+    // The exactly-once pair-emission argument needs the probe buckets to
+    // be flips of ONE evaluated signature. That used to lean on codegen
+    // subexpression elimination over nProbes+1 inline copies of the
+    // 16-plane expression; now the signature is projected as an
+    // attribute and the probe array is xor flips of it — robust to
+    // interpreted fallback. Lock: (1) the generator input array
+    // references the projected attribute, not an inline plane
+    // projection; (2) the signature expression appears exactly twice in
+    // the whole plan (home side + probe-side project), not 17 times;
+    // (3) no InferFiltersFromGenerate-derived filter re-derives it.
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.operators.Similarity.lshNearPairsMultiProbe(
+        vecs, "vec_id", "embedding", bits = 16, minSim = 0.9)
+      .queryExecution.optimizedPlan.toString
+    val lines = plan.split("\n")
+    val genLine = lines.filter(_.contains("Generate explode(array("))
+    assert(genLine.length == 1, s"expected one probe explode:\n$plan")
+    assert(genLine.head.contains("sig#"),
+      s"probe array no longer flips the projected sig attribute:\n$plan")
+    assert(!genLine.head.contains("zip_with"),
+      s"probe array re-inlines the plane projection:\n$plan")
+    // hyperplaneSignature's plane dot products print as zip_with(...)
+    // aggregates: one per signature site. Home side evaluates it once,
+    // the probe-side project once — 2 sites × 16 planes.
+    val planeSites = "zip_with\\(".r.findAllIn(plan).length
+    assert(planeSites == 2 * 16,
+      s"expected 32 plane sites (2 signature evaluations), got " +
+        s"$planeSites:\n$plan")
+    assert(!lines.exists(l => l.contains("Filter") && l.contains("zip_with")),
+      s"inferred filter re-derives the signature:\n$plan")
+  }
+
   test("dqRuleReport: one-pass suite, NULL predicate counts as violation") {
     import spark.implicits._
     val df = Seq(
