@@ -4372,16 +4372,25 @@ object SparkEntry {
         signature = Similarity.hyperplaneSignatureLattice)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))),
 
-    // Streaming state-store observability (r16 VERDICT item 7): run the
-    // two stateful stream classes the board exercises — signature-keyed
-    // dedup state (q96's shape) and symmetric stream-stream join state
-    // (q148's shape) — and RETURN the StreamingQueryProgress state-store
-    // metrics as rows: rows held / updated / evicted and bytes per
-    // stateful operator per micro-batch. This is the per-run record
-    // behind the bounded-state claims (one long per signature;
-    // watermark-bounded join state). mem_bytes is store-impl-dependent →
-    // rows-only check (no SQL oracle can see a state store); the
-    // INVARIANTS are spec-asserted in StreamingSpec.
+    // Streaming state-store observability, ORACLE-CHECKABLE core (r17
+    // VERDICT item 1 — this was the board's only rows-only row). Runs
+    // the two stateful stream classes the board exercises — signature-
+    // keyed dedup state (q96's shape) and symmetric stream-stream join
+    // state (q148's shape) — under single-batch AvailableNow (the whole
+    // corpus is ONE data micro-batch: watermark starts at 0, so nothing
+    // evicts within it) and returns the FIRST data batch's state counts
+    // per stream, which are plain functions of the corpus:
+    //   dedup — flatMapGroupsWithState keyed by the minhash signature:
+    //     rows_total = rows_updated = distinct signatures (the exact
+    //     count q96's oracle already mirrors), rows_removed = 0;
+    //   join — every non-null-key, non-null-time row of both sides is
+    //     inserted into its side's store: rows_total = rows_updated =
+    //     n_view + n_click, rows_removed = 0.
+    // The store-impl-dependent metrics (mem_bytes, operator names,
+    // per-batch timings/rates, the post-watermark eviction batch) move
+    // to the verify-artifact sidecar target/q255_state_sidecar.json,
+    // rewritten on every run (r17 VERDICT item 7) — observability is
+    // not lost, it is just not pretending to be oracle-checkable.
     "q255_stream_state_metrics" -> ((s, d) => {
       import graft.streaming.{StreamingDedup, StreamingOps}
       val tok = datasetTok(d)
@@ -4398,11 +4407,17 @@ object SparkEntry {
         }
         val (_, joinProg) = StreamingOps.runAvailableNowProgress(
           s, s"$d/events.parquet", jq) { ev =>
-          val v = ev.filter(col("event_type") === "view")
+          // null join keys / event times are filtered EXPLICITLY so the
+          // state-row count is a clean SQL quantity (what the symmetric
+          // hash join would do with a null-keyed row is an impl detail
+          // the oracle must not depend on)
+          val v = ev.filter(col("event_type") === "view" &&
+              col("user_id").isNotNull && col("ts").isNotNull)
             .select(col("event_id").as("v_event_id"),
               col("user_id").as("v_user"), col("ts").as("vts"))
             .withWatermark("vts", "2 hours")
-          val c = ev.filter(col("event_type") === "click")
+          val c = ev.filter(col("event_type") === "click" &&
+              col("user_id").isNotNull && col("ts").isNotNull)
             .select(col("event_id").as("c_event_id"),
               col("user_id").as("c_user"), col("ts").as("cts"))
             .withWatermark("cts", "2 hours")
@@ -4412,7 +4427,10 @@ object SparkEntry {
             .select(col("v_user").as("user_id"), col("v_event_id"),
               col("c_event_id"))
         }
-        StreamingOps.stateMetrics(s,
+        StreamingOps.writeStateSidecar(
+          "target/q255_state_sidecar.json",
+          Seq("dedup" -> dedupProg, "join" -> joinProg))
+        StreamingOps.firstBatchStateCounts(s,
           Seq("dedup" -> dedupProg, "join" -> joinProg))
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
@@ -4708,6 +4726,65 @@ object SparkEntry {
       mp4Box("tfhd", tfhdBody.array()) ++ mp4Box("trun", trunBody.array())))
   }
 
+  // EBML/Matroska builders (r17 item 6): RFC 8794 VINTs emitted minimal-
+  // length; ids carry their marker byte(s) verbatim.
+  private def ebmlVint(v: Long): Array[Byte] = {
+    var n = 1
+    while (v >= (1L << (7 * n)) - 1) n += 1 // all-ones = "unknown", avoid
+    val out = new Array[Byte](n)
+    out(0) = ((1 << (8 - n)) |
+      ((v >> (8 * (n - 1))) & ((1 << (8 - n)) - 1))).toByte
+    (1 until n).foreach(k => out(k) = ((v >> (8 * (n - 1 - k))) & 0xff).toByte)
+    out
+  }
+  private def ebmlId(id: Long): Array[Byte] = {
+    val n = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+      else if (id <= 0xffffffL) 3 else 4
+    (0 until n).reverse.map(k => ((id >> (8 * k)) & 0xff).toByte).toArray
+  }
+  private def ebmlEl(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlVint(payload.length.toLong) ++ payload
+  private def ebmlUint(id: Long, v: Long, width: Int): Array[Byte] =
+    ebmlEl(id,
+      (0 until width).reverse.map(k => ((v >> (8 * k)) & 0xff).toByte).toArray)
+  private def ebmlFloat8(id: Long, v: Double): Array[Byte] =
+    ebmlEl(id, java.nio.ByteBuffer.allocate(8).putDouble(v).array())
+  private def ebmlStr(id: Long, s: String): Array[Byte] =
+    ebmlEl(id, s.getBytes("US-ASCII"))
+  /** Matroska/webm container: EBML header (DocType) + Segment with Info
+    * (TimestampScale + optional float Duration), Tracks (CodecID per
+    * track; optional Audio with SamplingFrequency/Channels/BitDepth>0),
+    * and one Cluster. `unknownSegment` writes the Segment size as the
+    * 1-byte all-ones VINT — the live-streaming form. */
+  private def mkvFixture(docType: String, tsScale: Long, durTicks: Double,
+      tracks: Seq[(String, Option[(Double, Int, Int)])],
+      withDuration: Boolean = true,
+      unknownSegment: Boolean = false): Array[Byte] = {
+    val header = ebmlEl(0x1A45DFA3L,
+      ebmlUint(0x4286L, 1, 1) ++ // EBMLVersion — exercises the skip path
+        ebmlStr(0x4282L, docType) ++
+        ebmlUint(0x4287L, 4, 1)) // DocTypeVersion
+    val info = ebmlEl(0x1549A966L,
+      ebmlUint(0x2AD7B1L, tsScale, 3) ++
+        (if (withDuration) ebmlFloat8(0x4489L, durTicks)
+         else Array.emptyByteArray))
+    val trackEls = tracks.flatMap { case (codec, audio) =>
+      ebmlEl(0xAEL,
+        ebmlUint(0xD7L, 1, 1) ++ // TrackNumber — skipped by the parser
+          ebmlStr(0x86L, codec) ++
+          audio.map { case (sr, ch, bits) =>
+            ebmlEl(0xE1L, ebmlFloat8(0xB5L, sr) ++ ebmlUint(0x9FL, ch, 1) ++
+              (if (bits > 0) ebmlUint(0x6264L, bits, 1)
+               else Array.emptyByteArray))
+          }.getOrElse(Array.emptyByteArray))
+    }.toArray
+    val cluster = ebmlEl(0x1F43B675L, ebmlUint(0xE7L, 0, 1))
+    val segPayload = info ++ ebmlEl(0x1654AE6BL, trackEls) ++ cluster
+    header ++ (if (unknownSegment)
+      ebmlId(0x18538067L) ++ Array(0xff.toByte) ++ segPayload
+    else ebmlEl(0x18538067L, segPayload))
+  }
+
   private def mediaFixture: Seq[(Long, Array[Byte])] = Seq(
     // 8820 data bytes / 176400 B/s = 50 ms stereo 16-bit PCM
     1L -> wavFixture(1, 2, 44100, 16, 8820),
@@ -4758,7 +4835,27 @@ object SparkEntry {
     // WAV u32 sample rate past Int.MaxValue — must be null, not wrapped
     18L -> wavFixture(1, 2, Int.MinValue, 16, 400),
     // mvhd all-ones 'duration unknown' sentinel: row alive, duration null
-    19L -> mp4Fixture("isom", 0, 1000, 0xFFFFFFFFL, codecs = Seq("mp4a")))
+    19L -> mp4Fixture("isom", 0, 1000, 0xFFFFFFFFL, codecs = Seq("mp4a")),
+    // r18 rows 20-25: EBML/Matroska (r17 VERDICT item 6).
+    // webm VP9+Opus, default 1e6-ns ticks: 12345 ticks = 12345 ms; the
+    // audio track carries rate/channels, Opus ships no BitDepth
+    20L -> mkvFixture("webm", 1000000L, 12345.0,
+      Seq("V_VP9" -> None, "A_OPUS" -> Some((48000.0, 2, 0)))),
+    // matroska PCM audio, 2e6-ns ticks: 500.25 ticks → 1000.5 → 1000 ms
+    21L -> mkvFixture("matroska", 2000000L, 500.25,
+      Seq("A_PCM/INT/LIT" -> Some((8000.0, 1, 24)))),
+    // live-stream form: unknown-size Segment, no Duration element —
+    // row alive, duration null (the mp4 brand-only posture)
+    22L -> mkvFixture("webm", 1000000L, 0.0,
+      Seq("V_VP8" -> None), withDuration = false, unknownSegment = true),
+    // truncated mid-cluster: an element's declared size overruns → null
+    23L -> mkvFixture("webm", 1000000L, 12345.0,
+      Seq("V_VP9" -> None)).dropRight(3),
+    // a 0x00 byte where an element id belongs: invalid VINT → null
+    24L -> (mkvFixture("webm", 1000000L, 1.0, Seq("V_VP9" -> None))
+      ++ Array[Byte](0)),
+    // empty DocType string → null (no brand to report)
+    25L -> mkvFixture("", 1000000L, 1.0, Seq("V_VP9" -> None)))
 
   /** Shared q246/q247 prepared-frame fixture: 20 sites, category picked
     * round-robin from the variant's DISTINCT list plus one out-of-list
@@ -6117,6 +6214,23 @@ object SparkEntry {
          |k AS (SELECT sig, min(doc_id) AS keeper FROM sigs GROUP BY sig)
          |SELECT s.doc_id, k.keeper, (s.doc_id <> k.keeper) AS is_dup
          |FROM sigs s JOIN k ON s.sig = k.sig""".stripMargin,
+    // q255: first-data-batch state counts are corpus functions — dedup
+    // state is one row per distinct minhash signature (q96's sigs CTE),
+    // stream-stream join state is one row per non-null-key/time event on
+    // either side; nothing evicts at watermark 0, so removed = 0
+    "q255_stream_state_metrics" ->
+      s"""WITH $minhashSigCtes,
+         |ded AS (SELECT CAST(count(DISTINCT sig) AS BIGINT) AS n FROM sigs),
+         |ev AS (SELECT event_type FROM events
+         |       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |         AND event_type IN ('view', 'click')),
+         |vc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev)
+         |SELECT 'dedup' AS stream, CAST(0 AS BIGINT) AS op_idx,
+         |  ded.n AS rows_total, ded.n AS rows_updated,
+         |  CAST(0 AS BIGINT) AS rows_removed FROM ded
+         |UNION ALL
+         |SELECT 'join', CAST(0 AS BIGINT), vc.n, vc.n, CAST(0 AS BIGINT)
+         |FROM vc""".stripMargin,
     // q100: new-batch verdicts against the old-corpus signature index,
     // then within-batch earliest-wins for unseen signatures
     "q100_incremental_dedup" ->
@@ -9351,6 +9465,10 @@ object SparkEntry {
     // fragmented-MP4 duration via mvex/mehd and via the moof/trun sum,
     // a trun overrun (corrupt → null), the wrapped-u32 sample rate, and
     // the mvhd 'duration unknown' sentinel (live row, null duration).
+    // r18 rows 20-25: EBML/Matroska — webm VP9+Opus with audio fields,
+    // matroska PCM with a non-default TimestampScale (float Duration ×
+    // ns-scale → floor ms), unknown-size Segment live-stream form (row
+    // alive, null duration), truncation, invalid VINT, empty DocType.
     "q252_media_meta" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, format,
         | CAST(duration_ms AS BIGINT) AS duration_ms,
@@ -9376,7 +9494,13 @@ object SparkEntry {
         |  (16, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
         |  (17, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
         |  (18, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
-        |  (19, 'mp4', NULL, NULL, NULL, NULL, 'isom', 'mp4a'))
+        |  (19, 'mp4', NULL, NULL, NULL, NULL, 'isom', 'mp4a'),
+        |  (20, 'mkv', 12345, 2, 48000, NULL, 'webm', 'V_VP9+A_OPUS'),
+        |  (21, 'mkv', 1000, 1, 8000, 24, 'matroska', 'A_PCM/INT/LIT'),
+        |  (22, 'mkv', NULL, NULL, NULL, NULL, 'webm', 'V_VP8'),
+        |  (23, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (24, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (25, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
         |  AS t(media_id, format, duration_ms, channels, sample_rate,
         |       bits, brand, codec)""".stripMargin
   )

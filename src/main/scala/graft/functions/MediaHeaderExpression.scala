@@ -7,9 +7,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, 
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static audio/video container-header parsers — the WAV/RIFF + ISO BMFF
-  * (MP4) siblings of [[ImageHeaderOps]] (r15 VERDICT depth item 7).
+  * (MP4) + EBML/Matroska (mkv/webm) siblings of [[ImageHeaderOps]]
+  * (r15 VERDICT depth item 7; mkv r17 item 6).
   * PUBLIC formats only (RIFF/WAVE per the Microsoft/IBM 1991 multimedia
-  * programming interface spec; ISO/IEC 14496-12 box structure), parsed
+  * programming interface spec; ISO/IEC 14496-12 box structure; RFC 8794
+  * EBML + the Matroska element registry), parsed
   * dependency-free with the same discipline: every read bounds-checked,
   * ANY malformation — truncated RIFF payload, fmt chunk too short, a box
   * whose declared size overruns the buffer, an mvhd cut mid-field —
@@ -366,6 +368,149 @@ object MediaHeaderOps {
     row("mp4", durationMs, null, null, null, brand, codec)
   }
 
+  /** EBML/Matroska (mkv/webm — the one mainstream AV container family
+    * q252's matrix was missing, r17 VERDICT item 6). PUBLIC structure:
+    * RFC 8794 EBML (VINT-coded element IDs and sizes) + the Matroska
+    * element registry. Parsed with the same discipline as the siblings:
+    * every VINT and payload bounds-checked, any structural malformation
+    * → null row; an ABSENT field (no Duration element, no audio track)
+    * keeps the row alive with that column null, like mp4's brand-only
+    * init segments.
+    *
+    * Fields: `format` = "mkv", `brand` = the EBML DocType ("webm" /
+    * "matroska"), `duration_ms` = Segment→Info Duration (a float, in
+    * TimestampScale-ns ticks; default scale 1e6 ns), channels /
+    * sample_rate / bits from the FIRST TrackEntry→Audio element, codec =
+    * '+'-joined distinct CodecID strings in track order ("V_VP9+A_OPUS").
+    *
+    * Unknown-size elements (VINT of all ones — the live-streaming form)
+    * are accepted for Segment and Cluster only, extending to the end of
+    * their level; the metadata elements (Info/Tracks) precede clusters
+    * in any muxer's output, so nothing this parser reads sits past one. */
+  def ebml(b: Array[Byte]): GenericInternalRow = {
+    if (b.length < 12) return null
+    if ((be32(b, 0) & 0xffffffffL) != 0x1A45DFA3L) return null
+    // VINT descriptor length from the first byte: position of the
+    // leading 1 bit (0x80→1 … 0x01→8); 0x00 is invalid
+    def vintLen(first: Int): Int =
+      if (first == 0) -1 else Integer.numberOfLeadingZeros(first) - 23
+    var docType: String = null
+    var tsScale = 1000000L // ns per tick — the Matroska default
+    var durTicks = Double.NaN
+    var channels = -1L
+    var rate = Double.NaN
+    var bitDepth = -1L
+    var bad = false
+    val codecs = scala.collection.mutable.LinkedHashSet.empty[String]
+    def uintAt(from: Int, until: Int): Long = {
+      if (until - from > 8) { bad = true; return -1L }
+      var v = 0L; var k = from
+      while (k < until) { v = (v << 8) | (b(k) & 0xff); k += 1 }
+      v
+    }
+    def floatAt(from: Int, until: Int): Double = until - from match {
+      case 4 => java.lang.Float.intBitsToFloat(be32(b, from).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(be64(b, from))
+      case 0 => 0.0 // zero-length EBML element: value 0
+      case _ => { bad = true; Double.NaN }
+    }
+    def strAt(from: Int, until: Int): String =
+      new String(b, from, until - from, "US-ASCII").takeWhile(_ != 0)
+    // walk one element level [from, until): VINT id (marker kept, ≤ 4
+    // bytes) + VINT size (marker stripped, ≤ 8 bytes) + payload. All-ones
+    // size = "unknown" — legal only for ids in allowUnknown, and then the
+    // element extends to the end of this level (so it is its level's
+    // last). Returns false on malformation.
+    def walk(from: Int, until: Int, allowUnknown: Set[Long])(
+        f: (Long, Int, Int) => Unit): Boolean = {
+      var i = from
+      while (i < until) {
+        val idLen = vintLen(b(i) & 0xff)
+        if (idLen < 1 || idLen > 4 || i + idLen > until) return false
+        var id = 0L
+        var k = 0
+        while (k < idLen) { id = (id << 8) | (b(i + k) & 0xff); k += 1 }
+        val j = i + idLen
+        if (j >= until) return false
+        val szLen = vintLen(b(j) & 0xff)
+        if (szLen < 1 || szLen > 8 || j + szLen > until) return false
+        var size = ((b(j) & 0xff) & ((1 << (8 - szLen)) - 1)).toLong
+        k = 1
+        while (k < szLen) { size = (size << 8) | (b(j + k) & 0xff); k += 1 }
+        val pFrom = j + szLen
+        val pUntil =
+          if (size == (1L << (7 * szLen)) - 1) { // all data bits set
+            if (!allowUnknown.contains(id)) return false
+            until
+          } else {
+            val e = pFrom.toLong + size
+            if (e > until) return false
+            e.toInt
+          }
+        f(id, pFrom, pUntil)
+        i = pUntil
+      }
+      true
+    }
+    val SEGMENT = 0x18538067L
+    val CLUSTER = 0x1F43B675L
+    val ok = walk(0, b.length, Set(SEGMENT)) { (id, f, u) =>
+      if (id == 0x1A45DFA3L) { // EBML header
+        if (!walk(f, u, Set.empty) { (i2, f2, u2) =>
+          if (i2 == 0x4282L && docType == null) docType = strAt(f2, u2)
+        }) bad = true
+      } else if (id == SEGMENT) {
+        if (!walk(f, u, Set(CLUSTER)) { (i2, f2, u2) =>
+          if (i2 == 0x1549A966L) { // Info
+            if (!walk(f2, u2, Set.empty) { (i3, f3, u3) =>
+              if (i3 == 0x2AD7B1L) { // TimestampScale
+                val v = uintAt(f3, u3)
+                if (v > 0) tsScale = v else bad = true
+              } else if (i3 == 0x4489L && durTicks.isNaN) // Duration
+                durTicks = floatAt(f3, u3)
+            }) bad = true
+          } else if (i2 == 0x1654AE6BL) { // Tracks
+            if (!walk(f2, u2, Set.empty) { (i3, f3, u3) =>
+              if (i3 == 0xAEL) { // TrackEntry
+                if (!walk(f3, u3, Set.empty) { (i4, f4, u4) =>
+                  if (i4 == 0x86L) { // CodecID
+                    val c = strAt(f4, u4)
+                    if (c.nonEmpty &&
+                      c.forall(ch => ch >= 0x20 && ch < 0x7f)) codecs += c
+                    else bad = true
+                  } else if (i4 == 0xE1L) { // Audio (first one wins)
+                    if (!walk(f4, u4, Set.empty) { (i5, f5, u5) =>
+                      if (i5 == 0xB5L && rate.isNaN) // SamplingFrequency
+                        rate = floatAt(f5, u5)
+                      else if (i5 == 0x9FL && channels < 0) // Channels
+                        channels = uintAt(f5, u5)
+                      else if (i5 == 0x6264L && bitDepth < 0) // BitDepth
+                        bitDepth = uintAt(f5, u5)
+                    }) bad = true
+                  }
+                }) bad = true
+              }
+            }) bad = true
+          }
+        }) bad = true
+      }
+    }
+    if (!ok || bad || docType == null || docType.isEmpty ||
+      !docType.forall(c => c >= 0x20 && c < 0x7f)) return null
+    val durationMs: Any =
+      if (durTicks.isNaN || durTicks < 0) null
+      else java.lang.Long.valueOf(
+        math.floor(durTicks * tsScale / 1e6).toLong)
+    def posInt(v: Long): Any =
+      if (v > 0 && v <= Int.MaxValue) Integer.valueOf(v.toInt) else null
+    val rateInt: Any =
+      if (!rate.isNaN && rate > 0 && rate <= Int.MaxValue)
+        Integer.valueOf(rate.toInt)
+      else null
+    row("mkv", durationMs, posInt(channels), rateInt, posInt(bitDepth),
+      docType, if (codecs.isEmpty) null else codecs.mkString("+"))
+  }
+
   /** Sniff by signature, then parse; unrecognized or malformed → null. */
   def meta(b: Array[Byte]): GenericInternalRow = {
     if (b == null || b.length < 12) return null
@@ -373,6 +518,7 @@ object MediaHeaderOps {
       b(0) == 'R' && b(1) == 'F' && b(2) == '6' && b(3) == '4') &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') wav(b)
     else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') mp4(b)
+    else if ((be32(b, 0) & 0xffffffffL) == 0x1A45DFA3L) ebml(b)
     else null
   }
 }
@@ -380,9 +526,10 @@ object MediaHeaderOps {
 /** `media_meta(binary)` → `struct<format string, duration_ms bigint,
   * channels int, sample_rate int, bits int, brand string, codec string>`
   * (codec = '+'-joined distinct trak sample-entry fourccs for mp4, e.g.
-  * "avc1+mp4a"; null for wav — the fmt tag in `brand` IS wav's codec id),
-  * null when the
-  * payload is not a recognized well-formed WAV/MP4 header. Codegen'd (the
+  * "avc1+mp4a"; "V_VP9+A_OPUS"-style CodecIDs for mkv/webm; null for wav —
+  * the fmt tag in `brand` IS wav's codec id), null when the
+  * payload is not a recognized well-formed WAV/MP4/Matroska header.
+  * Codegen'd (the
   * generated code calls [[MediaHeaderOps.meta]] directly), so an
   * audio-duration filter over billions of blobs runs at scan speed with
   * zero row-format boundary — same contract as [[ImageMeta]]. */

@@ -211,4 +211,66 @@ object StreamingOps {
     }.toDF("stream", "batch_id", "op_idx", "operator_name", "rows_total",
       "rows_updated", "rows_removed", "mem_bytes", "n_store_partitions")
   }
+
+  /** The DETERMINISTIC core of [[stateMetrics]] (r17 VERDICT item 1):
+    * per labeled stream, the state-row counts of the FIRST micro-batch
+    * that processed input rows. Under single-batch `AvailableNow` the
+    * whole corpus is that batch and the watermark is still 0 when it
+    * runs, so nothing evicts within it — rows_total / rows_updated /
+    * rows_removed are then plain functions of the corpus (distinct
+    * dedup keys; per-side insert counts for a stream-stream join) and a
+    * SQL oracle can check them. One row per (stream, stateful operator);
+    * op_idx orders multi-operator queries. Impl-dependent metrics
+    * (mem_bytes, operator names, the eviction batch) belong in
+    * [[stateMetrics]] / [[writeStateSidecar]], not here. */
+  def firstBatchStateCounts(spark: SparkSession,
+      labeled: Seq[(String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])])
+      : DataFrame = {
+    import spark.implicits._
+    labeled.flatMap { case (label, progs) =>
+      progs.filter(_.numInputRows > 0).sortBy(_.batchId).headOption.toSeq
+        .flatMap { p =>
+          p.stateOperators.zipWithIndex.map { case (so, i) =>
+            (label, i.toLong, so.numRowsTotal, so.numRowsUpdated,
+              so.numRowsRemoved)
+          }
+        }
+    }.toDF("stream", "op_idx", "rows_total", "rows_updated", "rows_removed")
+  }
+
+  /** Verify-artifact sidecar for the store-impl-dependent streaming
+    * observability (r17 VERDICT items 1+7): every batch's state metrics
+    * (incl. mem_bytes and operator names) PLUS the run's rate/timing
+    * numbers from the same StreamingQueryProgress objects —
+    * inputRowsPerSecond, processedRowsPerSecond, batchDuration. One
+    * JSON document, rewritten per run; a missing target dir never fails
+    * the query. */
+  def writeStateSidecar(path: String,
+      labeled: Seq[(String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])])
+      : Unit = {
+    def jn(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
+    val body = labeled.map { case (label, progs) =>
+      val batches = progs.sortBy(_.batchId).map { p =>
+        val ops = p.stateOperators.map { so =>
+          s"""{"operator_name":"${so.operatorName}",""" +
+            s""""rows_total":${so.numRowsTotal},""" +
+            s""""rows_updated":${so.numRowsUpdated},""" +
+            s""""rows_removed":${so.numRowsRemoved},""" +
+            s""""mem_bytes":${so.memoryUsedBytes},""" +
+            s""""n_store_partitions":${so.numShufflePartitions}}"""
+        }.mkString("[", ",", "]")
+        s"""{"batch_id":${p.batchId},"num_input_rows":${p.numInputRows},""" +
+          s""""input_rows_per_sec":${jn(p.inputRowsPerSecond)},""" +
+          s""""processed_rows_per_sec":${jn(p.processedRowsPerSecond)},""" +
+          s""""batch_duration_ms":${p.batchDuration},"state_ops":$ops}"""
+      }.mkString("[", ",", "]")
+      s"""{"stream":"$label","batches":$batches}"""
+    }.mkString("""{"streams":[""", ",", "]}")
+    try {
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, body)
+    } catch { case _: java.io.IOException => }
+  }
 }

@@ -316,6 +316,111 @@ class MediaHeaderSpec extends AnyFunSuite {
       moof(1, 3, None, Some(Seq(120, 180, 300)), trunOverrun = true)).isEmpty)
   }
 
+  // -- EBML/Matroska builders (re-derived from RFC 8794 VINT rules + the
+  //    Matroska element registry, independent of the query's builder) --
+  private def eVint(v: Long, forceLen: Int = 0): Array[Byte] = {
+    var n = 1
+    while (v >= (1L << (7 * n)) - 1) n += 1
+    if (forceLen > n) n = forceLen
+    val out = new Array[Byte](n)
+    out(0) = ((1 << (8 - n)) |
+      ((v >> (8 * (n - 1))) & ((1 << (8 - n)) - 1))).toByte
+    (1 until n).foreach(k =>
+      out(k) = ((v >> (8 * (n - 1 - k))) & 0xff).toByte)
+    out
+  }
+  private def eId(id: Long): Array[Byte] = {
+    val n = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+      else if (id <= 0xffffffL) 3 else 4
+    (0 until n).reverse.map(k => ((id >> (8 * k)) & 0xff).toByte).toArray
+  }
+  private def eEl(id: Long, p: Array[Byte]): Array[Byte] =
+    eId(id) ++ eVint(p.length.toLong) ++ p
+  private def eUint(id: Long, v: Long, w: Int): Array[Byte] =
+    eEl(id, (0 until w).reverse.map(k => ((v >> (8 * k)) & 0xff).toByte).toArray)
+  private def eF4(id: Long, v: Float): Array[Byte] =
+    eEl(id, java.nio.ByteBuffer.allocate(4).putFloat(v).array())
+  private def eF8(id: Long, v: Double): Array[Byte] =
+    eEl(id, java.nio.ByteBuffer.allocate(8).putDouble(v).array())
+  private def eStr(id: Long, s: String): Array[Byte] =
+    eEl(id, s.getBytes("US-ASCII"))
+  private def ebmlHeader(docType: String): Array[Byte] =
+    eEl(0x1A45DFA3L, eUint(0x4286L, 1, 1) ++ eStr(0x4282L, docType))
+
+  test("Matroska/webm: DocType brand, Duration x TimestampScale, audio " +
+    "fields, 4- and 8-byte floats, unknown-size segment") {
+    // webm, default 1e6-ns ticks, 4-BYTE float duration 2500 → 2500 ms;
+    // Opus audio at 48 kHz stereo, no BitDepth element
+    val tracks1 = eEl(0x1654AE6BL,
+      eEl(0xAEL, eUint(0xD7L, 1, 1) ++ eStr(0x86L, "V_VP9")) ++
+        eEl(0xAEL, eStr(0x86L, "A_OPUS") ++
+          eEl(0xE1L, eF4(0xB5L, 48000.0f) ++ eUint(0x9FL, 2, 1))))
+    val info1 = eEl(0x1549A966L,
+      eUint(0x2AD7B1L, 1000000L, 3) ++ eF4(0x4489L, 2500.0f))
+    val webm = ebmlHeader("webm") ++
+      eEl(0x18538067L, info1 ++ tracks1 ++
+        eEl(0x1F43B675L, eUint(0xE7L, 0, 1)))
+    assert(metaOf(webm) === Some(("mkv", Some(2500L), Some(2),
+      Some(48000), None, Some("webm"), Some("V_VP9+A_OPUS"))))
+
+    // matroska, 0.5-ms ticks (tsScale 5e5 ns), 8-byte float 1001 ticks →
+    // 500.5 ms → floor 500; PCM mono 8 kHz 24-bit
+    val tracks2 = eEl(0x1654AE6BL,
+      eEl(0xAEL, eStr(0x86L, "A_PCM/INT/LIT") ++
+        eEl(0xE1L, eF8(0xB5L, 8000.0) ++ eUint(0x9FL, 1, 1) ++
+          eUint(0x6264L, 24, 1))))
+    val mkv = ebmlHeader("matroska") ++
+      eEl(0x18538067L,
+        eEl(0x1549A966L, eUint(0x2AD7B1L, 500000L, 3) ++
+          eF8(0x4489L, 1001.0)) ++ tracks2)
+    assert(metaOf(mkv) === Some(("mkv", Some(500L), Some(1), Some(8000),
+      Some(24), Some("matroska"), Some("A_PCM/INT/LIT"))))
+
+    // live-stream form: unknown-size Segment (1-byte all-ones VINT) AND
+    // unknown-size trailing Cluster, no Duration element — row alive
+    val live = ebmlHeader("webm") ++ eId(0x18538067L) ++
+      Array(0xff.toByte) ++
+      eEl(0x1549A966L, eUint(0x2AD7B1L, 1000000L, 3)) ++
+      eEl(0x1654AE6BL, eEl(0xAEL, eStr(0x86L, "V_VP8"))) ++
+      eId(0x1F43B675L) ++ Array(0xff.toByte) ++ eUint(0xE7L, 0, 1)
+    assert(metaOf(live) === Some(("mkv", None, None, None, None,
+      Some("webm"), Some("V_VP8"))))
+  }
+
+  test("Matroska malformations: null, never throw") {
+    val happy = ebmlHeader("webm") ++ eEl(0x18538067L,
+      eEl(0x1549A966L, eUint(0x2AD7B1L, 1000000L, 3) ++
+        eF8(0x4489L, 100.0)) ++
+        eEl(0x1654AE6BL, eEl(0xAEL, eStr(0x86L, "V_VP9"))))
+    assert(metaOf(happy).isDefined) // the base case the mutations corrupt
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "truncated mid-element" -> happy.dropRight(3),
+      "0x00 where an element id belongs" -> (happy ++ Array[Byte](0)),
+      "inner element size overruns its parent" ->
+        (ebmlHeader("webm") ++ eEl(0x18538067L,
+          eId(0x1549A966L) ++ eVint(1000L) ++ Array[Byte](1, 2, 3))),
+      "unknown-size element where it is not allowed (Info)" ->
+        (ebmlHeader("webm") ++ eEl(0x18538067L,
+          eId(0x1549A966L) ++ Array(0xff.toByte) ++
+            eUint(0x2AD7B1L, 1000000L, 3))),
+      "9-byte uint TimestampScale" ->
+        (ebmlHeader("webm") ++ eEl(0x18538067L,
+          eEl(0x1549A966L, eEl(0x2AD7B1L, new Array[Byte](9))))),
+      "zero TimestampScale" ->
+        (ebmlHeader("webm") ++ eEl(0x18538067L,
+          eEl(0x1549A966L, eUint(0x2AD7B1L, 0L, 3)))),
+      "5-byte float Duration" ->
+        (ebmlHeader("webm") ++ eEl(0x18538067L,
+          eEl(0x1549A966L, eEl(0x4489L, new Array[Byte](5))))),
+      "empty DocType" -> (ebmlHeader("") ++
+        eEl(0x18538067L, eEl(0x1549A966L, Array.emptyByteArray))),
+      "bare EBML signature" -> Array(0x1a, 0x45, 0xdf, 0xa3)
+        .map(_.toByte))
+    cases.foreach { case (label, bytes) =>
+      assert(metaOf(bytes).isEmpty, label)
+    }
+  }
+
   test("malformation matrix: null, never throw") {
     val cases: Seq[(String, Array[Byte])] = Seq(
       "truncated WAV (RIFF size overruns)" ->

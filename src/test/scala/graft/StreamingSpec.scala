@@ -24,34 +24,46 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("state-store metrics: dedup state = one row per distinct signature, " +
-    "join state bounded, bytes recorded") {
-    // the q255 shape at sf0.001 — the invariants the rows-only oracle
-    // entry cannot check are pinned here
+    "join state = per-side inserts, impl metrics in the sidecar") {
+    // the q255 shape at sf0.001 — the deterministic first-data-batch
+    // core (now ORACLE-checked at the gate) re-derived here against the
+    // batch engine, and the sidecar checked for the impl-dependent
+    // metrics the core deliberately excludes (r17 VERDICT items 1+7)
     val m = SparkEntry.queries("q255_stream_state_metrics")(spark, sfDir)
       .collect()
-    assert(m.nonEmpty)
     val byStream = m.groupBy(_.getString(0))
     assert(byStream.keySet == Set("dedup", "join"), byStream.keySet)
-    // dedup: final batch's state rows == distinct signatures of non-empty
+    assert(m.length == 2, m.toSeq.toString) // one stateful op per stream
+    // dedup: first-batch state rows == distinct signatures of non-empty
     // docs (one long per signature — the Scaladoc claim, now a number)
-    val dedupFinal = byStream("dedup").maxBy(_.getLong(1))
+    val ded = byStream("dedup").head
     val distinctSigs = Tables.documents(spark, sfDir)
       .filter(length(trim(col("text"))) > 0)
       .select(graft.streaming.StreamingDedup.signature(col("text")).as("s"))
       .filter(col("s").isNotNull).distinct().count()
-    assert(dedupFinal.getLong(4) == distinctSigs,
-      s"dedup rows_total ${dedupFinal.getLong(4)} != $distinctSigs")
-    // join: state rows bounded by the buffered view+click rows (both
-    // sides retained within the watermark), memory footprint recorded
-    val joinFinal = byStream("join").maxBy(_.getLong(1))
+    assert(ded.getLong(2) == distinctSigs,
+      s"dedup rows_total ${ded.getLong(2)} != $distinctSigs")
+    assert(ded.getLong(3) == distinctSigs && ded.getLong(4) == 0L, ded.toString)
+    // join: every non-null-key/time view+click row is inserted into its
+    // side's store in the single data batch; nothing evicts at watermark 0
+    val jn = byStream("join").head
     val ev = Tables.events(spark, sfDir)
-    val bound = ev.filter(col("event_type").isin("view", "click")).count()
-    assert(joinFinal.getLong(4) > 0 && joinFinal.getLong(4) <= bound,
-      s"join rows_total ${joinFinal.getLong(4)} vs bound $bound")
-    assert(m.forall(_.getLong(7) > 0), "mem_bytes must be recorded")
-    // the 4-partition store trim is visible in the artifact too
-    assert(m.forall(_.getLong(8) == 4L),
-      m.map(_.getLong(8)).toSeq.distinct.toString)
+    val inserts = ev.filter(col("event_type").isin("view", "click") &&
+      col("user_id").isNotNull && col("ts").isNotNull).count()
+    assert(jn.getLong(2) == inserts,
+      s"join rows_total ${jn.getLong(2)} != $inserts")
+    assert(jn.getLong(3) == inserts && jn.getLong(4) == 0L, jn.toString)
+    // sidecar: mem_bytes, the 4-partition store trim, and the run's
+    // rate/timing numbers live here — rewritten by the run above
+    val sidecar = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("target/q255_state_sidecar.json"))
+    assert(sidecar.contains("\"stream\":\"dedup\"") &&
+      sidecar.contains("\"stream\":\"join\""), sidecar.take(200))
+    assert("\"mem_bytes\":(\\d+)".r.findAllMatchIn(sidecar)
+      .forall(_.group(1).toLong > 0), "mem_bytes must be recorded")
+    assert(sidecar.contains("\"n_store_partitions\":4"), sidecar.take(400))
+    assert(sidecar.contains("\"batch_duration_ms\":") &&
+      sidecar.contains("\"input_rows_per_sec\":"), sidecar.take(400))
   }
 
   test("streaming upsert: replayed keys replace, new keys append, within-batch last-writer wins") {
