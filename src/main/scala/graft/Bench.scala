@@ -302,6 +302,53 @@ object Bench {
         ioSamples += ((i, ioProbe()))
       r
     }
+    // ---- end-of-board auto-retest (r17 VERDICT item 3) -----------------
+    // Mid-board host bursts can land BETWEEN canary positions (r17: q126
+    // read 5.03 s on the driver board with every stamp quiet; isolated
+    // re-run 1.41 s) — so the board adjudicates its own outliers: any
+    // query that ran > 2.5× its prior-round reading (and > 0.5 s over it
+    // — sub-second noise is not a burst) is re-run ONCE after the timed
+    // loop and the retest time stamped as retest_s. Reference = the
+    // newest BENCH_r*.json in cwd (the driver's own artifact), or
+    // SPARK_GRAFT_BENCH_REF. Bands update only from retest-confirmed
+    // readings; the board numbers themselves are never rewritten.
+    val refTimes: Map[String, Double] = {
+      val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").orElse {
+        val rs = Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        if (rs.isEmpty) None
+        else Some(rs.maxBy(f =>
+          "\\d+".r.findFirstIn(f.getName).get.toInt).getPath)
+      }
+      refPath.flatMap { p =>
+        try {
+          val txt = java.nio.file.Files.readString(
+            java.nio.file.Paths.get(p))
+          System.err.println(s"[bench] retest reference: $p")
+          // the driver artifact carries the per-query map inside an
+          // escaped-JSON "tail" string — match both raw and escaped keys
+          Some("\\\\?\"(q\\d+)\\\\?\":([0-9]+\\.[0-9]+)".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        } catch { case _: Throwable => None }
+      }.getOrElse(Map.empty)
+    }
+    def shortKeyR(n: String) = n.takeWhile(_ != '_')
+    val retests: Seq[(String, Double)] =
+      if (!fullRun || refTimes.isEmpty) Seq.empty
+      else results
+        .flatMap { case (n, s) =>
+          refTimes.get(shortKeyR(n)).collect {
+            case ref if s >= 0 && ref > 0 && s > 2.5 * ref && s - ref > 0.5 =>
+              (n, s / ref)
+          }
+        }
+        .sortBy(-_._2).take(8) // bound the post-board tax to 8 re-runs
+        .map { case (n, ratio) =>
+          System.err.println(
+            f"[bench] retesting $n ($ratio%.1fx its reference)")
+          n -> runOnce(n)
+        }
     def qJson(key: String => String) = results
       .map { case (k, v) => "\"" + key(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -361,6 +408,8 @@ object Bench {
       s""""io_idx":${ioSamples.map(s => f3(s._2)).mkString("[", ",", "]")},""" +
       s""""io_pos":${ioSamples.map(_._1).mkString("[", ",", "]")},""" +
       s""""io_unit":"$ioUnit",""" +
+      s""""retest_s":${retests.map { case (n, r) =>
+        "\"" + shortKeyR(n) + "\":" + f3(r) }.mkString("{", ",", "}")},""" +
       s""""seed":${benchSeed.map(_.toString).getOrElse("null")},""" +
       s""""nproc":${Runtime.getRuntime.availableProcessors()}"""
     println(
