@@ -599,6 +599,21 @@ object Dedup {
       .groupBy(col("nd")).agg(count(lit(1)).as("n_toks"))
       .orderBy(col("nd").desc)
 
+  /** Candidates-per-doc level at which the autocap forecasts warn (and
+    * `autoRoute` engages) — recalibrated from the r17 Zipf ladder (r18):
+    * 3.8k candidates/doc (200k docs, 7.6e8 rows) COMPLETED in 11.2 GB
+    * scratch while 5.6k/doc (300k docs, 1.7e9 rows) ABORTED a 48 g /
+    * ~90 GB node at 55 GB live scratch — the original 1e4/doc threshold
+    * sat above the measured abort regime and would have stayed silent
+    * through it. 4000 sits between the two measured regimes. Per-doc,
+    * not absolute: scratch ≈ forecast × 14 B grows with the corpus on
+    * both sides of the threshold, so the RATIO is what separates "pair
+    * stage proportional to input" from "pair stage dominates".
+    * Containment's Σ dfreq² forecast is an upper bound, so it crosses
+    * earlier — conservative in the safe direction; callers who need the
+    * exact join regardless set an absolute cap. */
+  private[graft] val WarnCandidatesPerDoc = 4000.0
+
   /** Driver-side (countValue, nGroups) rollup of a per-key count table —
     * at most one row per DISTINCT count value (hundreds even at corpus
     * scale), collected ascending. One map-side-combinable aggregate over
@@ -659,8 +674,9 @@ object Dedup {
     *
     * `autoRoute` (autocap mode only) lets the operator take the
     * forecast's own advice (r17 VERDICT item 4): when the forecast
-    * exceeds the warn threshold (10⁴ candidates per doc — the measured
-    * pair-stage-dominates regime), the exact prefix join is REPLACED by
+    * exceeds the warn threshold ([[WarnCandidatesPerDoc]] — recalibrated
+    * to the measured pair-stage-dominates regime), the exact prefix join
+    * is REPLACED by
     * the banded-minhash candidate chain ([[minhashCandidates]], 16 lanes
     * / 8 bands of 2), feeding the IDENTICAL exact-Jaccard verify — same
     * output contract, same threshold, band-bounded candidate volume.
@@ -736,7 +752,7 @@ object Dedup {
           nToks.toDouble * nd.toDouble * (nd - 1).toDouble / 2.0
         val predicted = rollup.iterator.takeWhile(_._1 <= cap)
           .map((pairsAt _).tupled).sum
-        if (predicted > 10000.0 * nDocs) {
+        if (predicted > WarnCandidatesPerDoc * nDocs) {
           routeToBanded = autoRoute
           if (routeToBanded)
             log.warn(f"prefixJaccardPairs autoCap=$cap admits " +
@@ -1064,7 +1080,7 @@ object Dedup {
         val bound = rollup.iterator.takeWhile(_._1 <= cap)
           .map { case (df, nToks) => nToks.toDouble * df.toDouble * df.toDouble }
           .sum
-        if (bound > 10000.0 * nDocs) {
+        if (bound > WarnCandidatesPerDoc * nDocs) {
           routeToBanded = autoRoute
           if (routeToBanded)
             log.warn(f"containmentPairs autoCap=$cap admits up to " +

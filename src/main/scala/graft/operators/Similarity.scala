@@ -325,7 +325,7 @@ object Similarity {
             val pred = rollup.iterator.takeWhile(_._1 <= cap)
               .map { case (m, nb) => nb.toDouble * m.toDouble * (m - 1).toDouble / 2.0 }
               .sum
-            if (pred > 10000.0 * nVecs)
+            if (pred > Dedup.WarnCandidatesPerDoc * nVecs)
               log.warn(f"lshNearPairs autoCap=$cap admits $pred%.3e " +
                 f"candidate pairs (${pred / math.max(nVecs, 1)}%.0f per " +
                 "vector) — raise bits or set an absolute maxBucket at the " +

@@ -426,7 +426,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
     // the forecast must clear the warn threshold (route trigger): ~336
     // shared prefix tokens per family at nd ≈ 120 → ~4.8e6 admitted
-    // candidates > 1e4 × 250 docs. Routed run = banded-minhash
+    // candidates > WarnCandidatesPerDoc × 250 docs. Routed run = banded-minhash
     // candidates + the SAME exact verify: full recall here (a 0.94
     // word-shingle near-dup misses all 8 bands w.p. ~3e-8), zero false
     // positives by construction.

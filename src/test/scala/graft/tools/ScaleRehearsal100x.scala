@@ -424,7 +424,43 @@ object ScaleRehearsal100x {
         }
       })
 
-      val ok2 = okB && (!armOn("q154") || timed(nDocs, "q154_containment") {
+      // ---- autoRoute arm (r18, VERDICT item 4): the operator takes its
+      // own advice at ladder scale. With autoRoute on, an autocap
+      // forecast over the warn threshold (the ≥300k Zipf regime whose
+      // exact join forecasts ~70 GB of candidate scratch) swaps the
+      // prefix join for banded-minhash candidates + the same exact
+      // verify. engaged= in the printed row records whether the forecast
+      // actually tripped at this scale (the banded chain's (band, bh)
+      // columns in the plan); recall through the bands is probabilistic —
+      // a planted pair at word-shingle sim s misses all 8 bands w.p.
+      // (1−s²)⁸, ≈1e-3 at the corpus's worst pairs (s ≈ 0.76) — so the
+      // floor is 99%, not the exact path's equality contract.
+      val okR = okB && (!armOn("route") || timed(nDocs, "q121_autoroute") {
+        val routed = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+          maxDocsPerTok = 0, autoRoute = true)
+        val engaged = routed.queryExecution.optimizedPlan.toString
+          .contains("bh#")
+        val pairs = routed.select(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        val withC = pairs
+          .join(clusterOf.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("cluster", "ca"), "id_a")
+          .join(clusterOf.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("cluster", "cb"), "id_b")
+        val within = withC
+          .filter(col("ca") === col("cb") && col("ca") >= 0).count()
+        val mega = withC.filter(col("ca") === -2 && col("cb") === -2).count()
+        val all = pairs.count()
+        println(s"REHEARSAL100X n=$nDocs q121_route engaged=$engaged " +
+          s"within=$within/$truthPairs mega=$mega/19900 total_pairs=$all")
+        require(within >= (truthPairs * 99) / 100,
+          s"routed recall below the banded floor: $within/$truthPairs")
+        require(mega >= 19701, // ≥99% of C(200,2)
+          s"routed mega recall below the banded floor: $mega/19900")
+        all
+      })
+
+      val ok2 = okR && (!armOn("q154") || timed(nDocs, "q154_containment") {
         val got = Dedup.containmentPairs(docs, "doc_id", "text")
           .select(col("id_sub"), col("id_sup")).localCheckpoint()
         val plantedDf = plantedCont.toDF("id_sub", "id_sup")
