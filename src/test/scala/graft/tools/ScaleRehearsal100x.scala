@@ -142,8 +142,16 @@ object ScaleRehearsal100x {
       // the verify-side arrs broadcast at 500k docs collects ~1.7 GB to
       // the driver — raise maxResultSize so the dispatch can take the
       // broadcast path (the operator gates on this conf; the 1 GB
-      // default routes back to the shuffle shape and its ~250 GB scratch)
-      .config("spark.driver.maxResultSize", "8g")
+      // default routes back to the shuffle shape and its ~250 GB scratch).
+      // 12g, not 8g (r18): the dispatch's char budget is
+      // min(heap/8, maxResultSize/2)/48 — at 8g that is 83M corpus chars,
+      // which the 300k corpus (~105M chars) exceeds, so the r18 fixed-cap
+      // 300k arm fell to the shuffle-shape verify (~2.8 KB per candidate)
+      // and aborted at 61 GB scratch with only a 5.85e8-candidate
+      // forecast. 12g moves the binding constraint to heap/8 = 6 GB =
+      // 125M chars; 500k (~175M chars) stays shuffle-shape at 48 g heap —
+      // that completion point needs a bigger node, recorded honestly.
+      .config("spark.driver.maxResultSize", "12g")
       // shuffle files of COMPLETED jobs are reclaimed by the
       // ContextCleaner only after a driver GC notices the dead
       // ShuffleDependency — with a 48 g heap that never happens
@@ -366,9 +374,23 @@ object ScaleRehearsal100x {
         val all = pairs.count()
         println(s"REHEARSAL100X n=$nDocs q121 within_planted=$within/" +
           s"$truthPairs mega=$mega/19900 total_pairs=$all")
-        require(within == truthPairs,
-          s"q121 autoCap lost planted pairs: $within != $truthPairs")
-        require(mega == 19900L, s"q121 autoCap mega recall: $mega != 19900")
+        if (q121Cap <= 0) {
+          require(within == truthPairs,
+            s"q121 autoCap lost planted pairs: $within != $truthPairs")
+          require(mega == 19900L, s"q121 autoCap mega recall: $mega != 19900")
+        } else {
+          // explicit-cap runs RECORD the recall trade instead of
+          // requiring equality: clusters above the cap losing pairs is
+          // the cap's documented contract (measured r18 at cap 100:
+          // ~90% planted / ~22% mega at 100k docs — boundary shingles
+          // recover only part of what a cap 2× under the cluster size
+          // drops, unlike the budget arm's just-below-the-mega cap).
+          // The row's purpose is the wall/scratch completion point of
+          // the capped (linearized) pair volume.
+          println(f"REHEARSAL100X n=$nDocs $q121Name recall_planted=" +
+            f"${within * 100.0 / math.max(truthPairs, 1)}%.1f%% " +
+            f"recall_mega=${mega * 100.0 / 19900}%.1f%%")
+        }
         all
       }
 
