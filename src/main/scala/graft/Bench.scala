@@ -333,12 +333,11 @@ object Bench {
         } catch { case _: Throwable => None }
       }.getOrElse(Map.empty)
     }
-    def shortKeyR(n: String) = n.takeWhile(_ != '_')
     val retests: Seq[(String, Double)] =
       if (!fullRun || refTimes.isEmpty) Seq.empty
       else results
         .flatMap { case (n, s) =>
-          refTimes.get(shortKeyR(n)).collect {
+          refTimes.get(shortKey(n)).collect {
             case ref if s >= 0 && ref > 0 && s > 2.5 * ref && s - ref > 0.5 =>
               (n, s / ref)
           }
@@ -409,7 +408,7 @@ object Bench {
       s""""io_pos":${ioSamples.map(_._1).mkString("[", ",", "]")},""" +
       s""""io_unit":"$ioUnit",""" +
       s""""retest_s":${retests.map { case (n, r) =>
-        "\"" + shortKeyR(n) + "\":" + f3(r) }.mkString("{", ",", "}")},""" +
+        "\"" + shortKey(n) + "\":" + f3(r) }.mkString("{", ",", "}")},""" +
       s""""seed":${benchSeed.map(_.toString).getOrElse("null")},""" +
       s""""nproc":${Runtime.getRuntime.availableProcessors()}"""
     println(

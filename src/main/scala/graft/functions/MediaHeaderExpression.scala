@@ -400,6 +400,11 @@ object MediaHeaderOps {
     var channels = -1L
     var rate = Double.NaN
     var bitDepth = -1L
+    // first-AUDIO-ELEMENT-wins, not per-field first-wins: per-field
+    // guards would blend fields from different tracks' Audio elements
+    // into one chimera row (e.g. bits from a PCM commentary track on an
+    // Opus main track — review r18)
+    var sawAudio = false
     var bad = false
     val codecs = scala.collection.mutable.LinkedHashSet.empty[String]
     def uintAt(from: Int, until: Int): Long = {
@@ -478,7 +483,8 @@ object MediaHeaderOps {
                     if (c.nonEmpty &&
                       c.forall(ch => ch >= 0x20 && ch < 0x7f)) codecs += c
                     else bad = true
-                  } else if (i4 == 0xE1L) { // Audio (first one wins)
+                  } else if (i4 == 0xE1L && !sawAudio) { // FIRST Audio wins
+                    sawAudio = true
                     if (!walk(f4, u4, Set.empty) { (i5, f5, u5) =>
                       if (i5 == 0xB5L && rate.isNaN) // SamplingFrequency
                         rate = floatAt(f5, u5)
@@ -497,10 +503,15 @@ object MediaHeaderOps {
     }
     if (!ok || bad || docType == null || docType.isEmpty ||
       !docType.forall(c => c >= 0x20 && c < 0x7f)) return null
+    // ±Inf and out-of-Long-range floats are malformation, not values —
+    // floor(Inf).toLong would saturate to Long.MaxValue and emit a
+    // phantom ~292-million-year duration (review r18; same posture as
+    // the WAV wrapped-u32 sample rate)
+    val durMsD = durTicks * tsScale / 1e6
     val durationMs: Any =
-      if (durTicks.isNaN || durTicks < 0) null
-      else java.lang.Long.valueOf(
-        math.floor(durTicks * tsScale / 1e6).toLong)
+      if (durTicks.isNaN || durTicks < 0 || durTicks.isInfinite ||
+        durMsD >= Long.MaxValue.toDouble) null
+      else java.lang.Long.valueOf(math.floor(durMsD).toLong)
     def posInt(v: Long): Any =
       if (v > 0 && v <= Int.MaxValue) Integer.valueOf(v.toInt) else null
     val rateInt: Any =

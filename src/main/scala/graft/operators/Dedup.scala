@@ -682,10 +682,18 @@ object Dedup {
     * output contract, same threshold, band-bounded candidate volume.
     * Recall through the route is probabilistic instead of cap-bounded: a
     * true pair at word-shingle similarity s collides in ≥1 band w.p.
-    * 1−(1−s²)⁸ (≈0.97 at s=0.6, ≈1−2e−6 at s=0.9), INDEPENDENT of
-    * cluster size — exactly the regime (huge near-identical families)
-    * where the capped prefix join loses everything. Precision is
-    * untouched (the verify is exact either way). */
+    * 1−(1−s²)⁸ (≈0.97 at s=0.6, ≈1−2e−6 at s=0.9), independent of
+    * cluster size UP TO the routed chain's own bucket cap — which is
+    * derived from the SAME template floor as the autocap
+    * (max(1000, ⌈templateShare · nDocs⌉) docs per band bucket), so a
+    * genuine family the share floor admits is never dropped by the
+    * route, and only corpus-scale template collapse (a bucket holding ≥
+    * share of the corpus) is refused, consistently with every other
+    * knob in this family. Precision is untouched (the verify is exact
+    * either way). `autoRoute` and `maxCandidates` are mutually
+    * exclusive: the routed chain's volume is bucket-bounded, not
+    * budget-bounded, and silently ignoring a stated hard envelope is
+    * exactly the r17-ADVICE failure class — state ONE policy. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, numT: Int = 3, denT: Int = 5,
       maxDocsPerTok: Int = 20, templateShare: Double = 0.5,
@@ -699,6 +707,10 @@ object Dedup {
     require(!autoRoute || maxDocsPerTok <= 0,
       "autoRoute reads the autocap forecast — with an explicit " +
         s"maxDocsPerTok=$maxDocsPerTok the caller has already chosen")
+    require(!autoRoute || maxCandidates == 0L,
+      "autoRoute and maxCandidates are mutually exclusive: the routed " +
+        "chain is bucket-bounded, not budget-bounded, and a stated hard " +
+        "envelope must never be silently ignored — pick one policy")
     val (prefixPre0, inputSmall) =
       prefixToks(docs, idCol, textCol, shingleK, numT, denT)
     // autoCap mode consumes prefixPre from THREE actions (doc count, nd
@@ -710,6 +722,13 @@ object Dedup {
     // same size class the main pass pins below — not the full corpus
     // explode the r15 size dispatch refuses to pin. Explicit-cap mode
     // keeps the r11 dispatch: one pre-pass consumer only.
+    // snapshot the persistent-RDD ids first: when autoRoute later engages
+    // the pinned prefix table is dead weight through the banded join and
+    // verify — the route branch frees exactly the blocks this call pinned
+    // (review r18: at the ≥300k scales the route targets, an abandoned
+    // prefix pin is the stolen-executor-memory class q126 measured).
+    val pinnedBefore =
+      docs.sparkSession.sparkContext.getPersistentRDDs.keySet
     val prefixPre =
       if (maxDocsPerTok <= 0 || inputSmall) prefixPre0.localCheckpoint()
       else prefixPre0
@@ -726,11 +745,19 @@ object Dedup {
     val ndCounts = prefixPre.groupBy(col("tok"))
       .agg(count(lit(1)).as("nd"))
     var routeToBanded = false
+    // routed-chain bucket cap: same template floor as the autocap itself,
+    // never below minhashCandidates' 1000 default — a family the share
+    // floor admits must not be dropped by the route's bucket guard
+    // (review r18: the fixed 1000 default silently zeroed recall for
+    // >1000-member families, the exact regime the route exists for)
+    var routeBucketCap = 1000
     val effCap =
       if (maxDocsPerTok > 0) maxDocsPerTok
       else {
         val nDocs = prefixPre.agg(countDistinct(col("doc_id")))
           .head().getLong(0)
+        routeBucketCap = math.min(math.max(1000L,
+          math.ceil(templateShare * nDocs).toLong), Int.MaxValue.toLong).toInt
         // ONE tiny driver-side rollup — at most one row per distinct nd
         // value, hundreds of rows — serves the template-floor cap, the
         // candidate forecast AND the cumulative budget cap (r17 ADVICE:
@@ -804,13 +831,20 @@ object Dedup {
         } else cap
       }
     if (routeToBanded) {
+      // the pinned prefix table served only the forecast — free its
+      // blocks before the banded chain runs (ids pinned by THIS call)
+      val sc = docs.sparkSession.sparkContext
+      sc.getPersistentRDDs
+        .filter { case (rid, _) => !pinnedBefore.contains(rid) }
+        .values.foreach(_.unpersist(blocking = false))
       // band-bounded candidate generation at the same word-shingle width
       // the streaming/batch minhash dedups use; the verify below re-checks
       // every candidate against the EXACT char-shingle threshold, so the
       // output contract is unchanged — only recall semantics differ (see
-      // Scaladoc).
+      // Scaladoc). maxBucket = the share-derived template floor, so the
+      // route refuses only corpus-scale collapse, never an admitted family.
       val cand = minhashCandidates(docs, idCol, textCol, shingleN = 3,
-        numHashes = 16, bands = 8)
+        numHashes = 16, bands = 8, maxBucket = routeBucketCap)
         .select(col("id_a").as("d1"), col("id_b").as("d2"))
       jaccardVerify(docs, idCol, textCol, shingleK, numT, denT, cand,
         inputSmall)
@@ -1043,7 +1077,13 @@ object Dedup {
     val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
       BigInt(512L << 20)
     // checkpoint under either the perf gate or the honest-stats gate —
-    // same dual dispatch (and the same r16 rationale) as prefixToks
+    // same dual dispatch (and the same r16 rationale) as prefixToks.
+    // Persistent-RDD ids snapshotted first so the route branch can free
+    // exactly the blocks this call pinned (same rationale as
+    // prefixJaccardPairs — an abandoned pin is dead executor storage at
+    // the scales the route targets).
+    val pinnedBefore =
+      docs.sparkSession.sparkContext.getPersistentRDDs.keySet
     val toks =
       if (inputSmall || inBroadcastDangerZone(toksPlan))
         toksPlan.localCheckpoint()
@@ -1057,10 +1097,16 @@ object Dedup {
     // dfreq ≈ corpus size is boilerplate. Two extra linear jobs
     // (doc count + dictionary max), auto mode only.
     var routeToBanded = false
+    // routed-chain bucket cap from the same template floor as the autocap
+    // (see prefixJaccardPairs — an admitted family must not be dropped
+    // by the route's bucket guard)
+    var routeBucketCap = 1000
     val effCap =
       if (maxDocsPerTok > 0) maxDocsPerTok
       else {
         val nDocs = base.select(col(idCol)).distinct().count()
+        routeBucketCap = math.min(math.max(1000L,
+          math.ceil(templateShare * nDocs).toLong), Int.MaxValue.toLong).toInt
         // ONE driver-side rollup (r17 ADVICE — the cap aggregate and the
         // forecast aggregate were two separate passes over the dfreq
         // table's full explode + groupBy lineage): at most one row per
@@ -1101,13 +1147,20 @@ object Dedup {
         cap
       }
     if (routeToBanded) {
+      // the pinned toks table served only the dfreq rollup — free the
+      // blocks this call pinned before the banded chain runs
+      docs.sparkSession.sparkContext.getPersistentRDDs
+        .filter { case (rid, _) => !pinnedBefore.contains(rid) }
+        .values.foreach(_.unpersist(blocking = false))
       // each UNORDERED banded candidate is verified in BOTH directions —
       // the exact threshold below keeps whichever direction(s) hold, so
       // mutual near-dups still emit twice, matching the exact join's
       // contract. The pair table is consumed by both union branches; pin
-      // it so the banding chain runs once.
+      // it so the banding chain runs once. maxBucket = the share-derived
+      // template floor (see prefixJaccardPairs).
       val sym = minhashCandidates(docs, idCol, textCol, shingleN = 3,
-        numHashes = 16, bands = 8).localCheckpoint()
+        numHashes = 16, bands = 8, maxBucket = routeBucketCap)
+        .localCheckpoint()
       val cand = sym.select(col("id_a").as("sub"), col("id_b").as("sup"))
         .unionByName(
           sym.select(col("id_b").as("sub"), col("id_a").as("sup")))

@@ -248,8 +248,11 @@ object StreamingOps {
   def writeStateSidecar(path: String,
       labeled: Seq[(String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])])
       : Unit = {
+    // Locale.ROOT, not the default-locale f-interpolator: a comma
+    // decimal separator would corrupt the JSON (review r18)
     def jn(d: Double): String =
-      if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
+      if (d.isNaN || d.isInfinite) "null"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val body = labeled.map { case (label, progs) =>
       val batches = progs.sortBy(_.batchId).map { p =>
         val ops = p.stateOperators.map { so =>

@@ -491,6 +491,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Dedup.prefixJaccardPairs(d, "doc_id", "text", maxDocsPerTok = 20,
         autoRoute = true)
     }
+    // autoRoute and maxCandidates are mutually exclusive (review r18: the
+    // routed chain is bucket-bounded; a stated hard budget must never be
+    // silently ignored)
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardPairs(d, "doc_id", "text", maxDocsPerTok = 0,
+        autoRoute = true, maxCandidates = 100L)
+    }
+  }
+
+  test("autoRoute bucket cap: a family larger than the 1000-bucket " +
+      "default survives when the share floor admits it (r18 review)") {
+    import spark.implicits._
+    // 1050 identical docs + 1100 per-doc-unique lone docs: the share
+    // floor (ceil(0.5 × 2150) = 1075) admits the family (nd = 1050),
+    // the forecast (~28 prefix toks × C(1050,2) ≈ 1.5e7 ≈ 7k/doc) trips
+    // the threshold, and the routed chain's bucket cap is the SAME share
+    // floor — minhashCandidates' fixed 1000 default would have dropped
+    // the family's single 1050-member band buckets and zeroed its recall
+    // in exactly the regime the route exists for.
+    val fam = "orbit comet nebula pulsar quasar nova aurora eclipse " +
+      "meteor corona"
+    val docs = ((0L until 1050L).map(i => (i, fam)) ++
+      (10000L until 11100L).map(i =>
+        (i, (0 until 10).map(j => f"lone${i}w$j%02d").mkString(" "))))
+      .toDF("doc_id", "text")
+    val routed = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      maxDocsPerTok = 0, autoRoute = true)
+    assert(routed.queryExecution.optimizedPlan.toString.contains("bh#"),
+      "route did not engage")
+    val n = routed.count()
+    assert(n == 1050L * 1049 / 2, s"family pairs through the route: $n")
   }
 
   test("connectedComponents matches union-find on random graphs") {

@@ -385,6 +385,32 @@ class MediaHeaderSpec extends AnyFunSuite {
       eId(0x1F43B675L) ++ Array(0xff.toByte) ++ eUint(0xE7L, 0, 1)
     assert(metaOf(live) === Some(("mkv", None, None, None, None,
       Some("webm"), Some("V_VP8"))))
+
+    // multi-audio-track: the FIRST Audio element wins WHOLESALE — no
+    // per-field blending from a later track's Audio (review r18: bits
+    // from a PCM commentary track must not attach to the Opus main
+    // track's rate/channels)
+    val twoAudio = ebmlHeader("matroska") ++ eEl(0x18538067L,
+      eEl(0x1549A966L, eUint(0x2AD7B1L, 1000000L, 3)) ++
+        eEl(0x1654AE6BL,
+          eEl(0xAEL, eStr(0x86L, "A_OPUS") ++
+            eEl(0xE1L, eF4(0xB5L, 48000.0f) ++ eUint(0x9FL, 2, 1))) ++
+            eEl(0xAEL, eStr(0x86L, "A_PCM/INT/LIT") ++
+              eEl(0xE1L, eF8(0xB5L, 8000.0) ++ eUint(0x9FL, 1, 1) ++
+                eUint(0x6264L, 24, 1)))))
+    assert(metaOf(twoAudio) === Some(("mkv", None, Some(2), Some(48000),
+      None, Some("matroska"), Some("A_OPUS+A_PCM/INT/LIT"))))
+
+    // +Inf Duration: a structurally valid float carrying garbage — the
+    // row survives (brand/codec are still real filterables), duration_ms
+    // nulls instead of floor(Inf).toLong saturating to Long.MaxValue
+    // (review r18)
+    val infDur = ebmlHeader("webm") ++ eEl(0x18538067L,
+      eEl(0x1549A966L, eUint(0x2AD7B1L, 1000000L, 3) ++
+        eF8(0x4489L, Double.PositiveInfinity)) ++
+        eEl(0x1654AE6BL, eEl(0xAEL, eStr(0x86L, "V_VP9"))))
+    assert(metaOf(infDur) === Some(("mkv", None, None, None, None,
+      Some("webm"), Some("V_VP9"))))
   }
 
   test("Matroska malformations: null, never throw") {

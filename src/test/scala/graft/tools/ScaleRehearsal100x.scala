@@ -112,7 +112,7 @@ object ScaleRehearsal100x {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // SPARK_GRAFT_ARMS: comma-set of {q121,budget,q154,q63,hotness}
+    // SPARK_GRAFT_ARMS: comma-set of {q121,budget,route,q154,q63,hotness}
     // restricting which arms run (default all). Exists because the arms' scratch
     // footprints differ by ~10×: the measured 500k q121 attempt aborted
     // at 74.5 GB live scratch under the budget guard, while q154/q63/
