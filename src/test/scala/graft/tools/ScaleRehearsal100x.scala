@@ -112,7 +112,7 @@ object ScaleRehearsal100x {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // SPARK_GRAFT_ARMS: comma-set of {q121,budget,route,q154,q63,hotness}
+    // SPARK_GRAFT_ARMS: comma-set of {q121,budget,route,q154,croute,q63,hotness}
     // restricting which arms run (default all). Exists because the arms' scratch
     // footprints differ by ~10×: the measured 500k q121 attempt aborted
     // at 74.5 GB live scratch under the budget guard, while q154/q63/
@@ -482,7 +482,33 @@ object ScaleRehearsal100x {
         all
       })
 
-      val ok2 = okR && (!armOn("q154") || timed(nDocs, "q154_containment") {
+      // ---- containment autoRoute arm (r18): same route, asymmetric
+      // recall measured instead of claimed. The planted (sub, sup) pairs
+      // have word-shingle Jaccard ≈ 43/73 ≈ 0.59 (sup = sub + a 30-word
+      // tail), so banded collision ≈ 1−(1−s²)⁸ ≈ 0.97 — the route's
+      // documented caveat (symmetric candidates can miss asymmetric
+      // containments) as a NUMBER: expect ~3% of planted pairs lost,
+      // floor at 90%. The exact path's equality contract stays with the
+      // q154 arm.
+      val okC = okR && (!armOn("croute") || timed(nDocs, "q154_autoroute") {
+        val routed = Dedup.containmentPairs(docs, "doc_id", "text",
+          maxDocsPerTok = 0, autoRoute = true)
+        val engaged = !routed.queryExecution.optimizedPlan.toString
+          .contains("prefix_min_k")
+        val got = routed.select(col("id_sub"), col("id_sup"))
+          .localCheckpoint()
+        val plantedDf = plantedCont.toDF("id_sub", "id_sup")
+        val found = got.join(plantedDf, Seq("id_sub", "id_sup")).count()
+        val all = got.count()
+        println(s"REHEARSAL100X n=$nDocs q154_route engaged=$engaged " +
+          s"planted_found=$found/${plantedCont.size} total=$all")
+        require(found >= (plantedCont.size * 90) / 100,
+          s"routed containment recall below the banded floor: " +
+            s"$found/${plantedCont.size}")
+        all
+      })
+
+      val ok2 = okC && (!armOn("q154") || timed(nDocs, "q154_containment") {
         val got = Dedup.containmentPairs(docs, "doc_id", "text")
           .select(col("id_sub"), col("id_sup")).localCheckpoint()
         val plantedDf = plantedCont.toDF("id_sub", "id_sup")
