@@ -299,14 +299,19 @@ object Similarity {
     val sig =
       if (maxBucket == Int.MaxValue) sig0
       else {
-        val sizes0 = sig0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
-        // autocap consumes the bucket-size table twice (the driver
-        // rollup and the keep semi-join), and its lineage is the full
-        // per-vector signature computation — pin it (r17 ADVICE: the cap
-        // aggregate and the forecast aggregate were each a separate full
-        // signature pass). The table is ≤ min(2^bits, n) rows of two
-        // longs. Explicit maxBucket consumes it once; nothing pinned.
-        val sizes = if (maxBucket == 0) sizes0.localCheckpoint() else sizes0
+        // Deliberately NOT checkpointed (r18): the autocap rollup below
+        // is the only EXTRA action (one signature pass — r17 ADVICE
+        // merged the cap and forecast aggregates into it), and inside
+        // the main job the keep semi-join's sizes recompute stays
+        // ReuseExchange-eligible against the bucket join, which a pinned
+        // RDD scan is not. A/B at 1M vectors was NOISE-DOMINATED (L2
+        // wall 157 s pinned vs 236 s unpinned in one session vs r17's
+        // 134 s unpinned — the preceding multi-probe arm's 45 GB spill
+        // and cleaner lag move the numbers more than the pin does), so
+        // the shape is chosen on the reuse principle plus r17's measured
+        // shape, not on a same-day delta; both runs recorded in
+        // BASELINE r18.
+        val sizes = sig0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
         val effCap =
           if (maxBucket > 0) maxBucket.toLong
           else {
@@ -389,11 +394,10 @@ object Similarity {
     val kept =
       if (maxBucket == Int.MaxValue) sigs
       else {
-        val sizes0 = sigs.groupBy(col("tbl"), col("bucket"))
+        // not checkpointed — same ReuseExchange rationale as
+        // [[lshNearPairs]] (r18)
+        val sizes = sigs.groupBy(col("tbl"), col("bucket"))
           .agg(count(lit(1)).as("m"))
-        // same autocap pin + driver rollup as [[lshNearPairs]] (r17
-        // ADVICE): two consumers, L×-signature lineage
-        val sizes = if (maxBucket == 0) sizes0.localCheckpoint() else sizes0
         val effCap =
           if (maxBucket > 0) maxBucket.toLong
           else {
@@ -471,10 +475,9 @@ object Similarity {
     val home =
       if (maxBucket == Int.MaxValue) home0
       else {
-        val sizes0 = home0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
-        // same autocap pin + driver rollup as [[lshNearPairs]] (r17
-        // ADVICE): two consumers, full-signature lineage
-        val sizes = if (maxBucket == 0) sizes0.localCheckpoint() else sizes0
+        // not checkpointed — same ReuseExchange rationale as
+        // [[lshNearPairs]] (r18)
+        val sizes = home0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
         val effCap =
           if (maxBucket > 0) maxBucket.toLong
           else {
