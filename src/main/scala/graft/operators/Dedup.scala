@@ -683,13 +683,13 @@ object Dedup {
     * Recall through the route is probabilistic instead of cap-bounded: a
     * true pair at word-shingle similarity s collides in ≥1 band w.p.
     * 1−(1−s²)⁸ (≈0.97 at s=0.6, ≈1−2e−6 at s=0.9), independent of
-    * cluster size UP TO the routed chain's own bucket cap — which is
-    * derived from the SAME template floor as the autocap
-    * (max(1000, ⌈templateShare · nDocs⌉) docs per band bucket), so a
-    * genuine family the share floor admits is never dropped by the
-    * route, and only corpus-scale template collapse (a bucket holding ≥
-    * share of the corpus) is refused, consistently with every other
-    * knob in this family. Precision is untouched (the verify is exact
+    * cluster size UP TO the routed chain's own bucket cap — 2× the
+    * autocap-derived cap (the operator's estimate of the largest genuine
+    * family), floored at 1000 — so a family the share floor admits is
+    * never dropped by the route, while boilerplate-ACCIDENT band buckets
+    * (docs from many families colliding through corpus-hot shingles,
+    * which can hold a constant fraction of the corpus) are still
+    * refused; their members keep pairing through their other bands. Precision is untouched (the verify is exact
     * either way). `autoRoute` and `maxCandidates` are mutually
     * exclusive: the routed chain's volume is bucket-bounded, not
     * budget-bounded, and silently ignoring a stated hard envelope is
@@ -745,19 +745,27 @@ object Dedup {
     val ndCounts = prefixPre.groupBy(col("tok"))
       .agg(count(lit(1)).as("nd"))
     var routeToBanded = false
-    // routed-chain bucket cap: same template floor as the autocap itself,
-    // never below minhashCandidates' 1000 default — a family the share
-    // floor admits must not be dropped by the route's bucket guard
-    // (review r18: the fixed 1000 default silently zeroed recall for
-    // >1000-member families, the exact regime the route exists for)
+    // routed-chain bucket cap: 2× the AUTOCAP-derived cap (the largest
+    // per-token count below the template floor — the operator family's
+    // estimate of the largest GENUINE cluster), never below
+    // minhashCandidates' 1000 default. Two r18 lessons set this form:
+    // the fixed 1000 default silently zeroed recall for >1000-member
+    // families (review), but the first fix — capping at the template
+    // floor share·N itself — reintroduced the blowup the route exists to
+    // avoid: a banded-minhash bucket is NOT a family, it is whatever
+    // collides in 2 lanes, and corpus-hot boilerplate makes ACCIDENT
+    // buckets holding ~7% of all boiler docs per band (measured: the
+    // 300k rehearsal route, 157 s at cap 1000, ran >30 min at cap 150k
+    // enumerating ~C(7300,2)×8 boiler-accident candidates). A genuine
+    // m-member family's band buckets hold ≤ m docs, so 2× the
+    // largest-family estimate keeps every admitted family while still
+    // refusing collapse buckets.
     var routeBucketCap = 1000
     val effCap =
       if (maxDocsPerTok > 0) maxDocsPerTok
       else {
         val nDocs = prefixPre.agg(countDistinct(col("doc_id")))
           .head().getLong(0)
-        routeBucketCap = math.min(math.max(1000L,
-          math.ceil(templateShare * nDocs).toLong), Int.MaxValue.toLong).toInt
         // ONE tiny driver-side rollup — at most one row per distinct nd
         // value, hundreds of rows — serves the template-floor cap, the
         // candidate forecast AND the cumulative budget cap (r17 ADVICE:
@@ -765,6 +773,8 @@ object Dedup {
         val rollup = countRollup(ndCounts, "nd")
         val cap = capBelowTemplateFloorLocal(rollup, nDocs, templateShare,
           "prefixJaccardPairs")
+        routeBucketCap = math.min(math.max(1000L, 2L * cap),
+          Int.MaxValue.toLong).toInt
         // Candidate-volume forecast (r17): the join below emits C(nd, 2)
         // rows per kept token BEFORE the distinct, so the rollup prices
         // the pair stage exactly. On a finite-vocabulary corpus every
@@ -1097,16 +1107,15 @@ object Dedup {
     // dfreq ≈ corpus size is boilerplate. Two extra linear jobs
     // (doc count + dictionary max), auto mode only.
     var routeToBanded = false
-    // routed-chain bucket cap from the same template floor as the autocap
-    // (see prefixJaccardPairs — an admitted family must not be dropped
-    // by the route's bucket guard)
+    // routed-chain bucket cap: 2x the autocap-derived largest-genuine-
+    // family estimate (see prefixJaccardPairs for the full two-lesson
+    // rationale — a band bucket is not a family, so the cap must track
+    // the family-size estimate, never the template floor)
     var routeBucketCap = 1000
     val effCap =
       if (maxDocsPerTok > 0) maxDocsPerTok
       else {
         val nDocs = base.select(col(idCol)).distinct().count()
-        routeBucketCap = math.min(math.max(1000L,
-          math.ceil(templateShare * nDocs).toLong), Int.MaxValue.toLong).toInt
         // ONE driver-side rollup (r17 ADVICE — the cap aggregate and the
         // forecast aggregate were two separate passes over the dfreq
         // table's full explode + groupBy lineage): at most one row per
@@ -1114,6 +1123,8 @@ object Dedup {
         val rollup = countRollup(dfreq, "dfreq")
         val cap = capBelowTemplateFloorLocal(rollup, nDocs, templateShare,
           "containmentPairs")
+        routeBucketCap = math.min(math.max(1000L, 2L * cap),
+          Int.MaxValue.toLong).toInt
         // Candidate-volume forecast (r17, q121's sibling): the probe ×
         // index join emits at most pc(tok) · dfreq(tok) ≤ dfreq(tok)²
         // rows per kept token, so Σ dfreq² over the kept dictionary is a
