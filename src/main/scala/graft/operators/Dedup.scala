@@ -25,6 +25,24 @@ object Dedup {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Unpersist exactly the blocks `ds`'s `localCheckpoint()` pinned, by
+    * unpersisting the checkpointed plan's own `LogicalRDD` leaf — NOT by
+    * diffing `sparkContext.getPersistentRDDs` around the call (r18
+    * ADVICE): on a shared SparkContext the registry diff sweeps up every
+    * RDD any concurrent query (or Spark internals) persisted between the
+    * snapshot and the route engagement, and for a localCheckpointed
+    * victim those blocks are its ONLY copy (lineage is truncated), so
+    * the sweep turns an innocent concurrent query into
+    * missing-checkpoint-block failures. A non-checkpointed plan has no
+    * `LogicalRDD` leaf, so this is a safe no-op for the dispatch arms
+    * that skip the checkpoint. */
+  private def unpinCheckpointed(ds: DataFrame): Unit =
+    ds.queryExecution.logical.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Exact dedup: group on the MD5 of normalized text, keep the smallest id.
     * Returns (text_hash, keeper, n_dups). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -722,13 +740,11 @@ object Dedup {
     // same size class the main pass pins below — not the full corpus
     // explode the r15 size dispatch refuses to pin. Explicit-cap mode
     // keeps the r11 dispatch: one pre-pass consumer only.
-    // snapshot the persistent-RDD ids first: when autoRoute later engages
-    // the pinned prefix table is dead weight through the banded join and
-    // verify — the route branch frees exactly the blocks this call pinned
-    // (review r18: at the ≥300k scales the route targets, an abandoned
-    // prefix pin is the stolen-executor-memory class q126 measured).
-    val pinnedBefore =
-      docs.sparkSession.sparkContext.getPersistentRDDs.keySet
+    // When autoRoute later engages, the pinned prefix table is dead
+    // weight through the banded join and verify — the route branch
+    // unpins this exact handle via unpinCheckpointed (review r18: at the
+    // ≥300k scales the route targets, an abandoned prefix pin is the
+    // stolen-executor-memory class q126 measured).
     val prefixPre =
       if (maxDocsPerTok <= 0 || inputSmall) prefixPre0.localCheckpoint()
       else prefixPre0
@@ -841,18 +857,18 @@ object Dedup {
         } else cap
       }
     if (routeToBanded) {
-      // the pinned prefix table served only the forecast — free its
-      // blocks before the banded chain runs (ids pinned by THIS call)
-      val sc = docs.sparkSession.sparkContext
-      sc.getPersistentRDDs
-        .filter { case (rid, _) => !pinnedBefore.contains(rid) }
-        .values.foreach(_.unpersist(blocking = false))
+      // the pinned prefix table served only the forecast — free exactly
+      // its own checkpoint blocks before the banded chain runs
+      unpinCheckpointed(prefixPre)
       // band-bounded candidate generation at the same word-shingle width
       // the streaming/batch minhash dedups use; the verify below re-checks
       // every candidate against the EXACT char-shingle threshold, so the
       // output contract is unchanged — only recall semantics differ (see
-      // Scaladoc). maxBucket = the share-derived template floor, so the
-      // route refuses only corpus-scale collapse, never an admitted family.
+      // Scaladoc). maxBucket = routeBucketCap (2× the autocap-derived
+      // largest-genuine-family estimate, floored at 1000 — NOT the
+      // template-floor corpus share, which the 300k rehearsal showed
+      // readmits boilerplate ACCIDENT buckets; see the cap derivation
+      // above).
       val cand = minhashCandidates(docs, idCol, textCol, shingleN = 3,
         numHashes = 16, bands = 8, maxBucket = routeBucketCap)
         .select(col("id_a").as("d1"), col("id_b").as("d2"))
@@ -1088,12 +1104,9 @@ object Dedup {
       BigInt(512L << 20)
     // checkpoint under either the perf gate or the honest-stats gate —
     // same dual dispatch (and the same r16 rationale) as prefixToks.
-    // Persistent-RDD ids snapshotted first so the route branch can free
-    // exactly the blocks this call pinned (same rationale as
-    // prefixJaccardPairs — an abandoned pin is dead executor storage at
-    // the scales the route targets).
-    val pinnedBefore =
-      docs.sparkSession.sparkContext.getPersistentRDDs.keySet
+    // The route branch frees this exact handle via unpinCheckpointed
+    // (same rationale as prefixJaccardPairs — an abandoned pin is dead
+    // executor storage at the scales the route targets).
     val toks =
       if (inputSmall || inBroadcastDangerZone(toksPlan))
         toksPlan.localCheckpoint()
@@ -1158,17 +1171,16 @@ object Dedup {
         cap
       }
     if (routeToBanded) {
-      // the pinned toks table served only the dfreq rollup — free the
-      // blocks this call pinned before the banded chain runs
-      docs.sparkSession.sparkContext.getPersistentRDDs
-        .filter { case (rid, _) => !pinnedBefore.contains(rid) }
-        .values.foreach(_.unpersist(blocking = false))
+      // the pinned toks table served only the dfreq rollup — free
+      // exactly its own checkpoint blocks before the banded chain runs
+      unpinCheckpointed(toks)
       // each UNORDERED banded candidate is verified in BOTH directions —
       // the exact threshold below keeps whichever direction(s) hold, so
       // mutual near-dups still emit twice, matching the exact join's
       // contract. The pair table is consumed by both union branches; pin
-      // it so the banding chain runs once. maxBucket = the share-derived
-      // template floor (see prefixJaccardPairs).
+      // it so the banding chain runs once. maxBucket = routeBucketCap
+      // (2× the autocap family estimate, floored at 1000 — see
+      // prefixJaccardPairs for the accident-bucket rationale).
       val sym = minhashCandidates(docs, idCol, textCol, shingleN = 3,
         numHashes = 16, bands = 8, maxBucket = routeBucketCap)
         .localCheckpoint()
