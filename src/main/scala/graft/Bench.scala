@@ -325,15 +325,42 @@ object Bench {
           val txt = java.nio.file.Files.readString(
             java.nio.file.Paths.get(p))
           System.err.println(s"[bench] retest reference: $p")
-          // the driver artifact carries the per-query map inside an
-          // escaped-JSON "tail" string — match both raw and escaped keys
-          Some("\\\\?\"(q\\d+)\\\\?\":([0-9]+\\.[0-9]+)".r
-            .findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+          // The driver artifact carries the per-query map inside an
+          // escaped-JSON, HEAD-TRUNCATED "tail" string (the "queries"
+          // opener itself may be cut off), so the board readings are
+          // harvested as loose "qNN":float pairs — but ONLY after the
+          // artifact's own retest_s object is cut out and re-applied
+          // explicitly (r18 ADVICE: a whole-file harvest let toMap's
+          // last-occurrence rule silently substitute retest readings,
+          // and any future q-keyed float map would collide the same
+          // way). Retest-confirmed readings then INTENTIONALLY win the
+          // merge: a retest_s entry exists precisely because that board
+          // reading was adjudicated as burst-inflated, so the retest is
+          // the better next-round baseline. "slowest" duplicates board
+          // values, so harvesting it alongside "queries" is harmless.
+          def qPairs(s: String): Map[String, Double] =
+            "\\\\?\"(q\\d+)\\\\?\":(-?[0-9]+\\.[0-9]+)".r
+              .findAllMatchIn(s)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val retestObj = "\\\\?\"retest_s\\\\?\"\\s*:\\s*\\{[^}]*\\}".r
+          val confirmed =
+            qPairs(retestObj.findAllMatchIn(txt).map(_.matched).mkString)
+          Some(qPairs(retestObj.replaceAllIn(txt, "")) ++ confirmed)
         } catch { case _: Throwable => None }
       }.getOrElse(Map.empty)
     }
-    val retests: Seq[(String, Double)] =
+    // Wall-clock-budgeted retest loop (r18 VERDICT item 1): the r18
+    // elevated-window board had ~17 queries past the threshold and the
+    // old fixed take(8) left 9 of them reading 3–10× over band on the
+    // official artifact with no internal adjudication. Re-run
+    // largest-ratio-first while the CUMULATIVE retest time is under the
+    // budget — in-band retests are cheap precisely because the burst
+    // inflated their board reading, so 60 s typically covers far more
+    // than 8 — and stamp whatever remains with an explicit window
+    // verdict from the board's own probes (below) instead of silence.
+    val retestBudgetS = sys.env.get("SPARK_GRAFT_RETEST_BUDGET_S")
+      .flatMap(_.toDoubleOption).getOrElse(60.0)
+    val outliers: Seq[(String, Double)] =
       if (!fullRun || refTimes.isEmpty) Seq.empty
       else results
         .flatMap { case (n, s) =>
@@ -342,12 +369,33 @@ object Bench {
               (n, s / ref)
           }
         }
-        .sortBy(-_._2).take(8) // bound the post-board tax to 8 re-runs
-        .map { case (n, ratio) =>
-          System.err.println(
-            f"[bench] retesting $n ($ratio%.1fx its reference)")
-          n -> runOnce(n)
-        }
+        .sortBy(-_._2)
+    val retestsBuf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val unstamped = scala.collection.mutable.ArrayBuffer[String]()
+    var retestSpent = 0.0
+    outliers.foreach { case (n, ratio) =>
+      if (retestSpent < retestBudgetS) {
+        System.err.println(
+          f"[bench] retesting $n ($ratio%.1fx its reference; " +
+            f"$retestSpent%.1f/$retestBudgetS%.0f s budget spent)")
+        val t = runOnce(n)
+        retestSpent += math.max(t, 0.0)
+        retestsBuf += (n -> t)
+      } else unstamped += n
+    }
+    val retests: Seq[(String, Double)] = retestsBuf.toSeq
+    // Verdict for outliers the budget could not re-run: classify the
+    // window from the board's own probes. Calibration is the r18
+    // adjudication itself — quiet-host canary floors 0.248–0.290 vs
+    // 0.366 on the elevated board; io_idx 0.025–0.05 s/64 MiB quiet vs
+    // 0.107–0.218 during its storage burst. Either signal past its
+    // threshold = "window_elevated" (the outliers are in all likelihood
+    // host noise, like r18's nine hand-adjudicated heavies);
+    // neither = "unadjudicated" (a judge should look).
+    val windowVerdict: String =
+      if (canaryFloor > 0.33 || ioSamples.exists(_._2 > 0.08))
+        "window_elevated"
+      else "unadjudicated"
     def qJson(key: String => String) = results
       .map { case (k, v) => "\"" + key(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -409,6 +457,10 @@ object Bench {
       s""""io_unit":"$ioUnit",""" +
       s""""retest_s":${retests.map { case (n, r) =>
         "\"" + shortKey(n) + "\":" + f3(r) }.mkString("{", ",", "}")},""" +
+      s""""retest_budget_s":${f3(retestBudgetS)},""" +
+      s""""retest_verdict":${unstamped.map(n =>
+        "\"" + shortKey(n) + "\":\"" + windowVerdict + "\"")
+        .mkString("{", ",", "}")},""" +
       s""""seed":${benchSeed.map(_.toString).getOrElse("null")},""" +
       s""""nproc":${Runtime.getRuntime.availableProcessors()}"""
     println(
