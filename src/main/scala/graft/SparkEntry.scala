@@ -4537,8 +4537,151 @@ object SparkEntry {
           col("m.bits").cast("long").as("bits"),
           col("m.brand").as("brand"),
           col("m.codec").as("codec"))
+    }),
+
+    // Streaming state EVICTION, oracle-checked (r18 VERDICT item 2 —
+    // q255's single-batch design makes rows_removed = 0 by construction,
+    // so the eviction half of the bounded-state claim was spec-asserted
+    // but never oracle-seen). A deterministic TWO-batch AvailableNow run:
+    // the events corpus is split at the midpoint of its event-time range
+    // (epoch-microsecond (min+max)/2, integer division — a pure corpus
+    // function) into two phase files consumed one per micro-batch, so
+    // the watermark provably advances between batches and every per-batch
+    // state transition is computable from the corpus:
+    //   wm(batch b) = floor(max event-time of batches < b, ms) − 37 min
+    //     (0 for the first batch);
+    //   hourly-window agg state: a window [w, w+1h) is evicted in the
+    //     first batch whose wm satisfies w+1h <= wm (the <= boundary is
+    //     pinned empirically by StreamingSpec's exact-boundary case);
+    //   the trailing NO-data micro-batch Spark runs under AvailableNow
+    //     (noDataMicroBatches) is batch_seq 2 — where the final
+    //     watermark's evictions land.
+    // Window choice (1 h windows, 37 min delay over a 30-day corpus)
+    // makes all three transitions non-trivial: batch 1 evicts ~half the
+    // windows (nonzero rows_removed — the item's "done" bar), batch 2
+    // evicts all but the last.
+    "q257_stream_state_eviction" -> ((s, d) => {
+      import graft.streaming.StreamingOps
+      val tok = datasetTok(d)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      // hundreds of hour-windows don't need 32 state-store partitions —
+      // same fixed-cost note as q90/q255
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val qn = s"q257_agg_$tok"
+        s.catalog.dropTempView(qn)
+        val (_, progs) = StreamingOps.runAvailableNowDateSplitProgress(
+          s, s"$d/events.parquet", qn) { ev =>
+          ev.filter(col("ts").isNotNull)
+            .withWatermark("ts", "37 minutes")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("ws"), col("n"))
+        }
+        import s.implicits._
+        // batch_seq re-indexes sorted batchIds so the oracle never
+        // depends on Spark's internal batch numbering
+        progs.sortBy(_.batchId).zipWithIndex.flatMap { case (p, seq) =>
+          p.stateOperators.headOption.map { so =>
+            (seq.toLong, p.numInputRows, so.numRowsTotal,
+              so.numRowsUpdated, so.numRowsRemoved)
+          }
+        }.toDF("batch_seq", "input_rows", "rows_total", "rows_updated",
+          "rows_removed")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
+    // native pdf_meta expression over literal PDF bytes built in-process
+    // (the document sibling of q251/q252, r18 VERDICT depth item 6 — the
+    // highest-volume crawl document family had no header reader).
+    // Well-formed classic-trailer AND cross-reference-stream files parse
+    // to (version, pages, encrypted, linearized); incremental updates
+    // resolve to the NEWEST object definitions; fields degrade
+    // independently (a truncated trailer keeps version+linearized with
+    // null pages/encrypted); a truncated header, non-PDF bytes, a
+    // header past the 1024-byte window, a reference-valued /Count and a
+    // dangling /Root each null exactly what they break, never throw.
+    "q258_pdf_meta" -> ((s, d) => {
+      import s.implicits._
+      pdfFixture.toDF("pdf_id", "payload")
+        .select(col("pdf_id"),
+          graft.functions.PdfMeta.column(col("payload")).as("m"))
+        .select(col("pdf_id"), col("m.version").as("version"),
+          col("m.pages").cast("long").as("pages"),
+          col("m.encrypted").as("encrypted"),
+          col("m.linearized").as("linearized"))
     })
   )
+
+  // ---- q258 pdf fixtures: real header/trailer bytes, built not copied --
+  private def pdfClassic(version: String, pages: Int,
+      encrypted: Boolean = false, linearized: Boolean = false,
+      countAsRef: Boolean = false, brokenRoot: Boolean = false)
+      : Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(s"%PDF-$version\n")
+    if (linearized)
+      sb.append(s"1 0 obj\n<< /Linearized 1 /L 1234 /N $pages >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Catalog /PageLabels 7 0 R /Pages 3 0 R " +
+      ">>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count " +
+      (if (countAsRef) "6 0 R" else pages.toString) + " >>\nendobj\n")
+    sb.append("4 0 obj\n<< /Type /Page /Parent 3 0 R >>\nendobj\n")
+    sb.append("xref\n0 5\ntrailer\n<< /Size 5 /ID [<41> <42>] /Root " +
+      (if (brokenRoot) "9" else "2") + " 0 R" +
+      (if (encrypted) " /Encrypt 5 0 R" else "") +
+      " >>\nstartxref\n9\n%%EOF\n")
+    sb.toString.getBytes("US-ASCII")
+  }
+  /** PDF 1.5+ shape: no `trailer` keyword — /Root and /Encrypt live in
+    * the cross-reference STREAM's dictionary, located via startxref. */
+  private def pdfXrefStream(version: String, pages: Int,
+      encrypted: Boolean = false, offsetPastEof: Boolean = false)
+      : Array[Byte] = {
+    val head = s"%PDF-$version\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      s"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count $pages >>\nendobj\n"
+    val xrefObj = "4 0 obj\n<< /Type /XRef /Size 5 /Root 1 0 R" +
+      (if (encrypted) " /Encrypt 5 0 R" else "") +
+      " /W [1 2 1] /Length 0 >>\nstream\nendstream\nendobj\n"
+    val off = if (offsetPastEof) 999999 else head.length
+    (head + xrefObj + s"startxref\n$off\n%%EOF\n").getBytes("US-ASCII")
+  }
+  /** Incremental update (ISO 32000-1 §7.5.6): the original page tree
+    * (/Count 3) plus an APPENDED newer definition of the same object
+    * (/Count 8) and a second trailer — the reader must report the
+    * newest. */
+  private def pdfIncremental: Array[Byte] = {
+    val orig = "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 3 >>\nendobj\n" +
+      "trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n"
+    val update =
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 8 >>\nendobj\n" +
+        "trailer\n<< /Size 6 /Root 1 0 R /Prev 9 >>\nstartxref\n99\n%%EOF\n"
+    (orig + update).getBytes("US-ASCII")
+  }
+  private def pdfFixture: Seq[(Long, Array[Byte])] = Seq(
+    1L -> pdfClassic("1.4", 5),
+    2L -> pdfClassic("1.7", 12, linearized = true),
+    3L -> pdfClassic("1.6", 2, encrypted = true),
+    4L -> pdfXrefStream("1.5", 7),
+    5L -> pdfIncremental, // newest /Count wins: 8, not 3
+    // crawl payload with an HTTP-ish junk prefix; header inside 1024 B
+    6L -> ("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+      .getBytes("US-ASCII") ++ pdfClassic("1.3", 1)),
+    7L -> "%PDF-1.".getBytes("US-ASCII"), // truncated header
+    8L -> "not a pdf at all".getBytes("UTF-8"),
+    9L -> pdfClassic("1.4", 5, countAsRef = true), // /Count 6 0 R
+    10L -> pdfClassic("1.4", 5, brokenRoot = true), // /Root -> no object
+    // truncated (unbalanced) trailer dict, no startxref fallback:
+    // version + linearized survive, pages/encrypted null
+    11L -> "%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\ntrailer\n<< /Size 5 /Root 1 0 R\n"
+      .getBytes("US-ASCII"),
+    12L -> pdfXrefStream("1.5", 7, offsetPastEof = true),
+    // header past the 1024-byte spec window -> not a PDF
+    13L -> (Array.fill[Byte](1100)(' ') ++ pdfClassic("1.4", 5)),
+    14L -> pdfXrefStream("1.6", 4, encrypted = true))
 
   // ---- q251 image fixtures: real header bytes, built not copied --------
   private def pngFixture(w: Int, h: Int, colorType: Int,
@@ -6231,6 +6374,75 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'join', CAST(0 AS BIGINT), vc.n, vc.n, CAST(0 AS BIGINT)
          |FROM vc""".stripMargin,
+    // q257: two-batch eviction — phase split at the epoch-us midpoint,
+    // hourly windows, wm(b) = floor(max prior-batch event ms) - 37 min,
+    // eviction predicate w_end <= wm (boundary pinned in StreamingSpec);
+    // the third row is the trailing no-data finalization batch
+    "q257_stream_state_eviction" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+        |bounds AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+        |sp AS (SELECT (mn + mx) // 2 AS s, mx FROM bounds),
+        |a AS (SELECT us FROM e, sp WHERE us IS NULL OR us < s),
+        |b AS (SELECT us FROM e, sp WHERE us >= s),
+        |wa AS (SELECT DISTINCT us - us % 3600000000 AS w FROM a
+        |       WHERE us IS NOT NULL),
+        |wb AS (SELECT DISTINCT us - us % 3600000000 AS w FROM b),
+        |wall AS (SELECT w FROM wa UNION SELECT w FROM wb),
+        |wm1 AS (SELECT ((max(us) // 1000) - 2220000) * 1000 AS t FROM a),
+        |wm2 AS (SELECT ((mx // 1000) - 2220000) * 1000 AS t FROM sp),
+        |rem1 AS (SELECT count(*) AS n FROM wall, wm1
+        |         WHERE w + 3600000000 <= t),
+        |remc AS (SELECT count(*) AS n FROM wall, wm2
+        |         WHERE w + 3600000000 <= t),
+        |na AS (SELECT count(*) AS n FROM a),
+        |nb AS (SELECT count(*) AS n FROM b),
+        |nwa AS (SELECT count(*) AS n FROM wa),
+        |nwb AS (SELECT count(*) AS n FROM wb),
+        |nwall AS (SELECT count(*) AS n FROM wall)
+        |SELECT CAST(0 AS BIGINT) AS batch_seq,
+        |  CAST(na.n AS BIGINT) AS input_rows,
+        |  CAST(nwa.n AS BIGINT) AS rows_total,
+        |  CAST(nwa.n AS BIGINT) AS rows_updated,
+        |  CAST(0 AS BIGINT) AS rows_removed
+        |FROM na, nwa
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(nb.n AS BIGINT),
+        |  CAST(nwall.n - rem1.n AS BIGINT), CAST(nwb.n AS BIGINT),
+        |  CAST(rem1.n AS BIGINT)
+        |FROM nb, nwall, rem1, nwb
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(nwall.n - remc.n AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(remc.n - rem1.n AS BIGINT)
+        |FROM nwall, remc, rem1""".stripMargin,
+    // q258: q251/q252 posture for the PDF fixtures — DuckDB has no PDF
+    // parser; the fixture bytes are deterministic and PdfHeaderSpec
+    // re-derives every row against the ISO 32000-1 grammar. Rows 7/8/13
+    // pin not-a-PDF -> null row; 9/10 pin reference-valued /Count and a
+    // dangling /Root nulling ONLY pages; 11/12 pin the truncated trailer
+    // / bad startxref keeping version+linearized with null
+    // pages+encrypted; 5 pins incremental updates resolving newest.
+    "q258_pdf_meta" ->
+      """SELECT CAST(pdf_id AS BIGINT) AS pdf_id, version,
+        | CAST(pages AS BIGINT) AS pages,
+        | CAST(encrypted AS BOOLEAN) AS encrypted,
+        | CAST(linearized AS BOOLEAN) AS linearized
+        |FROM (VALUES
+        |  (1, '1.4', 5, FALSE, FALSE),
+        |  (2, '1.7', 12, FALSE, TRUE),
+        |  (3, '1.6', 2, TRUE, FALSE),
+        |  (4, '1.5', 7, FALSE, FALSE),
+        |  (5, '1.4', 8, FALSE, FALSE),
+        |  (6, '1.3', 1, FALSE, FALSE),
+        |  (7, NULL, NULL, NULL, NULL),
+        |  (8, NULL, NULL, NULL, NULL),
+        |  (9, '1.4', NULL, FALSE, FALSE),
+        |  (10, '1.4', NULL, FALSE, FALSE),
+        |  (11, '1.4', NULL, NULL, FALSE),
+        |  (12, '1.5', NULL, NULL, FALSE),
+        |  (13, NULL, NULL, NULL, NULL),
+        |  (14, '1.6', 4, TRUE, FALSE))
+        |  AS t(pdf_id, version, pages, encrypted, linearized)""".stripMargin,
     // q100: new-batch verdicts against the old-corpus signature index,
     // then within-batch earliest-wins for unseen signatures
     "q100_incremental_dedup" ->

@@ -191,6 +191,79 @@ object StreamingOps {
     (spark.table(queryName), q.recentProgress.toSeq)
   }
 
+  /** TWO-batch AvailableNow runner (r18 VERDICT item 2): the corpus at
+    * `path` is split at the midpoint of its event-time range into two
+    * phase files inside a fresh stream dir, and the file source reads
+    * them with `maxFilesPerTrigger = 1`, so each phase is its own
+    * micro-batch in phase order — pinned twice, by lexical file name AND
+    * strictly increasing modification times (FileStreamSource orders
+    * pending files by modTime). The event-time watermark then PROVABLY
+    * advances between batches, so per-batch state-eviction counts become
+    * computable corpus functions — the one state transition the
+    * single-batch runner above can never exercise (its watermark is 0
+    * for its only data batch).
+    *
+    * The split point is `(min + max) / 2` of the epoch-microsecond event
+    * time (integer division) — a pure corpus function a SQL oracle
+    * recomputes exactly. NULL event times go to the FIRST phase (they
+    * never move a watermark; keeping them early makes phase B strictly
+    * later-dated, so the watermark advance is guaranteed whenever the
+    * corpus spans more than the watermark delay).
+    *
+    * Returns the sink table and ALL progress records (including the
+    * trailing no-data micro-batch Spark runs to let the final watermark
+    * evict — that batch is where the last eviction counts land). */
+  def runAvailableNowDateSplitProgress(spark: SparkSession, path: String,
+      queryName: String, outputMode: String = "append",
+      timeCol: String = "ts")(
+      transform: DataFrame => DataFrame)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val batch0 = spark.read.parquet(path)
+    val batch =
+      if (batch0.schema.fieldNames.contains("ts"))
+        graft.Tables.normalizeEventTime(batch0)
+      else batch0
+    val row = batch
+      .agg(min(unix_micros(col(timeCol))), max(unix_micros(col(timeCol))))
+      .head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"runAvailableNowDateSplit($path): no non-null $timeCol rows")
+    val splitUs = (row.getLong(0) + row.getLong(1)) / 2
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-2b")
+    def writePhase(i: Int, df: DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-phase$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = dir.resolve(f"phase-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      // modTimes 60 s apart: phase order must never depend on how fast
+      // the two writes happened to land on the local FS clock
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
+      // reverse-registration order (see runAvailableNowProgress): file
+      // first, enclosing dir after the run's JVM exits
+      dest.toFile.deleteOnExit()
+    }
+    dir.toFile.deleteOnExit()
+    writePhase(0, batch.filter(col(timeCol).isNull ||
+      unix_micros(col(timeCol)) < lit(splitUs)))
+    writePhase(1, batch.filter(unix_micros(col(timeCol)) >= lit(splitUs)))
+    // phase files are written POST-normalization, so the stream schema is
+    // plain session-TZ TIMESTAMP — no second normalization pass
+    val sch = spark.read.parquet(dir.toString).schema
+    val raw = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = transform(raw).writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (spark.table(queryName), q.recentProgress.toSeq)
+  }
+
   /** Flatten labeled progress sequences into one state-metrics DataFrame:
     * one row per (stream, micro-batch, stateful operator) with the
     * state-store row counts and byte footprint. This is the artifact
@@ -228,8 +301,22 @@ object StreamingOps {
       : DataFrame = {
     import spark.implicits._
     labeled.flatMap { case (label, progs) =>
-      progs.filter(_.numInputRows > 0).sortBy(_.batchId).headOption.toSeq
+      val dataBatches = progs.filter(_.numInputRows > 0).sortBy(_.batchId)
+      dataBatches.headOption.toSeq
         .flatMap { p =>
+          // The oracle-checkability of these counts rests on the WHOLE
+          // corpus landing in that first data batch (r18 ADVICE): if
+          // maxFilesPerTrigger sneaks into the session conf (or
+          // file-source batching changes), the first batch holds a
+          // subset and the DuckDB mirror mismatches with no hint why —
+          // fail loudly here, naming the assumption, instead.
+          val total = dataBatches.map(_.numInputRows).sum
+          require(p.numInputRows == total,
+            s"firstBatchStateCounts($label): first data batch processed " +
+              s"${p.numInputRows} of $total input rows — the single-batch " +
+              "AvailableNow assumption is broken (maxFilesPerTrigger set, " +
+              "or file-source batching changed); the first-batch state " +
+              "counts are NOT corpus functions on a partial batch")
           p.stateOperators.zipWithIndex.map { case (so, i) =>
             (label, i.toLong, so.numRowsTotal, so.numRowsUpdated,
               so.numRowsRemoved)

@@ -66,6 +66,88 @@ class StreamingSpec extends AnyFunSuite {
       sidecar.contains("\"input_rows_per_sec\":"), sidecar.take(400))
   }
 
+  test("two-batch eviction (q257 core): watermark advances between " +
+    "phases and the eviction boundary is window.end <= wm, exactly") {
+    import spark.implicits._
+    // phase A: one event in [H-1h, H) and one at exactly H + 37 min, so
+    // the watermark after batch 0 is EXACTLY H — the [H-1h, H) window's
+    // end. If the store's eviction predicate is `window.end <= wm` the
+    // window is removed in batch 1; strict `<` would keep it until the
+    // trailing no-data batch. The q257 DuckDB oracle encodes <=, so this
+    // exact-boundary pin is what licenses it.
+    val H = 1705363200000000L // 2024-01-16 00:00:00 UTC, micros
+    val tmp = java.nio.file.Files.createTempDirectory("evb").toString
+    Seq(H - 1800L * 1000000, // [H-1h, H) window
+      H + 2220L * 1000000, // H + 37 min exactly -> wm1 = H
+      H + 86400L * 1000000 // next day -> phase B
+    ).toDF("us").select(timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val (_, ps) = StreamingOps.runAvailableNowDateSplitProgress(
+      spark, s"$tmp/events.parquet", "evict_boundary") { ev =>
+      ev.filter(col("ts").isNotNull)
+        .withWatermark("ts", "37 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+    }
+    val rows = ps.sortBy(_.batchId).flatMap(p =>
+      p.stateOperators.headOption.map(so =>
+        (p.numInputRows, so.numRowsTotal, so.numRowsUpdated,
+          so.numRowsRemoved)))
+    // batch 0: both A windows in state, nothing evicted at wm 0;
+    // batch 1: wm == H, the boundary window IS evicted (<= semantics);
+    // batch 2 (trailing no-data): wm = B max - 37 min evicts [H, H+1h)
+    assert(rows == Seq((2L, 2L, 2L, 0L), (1L, 2L, 1L, 1L),
+      (0L, 1L, 0L, 1L)), rows)
+  }
+
+  test("q257 shape at sf0.001: per-batch state counts equal the batch " +
+    "oracle math (midpoint split, hourly windows, 37-min watermark)") {
+    val out = SparkEntry.queries("q257_stream_state_eviction")(spark, sfDir)
+      .orderBy("batch_seq").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // oracle math re-derived on the batch engine (same as the DuckDB SQL)
+    val us = Tables.events(spark, sfDir).filter(col("ts").isNotNull)
+      .select(unix_micros(col("ts")).as("us"))
+    val bounds = us.agg(min(col("us")), max(col("us"))).head()
+    val split = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    def wmUs(maxUs: Long) = (maxUs / 1000 - 37L * 60 * 1000) * 1000
+    val a = us.filter(col("us") < split); val b = us.filter(col("us") >= split)
+    val wm1 = wmUs(a.agg(max(col("us"))).head().getLong(0))
+    val wm2 = wmUs(bounds.getLong(1))
+    def w(df: org.apache.spark.sql.DataFrame) =
+      df.select((col("us") - col("us") % (3600L * 1000000)).as("w")).distinct()
+    val wAll = w(a).union(w(b)).distinct()
+    def remAt(t: Long) = wAll.filter(col("w") + 3600L * 1000000 <= t).count()
+    val (nA, nB) = (a.count(), b.count())
+    val (wA, wB, nAll) = (w(a).count(), w(b).count(), wAll.count())
+    val (rem1, remC) = (remAt(wm1), remAt(wm2))
+    assert(rem1 > 0, "the split must make batch-1 eviction nonzero")
+    assert(out == Seq(
+      (0L, nA, wA, wA, 0L),
+      (1L, nB, nAll - rem1, wB, rem1),
+      (2L, 0L, nAll - remC, 0L, remC - rem1)), out)
+  }
+
+  test("firstBatchStateCounts refuses a partial first batch (the " +
+    "single-batch assumption must fail loudly, not mismatch the oracle)") {
+    // real multi-batch progress from the date-split runner: the first
+    // data batch holds only phase A, so the q255-style helper must throw
+    val (_, ps) = StreamingOps.runAvailableNowDateSplitProgress(
+      spark, s"$sfDir/events.parquet", "partial_first") { ev =>
+      ev.filter(col("ts").isNotNull)
+        .withWatermark("ts", "37 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+    }
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.firstBatchStateCounts(spark, Seq("x" -> ps)).collect()
+    }
+    assert(e.getMessage.contains("single-batch"), e.getMessage)
+  }
+
   test("streaming upsert: replayed keys replace, new keys append, within-batch last-writer wins") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("ups-in").toString
