@@ -1,0 +1,294 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static PDF header/trailer parser — the q251/q252 sibling for the
+  * highest-volume crawl DOCUMENT family with no reader (r18 VERDICT depth
+  * item 6). PUBLIC format only (ISO 32000-1 / the Adobe PDF Reference),
+  * parsed dependency-free from the raw bytes with the same discipline as
+  * [[ImageHeaderOps]] / [[MediaHeaderOps]]: every read bounds-checked,
+  * every malformation (truncated header, unbalanced trailer dictionary,
+  * a /Count that is an indirect reference, a startxref pointing past
+  * EOF) yields null fields or a null row, never a throw — one corrupt
+  * blob in a 100 TB scan costs one null row, not a task retry storm.
+  *
+  * What a training-data pipeline routes/filters PDFs by:
+  *   - `version`   — "1.4" … "2.0" from the `%PDF-M.N` header (spec
+  *     §7.5.2; tolerated anywhere in the first 1024 bytes, the Acrobat
+  *     implementation note, since crawl payloads often carry HTTP junk
+  *     prefixes);
+  *   - `pages`     — /Root → catalog → /Pages → page-tree root /Count,
+  *     each hop re-resolved; object lookups take the LAST `n g obj`
+  *     occurrence so an incrementally-updated file reports its newest
+  *     catalog (updates append, §7.5.6);
+  *   - `encrypted` — /Encrypt present in the active trailer dictionary
+  *     (classic `trailer` keyword, else the cross-reference STREAM's
+  *     dictionary located via `startxref`, §7.5.8 — 1.5+ files commonly
+  *     have no `trailer` keyword at all);
+  *   - `linearized` — a /Linearized parameter dictionary inside the
+  *     first 1024 bytes (Annex F requires it entirely within the first
+  *     1024 bytes, so the bounded scan is exact, not heuristic).
+  *
+  * Full content-stream / object-stream decode (FlateDecode, object
+  * streams holding the catalog) stays out of scope — routing needs the
+  * header surface, and compressed-xref files still report version /
+  * encrypted / linearized with a null page count (documented: the
+  * catalog may live inside an object stream the reader will not
+  * inflate).
+  */
+object PdfHeaderOps {
+
+  private val MaxScan = 1 << 20 // per-structure scan bound, bytes
+
+  /** First index of `pat` in b[from, until), or -1. */
+  private def indexOf(b: Array[Byte], pat: Array[Byte], from: Int,
+      until: Int): Int = {
+    val end = math.min(until, b.length) - pat.length
+    var i = math.max(from, 0)
+    while (i <= end) {
+      var j = 0
+      while (j < pat.length && b(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def lastIndexOf(b: Array[Byte], pat: Array[Byte]): Int = {
+    var i = b.length - pat.length
+    while (i >= 0) {
+      var j = 0
+      while (j < pat.length && b(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i -= 1
+    }
+    -1
+  }
+
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
+
+  private def isDelim(c: Byte): Boolean =
+    c == '/' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '(' || c == ')' || c == '%'
+
+  private def skipWs(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length && isWs(b(i))) i += 1
+    i
+  }
+
+  /** Parse a non-negative integer at `from` (after ws skip); -1 if the
+    * next token is not a plain integer. */
+  private def parseInt(b: Array[Byte], from: Int): (Long, Int) = {
+    var i = skipWs(b, from)
+    var v = 0L
+    val start = i
+    while (i < b.length && b(i) >= '0' && b(i) <= '9' && v < Int.MaxValue) {
+      v = v * 10 + (b(i) - '0'); i += 1
+    }
+    if (i == start) (-1L, from) else (v, i)
+  }
+
+  /** Span [start, end) of the balanced `<< … >>` dictionary whose `<<`
+    * is the first one at/after `from`. Literal strings `( … )` (with
+    * backslash escapes), hex strings `< … >` and `%` comments are
+    * skipped so their brackets never unbalance the scan. -1 end on any
+    * truncation. */
+  private def dictSpan(b: Array[Byte], from: Int): (Int, Int) = {
+    val open = indexOf(b, Array('<', '<'), from, from + MaxScan)
+    if (open < 0) return (-1, -1)
+    var i = open
+    var depth = 0
+    val limit = math.min(b.length, open + MaxScan)
+    while (i < limit) {
+      val c = b(i)
+      if (c == '<' && i + 1 < limit && b(i + 1) == '<') { depth += 1; i += 2 }
+      else if (c == '>' && i + 1 < limit && b(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return (open, i)
+      } else if (c == '(') { // literal string
+        i += 1
+        while (i < limit && b(i) != ')')
+          i += (if (b(i) == '\\' && i + 1 < limit) 2 else 1)
+        i += 1
+      } else if (c == '<') { // hex string
+        i += 1
+        while (i < limit && b(i) != '>') i += 1
+        i += 1
+      } else if (c == '%') { // comment to EOL
+        while (i < limit && b(i) != '\n' && b(i) != '\r') i += 1
+      } else i += 1
+    }
+    (open, -1)
+  }
+
+  /** Position AFTER a `/Name` key inside [from, until), with a proper
+    * token boundary (so /Pages never matches inside /PageLabels); -1 if
+    * absent. */
+  private def findKey(b: Array[Byte], name: String, from: Int,
+      until: Int): Int = {
+    val pat = ("/" + name).getBytes("US-ASCII")
+    var i = from
+    while (i >= 0) {
+      i = indexOf(b, pat, i, until)
+      if (i < 0) return -1
+      val after = i + pat.length
+      if (after >= b.length || isWs(b(after)) || isDelim(b(after)))
+        return after
+      i += 1
+    }
+    -1
+  }
+
+  /** `/Name n g R` → object number n, or -1 when the value is not an
+    * indirect reference. */
+  private def refValue(b: Array[Byte], name: String, from: Int,
+      until: Int): Long = {
+    val after = findKey(b, name, from, until)
+    if (after < 0) return -1L
+    val (n, i1) = parseInt(b, after)
+    if (n < 0) return -1L
+    val (g, i2) = parseInt(b, i1)
+    if (g < 0) return -1L
+    val i3 = skipWs(b, i2)
+    if (i3 < b.length && b(i3) == 'R') n else -1L
+  }
+
+  /** Dictionary span of the NEWEST `n g obj` body (last occurrence —
+    * incremental updates append, so the last definition is the live
+    * one); (-1,-1) when the object or its dict is missing/truncated. */
+  private def objDict(b: Array[Byte], objNum: Long): (Int, Int) = {
+    // match "<n> <digits> obj" with a left token boundary so object 12
+    // never resolves to "112 0 obj"
+    val numPat = objNum.toString.getBytes("US-ASCII")
+    var best = -1
+    var i = 0
+    while (i >= 0 && i < b.length) {
+      i = indexOf(b, numPat, i, b.length)
+      if (i >= 0) {
+        val leftOk = i == 0 || isWs(b(i - 1)) || isDelim(b(i - 1))
+        if (leftOk) {
+          val (g, i1) = parseInt(b, i + numPat.length)
+          val i2 = skipWs(b, i1)
+          if (g >= 0 && i2 + 3 <= b.length && b(i2) == 'o' &&
+            b(i2 + 1) == 'b' && b(i2 + 2) == 'j' &&
+            isWs(b(i + numPat.length))) best = i2 + 3
+        }
+        i += 1
+      }
+    }
+    if (best < 0) (-1, -1) else dictSpan(b, best)
+  }
+
+  /** The active trailer dictionary span: the LAST `trailer` keyword's
+    * dict (classic files), else the xref STREAM object's dict found via
+    * the last `startxref` offset (1.5+ files with no trailer keyword).
+    * (-1,-1) when neither resolves. */
+  private def trailerDict(b: Array[Byte]): (Int, Int) = {
+    val t = lastIndexOf(b, "trailer".getBytes("US-ASCII"))
+    if (t >= 0) {
+      val span = dictSpan(b, t + 7)
+      if (span._2 > 0) return span
+    }
+    val sx = lastIndexOf(b, "startxref".getBytes("US-ASCII"))
+    if (sx < 0) return (-1, -1)
+    val (off, _) = parseInt(b, sx + 9)
+    if (off < 0 || off >= b.length) return (-1, -1)
+    // at `off` expect `n g obj << /Type /XRef ... >>`
+    val (n, i1) = parseInt(b, off.toInt)
+    val (g, i2) = parseInt(b, i1)
+    val i3 = skipWs(b, i2)
+    if (n < 0 || g < 0 || i3 + 3 > b.length || b(i3) != 'o' ||
+      b(i3 + 1) != 'b' || b(i3 + 2) != 'j') return (-1, -1)
+    val span = dictSpan(b, i3 + 3)
+    if (span._2 > 0 &&
+      findKey(b, "Type", span._1, span._2) >= 0 &&
+      findKey(b, "XRef", span._1, span._2) >= 0) span
+    else (-1, -1)
+  }
+
+  /** /Root → catalog → /Pages → page-tree root → /Count. -1 on any
+    * broken hop (missing object, reference-valued Count, truncation). */
+  private def pageCount(b: Array[Byte], trailer: (Int, Int)): Long = {
+    val rootObj = refValue(b, "Root", trailer._1, trailer._2)
+    if (rootObj < 0) return -1L
+    val cat = objDict(b, rootObj)
+    if (cat._2 < 0) return -1L
+    val pagesObj = refValue(b, "Pages", cat._1, cat._2)
+    if (pagesObj < 0) return -1L
+    val pages = objDict(b, pagesObj)
+    if (pages._2 < 0) return -1L
+    val after = findKey(b, "Count", pages._1, pages._2)
+    if (after < 0) return -1L
+    val (n, i1) = parseInt(b, after)
+    if (n < 0) return -1L
+    // `/Count 3 0 R` is an indirect reference, not a count — refuse it
+    // rather than reporting the object number as a page count
+    val (g, i2) = parseInt(b, i1)
+    val i3 = skipWs(b, i2)
+    if (g >= 0 && i3 < b.length && b(i3) == 'R') -1L else n
+  }
+
+  /** Sniff + parse; null for anything without a `%PDF-M.N` header in the
+    * first 1024 bytes. Fields degrade independently: an encrypted or
+    * xref-compressed file keeps its version/flags with a null page
+    * count. */
+  def meta(b: Array[Byte]): GenericInternalRow = {
+    if (b == null || b.length < 9) return null
+    val h = indexOf(b, "%PDF-".getBytes("US-ASCII"), 0, 1024 + 5)
+    if (h < 0 || h + 8 > b.length) return null
+    val (maj, mi, pt) = (b(h + 5), b(h + 6), b(h + 7))
+    if (maj < '1' || maj > '9' || mi != '.' || pt < '0' || pt > '9')
+      return null
+    val version = s"${maj.toChar}.${pt.toChar}"
+    // Annex F: the linearization parameter dict lives entirely within
+    // the first 1024 bytes — a bounded scan is exact
+    val linearized =
+      findKey(b, "Linearized", h, math.min(b.length, 1024)) >= 0
+    val trailer = trailerDict(b)
+    if (trailer._2 < 0)
+      return new GenericInternalRow(Array[Any](
+        UTF8String.fromString(version), null, null, linearized))
+    val encrypted = findKey(b, "Encrypt", trailer._1, trailer._2) >= 0
+    val pages = pageCount(b, trailer)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(version),
+      if (pages < 0) null else pages.toInt,
+      encrypted, linearized))
+  }
+}
+
+/** `pdf_meta(binary)` → `struct<version string, pages int,
+  * encrypted boolean, linearized boolean>`, null when the payload has no
+  * well-formed `%PDF-M.N` header in its first 1024 bytes. Codegen'd
+  * (generated code calls [[PdfHeaderOps.meta]] directly), same posture
+  * as [[ImageMeta]] / [[MediaMeta]]. */
+case class PdfMeta(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "pdf_meta"
+  override def nullable: Boolean = true
+  override def dataType: DataType = PdfMeta.schema
+  override def nullSafeEval(v: Any): Any =
+    PdfHeaderOps.meta(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PdfHeaderOps.meta($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): PdfMeta =
+    copy(child = newChild)
+}
+
+object PdfMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("pages", IntegerType),
+    StructField("encrypted", BooleanType),
+    StructField("linearized", BooleanType)))
+
+  def column(payload: Column): Column =
+    GraftBridge.column(PdfMeta(GraftBridge.expression(payload)))
+}

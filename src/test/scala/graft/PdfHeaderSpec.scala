@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{PdfHeaderOps, PdfMeta}
+
+/** [[graft.functions.PdfMeta]] / [[PdfHeaderOps]]: PDF header/trailer
+  * decode (r18 VERDICT depth item 6 — the document sibling of
+  * ImageHeaderSpec/MediaHeaderSpec). Happy paths for the classic-trailer
+  * and cross-reference-stream layouts plus the malformation matrix —
+  * every corrupt input yields null fields (or a null row), never a throw
+  * (the 100 TB contract: one bad blob = one null row, not a retry
+  * storm). Bytes are re-derived here from the ISO 32000-1 grammar so the
+  * spec does not trust the query's fixture builder; q258 pins the same
+  * fixtures under the DuckDB oracle.
+  */
+class PdfHeaderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private def bytes(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def meta(b: Array[Byte])
+      : Option[(String, Option[Int], Option[Boolean], Boolean)] =
+    Option(PdfHeaderOps.meta(b)).map { r =>
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)),
+        r.getBoolean(3))
+    }
+
+  private val classic = bytes(
+    "%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /PageLabels 7 0 R /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 5 >>\nendobj\n" +
+      "trailer\n<< /Size 4 /ID [<41> <42>] /Root 1 0 R >>\n" +
+      "startxref\n9\n%%EOF\n")
+
+  test("classic trailer: version + /Root→/Pages→/Count chain") {
+    assert(meta(classic) == Some(("1.4", Some(5), Some(false), false)))
+  }
+
+  test("/PageLabels must not satisfy the /Pages lookup (name token " +
+    "boundary), and /ID hex strings must not unbalance the trailer dict") {
+    // drop the real /Pages: the catalog keeps /PageLabels only -> the
+    // chain must break at the /Pages hop (null pages), NOT resolve the
+    // PageLabels object
+    val noPages = bytes(
+      "%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /PageLabels 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Nums [0 << /S /D >>] /Count 99 >>\nendobj\n" +
+        "trailer\n<< /Size 3 /ID [<3C3C> <3E3E>] /Root 1 0 R >>\n" +
+        "startxref\n9\n%%EOF\n")
+    assert(meta(noPages) == Some(("1.4", None, Some(false), false)))
+  }
+
+  test("object lookup needs an exact number token: obj 2 never resolves " +
+    "to '12 0 obj', and the NEWEST definition wins (incremental update)") {
+    val tricky = bytes(
+      "%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "12 0 obj\n<< /Type /Pages /Count 777 >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Count 3 >>\nendobj\n" +
+        // incremental update: object 2 redefined with a new count
+        "2 0 obj\n<< /Type /Pages /Count 8 >>\nendobj\n" +
+        "trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n")
+    assert(meta(tricky) == Some(("1.4", Some(8), Some(false), false)))
+  }
+
+  test("xref-stream layout (no trailer keyword): /Root and /Encrypt come " +
+    "from the stream dict at the startxref offset") {
+    val head = "%PDF-1.6\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Count 4 >>\nendobj\n"
+    val xref = "3 0 obj\n<< /Type /XRef /Root 1 0 R /Encrypt 9 0 R " +
+      "/W [1 2 1] /Length 0 >>\nstream\nendstream\nendobj\n"
+    val pdf = bytes(head + xref + s"startxref\n${head.length}\n%%EOF\n")
+    assert(meta(pdf) == Some(("1.6", Some(4), Some(true), false)))
+  }
+
+  test("linearization dict is only honored inside the first 1024 bytes " +
+    "(Annex F bound)") {
+    val lin = bytes(
+      "%PDF-1.7\n1 0 obj\n<< /Linearized 1 /L 99 /N 2 >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Pages /Count 2 >>\nendobj\n" +
+        "trailer\n<< /Size 4 /Root 2 0 R >>\nstartxref\n9\n%%EOF\n")
+    assert(meta(lin) == Some(("1.7", Some(2), Some(false), true)))
+    // same dict pushed past 1024 bytes by a comment: linearized = false
+    val pad = "%PDF-1.7\n%" + ("x" * 1100) + "\n"
+    val late = bytes(pad +
+      "1 0 obj\n<< /Linearized 1 /L 99 /N 2 >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Pages /Count 2 >>\nendobj\n" +
+      "trailer\n<< /Size 4 /Root 2 0 R >>\nstartxref\n9\n%%EOF\n")
+    assert(meta(late) == Some(("1.7", Some(2), Some(false), false)))
+  }
+
+  test("malformation matrix: each break nulls exactly what it breaks") {
+    // not a PDF at all / truncated header / header past the 1024 window
+    assert(meta(bytes("not a pdf")) == None)
+    assert(meta(bytes("%PDF-1.")) == None)
+    assert(meta(bytes("%PDF-x.4\nrest")) == None)
+    assert(meta(Array.fill[Byte](1100)(' ') ++ classic) == None)
+    assert(meta(null) == None)
+    assert(meta(Array.emptyByteArray) == None)
+    // reference-valued /Count -> pages null, flags intact
+    val countRef = bytes(new String(classic, "US-ASCII")
+      .replace("/Count 5", "/Count 6 0 R"))
+    assert(meta(countRef) == Some(("1.4", None, Some(false), false)))
+    // dangling /Root -> pages null, encrypted still readable
+    val badRoot = bytes(new String(classic, "US-ASCII")
+      .replace("/Root 1 0 R", "/Root 9 0 R"))
+    assert(meta(badRoot) == Some(("1.4", None, Some(false), false)))
+    // unbalanced trailer dict, no startxref fallback -> version only
+    val truncTrailer = bytes(
+      "%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n" +
+        "trailer\n<< /Size 4 /Root 1 0 R\n")
+    assert(meta(truncTrailer) == Some(("1.4", None, None, false)))
+    // startxref offset past EOF (xref-stream layout) -> version only
+    val badOff = bytes("%PDF-1.5\n1 0 obj\n<< >>\nendobj\n" +
+      "startxref\n999999\n%%EOF\n")
+    assert(meta(badOff) == Some(("1.5", None, None, false)))
+    // startxref offset pointing at a non-XRef object -> refused
+    val notXref = "%PDF-1.5\n"
+    val body = "1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+    val badTarget = bytes(notXref + body +
+      s"startxref\n${notXref.length}\n%%EOF\n")
+    assert(meta(badTarget) == Some(("1.5", None, None, false)))
+  }
+
+  test("expression runs through whole-stage codegen over a DataFrame " +
+    "(q258 shape) and keeps nulls per-row") {
+    val df = Seq(1L -> classic, 2L -> bytes("junk"))
+      .toDF("pdf_id", "payload")
+      .select(col("pdf_id"), PdfMeta.column(col("payload")).as("m"))
+      .select(col("pdf_id"), col("m.version"), col("m.pages"),
+        col("m.encrypted"), col("m.linearized"))
+    val rows = df.orderBy("pdf_id").collect()
+    assert(rows(0).getString(1) == "1.4" && rows(0).getInt(2) == 5)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+}
