@@ -310,8 +310,15 @@ object Similarity {
         // and cleaner lag move the numbers more than the pin does), so
         // the shape is chosen on the reuse principle plus r17's measured
         // shape, not on a same-day delta; both runs recorded in
-        // BASELINE r18.
-        val sizes = sig0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+        // BASELINE r18. The r19 fresh-JVM-per-arm re-run (LshPinAB,
+        // BASELINE r19) settles it cleanly on THIS code path via the
+        // dev-only -Dgraft.lsh.pinSizes=true knob below — default stays
+        // the shipped no-pin shape.
+        val sizes0 = sig0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+        val sizes =
+          if (java.lang.Boolean.getBoolean("graft.lsh.pinSizes"))
+            sizes0.localCheckpoint()
+          else sizes0
         val effCap =
           if (maxBucket > 0) maxBucket.toLong
           else {

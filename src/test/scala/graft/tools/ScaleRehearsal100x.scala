@@ -112,7 +112,11 @@ object ScaleRehearsal100x {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // SPARK_GRAFT_ARMS: comma-set of {q121,budget,route,q154,croute,q63,hotness}
+    // SPARK_GRAFT_ARMS: comma-set of
+    // {q121,budget,route,q154,croute,casym,q63,hotness}
+    // (casym additionally needs SPARK_GRAFT_ASYM=1 — it measures the
+    // routed chain's strongly-asymmetric recall vs the cap-250 exact
+    // join on tiny-quote plants the other arms' corpus must not carry)
     // restricting which arms run (default all). Exists because the arms' scratch
     // footprints differ by ~10×: the measured 500k q121 attempt aborted
     // at 74.5 GB live scratch under the budget guard, while q154/q63/
@@ -337,6 +341,28 @@ object ScaleRehearsal100x {
         rows += ((supId, -1L, subText(sid) + " " + tail.mkString(" ")))
         (sid, supId)
       }
+      // ---- r19: strongly-asymmetric containment plants (r18 VERDICT
+      // item 3 — the documented caveat's missing number). Tiny-quote-in-
+      // huge-doc: sub = a 12-word quote (ids >= 30M, cluster -4), sup =
+      // the same 12 words + 288 UNIQUE filler words (ids >= 31M,
+      // cluster -5). Containment sub→sup = 1.0 by construction (every
+      // sub 8-gram appears contiguously in sup) but word-3-gram Jaccard
+      // ≈ 10/298 ≈ 0.034 — per-band collision ≈ J² so the routed chain's
+      // symmetric banding should find ~1% of them, vs the absolute-cap
+      // exact join's 100% (the sub's 8-grams have dfreq ≈ 2, far below
+      // any sane cap). Gated behind SPARK_GRAFT_ASYM=1 so every other
+      // arm keeps r18's exact corpus for same-corpus second samples.
+      val plantAsym = sys.env.get("SPARK_GRAFT_ASYM").contains("1")
+      val plantedAsym =
+        if (!plantAsym) Seq.empty[(Long, Long)]
+        else (0 until 500).map { i =>
+          val quote = (0 until 12).map(_ => drawWord())
+          val filler = (0 until 288).map(k => s"asym${i}f$k")
+          rows += ((30000000L + i, -4L, quote.mkString(" ")))
+          rows += ((31000000L + i, -5L,
+            quote.mkString(" ") + " " + filler.mkString(" ")))
+          (30000000L + i, 31000000L + i)
+        }
       val dir = s"target/scale_rehearsal_100x_$nDocs.parquet"
       rows.toSeq.toDF("doc_id", "cluster", "text").repartition(64)
         .write.mode("overwrite").parquet(dir)
@@ -508,7 +534,45 @@ object ScaleRehearsal100x {
         all
       })
 
-      val ok2 = okC && (!armOn("q154") || timed(nDocs, "q154_containment") {
+      // ---- r19 asymmetric-extreme arm (casym; needs SPARK_GRAFT_ASYM=1):
+      // routed containment vs the absolute-cap exact join on the SAME
+      // planted tiny-quote truth at the same scale — turns "set an
+      // absolute cap when asymmetric recall matters" into a measured
+      // curve. No recall floor on the routed run: its NUMBER is the
+      // point (the banding prediction says ~1%); the cap run must be
+      // lossless (the quote 8-grams sit at dfreq ≈ 2).
+      val okAs = okC && (!armOn("casym") || !plantAsym || {
+        val asymDf = plantedAsym.toDF("id_sub", "id_sup")
+        val modDf = plantedCont.toDF("id_sub", "id_sup")
+        val r1 = timed(nDocs, "q154_asym_routed") {
+          val got = Dedup.containmentPairs(docs, "doc_id", "text",
+            maxDocsPerTok = 0, autoRoute = true)
+            .select(col("id_sub"), col("id_sup")).localCheckpoint()
+          val foundA = got.join(asymDf, Seq("id_sub", "id_sup")).count()
+          val foundM = got.join(modDf, Seq("id_sub", "id_sup")).count()
+          println(s"REHEARSAL100X n=$nDocs q154_asym_routed " +
+            s"asym_found=$foundA/${plantedAsym.size} " +
+            s"moderate_found=$foundM/${plantedCont.size}")
+          foundA
+        }
+        val r2 = r1 && timed(nDocs, "q154_asym_cap250") {
+          val got = Dedup.containmentPairs(docs, "doc_id", "text",
+            maxDocsPerTok = 250)
+            .select(col("id_sub"), col("id_sup")).localCheckpoint()
+          val foundA = got.join(asymDf, Seq("id_sub", "id_sup")).count()
+          val foundM = got.join(modDf, Seq("id_sub", "id_sup")).count()
+          println(s"REHEARSAL100X n=$nDocs q154_asym_cap250 " +
+            s"asym_found=$foundA/${plantedAsym.size} " +
+            s"moderate_found=$foundM/${plantedCont.size}")
+          require(foundA == plantedAsym.size,
+            s"absolute-cap exact containment lost asymmetric plants: " +
+              s"$foundA/${plantedAsym.size}")
+          foundA
+        }
+        r2
+      })
+
+      val ok2 = okAs && (!armOn("q154") || timed(nDocs, "q154_containment") {
         val got = Dedup.containmentPairs(docs, "doc_id", "text")
           .select(col("id_sub"), col("id_sup")).localCheckpoint()
         val plantedDf = plantedCont.toDF("id_sub", "id_sup")
