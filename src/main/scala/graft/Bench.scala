@@ -338,8 +338,12 @@ object Bench {
           // reading was adjudicated as burst-inflated, so the retest is
           // the better next-round baseline. "slowest" duplicates board
           // values, so harvesting it alongside "queries" is harmless.
+          // \s* around the colon: a hand-written or pretty-printed
+          // reference ("q29": 0.01) must parse the same as the compact
+          // Scala-emitted artifact (r19: the first budget-demo board
+          // silently matched nothing against a json.dumps reference)
           def qPairs(s: String): Map[String, Double] =
-            "\\\\?\"(q\\d+)\\\\?\":(-?[0-9]+\\.[0-9]+)".r
+            "\\\\?\"(q\\d+)\\\\?\"\\s*:\\s*(-?[0-9]+\\.[0-9]+)".r
               .findAllMatchIn(s)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           val retestObj = "\\\\?\"retest_s\\\\?\"\\s*:\\s*\\{[^}]*\\}".r
@@ -385,17 +389,27 @@ object Bench {
     }
     val retests: Seq[(String, Double)] = retestsBuf.toSeq
     // Verdict for outliers the budget could not re-run: classify the
-    // window from the board's own probes. Calibration is the r18
-    // adjudication itself — quiet-host canary floors 0.248–0.290 vs
-    // 0.366 on the elevated board; io_idx 0.025–0.05 s/64 MiB quiet vs
-    // 0.107–0.218 during its storage burst. Either signal past its
-    // threshold = "window_elevated" (the outliers are in all likelihood
-    // host noise, like r18's nine hand-adjudicated heavies);
-    // neither = "unadjudicated" (a judge should look).
-    val windowVerdict: String =
-      if (canaryFloor > 0.33 || ioSamples.exists(_._2 > 0.08))
+    // window from the board's own probes — RUN-RELATIVE signals only,
+    // because the idle canary BAND itself shifts between rounds with VM
+    // state (r16; and the first r19 board read floor 0.388 with cidx
+    // squarely in the quiet band, falsifying any absolute floor
+    // threshold). Calibration is the r18 elevated board: io_idx
+    // 0.107–0.218 s/64 MiB during its storage burst vs 0.02–0.05 quiet
+    // (threshold 0.08), and mid-board canaries vs the SAME run's floor
+    // (its median ratio 1.75×; quiet boards sit ≤ ~1.6×, threshold 2×
+    // for the unambiguous case). Either signal = "window_elevated" (the
+    // outliers are in all likelihood host noise, like r18's nine
+    // hand-adjudicated heavies); neither = "unadjudicated" (a judge
+    // should look).
+    val windowVerdict: String = {
+      val canaryMed =
+        if (canarySamples.isEmpty) -1.0
+        else canarySamples.map(_._2).sorted.apply(canarySamples.size / 2)
+      if (ioSamples.exists(_._2 > 0.08) ||
+        (canaryFloor > 0 && canaryMed > 2.0 * canaryFloor))
         "window_elevated"
       else "unadjudicated"
+    }
     def qJson(key: String => String) = results
       .map { case (k, v) => "\"" + key(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
