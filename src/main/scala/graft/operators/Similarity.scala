@@ -23,6 +23,24 @@ object Similarity {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Checkpoint a bucket-size table when the caller is in autocap mode
+    * (r19, overturning the r18 same-JVM A/B): autocap collects a driver
+    * rollup from this table — a SEPARATE action — and exchange reuse
+    * never spans query executions, so without the pin the keep join
+    * recomputes the full corpus signature pass a second time. The
+    * fresh-JVM-per-arm A/B (LshPinAB, 400k vectors, 3 samples/arm)
+    * reads pin 15.4/16.8/18.4 s vs no-pin 76.8/31.2/33.2 s on the
+    * single-table chain; the pinned table is at most 2^bits (per-table)
+    * rows, so the materialization itself is free. Explicit-cap mode has
+    * no rollup action — sizes has ONE consumer inside the main job —
+    * so pinning there would only add a pass.
+    * `-Dgraft.lsh.pinSizes=true/false` forces either shape (the A/B
+    * harness's knob). */
+  private def maybePinSizes(sizes: DataFrame, autoCap: Boolean): DataFrame =
+    if (sys.props.get("graft.lsh.pinSizes").map(_.toBoolean)
+      .getOrElse(autoCap)) sizes.localCheckpoint()
+    else sizes
+
   /** Element-wise dot product — native compiled loop
     * ([[graft.functions.VectorOps]]), sequential left fold so results are
     * bit-identical to the HOF spelling and the oracle's ordered sum. */
@@ -299,26 +317,26 @@ object Similarity {
     val sig =
       if (maxBucket == Int.MaxValue) sig0
       else {
-        // Deliberately NOT checkpointed (r18): the autocap rollup below
-        // is the only EXTRA action (one signature pass — r17 ADVICE
-        // merged the cap and forecast aggregates into it), and inside
-        // the main job the keep semi-join's sizes recompute stays
-        // ReuseExchange-eligible against the bucket join, which a pinned
-        // RDD scan is not. A/B at 1M vectors was NOISE-DOMINATED (L2
-        // wall 157 s pinned vs 236 s unpinned in one session vs r17's
-        // 134 s unpinned — the preceding multi-probe arm's 45 GB spill
-        // and cleaner lag move the numbers more than the pin does), so
-        // the shape is chosen on the reuse principle plus r17's measured
-        // shape, not on a same-day delta; both runs recorded in
-        // BASELINE r18. The r19 fresh-JVM-per-arm re-run (LshPinAB,
-        // BASELINE r19) settles it cleanly on THIS code path via the
-        // dev-only -Dgraft.lsh.pinSizes=true knob below — default stays
-        // the shipped no-pin shape.
-        val sizes0 = sig0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
-        val sizes =
-          if (java.lang.Boolean.getBoolean("graft.lsh.pinSizes"))
-            sizes0.localCheckpoint()
-          else sizes0
+        // The bucket-size table IS checkpointed in autocap mode (r19,
+        // overturning the r18 same-JVM reading): the autocap rollup
+        // collect is a SEPARATE ACTION, and exchange reuse never spans
+        // query executions — so the no-pin shape pays one full
+        // signature pass for the rollup and ANOTHER for the keep
+        // semi-join's sizes recompute inside the main job. The
+        // fresh-JVM-per-arm A/B (LshPinAB, 400k vectors, 3 samples per
+        // arm) reads pin 15.4/16.8/18.4 s vs no-pin 76.8/31.2/33.2 s —
+        // ~2× at the no-pin arm's BEST, with the checkpointed table at
+        // most 2^bits rows (65k at 16 bits: pinning it is free). The
+        // r18 1M same-JVM A/B that rejected the pin was confounded by a
+        // preceding 45 GB spill arm + ContextCleaner lag (BASELINE r18);
+        // the clean number wins. Explicit-cap mode keeps the no-pin
+        // shape: no rollup action exists there, sizes has exactly one
+        // consumer inside the main job, and an eager checkpoint would
+        // only ADD a pass. -Dgraft.lsh.pinSizes=true/false overrides
+        // either way (the A/B harness's knob).
+        val sizes = maybePinSizes(
+          sig0.groupBy(col("bucket")).agg(count(lit(1)).as("m")),
+          autoCap = maxBucket == 0)
         val effCap =
           if (maxBucket > 0) maxBucket.toLong
           else {
@@ -401,10 +419,12 @@ object Similarity {
     val kept =
       if (maxBucket == Int.MaxValue) sigs
       else {
-        // not checkpointed — same ReuseExchange rationale as
-        // [[lshNearPairs]] (r18)
-        val sizes = sigs.groupBy(col("tbl"), col("bucket"))
-          .agg(count(lit(1)).as("m"))
+        // pinned in autocap mode — same two-action mechanism as
+        // [[lshNearPairs]] (r19): the rollup collect below is a separate
+        // action, so the keep join otherwise recomputes every table's
+        // signature explode
+        val sizes = maybePinSizes(sigs.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("m")), autoCap = maxBucket == 0)
         val effCap =
           if (maxBucket > 0) maxBucket.toLong
           else {
@@ -482,9 +502,12 @@ object Similarity {
     val home =
       if (maxBucket == Int.MaxValue) home0
       else {
-        // not checkpointed — same ReuseExchange rationale as
-        // [[lshNearPairs]] (r18)
-        val sizes = home0.groupBy(col("bucket")).agg(count(lit(1)).as("m"))
+        // pinned in autocap mode — same two-action mechanism as
+        // [[lshNearPairs]] (r19; the multiprobe A/B numbers are in
+        // BASELINE r19 alongside the single-table ones)
+        val sizes = maybePinSizes(
+          home0.groupBy(col("bucket")).agg(count(lit(1)).as("m")),
+          autoCap = maxBucket == 0)
         val effCap =
           if (maxBucket > 0) maxBucket.toLong
           else {

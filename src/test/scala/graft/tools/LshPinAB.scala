@@ -97,19 +97,27 @@ object LshPinAB {
     val clusterOf = vecs.select(col("vec_id"), col("cluster"))
 
     val pinned = java.lang.Boolean.getBoolean("graft.lsh.pinSizes")
+    // arg 2: single (default) = lshNearPairs; multiprobe =
+    // lshNearPairsMultiProbe — the sibling autocap path with the same
+    // rollup-action mechanism, priced separately before its default pin
+    val mode = args.drop(1).headOption.getOrElse("single")
+    def run(df: org.apache.spark.sql.DataFrame) = mode match {
+      case "multiprobe" => Similarity.lshNearPairsMultiProbe(df, "vec_id",
+        "embedding", bits = 16, minSim = 0.9, maxBucket = 0)
+      case _ => Similarity.lshNearPairs(df, "vec_id", "embedding",
+        bits = 16, minSim = 0.9, maxBucket = 0)
+    }
     // one JIT/codegen warm pass on a 20k slice (NOT the measured corpus
     // size class), so neither arm pays cold-JIT — the r18 table's
     // asterisked confound
-    Similarity.lshNearPairs(vecs.limit(20000), "vec_id", "embedding",
-      bits = 16, minSim = 0.9, maxBucket = 0).count()
+    run(vecs.limit(20000)).count()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     System.gc()
     memSpill.set(0); diskSpill.set(0); peakTask.set(0); peakScratch.set(0)
 
     val t0 = System.nanoTime()
-    val pairs = Similarity.lshNearPairs(vecs, "vec_id", "embedding",
-      bits = 16, minSim = 0.9, maxBucket = 0)
+    val pairs = run(vecs)
       .select(col("id_a"), col("id_b")).localCheckpoint()
     val within = pairs
       .join(clusterOf.withColumnRenamed("vec_id", "id_a")
@@ -119,7 +127,7 @@ object LshPinAB {
       .filter(col("ca") === col("cb") && col("ca") >= 0).count()
     val secs = (System.nanoTime() - t0) / 1e9
     Thread.sleep(2500) // let the poller catch the tail
-    println(f"LSHPINAB n=$nVec pin=$pinned wall=$secs%.1f s " +
+    println(f"LSHPINAB n=$nVec mode=$mode pin=$pinned wall=$secs%.1f s " +
       f"recall=${within.toDouble / truthPairs}%.4f " +
       f"spill_mem=${memSpill.get / 1e6}%.0f MB " +
       f"spill_disk=${diskSpill.get / 1e6}%.0f MB " +

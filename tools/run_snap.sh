@@ -7,8 +7,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SNAP=/tmp/graft_snap
 mkdir -p "$SNAP"
-rsync -a --delete target/scala-2.13/classes/ "$SNAP/classes/"
-rsync -a --delete target/scala-2.13/test-classes/ "$SNAP/test-classes/"
+rm -rf "$SNAP/classes" "$SNAP/test-classes"
+cp -r target/scala-2.13/classes "$SNAP/classes"
+cp -r target/scala-2.13/test-classes "$SNAP/test-classes"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
