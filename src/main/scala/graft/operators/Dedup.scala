@@ -1181,14 +1181,8 @@ object Dedup {
       // it so the banding chain runs once. maxBucket = routeBucketCap
       // (2× the autocap family estimate, floored at 1000 — see
       // prefixJaccardPairs for the accident-bucket rationale).
-      val sym = minhashCandidates(docs, idCol, textCol, shingleN = 3,
-        numHashes = 16, bands = 8, maxBucket = routeBucketCap)
-        .localCheckpoint()
-      val cand = sym.select(col("id_a").as("sub"), col("id_b").as("sup"))
-        .unionByName(
-          sym.select(col("id_b").as("sub"), col("id_a").as("sup")))
-      return containmentVerify(docs, idCol, textCol, shingleK, numT, denT,
-        cand, inputSmall)
+      return containmentRouted(docs, idCol, textCol, shingleK, numT, denT,
+        routeBucketCap, inputSmall)
     }
     // probe prefix: rank by global dfreq via the native bounded k-min
     // aggregate (no cluster-wide sort, no full per-doc array — the
@@ -1224,6 +1218,28 @@ object Dedup {
     * shingle-hash arrays and C(sub→sup) = I/n_sub is re-checked against
     * the exact integer threshold — candidate generators cost recall
     * only, never precision. */
+  /** The routed containment chain [[containmentPairs]] swaps in when its
+    * candidate forecast crosses the warn threshold under `autoRoute`:
+    * banded-minhash candidates (16 lanes / 8 bands, word 3-shingles,
+    * bucket-capped) verified in BOTH directions against the exact
+    * char-shingle containment threshold. `private[graft]` so the scale
+    * rehearsals can measure THIS exact chain's recall at scales where
+    * the forecast does not trip the route on its own (e.g. the
+    * strongly-asymmetric-recall arm) — one source of truth, never a
+    * tool-side replica. */
+  private[graft] def containmentRouted(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numT: Int, denT: Int,
+      maxBucket: Int, inputSmall: Boolean): DataFrame = {
+    val sym = minhashCandidates(docs, idCol, textCol, shingleN = 3,
+      numHashes = 16, bands = 8, maxBucket = maxBucket)
+      .localCheckpoint()
+    val cand = sym.select(col("id_a").as("sub"), col("id_b").as("sup"))
+      .unionByName(
+        sym.select(col("id_b").as("sub"), col("id_a").as("sup")))
+    containmentVerify(docs, idCol, textCol, shingleK, numT, denT,
+      cand, inputSmall)
+  }
+
   private def containmentVerify(docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int, numT: Int, denT: Int,
       cand0: DataFrame, inputSmall: Boolean): DataFrame = {

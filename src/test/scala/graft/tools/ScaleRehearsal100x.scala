@@ -535,18 +535,27 @@ object ScaleRehearsal100x {
       })
 
       // ---- r19 asymmetric-extreme arm (casym; needs SPARK_GRAFT_ASYM=1):
-      // routed containment vs the absolute-cap exact join on the SAME
+      // the ROUTED chain vs the absolute-cap exact join on the SAME
       // planted tiny-quote truth at the same scale — turns "set an
       // absolute cap when asymmetric recall matters" into a measured
-      // curve. No recall floor on the routed run: its NUMBER is the
-      // point (the banding prediction says ~1%); the cap run must be
-      // lossless (the quote 8-grams sit at dfreq ≈ 2).
+      // curve. Leg 1 calls Dedup.containmentRouted directly (the exact
+      // chain autoRoute swaps in) because at 300k the Σ dfreq² forecast
+      // does not trip the route by itself — the first r19 attempt
+      // proved that by silently grinding the exact autocap join for 25+
+      // minutes. Legs are INDEPENDENT (no && chaining: the cap leg must
+      // report even if the routed leg aborts). No recall floor on the
+      // routed leg: its NUMBER is the point (banding predicts ~J² per
+      // band ≈ 1%); the cap leg must be lossless (quote 8-grams sit at
+      // dfreq ≈ 2, far under any sane cap).
       val okAs = okC && (!armOn("casym") || !plantAsym || {
         val asymDf = plantedAsym.toDF("id_sub", "id_sup")
         val modDf = plantedCont.toDF("id_sub", "id_sup")
+        val inputSmall = docs.queryExecution.optimizedPlan.stats
+          .sizeInBytes < BigInt(512L << 20)
         val r1 = timed(nDocs, "q154_asym_routed") {
-          val got = Dedup.containmentPairs(docs, "doc_id", "text",
-            maxDocsPerTok = 0, autoRoute = true)
+          val got = Dedup.containmentRouted(docs, "doc_id", "text",
+            shingleK = 8, numT = 3, denT = 4, maxBucket = 1000,
+            inputSmall = inputSmall)
             .select(col("id_sub"), col("id_sup")).localCheckpoint()
           val foundA = got.join(asymDf, Seq("id_sub", "id_sup")).count()
           val foundM = got.join(modDf, Seq("id_sub", "id_sup")).count()
@@ -555,7 +564,7 @@ object ScaleRehearsal100x {
             s"moderate_found=$foundM/${plantedCont.size}")
           foundA
         }
-        val r2 = r1 && timed(nDocs, "q154_asym_cap250") {
+        val r2 = timed(nDocs, "q154_asym_cap250") {
           val got = Dedup.containmentPairs(docs, "doc_id", "text",
             maxDocsPerTok = 250)
             .select(col("id_sub"), col("id_sup")).localCheckpoint()
@@ -569,7 +578,7 @@ object ScaleRehearsal100x {
               s"$foundA/${plantedAsym.size}")
           foundA
         }
-        r2
+        r1 && r2
       })
 
       val ok2 = okAs && (!armOn("q154") || timed(nDocs, "q154_containment") {
