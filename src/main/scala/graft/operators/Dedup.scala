@@ -88,7 +88,7 @@ object Dedup {
     lane = (s, i) => xxhash64(s, lit(i)),
     band = hs => xxhash64(hs: _*))
 
-  private def bandedMinhash(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def bandedMinhash(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int,
       fam: LaneFamily): DataFrame = {
     val rows = numHashes / bands
@@ -210,6 +210,13 @@ object Dedup {
     // cannot be split — counting a hot bucket through a window is itself
     // the straggler the maxBucket cap exists to prevent (r11 shape rule,
     // as in prefixJaccardPairs / sharedPassagePairs).
+    candidatesFromBandedTail(b0, maxBucket, inputSmall)
+  }
+
+  /** Shared join tail: cap-filter the buckets of an (optionally
+    * checkpointed) banded table, then self-join within kept buckets. */
+  private def candidatesFromBandedTail(b0: DataFrame, maxBucket: Int,
+      inputSmall: Boolean): DataFrame = {
     val keep = b0.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
@@ -226,6 +233,110 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** The routed chains' candidate-volume budget, per doc. Calibration
+    * (r19, 500k Zipf rehearsal corpus): the q121 route completes with
+    * ~10 candidates/doc; genuine syndication families (≤ a few hundred
+    * docs) cost C(m,2)·n_fam ≈ single-digit millions; the boilerplate
+    * ACCIDENT buckets the cap exists to refuse are each 5e6–1.3e9
+    * candidates of pure boilerplate collision. The verify's unit
+    * economics are CALIBRATED, not modeled: r18's cap-1000 croute
+    * completion pushed 1e7 verify rows in 8.67 GB scratch (~0.9 KB/row
+    * through the both-directions containment verify), and the r19
+    * 50/doc draft of this constant let the cap ride to 5,941 (2.2e7
+    * candidates → 4.5e7 verify rows), which blew a 30 GB budget at
+    * 33 GB — so the budget targets the measured-safe 1e7-candidate
+    * class at 500k docs: 20/doc, 2× the q121 route's genuine load. A
+    * genuinely huge syndication family (≥ ~3,000 members at 500k docs)
+    * IS refused at this budget — the warn names the trade and an
+    * explicit maxBucket overrides it. */
+  private[graft] val RouteCandidatesPerDoc = 20.0
+
+  /** Absolute floor under the routed volume budget: 5e6 candidate rows
+    * ≈ 150 MB of pair-stage scratch — never worth refusing recall for,
+    * on any host. Without it, a genuine family that is a large SHARE of
+    * a small corpus (the 1050-member family in a 2150-doc spec corpus:
+    * 8·C(1050,2) ≈ 4.4e6 candidates vs a 20/doc budget of 4.3e4) would
+    * lose to the per-doc budget; the measured accident-bucket classes
+    * at 500k start around 5.8e6 per bucket, just above the floor. */
+  private[graft] val MinRouteCandidates = 5e6
+
+  /** [[minhashCandidates]] with the bucket cap VALIDATED against a
+    * candidate-volume budget from the banded table's own bucket-size
+    * rollup (r19, the round's accident-bucket lesson part 2): the r18
+    * cap — 2× the autocap-derived "largest genuine family" — is only a
+    * family estimate when the underlying count distribution is BIMODAL
+    * (families ≪ template floor ≪ boilerplate). q121's prefix-nd rollup
+    * is bimodal by construction (the prefix biases to rare shingles);
+    * containment's FULL char-shingle dfreq is a smooth Zipf tail, so
+    * "largest dfreq below the 0.5·N floor" lands just under the floor —
+    * measured cap 249,244 at 500k docs (= bucket cap 498,488 ≈
+    * uncapped), admitting 1.50e9 banded candidates vs 4.97e6 at cap
+    * 1000 (the r19 croute second sample ground for an hour where r18's
+    * pre-cap-change sample took 211 s). The fix is shape-free: compute
+    * the banded bucket-size rollup (one collect, ≤ one row per distinct
+    * size — the same aggregate the cap filter needs anyway), and take
+    * effective cap = max(1000, min(familyCap, largest m whose cumulative
+    * Σ n_buckets·C(m,2) fits [[RouteCandidatesPerDoc]]·nDocs)). Genuine
+    * families are admitted (tiny volume); corpus-share accident buckets
+    * are refused no matter what the family estimate degenerated to. */
+  private[graft] def minhashCandidatesVolCapped(docs: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, numHashes: Int,
+      bands: Int, familyCap: Int, label: String): DataFrame = {
+    val banded = bandedMinhash(docs, idCol, textCol, shingleN, numHashes,
+      bands, XxLanes)
+    // same size dispatch as candidatesFromBanded; above the bound the
+    // rollup collect re-derives the banded pass once — the price of the
+    // volume guard, same class as the operators' candidate forecasts
+    val inputSmall = banded.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(512L << 20)
+    val b0 = if (inputSmall) banded.localCheckpoint() else banded
+    val sizes = b0.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val eff = volCappedBucketCap(countRollup(sizes, "bucket_n"), bands,
+      familyCap, label)
+    candidatesFromBandedTail(b0, eff, inputSmall)
+  }
+
+  /** The pure cap derivation behind [[minhashCandidatesVolCapped]]:
+    * effective cap = max(1000, min(familyCap, largest bucket size whose
+    * CUMULATIVE ascending Σ n_buckets·C(m,2) fits
+    * [[RouteCandidatesPerDoc]]·nDocs)), with nDocs recovered from the
+    * rollup itself (Σ m·n_buckets = docs × bands). */
+  private[graft] def volCappedBucketCap(rollup: Array[(Long, Long)],
+      bands: Int, familyCap: Int, label: String): Int = {
+    val nDocs = rollup.map { case (m, nb) => m * nb }.sum / math.max(bands, 1)
+    val budget = math.max(RouteCandidatesPerDoc * nDocs, MinRouteCandidates)
+    var cum = 0.0
+    var volCap = 0L
+    // STOP at the first size class over budget (no skip-and-admit-larger:
+    // the cap filter is `bucket_n <= eff`, so every class below eff IS
+    // enumerated and must have been counted into the cumulative volume)
+    val it = rollup.sortBy(_._1).iterator
+    var full = false
+    while (it.hasNext && !full) {
+      val (m, nb) = it.next()
+      val v = nb.toDouble * m.toDouble * (m - 1).toDouble / 2
+      if (cum + v <= budget) { cum += v; volCap = m } else full = true
+    }
+    val eff = math.max(1000L,
+      math.min(familyCap.toLong, volCap)).min(Int.MaxValue.toLong).toInt
+    if (volCap < 1000L)
+      log.warn(f"$label: the 1000-bucket recall floor itself exceeds the " +
+        f"volume budget (volume-derived cap $volCap) — proceeding at the " +
+        "floor; expect the candidate stage to run over " +
+        f"${RouteCandidatesPerDoc}%.0f cand/doc")
+    if (eff < familyCap)
+      log.warn(f"$label: banded bucket cap $familyCap admits " +
+        "corpus-share accident buckets — volume budget " +
+        f"(${RouteCandidatesPerDoc}%.0f cand/doc) binds at bucket cap " +
+        f"$eff (cumulative ${cum}%.3e candidates); buckets above it are " +
+        "dropped (boilerplate-collision class, see Scaladoc)")
+    else
+      log.info(f"$label: banded bucket cap $eff admits ${cum}%.3e " +
+        "candidates within budget")
+    eff
   }
 
   /** SimHash signatures: (id, simhash). */
@@ -864,13 +975,14 @@ object Dedup {
       // the streaming/batch minhash dedups use; the verify below re-checks
       // every candidate against the EXACT char-shingle threshold, so the
       // output contract is unchanged — only recall semantics differ (see
-      // Scaladoc). maxBucket = routeBucketCap (2× the autocap-derived
-      // largest-genuine-family estimate, floored at 1000 — NOT the
-      // template-floor corpus share, which the 300k rehearsal showed
-      // readmits boilerplate ACCIDENT buckets; see the cap derivation
-      // above).
-      val cand = minhashCandidates(docs, idCol, textCol, shingleN = 3,
-        numHashes = 16, bands = 8, maxBucket = routeBucketCap)
+      // Scaladoc). familyCap = routeBucketCap (2× the autocap-derived
+      // largest-genuine-family estimate, floored at 1000), VALIDATED
+      // against the volume budget (r19: a family estimate from a smooth
+      // count distribution can be corpus-scale — see
+      // minhashCandidatesVolCapped).
+      val cand = minhashCandidatesVolCapped(docs, idCol, textCol,
+        shingleN = 3, numHashes = 16, bands = 8,
+        familyCap = routeBucketCap, label = "prefixJaccardPairs route")
         .select(col("id_a").as("d1"), col("id_b").as("d2"))
       jaccardVerify(docs, idCol, textCol, shingleK, numT, denT, cand,
         inputSmall)
@@ -1230,8 +1342,9 @@ object Dedup {
   private[graft] def containmentRouted(docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int, numT: Int, denT: Int,
       maxBucket: Int, inputSmall: Boolean): DataFrame = {
-    val sym = minhashCandidates(docs, idCol, textCol, shingleN = 3,
-      numHashes = 16, bands = 8, maxBucket = maxBucket)
+    val sym = minhashCandidatesVolCapped(docs, idCol, textCol, shingleN = 3,
+      numHashes = 16, bands = 8, familyCap = maxBucket,
+      label = "containmentRouted")
       .localCheckpoint()
     val cand = sym.select(col("id_a").as("sub"), col("id_b").as("sup"))
       .unionByName(

@@ -524,6 +524,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(n == 1050L * 1049 / 2, s"family pairs through the route: $n")
   }
 
+  test("volume-capped route bucket cap: families within budget admitted, " +
+      "corpus-share accident classes refused, floors respected (r19)") {
+    // the measured 500k rollup shape (CrouteCapProbe): smooth Zipf dfreq
+    // made the family estimate corpus-scale (498488); the accident
+    // classes 51828/15677 must be refused by the volume budget while the
+    // genuine-family classes stay admitted
+    val measured = Array[(Long, Long)]((1L, 3000000L), (2L, 400000L),
+      (50L, 2000L), (263L, 1L), (265L, 1L), (281L, 1L), (316L, 1L),
+      (337L, 1L), (576L, 1L), (3402L, 1L), (6909L, 1L), (15677L, 1L),
+      (51828L, 1L))
+    val eff = graft.operators.Dedup.volCappedBucketCap(measured, bands = 8,
+      familyCap = 498488, label = "spec")
+    assert(eff >= 3402 && eff < 15677,
+      s"accident classes must be refused, mid classes admitted: $eff")
+    // the 1050-member family in a small corpus (the r18 spec regime):
+    // 8·C(1050,2) ≈ 4.4e6 sits under the ABSOLUTE floor (2e7), so the
+    // per-doc budget must not refuse it even though 200/doc would
+    val family = Array[(Long, Long)]((1L, 8800L), (1050L, 8L))
+    val eff2 = graft.operators.Dedup.volCappedBucketCap(family, bands = 8,
+      familyCap = 2100, label = "spec")
+    assert(eff2 == 1050, s"in-budget family must be admitted: $eff2")
+    // familyCap binds when it is TIGHTER than the volume cap (q121's
+    // measured shape: prefix-derived cap 1308 vs volume cap ~6909)
+    val eff3 = graft.operators.Dedup.volCappedBucketCap(measured, bands = 8,
+      familyCap = 1308, label = "spec")
+    assert(eff3 == 1308, s"tighter family cap must bind: $eff3")
+    // degenerate: budget exhausted below the 1000 recall floor -> the
+    // floor wins (loudly), never a sub-1000 cap
+    val hot = Array[(Long, Long)]((900L, 4000L))
+    val eff4 = graft.operators.Dedup.volCappedBucketCap(hot, bands = 8,
+      familyCap = 5000, label = "spec")
+    assert(eff4 == 1000, s"recall floor must hold: $eff4")
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

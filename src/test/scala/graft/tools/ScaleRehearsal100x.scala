@@ -168,6 +168,11 @@ object ScaleRehearsal100x {
       .config("spark.ui.enabled", "false")
       .appName("scale-rehearsal-100x").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // keep the OPERATORS' own decision logs (forecasts, route engagement,
+    // volume-capped bucket caps) visible under the Spark noise blackout —
+    // the r19 croute diagnosis was blind without them
+    org.apache.logging.log4j.core.config.Configurator.setLevel("graft",
+      org.apache.logging.log4j.Level.INFO)
     import spark.implicits._
 
     val peakScratch = new AtomicLong
