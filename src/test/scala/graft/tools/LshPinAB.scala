@@ -104,6 +104,8 @@ object LshPinAB {
     def run(df: org.apache.spark.sql.DataFrame) = mode match {
       case "multiprobe" => Similarity.lshNearPairsMultiProbe(df, "vec_id",
         "embedding", bits = 16, minSim = 0.9, maxBucket = 0)
+      case "tables" => Similarity.lshNearPairsTables(df, "vec_id",
+        "embedding", tables = 2, bits = 16, minSim = 0.9, maxBucket = 0)
       case _ => Similarity.lshNearPairs(df, "vec_id", "embedding",
         bits = 16, minSim = 0.9, maxBucket = 0)
     }
