@@ -389,15 +389,21 @@ object Bench {
     }
     val retests: Seq[(String, Double)] = retestsBuf.toSeq
     // Verdict for outliers the budget could not re-run: classify the
-    // window from the board's own probes — RUN-RELATIVE signals only,
-    // because the idle canary BAND itself shifts between rounds with VM
-    // state (r16; and the first r19 board read floor 0.388 with cidx
-    // squarely in the quiet band, falsifying any absolute floor
-    // threshold). Calibration is the r18 elevated board: io_idx
+    // window from the board's own probes — ONE RUN-RELATIVE ratio plus
+    // ONE ABSOLUTE PHYSICAL-UNIT threshold (r19 VERDICT wording fix; the
+    // previous comment claimed "run-relative only"). The CPU canary leg
+    // is run-relative (mid-board median vs the SAME run's floor) because
+    // the idle canary BAND itself shifts between rounds with VM state
+    // (r16; and the first r19 board read floor 0.388 with cidx squarely
+    // in the quiet band, falsifying any absolute floor threshold). The
+    // io leg stays ABSOLUTE because it is a direct-read probe in
+    // physical units (s per 64 MiB) whose quiet band does NOT drift with
+    // JVM/VM state — run-relative io would misclassify a board that
+    // STARTS inside a storage burst (its own first sample would be the
+    // elevated baseline). Calibration is the r18 elevated board: io_idx
     // 0.107–0.218 s/64 MiB during its storage burst vs 0.02–0.05 quiet
-    // (threshold 0.08), and mid-board canaries vs the SAME run's floor
-    // (its median ratio 1.75×; quiet boards sit ≤ ~1.6×, threshold 2×
-    // for the unambiguous case). Either signal = "window_elevated" (the
+    // (threshold 0.08); canary median ratio 1.75× there vs ≤ ~1.6× on
+    // quiet boards (threshold 2× for the unambiguous case). Either signal = "window_elevated" (the
     // outliers are in all likelihood host noise, like r18's nine
     // hand-adjudicated heavies); neither = "unadjudicated" (a judge
     // should look).

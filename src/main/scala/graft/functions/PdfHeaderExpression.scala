@@ -240,7 +240,11 @@ object PdfHeaderOps {
     * count. */
   def meta(b: Array[Byte]): GenericInternalRow = {
     if (b == null || b.length < 9) return null
-    val h = indexOf(b, "%PDF-".getBytes("US-ASCII"), 0, 1024 + 5)
+    // "within the first 1024 bytes" = the header STARTS at offset ≤ 1023,
+    // so the scan's exclusive end is 1023 + pattern length (r19 ADVICE:
+    // `1024 + 5` admitted a start at offset 1024, one past the documented
+    // window the Scaladoc, oracle and fixture 13 all pin)
+    val h = indexOf(b, "%PDF-".getBytes("US-ASCII"), 0, 1023 + 5)
     if (h < 0 || h + 8 > b.length) return null
     val (maj, mi, pt) = (b(h + 5), b(h + 6), b(h + 7))
     if (maj < '1' || maj > '9' || mi != '.' || pt < '0' || pt > '9')

@@ -228,18 +228,33 @@ object StreamingOps {
       .head()
     require(!row.isNullAt(0) && !row.isNullAt(1),
       s"runAvailableNowDateSplit($path): no non-null $timeCol rows")
+    // the two-phase split assumes each phase is NON-EMPTY: phase 0 takes
+    // [min, split) and phase 1 takes [split, max], so a degenerate corpus
+    // with min == max would leave phase 0 empty (split == min) and the
+    // part-file move below would have nothing to move (r19 ADVICE)
+    require(row.getLong(0) < row.getLong(1),
+      s"runAvailableNowDateSplit($path): all $timeCol values are equal " +
+        s"(${row.getLong(0)} µs) — a two-batch split needs min < max")
     val splitUs = (row.getLong(0) + row.getLong(1)) / 2
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-2b")
     def writePhase(i: Int, df: DataFrame): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-phase$i")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = tmp.toFile.listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
+        .filter(_.getName.endsWith(".parquet"))
+        .headOption
+        .getOrElse(sys.error(s"runAvailableNowDateSplit($path): phase $i " +
+          "produced no parquet part file — the phase filter matched zero " +
+          "rows despite the min<max split guard"))
       val dest = dir.resolve(f"phase-$i%02d.parquet")
       java.nio.file.Files.move(part.toPath, dest)
       // modTimes 60 s apart: phase order must never depend on how fast
-      // the two writes happened to land on the local FS clock
-      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+      // the two writes happened to land on the local FS clock. Checked:
+      // a filesystem that refuses setLastModified would silently drop
+      // the ordering pin (r19 ADVICE).
+      require(dest.toFile.setLastModified(1700000000000L + i * 60000L),
+        s"runAvailableNowDateSplit: setLastModified refused on $dest — " +
+          "phase ordering would depend on the local FS clock")
       tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
       // reverse-registration order (see runAvailableNowProgress): file
       // first, enclosing dir after the run's JVM exits

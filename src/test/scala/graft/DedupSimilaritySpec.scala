@@ -539,8 +539,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(eff >= 3402 && eff < 15677,
       s"accident classes must be refused, mid classes admitted: $eff")
     // the 1050-member family in a small corpus (the r18 spec regime):
-    // 8·C(1050,2) ≈ 4.4e6 sits under the ABSOLUTE floor (2e7), so the
-    // per-doc budget must not refuse it even though 200/doc would
+    // 8·C(1050,2) ≈ 4.4e6 sits under the ABSOLUTE floor
+    // (Dedup.MinRouteCandidates = 5e6 — only ~12% headroom, so this
+    // scenario is a real guard on the floor's value), so the per-doc
+    // budget must not refuse it even though 200/doc would
     val family = Array[(Long, Long)]((1L, 8800L), (1050L, 8L))
     val eff2 = graft.operators.Dedup.volCappedBucketCap(family, bands = 8,
       familyCap = 2100, label = "spec")
