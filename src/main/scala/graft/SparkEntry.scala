@@ -1457,6 +1457,18 @@ object SparkEntry {
       Dedup.containmentPairs(documents(s, d), "doc_id", "text",
         shingleK = 8, numT = 3, denT = 4, maxDocsPerTok = 20)),
 
+    // North star (r20): the ONE-SIDED containment route — candidates
+    // from each prospective sub's rarest-k shingles only (native bounded
+    // rarest_min_k aggregate), against the full capped token index; the
+    // same exact merge-scan verify as q154. This is the asymmetric-recall
+    // path the banded route measurably lacks (BASELINE casym: 0.2%
+    // routed recall at J≈0.03 vs 100% here) at a candidate volume that
+    // is EXACTLY Σ dfreq over ≤ k probe rows per doc. Explicit-cap mode
+    // so the candidate set is oracle-mirrorable (rn ≤ 8 AND dfreq ≤ 20).
+    "q259_containment_onesided" -> ((s, d) =>
+      Dedup.containmentPairsOneSided(documents(s, d), "doc_id", "text",
+        shingleK = 8, numT = 3, denT = 4, probeK = 8, maxDocsPerTok = 20)),
+
     // North star: SCD Type-2 dimension build — full version history with
     // validity intervals from a deterministic changelog (q130's family plus
     // a seq-0 initial load), the warehouse counterpart of q130's
@@ -6259,6 +6271,49 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS sub, b.doc_id AS sup
         |  FROM prefix a JOIN toks b
+        |    ON a.tok = b.tok AND a.doc_id <> b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.sub, c.sup, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN toks ta ON ta.doc_id = c.sub
+        |  JOIN toks tb ON tb.doc_id = c.sup AND tb.tok = ta.tok
+        |  GROUP BY c.sub, c.sup)
+        |SELECT i.sub AS id_sub, i.sup AS id_sup,
+        |  CAST(i.n_inter AS BIGINT) AS n_inter,
+        |  CAST(sa.n AS BIGINT) AS n_sub, CAST(sb.n AS BIGINT) AS n_sup,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_r
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.sub
+        |JOIN sizes sb ON sb.doc_id = i.sup
+        |WHERE i.n_inter * 4 >= 3 * sa.n""".stripMargin,
+
+    // q259: q154's CTEs with the probe swapped to the rarest-8 slice —
+    // rn ≤ 8 (fixed k, not the threshold-derived prefix length) AND the
+    // dfreq ≤ 20 cap; (dfreq, tok) ranking is total per doc (toks are
+    // DISTINCT within a doc), so the k-th boundary is deterministic on
+    // both sides. Verify identical to q154's.
+    "q259_containment_onesided" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    substring(norm || '       ', CAST(i AS INTEGER), 8) AS tok
+        |  FROM nrm,
+        |  LATERAL unnest(range(1, greatest(length(norm) - 7, 1) + 1)) AS u(i)),
+        |df AS (SELECT tok, count(*) AS dfreq FROM toks GROUP BY tok),
+        |ranked AS (
+        |  SELECT t.doc_id, t.tok, d.dfreq,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY d.dfreq, t.tok) AS rn
+        |  FROM toks t JOIN df d USING (tok)),
+        |probe AS (
+        |  SELECT doc_id, tok FROM ranked
+        |  WHERE rn <= 8 AND dfreq <= 20),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS sub, b.doc_id AS sup
+        |  FROM probe a JOIN toks b
         |    ON a.tok = b.tok AND a.doc_id <> b.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
         |inter AS (

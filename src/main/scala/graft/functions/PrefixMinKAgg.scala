@@ -181,6 +181,7 @@ final class PrefixKHeap {
 case class PrefixMinK(
     first: Expression, second: Expression, third: Expression,
     numT: Int, denT: Int,
+    fixedK: Int = 0,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[PrefixKHeap]
@@ -188,7 +189,15 @@ case class PrefixMinK(
 
   require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
 
-  override def prettyName: String = "prefix_min_k"
+  // fixedK > 0 = RAREST-K mode (r20, the one-sided containment route's
+  // probe): keep the min(fixedK, n) globally-rarest (dfreq, tok) pairs
+  // instead of the threshold-derived prefix. Same heap, same (dfreq,
+  // tok) binary order, same ascending output — only the bound differs.
+  // Distinct prettyName so plan-shape assertions can tell the two
+  // probes apart (the rehearsals' route-engagement detection greps the
+  // optimized plan for the aggregate name).
+  override def prettyName: String =
+    if (fixedK > 0) "rarest_min_k" else "prefix_min_k"
   // no ExpectsInputTypes: AbstractDataType is private[sql] in Spark 4.
   // The single construction site (PrefixMinK.column) binds exact types;
   // anything else fails loudly here at analysis time. NullType children
@@ -210,9 +219,13 @@ case class PrefixMinK(
       containsNull = false), nullable = false)))
 
   /** prefix length: n − ⌈n·numT/denT⌉ + 1, the `slice` bound in the
-    * declarative form (`(n*numT + denT-1) DIV denT` = the ceiling). */
+    * declarative form (`(n*numT + denT-1) DIV denT` = the ceiling).
+    * Rarest-k mode keeps min(fixedK, n) — when n ≤ fixedK every shingle
+    * is probed, so the one-sided route is EXACT for tiny docs and the
+    * heuristic (1−t)^k miss bound applies only above it. */
   private def kOf(n: Int): Int =
-    n - ((n.toLong * numT + denT - 1) / denT).toInt + 1
+    if (fixedK > 0) math.min(fixedK, n)
+    else n - ((n.toLong * numT + denT - 1) / denT).toInt + 1
 
   override def createAggregationBuffer(): PrefixKHeap = new PrefixKHeap
 
@@ -316,4 +329,19 @@ object PrefixMinK {
     GraftBridge.column(PrefixMinK(
       GraftBridge.expression(n), GraftBridge.expression(dfreq),
       GraftBridge.expression(tok), numT, denT).toAggregateExpression())
+
+  /** `rarest_min_k(n, dfreq, tok)`: the fixed-width rarest-k variant —
+    * keeps each group's min(k, n) globally-rarest (dfreq, tok) pairs in
+    * ascending order. The one-sided containment route's probe (r20):
+    * value-identical to `slice(array_sort(collect_list(struct(dfreq,
+    * tok))), 1, k)`, mirrored in the oracle as
+    * `row_number() OVER (ORDER BY dfreq, tok) <= k`. The threshold pair
+    * passed underneath is a placeholder satisfying the constructor
+    * invariant; fixedK overrides it. */
+  def columnK(k: Int)(n: Column, dfreq: Column, tok: Column): Column = {
+    require(k > 0, s"rarest_min_k needs k > 0: $k")
+    GraftBridge.column(PrefixMinK(
+      GraftBridge.expression(n), GraftBridge.expression(dfreq),
+      GraftBridge.expression(tok), 1, 2, fixedK = k).toAggregateExpression())
+  }
 }

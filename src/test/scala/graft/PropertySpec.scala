@@ -754,4 +754,34 @@ object PropertySpec extends Properties("graft") {
         .map(r => r._1 -> ((r._2, r._3))).toMap
       viaAgg == viaList
     }
+
+  property("rarest_min_k equals collect_list + array_sort + slice(k)") =
+    Prop.forAll(Gen.choose(1, 12), Gen.choose(1L, 99999L)) { (k, seed) =>
+      // The fixed-width rarest-k mode (r20, the one-sided containment
+      // route's probe): same heap, same binary tie order, bound =
+      // min(k, n) instead of the threshold-derived prefix — checked
+      // under the same merge/tie/edge conditions as the prefix form,
+      // including k > n (the whole group comes back).
+      val rnd = new scala.util.Random(seed)
+      val alphabet =
+        Seq("a", "zz", "é", "中", "𐍈", "�", "w")
+      val rows = (0 until 1 + rnd.nextInt(5)).flatMap { d =>
+        val toks = rnd.shuffle((0 until 200).map(i =>
+          alphabet(rnd.nextInt(alphabet.size)) + i.toString).distinct)
+          .take(1 + rnd.nextInt(40))
+        toks.map(t => (d.toLong, toks.size, 1L + rnd.nextInt(4), t))
+      }
+      val df = rows.toDF("doc_id", "n", "dfreq", "tok").repartition(5)
+      val viaAgg = df.groupBy(col("doc_id"))
+        .agg(graft.functions.PrefixMinK.columnK(k)(
+          col("n"), col("dfreq"), col("tok")).as("pk"))
+        .select(col("doc_id"), col("pk.items"))
+        .as[(Long, Seq[(Long, String)])].collect().toMap
+      val viaList = df.groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("dfreq"), col("tok"))).as("td"))
+        .select(col("doc_id"),
+          expr(s"slice(array_sort(td), 1, least($k, size(td)))").as("items"))
+        .as[(Long, Seq[(Long, String)])].collect().toMap
+      viaAgg == viaList
+    }
 }
