@@ -4603,6 +4603,66 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // Stream-stream JOIN state eviction, oracle-checked (r19 VERDICT
+    // item 2 — q257 closed eviction for the windowed AGGREGATE; the
+    // symmetric hash join's rows_removed was still first-batch-only,
+    // 0 by construction). q255's view⋈click interval join through the
+    // same two-batch date-split runner. The per-batch state transitions
+    // are pure corpus functions under rules pinned empirically
+    // (JoinEvictionProbe; boundary cases in StreamingSpec):
+    //   wm(b) = floor-ms(min(max vts, max cts) of batches < b) − 2 h —
+    //     the MIN across the two watermark columns, each max over that
+    //     side's FILTERED rows;
+    //   a view row is evicted once vts + 60 min ≤ wm − 1 ms (its
+    //     condition upper bound cts ≤ vts + 60 min can no longer match
+    //     a future click), a click row once cts ≤ wm − 1 ms (cts ≥ vts
+    //     can no longer match a future view) — both thresholds are
+    //     µs-exact with the −1 ms offset (a row at wm − 1 µs SURVIVES;
+    //     pinned against both the ms-grain and sub-ms hypotheses);
+    //   numInputRows counts the phase's RAW rows once per join branch
+    //     (the file source fans out into the view and click legs) = 2 ×
+    //     phase rows, nulls included;
+    //   batch_seq 2 is the trailing no-data finalization batch.
+    // Phase-B rows are ≥ split > wm(1) by construction, so batch 1's
+    // evictions are phase-A rows only and arrivals are never
+    // drop-on-arrival — the oracle counts stay clean corpus aggregates.
+    "q260_stream_join_eviction" -> ((s, d) => {
+      import graft.streaming.StreamingOps
+      val tok = datasetTok(d)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val qn = s"q260_join_$tok"
+        s.catalog.dropTempView(qn)
+        val (_, progs) = StreamingOps.runAvailableNowDateSplitProgress(
+          s, s"$d/events.parquet", qn) { ev =>
+          val v = ev.filter(col("event_type") === "view" &&
+              col("user_id").isNotNull && col("ts").isNotNull)
+            .select(col("event_id").as("v_event_id"),
+              col("user_id").as("v_user"), col("ts").as("vts"))
+            .withWatermark("vts", "2 hours")
+          val c = ev.filter(col("event_type") === "click" &&
+              col("user_id").isNotNull && col("ts").isNotNull)
+            .select(col("event_id").as("c_event_id"),
+              col("user_id").as("c_user"), col("ts").as("cts"))
+            .withWatermark("cts", "2 hours")
+          v.join(c, col("v_user") === col("c_user") &&
+            col("cts") >= col("vts") &&
+            col("cts") <= col("vts") + expr("INTERVAL 60 MINUTES"))
+            .select(col("v_user").as("user_id"), col("v_event_id"),
+              col("c_event_id"))
+        }
+        import s.implicits._
+        progs.sortBy(_.batchId).zipWithIndex.flatMap { case (p, seq) =>
+          p.stateOperators.headOption.map { so =>
+            (seq.toLong, p.numInputRows, so.numRowsTotal,
+              so.numRowsUpdated, so.numRowsRemoved)
+          }
+        }.toDF("batch_seq", "input_rows", "rows_total", "rows_updated",
+          "rows_removed")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // native pdf_meta expression over literal PDF bytes built in-process
     // (the document sibling of q251/q252, r18 VERDICT depth item 6 — the
     // highest-volume crawl document family had no header reader).
@@ -6470,6 +6530,67 @@ object SparkEntry {
         |  CAST(nwall.n - remc.n AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(remc.n - rem1.n AS BIGINT)
         |FROM nwall, remc, rem1""".stripMargin,
+    // q260: join-state eviction — phase split at the epoch-us midpoint
+    // (nulls to phase A), wm(b) = floor-ms(min of the two sides' prior
+    // maxes) - 2 h, eviction thresholds wm - 1 ms (µs-exact; pinned by
+    // JoinEvictionProbe + StreamingSpec), input = 2 × raw phase rows
+    // (one per join branch of the fanned-out file source)
+    "q260_stream_join_eviction" ->
+      """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us
+        |           FROM events),
+        |bounds AS (SELECT min(us) AS mn, max(us) AS mx FROM e
+        |           WHERE us IS NOT NULL),
+        |sp AS (SELECT (mn + mx) // 2 AS s FROM bounds),
+        |va AS (SELECT us FROM e, sp WHERE us IS NOT NULL AND us < s
+        |       AND event_type = 'view' AND user_id IS NOT NULL),
+        |ca AS (SELECT us FROM e, sp WHERE us IS NOT NULL AND us < s
+        |       AND event_type = 'click' AND user_id IS NOT NULL),
+        |vb AS (SELECT us FROM e, sp WHERE us >= s
+        |       AND event_type = 'view' AND user_id IS NOT NULL),
+        |cb AS (SELECT us FROM e, sp WHERE us >= s
+        |       AND event_type = 'click' AND user_id IS NOT NULL),
+        |thr1 AS (SELECT ((least((SELECT max(us) FROM va),
+        |                        (SELECT max(us) FROM ca)) // 1000)
+        |                 - 7200000) * 1000 - 1000 AS t),
+        |thr2 AS (SELECT ((least((SELECT max(us) FROM (SELECT us FROM va
+        |                          UNION ALL SELECT us FROM vb)),
+        |                        (SELECT max(us) FROM (SELECT us FROM ca
+        |                          UNION ALL SELECT us FROM cb))) // 1000)
+        |                 - 7200000) * 1000 - 1000 AS t),
+        |rem1 AS (SELECT (SELECT count(*) FROM va, thr1
+        |                 WHERE us + 3600000000 <= t)
+        |               + (SELECT count(*) FROM ca, thr1
+        |                  WHERE us <= t) AS n),
+        |remf AS (SELECT (SELECT count(*) FROM (SELECT us FROM va
+        |                   UNION ALL SELECT us FROM vb), thr2
+        |                 WHERE us + 3600000000 <= t)
+        |               + (SELECT count(*) FROM (SELECT us FROM ca
+        |                   UNION ALL SELECT us FROM cb), thr2
+        |                  WHERE us <= t) AS n),
+        |rawa AS (SELECT count(*) AS n FROM e, sp
+        |         WHERE us IS NULL OR us < s),
+        |rawb AS (SELECT count(*) AS n FROM e, sp WHERE us >= s),
+        |n0 AS (SELECT (SELECT count(*) FROM va)
+        |             + (SELECT count(*) FROM ca) AS n),
+        |n1 AS (SELECT (SELECT count(*) FROM vb)
+        |             + (SELECT count(*) FROM cb) AS n)
+        |SELECT CAST(0 AS BIGINT) AS batch_seq,
+        |  CAST(2 * rawa.n AS BIGINT) AS input_rows,
+        |  CAST(n0.n AS BIGINT) AS rows_total,
+        |  CAST(n0.n AS BIGINT) AS rows_updated,
+        |  CAST(0 AS BIGINT) AS rows_removed
+        |FROM rawa, n0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(2 * rawb.n AS BIGINT),
+        |  CAST(n0.n + n1.n - rem1.n AS BIGINT), CAST(n1.n AS BIGINT),
+        |  CAST(rem1.n AS BIGINT)
+        |FROM rawb, n0, n1, rem1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(n0.n + n1.n - remf.n AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(remf.n - rem1.n AS BIGINT)
+        |FROM n0, n1, remf, rem1""".stripMargin,
+
     // q258: q251/q252 posture for the PDF fixtures — DuckDB has no PDF
     // parser; the fixture bytes are deterministic and PdfHeaderSpec
     // re-derives every row against the ISO 32000-1 grammar. Rows 7/8/13

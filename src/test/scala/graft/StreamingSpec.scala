@@ -130,6 +130,115 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 0L, nAll - remC, 0L, remC - rem1)), out)
   }
 
+  test("two-batch join eviction (q260 core): per-side state watermarks " +
+    "with the µs-exact wm - 1ms boundary, pinned against three " +
+    "competing hypotheses") {
+    import spark.implicits._
+    // Crafted corpus: both sides' phase-A max = T + 2h (ms-aligned), so
+    // wm after batch 0 is EXACTLY T. The join condition
+    // cts ∈ [vts, vts + 60m] gives per-side death rules:
+    //   view dead once vts + 60m can no longer reach a future cts,
+    //   click dead once cts can no longer reach a future vts.
+    // Probe-pinned exact form (JoinEvictionProbe): dead iff
+    // expiry ≤ wm − 1 ms at MICROsecond precision, where expiry is
+    // vts + 60m (views) / cts (clicks). The rows below kill the three
+    // competing hypotheses at once:
+    //   - at wm (ids 2, 5): alive -> not `≤ wm`;
+    //   - at wm − 1 µs (ids 11, 12): alive -> not strict `< wm`;
+    //   - at wm − 500 µs / wm − 1ms + 1µs (ids 13..16): alive -> not
+    //     floor-ms comparison;
+    //   - at wm − 1 ms exactly (ids 1, 4): DEAD -> `≤ wm − 1 ms`.
+    val T = 1704067200000000L // 2024-01-01T00:00:00Z, micros, ms-aligned
+    val h = 3600000000L; val ms = 1000L
+    val rows = Seq(
+      (1L, "view", T - h - ms), (2L, "view", T - h),
+      (3L, "view", T - h + ms),
+      (4L, "click", T - ms), (5L, "click", T),
+      (6L, "click", T + ms),
+      (11L, "view", T - h - 1), (12L, "click", T - 1),
+      (13L, "view", T - h - 500), (14L, "click", T - 500),
+      (15L, "view", T - h - ms + 1), (16L, "click", T - ms + 1),
+      (7L, "view", T + 2 * h), (8L, "click", T + 2 * h), // wm clocks
+      (9L, "view", T + 10 * h), (10L, "click", T + 10 * h)) // phase B
+    val tmp = java.nio.file.Files.createTempDirectory("jevb").toString
+    rows.toDF("event_id", "event_type", "us")
+      .select(col("event_id"), concat(lit("u"), col("event_id"))
+          .as("user_id"),
+        col("event_type"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val (_, ps) = StreamingOps.runAvailableNowDateSplitProgress(
+      spark, s"$tmp/events.parquet", "join_evict_boundary") { ev =>
+      val v = ev.filter(col("event_type") === "view" &&
+          col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").as("v_user"), col("ts").as("vts"))
+        .withWatermark("vts", "2 hours")
+      val c = ev.filter(col("event_type") === "click" &&
+          col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").as("c_user"), col("ts").as("cts"))
+        .withWatermark("cts", "2 hours")
+      v.join(c, col("v_user") === col("c_user") &&
+        col("cts") >= col("vts") &&
+        col("cts") <= col("vts") + expr("INTERVAL 60 MINUTES"))
+        .select(col("v_user"))
+    }
+    val got = ps.sortBy(_.batchId).flatMap(p =>
+      p.stateOperators.headOption.map(so =>
+        (p.numInputRows, so.numRowsTotal, so.numRowsUpdated,
+          so.numRowsRemoved)))
+    // batch 0: 14 phase-A rows buffered, input counted once per join
+    // branch (2 × 14), nothing evicted at wm 0;
+    // batch 1: wm == T, ONLY ids 1 and 4 (expiry == T − 1 ms) die;
+    // batch 2 (trailing no-data): wm = T + 8h kills everything but the
+    // two T + 10h rows.
+    assert(got == Seq((28L, 14L, 14L, 0L), (4L, 14L, 2L, 2L),
+      (0L, 2L, 0L, 12L)), got)
+  }
+
+  test("q260 shape at sf0.001: per-batch join state counts equal the " +
+    "batch oracle math (midpoint split, min-of-sides watermark, " +
+    "wm - 1ms thresholds)") {
+    val out = SparkEntry.queries("q260_stream_join_eviction")(spark, sfDir)
+      .orderBy("batch_seq").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // oracle math re-derived on the batch engine (same as the DuckDB SQL)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+    val bounds = ev.filter(col("us").isNotNull)
+      .agg(min(col("us")), max(col("us"))).head()
+    val split = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    def side(phaseA: Boolean, et: String) = ev
+      .filter(if (phaseA) col("us").isNull || col("us") < split
+        else col("us") >= split)
+      .filter(col("event_type") === et && col("user_id").isNotNull &&
+        col("us").isNotNull)
+    val (va, ca, vb, cb) = (side(true, "view"), side(true, "click"),
+      side(false, "view"), side(false, "click"))
+    def mxOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(max(col("us"))).head().getLong(0)
+    def thr(m: Long) = (m / 1000 - 7200000L) * 1000 - 1000
+    val thr1 = thr(math.min(mxOf(va), mxOf(ca)))
+    val thr2 = thr(math.min(math.max(mxOf(va), mxOf(vb)),
+      math.max(mxOf(ca), mxOf(cb))))
+    def deadV(df: org.apache.spark.sql.DataFrame, t: Long) =
+      df.filter(col("us") + 3600000000L <= t).count()
+    def deadC(df: org.apache.spark.sql.DataFrame, t: Long) =
+      df.filter(col("us") <= t).count()
+    val rem1 = deadV(va, thr1) + deadC(ca, thr1)
+    val remF = deadV(va.unionByName(vb), thr2) +
+      deadC(ca.unionByName(cb), thr2)
+    val (nva, nca, nvb, ncb) = (va.count(), ca.count(), vb.count(),
+      cb.count())
+    val rawA = ev.filter(col("us").isNull || col("us") < split).count()
+    val rawB = ev.filter(col("us") >= split).count()
+    assert(rem1 > 0, "the split must make batch-1 join eviction nonzero")
+    assert(out == Seq(
+      (0L, 2 * rawA, nva + nca, nva + nca, 0L),
+      (1L, 2 * rawB, nva + nca + nvb + ncb - rem1, nvb + ncb, rem1),
+      (2L, 0L, nva + nca + nvb + ncb - remF, 0L, remF - rem1)), out)
+  }
+
   test("firstBatchStateCounts refuses a partial first batch (the " +
     "single-batch assumption must fail loudly, not mismatch the oracle)") {
     // real multi-batch progress from the date-split runner: the first
