@@ -4733,6 +4733,37 @@ object SparkEntry {
         "trailer\n<< /Size 6 /Root 1 0 R /Prev 9 >>\nstartxref\n99\n%%EOF\n"
     (orig + update).getBytes("US-ASCII")
   }
+  /** PDF 1.5+ compressed-catalog shape (r20, the r19 depth item): the
+    * catalog (1 0) and page-tree root (2 0) live INSIDE a FlateDecoded
+    * `/Type /ObjStm` (3 0); no plain definition of either exists. The
+    * xref STREAM object (4 0) carries /Root and is located via
+    * startxref. `corruptDeflate` bit-flips the compressed body so the
+    * bounded inflate fails → null pages, never a throw. */
+  private def pdfObjStmCatalog(version: String, pages: Int,
+      corruptDeflate: Boolean = false): Array[Byte] = {
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = s"<< /Type /Pages /Kids [5 0 R] /Count $pages >>"
+    val hdr = s"1 0 2 ${o1.length + 1}"
+    val first = hdr.length + 1
+    val decoded = (hdr + "\n" + o1 + " " + o2).getBytes("US-ASCII")
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(decoded); defl.finish()
+    val buf = new Array[Byte](decoded.length + 64)
+    val n = defl.deflate(buf); defl.end()
+    val comp0 = java.util.Arrays.copyOf(buf, n)
+    val comp =
+      if (corruptDeflate) comp0.map(b => (b ^ 0x5a).toByte) else comp0
+    val head = s"%PDF-$version\n"
+    val objStm = s"3 0 obj\n<< /Type /ObjStm /N 2 /First $first " +
+      s"/Filter /FlateDecode /Length ${comp.length} >>\nstream\n"
+    val tail = "\nendstream\nendobj\n"
+    val xrefOff = head.length + objStm.length + comp.length + tail.length
+    val xrefObj = "4 0 obj\n<< /Type /XRef /Size 6 /Root 1 0 R " +
+      "/W [1 2 1] /Length 0 >>\nstream\nendstream\nendobj\n"
+    (head + objStm).getBytes("US-ASCII") ++ comp ++
+      (tail + xrefObj + s"startxref\n$xrefOff\n%%EOF\n")
+        .getBytes("US-ASCII")
+  }
   private def pdfFixture: Seq[(Long, Array[Byte])] = Seq(
     1L -> pdfClassic("1.4", 5),
     2L -> pdfClassic("1.7", 12, linearized = true),
@@ -4753,7 +4784,11 @@ object SparkEntry {
     12L -> pdfXrefStream("1.5", 7, offsetPastEof = true),
     // header past the 1024-byte spec window -> not a PDF
     13L -> (Array.fill[Byte](1100)(' ') ++ pdfClassic("1.4", 5)),
-    14L -> pdfXrefStream("1.6", 4, encrypted = true))
+    14L -> pdfXrefStream("1.6", 4, encrypted = true),
+    // compressed catalog (r20): pages resolve THROUGH the FlateDecoded
+    // object stream; 16 bit-flips the deflate body -> null pages only
+    15L -> pdfObjStmCatalog("1.5", 9),
+    16L -> pdfObjStmCatalog("1.5", 9, corruptDeflate = true))
 
   // ---- q251 image fixtures: real header bytes, built not copied --------
   private def pngFixture(w: Int, h: Int, colorType: Int,
@@ -6597,7 +6632,10 @@ object SparkEntry {
     // pin not-a-PDF -> null row; 9/10 pin reference-valued /Count and a
     // dangling /Root nulling ONLY pages; 11/12 pin the truncated trailer
     // / bad startxref keeping version+linearized with null
-    // pages+encrypted; 5 pins incremental updates resolving newest.
+    // pages+encrypted; 5 pins incremental updates resolving newest;
+    // 15/16 (r20) pin the compressed-catalog /ObjStm path: pages resolve
+    // through the bounded FlateDecode, and a corrupted deflate body
+    // nulls ONLY pages.
     "q258_pdf_meta" ->
       """SELECT CAST(pdf_id AS BIGINT) AS pdf_id, version,
         | CAST(pages AS BIGINT) AS pages,
@@ -6617,7 +6655,9 @@ object SparkEntry {
         |  (11, '1.4', NULL, NULL, FALSE),
         |  (12, '1.5', NULL, NULL, FALSE),
         |  (13, NULL, NULL, NULL, NULL),
-        |  (14, '1.6', 4, TRUE, FALSE))
+        |  (14, '1.6', 4, TRUE, FALSE),
+        |  (15, '1.5', 9, FALSE, FALSE),
+        |  (16, '1.5', NULL, FALSE, FALSE))
         |  AS t(pdf_id, version, pages, encrypted, linearized)""".stripMargin,
     // q100: new-batch verdicts against the old-corpus signature index,
     // then within-batch earliest-wins for unseen signatures

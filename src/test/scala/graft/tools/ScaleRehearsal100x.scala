@@ -168,6 +168,15 @@ object ScaleRehearsal100x {
       .config("spark.ui.enabled", "false")
       .appName("scale-rehearsal-100x").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_ROUTE_PERDOC: second-budget-value runs for the r20
+    // conf-overridable route budget (spark.graft.route.candidatesPerDoc;
+    // default unset = the calibrated 20/doc) — the portability evidence
+    // is the derived cap MOVING with the stated budget on the same
+    // corpus, recorded alongside the wall/scratch of the completed run.
+    sys.env.get("SPARK_GRAFT_ROUTE_PERDOC").foreach { v =>
+      spark.conf.set("spark.graft.route.candidatesPerDoc", v)
+      println(s"REHEARSAL100X route budget override: $v cand/doc")
+    }
     // keep the OPERATORS' own decision logs (forecasts, route engagement,
     // volume-capped bucket caps) visible under the Spark noise blackout —
     // the r19 croute diagnosis was blind without them
@@ -557,7 +566,15 @@ object ScaleRehearsal100x {
         val modDf = plantedCont.toDF("id_sub", "id_sup")
         val inputSmall = docs.queryExecution.optimizedPlan.stats
           .sizeInBytes < BigInt(512L << 20)
-        val r1 = timed(nDocs, "q154_asym_routed") {
+        // SPARK_GRAFT_CASYM_LEGS: comma-set of
+        // {routed,onesided,union,cap250} (default all) — the cap250
+        // baseline costs 645-660 s / 27 GB at 300k and is already
+        // recorded twice; the r20 legs should be measurable without
+        // re-paying it
+        val legFilter = sys.env.get("SPARK_GRAFT_CASYM_LEGS")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        def legOn(name: String): Boolean = legFilter.forall(_.contains(name))
+        val r1 = !legOn("routed") || timed(nDocs, "q154_asym_routed") {
           val got = Dedup.containmentRouted(docs, "doc_id", "text",
             shingleK = 8, numT = 3, denT = 4, maxBucket = 1000,
             inputSmall = inputSmall)
@@ -569,7 +586,44 @@ object ScaleRehearsal100x {
             s"moderate_found=$foundM/${plantedCont.size}")
           foundA
         }
-        val r2 = timed(nDocs, "q154_asym_cap250") {
+        // r20: the ONE-SIDED route (rarest-k probe, volume-capped) — the
+        // leg built to close this exact gap: quote shingles sit at
+        // dfreq≈2, so the probe must find ≥95% of the planted pairs at
+        // a wall/scratch far under the cap-250 exact join's.
+        val r15 = !legOn("onesided") || timed(nDocs, "q154_asym_onesided") {
+          val got = Dedup.containmentPairsOneSided(docs, "doc_id", "text")
+            .select(col("id_sub"), col("id_sup")).localCheckpoint()
+          val foundA = got.join(asymDf, Seq("id_sub", "id_sup")).count()
+          val foundM = got.join(modDf, Seq("id_sub", "id_sup")).count()
+          println(s"REHEARSAL100X n=$nDocs q154_asym_onesided " +
+            s"asym_found=$foundA/${plantedAsym.size} " +
+            s"moderate_found=$foundM/${plantedCont.size}")
+          require(foundA >= (plantedAsym.size * 95) / 100,
+            s"one-sided route lost asymmetric plants: " +
+              s"$foundA/${plantedAsym.size}")
+          foundA
+        }
+        // r20: the UNION route — what containmentPairs(autoRoute) now
+        // actually ships. Must carry BOTH classes: the banded leg's
+        // moderate recall AND the one-sided leg's asymmetric recall.
+        val r16 = !legOn("union") || timed(nDocs, "q154_asym_union") {
+          val got = Dedup.containmentRoutedUnionStandalone(docs, "doc_id",
+            "text", shingleK = 8, numT = 3, denT = 4, maxBucket = 1000)
+            .select(col("id_sub"), col("id_sup")).localCheckpoint()
+          val foundA = got.join(asymDf, Seq("id_sub", "id_sup")).count()
+          val foundM = got.join(modDf, Seq("id_sub", "id_sup")).count()
+          println(s"REHEARSAL100X n=$nDocs q154_asym_union " +
+            s"asym_found=$foundA/${plantedAsym.size} " +
+            s"moderate_found=$foundM/${plantedCont.size}")
+          require(foundA >= (plantedAsym.size * 95) / 100,
+            s"union route lost asymmetric plants: " +
+              s"$foundA/${plantedAsym.size}")
+          require(foundM >= (plantedCont.size * 90) / 100,
+            s"union route lost moderate plants below the banded floor: " +
+              s"$foundM/${plantedCont.size}")
+          foundA
+        }
+        val r2 = !legOn("cap250") || timed(nDocs, "q154_asym_cap250") {
           val got = Dedup.containmentPairs(docs, "doc_id", "text",
             maxDocsPerTok = 250)
             .select(col("id_sub"), col("id_sup")).localCheckpoint()
@@ -583,7 +637,7 @@ object ScaleRehearsal100x {
               s"$foundA/${plantedAsym.size}")
           foundA
         }
-        r1 && r2
+        r1 && r15 && r16 && r2
       })
 
       val ok2 = okAs && (!armOn("q154") || timed(nDocs, "q154_containment") {
