@@ -1370,8 +1370,10 @@ object Dedup {
       // adversarially wrong on near-identical families, where each
       // member's rarest shingles are its own unique tail — exactly the
       // shingles MISSING from every other member. Each generator is
-      // volume-capped at the same budget, so the union costs ≤ 2× the
-      // old routed leg and recalls the max of both. The pinned toks
+      // volume-capped against the same stated budget (banded ≤ 1×,
+      // one-sided ≤ 2× through its dfreq-20 posture stretch), so the
+      // union's candidate volume is ≤ 3× the old routed leg's by
+      // construction, and it recalls the max of both. The pinned toks
       // table is REUSED by the one-sided probe (it is no longer
       // unpinned here); the verify runs ONCE on the distinct union.
       return containmentRoutedUnion(docs, idCol, textCol, shingleK, numT,
@@ -1448,22 +1450,49 @@ object Dedup {
     * keeps the exact-prefix guarantee for that shape. */
   private[graft] val OneSidedProbeK = 8
 
-  /** Recall floor on the one-sided probe's dfreq cap: the operator's
-    * default explicit-cap posture (dfreq ≤ 20 keeps every witness the
-    * default exact join keeps — quote shingles sit at dfreq ≈ 2). A
-    * volume budget too tight to afford it is overridden loudly, never
-    * silently recall-starved; worst-case overrun is bounded by the
-    * probe's own shape (≤ k·20 candidates/doc). */
-  private[graft] val OneSidedCapFloor = 20
+  /** Recall floor on the one-sided probe's dfreq cap: dfreq ≥ 2 is the
+    * ASYMMETRIC-RECALL CONTRACT itself — a doc quoted in exactly one
+    * other doc has witness shingles at dfreq 2, so any cap ≥ 2 keeps
+    * the unique-quote class lossless (the r19 casym finding: the cap
+    * VALUE above 2 buys only background candidates). Unlike a larger
+    * floor, this one is VOLUME-SAFE by construction: admitted
+    * candidates at the floor are ≤ 2 per probe row ≤ 2k/doc, inside
+    * any sane budget. The r20 500k rehearsal is why the floor is not
+    * the default-posture 20: riding a dfreq-20 floor past the budget
+    * admitted an UNCOUNTED candidate volume and blew a 40 GB scratch
+    * budget at 44.7 GB — the same uncounted-override failure class the
+    * r19 banded-cap fix closed, one leg over. Recall above the derived
+    * cap is bought explicitly with `spark.graft.route.candidatesPerDoc`
+    * (measured: 300k cap 20→394 at 200/doc recovered 500/500). */
+  private[graft] val OneSidedCapFloor = 2
 
-  /** Pure cap rule for the one-sided probe in volume (autocap) mode:
-    * largest dfreq whose CUMULATIVE ascending Σ (n_probe_rows · dfreq)
-    * fits the budget. Unlike the banded chain's Σ n_buckets·C(m,2)
-    * bound this is an EXACT pre-join candidate count, not an upper
-    * bound — each kept probe row joins exactly its posting list (minus
-    * self and pre-distinct). Same stop-at-first-over-budget rule as
-    * [[volCappedBucketCap]]: every dfreq class below the cap is
-    * enumerated by the join, so it must have been counted. */
+  /** The exact join's default `maxDocsPerTok` — the recall posture a
+    * containmentPairs user gets without stating anything. The one-sided
+    * route stretches its volume budget up to 2× to reach it (see
+    * [[oneSidedProbeCap]]). */
+  private[graft] val OneSidedDefaultPosture = 20
+
+  /** Pure cap rule for the one-sided probe in volume (autocap) mode.
+    * The admitted volume is EXACT — Σ (n_probe_rows · dfreq) ascending
+    * is the pre-join candidate count, not an upper bound — and every
+    * admitted class is counted (the r20 500k lesson: the first floor
+    * design rode an UNCOUNTED dfreq-20 floor past the budget and blew a
+    * 40 GB scratch budget at 44.7 GB — the same uncounted-override
+    * failure class the r19 banded-cap fix closed, one leg over).
+    * Three-band rule, all bands counted:
+    *
+    *  - up to [[OneSidedDefaultPosture]] (dfreq 20, the exact join's
+    *    default cap): classes admit while cumulative ≤ 2× budget —
+    *    recall-parity with the default exact join is worth a bounded,
+    *    stated stretch (measured 300k: the FULL posture costs 36.6
+    *    cand/doc = 1.83× the 20/doc budget because the probe-dfreq
+    *    curve flattens hard past dfreq ≈ 8, while quote recall climbs
+    *    from 74% at cap 5 to 99% at cap 20 — the stretch band is where
+    *    the recall lives);
+    *  - above the posture: strictly within 1× budget
+    *    (stop-at-first-over, as [[volCappedBucketCap]]);
+    *  - never below [[OneSidedCapFloor]] (dfreq 2, the unique-quote
+    *    contract — volume-safe at ≤ 2 candidates/probe row). */
   private[graft] def oneSidedProbeCap(rollup: Array[(Long, Long)],
       budget: Double, label: String): Int = {
     var cum = 0.0
@@ -1473,18 +1502,33 @@ object Dedup {
     while (it.hasNext && !full) {
       val (dfreq, nRows) = it.next()
       val v = nRows.toDouble * dfreq.toDouble
-      if (cum + v <= budget) { cum += v; volCap = dfreq } else full = true
+      val bound =
+        if (dfreq <= OneSidedDefaultPosture) 2.0 * budget else budget
+      if (cum + v <= bound) { cum += v; volCap = dfreq } else full = true
     }
     val eff = math.max(OneSidedCapFloor.toLong, volCap)
       .min(Int.MaxValue.toLong).toInt
     if (volCap < OneSidedCapFloor)
-      log.warn(f"$label: the dfreq≤$OneSidedCapFloor recall floor " +
-        f"itself exceeds the volume budget ($budget%.3e candidates; " +
-        f"volume-derived cap $volCap) — proceeding at the floor; " +
-        "admitted volume was only accumulated up to the derived cap")
+      log.warn(f"$label: the dfreq≤$OneSidedCapFloor unique-quote " +
+        f"recall floor exceeds even the 2× posture stretch " +
+        f"($budget%.3e candidate budget; volume-derived cap $volCap) " +
+        "— proceeding at the floor (volume-safe: ≤ 2 candidates per " +
+        "probe row)")
+    else if (eff < OneSidedDefaultPosture)
+      // even the 2× stretch could not reach the posture: syndicated
+      // quotes whose rarest witness sits in (eff, 20] are lost to the
+      // budget — say so, and name the knob that buys them back (the
+      // 300k rehearsal row: cap 20→394 at 200/doc recovered 500/500)
+      log.warn(f"$label: one-sided probe cap $eff admits ${cum}%.3e " +
+        "candidates (≤ 2× budget posture stretch, exact pre-join " +
+        "count) — below the default dfreq-20 posture; quotes with no " +
+        f"witness at dfreq ≤ $eff are lost; raise " +
+        "spark.graft.route.candidatesPerDoc to buy them back")
     else
       log.info(f"$label: one-sided probe cap $eff admits ${cum}%.3e " +
-        "candidates within budget (exact pre-join count)")
+        "candidates (exact pre-join count" +
+        (if (cum > budget) ", inside the 2× posture stretch" else "") +
+        ")")
     eff
   }
 
@@ -1563,7 +1607,8 @@ object Dedup {
     * rarest-k candidates (volume-capped probe cap), through ONE shared
     * exact verify. The two generators cover complementary failure
     * modes — see the route-branch comment in [[containmentPairs]] — at
-    * ≤ 2× the single-generator candidate budget by construction. */
+    * ≤ 3× the single-generator candidate budget by construction
+    * (banded ≤ 1×, one-sided ≤ 2× through its posture stretch). */
   private[graft] def containmentRoutedUnion(docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int, numT: Int, denT: Int,
       maxBucket: Int, toks: DataFrame, toksPlan: DataFrame,

@@ -1041,13 +1041,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (30L, 50L), (400L, 10L), (500L, 1L))
     assert(graft.operators.Dedup.oneSidedProbeCap(rollup, 10000.0,
       "spec") == 30)
-    // floor: a budget too tight for the dfreq≤20 posture is overridden
-    // at the floor (loud warn), never silently recall-starved
+    // floor: a budget too tight even for dfreq-1 probes is overridden
+    // at the dfreq-2 unique-quote floor (loud warn) — VOLUME-SAFE by
+    // construction (≤ 2 candidates/probe row), unlike the dfreq-20
+    // posture floor this replaced after the 500k rehearsal blew a
+    // 40 GB budget riding it (BASELINE r20)
+    assert(graft.operators.Dedup.OneSidedCapFloor == 2)
     assert(graft.operators.Dedup.oneSidedProbeCap(rollup, 100.0,
       "spec") == graft.operators.Dedup.OneSidedCapFloor)
     // everything fits -> the largest class wins
     assert(graft.operators.Dedup.oneSidedProbeCap(rollup, 1e9,
       "spec") == 500)
+    // posture stretch (r20, the 500k lesson's COUNTED replacement for
+    // the uncounted dfreq-20 floor): classes at dfreq ≤ 20 admit while
+    // cumulative ≤ 2× budget — recall-parity with the default exact
+    // join — but classes ABOVE the posture stay strictly within 1×.
+    // Budget 8000: d2 (cum 8000) and d10 (cum 13000) ride the ≤16000
+    // stretch; d25 (cum would be 15500 ≤ 16000, but it is past the
+    // posture where the bound is 8000) is refused.
+    val stretch = Array[(Long, Long)]((2L, 4000L), (10L, 500L),
+      (25L, 100L))
+    assert(graft.operators.Dedup.oneSidedProbeCap(stretch, 8000.0,
+      "spec") == 10)
+    assert(graft.operators.Dedup.OneSidedDefaultPosture == 20)
   }
 
   test("routeCandidateBudget: conf-overridable, scratch-derived, floored " +
