@@ -1469,6 +1469,16 @@ object SparkEntry {
       Dedup.containmentPairsOneSided(documents(s, d), "doc_id", "text",
         shingleK = 8, numT = 3, denT = 4, probeK = 8, maxDocsPerTok = 20)),
 
+    // North star (r20): the UNION route's oracle-portable twin — md5-lane
+    // banded candidates (q29's portable family) in BOTH directions ∪ the
+    // one-sided rarest-8 candidates (q259's explicit cap), distinct, one
+    // exact verify. Pins the union ASSEMBLY (cross-generator dedupe,
+    // verify-once, both-direction banded emit) under the oracle; the
+    // production autoRoute keeps xxhash64 lanes + volume-derived caps.
+    "q261_containment_union" -> ((s, d) =>
+      Dedup.containmentUnionPortable(documents(s, d), "doc_id", "text",
+        shingleK = 8, numT = 3, denT = 4, probeK = 8, maxDocsPerTok = 20)),
+
     // North star: SCD Type-2 dimension build — full version history with
     // validity intervals from a deterministic changelog (q130's family plus
     // a seq-0 initial load), the warehouse counterpart of q130's
@@ -6424,6 +6434,66 @@ object SparkEntry {
         |FROM inter i
         |JOIN sizes sa ON sa.doc_id = i.sub
         |JOIN sizes sb ON sb.doc_id = i.sup
+        |WHERE i.n_inter * 4 >= 3 * sa.n""".stripMargin,
+
+    // q261: the union assembly — q29's md5-lane CTEs re-banded to the
+    // PRODUCTION 8×2 layout (lane // 2; the 4×4 q29 default measurably
+    // misses high-J family pairs the one-sided leg cannot recover) in
+    // both directions, UNION q259's rarest-8 probe candidates (char-8
+    // CTEs renamed c* to dodge the word-3 minhash CTEs' names), then
+    // q154's verify. UNION (not UNION ALL) is the cross-generator
+    // dedupe the Spark side's .distinct() mirrors.
+    "q261_containment_union" ->
+      s"""WITH $minhashLaneCtes,
+        |banded AS (
+        |  SELECT doc_id, CAST(lane // 2 AS BIGINT) AS band,
+        |         md5(string_agg(h, '|' ORDER BY lane)) AS bh
+        |  FROM minh GROUP BY doc_id, lane // 2),
+        |counted AS (
+        |  SELECT *, count(*) OVER (PARTITION BY band, bh) AS bucket_n
+        |  FROM banded),
+        |pruned AS (
+        |  SELECT doc_id, band, bh FROM counted
+        |  WHERE bucket_n <= 1000 AND bucket_n > 1),
+        |nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |ctoks AS (
+        |  SELECT DISTINCT doc_id,
+        |    substring(norm || '       ', CAST(i AS INTEGER), 8) AS tok
+        |  FROM nrm,
+        |  LATERAL unnest(range(1, greatest(length(norm) - 7, 1) + 1)) AS u(i)),
+        |cdf AS (SELECT tok, count(*) AS dfreq FROM ctoks GROUP BY tok),
+        |cranked AS (
+        |  SELECT t.doc_id, t.tok, d.dfreq,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY d.dfreq, t.tok) AS rn
+        |  FROM ctoks t JOIN cdf d USING (tok)),
+        |cprobe AS (
+        |  SELECT doc_id, tok FROM cranked
+        |  WHERE rn <= 8 AND dfreq <= 20),
+        |cand AS (
+        |  SELECT a.doc_id AS sub, b.doc_id AS sup
+        |  FROM pruned a JOIN pruned b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id <> b.doc_id
+        |  UNION
+        |  SELECT p.doc_id AS sub, t.doc_id AS sup
+        |  FROM cprobe p JOIN ctoks t
+        |    ON p.tok = t.tok AND p.doc_id <> t.doc_id),
+        |csizes AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY doc_id),
+        |cinter AS (
+        |  SELECT c.sub, c.sup, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN ctoks ta ON ta.doc_id = c.sub
+        |  JOIN ctoks tb ON tb.doc_id = c.sup AND tb.tok = ta.tok
+        |  GROUP BY c.sub, c.sup)
+        |SELECT i.sub AS id_sub, i.sup AS id_sup,
+        |  CAST(i.n_inter AS BIGINT) AS n_inter,
+        |  CAST(sa.n AS BIGINT) AS n_sub, CAST(sb.n AS BIGINT) AS n_sup,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_r
+        |FROM cinter i
+        |JOIN csizes sa ON sa.doc_id = i.sub
+        |JOIN csizes sb ON sb.doc_id = i.sup
         |WHERE i.n_inter * 4 >= 3 * sa.n""".stripMargin,
 
     // q153: same lag chain, integer-cent weights 2^(7-k), exact half-up

@@ -1630,6 +1630,42 @@ object Dedup {
       inputSmall)
   }
 
+  /** Oracle-portable twin of [[containmentRoutedUnion]] (the q261
+    * correctness witness, same relationship as
+    * [[minhashCandidatesPortable]] to [[minhashCandidates]]): md5-lane
+    * banded candidates (every hash md5/substring/MIN — semantics a
+    * DuckDB oracle reproduces verbatim) in BOTH directions, unioned
+    * with the one-sided rarest-k candidates at an EXPLICIT dfreq cap
+    * (the `row_number() ≤ k AND dfreq ≤ cap` mirror), distinct, through
+    * the ONE shared exact verify. The production route keeps the
+    * xxhash64 lanes and the volume-derived caps; this pins the union
+    * ASSEMBLY — dedupe across generators, verify-once, both-directions
+    * banded emit — under the oracle. */
+  def containmentUnionPortable(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 8, numT: Int = 3, denT: Int = 4,
+      probeK: Int = 8, maxDocsPerTok: Int = 20,
+      // 8 bands of 2 lanes, the PRODUCTION route's banding (collision
+      // 1−(1−J²)⁸) — the q29-default 4×4 layout measurably misses ~5 of
+      // the spec corpus's 1560 family pairs ((1−J⁴)⁴ at J≈0.86), which
+      // the one-sided leg cannot recover (blind to families by design)
+      bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxDocsPerTok > 0, "the portable twin is explicit-cap only " +
+      "(the oracle mirrors the cap); use containmentPairs(autoRoute) " +
+      "for the volume-budgeted production route")
+    val (_, toks, toksPlan, dfreq, inputSmall) =
+      containmentFront(docs, idCol, textCol, shingleK)
+    val sym = minhashCandidatesPortable(docs, idCol, textCol,
+      shingleN = 3, numHashes = 16, bands = bands, maxBucket = maxBucket)
+    val banded = sym.select(col("id_a").as("sub"), col("id_b").as("sup"))
+      .unionByName(
+        sym.select(col("id_b").as("sub"), col("id_a").as("sup")))
+    val oneSided = oneSidedCandidates(docs, probeK, maxDocsPerTok, toks,
+      toksPlan, dfreq, nDocsIn = -1L, "containmentUnionPortable")
+    containmentVerify(docs, idCol, textCol, shingleK, numT, denT,
+      banded.unionByName(oneSided).distinct(), inputSmall)
+  }
+
   /** [[containmentRoutedUnion]] with its own token tables — the entry
     * the scale rehearsals measure at scales where the forecast does not
     * trip the route on its own (same rationale as

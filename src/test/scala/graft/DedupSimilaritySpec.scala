@@ -1027,6 +1027,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // exactness: the union verifies once against the same threshold —
     // nothing beyond the truth set can survive
     assert(union == truth, s"extra=${(union -- truth).take(5)}")
+
+    // the oracle-portable twin (q261: md5 lanes + explicit one-sided
+    // cap) carries the same dual-shape truth — the union ASSEMBLY is
+    // family-independent
+    val portable = Dedup.containmentUnionPortable(d, "doc_id", "text")
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    assert(portable == truth,
+      s"portable union drift: extra=${(portable -- truth).take(5)} " +
+        s"missing=${(truth -- portable).take(5)}")
   }
 
   test("oneSidedProbeCap: cumulative exact-count budget binds, floor " +
