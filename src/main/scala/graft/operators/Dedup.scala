@@ -1230,16 +1230,22 @@ object Dedup {
     *
     * `autoRoute` (autocap mode only) mirrors [[prefixJaccardPairs]]: when
     * the Σ dfreq² forecast exceeds the warn threshold, the prefix × index
-    * join is replaced by banded-minhash candidates verified in BOTH
-    * directions against the exact containment threshold. HONEST CAVEAT:
-    * the banded candidates collide on symmetric (Jaccard-like) word-
-    * shingle similarity, so an asymmetric containment pair whose Jaccard
-    * is low (a short quote inside a much longer doc) can be MISSED by the
-    * route even though the exact join would have found it under a cap.
-    * The blowup regime the route targets is template/near-identical
-    * families — pairs that are high in both measures — but when
-    * asymmetric recall matters more than the scratch envelope, set an
-    * absolute `maxDocsPerTok` instead of routing. */
+    * join is replaced by the UNION of two volume-capped candidate
+    * generators through one exact verify ([[containmentRoutedUnion]],
+    * r20): banded minhash for the near-identical-family blowup regime,
+    * and the one-sided rarest-k probe for asymmetric pairs (a short
+    * quote inside a much longer doc — low Jaccard, invisible to bands;
+    * measured 99% quote recall at the default budget vs 0.2% for the
+    * r19 banded-only route). HONEST CAVEAT, r20 form: the one-sided
+    * leg's recall is budget-shaped — quotes whose every rarest-k
+    * witness is hotter than the budget-derived dfreq cap are lost
+    * (measured: the cap rides at the dfreq-20 default posture when the
+    * 2× stretch affords it; `spark.graft.route.candidatesPerDoc`
+    * buys more — 200/doc moved the 300k cap to 394 and recovered
+    * 500/500) — and rarest-k is blind to pairs whose missing fraction
+    * is exactly the sub's rarest shingles (a template-cleaned copy).
+    * When full asymmetric recall matters more than the scratch
+    * envelope, set an absolute `maxDocsPerTok` instead of routing. */
   /** Shared token-table front of the containment joins (r20, extracted
     * when [[containmentPairsOneSided]] grew a second copy): spread +
     * non-empty filter, the exploded shingle plan, the probe-side
@@ -1345,9 +1351,10 @@ object Dedup {
             log.warn(f"containmentPairs autoCap=$cap admits up to " +
               f"$bound%.3e candidate rows " +
               f"(${bound / math.max(nDocs, 1)}%.0f per doc, Σ dfreq² " +
-              "bound) — autoRoute engaging: banded-minhash candidates " +
-              "verified in both directions; asymmetric low-Jaccard " +
-              "containments may be missed (see Scaladoc)")
+              "bound) — autoRoute engaging: banded-minhash ∪ one-sided " +
+              "rarest-k candidates, one exact verify; recall above the " +
+              "budget-derived caps is bought with " +
+              "spark.graft.route.candidatesPerDoc (see Scaladoc)")
           else
             log.warn(f"containmentPairs autoCap=$cap admits up to " +
               f"$bound%.3e candidate rows (${bound / math.max(nDocs, 1)}%.0f " +
@@ -1414,15 +1421,14 @@ object Dedup {
     * shingle-hash arrays and C(sub→sup) = I/n_sub is re-checked against
     * the exact integer threshold — candidate generators cost recall
     * only, never precision. */
-  /** The routed containment chain [[containmentPairs]] swaps in when its
-    * candidate forecast crosses the warn threshold under `autoRoute`:
-    * banded-minhash candidates (16 lanes / 8 bands, word 3-shingles,
-    * bucket-capped) verified in BOTH directions against the exact
-    * char-shingle containment threshold. `private[graft]` so the scale
-    * rehearsals can measure THIS exact chain's recall at scales where
-    * the forecast does not trip the route on its own (e.g. the
-    * strongly-asymmetric-recall arm) — one source of truth, never a
-    * tool-side replica. */
+  /** The BANDED-ONLY leg of the routed containment chain (16 lanes /
+    * 8 bands, word 3-shingles, bucket-capped, both directions through
+    * the exact verify). Until r20 this was the whole route; it is now
+    * ONE generator inside [[containmentRoutedUnion]], kept addressable
+    * `private[graft]` so the scale rehearsals can measure the banded
+    * leg in isolation (the casym arm's 0.2%-at-J≈0.03 comparison row)
+    * at scales where the forecast does not trip the route on its own —
+    * one source of truth, never a tool-side replica. */
   private[graft] def containmentRouted(docs: DataFrame, idCol: String,
       textCol: String, shingleK: Int, numT: Int, denT: Int,
       maxBucket: Int, inputSmall: Boolean): DataFrame = {
