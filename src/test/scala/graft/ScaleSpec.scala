@@ -724,6 +724,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan("q200_curation_v2").contains("word_grams"))
   }
 
+  test("plan shapes: r20 containment routes stay scale-safe " +
+      "(q259/q261 locks)") {
+    val sfDir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+    // q259 one-sided containment: the rarest-k probe is a bounded HASH
+    // aggregate (rarest_min_k partial buffers cap at k) feeding an
+    // equi-join on tok — never a per-doc sort/window (a rank window
+    // partitioned by doc_id would materialize every doc's full shingle
+    // list per partition) and never a cartesian over docs
+    val p259 = plan("q259_containment_onesided")
+    assert(!p259.contains("CartesianProduct") &&
+      !p259.contains("BroadcastNestedLoopJoin"), p259)
+    assert(!p259.contains("Window"), p259)
+    assert(p259.contains("rarest_min_k"), p259)
+
+    // q261 union twin: both candidate generators are equi-joins (band
+    // bucket / tok); the cross-generator dedupe is a hash aggregate —
+    // same no-pathological-operator contract. (The banded leg's
+    // bucket-size prune uses a count window PARTITIONED by (band, bh) —
+    // splittable — so only the global-window shape is refused.)
+    val p261 = plan("q261_containment_union")
+    assert(!p261.contains("CartesianProduct") &&
+      !p261.contains("BroadcastNestedLoopJoin"), p261)
+    assert(!p261.contains("SinglePartition"), p261)
+  }
+
   test("plan shapes: round-14 additions stay scale-safe (q245-q250 locks)") {
     val sfDir = "/root/testdata/sf0.001"
     def plan(name: String): String =
