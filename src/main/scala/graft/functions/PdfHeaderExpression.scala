@@ -33,18 +33,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *     first 1024 bytes (Annex F requires it entirely within the first
   *     1024 bytes, so the bounded scan is exact, not heuristic).
   *
-  * Object streams ARE decoded (r20, the r19 depth item): when a hop of
-  * the page-count chain has no plain `n g obj` definition, every
-  * `/Type /ObjStm` object is FlateDecoded (bounded at [[MaxScan]]
-  * inflated bytes — a decompression bomb costs one null, never memory;
-  * JDK Inflater, still dependency-free) and its `/N`×(objnum, offset)
-  * header searched, newest stream wins — so a 1.5+ file whose catalog
-  * lives in a compressed object stream (the dominant modern layout)
-  * reports its page count. Full content-stream decode and
-  * predictor-filtered xref-stream index parsing stay out of scope:
-  * routing needs the header surface, and scanning the ObjStm objects
-  * directly sidesteps the /Predictor 12 PNG filter xref streams
-  * usually carry.
+  * Object streams ARE decoded (r20, the r19 depth item): every
+  * `/Type /ObjStm` object is FlateDecoded in ONE sweep per file
+  * (bounded at [[MaxScan]] inflated bytes per stream and 8× that per
+  * file — a decompression bomb or a many-ObjStm adversarial file costs
+  * one null, never memory; JDK Inflater, still dependency-free), its
+  * `/N`×(objnum, offset) header indexed, and every hop of the
+  * page-count chain resolves against the NEWEST definition across BOTH
+  * layers — plain `n g obj` and object-stream copies compete on byte
+  * position, because incremental updates append whether the updater
+  * writes a plain object or packs it into a new /ObjStm. So a 1.5+
+  * file whose catalog lives in a compressed object stream (the
+  * dominant modern layout) reports its page count. Full content-stream
+  * decode and predictor-filtered xref-stream index parsing stay out of
+  * scope: routing needs the header surface, and scanning the ObjStm
+  * objects directly sidesteps the /Predictor 12 PNG filter xref
+  * streams usually carry.
   */
 object PdfHeaderOps {
 
@@ -167,8 +171,19 @@ object PdfHeaderOps {
 
   /** Dictionary span of the NEWEST `n g obj` body (last occurrence —
     * incremental updates append, so the last definition is the live
-    * one); (-1,-1) when the object or its dict is missing/truncated. */
-  private def objDict(b: Array[Byte], objNum: Long): (Int, Int) = {
+    * one) plus the BYTE POSITION of that definition, so newest-wins can
+    * be decided ACROSS layers against object-stream copies (r20 review:
+    * a plain definition must not unconditionally shadow a LATER
+    * object-stream redefinition). (pos, -1, -1) when missing. */
+  private def objDictWithPos(b: Array[Byte], objNum: Long): (Int, Int, Int) = {
+    val (pos, span) = objDictImpl(b, objNum)
+    (pos, span._1, span._2)
+  }
+
+  private def objDict(b: Array[Byte], objNum: Long): (Int, Int) =
+    objDictImpl(b, objNum)._2
+
+  private def objDictImpl(b: Array[Byte], objNum: Long): (Int, (Int, Int)) = {
     // match "<n> <digits> obj" with a left token boundary so object 12
     // never resolves to "112 0 obj"
     val numPat = objNum.toString.getBytes("US-ASCII")
@@ -188,7 +203,7 @@ object PdfHeaderOps {
         i += 1
       }
     }
-    if (best < 0) (-1, -1) else dictSpan(b, best)
+    if (best < 0) (-1, (-1, -1)) else (best, dictSpan(b, best))
   }
 
   /** The active trailer dictionary span: the LAST `trailer` keyword's
@@ -270,27 +285,37 @@ object PdfHeaderOps {
     if (end < 0) (-1, -1) else (s, end)
   }
 
-  /** Resolve object `objNum` through PDF 1.5+ object streams (§7.5.7):
-    * scan every plain `/Type /ObjStm` object, FlateDecode it (bounded),
-    * parse its `/N` (pair count) + `/First` (body offset) header of
-    * `objnum offset` integer pairs, and return the DECODED buffer plus
-    * the dict span of the newest stream's copy of the object. Null when
-    * no object stream holds it (or decode fails) — the pre-r20
-    * documented-null outcome. */
-  private def objDictInObjStm(b: Array[Byte],
-      objNum: Long): (Array[Byte], Int, Int) = {
+  /** One decoded PDF 1.5+ object stream (§7.5.7): its host object's
+    * byte position in the file (for cross-layer newest-wins), the
+    * inflated bytes, /First, and the header's (objnum, offset) pairs. */
+  private final case class ObjStm(hostPos: Int, dec: Array[Byte],
+      first: Int, pairs: Array[(Long, Long)])
+
+  /** ALL decoded object streams, ONE sweep + ONE inflate each (r20
+    * review: the per-hop form re-inflated every stream once per
+    * resolution hop — 2× MB-scale work per row on exactly the
+    * compressed-catalog corpus this feature targets). Total inflated
+    * output is budgeted at 8 × [[MaxScan]] per file; streams past the
+    * budget are not decoded (a many-ObjStm adversarial file costs a
+    * null page count, never memory). The dict pre-filter window is
+    * 1024 bytes of whitespace/comments between `obj` and `<<` (r20
+    * review: the first cut's 64 rejected conforming files; the
+    * plain-object path has no such bound, and false `obj` matches in
+    * binary data are already rejected by the /ObjStm key check). */
+  private def decodedObjStreams(b: Array[Byte]): Array[ObjStm] = {
     val pat = "obj".getBytes("US-ASCII")
-    var best: (Array[Byte], Int, Int) = null
+    val out = scala.collection.mutable.ArrayBuffer.empty[ObjStm]
+    var budget = 8L * MaxScan
     var i = 0
     while (i >= 0 && i < b.length) {
       i = indexOf(b, pat, i, b.length)
       if (i >= 0) {
         val span =
           if (i == 0 || isWs(b(i - 1))) dictSpan(b, i + 3) else (-1, -1)
-        // cheap pre-filter before any inflate: a dict at this obj with
+        // pre-filter before any inflate: a dict near this obj with
         // /Type /ObjStm, /N and /First all present (the ws left-boundary
         // above keeps `endobj` from matching)
-        if (span._2 > 0 && span._1 < i + 3 + 64 &&
+        if (span._2 > 0 && span._1 < i + 3 + 1024 &&
           findKey(b, "Type", span._1, span._2) >= 0 &&
           findKey(b, "ObjStm", span._1, span._2) >= 0) {
           val nAfter = findKey(b, "N", span._1, span._2)
@@ -300,28 +325,23 @@ object PdfHeaderOps {
             val (first, _) = parseInt(b, fAfter)
             val raw = streamData(b, span)
             if (nPairs > 0 && nPairs <= 10000 && first >= 0 &&
-              raw._2 > 0) {
-              val dec = inflate(b, raw._1, raw._2, MaxScan)
+              raw._2 > 0 && budget > 0) {
+              val dec = inflate(b, raw._1, raw._2,
+                math.min(MaxScan.toLong, budget).toInt)
               if (dec != null && first <= dec.length) {
-                // header: nPairs × (objnum offset); offsets relative to
-                // /First
+                budget -= dec.length
+                // header: nPairs × (objnum offset); offsets relative
+                // to /First
+                val pairs =
+                  scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
                 var k = 0L; var p = 0
-                var hit = -1L
                 while (k < nPairs && p >= 0) {
                   val (num, p1) = parseInt(dec, p)
                   val (off, p2) = parseInt(dec, p1)
                   if (num < 0 || off < 0) p = -1
-                  else {
-                    if (num == objNum) hit = first + off
-                    k += 1; p = p2
-                  }
+                  else { pairs += ((num, off)); k += 1; p = p2 }
                 }
-                if (hit >= 0 && hit < dec.length) {
-                  val ds = dictSpan(dec, hit.toInt)
-                  // newest wins: later ObjStm definitions overwrite
-                  // earlier ones (incremental updates append)
-                  if (ds._2 > 0) best = (dec, ds._1, ds._2)
-                }
+                out += ObjStm(i, dec, first.toInt, pairs.toArray)
               }
             }
           }
@@ -329,18 +349,34 @@ object PdfHeaderOps {
         i += 1
       }
     }
-    best
+    out.toArray
   }
 
-  /** Object dict as (buffer, start, end): a plain `n g obj` definition
-    * wins (newest-wins within plain defs, [[objDict]]); otherwise the
-    * newest object-stream copy ([[objDictInObjStm]]). Null when neither
-    * resolves. */
-  private def resolveDict(b: Array[Byte],
+  /** Object dict as (buffer, start, end), NEWEST definition across BOTH
+    * layers (r20 review): the plain `n g obj` candidate and the latest
+    * object-stream copy compete on their byte position in the file —
+    * incremental updates append, so "later in the file" IS "newer",
+    * whether the updater wrote a plain object or packed it into a new
+    * /ObjStm. Null when neither resolves. */
+  private def resolveDict(b: Array[Byte], streams: Array[ObjStm],
       objNum: Long): (Array[Byte], Int, Int) = {
-    val plain = objDict(b, objNum)
-    if (plain._2 > 0) (b, plain._1, plain._2)
-    else objDictInObjStm(b, objNum)
+    val (plainPos, ps, pe) = objDictWithPos(b, objNum)
+    var hit: (Int, Array[Byte], Int, Int) = null
+    streams.foreach { st =>
+      if (st.pairs.exists(_._1 == objNum) &&
+        (hit == null || st.hostPos > hit._1)) {
+        val off = st.first + st.pairs.find(_._1 == objNum).get._2
+        if (off >= 0 && off < st.dec.length) {
+          val ds = dictSpan(st.dec, off.toInt)
+          if (ds._2 > 0) hit = (st.hostPos, st.dec, ds._1, ds._2)
+        }
+      }
+    }
+    val plainOk = pe > 0
+    val stmOk = hit != null
+    if (plainOk && (!stmOk || plainPos > hit._1)) (b, ps, pe)
+    else if (stmOk) (hit._2, hit._3, hit._4)
+    else null
   }
 
   /** /Root → catalog → /Pages → page-tree root → /Count. -1 on any
@@ -352,11 +388,14 @@ object PdfHeaderOps {
   private def pageCount(b: Array[Byte], trailer: (Int, Int)): Long = {
     val rootObj = refValue(b, "Root", trailer._1, trailer._2)
     if (rootObj < 0) return -1L
-    val cat = resolveDict(b, rootObj)
+    // ONE sweep + inflate for the whole chain — both hops (and the
+    // cross-layer newest-wins check on each) share the decoded streams
+    val streams = decodedObjStreams(b)
+    val cat = resolveDict(b, streams, rootObj)
     if (cat == null) return -1L
     val pagesObj = refValue(cat._1, "Pages", cat._2, cat._3)
     if (pagesObj < 0) return -1L
-    val pages = resolveDict(b, pagesObj)
+    val pages = resolveDict(b, streams, pagesObj)
     if (pages == null) return -1L
     val after = findKey(pages._1, "Count", pages._2, pages._3)
     if (after < 0) return -1L

@@ -372,28 +372,38 @@ object Dedup {
     }
     val eff = math.max(1000L,
       math.min(familyCap.toLong, volCap)).min(Int.MaxValue.toLong).toInt
-    if (volCap < 1000L)
-      log.warn(f"$label: the 1000-bucket recall floor itself exceeds the " +
-        f"volume budget (volume-derived cap $volCap) — proceeding at the " +
-        "floor; expect the candidate stage to run over " +
-        f"$perDocEff%.1f cand/doc")
+    // the TRUE volume the `bucket_n <= eff` filter admits — recomputed
+    // at eff rather than reusing `cum` (r20 review: when the 1000 floor
+    // raises eff above volCap, or familyCap binds below volCap, `cum`
+    // under-/over-states what is actually enumerated; every log line
+    // below quotes the real number so a scratch-blowout diagnosis never
+    // reads a volume that was accumulated to a different cap)
+    val admitted = rollup.iterator.filter(_._1 <= eff)
+      .map { case (m, nb) => nb.toDouble * m.toDouble * (m - 1).toDouble / 2 }
+      .sum
     if (eff > familyCap)
       // only reachable when familyCap < 1000: the recall floor RAISES
-      // eff above the configured cap, and `cum` was accumulated only up
-      // to volCap — logging this as "within budget" would misstate both
-      // (r19 ADVICE)
+      // eff above the configured cap (r19 ADVICE)
       log.warn(f"$label: the 1000-bucket recall floor overrides " +
-        f"familyCap=$familyCap — proceeding at bucket cap $eff (the " +
-        "recall contract outranks the family estimate; admitted volume " +
-        f"was only accumulated up to bucket size $volCap)")
+        f"familyCap=$familyCap — proceeding at bucket cap $eff, " +
+        f"admitting ${admitted}%.3e candidates (the recall contract " +
+        "outranks the family estimate; this may exceed the " +
+        f"$perDocEff%.1f cand/doc budget)")
+    else if (volCap < eff)
+      // the floor raised eff above the budget-derived volCap with
+      // familyCap ≥ eff: the filter admits MORE than the budget counted
+      log.warn(f"$label: the 1000-bucket recall floor exceeds the " +
+        f"volume budget (budget-derived cap $volCap) — proceeding at " +
+        f"the floor, admitting ${admitted}%.3e candidates, over the " +
+        f"$perDocEff%.1f cand/doc budget")
     else if (eff < familyCap)
       log.warn(f"$label: banded bucket cap $familyCap admits " +
         "corpus-share accident buckets — volume budget " +
         f"($perDocEff%.1f cand/doc) binds at bucket cap " +
-        f"$eff (cumulative ${cum}%.3e candidates); buckets above it are " +
+        f"$eff (${admitted}%.3e candidates); buckets above it are " +
         "dropped (boilerplate-collision class, see Scaladoc)")
     else
-      log.info(f"$label: banded bucket cap $eff admits ${cum}%.3e " +
+      log.info(f"$label: banded bucket cap $eff admits ${admitted}%.3e " +
         "candidates within budget")
     eff
   }

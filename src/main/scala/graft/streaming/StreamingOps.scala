@@ -229,13 +229,17 @@ object StreamingOps {
     require(!row.isNullAt(0) && !row.isNullAt(1),
       s"runAvailableNowDateSplit($path): no non-null $timeCol rows")
     // the two-phase split assumes each phase is NON-EMPTY: phase 0 takes
-    // [min, split) and phase 1 takes [split, max], so a degenerate corpus
-    // with min == max would leave phase 0 empty (split == min) and the
-    // part-file move below would have nothing to move (r19 ADVICE)
-    require(row.getLong(0) < row.getLong(1),
-      s"runAvailableNowDateSplit($path): all $timeCol values are equal " +
-        s"(${row.getLong(0)} µs) — a two-batch split needs min < max")
+    // [min, split) and phase 1 takes [split, max]. Guard on the computed
+    // SPLIT, not on min < max (r20 review): with max == min + 1 µs the
+    // integer midpoint collapses to min and phase 0 would be empty even
+    // though min < max holds — and an empty phase writes a 0-row part
+    // file, so the headOption error below would never fire either.
     val splitUs = (row.getLong(0) + row.getLong(1)) / 2
+    require(splitUs > row.getLong(0),
+      s"runAvailableNowDateSplit($path): $timeCol range " +
+        s"[${row.getLong(0)}, ${row.getLong(1)}] µs is too narrow — the " +
+        "integer midpoint equals the minimum, which would leave the " +
+        "first phase empty; a two-batch split needs max ≥ min + 2")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-2b")
     def writePhase(i: Int, df: DataFrame): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-phase$i")

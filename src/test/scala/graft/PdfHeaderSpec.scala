@@ -189,6 +189,54 @@ class PdfHeaderSpec extends AnyFunSuite {
     assert(meta(bomb) == Some(("1.5", None, Some(false), false)))
   }
 
+  test("cross-layer newest-wins (r20 review): a plain definition does " +
+    "not shadow a LATER object-stream redefinition, and vice versa") {
+    // base: classic PLAIN catalog + pages (/Count 5); appended update
+    // packs a redefined page tree (/Count 9) into a new /ObjStm — the
+    // 1.4→1.5 updater pattern. "Later in the file" must win regardless
+    // of which layer holds it.
+    val plainBase = "%PDF-1.5\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 5 >>\nendobj\n" +
+      "trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n"
+    val o2new = "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 9 >>"
+    val hdr = "2 0"
+    val comp = deflate(hdr + "\n" + o2new)
+    val upd = (s"7 0 obj\n<< /Type /ObjStm /N 1 /First ${hdr.length + 1} " +
+      s"/Filter /FlateDecode /Length ${comp.length} >>\nstream\n")
+      .getBytes("US-ASCII") ++ comp ++
+      "\nendstream\nendobj\n".getBytes("US-ASCII")
+    assert(meta(plainBase.getBytes("US-ASCII") ++ upd)
+      == Some(("1.5", Some(9), Some(false), false)))
+    // the reverse: an ObjStm base with an appended PLAIN redefinition —
+    // the plain (later) definition wins
+    val plainUpd = ("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 4 >>\n" +
+      "endobj\n").getBytes("US-ASCII")
+    assert(meta(objStmPdf(3) ++ plainUpd)
+      == Some(("1.5", Some(4), Some(false), false)))
+    // conforming whitespace/comments between `obj` and `<<` up to 1 KiB
+    // must not defeat the ObjStm pre-filter (r20 review: a 64-byte
+    // window rejected legal files). Built from scratch (not
+    // string-patched) so the startxref offset stays consistent with the
+    // inserted comment.
+    val comment = "% " + ("x" * 80) + "\n"
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = s"<< /Type /Pages /Kids [5 0 R] /Count 6 >>"
+    val hdr2 = s"1 0 2 ${o1.length + 1}"
+    val comp2 = deflate(hdr2 + "\n" + o1 + " " + o2)
+    val head = "%PDF-1.5\n"
+    val objStm = s"3 0 obj\n$comment<< /Type /ObjStm /N 2 /First " +
+      s"${hdr2.length + 1} /Filter /FlateDecode /Length ${comp2.length} " +
+      ">>\nstream\n"
+    val tail = "\nendstream\nendobj\n"
+    val xrefOff = head.length + objStm.length + comp2.length + tail.length
+    val xref = "4 0 obj\n<< /Type /XRef /Size 6 /Root 1 0 R /W [1 2 1] " +
+      "/Length 0 >>\nstream\nendstream\nendobj\n"
+    val spacedPdf = (head + objStm).getBytes("US-ASCII") ++ comp2 ++
+      (tail + xref + s"startxref\n$xrefOff\n%%EOF\n").getBytes("US-ASCII")
+    assert(meta(spacedPdf) == Some(("1.5", Some(6), Some(false), false)))
+  }
+
   test("expression runs through whole-stage codegen over a DataFrame " +
     "(q258 shape) and keeps nulls per-row") {
     val df = Seq(1L -> classic, 2L -> bytes("junk"))
