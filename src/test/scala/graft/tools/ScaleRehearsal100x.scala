@@ -177,6 +177,13 @@ object ScaleRehearsal100x {
       spark.conf.set("spark.graft.route.candidatesPerDoc", v)
       println(s"REHEARSAL100X route budget override: $v cand/doc")
     }
+    // SPARK_GRAFT_ROUTE_SCRATCH: the scratch-capacity form of the same
+    // budget (bytes; ÷ the calibrated 900 B/candidate) — the knob a
+    // 100 TB deployment actually states
+    sys.env.get("SPARK_GRAFT_ROUTE_SCRATCH").foreach { v =>
+      spark.conf.set("spark.graft.route.scratchBytes", v)
+      println(s"REHEARSAL100X route budget override: $v scratch bytes")
+    }
     // keep the OPERATORS' own decision logs (forecasts, route engagement,
     // volume-capped bucket caps) visible under the Spark noise blackout —
     // the r19 croute diagnosis was blind without them
