@@ -313,12 +313,25 @@ object Bench {
     // SPARK_GRAFT_BENCH_REF. Bands update only from retest-confirmed
     // readings; the board numbers themselves are never rewritten.
     val refTimes: Map[String, Double] = {
+      // Reference resolution order (r21, closing the r20 coverage hole:
+      // the driver artifact's tail is HEAD-TRUNCATED, so only the
+      // surviving alphabetical suffix — ~37% of the board — had retest
+      // references, and a 12× outlier (q227, r20) shipped unadjudicated):
+      //   1. SPARK_GRAFT_BENCH_REF (explicit override, unchanged);
+      //   2. bench_ref.json in cwd — the committed per-round snapshot of
+      //      the full per-query map (full names, every query; written
+      //      from target/bench_last.json at round close);
+      //   3. the newest BENCH_r*.json (legacy fallback, truncated).
       val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").orElse {
-        val rs = Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        if (rs.isEmpty) None
-        else Some(rs.maxBy(f =>
-          "\\d+".r.findFirstIn(f.getName).get.toInt).getPath)
+        val snap = new java.io.File("bench_ref.json")
+        if (snap.isFile) Some(snap.getPath)
+        else {
+          val rs = Option(new java.io.File(".").listFiles()).toSeq.flatten
+            .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          if (rs.isEmpty) None
+          else Some(rs.maxBy(f =>
+            "\\d+".r.findFirstIn(f.getName).get.toInt).getPath)
+        }
       }
       refPath.flatMap { p =>
         try {
@@ -342,8 +355,13 @@ object Bench {
           // reference ("q29": 0.01) must parse the same as the compact
           // Scala-emitted artifact (r19: the first budget-demo board
           // silently matched nothing against a json.dumps reference)
+          // Full-name keys ("q154_containment") harvest to their short
+          // key so the committed bench_ref.json snapshot (full names,
+          // all queries) parses the same as the short-key driver tail;
+          // keys whose suffix is non-query-like (none today) would just
+          // add harmless extra entries that no board name looks up.
           def qPairs(s: String): Map[String, Double] =
-            "\\\\?\"(q\\d+)\\\\?\"\\s*:\\s*(-?[0-9]+\\.[0-9]+)".r
+            "\\\\?\"(q\\d+)(?:_[A-Za-z0-9_]*)?\\\\?\"\\s*:\\s*(-?[0-9]+\\.[0-9]+)".r
               .findAllMatchIn(s)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           val retestObj = "\\\\?\"retest_s\\\\?\"\\s*:\\s*\\{[^}]*\\}".r
@@ -362,6 +380,14 @@ object Bench {
     // inflated their board reading, so 60 s typically covers far more
     // than 8 — and stamp whatever remains with an explicit window
     // verdict from the board's own probes (below) instead of silence.
+    // Coverage line (r21): a board is self-adjudicating only for queries
+    // WITH a reference — say how many resolved so a partial reference
+    // file is visible in the log instead of silently shrinking the
+    // retest net (the r20 q227 class).
+    if (fullRun) System.err.println(
+      s"[bench] retest references resolved for " +
+        s"${ordered.count(n => refTimes.contains(shortKey(n)))}/" +
+        s"${ordered.size} queries")
     val retestBudgetS = sys.env.get("SPARK_GRAFT_RETEST_BUDGET_S")
       .flatMap(_.toDoubleOption).getOrElse(60.0)
     val outliers: Seq[(String, Double)] =

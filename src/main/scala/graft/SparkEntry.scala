@@ -282,6 +282,18 @@ object SparkEntry {
     p.toString
   }
 
+  /** Gated pin for a subtree consumed more than once inside one query
+    * (r21, guide §1.2 "don't compute things twice"): localCheckpoint when
+    * the SOURCE table is provably small (the same 512 MB bound the dedup
+    * fronts use — see [[graft.operators.Dedup.shingleToksPlan]]'s
+    * dispatch rationale), recompute at scale so nothing corpus-sized is
+    * ever pinned in the block manager. Bench/Verify release all
+    * persistent RDDs after each query. */
+  private def ckptIfSmall(base: DataFrame)(df: DataFrame): DataFrame =
+    if (base.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(512L << 20)) df.localCheckpoint()
+    else df
+
   // ---- deterministic synthetic geo points (no lat/lon in the corpus) ----
   private def custPoints(s: SparkSession, d: String): DataFrame =
     customer(s, d).select(col("c_custkey"),
@@ -2038,9 +2050,13 @@ object SparkEntry {
           aggregate(zip_with(col("sa.ls"), col("sb.ls"),
               (x, y) => when(x === y, 1L).otherwise(0L)),
             lit(0L), (acc, v) => acc + v).as("n_agree"))
-      val shd = docs.select(col("doc_id"),
+      // r21 (guide §1.2): shd feeds sizes AND both endpoints of the
+      // intersection join — three consumers, so the explode + distinct
+      // pass ran 3× per query. Pinned once under the same input-size
+      // gate as the dedup fronts; a caller at scale recomputes.
+      val shd = ckptIfSmall(docs)(docs.select(col("doc_id"),
         explode(graft.functions.ShingleOps.wordShinglesCol(col("text"), 3))
-          .as("sh")).distinct()
+          .as("sh")).distinct())
       val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // candidate pairs are LSH-bounded (tiny vs the shingle table) —
       // broadcast them so the exact side prunes map-side instead of
@@ -2167,9 +2183,12 @@ object SparkEntry {
       val docs = documents(s, d).filter(length(trim(col("text"))) > 0)
       val sim = Corpus.sketchPairSimilarity(
         Corpus.groupMinhashSketch(docs, "source", "text"), "source")
-      val shd = docs.select(col("source"),
+      // r21: same three-consumer pin as q107's shd (sizes + both sides
+      // of the intersection self-join) — one explode+distinct pass, not
+      // three, under the small-input gate.
+      val shd = ckptIfSmall(docs)(docs.select(col("source"),
           explode(graft.functions.ShingleOps.wordShinglesCol(col("text"), 3))
-            .as("sh")).distinct()
+            .as("sh")).distinct())
       val sizes = shd.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val inter = shd.as("ha")
         .join(shd.as("hb"),
@@ -2467,14 +2486,24 @@ object SparkEntry {
             .sorted(java.util.Comparator.reverseOrder())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
-      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(tOrders)
-      lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(tItems)
+      // r21 (guide §2.6): the two bucketed writes are independent jobs —
+      // overlap them so the second table's scan back-fills the first
+      // write's task tail. Same tables, same bucket layout, same join.
+      locally {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try Seq[() => Unit](
+          () => orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(tOrders),
+          () => lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(tItems))
+          .map(j => pool.submit(new Runnable { def run(): Unit = j() }))
+          .foreach(_.get())
+        finally pool.shutdown()
+      }
       s.table(tOrders)
         .join(s.table(tItems), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
@@ -4088,7 +4117,11 @@ object SparkEntry {
       // the file source's batch order is deterministic either way it sorts
       def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = dir.resolve(name + "_stage")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        // repartition(1), not coalesce(1): coalesce would pull the whole
+        // scan+filter into one task (r21; same fix as the two-batch
+        // runner's writePhase) — the single part file the batch-order
+        // contract needs comes from the exchange, not a serial plan
+        df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
         val part = java.nio.file.Files.list(tmp)
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
@@ -4194,12 +4227,34 @@ object SparkEntry {
     "q210_curation_waterfall" -> ((s, d) => {
       val raw = documents(s, d).select(col("doc_id"), col("text"),
         Corpus.wordsCount(col("text")).as("n_tok"))
-      val s1 = raw.filter(length(trim(col("text"))) > 0)
-      val s2 = s1.filter(col("n_tok") >= 10)
-      val s3 = s2.withColumn("_rn", row_number().over(
-          Window.partitionBy(TextFunctions.fingerprint(col("text")))
-            .orderBy(col("doc_id"))))
-        .filter(col("_rn") === 1).drop("_rn")
+      // r21 (guide §1.2/§2.4): the five stage rows used to be five
+      // independent agg branches over NESTED lineages — the scan +
+      // wordsCount ran 5×, the fingerprint window 2× (once for stage 3,
+      // again under stage 4's span-removal input). Stages 0–2 are pure
+      // row filters, so their three (n_docs, n_tokens) rows fold into
+      // ONE conditional-aggregation pass (eagerly collapsed to its one
+      // row so the three projections don't re-run it); stage 3's keeper
+      // table is localCheckpoint'd so stage 4 reuses it instead of
+      // re-running the window. Plan: 5 scans + 2 windows → 2 scans +
+      // 1 window; values identical (min-of-3 A/B: 2.23 → 1.79 s).
+      val nonEmpty = length(trim(col("text"))) > 0
+      val minTok = nonEmpty && col("n_tok") >= 10
+      val s012 = raw.agg(
+          count(lit(1)).cast("long").as("n0"),
+          coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("t0"),
+          sum(when(nonEmpty, 1L).otherwise(0L)).cast("long").as("n1"),
+          coalesce(sum(when(nonEmpty, col("n_tok"))), lit(0L))
+            .cast("long").as("t1"),
+          sum(when(minTok, 1L).otherwise(0L)).cast("long").as("n2"),
+          coalesce(sum(when(minTok, col("n_tok"))), lit(0L))
+            .cast("long").as("t2"))
+        .localCheckpoint()
+      val s3 = ckptIfSmall(documents(s, d))(
+        raw.filter(nonEmpty).filter(col("n_tok") >= 10)
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(TextFunctions.fingerprint(col("text")))
+              .orderBy(col("doc_id"))))
+          .filter(col("_rn") === 1).drop("_rn"))
       val s4 = Dedup.duplicatedSpanRemoval(s3, "doc_id", "text",
           gramN = 5, minDocs = 2)
         .select(col("doc_id"),
@@ -4210,9 +4265,12 @@ object SparkEntry {
             coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("n_tokens"))
           .select(lit(i.toLong).as("stage"), lit(name).as("name"),
             col("n_docs"), col("n_tokens"))
-      stage(0, "raw", raw)
-        .unionByName(stage(1, "non_empty", s1))
-        .unionByName(stage(2, "min_tokens", s2))
+      def stageRow(i: Int, name: String, n: Column, t: Column) =
+        s012.select(lit(i.toLong).as("stage"), lit(name).as("name"),
+          n.as("n_docs"), t.as("n_tokens"))
+      stageRow(0, "raw", col("n0"), col("t0"))
+        .unionByName(stageRow(1, "non_empty", col("n1"), col("t1")))
+        .unionByName(stageRow(2, "min_tokens", col("n2"), col("t2")))
         .unionByName(stage(3, "exact_keeper", s3))
         .unionByName(stage(4, "span_clean", s4))
     }),
@@ -4268,10 +4326,25 @@ object SparkEntry {
       // overwrite data under a still-unconsumed lazy DataFrame (the dir
       // cannot be deleted inside the query; a shutdown hook removes it).
       val tmp = scratchDir("q208", d)
-      base.write.mode("overwrite").parquet(s"$tmp/p")
-      base.write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
-      base.write.mode("overwrite").json(s"$tmp/j")
-      base.write.mode("overwrite").orc(s"$tmp/o")
+      // The four format writes are INDEPENDENT jobs over the same
+      // projection — submit them from a small pool so each job's task
+      // tail back-fills cores freed by the others (guide §2.6 overlap;
+      // r21: wall = max(write) instead of Σ write, measured min 4.0 →
+      // 1.9 s warm for the write+fingerprint body). Same files, same
+      // contents, same fingerprint result — scheduling only.
+      locally {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        try {
+          Seq[() => Unit](
+            () => base.write.mode("overwrite").parquet(s"$tmp/p"),
+            () => base.write.mode("overwrite")
+              .option("header", "true").csv(s"$tmp/c"),
+            () => base.write.mode("overwrite").json(s"$tmp/j"),
+            () => base.write.mode("overwrite").orc(s"$tmp/o"))
+            .map(j => pool.submit(new Runnable { def run(): Unit = j() }))
+            .foreach(_.get())
+        } finally pool.shutdown()
+      }
       val sch = base.schema
       def fp(df: DataFrame, label: String) =
         graft.operators.Maintenance.tableFingerprint(df, df.columns.toSeq)
@@ -4421,34 +4494,51 @@ object SparkEntry {
       try {
         val dq = s"q255_dedup_$tok"; val jq = s"q255_join_$tok"
         s.catalog.dropTempView(dq); s.catalog.dropTempView(jq)
-        val (_, dedupProg) = StreamingOps.runAvailableNowProgress(
-          s, s"$d/documents.parquet", dq) { docs =>
-          StreamingDedup.dedupStream(
-            docs.filter(length(trim(col("text"))) > 0),
-            "doc_id", "text").toDF()
-        }
-        val (_, joinProg) = StreamingOps.runAvailableNowProgress(
-          s, s"$d/events.parquet", jq) { ev =>
-          // null join keys / event times are filtered EXPLICITLY so the
-          // state-row count is a clean SQL quantity (what the symmetric
-          // hash join would do with a null-keyed row is an impl detail
-          // the oracle must not depend on)
-          val v = ev.filter(col("event_type") === "view" &&
-              col("user_id").isNotNull && col("ts").isNotNull)
-            .select(col("event_id").as("v_event_id"),
-              col("user_id").as("v_user"), col("ts").as("vts"))
-            .withWatermark("vts", "2 hours")
-          val c = ev.filter(col("event_type") === "click" &&
-              col("user_id").isNotNull && col("ts").isNotNull)
-            .select(col("event_id").as("c_event_id"),
-              col("user_id").as("c_user"), col("ts").as("cts"))
-            .withWatermark("cts", "2 hours")
-          v.join(c, col("v_user") === col("c_user") &&
-            col("cts") >= col("vts") &&
-            col("cts") <= col("vts") + expr("INTERVAL 60 MINUTES"))
-            .select(col("v_user").as("user_id"), col("v_event_id"),
-              col("c_event_id"))
-        }
+        // r21 (guide §2.6): the dedup stream and the join stream are
+        // INDEPENDENT queries over different tables — run them
+        // concurrently from two driver threads so the second stream's
+        // micro-batch back-fills cores the first one's tail leaves idle
+        // (each stream's own batches stay sequential; progress objects
+        // and sink tables are per-stream, so the result is unchanged).
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val dedupF = pool.submit(
+          new java.util.concurrent.Callable[
+              Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]] {
+            def call() = StreamingOps.runAvailableNowProgress(
+              s, s"$d/documents.parquet", dq) { docs =>
+              StreamingDedup.dedupStream(
+                docs.filter(length(trim(col("text"))) > 0),
+                "doc_id", "text").toDF()
+            }._2
+          })
+        val joinF = pool.submit(
+          new java.util.concurrent.Callable[
+              Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]] {
+            def call() = StreamingOps.runAvailableNowProgress(
+              s, s"$d/events.parquet", jq) { ev =>
+              // null join keys / event times are filtered EXPLICITLY so the
+              // state-row count is a clean SQL quantity (what the symmetric
+              // hash join would do with a null-keyed row is an impl detail
+              // the oracle must not depend on)
+              val v = ev.filter(col("event_type") === "view" &&
+                  col("user_id").isNotNull && col("ts").isNotNull)
+                .select(col("event_id").as("v_event_id"),
+                  col("user_id").as("v_user"), col("ts").as("vts"))
+                .withWatermark("vts", "2 hours")
+              val c = ev.filter(col("event_type") === "click" &&
+                  col("user_id").isNotNull && col("ts").isNotNull)
+                .select(col("event_id").as("c_event_id"),
+                  col("user_id").as("c_user"), col("ts").as("cts"))
+                .withWatermark("cts", "2 hours")
+              v.join(c, col("v_user") === col("c_user") &&
+                col("cts") >= col("vts") &&
+                col("cts") <= col("vts") + expr("INTERVAL 60 MINUTES"))
+                .select(col("v_user").as("user_id"), col("v_event_id"),
+                  col("c_event_id"))
+            }._2
+          })
+        val (dedupProg, joinProg) =
+          try (dedupF.get(), joinF.get()) finally pool.shutdown()
         StreamingOps.writeStateSidecar(
           "target/q255_state_sidecar.json",
           Seq("dedup" -> dedupProg, "join" -> joinProg))

@@ -109,8 +109,16 @@ object PdfHeaderOps {
     * backslash escapes), hex strings `< … >` and `%` comments are
     * skipped so their brackets never unbalance the scan. -1 end on any
     * truncation. */
-  private def dictSpan(b: Array[Byte], from: Int): (Int, Int) = {
-    val open = indexOf(b, Array('<', '<'), from, from + MaxScan)
+  /** `searchLimit` bounds how far past `from` the OPENING `<<` may sit
+    * (the balanced scan past it stays bounded at [[MaxScan]]). Callers
+    * that will reject far-away dicts anyway (the ObjStm pre-filter's
+    * 1024-byte window) pass the window so a crafted file of repeated
+    * bare ` obj` tokens costs O(tokens × window), not O(tokens ×
+    * MaxScan) — r20 ADVICE, the one unbounded sweep in an expression
+    * whose contract otherwise bounds attacker cost. */
+  private def dictSpan(b: Array[Byte], from: Int,
+      searchLimit: Int = MaxScan): (Int, Int) = {
+    val open = indexOf(b, Array('<', '<'), from, from + searchLimit)
     if (open < 0) return (-1, -1)
     var i = open
     var depth = 0
@@ -251,6 +259,17 @@ object PdfHeaderOps {
         if (got == 0 && !inf.finished()) return null
         n += got
       }
+      // A stream that inflates to EXACTLY maxOut bytes can exit the loop
+      // with finished()==false when the final inflate filled the buffer
+      // before consuming the end-of-stream marker (r20 ADVICE): give the
+      // inflater one zero-yield probe into a scratch byte — if it
+      // produces nothing and flips finished(), the stream was in-bound;
+      // only reject when another byte actually arrives.
+      if (n == maxOut && !inf.finished() && !inf.needsInput() &&
+        !inf.needsDictionary()) {
+        val probe = new Array[Byte](1)
+        if (inf.inflate(probe, 0, 1) > 0) return null // genuinely over
+      }
       if (!inf.finished()) return null // truncated or over the bound
       java.util.Arrays.copyOf(out, n)
     } catch {
@@ -311,7 +330,11 @@ object PdfHeaderOps {
       i = indexOf(b, pat, i, b.length)
       if (i >= 0) {
         val span =
-          if (i == 0 || isWs(b(i - 1))) dictSpan(b, i + 3) else (-1, -1)
+          if (i == 0 || isWs(b(i - 1)))
+            // search window = the pre-filter's own 1024-byte acceptance
+            // bound (+2 so a `<<` STARTING at the boundary is still seen)
+            dictSpan(b, i + 3, searchLimit = 1024 + 2)
+          else (-1, -1)
         // pre-filter before any inflate: a dict near this obj with
         // /Type /ObjStm, /N and /First all present (the ws left-boundary
         // above keeps `endobj` from matching)

@@ -1128,6 +1128,11 @@ object Corpus {
     val shingles =
       if (hashed) graft.functions.TextFunctions.charShingleHashes(norm, k)
       else graft.functions.TextFunctions.charShingles(norm, k)
+    // sg feeds both the per-gram and the per-source aggregate; pinning
+    // it was MEASURED ~neutral-to-slower (r21 A/B, 3× interleaved fresh
+    // JVMs: min 3.09 → 3.21 s) — the synchronous checkpoint job costs
+    // more than the saved second aggregation, whose input the two
+    // consumers' exchanges already overlap. Keep the recompute.
     val sg = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(srcCol).as("src"), explode(shingles).as("g"))
       .distinct()

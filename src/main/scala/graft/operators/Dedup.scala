@@ -271,25 +271,41 @@ object Dedup {
     *    default 20 (see [[RouteCandidatesPerDoc]]'s calibration note).
     *  - `spark.graft.route.scratchBytes` (long): the host's usable
     *    scratch capacity; budget = scratchBytes /
-    *    [[VerifyScratchBytesPerCandidate]]. When BOTH are set the
-    *    tighter one binds (stating a big disk must not override an
-    *    explicit per-doc bound, and vice versa).
+    *    [[VerifyScratchBytesPerCandidate]]. Stated ALONE it is the
+    *    budget outright — larger OR smaller than the calibration
+    *    default (r20 ADVICE: the knob must be able to raise the budget,
+    *    or the portability story is one-directional). When BOTH knobs
+    *    are set the tighter one binds (stating a big disk must not
+    *    override an explicit per-doc bound, and vice versa); the
+    *    [[RouteCandidatesPerDoc]] default applies only when neither is
+    *    stated.
     *
     * Always floored at [[MinRouteCandidates]] (the recall floor is a
     * contract, not a budget line). */
   private[graft] def routeCandidateBudget(
       spark: org.apache.spark.sql.SparkSession, nDocs: Long): Double = {
-    val perDoc = spark.conf
-      .get("spark.graft.route.candidatesPerDoc", RouteCandidatesPerDoc.toString)
-      .toDouble
-    require(perDoc > 0, s"spark.graft.route.candidatesPerDoc must be > 0: $perDoc")
-    val base = perDoc * nDocs
-    val capped = spark.conf.getOption("spark.graft.route.scratchBytes") match {
-      case Some(b) =>
+    val perDocOpt = spark.conf.getOption("spark.graft.route.candidatesPerDoc")
+      .map(_.toDouble)
+    perDocOpt.foreach(p => require(p > 0,
+      s"spark.graft.route.candidatesPerDoc must be > 0: $p"))
+    val scratchOpt = spark.conf.getOption("spark.graft.route.scratchBytes")
+      .map { b =>
         val bytes = b.toDouble
         require(bytes > 0, s"spark.graft.route.scratchBytes must be > 0: $b")
-        math.min(base, bytes / VerifyScratchBytesPerCandidate)
-      case None => base
+        bytes / VerifyScratchBytesPerCandidate
+      }
+    // r20 ADVICE: a host stating ONLY its scratch capacity must be able
+    // to RAISE the budget past the calibration default, not just lower
+    // it — that is the portability point of the knob. So scratchBytes
+    // alone IS the budget; the per-doc DEFAULT applies only when neither
+    // knob is stated, and min() binds only when the caller stated BOTH
+    // (a big disk must not override an explicit per-doc bound, and vice
+    // versa).
+    val capped = (perDocOpt.map(_ * nDocs), scratchOpt) match {
+      case (Some(pd), Some(sc)) => math.min(pd, sc)
+      case (Some(pd), None) => pd
+      case (None, Some(sc)) => sc
+      case (None, None) => RouteCandidatesPerDoc * nDocs
     }
     math.max(capped, MinRouteCandidates)
   }
@@ -485,11 +501,23 @@ object Dedup {
     // shuffle+checkpoint. Identical labels (min member per component);
     // the iterative path remains for genuinely large graphs and is
     // force-tested via broadcastEdgeLimit = 0.
-    if (broadcastEdgeLimit > 0 &&
-        pairs.limit(broadcastEdgeLimit + 1).count() <= broadcastEdgeLimit) {
-      val es = pairs
-        .select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .collect().map { r =>
+    // ONE bounded collect probes AND fetches (r21, guide §1.2): the old
+    // shape ran the caller's pair lineage twice — a limit+count probe,
+    // then the full collect — and for CC callers the pair join is the
+    // expensive stage (q233's Jaro-Winkler block join, q63's band
+    // chain). limit(L+1) bounds the driver transfer exactly as before
+    // (≤ L+1 two-long rows, ~16 MB at the 2^20 default); when the fetch
+    // comes back over the limit it is discarded and the iterative path
+    // runs — the same cost class as the count probe it replaces. When
+    // the limit holds, limit(L+1) returned EVERY edge, so the label map
+    // is identical.
+    val probed =
+      if (broadcastEdgeLimit > 0)
+        pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit(broadcastEdgeLimit + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (broadcastEdgeLimit > 0 && probed.length <= broadcastEdgeLimit) {
+      val es = probed.map { r =>
           require(!r.isNullAt(0) && !r.isNullAt(1),
             "connectedComponents: pair ids must be non-null and numeric " +
               "(long-castable); got a null/uncastable id in `pairs`")
@@ -1297,6 +1325,12 @@ object Dedup {
       if (inputSmall || inBroadcastDangerZone(toksPlan))
         toksPlan.localCheckpoint()
       else toksPlan
+    // dfreq is consumed twice (probe/prefix join + index-side filter),
+    // but pinning it was MEASURED SLOWER (r21 A/B, 3× interleaved fresh
+    // JVMs: q154 5.57→6.13 s, q259 4.25→4.62 s min): the extra
+    // synchronous checkpoint job serializes what AQE otherwise overlaps
+    // with the downstream joins, and the re-aggregation over the pinned
+    // toks table is cheap. Keep the recompute.
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     (base, toks, toksPlan, dfreq, inputSmall)
   }
@@ -1770,6 +1804,13 @@ object Dedup {
     * genuine candidates. Long strings should be pre-hashed to a bounded
     * key prefix upstream if `len` is unbounded (the scheme targets short
     * identifier-like strings). */
+  /** PRE-checkpoint variant builder of [[editDistanceJoin]] — the
+    * plan-lock surface (r21, same rationale as [[spanGramsPlan]]). */
+  private[graft] def deletionVariantsPlan(base: DataFrame): DataFrame =
+    base.select(col("id"),
+      explode(graft.functions.ShingleOps.deletionVariantsCol(col("s"))).as("v"))
+      .distinct()
+
   def editDistanceJoin(rows: DataFrame, idCol: String,
       strCol: String): DataFrame = {
     val base = rows.select(col(idCol).as("id"), col(strCol).as("s"))
@@ -1777,9 +1818,14 @@ object Dedup {
     // codegen'd pass (ShingleOps.deletionVariants): the HOF transform/
     // substring formulation evaluated its lambda interpreted len+1 times
     // per string (PropertySpec pins the equivalence)
-    val variants = base.select(col("id"),
-      explode(graft.functions.ShingleOps.deletionVariantsCol(col("s"))).as("v"))
-      .distinct()
+    // both sides of the self-join consume the variant table — pin the
+    // ×(len+1) explode + distinct once under the small-input gate (r21,
+    // guide §1.2; same dispatch as the shingle fronts), recompute at scale
+    val variantsPlan = deletionVariantsPlan(base)
+    val variants =
+      if (rows.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(512L << 20)) variantsPlan.localCheckpoint()
+      else variantsPlan
     val cand = variants.as("a")
       .join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id"))
@@ -1887,6 +1933,17 @@ object Dedup {
     * document — no shuffle beyond the dictionary join and one groupBy
     * per side. A document never moves whole through the gram exchange;
     * only (gram, doc, pos) rows do. */
+  /** PRE-checkpoint gram builder of [[duplicatedSpanRemoval]] — the
+    * plan-lock surface (r21): after the gated pin the word_grams kernel
+    * no longer shows in the operator's FINAL plan, so ScaleSpec asserts
+    * codegen/shape here, on the plan that actually computes the pass
+    * (the r16 rule: assert on the builder, not past a checkpoint). */
+  private[graft] def spanGramsPlan(base: DataFrame, gramN: Int): DataFrame =
+    base.filter(size(col("toks")) >= gramN)
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.wordShinglesRaw(col("toks"), gramN)))
+      .toDF("doc_id", "s", "g")
+
   def duplicatedSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
       gramN: Int = 5, minDocs: Int = 2): DataFrame = {
     require(gramN >= 2, s"gramN must be >= 2: $gramN")
@@ -1896,13 +1953,19 @@ object Dedup {
     // native gram pass (ShingleOps.wordGrams): the HOF transform/slice/
     // concat_ws formulation evaluates its lambda interpreted per gram —
     // corpus × ~n_tok interpreted evals, run TWICE here (grams feeds both
-    // the dictionary aggregate and the starts join; recomputing the now-
-    // compiled pass stays cheaper at scale than pinning a corpus-content-
-    // sized gram table). posexplode's pos = gram start index in toks.
-    val grams = base.filter(size(col("toks")) >= gramN)
-      .select(col("doc_id"), posexplode(
-        graft.functions.TextFunctions.wordShinglesRaw(col("toks"), gramN)))
-      .toDF("doc_id", "s", "g")
+    // the dictionary aggregate and the starts join). posexplode's pos =
+    // gram start index in toks. r21 (guide §1.2): under the same proven
+    // input-size bound the shingle front uses ([[shingleToksPlan]]'s
+    // checkpoint dispatch), pin the gram table once instead of running
+    // the explode+gram pass twice; above the bound, recompute — the
+    // at-scale posture, nothing corpus-content-sized pinned in the block
+    // manager (measured min-of-3: 1.11 → 0.96 s for the q196 body at
+    // sf0.1; the recompute branch is unchanged).
+    val gramsPlan = spanGramsPlan(base, gramN)
+    val grams =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(512L << 20)) gramsPlan.localCheckpoint()
+      else gramsPlan
     val hot = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

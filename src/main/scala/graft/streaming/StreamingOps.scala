@@ -243,7 +243,15 @@ object StreamingOps {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-2b")
     def writePhase(i: Int, df: DataFrame): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-phase$i")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // repartition(1), NOT coalesce(1) (r21, guide §2.4): coalesce
+      // propagates the 1-partition constraint UP the plan, so the whole
+      // scan + normalize + phase filter ran as ONE task; repartition
+      // keeps the scan parallel and funnels only the surviving phase
+      // rows through one exchange into the single part file the
+      // maxFilesPerTrigger=1 contract needs. Within-file row order is
+      // not load-bearing (each phase is consumed as one whole
+      // micro-batch; every consumer aggregates).
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
       val part = tmp.toFile.listFiles()
         .filter(_.getName.endsWith(".parquet"))
         .headOption
@@ -265,9 +273,22 @@ object StreamingOps {
       dest.toFile.deleteOnExit()
     }
     dir.toFile.deleteOnExit()
-    writePhase(0, batch.filter(col(timeCol).isNull ||
-      unix_micros(col(timeCol)) < lit(splitUs)))
-    writePhase(1, batch.filter(unix_micros(col(timeCol)) >= lit(splitUs)))
+    // The two phase writes are independent jobs over the same scan —
+    // overlap them (guide §2.6) so phase B's scan back-fills the cores
+    // phase A's single write task leaves idle. Phase ORDER is pinned by
+    // file name + modTime inside writePhase, not by write completion
+    // order, so concurrency cannot reorder the stream.
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try Seq(
+        () => writePhase(0, batch.filter(col(timeCol).isNull ||
+          unix_micros(col(timeCol)) < lit(splitUs))),
+        () => writePhase(1, batch.filter(
+          unix_micros(col(timeCol)) >= lit(splitUs))))
+        .map(j => pool.submit(new Runnable { def run(): Unit = j() }))
+        .foreach(_.get())
+      finally pool.shutdown()
+    }
     // phase files are written POST-normalization, so the stream schema is
     // plain session-TZ TIMESTAMP — no second normalization pass
     val sch = spark.read.parquet(dir.toString).schema

@@ -1088,6 +1088,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(graft.operators.Dedup.routeCandidateBudget(s, 1000000L)
         == 2e7)
       assert(graft.operators.Dedup.routeCandidateBudget(s, 1000L) == 5e6)
+      // scratchBytes ALONE is the budget outright — including RAISING it
+      // past the calibration default (r20 ADVICE: the portability knob
+      // must work in both directions; min() only when both are stated)
+      s.conf.set("spark.graft.route.scratchBytes",
+        (90L << 30).toString) // 90 GiB -> ~1.07e8 > the 2e7 default
+      val scratchOnly = graft.operators.Dedup.routeCandidateBudget(s, 1000000L)
+      assert(math.abs(scratchOnly - (90L << 30) / 900.0) < 1.0,
+        scratchOnly.toString)
+      s.conf.unset("spark.graft.route.scratchBytes")
       // per-doc override moves the budget as stated
       s.conf.set("spark.graft.route.candidatesPerDoc", "60")
       assert(graft.operators.Dedup.routeCandidateBudget(s, 1000000L)

@@ -695,11 +695,16 @@ class ScaleSpec extends AnyFunSuite {
     // the dedup/report aggregates; q202: variant build/probe + band;
     // q210: the full waterfall's stage aggregates). One MORE hash
     // exchange than recorded = a lost reuse or a new shuffle.
+    // r21 budgets: the gated pins moved the gram/variant build passes
+    // behind checkpoints and q210's stage-0..2 rollup folded to one
+    // pinned pass, so the FINAL-plan exchange counts dropped (q196 3,
+    // q200 5→4, q202 3→1, q210 12→3 measured at sf0.001) — re-locked at
+    // the new shape so a lost reuse is one extra exchange again.
     for ((q, maxHashEx) <- Seq(
         "q196_span_removal" -> 3,
-        "q200_curation_v2" -> 5,
-        "q202_editdist_join" -> 3,
-        "q210_curation_waterfall" -> 12)) {
+        "q200_curation_v2" -> 4,
+        "q202_editdist_join" -> 1,
+        "q210_curation_waterfall" -> 3)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
@@ -709,19 +714,43 @@ class ScaleSpec extends AnyFunSuite {
     // window discipline per consumer: the kernel chains themselves carry
     // no Window (q196/q202 — hot-gram caps are aggregates + joins, the
     // r11 rule); q200's one window is the source-partitioned packing
-    // running sum (never a global single partition); q210's windows are
-    // per-stage top-k with the rank limit pushed map-side
+    // running sum (never a global single partition). q210 (r21): the
+    // keeper window (fingerprint-partitioned WindowGroupLimit, the shape
+    // this lock used to assert directly) now executes ONCE inside the
+    // gated stage-3 pin instead of once per consuming union branch, so
+    // the FINAL plan shows the pinned RDD scans, not the window — assert
+    // the fold itself (≥2 ExistingRDD scans: the one-pass stage-0..2
+    // rollup row and the pinned keeper table) plus the unchanged
+    // no-cartesian/exchange budget above; the window machinery stays
+    // locked through q06/q18's WindowGroupLimit asserts.
     assert(!plan("q196_span_removal").contains("Window"))
     assert(!plan("q202_editdist_join").contains("Window"))
     val p200 = plan("q200_curation_v2")
     assert(p200.contains("Window") && !p200.contains("SinglePartition"),
       p200)
-    assert(plan("q210_curation_waterfall").contains("WindowGroupLimit"))
-    // and the kernels are actually IN these plans — the locks above
-    // guard the native-kernel formulation, not a silent HOF revert
+    val p210 = plan("q210_curation_waterfall")
+    assert(p210.split("\n").count(_.contains("Scan ExistingRDD")) >= 2,
+      p210)
+    assert(!p210.contains("WindowGroupLimit"), // folded behind the pin
+      p210)
+    // and the kernels are actually IN the plans that compute them — the
+    // locks guard the native-kernel formulation, not a silent HOF
+    // revert. token_span_filter applies on the UNPINNED base join, so
+    // the final plan still shows it; word_grams and deletion_variants
+    // moved behind the r21 gated pins, so they are asserted on the
+    // PRE-checkpoint builders (the r16 rule: a checkpointed plan is just
+    // an RDD scan — assert on the builder that actually computes it).
     assert(plan("q196_span_removal").contains("token_span_filter"))
-    assert(plan("q202_editdist_join").contains("deletion_variants"))
-    assert(plan("q200_curation_v2").contains("word_grams"))
+    import spark.implicits._
+    val gramsB = graft.operators.Dedup.spanGramsPlan(
+      Seq((1L, Seq("a", "b", "c", "d", "e", "f")))
+        .toDF("doc_id", "toks"), 5)
+      .queryExecution.executedPlan.toString
+    assert(gramsB.contains("word_grams"), gramsB)
+    val varB = graft.operators.Dedup.deletionVariantsPlan(
+      Seq((1L, "abc")).toDF("id", "s"))
+      .queryExecution.executedPlan.toString
+    assert(varB.contains("deletion_variants"), varB)
   }
 
   test("plan shapes: r20 containment routes stay scale-safe " +
