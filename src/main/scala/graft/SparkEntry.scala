@@ -4318,6 +4318,14 @@ object SparkEntry {
     // (the fingerprint contract; CSV/JSON carry no type metadata, so the
     // read-back applies the explicit schema).
     "q208_format_parity" -> ((s, d) => {
+      // NOTE (r21, measured and rejected): respreading the one-partition
+      // sf scan to core count before the writes — so each text encode
+      // parallelizes — measured SLOWER (min 3.38 → 6.02 s, 3× A/B): 4
+      // concurrent 32-task write jobs oversubscribe the cores and the
+      // per-file commit overhead of 32 parts × 4 formats beats the
+      // encode win at this row count. The 4-way job overlap below is
+      // the measured optimum; a at-scale table arrives multi-partition
+      // anyway.
       val base = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
         col("l_returnflag"), col("l_linestatus"),
         col("l_quantity").cast("long").as("qty"))
