@@ -335,14 +335,22 @@ object Bench {
       //   3. the newest BENCH_r*.json (legacy fallback, truncated).
       val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").orElse {
         val snap = new java.io.File("bench_ref.json")
-        if (snap.isFile) Some(snap.getPath)
-        else {
-          val rs = Option(new java.io.File(".").listFiles()).toSeq.flatten
-            .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          if (rs.isEmpty) None
-          else Some(rs.maxBy(f =>
-            "\\d+".r.findFirstIn(f.getName).get.toInt).getPath)
-        }
+        val drivers = Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        if (snap.isFile) {
+          // staleness guard (r21 ADVICE): the committed snapshot outranks
+          // the driver artifacts, so a snapshot NOT refreshed at the last
+          // round close would silently adjudicate against stale bands —
+          // say so when a newer BENCH_r*.json exists in cwd.
+          drivers.filter(_.lastModified() > snap.lastModified())
+            .sortBy(_.getName).lastOption.foreach(d => System.err.println(
+              s"[bench] WARNING: ${d.getName} is newer than bench_ref.json " +
+                "— the snapshot may be stale; refresh it from " +
+                "target/bench_last.json at round close"))
+          Some(snap.getPath)
+        } else if (drivers.isEmpty) None
+        else Some(drivers.maxBy(f =>
+          "\\d+".r.findFirstIn(f.getName).get.toInt).getPath)
       }
       refPath.flatMap { p =>
         try {

@@ -2054,6 +2054,8 @@ object SparkEntry {
       // intersection join — three consumers, so the explode + distinct
       // pass ran 3× per query. Pinned once under the same input-size
       // gate as the dedup fronts; a caller at scale recomputes.
+      // fanOutScan measured ~neutral here (r22): the explode feeds the
+      // distinct's exchange either way — left unspread
       val shd = ckptIfSmall(docs)(docs.select(col("doc_id"),
         explode(graft.functions.ShingleOps.wordShinglesCol(col("text"), 3))
           .as("sh")).distinct())
@@ -2489,21 +2491,15 @@ object SparkEntry {
       // r21 (guide §2.6): the two bucketed writes are independent jobs —
       // overlap them so the second table's scan back-fills the first
       // write's task tail. Same tables, same bucket layout, same join.
-      locally {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-        try Seq[() => Unit](
-          () => orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .saveAsTable(tOrders),
-          () => lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .saveAsTable(tItems))
-          .map(j => pool.submit(new Runnable { def run(): Unit = j() }))
-          .foreach(_.get())
-        finally pool.shutdown()
-      }
+      graft.operators.Overlap.runAll(Seq[() => Unit](
+        () => orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(tOrders),
+        () => lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(tItems)))
       s.table(tOrders)
         .join(s.table(tItems), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
@@ -4242,10 +4238,15 @@ object SparkEntry {
       val s012 = raw.agg(
           count(lit(1)).cast("long").as("n0"),
           coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("t0"),
-          sum(when(nonEmpty, 1L).otherwise(0L)).cast("long").as("n1"),
+          // n1/n2 coalesced like the token sums (r21 ADVICE): on an EMPTY
+          // documents table sum(when(...)) is NULL where the per-stage
+          // count() this fold replaced — and the oracle's count(*) — give 0
+          coalesce(sum(when(nonEmpty, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("n1"),
           coalesce(sum(when(nonEmpty, col("n_tok"))), lit(0L))
             .cast("long").as("t1"),
-          sum(when(minTok, 1L).otherwise(0L)).cast("long").as("n2"),
+          coalesce(sum(when(minTok, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("n2"),
           coalesce(sum(when(minTok, col("n_tok"))), lit(0L))
             .cast("long").as("t2"))
         .localCheckpoint()
@@ -4340,19 +4341,12 @@ object SparkEntry {
       // r21: wall = max(write) instead of Σ write, measured min 4.0 →
       // 1.9 s warm for the write+fingerprint body). Same files, same
       // contents, same fingerprint result — scheduling only.
-      locally {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-        try {
-          Seq[() => Unit](
-            () => base.write.mode("overwrite").parquet(s"$tmp/p"),
-            () => base.write.mode("overwrite")
-              .option("header", "true").csv(s"$tmp/c"),
-            () => base.write.mode("overwrite").json(s"$tmp/j"),
-            () => base.write.mode("overwrite").orc(s"$tmp/o"))
-            .map(j => pool.submit(new Runnable { def run(): Unit = j() }))
-            .foreach(_.get())
-        } finally pool.shutdown()
-      }
+      graft.operators.Overlap.runAll(Seq[() => Unit](
+        () => base.write.mode("overwrite").parquet(s"$tmp/p"),
+        () => base.write.mode("overwrite")
+          .option("header", "true").csv(s"$tmp/c"),
+        () => base.write.mode("overwrite").json(s"$tmp/j"),
+        () => base.write.mode("overwrite").orc(s"$tmp/o")))
       val sch = base.schema
       def fp(df: DataFrame, label: String) =
         graft.operators.Maintenance.tableFingerprint(df, df.columns.toSeq)
@@ -4508,45 +4502,35 @@ object SparkEntry {
         // micro-batch back-fills cores the first one's tail leaves idle
         // (each stream's own batches stay sequential; progress objects
         // and sink tables are per-stream, so the result is unchanged).
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-        val dedupF = pool.submit(
-          new java.util.concurrent.Callable[
-              Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]] {
-            def call() = StreamingOps.runAvailableNowProgress(
-              s, s"$d/documents.parquet", dq) { docs =>
-              StreamingDedup.dedupStream(
-                docs.filter(length(trim(col("text"))) > 0),
-                "doc_id", "text").toDF()
-            }._2
-          })
-        val joinF = pool.submit(
-          new java.util.concurrent.Callable[
-              Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]] {
-            def call() = StreamingOps.runAvailableNowProgress(
-              s, s"$d/events.parquet", jq) { ev =>
-              // null join keys / event times are filtered EXPLICITLY so the
-              // state-row count is a clean SQL quantity (what the symmetric
-              // hash join would do with a null-keyed row is an impl detail
-              // the oracle must not depend on)
-              val v = ev.filter(col("event_type") === "view" &&
-                  col("user_id").isNotNull && col("ts").isNotNull)
-                .select(col("event_id").as("v_event_id"),
-                  col("user_id").as("v_user"), col("ts").as("vts"))
-                .withWatermark("vts", "2 hours")
-              val c = ev.filter(col("event_type") === "click" &&
-                  col("user_id").isNotNull && col("ts").isNotNull)
-                .select(col("event_id").as("c_event_id"),
-                  col("user_id").as("c_user"), col("ts").as("cts"))
-                .withWatermark("cts", "2 hours")
-              v.join(c, col("v_user") === col("c_user") &&
-                col("cts") >= col("vts") &&
-                col("cts") <= col("vts") + expr("INTERVAL 60 MINUTES"))
-                .select(col("v_user").as("user_id"), col("v_event_id"),
-                  col("c_event_id"))
-            }._2
-          })
-        val (dedupProg, joinProg) =
-          try (dedupF.get(), joinF.get()) finally pool.shutdown()
+        val Seq(dedupProg, joinProg) = graft.operators.Overlap.runAll(Seq(
+          () => StreamingOps.runAvailableNowProgress(
+            s, s"$d/documents.parquet", dq) { docs =>
+            StreamingDedup.dedupStream(
+              docs.filter(length(trim(col("text"))) > 0),
+              "doc_id", "text").toDF()
+          }._2,
+          () => StreamingOps.runAvailableNowProgress(
+            s, s"$d/events.parquet", jq) { ev =>
+            // null join keys / event times are filtered EXPLICITLY so the
+            // state-row count is a clean SQL quantity (what the symmetric
+            // hash join would do with a null-keyed row is an impl detail
+            // the oracle must not depend on)
+            val v = ev.filter(col("event_type") === "view" &&
+                col("user_id").isNotNull && col("ts").isNotNull)
+              .select(col("event_id").as("v_event_id"),
+                col("user_id").as("v_user"), col("ts").as("vts"))
+              .withWatermark("vts", "2 hours")
+            val c = ev.filter(col("event_type") === "click" &&
+                col("user_id").isNotNull && col("ts").isNotNull)
+              .select(col("event_id").as("c_event_id"),
+                col("user_id").as("c_user"), col("ts").as("cts"))
+              .withWatermark("cts", "2 hours")
+            v.join(c, col("v_user") === col("c_user") &&
+              col("cts") >= col("vts") &&
+              col("cts") <= col("vts") + expr("INTERVAL 60 MINUTES"))
+              .select(col("v_user").as("user_id"), col("v_event_id"),
+                col("c_event_id"))
+          }._2))
         StreamingOps.writeStateSidecar(
           "target/q255_state_sidecar.json",
           Seq("dedup" -> dedupProg, "join" -> joinProg))

@@ -43,6 +43,29 @@ object Dedup {
       case _ => ()
     }
 
+  /** Fan a narrower-than-cores scan out to the default parallelism before
+    * a CPU-dense per-row pass (r22, generalizing prefixToks' r11 spread):
+    * a single-row-group corpus file scans as ONE partition, and every
+    * native text pass built directly on it — minhash lanes, shingle
+    * explodes, winnow fingerprints, hash-array builds (including the ones
+    * that execute inside a BroadcastExchange build or a localCheckpoint
+    * job) — runs as ONE task while the other cores idle (measured: q121's
+    * per-job timeline showed a 3.3 s single-task broadcast build as the
+    * query's long pole). A real corpus has plenty of scan partitions and
+    * skips this shuffle entirely, so the at-scale plan is unchanged. */
+  private[graft] def fanOutScan(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // HASH repartition on a caller-supplied high-cardinality key, not
+    // round-robin: every keyless repartition(n) first pays a LOCAL SORT
+    // of its input (spark.sql.execution.sortBeforeRepartition, on by
+    // default so retried tasks reproduce the same row placement — guide
+    // §2.5), and on a 1-partition scan that sort of the full text
+    // payloads is itself a serial pass. Hash placement is deterministic
+    // by value, so it needs no sort and is retry-safe by construction.
+    if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+  }
+
   /** Exact dedup: group on the MD5 of normalized text, keep the smallest id.
     * Returns (text_hash, keeper, n_dups). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -92,6 +115,11 @@ object Dedup {
       shingleN: Int, numHashes: Int, bands: Int,
       fam: LaneFamily): DataFrame = {
     val rows = numHashes / bands
+    // fanOutScan measured NEGATIVE here (r22, min-of-3/4 interleaved:
+    // q63 +0.4..+0.5 s) — the shingle pass is cheap enough that the
+    // text shuffle + extra stage cost more than the parallelism buys;
+    // the lane minima flow into the signature aggregate's own exchange
+    // either way. Left unspread; see fanOutScan for where it DOES pay.
     val shing = docs.select(col(idCol).as("doc_id"),
       explode(graft.functions.ShingleOps.wordShinglesCol(col(textCol), shingleN)).as("s"))
       .select(col("doc_id"), fam.prep(col("s")).as("ph"))
@@ -169,6 +197,10 @@ object Dedup {
     * (q107's lane-agreement estimates) from one computation. */
   def md5MinhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16): DataFrame =
+    // fanOutScan measured ~neutral-to-negative here (r22: q107 +0.1,
+    // q112 +0.6 min-of-3 interleaved with the sketch spread) — the md5
+    // lane pass on this corpus shape is cheaper than the text shuffle
+    // the spread adds. Left unspread; see fanOutScan for where it pays.
     docs.select(col(idCol).as("doc_id"),
       org.apache.spark.sql.GraftBridge.column(graft.functions.Md5MinhashLanes(
         org.apache.spark.sql.GraftBridge.expression(col(textCol)),
@@ -505,8 +537,12 @@ object Dedup {
     // shape ran the caller's pair lineage twice — a limit+count probe,
     // then the full collect — and for CC callers the pair join is the
     // expensive stage (q233's Jaro-Winkler block join, q63's band
-    // chain). limit(L+1) bounds the driver transfer exactly as before
-    // (≤ L+1 two-long rows, ~16 MB at the 2^20 default); when the fetch
+    // chain). limit(L+1) bounds the driver transfer exactly as before —
+    // ≤ L+1 two-long rows, which is ~16 MB of PAYLOAD at the 2^20
+    // default but several times that as driver-heap GenericRow objects
+    // (~100+ MB: per-row object headers + boxed fields — r21 ADVICE;
+    // size broadcastEdgeLimit against THAT figure, or collect through
+    // the RDD as primitive longs first, when raising it); when the fetch
     // comes back over the limit it is discarded and the iterative path
     // runs — the same cost class as the count probe it replaces. When
     // the limit holds, limit(L+1) returned EVERY edge, so the label map
@@ -1127,8 +1163,17 @@ object Dedup {
     val candSpread = if (inputSmall)
       cand.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     else cand
-    // compact per-doc shingle-hash sets — one row per doc, no re-explode
-    val arrs = docs
+    // compact per-doc shingle-hash sets — one row per doc, no re-explode.
+    // Spread a narrower-than-cores scan first (r22, same dispatch as
+    // prefixToks' fan-out): the hash-array pass is the query's single
+    // most CPU-dense per-doc computation, and when maybeBroadcastArrs
+    // broadcasts, the build executes this subtree AT THE SCAN'S OWN
+    // parallelism — on a single-row-group corpus file that was ONE task
+    // (measured: q121's per-job timeline shows a 3.3 s serial broadcast
+    // build as the query's long pole, every other job done 2.5 s
+    // earlier). A real corpus has plenty of scan partitions and skips
+    // this shuffle.
+    val arrs = fanOutScan(docs, col(idCol))
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         TextFunctions.charShingleHashes(
@@ -1760,7 +1805,10 @@ object Dedup {
       if (inputSmall)
         cand0.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       else cand0
-    val arrs = docs
+    // spread a narrower-than-cores scan before the hash-array pass — the
+    // broadcast build otherwise runs it at the scan's own parallelism
+    // (one task on a single-row-group file; see jaccardVerify, r22)
+    val arrs = fanOutScan(docs, col(idCol))
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         TextFunctions.charShingleHashes(
@@ -1947,6 +1995,9 @@ object Dedup {
   def duplicatedSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
       gramN: Int = 5, minDocs: Int = 2): DataFrame = {
     require(gramN >= 2, s"gramN must be >= 2: $gramN")
+    // fanOutScan measured NEGATIVE here (r22: q196 +0.36, q200 +0.37
+    // min-of-3 interleaved) — the split+gram pass is cheaper than the
+    // text shuffle the spread adds. Left unspread (see fanOutScan).
     val base = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         split(trim(lower(col(textCol))), "\\s+").as("toks"))
@@ -2109,7 +2160,11 @@ object Dedup {
       gram: Int = 16, win: Int = 8, minShared: Int = 8,
       maxDocsPerFp: Int = 10): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    val fpsPlan = docs
+    // the winnow pass is CPU-bound per doc: fan a narrower-than-cores
+    // scan out first (r22 — without this the whole fingerprint pass ran
+    // as ONE task on a single-row-group corpus file, measured as q119's
+    // largest job; see fanOutScan)
+    val fpsPlan = fanOutScan(docs, col(idCol))
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         explode(GraftBridge.column(graft.functions.WinnowFingerprints(

@@ -278,17 +278,11 @@ object StreamingOps {
     // phase A's single write task leaves idle. Phase ORDER is pinned by
     // file name + modTime inside writePhase, not by write completion
     // order, so concurrency cannot reorder the stream.
-    locally {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-      try Seq(
-        () => writePhase(0, batch.filter(col(timeCol).isNull ||
-          unix_micros(col(timeCol)) < lit(splitUs))),
-        () => writePhase(1, batch.filter(
-          unix_micros(col(timeCol)) >= lit(splitUs))))
-        .map(j => pool.submit(new Runnable { def run(): Unit = j() }))
-        .foreach(_.get())
-      finally pool.shutdown()
-    }
+    graft.operators.Overlap.runAll(Seq[() => Unit](
+      () => writePhase(0, batch.filter(col(timeCol).isNull ||
+        unix_micros(col(timeCol)) < lit(splitUs))),
+      () => writePhase(1, batch.filter(
+        unix_micros(col(timeCol)) >= lit(splitUs)))))
     // phase files are written POST-normalization, so the stream schema is
     // plain session-TZ TIMESTAMP — no second normalization pass
     val sch = spark.read.parquet(dir.toString).schema
